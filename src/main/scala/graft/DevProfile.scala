@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: run each declared query twice (cold/warm) to separate fixed
+  * planning/codegen overhead from per-row compute. Not part of the driver
+  * contract. */
+object DevProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect() // session warmup
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROF $name%-28s cold=${times(0)}%7.2fs warm=${times(1)}%7.2fs")
+    }
+    spark.stop()
+  }
+}

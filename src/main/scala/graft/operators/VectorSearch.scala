@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+import graft.functions.{VectorExpressions => V}
+
+/** Top-K vector similarity search — the reference engine's entire read
+  * path (reference main.go:174-240): scan -> score every vector -> global
+  * top-K. Spark-first re-expression:
+  *
+  *   - brute-force scan is a columnar parquet scan pruned to the two
+  *     needed columns (vs. the reference's full-JSON decode of every
+  *     document per query, main.go:277-292);
+  *   - scoring is a codegen'd HOF projection ([[graft.functions.VectorFunctions]]);
+  *   - `orderBy(desc).limit(k)` plans as TakeOrderedAndProject — a
+  *     per-partition bounded heap merged on the driver, the distributed
+  *     analogue of the reference's goroutine merge + full sort
+  *     (main.go:224-237), but O(n log k) and shuffle-free.
+  *
+  * At 100 TB this stays a single scan-side pass: no shuffle, no driver
+  * collect beyond k rows per partition; the "collection" filter prunes
+  * parquet partitions exactly like the reference's key-prefix listing.
+  */
+object VectorSearch {
+
+  val Dim = 64
+  val K = 10
+
+  /** Raw synthetic query + its normalized form (reference normalizes only
+    * the query side — main.go:179-183, "Q1" in SURVEY.md §2.1). */
+  val Query: Array[Double] = syntheticQuery(Dim)
+  val QueryNorm: Array[Double] = normalize(Query)
+
+  /** score = dot(q_normalized, v) — the reference's half-normalized
+    * "cosine" (main.go:246, Q1). */
+  def scoreRef(emb: Column): Column = V.dot(vecLit(QueryNorm), emb)
+
+  /** Flagship: global top-K by half-normalized dot product. */
+  def topK(emb: DataFrame, k: Int = K): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        scoreRef(col("embedding")).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+
+  /** True-cosine variant (both sides normalized) — SURVEY.md D1 keeps it
+    * as a separate, clean operator. */
+  def topKCosine(emb: DataFrame, k: Int = K): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        V.cosine(vecLit(Query), col("embedding")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+
+  /** Nearest neighbours by Euclidean distance. */
+  def topKL2(emb: DataFrame, k: Int = K): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        V.l2Dist(vecLit(Query), col("embedding")).as("l2_dist"))
+      .orderBy(col("l2_dist"), col("vec_id"))
+      .limit(k)
+
+  /** Multi-collection search (reference /multi_search, main.go:369-405):
+    * per-collection top-K then global top-K over the union. Global top-K
+    * over a pruned scan is semantically identical (each collection
+    * contributes <= k to the global answer) and plans as ONE scan with an
+    * `isin` partition filter + one TakeOrderedAndProject — no per-
+    * collection jobs, no union of intermediate results. `label` stands in
+    * for the collection id in the fixtures. */
+  def multiSearch(emb: DataFrame, collections: Seq[Int], k: Int = K): DataFrame =
+    topK(emb.where(col("label").isin(collections: _*)), k)
+
+  /** Per-collection top-K via ranking window — the intermediate shape of
+    * the reference's multi_search (its per-collection result lists,
+    * main.go:379-392) as a first-class operator. The window shuffles once
+    * on `label`; rank filter keeps k rows per group. */
+  def perCollectionTopK(emb: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+    emb.select(col("vec_id"), col("label"),
+        scoreRef(col("embedding")).as("similarity"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .orderBy(col("label"), col("rnk"))
+  }
+
+  /** Batch KNN join: for each query vector (a small, broadcastable set)
+    * find its k nearest neighbours among all vectors. BroadcastNestedLoop
+    * join of the tiny query side against the big scan side — the big side
+    * is never shuffled; ranking is a window over (query, similarity).
+    * Self-match is excluded. */
+  def knnJoin(emb: DataFrame, queryIds: Seq[Int], k: Int): DataFrame = {
+    val queries = emb.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        toDouble(col("embedding")).as("q_vec"))
+    val cands = emb.select(col("vec_id").as("cand_id"),
+      toDouble(col("embedding")).as("c_vec"))
+    val scored = cands.join(broadcast(queries),
+        col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        V.dot(col("q_vec"), col("c_vec")).as("similarity"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------------
+  // Declared queries + DuckDB oracles
+  // ------------------------------------------------------------------
+
+  /** DuckDB fragment for [[scoreRef]]. */
+  private val qNormSql = vecSql(QueryNorm)
+  private val qRawSql = vecSql(Query)
+  private def embD = "CAST(embedding AS DOUBLE[])"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("vs_topk",
+      s"""WITH q AS (SELECT $qNormSql AS v)
+         |SELECT vec_id, label,
+         |  ${dotSeqSql("q.v", embD, Dim)} AS similarity
+         |FROM embeddings, q
+         |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
+      (s, dir) => topK(Tables(s, dir, "embeddings"))
+    },
+
+    QueryDef.sql("vs_topk_cosine",
+      s"""WITH q AS (SELECT $qRawSql AS v)
+         |SELECT vec_id, label,
+         |  ${dotSeqSql("q.v", embD, Dim)} /
+         |    (sqrt(${dotSeqSql("q.v", "q.v", Dim)}) *
+         |     sqrt(${dotSeqSql(embD, embD, Dim)})) AS cos_sim
+         |FROM embeddings, q
+         |ORDER BY cos_sim DESC, vec_id LIMIT $K""".stripMargin) {
+      (s, dir) => topKCosine(Tables(s, dir, "embeddings"))
+    },
+
+    QueryDef.sql("vs_topk_l2",
+      s"""WITH q AS (SELECT $qRawSql AS v)
+         |SELECT vec_id, label,
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+         |    i -> ((q.v)[i] - ($embD)[i]) * ((q.v)[i] - ($embD)[i]))),
+         |    (acc, x) -> acc + x)) AS l2_dist
+         |FROM embeddings, q
+         |ORDER BY l2_dist, vec_id LIMIT $K""".stripMargin) {
+      (s, dir) => topKL2(Tables(s, dir, "embeddings"))
+    },
+
+    QueryDef.sql("vs_multi_collection",
+      s"""WITH q AS (SELECT $qNormSql AS v)
+         |SELECT vec_id, label,
+         |  ${dotSeqSql("q.v", embD, Dim)} AS similarity
+         |FROM embeddings, q
+         |WHERE label IN (1, 3, 5)
+         |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
+      (s, dir) => multiSearch(Tables(s, dir, "embeddings"), Seq(1, 3, 5))
+    },
+
+    QueryDef.sql("vs_per_collection_topk",
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |scored AS (
+         |  SELECT vec_id, label,
+         |    ${dotSeqSql("q.v", embD, Dim)} AS similarity
+         |  FROM embeddings, q)
+         |SELECT vec_id, label, similarity,
+         |  CAST(row_number() OVER (PARTITION BY label
+         |    ORDER BY similarity DESC, vec_id) AS INT) AS rnk
+         |FROM scored
+         |QUALIFY rnk <= 3
+         |ORDER BY label, rnk""".stripMargin) {
+      (s, dir) => perCollectionTopK(Tables(s, dir, "embeddings"), 3)
+    },
+
+    QueryDef.sql("vs_knn_join",
+      s"""WITH cands AS (SELECT vec_id AS cand_id, $embD AS c_vec FROM embeddings),
+         |queries AS (SELECT vec_id AS query_id, $embD AS q_vec FROM embeddings
+         |            WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |    ${dotSeqSql("q_vec", "c_vec", Dim)} AS similarity
+         |  FROM cands, queries WHERE query_id <> cand_id)
+         |SELECT query_id, cand_id, similarity,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY similarity DESC, cand_id) AS INT) AS rnk
+         |FROM scored
+         |QUALIFY rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin) {
+      (s, dir) => knnJoin(Tables(s, dir, "embeddings"), 0 until 8, 5)
+    }
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.VectorSearch
+
+class VectorSearchSpec extends SparkSpecBase {
+  private def emb = Tables(spark, sf, "embeddings")
+
+  test("topK returns k rows sorted by similarity desc") {
+    val rows = VectorSearch.topK(emb).collect()
+    assert(rows.length == VectorSearch.K)
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sortBy(-_)))
+  }
+
+  test("half-normalized score matches driver-side arithmetic (Q1 semantics)") {
+    // reference main.go:246: dot(q/||q||, v) with v NOT normalized
+    val row = emb.where(col("vec_id") === 0)
+      .select(scoreRefDf).collect().head
+    val v = emb.where(col("vec_id") === 0)
+      .select(toDouble(col("embedding"))).collect()
+      .head.getSeq[Double](0).toArray
+    val expected = v.indices.foldLeft(0.0)((a, i) =>
+      a + VectorSearch.QueryNorm(i) * v(i))
+    assert(row.getDouble(0) == expected) // bitwise: same fold order
+  }
+  private def scoreRefDf = VectorSearch.scoreRef(col("embedding")).as("s")
+
+  test("multiSearch only returns requested collections and <= k rows") {
+    val rows = VectorSearch.multiSearch(emb, Seq(1, 3), 5).collect()
+    assert(rows.length <= 5)
+    assert(rows.forall(r => Set(1, 3).contains(r.getInt(1))))
+  }
+
+  test("multi-collection global topK == topK over per-collection topKs") {
+    // SURVEY.md E2: per-collection top-k then global top-k over the union
+    // is equivalent to one global top-k over the pruned scan.
+    val labels = Seq(0, 2, 4)
+    val global = VectorSearch.multiSearch(emb, labels, 7).collect()
+    val perCol = labels
+      .map(l => VectorSearch.topK(emb.where(col("label") === l), 7))
+      .reduce(_ union _)
+      .orderBy(col("similarity").desc, col("vec_id")).limit(7).collect()
+    assert(global.map(_.getLong(0)).sameElements(perCol.map(_.getLong(0))))
+  }
+
+  test("perCollectionTopK keeps at most k per label, rank starts at 1") {
+    val rows = VectorSearch.perCollectionTopK(emb, 3).collect()
+    val byLabel = rows.groupBy(_.getInt(1))
+    assert(byLabel.values.forall(_.length <= 3))
+    assert(byLabel.values.forall(_.map(_.getInt(3)).min == 1))
+  }
+
+  test("knnJoin excludes self and returns k neighbours per query") {
+    val rows = VectorSearch.knnJoin(emb, Seq(0, 1), 4).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 4))
+  }
+
+  test("topK under-k: k larger than collection still sorted (D2 fix of Q2)") {
+    val tiny = emb.where(col("vec_id") < 3)
+    val rows = VectorSearch.topK(tiny, 10).collect()
+    assert(rows.length == 3)
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sortBy(-_)))
+  }
+
+  test("cosine is scale-invariant, half-normalized dot is not (Q1)") {
+    val a = Array(1.0, 2.0, 3.0)
+    val df = spark.range(1).select(
+      cosine(vecLit(a), vecLit(a.map(_ * 5))).as("c"),
+      dotSeq(vecLit(normalize(a)), vecLit(a.map(_ * 5))).as("d"))
+    val r = df.collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) > 1.0) // picks up the magnitude of v
+  }
+}
