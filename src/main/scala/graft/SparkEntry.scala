@@ -10,7 +10,7 @@ import graft.operators._
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    VectorSearch.defs
+    VectorSearch.defs ++ ParitySearch.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

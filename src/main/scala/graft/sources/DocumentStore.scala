@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's storage layer re-expressed for Spark.
+  *
+  * Reference model (main.go:58-62, 334): one JSON blob per document at
+  * MinIO key `{collection}/{uuid}_doc.json`, re-read and re-decoded in
+  * full on every query. Here the same documents live in ONE parquet
+  * dataset partitioned by `collection` — the partition column is the
+  * exact analogue of the key prefix (main.go:186-189) and gives pruned
+  * scans, column projection, and predicate pushdown for free.
+  *
+  * Write semantics (SURVEY.md D3): synchronous appends replace the
+  * reference's fire-and-forget goroutines (main.go:294-349) — the
+  * reference acks before writing and can silently lose data; a Spark
+  * write is atomic per job and readable when it returns.
+  */
+object DocumentStore {
+
+  /** Wire schema of the reference's ingest JSON (main.go:25-62;
+    * FIXTURES.md §A). `metadata.source` is `interface{}` in the
+    * reference — carried as a JSON string (SURVEY.md §1.2). */
+  val chunkSchema: StructType = StructType(Seq(
+    StructField("text", StringType),
+    StructField("embedding", StructType(Seq(
+      StructField("vector", ArrayType(DoubleType))))),
+    StructField("metadata", StructType(Seq(
+      StructField("source", StringType),
+      StructField("name", StringType)))),
+    StructField("semantic_score", DoubleType))) // dead on read (Q4)
+
+  val documentSchema: StructType = StructType(Seq(
+    StructField("text", StringType), // dead on read (Q5)
+    StructField("metadata", StructType(Seq(
+      StructField("source", StringType),
+      StructField("name", StringType)))),
+    StructField("chunks", ArrayType(chunkSchema))))
+
+  val storeRequestSchema: StructType = StructType(Seq(
+    StructField("collection_name", StringType),
+    StructField("documents", ArrayType(documentSchema))))
+
+  /** Ingest reference-format JSON store requests (one JSON object per
+    * line/file) into document rows: (collection, doc_id, document). A
+    * fresh UUID per document, like the reference (main.go:330) — and like
+    * it, re-storing the same document yields a new identity. */
+  def readStoreRequests(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(storeRequestSchema).json(path)
+      .select(col("collection_name").as("collection"),
+        explode(col("documents")).as("doc"))
+      .withColumn("doc_id", expr("uuid()"))
+
+  /** Flatten nested documents to the scan-side chunk table (SURVEY.md
+    * §1.4(b)): one row per chunk, 1-based `chunk_idx` (Q6). This is the
+    * layout every search reads — exploding at ingest once instead of per
+    * query (the reference re-explodes on every request, main.go:245-255).
+    */
+  def flattenChunks(docs: DataFrame): DataFrame =
+    docs.select(col("collection"), col("doc_id"),
+        col("doc.metadata.name").as("doc_name"),
+        col("doc.metadata.source").as("doc_source"),
+        posexplode(col("doc.chunks")).as(Seq("pos", "chunk")))
+      .select(col("collection"), col("doc_id"), col("doc_name"),
+        col("doc_source"),
+        (col("pos") + 1).as("chunk_idx"), // 1-based, reference main.go:250
+        col("chunk.text").as("text"),
+        col("chunk.embedding.vector").as("embedding"),
+        col("chunk.metadata.source").as("meta_source"),
+        col("chunk.metadata.name").as("meta_name"),
+        col("chunk.semantic_score").as("semantic_score"))
+
+  /** Store chunks into the collection-partitioned dataset (O10). */
+  def store(chunks: DataFrame, tablePath: String): Unit =
+    chunks.write.mode(SaveMode.Append)
+      .partitionBy("collection").parquet(tablePath)
+
+  /** Read the full store, pruned to one collection if given (O1/O2). */
+  def read(spark: SparkSession, tablePath: String,
+      collection: Option[String] = None): DataFrame = {
+    val df = spark.read.parquet(tablePath)
+    collection.fold(df)(c => df.where(col("collection") === c))
+  }
+
+  /** Delete a collection (O11): drop the partition directory — a
+    * metadata-level operation (what Hive `ALTER TABLE ... DROP PARTITION`
+    * does), touching none of the other collections' files. The
+    * reference's analogue is a prefix-wildcard object delete
+    * (main.go:407-458), async and unacknowledged; this is synchronous
+    * (D3). On a table format with a transaction log (Delta/Iceberg) this
+    * becomes a log entry; for raw parquet the directory is the partition
+    * metadata. */
+  def deleteCollection(spark: SparkSession, tablePath: String,
+      collection: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$tablePath/collection=$collection")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+  }
+}
