@@ -10,7 +10,7 @@ import graft.operators._
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    VectorSearch.defs ++ ParitySearch.defs
+    VectorSearch.defs ++ ParitySearch.defs ++ TextAnalysis.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

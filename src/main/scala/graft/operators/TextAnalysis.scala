@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+
+/** Scan-side text analysis for LLM training-data pipelines: token
+  * statistics, quality scoring, heuristic language ID, and document
+  * fingerprinting. All four are single-pass projections over the
+  * `documents` table — no shuffle, no state; at 100 TB they run at scan
+  * speed and their cost is the parquet read (only `doc_id`,`lang`,`text`
+  * columns are projected). The reference engine has no text operators at
+  * all (SURVEY.md §2.2) — these are the north-star extensions.
+  */
+object TextAnalysis {
+
+  /** Tokenization + counting: whitespace words, distinct words, a
+    * BPE-ish subword estimate (ceil(len/4) per word — the "~4 chars per
+    * token" rule), character counts. */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    documents.select(
+      col("doc_id"),
+      col("lang"),
+      size(ws).cast("long").as("n_words"),
+      size(array_distinct(ws)).cast("long").as("n_distinct_words"),
+      length(col("text")).cast("long").as("n_chars"),
+      aggregate(transform(ws, w => length(w).cast("long")),
+        lit(0L), (a, x) => a + x).as("sum_word_len"),
+      aggregate(transform(ws,
+          w => floor((length(w) + lit(3)) / lit(4.0)).cast("long")),
+        lit(0L), (a, x) => a + x).as("bpe_tokens")
+    ).orderBy("doc_id")
+  }
+
+  /** Quality scoring: character-class ratios + stopword density + a
+    * bounded length reward, combined in a fixed-order double formula. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val nChars = length(col("text")).cast("long")
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val spaces = length(regexp_replace(col("text"), "[^ ]", "")).cast("long")
+    val nWords = size(ws).cast("long")
+    val stops = markerCount(ws, Stopwords("en"))
+    val alphaRatio = alpha.cast("double") / nChars.cast("double")
+    val stopRatio = stops.cast("double") / nWords.cast("double")
+    val lenReward = least(lit(1.0), nWords.cast("double") / lit(100.0))
+    documents.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      alpha.as("n_alpha"),
+      spaces.as("n_spaces"),
+      nWords.as("n_words"),
+      stops.as("n_stopwords"),
+      alphaRatio.as("alpha_ratio"),
+      stopRatio.as("stopword_ratio"),
+      (alphaRatio * 0.5 + stopRatio * 0.3 + lenReward * 0.2).as("quality_score")
+    ).orderBy("doc_id")
+  }
+
+  /** Heuristic language ID: marker-stopword counts per language, argmax
+    * with fixed priority en > de > es > fr on ties. */
+  def languageId(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val s = Seq("en", "de", "es", "fr").map(l =>
+      l -> markerCount(ws, Stopwords(l)))
+    val Seq(en, de, es, fr) = s.map(_._2)
+    val predicted = when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+    documents.select(
+      col("doc_id"), col("lang"),
+      en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"),
+      predicted.as("predicted")
+    ).orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: whole-text polynomial hash plus the
+    * min-hash of 3-word shingles (the winnowing-style representative
+    * fingerprint used for fast near-dup candidate lookup). */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val sh = shingles(ws, 3)
+    documents.select(
+      col("doc_id"),
+      polyHash(normText(col("text"))).as("fp_text"),
+      coalesce(array_min(polyHashAll(sh)), lit(-1L)).as("fp_min_shingle"),
+      size(sh).cast("long").as("n_shingles")
+    ).orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // oracles
+  // ------------------------------------------------------------------
+
+  private val W = wordsSql("text")
+
+  private def sumSql(list: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $list), (a, x) -> a + x)"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("text_token_stats",
+      s"""SELECT doc_id, lang,
+         |  CAST(len($W) AS BIGINT) AS n_words,
+         |  CAST(len(list_distinct($W)) AS BIGINT) AS n_distinct_words,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  ${sumSql(s"list_transform($W, w -> CAST(length(w) AS BIGINT))")} AS sum_word_len,
+         |  ${sumSql(s"list_transform($W, w -> CAST(floor((length(w) + 3) / 4.0E0) AS BIGINT))")} AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) => tokenStats(Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("text_quality", {
+      val stops = markerCountSql(W, Stopwords("en"))
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_spaces,
+         |    CAST(len($W) AS BIGINT) AS n_words,
+         |    $stops AS n_stopwords
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_alpha, n_spaces, n_words, n_stopwords,
+         |  CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+         |  CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
+         |  CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 0.5E0
+         |    + CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) * 0.3E0
+         |    + least(1.0E0, CAST(n_words AS DOUBLE) / 100.0E0) * 0.2E0 AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, dir) => qualityScore(Tables(s, dir, "documents")) },
+
+    QueryDef.sql("text_langid", {
+      val Seq(en, de, es, fr) = Seq("en", "de", "es", "fr")
+        .map(l => markerCountSql(W, Stopwords(l)))
+      s"""WITH m AS (
+         |  SELECT doc_id, lang,
+         |    $en AS s_en, $de AS s_de, $es AS s_es, $fr AS s_fr
+         |  FROM documents)
+         |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS predicted
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, dir) => languageId(Tables(s, dir, "documents")) },
+
+    QueryDef.sql("text_fingerprint", {
+      val sh = shinglesSql(W, 3)
+      s"""SELECT doc_id,
+         |  ${polyHashSql(normTextSql("text"))} AS fp_text,
+         |  coalesce(list_min(${polyHashAllSql(sh)}), CAST(-1 AS BIGINT)) AS fp_min_shingle,
+         |  CAST(len($sh) AS BIGINT) AS n_shingles
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) => fingerprint(Tables(s, dir, "documents")) }
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpecBase {
+  private def docs = Tables(spark, sf, "documents")
+
+  test("polyHash: known value, empty-string guard, order sensitivity") {
+    val df = spark.sql("SELECT 'ab' a, '' e, 'ba' r")
+      .select(polyHash(col("a")).as("ha"), polyHash(col("e")).as("he"),
+        polyHash(col("r")).as("hr"))
+    val row = df.collect().head
+    assert(row.getLong(0) == (97L * 31 + 98) % 1000000007) // h('ab')
+    assert(row.getLong(1) == 0L) // empty -> 0, not sequence(1,0) garbage
+    assert(row.getLong(0) != row.getLong(2)) // order matters
+  }
+
+  test("shingles: 3-grams, under-n guard") {
+    val df = spark.sql("SELECT 'a b c d' s, 'a b' t")
+      .select(shingles(words(col("s")), 3).as("sh3"),
+        shingles(words(col("t")), 3).as("shShort"))
+    val row = df.collect().head
+    assert(row.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(row.getSeq[String](1).isEmpty)
+  }
+
+  test("tokenStats counts whitespace runs and empties correctly") {
+    val one = spark.sql("SELECT 1L doc_id, 'en' lang, 'x  y!! z' text")
+    val r = TextAnalysis.tokenStats(one).collect().head
+    assert(r.getAs[Long]("n_words") == 3)
+    assert(r.getAs[Long]("sum_word_len") == 3)
+    assert(r.getAs[Long]("bpe_tokens") == 3) // ceil(1/4)=1 each
+  }
+
+  test("languageId picks argmax with en-first tie priority") {
+    val one = spark.sql(
+      "SELECT 1L doc_id, 'xx' lang, 'der und ist the le la' text")
+    val r = TextAnalysis.languageId(one).collect().head
+    assert(r.getAs[Long]("s_de") == 3)
+    assert(r.getAs[String]("predicted") == "de")
+    val tie = spark.sql("SELECT 1L doc_id, 'xx' lang, 'zzz' text")
+    assert(TextAnalysis.languageId(tie).collect().head
+      .getAs[String]("predicted") == "en") // all-zero tie -> en
+  }
+
+  test("quality score is within [0,1] on fixtures and formula holds") {
+    val rows = TextAnalysis.qualityScore(docs).collect()
+    assert(rows.forall { r =>
+      val q = r.getAs[Double]("quality_score")
+      q >= 0.0 && q <= 1.0
+    })
+  }
+
+  test("fingerprint: identical text -> identical fp, different -> differs") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES (1L, 'the quick brown fox jumps'),
+        |(2L, 'the quick brown fox jumps'),
+        |(3L, 'a different doc entirely here') AS t(doc_id, text)""".stripMargin)
+    val fps = TextAnalysis.fingerprint(df).collect()
+    assert(fps(0).getAs[Long]("fp_text") == fps(1).getAs[Long]("fp_text"))
+    assert(fps(0).getAs[Long]("fp_text") != fps(2).getAs[Long]("fp_text"))
+    assert(fps(0).getAs[Long]("fp_min_shingle")
+      == fps(1).getAs[Long]("fp_min_shingle"))
+  }
+}
