@@ -10,7 +10,8 @@ import graft.operators._
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    VectorSearch.defs ++ ParitySearch.defs ++ TextAnalysis.defs
+    VectorSearch.defs ++ ParitySearch.defs ++ TextAnalysis.defs ++
+      Dedup.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -45,9 +45,16 @@ object TextFunctions {
   // ----------------------------------------------------------------
 
   /** h = fold chars: (h*31 + ascii(c)) mod p — sequential, exact.
+    * Dispatches to the codegen'd [[PolyHashExpr]] (O(len), whole-stage
+    * codegen); [[polyHashHof]] is the HOF reference formulation kept for
+    * cross-checking. */
+  def polyHash(s: Column): Column = PolyHashExpr.polyHashNative(s)
+
+  /** HOF reference implementation of [[polyHash]] (interpreted, O(len^2)
+    * — each substr rescans the string; test/spec use only).
     * Empty string -> 0 (guarded: Spark's sequence(1,0) counts DOWN,
     * unlike DuckDB's range(1,1) = []). */
-  def polyHash(s: Column): Column =
+  def polyHashHof(s: Column): Column =
     when(length(s) === 0, lit(0L)).otherwise(aggregate(
       transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
       lit(0L),

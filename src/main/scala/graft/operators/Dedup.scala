@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.{VectorExpressions => V}
+
+/** Deduplication operators for training-data pipelines — exact,
+  * MinHash-LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  * The reference engine has none of these (SURVEY.md §2.2); they are the
+  * north-star extensions, each designed as a shuffle-bounded dataflow:
+  *
+  *   - exact dedup: one hash-partitioned window (shuffle on the content
+  *     hash — the only correct key, and uniformly distributed);
+  *   - MinHash LSH: signatures are a scan-side projection; candidate
+  *     generation shuffles on (band, band_hash) only — the classic
+  *     banding trick keeps the self-join linear in bucket sizes instead
+  *     of quadratic in corpus size;
+  *   - SimHash: pure projection, no shuffle at all;
+  *   - pairwise Jaccard / cosine: always within an explicit blocking key
+  *     (lang / label) — an unblocked all-pairs join would be quadratic
+  *     and is deliberately not offered.
+  *
+  * All hashes are the deterministic integer arithmetic of
+  * [[graft.functions.TextFunctions]], so the DuckDB oracles reproduce
+  * them exactly.
+  */
+object Dedup {
+
+  val P: Long = HashMod
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4 // NumHashes / Bands
+
+  // ----------------------------------------------------------------
+  // exact dedup
+  // ----------------------------------------------------------------
+
+  /** Exact dedup by sha256(text): every row keeps its cluster id (the
+    * content hash), cluster size, and whether it is the keeper (min
+    * doc_id). Filter on `keep` to materialize the deduplicated set. */
+  def exact(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    documents
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------------------
+  // MinHash signatures + LSH banding
+  // ----------------------------------------------------------------
+
+  /** Distinct 3-word-shingle polynomial hashes per doc (fused codegen
+    * kernel — see TextHashExpressions). */
+  private def shingleHashes: Column =
+    array_distinct(graft.functions.TextHashExpressions
+      .shingleHashes(words(col("text")), 3))
+
+  /** MinHash_j = min over shingles of ((2j+1)*x + (12345j+7)) mod P;
+    * -1 when the doc has no shingles. */
+  private def minhashSigs: Column =
+    graft.functions.TextHashExpressions
+      .minhashSig(col("shingle_hashes"), NumHashes)
+
+  /** Band hash b = left fold (acc*31 + sig) mod P over the band's sigs. */
+  private def bandHashes: Column =
+    transform(sequence(lit(0), lit(Bands - 1)), b =>
+      aggregate(slice(col("sigs"), b * RowsPerBand + 1, lit(RowsPerBand)),
+        lit(0L), (acc, v) => (acc * HashMult + v) % P))
+
+  /** Per-doc MinHash signature compacted to one bigint per band. */
+  def minhashSignatures(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), shingleHashes.as("shingle_hashes"))
+      .withColumn("sigs", minhashSigs)
+      .withColumn("bands", bandHashes)
+      .select(col("doc_id") +: (0 until Bands).map(b =>
+        element_at(col("bands"), b + 1).as(s"band$b")): _*)
+      .orderBy("doc_id")
+
+  /** LSH candidate pairs (share >= 1 band) with their true shingle
+    * Jaccard. Shuffles on (band_idx, band_hash) for candidates, then on
+    * doc_id to fetch shingle sets — never all-pairs. Docs with no
+    * shingles are excluded (their sentinel signatures would otherwise
+    * all collide into one quadratic bucket). */
+  def minhashPairs(documents: DataFrame): DataFrame = {
+    // persist: the signature relation feeds both sides of the band
+    // self-join plus two set-fetch joins — without it the (expensive)
+    // shingle/signature projection is re-evaluated once per branch
+    val sigs = documents
+      .select(col("doc_id"), shingleHashes.as("shingle_hashes"))
+      .where(size(col("shingle_hashes")) > 0)
+      .withColumn("sigs", minhashSigs)
+      .withColumn("bands", bandHashes)
+      .persist()
+    val bands = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+      .distinct()
+    val sets = sigs.select(col("doc_id"), col("shingle_hashes"))
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+    cands
+      .join(sets.select(col("doc_id").as("doc_id_1"),
+        col("shingle_hashes").as("sh1")), "doc_id_1")
+      .join(sets.select(col("doc_id").as("doc_id_2"),
+        col("shingle_hashes").as("sh2")), "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"),
+        inter.as("n_common"),
+        (inter.cast("double") /
+          (size(col("sh1")) + size(col("sh2")) - inter).cast("double"))
+          .as("jaccard"))
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  // ----------------------------------------------------------------
+  // SimHash
+  // ----------------------------------------------------------------
+
+  /** 32-bit frequency-weighted SimHash over word hashes: bit b is set
+    * when sum over words of +-1 (by bit b of the word's hash) is > 0;
+    * folded MSB-first into one bigint. Pure projection — no shuffle. */
+  def simhash(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), graft.functions.TextHashExpressions
+        .simhash32(graft.functions.TextHashExpressions
+          .wordHashes(words(col("text")))).as("simhash"))
+      .orderBy("doc_id")
+
+  // ----------------------------------------------------------------
+  // blocked pairwise similarity
+  // ----------------------------------------------------------------
+
+  /** n-gram Jaccard near-dup pairs inside (lang) blocks over a doc_id%3
+    * sample, threshold 0.01. The block key bounds the join fan-out. */
+  def ngramJaccardPairs(documents: DataFrame): DataFrame = {
+    val d = documents.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang"), shingleHashes.as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist() // both sides of the blocked self-join read this once
+    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+    val jac = inter.cast("double") /
+      (size(col("a.sh")) + size(col("b.sh")) - inter).cast("double")
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"),
+        col("b.doc_id").as("doc_id_2"), jac.as("jaccard"))
+      .where(col("jaccard") >= 0.01)
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  /** Embedding-cosine near-dup pairs inside label blocks, cos >= 0.25. */
+  def embeddingNearDup(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_1"),
+        col("b.vec_id").as("vec_id_2"),
+        col("a.label").as("label"),
+        V.cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+      .where(col("cos_sim") >= 0.25)
+      .orderBy("vec_id_1", "vec_id_2")
+  }
+
+  // ------------------------------------------------------------------
+  // oracles
+  // ------------------------------------------------------------------
+
+  private val ShSql =
+    s"list_distinct(${polyHashAllSql(shinglesSql(wordsSql("text"), 3))})"
+
+  private val SigsSql =
+    s"""list_transform(range(0, $NumHashes), j ->
+       |  coalesce(list_min(list_transform(shingle_hashes,
+       |    x -> ((2*j + 1) * x + (j*12345 + 7)) % $P)), CAST(-1 AS BIGINT)))""".stripMargin
+
+  private val BandsSql =
+    s"""list_transform(range(0, $Bands), b ->
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_slice(sigs, b*$RowsPerBand + 1, b*$RowsPerBand + $RowsPerBand)),
+       |    (acc, v) -> (acc * $HashMult + v) % $P))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("dedup_exact",
+      """SELECT doc_id, sha256(text) AS content_hash,
+        |  count(*) OVER (PARTITION BY sha256(text)) AS group_size,
+        |  doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) => exact(Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("dedup_minhash_sig",
+      s"""WITH h AS (SELECT doc_id, $ShSql AS shingle_hashes FROM documents),
+         |s AS (SELECT doc_id, $SigsSql AS sigs FROM h),
+         |b AS (SELECT doc_id, $BandsSql AS bands FROM s)
+         |SELECT doc_id, bands[1] AS band0, bands[2] AS band1,
+         |  bands[3] AS band2, bands[4] AS band3
+         |FROM b ORDER BY doc_id""".stripMargin) {
+      (s, dir) => minhashSignatures(Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("dedup_minhash_pairs",
+      s"""WITH h AS (SELECT doc_id, $ShSql AS shingle_hashes FROM documents),
+         |h2 AS (SELECT * FROM h WHERE len(shingle_hashes) > 0),
+         |s AS (SELECT doc_id, shingle_hashes, $SigsSql AS sigs FROM h2),
+         |b AS (SELECT doc_id, shingle_hashes, $BandsSql AS bands FROM s),
+         |bl AS (SELECT doc_id, unnest(generate_series(0, ${Bands - 1})) AS band_idx,
+         |         unnest(bands) AS band_hash FROM b),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
+         |  FROM bl x JOIN bl y ON x.band_idx = y.band_idx
+         |    AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+         |SELECT doc_id_1, doc_id_2,
+         |  CAST(len(list_intersect(a.shingle_hashes, b2.shingle_hashes)) AS BIGINT) AS n_common,
+         |  CAST(len(list_intersect(a.shingle_hashes, b2.shingle_hashes)) AS DOUBLE) /
+         |    CAST(len(a.shingle_hashes) + len(b2.shingle_hashes)
+         |      - len(list_intersect(a.shingle_hashes, b2.shingle_hashes)) AS DOUBLE) AS jaccard
+         |FROM cand
+         |JOIN h2 a ON a.doc_id = cand.doc_id_1
+         |JOIN h2 b2 ON b2.doc_id = cand.doc_id_2
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin) {
+      (s, dir) => minhashPairs(Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("dedup_simhash", {
+      val wh = polyHashAllSql(wordsSql("text"))
+      s"""WITH w AS (SELECT doc_id, $wh AS whashes FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(31, -1, -1), b ->
+         |      CASE WHEN list_reduce(list_prepend(0,
+         |          list_transform(whashes, h ->
+         |            CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)),
+         |          (a, x) -> a + x) > 0
+         |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |    (acc, x) -> acc * 2 + x) AS simhash
+         |FROM w ORDER BY doc_id""".stripMargin
+    }) { (s, dir) => simhash(Tables(s, dir, "documents")) },
+
+    QueryDef.sql("dedup_ngram_jaccard",
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $ShSql AS sh
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |d2 AS (SELECT * FROM d WHERE len(sh) > 0)
+         |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+         |FROM d2 a JOIN d2 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.01E0
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin) {
+      (s, dir) => ngramJaccardPairs(Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("dedup_embedding_cosine", {
+      val va = "CAST(a.embedding AS DOUBLE[])"
+      val vb = "CAST(b.embedding AS DOUBLE[])"
+      import graft.functions.VectorFunctions.dotSeqSql
+      val cos = s"${dotSeqSql(va, vb, VectorSearch.Dim)} / " +
+        s"(sqrt(${dotSeqSql(va, va, VectorSearch.Dim)}) * " +
+        s"sqrt(${dotSeqSql(vb, vb, VectorSearch.Dim)}))"
+      s"""SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         |  a.label AS label, $cos AS cos_sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $cos >= 0.25E0
+         |ORDER BY vec_id_1, vec_id_2""".stripMargin
+    }) { (s, dir) => embeddingNearDup(Tables(s, dir, "embeddings")) }
+  )
+}

@@ -83,11 +83,11 @@ object TextAnalysis {
     * fingerprint used for fast near-dup candidate lookup). */
   def fingerprint(documents: DataFrame): DataFrame = {
     val ws = words(col("text"))
-    val sh = shingles(ws, 3)
+    val sh = graft.functions.TextHashExpressions.shingleHashes(ws, 3)
     documents.select(
       col("doc_id"),
       polyHash(normText(col("text"))).as("fp_text"),
-      coalesce(array_min(polyHashAll(sh)), lit(-1L)).as("fp_min_shingle"),
+      coalesce(array_min(sh), lit(-1L)).as("fp_min_shingle"),
       size(sh).cast("long").as("n_shingles")
     ).orderBy("doc_id")
   }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.TextHashExpressions
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpecBase {
+  private def docs = Tables(spark, sf, "documents")
+
+  test("exact dedup: duplicates share cluster, min doc_id is keeper") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES (1L,'same text'),(2L,'same text'),(3L,'other')
+        |AS t(doc_id, text)""".stripMargin)
+    val rows = Dedup.exact(df).collect()
+    assert(rows.map(_.getAs[Long]("group_size")).toSeq == Seq(2, 2, 1))
+    assert(rows.map(_.getAs[Boolean]("keep")).toSeq == Seq(true, false, true))
+    assert(rows(0).getAs[String]("content_hash")
+      == rows(1).getAs[String]("content_hash"))
+  }
+
+  test("fused shingle kernel == HOF formulation (bitwise)") {
+    val ws = words(col("text"))
+    val hof = polyHashAll(shingles(ws, 3))
+    val fused = TextHashExpressions.shingleHashes(ws, 3)
+    val diff = docs.select(hof.as("a"), fused.as("b"))
+      .where(col("a") =!= col("b"))
+    assert(diff.count() == 0)
+  }
+
+  test("fused word-hash kernel (n=1) == polyHashAll(words)") {
+    val ws = words(col("text"))
+    val diff = docs.select(polyHashAll(ws).as("a"),
+        TextHashExpressions.wordHashes(ws).as("b"))
+      .where(col("a") =!= col("b"))
+    assert(diff.count() == 0)
+  }
+
+  test("minhash signature: known tiny case + containment property") {
+    // identical docs -> identical sigs; sig values in [0, P)
+    val df = spark.sql(
+      """SELECT * FROM VALUES (1L,'a b c d e'),(2L,'a b c d e'),(3L,'v w x y z')
+        |AS t(doc_id, text)""".stripMargin)
+    val rows = Dedup.minhashSignatures(df).collect()
+    assert((0 until 4).forall(b =>
+      rows(0).getLong(b + 1) == rows(1).getLong(b + 1)))
+    assert((0 until 4).exists(b =>
+      rows(0).getLong(b + 1) != rows(2).getLong(b + 1)))
+  }
+
+  test("minhash LSH: identical docs are candidate pairs with jaccard 1") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES (1L,'the quick brown fox jumped over dogs'),
+        |(2L,'the quick brown fox jumped over dogs'),
+        |(3L,'completely unrelated content words here now')
+        |AS t(doc_id, text)""".stripMargin)
+    val pairs = Dedup.minhashPairs(df).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("doc_id_1") == 1L)
+    assert(pairs.head.getAs[Long]("doc_id_2") == 2L)
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: near-identical docs have close hamming distance") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |(1L,'alpha beta gamma delta epsilon zeta eta theta iota kappa'),
+        |(2L,'alpha beta gamma delta epsilon zeta eta theta iota lambda'),
+        |(3L,'one two three four five six seven eight nine ten')
+        |AS t(doc_id, text)""".stripMargin)
+    val h = Dedup.simhash(df).collect().map(_.getAs[Long]("simhash"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0), h(1)) < ham(h(0), h(2)))
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = Dedup.embeddingNearDup(Tables(spark, sf, "embeddings")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("vec_id_1") < r.getAs[Long]("vec_id_2")))
+    assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.25))
+  }
+}
