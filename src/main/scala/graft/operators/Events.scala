@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryDef, Tables}
+
+/** Time-series / event-log operators over the `events` fixture — the batch
+  * faces of the streaming primitives in [[graft.streaming]] (the reference
+  * has no streaming model at all; its "async" store is a fire-and-forget
+  * goroutine, reference main.go:302-321).
+  *
+  * Timestamp handling: `events.ts` is parquet INT64 TIMESTAMP(NANOS),
+  * which Spark 4 refuses to read as a timestamp
+  * ([PARQUET_TYPE_ILLEGAL]); `spark.sql.legacy.parquet.nanosAsLong`
+  * reads it as raw nanos. DuckDB (the oracle) truncates the same column
+  * to microseconds, so every declared output uses epoch MICROsecond longs
+  * (`ts div 1000` here == `epoch_us(ts)` there) — longs hash identically
+  * across engines, timestamps may not.
+  */
+object Events {
+
+  /** Events table with `ts` as epoch-nanos long plus derived µs/timestamp
+    * columns. The conf is runtime-settable and only widens behavior (nanos
+    * columns elsewhere would otherwise be unreadable). */
+  def load(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+  }
+
+  private val GapUs = 30L * 60 * 1000000 // 30-min session gap
+
+  // ------------------------------------------------------------------
+  // O: tumbling-window aggregation (batch face of streaming groupBy(window))
+  // ------------------------------------------------------------------
+
+  /** Hourly counts / exact sums / distinct users per event type. Shuffles
+    * once on (window, type); partial aggregation runs map-side, so at
+    * 100 TB the shuffle carries one row per (hour, type, partition). */
+  def hourlyWindows(s: SparkSession, dir: String): DataFrame =
+    load(s, dir)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n_events"), col("sum_value"), col("n_users"))
+      .orderBy("ws_us", "event_type")
+
+  // ------------------------------------------------------------------
+  // O: sessionization (gap-based) — batch face of stateful streaming
+  // ------------------------------------------------------------------
+
+  /** Classic gap-based sessionization: a session breaks after >30 min of
+    * user inactivity. One shuffle on user_id; both window passes reuse the
+    * same partitioning (no second exchange). */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > GapUs, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  // ------------------------------------------------------------------
+  // O: as-of join (nearest-earlier match) — absent from Spark's builtins
+  // ------------------------------------------------------------------
+
+  /** For every click, the most recent purchase (at or before it) by the
+    * same user — an AS-OF join. Implemented the scalable way: tag both
+    * sides, union, ONE shuffle on user_id, then a running `last(...,
+    * ignoreNulls)` carries the latest purchase forward; a sort within
+    * partitions replaces the quadratic join+filter a naive plan would use.
+    * Purchases sort before clicks at the same microsecond (kind 0 < 1),
+    * giving the oracle's `c.ts >= p.ts` tie semantics. */
+  def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir)
+    val tagged = ev.where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("purchase_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("purchase_ts",
+        last(when(col("kind") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("click_ts"), col("purchase_id"), col("purchase_ts"),
+        (col("ts_us") - col("purchase_ts")).as("gap_us"))
+      .orderBy("click_id")
+  }
+
+  // ------------------------------------------------------------------
+  // O: JSON extraction from a semi-structured props column
+  // ------------------------------------------------------------------
+
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    load(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  // ------------------------------------------------------------------
+  // Declared queries + DuckDB oracles
+  // ------------------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ev_hourly_windows",
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us,
+        |  event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)(hourlyWindows),
+
+    QueryDef.sql("ev_sessionize",
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  max(ts_us) - min(ts_us) AS duration_us
+        |FROM sessions
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin)(sessionize),
+
+    QueryDef.sql("ev_asof_click_purchase",
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  epoch_us(c.ts) AS click_ts,
+        |  p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts,
+        |  epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY click_id""".stripMargin)(asofClickPurchase),
+
+    QueryDef.sql("ev_json_props",
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)(jsonProps)
+  )
+}

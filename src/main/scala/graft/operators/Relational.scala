@@ -1,0 +1,438 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryDef, Tables}
+
+/** Relational analytics suite over the TPC-H-ish fixture tables.
+  *
+  * The reference engine has NO joins, aggregations, windows or set ops
+  * (SURVEY.md §2.2 — verified absent in reference main.go, the repo's only
+  * source file); a training-data pipeline at 100 TB needs all of them, so
+  * they are first-class operators here, each expressed declaratively so
+  * Catalyst supplies pushdown/pruning/join-selection and Tungsten the
+  * codegen.
+  *
+  * Scale posture baked into each query:
+  *   - dimension tables ([[region]]/[[nation]]/band tables) are broadcast —
+  *     no shuffle of the fact side for dim joins;
+  *   - fact-fact joins (orders ⋈ lineitem) shuffle on the join key once and
+  *     aggregate partially map-side (Spark's default hash-aggregate
+  *     partial/final split);
+  *   - all money aggregation is decimal-cast BEFORE the sum, making sums
+  *     exact and therefore independent of partial-aggregation order — the
+  *     trick that lets a distributed sum hash-match a single-threaded
+  *     DuckDB oracle bit-for-bit. Final outputs cast back to double.
+  *   - every ORDER BY carries a total tie-break (SURVEY.md D2).
+  */
+object Relational {
+
+  /** Exact money: cast double → decimal before aggregating. The fixture
+    * money columns are 2-decimal grids, rate columns 2-decimal in [0,1];
+    * scale-4 cast is exact for both engines (Spark's string-based
+    * double→decimal cast and DuckDB's binary-based one agree whenever the
+    * target scale has headroom over the data's true scale). */
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+  private def money(c: Column): Column = dec(c, 14, 2)
+  private def rate1(c: Column): Column = dec(lit(1.0) - c, 8, 4)   // 1-l_discount
+  private def rate1p(c: Column): Column = dec(lit(1.0) + c, 8, 4)  // 1+l_tax
+
+  private val decSql = "DECIMAL(14,2)"
+  private def moneySql(c: String) = s"CAST($c AS $decSql)"
+  private def sumMoneySql(c: String) = s"CAST(SUM(${moneySql(c)}) AS DOUBLE)"
+  private def revenueSql =
+    s"CAST(SUM(${moneySql("l_extendedprice")} * CAST(1.0-l_discount AS DECIMAL(8,4))) AS DOUBLE)"
+
+  // ------------------------------------------------------------------
+  // O: aggregation (hash agg, partial+final) — TPC-H Q1 shape
+  // ------------------------------------------------------------------
+
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") <= to_timestamp_ntz(lit("2001-09-01")))
+    val discPrice = money(col("l_extendedprice")) * rate1(col("l_discount"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"), 12, 2)).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        // the 3-factor product is re-cast to scale 6 (its true scale — all
+        // factors are 2-decimal grids, so this never rounds): a scale-10
+        // decimal sum's int128 representation exceeds 2^53 and DuckDB's
+        // decimal->double cast stops being correctly rounded there.
+        sum(dec(discPrice * rate1p(col("l_tax")), 18, 6)).cast("double")
+          .as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ------------------------------------------------------------------
+  // O: multi-way join (broadcast dims + shuffled fact-fact) — Q5 shape
+  // ------------------------------------------------------------------
+
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    // customer ⋈ nation ⋈ region collapses to a small dim — broadcast it
+    // into orders so the only shuffle is orders ⋈ lineitem on orderkey.
+    val custDim = c
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .select(col("c_custkey"), col("n_name"))
+    o.join(broadcast(custDim), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(money(col("l_extendedprice")) * rate1(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // ------------------------------------------------------------------
+  // O: grouped top-N via ranking window over a join
+  // ------------------------------------------------------------------
+
+  def topCustomersBySegment(s: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val spend = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "c_custkey")
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("total_spend"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+    spend.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topN)
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------------
+  // O: semi / anti joins
+  // ------------------------------------------------------------------
+
+  /** Orders having at least one line shipped >90 days after the order date
+    * (left SEMI join — the fact side is never duplicated). */
+  def latePriorities(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Customers with no orders at all, counted per nation (left ANTI). */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val n = Tables(s, dir, "nation")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_name")
+  }
+
+  // ------------------------------------------------------------------
+  // O: grouping sets — ROLLUP and CUBE
+  // ------------------------------------------------------------------
+
+  def rollupStatus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total"))
+      .orderBy("status", "priority")
+
+  /** CUBE over a joined input. Expressed in SQL: the Dataset `cube()` API
+    * on a join-derived frame trips DetectAmbiguousSelfJoin in Spark 4.1.2
+    * (Expand re-exposes both sides' dataset-id tags); the SQL path plans
+    * the identical Expand+Aggregate without the tagging. */
+  def cubeSegmentNation(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
+    s.sql(
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  count(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer_v
+        |  JOIN nation_v ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(c_mktsegment, n_name)
+        |ORDER BY segment, nation""".stripMargin)
+  }
+
+  // ------------------------------------------------------------------
+  // O: window functions — running totals, lag, row_number
+  // ------------------------------------------------------------------
+
+  def customerRunningOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_date"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_total",
+        sum(money(col("o_totalprice"))).over(wRun).cast("double"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("order_date"), lag(col("order_date"), 1).over(w)))
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ------------------------------------------------------------------
+  // O: set operations — INTERSECT / EXCEPT / UNION ALL
+  // ------------------------------------------------------------------
+
+  def nationSetOps(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir, "nation")
+    val custN = Tables(s, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    val suppN = Tables(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    custN.intersect(suppN).withColumn("tag", lit("both"))
+      .union(custN.except(suppN).withColumn("tag", lit("cust_only")))
+      .union(suppN.except(custN).withColumn("tag", lit("supp_only")))
+      .select("tag", "n_name")
+      .orderBy("tag", "n_name")
+  }
+
+  // ------------------------------------------------------------------
+  // O: scalar function library — strings, dates (all codegen'd built-ins)
+  // ------------------------------------------------------------------
+
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).as("name_len"),
+        split(col("p_name"), " ").getItem(0).as("adjective"),
+        split(col("p_name"), " ").getItem(1).as("noun"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("brand_num"),
+        concat_ws("/", col("p_type"), col("p_brand")).as("type_brand"),
+        substring(col("p_name"), 1, 3).as("prefix3"),
+        col("p_name").startsWith("red").as("is_red"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"))
+      .orderBy("p_partkey")
+
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mth"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy("o_orderkey")
+
+  // ------------------------------------------------------------------
+  // O: range (non-equi band) join — broadcast nested loop on a tiny dim
+  // ------------------------------------------------------------------
+
+  def priceBandJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq((0, 900.0, 920.0), (1, 920.0, 940.0), (2, 940.0, 960.0),
+      (3, 960.0, 980.0), (4, 980.0, 1000.0)).toDF("band_id", "lo", "hi")
+    Tables(s, dir, "part")
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band_id", "lo", "hi")
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price"),
+        sum(dec(col("p_retailprice"), 12, 2)).cast("double").as("sum_price"))
+      .orderBy("band_id")
+  }
+
+  // ------------------------------------------------------------------
+  // O: distinct aggregation
+  // ------------------------------------------------------------------
+
+  def distinctSuppliers(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+
+  // ------------------------------------------------------------------
+  // Declared queries + DuckDB oracles
+  // ------------------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("rel_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  ${sumMoneySql("l_extendedprice")} AS sum_base_price,
+         |  $revenueSql AS sum_disc_price,
+         |  CAST(SUM(CAST(${moneySql("l_extendedprice")}
+         |    * CAST(1.0-l_discount AS DECIMAL(8,4))
+         |    * CAST(1.0+l_tax AS DECIMAL(8,4)) AS DECIMAL(18,6))) AS DOUBLE)
+         |    AS sum_charge,
+         |  count(*) AS count_order,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+         |  ${sumMoneySql("l_extendedprice")} / count(*) AS avg_price
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)(pricingSummary),
+
+    QueryDef.sql("rel_revenue_by_nation",
+      s"""SELECT n_name, $revenueSql AS revenue, count(*) AS n_items
+         |FROM customer, orders, lineitem, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin)(revenueByNation),
+
+    QueryDef.sql("rel_top_customers_by_segment",
+      s"""WITH spend AS (
+         |  SELECT c_mktsegment, c_custkey,
+         |    ${sumMoneySql("o_totalprice")} AS total_spend,
+         |    count(*) AS n_orders
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY c_mktsegment, c_custkey)
+         |SELECT c_mktsegment, c_custkey, total_spend, n_orders,
+         |  CAST(row_number() OVER (PARTITION BY c_mktsegment
+         |    ORDER BY total_spend DESC, c_custkey) AS INT) AS rnk
+         |FROM spend QUALIFY rnk <= 3
+         |ORDER BY c_mktsegment, rnk""".stripMargin)(
+      (s, dir) => topCustomersBySegment(s, dir)),
+
+    QueryDef.sql("rel_late_priorities",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)(latePriorities),
+
+    QueryDef.sql("rel_customers_without_orders",
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)(customersWithoutOrders),
+
+    QueryDef.sql("rel_rollup_status",
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS n_orders, ${sumMoneySql("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin)(rollupStatus),
+
+    QueryDef.sql("rel_cube_segment_nation",
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  count(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(c_mktsegment, n_name)
+        |ORDER BY segment, nation""".stripMargin)(cubeSegmentNation),
+
+    QueryDef.sql("rel_customer_running_orders",
+      s"""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         |  o_totalprice,
+         |  CAST(row_number() OVER w AS INT) AS rn,
+         |  CAST(SUM(${moneySql("o_totalprice")}) OVER
+         |    (PARTITION BY o_custkey
+         |     ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS running_total,
+         |  lag(o_totalprice, 1) OVER w AS prev_price,
+         |  CAST(date_diff('day', lag(CAST(o_orderdate AS DATE), 1) OVER w,
+         |    CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey
+         |  ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+         |ORDER BY o_custkey, rn""".stripMargin)(customerRunningOrders),
+
+    QueryDef.sql("rel_nation_setops",
+      """WITH custN AS (SELECT n_name FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey),
+        |  suppN AS (SELECT n_name FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT 'both' AS tag, n_name
+        |  FROM (SELECT * FROM custN INTERSECT SELECT * FROM suppN)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, n_name
+        |  FROM (SELECT * FROM custN EXCEPT SELECT * FROM suppN)
+        |UNION ALL
+        |SELECT 'supp_only' AS tag, n_name
+        |  FROM (SELECT * FROM suppN EXCEPT SELECT * FROM custN)
+        |ORDER BY tag, n_name""".stripMargin)(nationSetOps),
+
+    QueryDef.sql("rel_string_funcs",
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  split_part(p_name, ' ', 1) AS adjective,
+        |  split_part(p_name, ' ', 2) AS noun,
+        |  CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
+        |  concat_ws('/', p_type, p_brand) AS type_brand,
+        |  substring(p_name, 1, 3) AS prefix3,
+        |  starts_with(p_name, 'red') AS is_red,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded
+        |FROM part ORDER BY p_partkey""".stripMargin)(stringFuncs),
+
+    QueryDef.sql("rel_date_funcs",
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(month(o_orderdate) AS INT) AS mth,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders ORDER BY o_orderkey""".stripMargin)(dateFuncs),
+
+    QueryDef.sql("rel_price_band_join",
+      """SELECT band_id, lo, hi, count(*) AS n_parts,
+        |  min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM part JOIN (SELECT band_id, CAST(lo AS DOUBLE) AS lo,
+        |    CAST(hi AS DOUBLE) AS hi
+        |  FROM (VALUES (0, 900.0, 920.0), (1, 920.0, 940.0),
+        |    (2, 940.0, 960.0), (3, 960.0, 980.0), (4, 980.0, 1000.0))
+        |    v(band_id, lo, hi)) b
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band_id, lo, hi
+        |ORDER BY band_id""".stripMargin)(priceBandJoin),
+
+    QueryDef.sql("rel_distinct_suppliers",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_suppliers,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)(distinctSuppliers)
+  )
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Semantics checks for the relational suite — each asserts a property a
+  * hash-match against DuckDB alone wouldn't localize on failure. */
+class RelationalSpec extends SparkSpecBase {
+
+  test("pricing summary groups are complete and sums exact") {
+    val rows = Relational.pricingSummary(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 9) // <=3 flags x <=3 statuses
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_shipdate") <= to_timestamp_ntz(lit("2001-09-01"))).count()
+    assert(total == expected)
+    // decimal-exact: sum_disc_price <= sum_base_price (discount in [0,0.1])
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+    }
+  }
+
+  test("revenue by nation covers exactly the ASIA nations with sales") {
+    val rows = Relational.revenueByNation(spark, sf).collect()
+    assert(rows.map(_.getAs[Double]("revenue")).toSeq ==
+      rows.map(_.getAs[Double]("revenue")).sortBy(-_).toSeq, "sorted desc")
+  }
+
+  test("top customers per segment: <=3 per segment, ranks 1..n") {
+    val rows = Relational.topCustomersBySegment(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("semi join counts orders once regardless of matching line count") {
+    val total = Relational.latePriorities(spark, sf)
+      .agg(sum("order_count")).head.getLong(0)
+    val distinctOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("o_orderkey").distinct().count()
+    assert(total == distinctOrders)
+  }
+
+  test("anti join: customers without orders + customers with orders = all") {
+    val without = Relational.customersWithoutOrders(spark, sf)
+      .agg(coalesce(sum("n_customers"), lit(0L))).head.getLong(0)
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(without + withOrders == c.count())
+  }
+
+  test("rollup emits detail + per-status subtotal + grand total") {
+    val rows = Relational.rollupStatus(spark, sf).collect()
+    val grand = rows.filter(r => r.getAs[String]("status") == "ALL")
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_orders") ==
+      spark.read.parquet(s"$sf/orders.parquet").count())
+    val statuses = rows.filter(r => r.getAs[String]("status") != "ALL" &&
+      r.getAs[String]("priority") == "ALL")
+    assert(statuses.map(_.getAs[Long]("n_orders")).sum == grand.head.getAs[Long]("n_orders"))
+  }
+
+  test("cube grand total equals row count") {
+    val rows = Relational.cubeSegmentNation(spark, sf).collect()
+    val grand = rows.filter(r => r.getAs[String]("segment") == "ALL" &&
+      r.getAs[String]("nation") == "ALL")
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_customers") ==
+      spark.read.parquet(s"$sf/customer.parquet").count())
+  }
+
+  test("running total is monotone per customer (positive prices)") {
+    val rows = Relational.customerRunningOrders(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      val totals = sorted.map(_.getAs[Double]("running_total"))
+      assert(totals.zip(totals.drop(1)).forall { case (a, b) => a <= b })
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("prev_price")))
+    }
+  }
+
+  test("set ops partition nations into disjoint tags") {
+    val rows = Relational.nationSetOps(spark, sf).collect()
+    val byTag = rows.groupBy(_.getAs[String]("tag"))
+      .view.mapValues(_.map(_.getAs[String]("n_name")).toSet).toMap
+    val both = byTag.getOrElse("both", Set.empty)
+    val cust = byTag.getOrElse("cust_only", Set.empty)
+    val supp = byTag.getOrElse("supp_only", Set.empty)
+    assert((both & cust).isEmpty && (both & supp).isEmpty && (cust & supp).isEmpty)
+  }
+
+  test("price bands cover every part exactly once") {
+    val total = Relational.priceBandJoin(spark, sf)
+      .agg(sum("n_parts")).head.getLong(0)
+    assert(total == spark.read.parquet(s"$sf/part.parquet").count())
+  }
+
+  test("string funcs: split/regexp round-trip") {
+    val rows = Relational.stringFuncs(spark, sf).limit(50).collect()
+    rows.foreach { r =>
+      val adjective = r.getAs[String]("adjective")
+      val noun = r.getAs[String]("noun")
+      assert(r.getAs[String]("name_upper") == (adjective + " " + noun).toUpperCase)
+      assert(r.getAs[String]("key_padded").length == 8)
+    }
+  }
+}
