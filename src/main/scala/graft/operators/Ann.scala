@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+import graft.functions.{VectorExpressions => V}
+
+/** Approximate nearest-neighbour search — the scale path past the
+  * reference's brute-force-only design (the reference scans every vector
+  * of a collection on every query, reference main.go:186-237; `vs_topk`
+  * reproduces that as the exact baseline).
+  *
+  * Two classic ANN index layouts, re-expressed as Spark scan-side
+  * pruning rather than pointer structures:
+  *
+  *   - '''Sign-hyperplane LSH''' (random-projection hashing for cosine):
+  *     each vector hashes to an int bucket from the sign pattern of
+  *     `NPlanes` fixed hyperplane dot products; a query probes its own
+  *     bucket plus all Hamming-distance-1 buckets. At 100 TB the bucket id
+  *     becomes a partition/cluster column — the probe is then partition
+  *     pruning, reading 9/256ths of the data instead of all of it.
+  *
+  *   - '''IVF-flat''' (inverted file): vectors are assigned to their
+  *     nearest of `NList` centroids; a query scans only the `NProbe`
+  *     nearest cells. Centroids here are a fixed, deterministic subset of
+  *     the data (so the DuckDB oracle can re-derive the identical index);
+  *     at scale they'd come from distributed k-means (MLlib `KMeans`), and
+  *     cell assignment is exactly this same broadcast-argmin job.
+  *
+  * Both indexes are built with one broadcast join + windowed argmin — no
+  * shuffle of the vector table — and both searches stay
+  * scan → prune → project → TakeOrderedAndProject, the same shape as the
+  * exact path, just over a pruned input.
+  *
+  * Determinism: hyperplanes/centroid ids are fixed constants rendered
+  * into both the Spark plan and the oracle SQL; all float math is the
+  * shared sequential-fold dot/L2 (bitwise identical across engines), so
+  * sign tests and argmins agree exactly.
+  */
+object Ann {
+
+  import VectorSearch.{Dim, K, Query, QueryNorm, scoreRef}
+
+  // ---- sign-hyperplane LSH ----
+
+  val NPlanes = 8
+
+  /** Fixed "random" hyperplanes, same deterministic recipe as the query
+    * vector (sin ramp, offset per plane). */
+  val Planes: Array[Array[Double]] =
+    Array.tabulate(NPlanes)(j => Array.tabulate(Dim)(i => math.sin(j * Dim + i + 0.7)))
+
+  /** Driver-side sequential-fold dot — replicates VectorFunctions.dotSeq
+    * arithmetic exactly for plan constants. */
+  private def dotScalar(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Bucket id of a stored vector: bit j set iff dot(plane_j, v) > 0. */
+  def bucketCol(emb: Column): Column =
+    Planes.zipWithIndex.map { case (p, j) =>
+      when(V.dot(vecLit(p), emb) > 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** The query's bucket (a plan constant, like the reference's one-time
+    * query normalization, main.go:179-183). */
+  val QueryBucket: Int =
+    Planes.zipWithIndex.map { case (p, j) =>
+      if (dotScalar(p, Query) > 0.0) 1 << j else 0
+    }.sum
+
+  /** Multi-probe set: the query bucket + every Hamming-1 neighbour. */
+  val ProbeBuckets: Seq[Int] =
+    QueryBucket +: (0 until NPlanes).map(j => QueryBucket ^ (1 << j))
+
+  /** LSH-pruned top-K: score only vectors in the probe buckets. */
+  def lshTopK(emb: DataFrame, k: Int = K): DataFrame =
+    emb.withColumn("bucket", bucketCol(col("embedding")))
+      .where(col("bucket").isin(ProbeBuckets: _*))
+      .select(col("vec_id"), col("label"), col("bucket"),
+        scoreRef(col("embedding")).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+
+  /** Bucket occupancy histogram — the "index statistics" view. */
+  def lshBuckets(emb: DataFrame): DataFrame =
+    emb.withColumn("bucket", bucketCol(col("embedding")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("bucket")
+
+  // ---- IVF-flat ----
+
+  val NList = 16
+  val NProbe = 4
+
+  /** Deterministic centroid choice: a fixed stride over vec_ids that
+    * exists at every fixture scale (ids 0..499 are present at sf0.001+). */
+  val CentroidIds: Seq[Long] = (0 until NList).map(_ * 31L)
+
+  private def centroids(emb: DataFrame): DataFrame =
+    emb.where(col("vec_id").isin(CentroidIds: _*))
+      .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("c_vec"))
+
+  /** Cell assignment: nearest centroid per vector (broadcast argmin — the
+    * big side is scanned once, never shuffled). */
+  def ivfAssign(emb: DataFrame): DataFrame = {
+    val cands = emb.select(col("vec_id"), col("label"),
+      toDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    cands.join(broadcast(centroids(emb)), lit(true))
+      .withColumn("dist", V.l2Dist(col("v"), col("c_vec")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("cent_id"))
+  }
+
+  /** IVF-pruned top-K: scan only the NProbe cells nearest the query. */
+  def ivfTopK(emb: DataFrame, k: Int = K): DataFrame = {
+    val wProbe = Window.orderBy(col("qdist"), col("cent_id"))
+    val probe = centroids(emb)
+      .withColumn("qdist", V.l2Dist(vecLit(Query), col("c_vec")))
+      .withColumn("crn", row_number().over(wProbe))
+      .where(col("crn") <= NProbe)
+      .select(col("cent_id"))
+    ivfAssign(emb)
+      .join(broadcast(probe), Seq("cent_id"), "left_semi")
+      .select(col("vec_id"), col("label"), col("cent_id"),
+        V.dot(vecLit(QueryNorm), col("v")).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // Declared queries + DuckDB oracles
+  // ------------------------------------------------------------------
+
+  private def embD = "CAST(embedding AS DOUBLE[])"
+  private val qNormSql = vecSql(QueryNorm)
+  private val qRawSql = vecSql(Query)
+
+  /** DuckDB fragment: sequential-fold L2 distance (matches V.l2Dist). */
+  private def l2Sql(a: String, b: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), " +
+      s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (acc, x) -> acc + x))"
+
+  /** DuckDB fragment mirroring [[bucketCol]]. */
+  private val bucketSql: String =
+    Planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN ${dotSeqSql(vecSql(p), embD, Dim)} > 0.0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val probeList = ProbeBuckets.mkString(", ")
+  private val centroidList = CentroidIds.mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ann_lsh_topk",
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |scored AS (
+         |  SELECT vec_id, label, CAST($bucketSql AS INT) AS bucket,
+         |    ${dotSeqSql("q.v", embD, Dim)} AS similarity
+         |  FROM embeddings, q)
+         |SELECT vec_id, label, bucket, similarity
+         |FROM scored WHERE bucket IN ($probeList)
+         |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
+      (s, dir) => lshTopK(Tables(s, dir, "embeddings"))
+    },
+
+    QueryDef.sql("ann_lsh_buckets",
+      s"""SELECT CAST($bucketSql AS INT) AS bucket, count(*) AS n_vectors
+         |FROM embeddings
+         |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) => lshBuckets(Tables(s, dir, "embeddings"))
+    },
+
+    QueryDef.sql("ann_ivf_topk",
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, $embD AS c_vec
+         |  FROM embeddings WHERE vec_id IN ($centroidList)),
+         |probe AS (
+         |  SELECT cent_id FROM (
+         |    SELECT cent_id, row_number() OVER (
+         |      ORDER BY ${l2Sql(qRawSql, "c_vec")}, cent_id) AS crn
+         |    FROM cents)
+         |  WHERE crn <= $NProbe),
+         |assigned AS (
+         |  SELECT vec_id, label, v, cent_id FROM (
+         |    SELECT e.vec_id, e.label, $embD AS v, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql(embD, "c_vec")}, c.cent_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1)
+         |SELECT vec_id, label, cent_id,
+         |  ${dotSeqSql(qNormSql, "v", Dim)} AS similarity
+         |FROM assigned
+         |WHERE cent_id IN (SELECT cent_id FROM probe)
+         |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
+      (s, dir) => ivfTopK(Tables(s, dir, "embeddings"))
+    }
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, VectorSearch}
+
+class AnnSpec extends SparkSpecBase {
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("LSH buckets partition the whole table") {
+    val hist = Ann.lshBuckets(emb).collect()
+    assert(hist.map(_.getAs[Long]("n_vectors")).sum == emb.count())
+    assert(hist.forall { r =>
+      val b = r.getAs[Int]("bucket"); b >= 0 && b < (1 << Ann.NPlanes)
+    })
+  }
+
+  test("LSH top-k only returns vectors from probe buckets, ranked correctly") {
+    val rows = Ann.lshTopK(emb).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Ann.ProbeBuckets.contains(r.getAs[Int]("bucket"))))
+    val sims = rows.map(_.getAs[Double]("similarity")).toSeq
+    assert(sims == sims.sortBy(-_))
+  }
+
+  test("LSH results are a subset of the brute-force ranking universe") {
+    // every LSH hit must appear in the exact scores with the same similarity
+    val exact = VectorSearch.topK(emb, emb.count().toInt).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("similarity")).toMap
+    Ann.lshTopK(emb).collect().foreach { r =>
+      assert(exact(r.getAs[Long]("vec_id")) == r.getAs[Double]("similarity"))
+    }
+  }
+
+  test("IVF assignment: every vector lands in exactly one of the 16 cells") {
+    val assigned = Ann.ivfAssign(emb)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("cent_id").distinct().count() <= Ann.NList)
+    // a centroid is its own nearest centroid (distance 0)
+    val self = assigned
+      .where(col("vec_id").isin(Ann.CentroidIds: _*))
+      .where(col("vec_id") === col("cent_id"))
+    assert(self.count() == Ann.CentroidIds.size)
+  }
+
+  test("IVF top-k: results come from <= NProbe cells, ranked correctly") {
+    val rows = Ann.ivfTopK(emb).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("cent_id")).distinct.length <= Ann.NProbe)
+    val sims = rows.map(_.getAs[Double]("similarity")).toSeq
+    assert(sims == sims.sortBy(-_))
+  }
+
+  test("ANN recall sanity: pruned searches overlap the exact top-k") {
+    val exactTop = VectorSearch.topK(emb).collect().map(_.getAs[Long]("vec_id")).toSet
+    val lsh = Ann.lshTopK(emb).collect().map(_.getAs[Long]("vec_id")).toSet
+    val ivf = Ann.ivfTopK(emb).collect().map(_.getAs[Long]("vec_id")).toSet
+    // approximate: require SOME overlap, not equality (recall < 1 by design)
+    assert((exactTop & lsh).nonEmpty)
+    assert((exactTop & ivf).nonEmpty)
+  }
+}
