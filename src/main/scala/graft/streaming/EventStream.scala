@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming faces of the engine's event operators.
+  *
+  * The reference has no streaming model at all — its "async" store is a
+  * fire-and-forget goroutine with no ordering, delivery or status
+  * guarantees (reference main.go:294-326). Here the same needs are
+  * expressed as Structured Streaming jobs: exactly-once sinks, event-time
+  * watermarks for bounded state, and typed stateful processing.
+  *
+  * Each streaming transform mirrors a batch operator in
+  * [[graft.operators.Events]] (same grouping keys, same session gap), so
+  * unit tests can replay a stream and hash-compare against the batch
+  * answer — the streaming analogue of the DuckDB oracle.
+  *
+  * Scale posture: a windowed-aggregate stream shuffles once on
+  * (window, key) with partial aggregation before the exchange;
+  * watermarking bounds state to (windows in flight) x (keys); the
+  * sessionizer keeps ONE small state object per active user and drops it
+  * on timeout — at 100 TB/day the state store holds only live sessions,
+  * not history.
+  */
+object EventStream {
+
+  /** Typed event row — ts_us is event time in epoch micros (the engine's
+    * cross-engine-stable timestamp representation, see operators.Events). */
+  case class Event(event_id: Long, ts_us: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start_us: Long, end_us: Long, n_events: Long)
+
+  case class Session(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, duration_us: Long)
+
+  val GapUs: Long = 30L * 60 * 1000000
+
+  // ------------------------------------------------------------------
+  // Windowed aggregation with watermark
+  // ------------------------------------------------------------------
+
+  /** Hourly tumbling-window counts per event type. With a 2-hour
+    * watermark, state for a window is dropped once event time passes its
+    * end + 2h; late events beyond that are discarded (defined behavior —
+    * the reference would just interleave them arbitrarily). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  // ------------------------------------------------------------------
+  // Stateful sessionization (flatMapGroupsWithState)
+  // ------------------------------------------------------------------
+
+  /** Gap-based sessionization over a stream: one state object per user;
+    * a session closes (and is emitted) when the event-time watermark
+    * passes its end + gap, which is exactly when no in-order event can
+    * extend it. Mirrors operators.Events.sessionize. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "30 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed session end + gap: emit and drop
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start_us, s.end_us, s.n_events,
+              s.end_us - s.start_us))
+          } else {
+            // micro-batch arrival order is not event order: fold sorted
+            val events = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            events.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.end_us <= GapUs =>
+                  cur = Some(SessionState(s.start_us, math.max(s.end_us, e.ts_us),
+                    s.n_events + 1))
+                case Some(s) =>
+                  closed += Session(userId, s.start_us, s.end_us, s.n_events,
+                    s.end_us - s.start_us)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when event time passes session end + gap
+              state.setTimeoutTimestamp((s.end_us + GapUs) / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // Streaming ingest (the reference's async /store, made exactly-once)
+  // ------------------------------------------------------------------
+
+  /** Stream reference-format JSON store requests from a drop directory
+    * into the collection-partitioned chunk table — the streaming analogue
+    * of the reference's async POST /store (main.go:294-326), with the
+    * guarantees it lacks: checkpointed source offsets + atomic batch
+    * appends = exactly-once, and completion is observable via the query
+    * status instead of silently assumed. */
+  def ingestStoreRequests(spark: SparkSession, dropDir: String,
+      tablePath: String, checkpoint: String): StreamingQuery = {
+    import graft.sources.DocumentStore
+    val docs = spark.readStream
+      .schema(DocumentStore.storeRequestSchema)
+      .json(dropDir)
+      .select(col("collection_name").as("collection"),
+        explode(col("documents")).as("doc"))
+      .withColumn("doc_id", expr("uuid()"))
+    DocumentStore.flattenChunks(docs)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        DocumentStore.store(batch, tablePath)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+/** Streaming transforms replayed over the fixture events must agree with
+  * their batch faces — the streaming analogue of the DuckDB oracle. */
+class EventStreamSpec extends SparkSpecBase {
+
+  private def fixtureEvents: Seq[Event] = {
+    import org.apache.spark.sql.Row
+    Events.load(spark, sf)
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+      .collect()
+      .map { r: Row =>
+        Event(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))
+      }.toSeq
+  }
+
+  test("streaming hourly counts == batch hourly windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      input.addData(fixtureEvents)
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .select("ws_us", "event_type", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = Events.hourlyWindows(spark, sf)
+        .select("ws_us", "event_type", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes the same sessions as batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents
+    val sentinelUser = 999999L
+    val maxTs = events.map(_.ts_us).max
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      // sentinel far past every session's end + gap advances the watermark
+      // so every real session times out and is emitted
+      input.addData(Event(-1L, maxTs + 10L * EventStream.GapUs, sentinelUser, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[Session].collect()
+        .filter(_.user_id != sentinelUser)
+        .map(s => (s.user_id, s.start_us, s.end_us, s.n_events))
+        .toSet
+      val want = Events.sessionize(spark, sf).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+        .toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming ingest lands store requests in the partitioned table") {
+    val drop = Files.createTempDirectory("graft_drop").toString
+    val table = Files.createTempDirectory("graft_stream_store").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val json =
+      """{"collection_name":"s1","documents":[
+        |{"text":"d","metadata":{"source":"s","name":"doc1"},
+        | "chunks":[{"text":"c1","embedding":{"vector":[1.0,0.0]},
+        |   "metadata":{"source":"cs","name":"cn"},"semantic_score":0.5},
+        |  {"text":"c2","embedding":{"vector":[0.0,1.0]},
+        |   "metadata":{"source":"cs","name":"cn"},"semantic_score":0.1}]}]}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(java.nio.file.Paths.get(s"$drop/req1.json"), json)
+    val q = EventStream.ingestStoreRequests(spark, drop, table, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val stored = spark.read.parquet(table)
+    assert(stored.count() == 2)
+    assert(stored.select("collection").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("s1"))
+    assert(stored.where(col("chunk_idx") === 1).count() == 1)
+  }
+}
