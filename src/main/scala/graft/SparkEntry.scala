@@ -11,7 +11,8 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     VectorSearch.defs ++ ParitySearch.defs ++ TextAnalysis.defs ++
-      Dedup.defs ++ Relational.defs ++ Events.defs ++ Ann.defs
+      Dedup.defs ++ Relational.defs ++ Events.defs ++ Ann.defs ++
+      Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpecBase {
+
+  test("stub decode is deterministic, fixed-dim, L1-normalized") {
+    val payload = "some media bytes".getBytes("UTF-8")
+    val f1 = Multimodal.decodeFeatures(payload)
+    val f2 = Multimodal.decodeFeatures(payload)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.length == Multimodal.FeatureDim)
+    assert(math.abs(f1.sum - 1.0) < 1e-12)
+    assert(Multimodal.decodeFeatures(Array.empty[Byte]).sum == 0.0)
+  }
+
+  test("frame sampler: n frames, in-bounds offsets, deterministic sigs") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    val frames = Multimodal.sampleFrames(7L, payload, 4)
+    assert(frames.length == 4)
+    assert(frames.map(_.frame_idx) == Seq(0, 1, 2, 3))
+    assert(frames.forall(f => f.offset >= 0 && f.offset < payload.length))
+    assert(frames.head.frame_sig == "00010203")
+    assert(Multimodal.sampleFrames(7L, Array.empty[Byte], 4).isEmpty)
+  }
+
+  test("media table: payload bytes survive the binary column round-trip") {
+    val rows = Multimodal.mediaTable(spark, sf).limit(10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      assert(payload.length > 0)
+      assert(Set("image", "audio", "video").contains(r.getAs[String]("media_type")))
+    }
+  }
+
+  test("metadata scan never decodes: n_bytes matches text byte length") {
+    val meta = Multimodal.mediaMetadata(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text").cast("binary")).as("expect"))
+    val joined = meta.join(docs, "doc_id")
+      .where(col("n_bytes") =!= col("expect"))
+    assert(joined.count() == 0)
+  }
+
+  test("feature extraction: one row per doc, features parallel the stub") {
+    val feats = Multimodal.mediaFeatures(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(feats.length == docs.size)
+    feats.take(20).foreach { r =>
+      val expect = Multimodal.decodeFeatures(
+        docs(r.getAs[Long]("doc_id")).getBytes("UTF-8"))
+      assert(r.getAs[scala.collection.Seq[Double]]("features").toSeq == expect.toSeq)
+    }
+  }
+
+  test("video frames: only the video modality, <=4 frames each") {
+    val frames = Multimodal.videoFrames(spark, sf)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+    assert(perDoc.nonEmpty)
+    assert(perDoc.forall(_.getAs[Long]("count") <= 4))
+    val videoDocs = Multimodal.mediaTable(spark, sf)
+      .where(col("media_type") === "video").count()
+    assert(perDoc.length.toLong == videoDocs)
+  }
+
+  test("modality stats cover all documents") {
+    val stats = Multimodal.modalityStats(spark, sf).collect()
+    assert(stats.map(_.getAs[String]("media_type")).toSet ==
+      Set("image", "audio", "video"))
+    assert(stats.map(_.getAs[Long]("n_docs")).sum ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+}
