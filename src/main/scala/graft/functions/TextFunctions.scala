@@ -107,9 +107,11 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un"),
     "fr" -> Seq("le", "la", "les", "et", "des", "que", "un", "est"))
 
-  /** count of words contained in `set` (bigint). */
+  /** count of words contained in `set` (bigint) — dispatches to the
+    * codegen'd [[MarkerCountExpr]] (one hash probe per word instead of an
+    * interpreted lambda doing N string comparisons). */
   def markerCount(ws: Column, set: Seq[String]): Column =
-    size(filter(ws, w => w.isin(set.map(lit(_)): _*))).cast("long")
+    TextHashExpressions.markerCount(ws, set)
 
   def markerCountSql(ws: String, set: Seq[String]): String = {
     val inList = set.map(s => s"'$s'").mkString(", ")

@@ -236,6 +236,134 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Count of array elements contained in a fixed marker set — the
+  * codegen'd form of `size(filter(ws, w => w.isin(set)))`. The set is a
+  * compile-time constant (tiny stopword profiles), checked via a shared
+  * HashSet reference instead of an interpreted lambda with N `isin`
+  * comparisons per word. */
+case class MarkerCountExpr(child: Expression, markers: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "marker_count"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  @transient private lazy val markerSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    markers.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var n = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      if (arr.isNullAt(i)) return null
+      if (markerSet.contains(arr.getUTF8String(i).toString)) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("markerSet", markerSet,
+      "java.util.HashSet<String>")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |long $n = 0L;
+         |for (int $i = 0; $i < $a.numElements() && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  if ($setRef.contains($a.getUTF8String($i).toString())) $n++;
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $n;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Fused word statistics: one pass over the word array computes
+  * (n_words, n_distinct_words, sum_word_len, bpe_tokens) — replacing
+  * three separate interpreted HOF traversals (`size(array_distinct)`,
+  * two `aggregate(transform(...))`) with a single generated loop.
+  * bpe_tokens uses the "~4 chars per token" rule: sum of
+  * floor((len+3)/4) per word (integer division — identical to the
+  * floor-of-double formulation for non-negative lengths, which is what
+  * the DuckDB oracle computes). */
+case class WordStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct_words", LongType, nullable = false),
+    StructField("sum_word_len", LongType, nullable = false),
+    StructField("bpe_tokens", LongType, nullable = false)))
+  override def prettyName: String = "word_stats"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val seen = new java.util.HashSet[String]()
+    var sumLen = 0L
+    var bpe = 0L
+    var i = 0
+    while (i < m) {
+      if (arr.isNullAt(i)) return null
+      val s = arr.getUTF8String(i).toString
+      seen.add(s)
+      sumLen += s.length
+      bpe += (s.length + 3) / 4
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m.toLong, seen.size.toLong, sumLen, bpe))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.freshName("m")
+      val seen = ctx.freshName("seen")
+      val sumLen = ctx.freshName("sumLen")
+      val bpe = ctx.freshName("bpe")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $m = $a.numElements();
+         |final java.util.HashSet<String> $seen = new java.util.HashSet<String>();
+         |long $sumLen = 0L;
+         |long $bpe = 0L;
+         |for (int $i = 0; $i < $m && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  final String $s = $a.getUTF8String($i).toString();
+         |  $seen.add($s);
+         |  $sumLen += $s.length();
+         |  $bpe += ($s.length() + 3) / 4;
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[]{(long) $m, (long) $seen.size(), $sumLen, $bpe});
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextHashExpressions {
   /** shingle poly-hashes (n-word, space-joined), codegen'd. */
   def shingleHashes(words: Column, n: Int): Column =
@@ -251,4 +379,12 @@ object TextHashExpressions {
   /** 32-bit SimHash of word-hash array. */
   def simhash32(wordHashes: Column): Column =
     ColumnShim.column(SimHashExpr(ColumnShim.expression(wordHashes)))
+
+  /** fused (n_words, n_distinct_words, sum_word_len, bpe_tokens) struct. */
+  def wordStats(words: Column): Column =
+    ColumnShim.column(WordStatsExpr(ColumnShim.expression(words)))
+
+  /** codegen'd count of words in a fixed marker set. */
+  def markerCount(words: Column, markers: Seq[String]): Column =
+    ColumnShim.column(MarkerCountExpr(ColumnShim.expression(words), markers))
 }

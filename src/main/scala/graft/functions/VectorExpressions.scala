@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
@@ -122,6 +122,108 @@ case class L2SquaredExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Nearest-centroid assignment against a fixed codebook: returns the
+  * cent_id of the (sqrt-L2-distance, cent_id)-lexicographically nearest
+  * centroid. One fused generated loop over nlist x dim with the codebook
+  * as a referenced constant — expressing this as nlist separate l2Dist
+  * columns + least() + a when-chain explodes generated-code size past
+  * the JIT/codegen limits and falls back to interpreted eval.
+  *
+  * Distances are sqrt'd before comparison (not compared squared): sqrt
+  * rounding can map unequal squares to equal doubles, and the DuckDB
+  * oracle ranks by the sqrt'd value — comparisons must agree bitwise.
+  * Vector shorter than the codebook dimension or containing nulls ->
+  * null (defined behavior, SURVEY.md D5). */
+case class NearestCentroidExpr(child: Expression, ids: Array[Long],
+    cents: Array[Array[Double]]) extends UnaryExpression {
+
+  require(ids.length == cents.length && ids.length > 0)
+  private val dim = cents(0).length
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${t.sql}")
+  }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return null
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return null
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var best = Double.PositiveInfinity
+    var bestId = ids(0)
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { val d = v(j) - cv(j); acc = acc + d * d; j += 1 }
+      val dist = math.sqrt(acc)
+      if (dist < best) { best = dist; bestId = ids(c) }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+    val get =
+      if (isFloat) (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+      else (arr: String, i: String) => s"$arr.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val cv = ctx.freshName("cv")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val dist = ctx.freshName("dist")
+      val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId")
+      s"""
+         |if ($a.numElements() != $dim) { ${ev.isNull} = true; } else {
+         |  final double[] $v = new double[$dim];
+         |  for (int $i = 0; $i < $dim && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $v[$i] = ${get(a, i)};
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $best = Double.POSITIVE_INFINITY;
+         |    long $bestId = $idsRef[0];
+         |    for (int $c = 0; $c < ${cents.length}; $c++) {
+         |      final double[] $cv = $centsRef[$c];
+         |      double $acc = 0.0;
+         |      for (int $j = 0; $j < $dim; $j++) {
+         |        final double $d = $v[$j] - $cv[$j];
+         |        $acc = $acc + $d * $d;
+         |      }
+         |      final double $dist = java.lang.Math.sqrt($acc);
+         |      if ($dist < $best) { $best = $dist; $bestId = $idsRef[$c]; }
+         |    }
+         |    ${ev.value} = $bestId;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.functions.sqrt
 
@@ -143,4 +245,9 @@ object VectorExpressions {
   /** Codegen'd Euclidean distance (bitwise == VectorFunctions.l2Dist). */
   def l2Dist(a: Column, b: Column): Column =
     sqrt(binary(L2SquaredExpr.apply)(a, b))
+
+  /** Codegen'd nearest-centroid id against a literal codebook. */
+  def nearestCentroid(v: Column, ids: Array[Long],
+      cents: Array[Array[Double]]): Column =
+    ColumnShim.column(NearestCentroidExpr(ColumnShim.expression(v), ids, cents))
 }

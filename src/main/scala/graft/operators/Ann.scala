@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -104,34 +103,54 @@ object Ann {
     * exists at every fixture scale (ids 0..499 are present at sf0.001+). */
   val CentroidIds: Seq[Long] = (0 until NList).map(_ * 31L)
 
-  private def centroids(emb: DataFrame): DataFrame =
+  /** The codebook: (cent_id, vector) for each centroid, collected to the
+    * driver. An IVF codebook is index METADATA — tiny (nlist entries)
+    * next to the vector table — and baking it into the plan as constants
+    * is how IVF works everywhere (faiss keeps the codebook in RAM and
+    * scans cells): assignment becomes a pure scan-side projection with no
+    * join and no shuffle. The collect reads exactly nlist rows. */
+  def codebook(emb: DataFrame): Seq[(Long, Array[Double])] =
     emb.where(col("vec_id").isin(CentroidIds: _*))
-      .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("c_vec"))
+      .select(col("vec_id"), toDouble(col("embedding")))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
 
-  /** Cell assignment: nearest centroid per vector (broadcast argmin — the
-    * big side is scanned once, never shuffled). */
-  def ivfAssign(emb: DataFrame): DataFrame = {
-    val cands = emb.select(col("vec_id"), col("label"),
-      toDouble(col("embedding")).as("v"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cent_id"))
-    cands.join(broadcast(centroids(emb)), lit(true))
-      .withColumn("dist", V.l2Dist(col("v"), col("c_vec")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("cent_id"))
+  /** Driver-side sequential-fold L2 — same fold order as V.l2Dist, so
+    * probe selection agrees bitwise with the oracle's SQL argmin. */
+  private def l2Scalar(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc = acc + d * d; i += 1 }
+    math.sqrt(acc)
   }
 
-  /** IVF-pruned top-K: scan only the NProbe cells nearest the query. */
+  /** Cell assignment: nearest centroid per vector — a pure projection
+    * (no join, no shuffle; the codebook rides inside one fused codegen
+    * loop, [[graft.functions.NearestCentroidExpr]] — the (dist, cent_id)
+    * lexicographic argmin the oracle's ROW_NUMBER computes). */
+  def ivfAssign(emb: DataFrame): DataFrame = {
+    val cb = codebook(emb)
+    emb.select(col("vec_id"), col("label"),
+        toDouble(col("embedding")).as("v"))
+      .withColumn("cent_id", V.nearestCentroid(col("v"),
+        cb.map(_._1).toArray, cb.map(_._2).toArray))
+  }
+
+  /** IVF-pruned top-K: scan only the NProbe cells nearest the query.
+    * Probe cells are chosen driver-side from the codebook (same
+    * arithmetic as the scan side); the whole query is then
+    * scan → assign(projection) → cell filter → score → TakeOrdered —
+    * zero shuffles, and with the assignment precomputed as a partition
+    * column the filter becomes partition pruning. */
   def ivfTopK(emb: DataFrame, k: Int = K): DataFrame = {
-    val wProbe = Window.orderBy(col("qdist"), col("cent_id"))
-    val probe = centroids(emb)
-      .withColumn("qdist", V.l2Dist(vecLit(Query), col("c_vec")))
-      .withColumn("crn", row_number().over(wProbe))
-      .where(col("crn") <= NProbe)
-      .select(col("cent_id"))
+    val cb = codebook(emb)
+    val probeIds = cb
+      .map { case (id, cv) => (l2Scalar(Query, cv), id) }
+      .sorted.take(NProbe).map(_._2)
     ivfAssign(emb)
-      .join(broadcast(probe), Seq("cent_id"), "left_semi")
+      .where(col("cent_id").isin(probeIds: _*))
       .select(col("vec_id"), col("label"), col("cent_id"),
         V.dot(vecLit(QueryNorm), col("v")).as("similarity"))
       .orderBy(col("similarity").desc, col("vec_id"))

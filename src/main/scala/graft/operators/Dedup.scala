@@ -140,20 +140,33 @@ object Dedup {
   // ----------------------------------------------------------------
 
   /** n-gram Jaccard near-dup pairs inside (lang) blocks over a doc_id%3
-    * sample, threshold 0.01. The block key bounds the join fan-out. */
+    * sample, threshold 0.01.
+    *
+    * Inverted-index formulation: explode shingles, self-join on
+    * (shingle, lang), count matches per pair — so candidate pairs are
+    * generated ONLY where an actual shingle is shared, and the common
+    * count comes from the join itself (a hash aggregate) instead of an
+    * `array_intersect` per pair. The naive blocked all-pairs join is
+    * |block|² pairs × O(|shingles|) intersections; this is
+    * Σ_shingle df(s)² join rows and scales to corpora where blocks
+    * don't fit a quadratic pass. Pairs sharing zero shingles (jaccard
+    * 0 < threshold) are identical under both formulations. The shuffle
+    * key is the shingle hash — uniform by construction, no lang skew. */
   def ngramJaccardPairs(documents: DataFrame): DataFrame = {
     val d = documents.where(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("lang"), shingleHashes.as("sh"))
       .where(size(col("sh")) > 0)
-      .persist() // both sides of the blocked self-join read this once
-    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
-    val jac = inter.cast("double") /
-      (size(col("a.sh")) + size(col("b.sh")) - inter).cast("double")
-    d.as("a").join(d.as("b"),
-        col("a.lang") === col("b.lang") &&
+    val ex = d.select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
+      explode(col("sh")).as("h"))
+    ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_1"),
-        col("b.doc_id").as("doc_id_2"), jac.as("jaccard"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        (col("c").cast("double") /
+          (col("n1") + col("n2") - col("c")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= 0.01)
       .orderBy("doc_id_1", "doc_id_2")
   }

@@ -18,21 +18,24 @@ object TextAnalysis {
 
   /** Tokenization + counting: whitespace words, distinct words, a
     * BPE-ish subword estimate (ceil(len/4) per word — the "~4 chars per
-    * token" rule), character counts. */
+    * token" rule), character counts. One fused codegen pass over the
+    * word array (WordStatsExpr) instead of three interpreted HOF
+    * traversals — at 100 TB this is the difference between scan-speed
+    * and lambda-dispatch-bound. */
   def tokenStats(documents: DataFrame): DataFrame = {
-    val ws = words(col("text"))
-    documents.select(
-      col("doc_id"),
-      col("lang"),
-      size(ws).cast("long").as("n_words"),
-      size(array_distinct(ws)).cast("long").as("n_distinct_words"),
-      length(col("text")).cast("long").as("n_chars"),
-      aggregate(transform(ws, w => length(w).cast("long")),
-        lit(0L), (a, x) => a + x).as("sum_word_len"),
-      aggregate(transform(ws,
-          w => floor((length(w) + lit(3)) / lit(4.0)).cast("long")),
-        lit(0L), (a, x) => a + x).as("bpe_tokens")
-    ).orderBy("doc_id")
+    val st = graft.functions.TextHashExpressions.wordStats(words(col("text")))
+    documents
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"), st.as("st"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("st.n_words").as("n_words"),
+        col("st.n_distinct_words").as("n_distinct_words"),
+        col("n_chars"),
+        col("st.sum_word_len").as("sum_word_len"),
+        col("st.bpe_tokens").as("bpe_tokens"))
+      .orderBy("doc_id")
   }
 
   /** Quality scoring: character-class ratios + stopword density + a
