@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators._
+
+/** Physical-plan assertions: the scale posture each operator's scaladoc
+  * claims (pushdown, broadcasts, shuffle counts, shuffle-free top-k)
+  * must be visible in the executed plan, so a regression that silently
+  * introduces an extra shuffle or drops a pushed filter fails CI — at
+  * sf0.001 every plan property here is exactly what decides whether the
+  * same query survives 100 TB. */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  /** number of shuffle exchanges in the (initial) physical plan */
+  private def nShuffles(df: DataFrame): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(plan(df)).length
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("top-k plans as TakeOrderedAndProject with zero shuffles") {
+    val p = plan(VectorSearch.topK(emb))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(nShuffles(VectorSearch.topK(emb)) == 0)
+  }
+
+  test("multi-collection search is ONE pruned scan, not a union of jobs") {
+    val df = VectorSearch.multiSearch(emb, Seq(1, 3, 5))
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Union"))
+    assert(nShuffles(df) == 0)
+  }
+
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val p = plan(Relational.pricingSummary(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected pushed filter in:\n$p")
+    // partial + final aggregation (map-side combine before the shuffle)
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("revenue-by-nation broadcasts every dimension side") {
+    val p = plan(Relational.revenueByNation(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"expected >=3 broadcast joins in:\n$p")
+    // the only shuffles: orders||lineitem join + final agg/sort
+    assert(!p.contains("SortMergeJoin") ||
+      "Exchange hashpartitioning".r.findAllIn(p).length <= 3)
+  }
+
+  test("column pruning: token stats scan reads only the needed columns") {
+    val p = plan(TextAnalysis.tokenStats(spark.read.parquet(s"$sf/documents.parquet")))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && read.contains("lang"))
+    assert(!read.contains("source") && !read.contains("n_chars"),
+      s"unused columns in scan: $read")
+  }
+
+  test("IVF assignment is a pure projection: zero shuffles, codegen'd") {
+    val df = Ann.ivfAssign(emb)
+    assert(nShuffles(df) == 0, plan(df))
+    // "*(1)" prefix == WholeStageCodegen stage 1 in the simple plan string
+    assert(plan(df).contains("*(1)"), plan(df))
+  }
+
+  test("LSH search: bucket filter + top-k, zero shuffles") {
+    assert(nShuffles(Ann.lshTopK(emb)) == 0)
+  }
+
+  test("as-of join shuffles exactly once on the grouping key") {
+    val df = Events.asofClickPurchase(spark, sf)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan(df)).length
+    assert(hashEx == 1, s"expected 1 hash shuffle, plan:\n${plan(df)}")
+  }
+
+  test("sessionize reuses one user_id partitioning for both window passes") {
+    val df = Events.sessionize(spark, sf)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan(df)).length
+    assert(hashEx <= 2, s"windows must share the user_id exchange:\n${plan(df)}")
+  }
+
+  test("KNN join broadcasts the query side, never shuffles candidates") {
+    val df = VectorSearch.knnJoin(emb, 0 until 8, 5)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // the single hash shuffle belongs to the ranking window (on the
+    // joined, already-scored rows) — the join itself shuffles nothing
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{VectorExpressions => V}
+import graft.functions.VectorFunctions
+
+/** Property-based checks (SURVEY.md §5.3) — ScalaCheck generators with
+  * fixed seeds (deterministic CI), each property checked over a batch of
+  * generated cases in ONE Spark job. */
+class PropertySpec extends SparkSpecBase {
+
+  private val params = Gen.Parameters.default
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(params, Seed(42L + i)))
+
+  private val genVec: Gen[Seq[Double]] =
+    Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0)).map(_.toSeq)
+
+  test("engine top-k == brute-force ranking on random vectors") {
+    val k = 5
+    val qRaw = samples(genVec, 1).head.toArray
+    val q = VectorFunctions.normalize(qRaw)
+    val vecs = samples(genVec, 200).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.map { case (id, v) => Row(id, v) }),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    val got = df.select(col("vec_id"),
+        V.dot(VectorFunctions.vecLit(q), col("embedding")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def dotRef(v: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < q.length) { acc = acc + q(i) * v(i); i += 1 }; acc
+    }
+    val want = vecs.map { case (id, v) => (id, dotRef(v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+    assert(got == want) // bitwise: same fold order everywhere
+  }
+
+  test("global top-k over union == top-k of per-collection top-ks") {
+    val k = 7
+    val q = VectorFunctions.normalize(samples(genVec, 1).head.toArray)
+    val vecs = samples(genVec, 300).zipWithIndex
+      .map { case (v, i) => (i.toLong, i % 5, v) }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.map { case (id, c, v) => Row(id, c, v) }),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("label", IntegerType),
+        StructField("embedding", ArrayType(DoubleType)))))
+      .select(col("vec_id"), col("label"),
+        V.dot(VectorFunctions.vecLit(q), col("embedding")).as("sim"))
+    def topk(rows: Seq[(Long, Double)], n: Int) =
+      rows.sortBy { case (id, s) => (-s, id) }.take(n)
+    val global = df.orderBy(col("sim").desc, col("vec_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // reference multi_search shape: per-collection top-k, then re-top-k
+    val perColl = (0 until 5).flatMap { c =>
+      topk(df.where(col("label") === c).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq, k)
+    }
+    assert(topk(perColl, k) == global)
+  }
+
+  test("normalization: unit norm within 1 ulp, idempotent within 1 ulp") {
+    samples(genVec.suchThat(_.exists(_ != 0.0)), 50).foreach { v =>
+      val n1 = VectorFunctions.normalize(v.toArray)
+      val norm = math.sqrt(n1.foldLeft(0.0)((a, x) => a + x * x))
+      assert(math.abs(norm - 1.0) < 1e-12)
+      val n2 = VectorFunctions.normalize(n1)
+      n1.zip(n2).foreach { case (a, b) => assert(math.abs(a - b) <= math.ulp(a) * 2) }
+    }
+  }
+
+  test("dimension mismatch yields null, never a crash (D5)") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq(1.0, 2.0, 3.0)), Row(2L, Seq(1.0, 2.0)), Row(3L, null))),
+      StructType(Seq(StructField("id", LongType),
+        StructField("v", ArrayType(DoubleType)))))
+    val out = df.select(col("id"),
+        V.dot(VectorFunctions.vecLit(Array(1.0, 1.0, 1.0)), col("v")).as("d"))
+      .orderBy("id").collect()
+    assert(out(0).getDouble(1) == 6.0)
+    assert(out(1).isNullAt(1)) // mismatched dims -> null (reference panics)
+    assert(out(2).isNullAt(1)) // null vector -> null
+  }
+
+  test("codegen dot == HOF dot == driver fold, bitwise, random vectors") {
+    val pairs = samples(Gen.zip(genVec, genVec), 100)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.zipWithIndex.map { case ((a, b), i) =>
+        Row(i.toLong, a, b)
+      }),
+      StructType(Seq(StructField("id", LongType),
+        StructField("a", ArrayType(DoubleType)),
+        StructField("b", ArrayType(DoubleType)))))
+    val out = df.select(col("id"),
+        V.dot(col("a"), col("b")).as("expr"),
+        VectorFunctions.dotSeq(col("a"), col("b")).as("hof"))
+      .orderBy("id").collect()
+    out.zip(pairs).foreach { case (r, (a, b)) =>
+      val ref = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      assert(r.getDouble(1) == ref && r.getDouble(2) == ref)
+    }
+  }
+
+  test("fused word stats == reference formulation on random word lists") {
+    val genWord = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val genDoc = Gen.listOfN(30, genWord).map(_.toSeq)
+    val docs = samples(genDoc, 60)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.zipWithIndex.map { case (ws, i) =>
+        Row(i.toLong, ws)
+      }),
+      StructType(Seq(StructField("id", LongType),
+        StructField("ws", ArrayType(StringType)))))
+    val st = graft.functions.TextHashExpressions.wordStats(col("ws"))
+    val out = df.select(col("id"), st.as("st")).orderBy("id").collect()
+    out.zip(docs).foreach { case (r, ws) =>
+      val s = r.getStruct(1)
+      assert(s.getLong(0) == ws.length)
+      assert(s.getLong(1) == ws.distinct.length)
+      assert(s.getLong(2) == ws.map(_.length).sum.toLong)
+      assert(s.getLong(3) == ws.map(w => (w.length + 3) / 4).sum.toLong)
+    }
+  }
+}
