@@ -108,6 +108,28 @@ object Events {
   }
 
   // ------------------------------------------------------------------
+  // O: skew-resistant two-phase (salted) aggregation
+  // ------------------------------------------------------------------
+
+  /** Aggregation over a HOT grouping key (5 event types x millions of
+    * rows at scale): phase 1 pre-aggregates on (key, salt) — spreading
+    * each hot key over 16 reducers — phase 2 merges the 16 partials per
+    * key. Decimal partial sums make the two-phase result EXACTLY equal
+    * to the direct group-by (the oracle is the plain GROUP BY): this is
+    * the salting pattern for when map-side partial aggregation alone
+    * can't absorb the skew (e.g. high-cardinality distincts per key). */
+  def saltedTypeStats(s: SparkSession, dir: String, salts: Int = 16): DataFrame =
+    load(s, dir)
+      .withColumn("salt", (col("event_id") % salts).cast("int"))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("n_part"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sum_part"))
+      .groupBy("event_type")
+      .agg(sum(col("n_part")).as("n_events"),
+        sum(col("sum_part")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+
+  // ------------------------------------------------------------------
   // O: JSON extraction from a semi-structured props column
   // ------------------------------------------------------------------
 
@@ -165,6 +187,14 @@ object Events {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY click_id""".stripMargin)(asofClickPurchase),
+
+    QueryDef.sql("ev_salted_agg",
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)(
+      (s, dir) => saltedTypeStats(s, dir)),
 
     QueryDef.sql("ev_json_props",
       """SELECT event_type, count(*) AS n_events,

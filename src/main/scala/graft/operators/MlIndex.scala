@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions.words
+import graft.functions.{VectorExpressions => V}
+import graft.functions.VectorFunctions.{toDouble, vecLit}
+
+/** MLlib-built batch indexes — the "MLlib for batch index building"
+  * path of the north star: learned/randomized index structures trained
+  * distributed, then applied as scan-side transforms.
+  *
+  * These complement the hand-rolled deterministic indexes in [[Ann]] and
+  * [[Dedup]] (which exist so the DuckDB oracle can re-derive them
+  * exactly): MLlib's hash families and k-means centers are internal to
+  * the library, so these queries carry rows-only verification plus
+  * ScalaTest invariants (cluster counts, recall against the exact
+  * scan, join symmetry). All models use fixed seeds — outputs are
+  * deterministic for a given fixture.
+  *
+  * Scale posture: model fit is one (k-means: few) passes over the
+  * vector table; model application is a broadcast of the (tiny) model
+  * into a projection — same shape as [[Ann]]'s codebook constants. At
+  * 100 TB the cluster/bucket id becomes a partition column.
+  */
+object MlIndex {
+
+  val NClusters = 16
+  val Seed = 42L
+
+  /** K-means-trained IVF: fit NClusters centers on the embeddings (the
+    * learned version of [[Ann.codebook]]'s fixed stride), assign every
+    * vector to its center, probe the NProbe centers nearest the query,
+    * exact-score inside the probed cells. */
+  def kmeansIvfTopK(s: SparkSession, dir: String, k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .withColumn("features", array_to_vector(toDouble(col("embedding"))))
+    val model = new KMeans().setK(NClusters).setSeed(Seed).setMaxIter(5)
+      .fit(emb)
+    val assigned = model.transform(emb) // adds `prediction` = cluster id
+    val qVec = org.apache.spark.ml.linalg.Vectors.dense(VectorSearch.Query)
+    val probe = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        (math.sqrt(org.apache.spark.ml.linalg.Vectors.sqdist(qVec, c)), i)
+      }
+      .sorted.take(nProbe).map(_._2)
+    assigned
+      .where(col("prediction").isin(probe: _*))
+      .select(col("vec_id"), col("label"),
+        col("prediction").as("cluster"),
+        VectorSearch.scoreRef(col("embedding")).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** MinHashLSH near-duplicate join over hashed binary SHINGLE vectors:
+    * the MLlib-native version of [[Dedup.minhashPairs]]. Jaccard
+    * distance threshold 0.9 (= similarity >= 0.1).
+    *
+    * Features are 3-word shingles, not single words: the fixture corpus
+    * has a ~31-word vocabulary, so word SETS are near-identical across
+    * all documents and a word-level LSH join degenerates to the
+    * quadratic all-pairs it exists to avoid (observed: an sf0.1 join
+    * that never finished). Shingle sets are distinctive, which is also
+    * why [[Dedup]] shingles first — with real web-scale text the same
+    * principle holds (shingle, don't bag words).
+    *
+    * Even shingled, the degenerate corpus gives arbitrary doc pairs
+    * ~0.2 Jaccard, and MLlib's join OR-amplifies single hashes (no
+    * AND-banding like [[Dedup.minhashPairs]], which stays fast on the
+    * full corpus) — so candidate mass ~ 4·J·n²; the declared query runs
+    * on a doc_id%`sampleMod` block to bound it. */
+  def minhashJoin(s: SparkSession, dir: String,
+      threshold: Double = 0.9, sampleMod: Int = 25): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .where(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(words(col("text")), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 16).setBinary(true)
+    // persist: approxSimilarityJoin's plan references the feature relation
+    // from fit + both join sides + the distance filter — uncached, each
+    // branch re-runs the whole shingle/TF projection (measured 61s -> 7s
+    // at sf0.1 from this line alone)
+    val feats = tf.transform(docs).persist()
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(4).setSeed(Seed)
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, threshold, "dist")
+      .select(col("datasetA.doc_id").as("doc_id_1"),
+        col("datasetB.doc_id").as("doc_id_2"), col("dist"))
+      .where(col("doc_id_1") < col("doc_id_2"))
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.rowsOnly("ml_kmeans_ivf")((s, dir) => kmeansIvfTopK(s, dir)),
+    QueryDef.rowsOnly("ml_minhash_join")((s, dir) => minhashJoin(s, dir))
+  )
+}
