@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SQL-surface registration for the engine's codegen expressions — the
+  * extension mechanism the reference entirely lacks (SURVEY.md §2.2,
+  * "UDF/UDAF/UDTF extension surface: none"). Zero custom planner rules
+  * or strategies are injected (none are needed, SURVEY.md §4): the
+  * engine's only custom code is expression-level, and this makes that
+  * same code reachable from `spark.sql(...)`:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(GraftExtensions.install)   // or via
+  *   // spark.sql.extensions=graft.GraftExtensions
+  *   .getOrCreate()
+  * spark.sql("SELECT vec_dot(a.embedding, b.embedding) FROM ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.install(ext)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def fn(name: String, usage: String, arity: Int)(b: Builder) =
+    (FunctionIdentifier(name), info(name, usage), new Builder {
+      def apply(args: Seq[Expression]): Expression = {
+        require(args.length == arity,
+          s"$name expects $arity argument(s), got ${args.length}")
+        b(args)
+      }
+    })
+
+  val functions = Seq(
+    fn("vec_dot", "vec_dot(a, b) - sequential-fold dot product", 2) {
+      args => DotProductExpr(args(0), args(1))
+    },
+    fn("vec_l2sq", "vec_l2sq(a, b) - sequential-fold squared L2 distance", 2) {
+      args => L2SquaredExpr(args(0), args(1))
+    },
+    fn("shingle_hashes", "shingle_hashes(words, n) - n-word shingle polynomial hashes", 2) {
+      args => ShingleHashesExpr(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())
+    },
+    fn("minhash_sig", "minhash_sig(hashes, k) - k-permutation MinHash signature", 2) {
+      args => MinHashSigExpr(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())
+    },
+    fn("simhash32", "simhash32(word_hashes) - 32-bit frequency-weighted SimHash", 1) {
+      args => SimHashExpr(args(0))
+    },
+    fn("word_stats", "word_stats(words) - (n_words, n_distinct, sum_len, bpe_tokens)", 1) {
+      args => WordStatsExpr(args(0))
+    }
+  )
+
+  def install(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+}
