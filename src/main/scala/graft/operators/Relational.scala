@@ -268,6 +268,64 @@ object Relational {
       .orderBy("band_id")
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): per-flag totals,
+    * per-status totals, and the grand total in one pass (one Expand +
+    * one aggregate — not three scans). SQL path, like [[cubeSegmentNation]]
+    * (the Dataset API exposes only rollup/cube). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin)
+  }
+
+  /** Correlated scalar subqueries: customers whose balance exceeds their
+    * nation's average. The predicate is cross-multiplied
+    * (balance * n > sum) so both sides stay exact decimals — a
+    * double average would be partial-aggregation-order-dependent and
+    * could not hash-match the oracle. Catalyst decorrelates both
+    * subqueries into one aggregate + join. */
+  def aboveNationAverage(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
+    s.sql(
+      """SELECT c_custkey, c_name, c_acctbal, n_name
+        |FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+        |    (SELECT count(*) FROM customer_v c2
+        |     WHERE c2.c_nationkey = customer_v.c_nationkey)
+        |  > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) FROM customer_v c2
+        |     WHERE c2.c_nationkey = customer_v.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** RANGE-framed rolling window: per customer, the 30-day trailing
+    * spend (range frame over a day-number order key — peers at the same
+    * day all included, decimal sum order-independent), plus lead and
+    * quartile over a row-ordered companion window. */
+  def rolling30d(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
+      .withColumn("day_nr", datediff(col("order_date"), lit("1995-01-01").cast("date")))
+    val wRange = Window.partitionBy(col("o_custkey")).orderBy(col("day_nr"))
+      .rangeBetween(-30, Window.currentRow)
+    val wRow = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day_nr"), col("o_orderkey"))
+    o.select(col("o_custkey"), col("o_orderkey"), col("day_nr"),
+        col("o_totalprice"),
+        sum(money(col("o_totalprice"))).over(wRange).cast("double")
+          .as("spend_30d"),
+        lead(col("o_totalprice"), 1).over(wRow).as("next_price"),
+        ntile(4).over(wRow).as("quartile"))
+      .orderBy("o_custkey", "day_nr", "o_orderkey")
+  }
+
   // ------------------------------------------------------------------
   // O: distinct aggregation
   // ------------------------------------------------------------------
@@ -426,6 +484,44 @@ object Relational {
         |  ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band_id, lo, hi
         |ORDER BY band_id""".stripMargin)(priceBandJoin),
+
+    QueryDef.sql("rel_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin)(groupingSets),
+
+    QueryDef.sql("rel_above_nation_avg",
+      """SELECT c_custkey, c_name, c_acctbal, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+        |    (SELECT count(*) FROM customer c2
+        |     WHERE c2.c_nationkey = customer.c_nationkey)
+        |  > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) FROM customer c2
+        |     WHERE c2.c_nationkey = customer.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)(aboveNationAverage),
+
+    QueryDef.sql("rel_rolling_30d",
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(date_diff('day', DATE '1995-01-01',
+         |    CAST(o_orderdate AS DATE)) AS INT) AS day_nr,
+         |  o_totalprice,
+         |  CAST(SUM(${moneySql("o_totalprice")}) OVER (
+         |    PARTITION BY o_custkey
+         |    ORDER BY CAST(date_diff('day', DATE '1995-01-01',
+         |      CAST(o_orderdate AS DATE)) AS INT)
+         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS spend_30d,
+         |  lead(o_totalprice, 1) OVER w AS next_price,
+         |  CAST(ntile(4) OVER w AS INT) AS quartile
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey
+         |  ORDER BY CAST(date_diff('day', DATE '1995-01-01',
+         |    CAST(o_orderdate AS DATE)) AS INT), o_orderkey)
+         |ORDER BY o_custkey, day_nr, o_orderkey""".stripMargin)(rolling30d),
 
     QueryDef.sql("rel_distinct_suppliers",
       """SELECT l_returnflag,

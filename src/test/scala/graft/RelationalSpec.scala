@@ -101,6 +101,49 @@ class RelationalSpec extends SparkSpecBase {
     assert(total == spark.read.parquet(s"$sf/part.parquet").count())
   }
 
+  test("grouping sets: per-dimension subtotals + grand total in one pass") {
+    val rows = Relational.groupingSets(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    val grand = rows.filter(r => r.getAs[String]("flag") == "ALL" &&
+      r.getAs[String]("status") == "ALL")
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_lines") == total)
+    val byFlag = rows.filter(r => r.getAs[String]("flag") != "ALL")
+    assert(byFlag.map(_.getAs[Long]("n_lines")).sum == total)
+  }
+
+  test("correlated subquery: every kept customer beats their nation average") {
+    val custs = spark.read.parquet(s"$sf/customer.parquet").collect()
+    val byNation = custs.groupBy(_.getAs[Int]("c_nationkey"))
+      .view.mapValues { cs =>
+        (cs.length, cs.map(c => BigDecimal(c.getAs[Double]("c_acctbal"))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum)
+      }.toMap
+    val kept = Relational.aboveNationAverage(spark, sf).collect()
+    assert(kept.nonEmpty)
+    val keptKeys = kept.map(_.getAs[Long]("c_custkey")).toSet
+    custs.foreach { c =>
+      val (n, sum) = byNation(c.getAs[Int]("c_nationkey"))
+      val bal = BigDecimal(c.getAs[Double]("c_acctbal"))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      assert(keptKeys.contains(c.getAs[Long]("c_custkey")) == (bal * n > sum))
+    }
+  }
+
+  test("rolling 30d range frame includes exactly the trailing window") {
+    val rows = Relational.rolling30d(spark, sf).collect()
+    val sample = rows.groupBy(_.getAs[Long]("o_custkey")).take(10)
+    sample.foreach { case (_, rs) =>
+      rs.foreach { r =>
+        val d = r.getAs[Int]("day_nr")
+        val expect = rs.filter { x =>
+          val xd = x.getAs[Int]("day_nr"); xd <= d && xd >= d - 30
+        }.map(x => BigDecimal(x.getAs[Double]("o_totalprice"))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+        assert(BigDecimal(r.getAs[Double]("spend_30d")) == expect)
+      }
+    }
+  }
+
   test("string funcs: split/regexp round-trip") {
     val rows = Relational.stringFuncs(spark, sf).limit(50).collect()
     rows.foreach { r =>
