@@ -22,6 +22,10 @@ class PlanSpec extends SparkSpecBase {
 
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("top-k plans as TakeOrderedAndProject with zero shuffles") {
     val p = plan(VectorSearch.topK(emb))
     assert(p.contains("TakeOrderedAndProject"))
