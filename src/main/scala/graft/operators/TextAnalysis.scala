@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -95,6 +96,27 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
+  /** Term-frequency / document-frequency table: top-3 terms per document
+    * by in-doc count, each with its corpus document frequency — the
+    * integer-exact core of TF-IDF (the log-weighted score is left to the
+    * caller: cross-engine `ln` is not bitwise-reproducible, counts are).
+    * Shape: explode -> two hash aggregations -> ranking window; the df
+    * side is a broadcast back-join on the word. */
+  def wordFreq(documents: DataFrame, topN: Int = 3): DataFrame = {
+    val terms = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("word"))
+    tf.join(broadcast(df), "word")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topN)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   // ------------------------------------------------------------------
   // oracles
   // ------------------------------------------------------------------
@@ -149,6 +171,22 @@ object TextAnalysis {
          |       ELSE 'fr' END AS predicted
          |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, dir) => languageId(Tables(s, dir, "documents")) },
+
+    QueryDef.sql("text_word_freq",
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest($W) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf
+         |  FROM terms GROUP BY doc_id, word),
+         |df AS (SELECT word, count(*) AS df FROM (
+         |  SELECT DISTINCT doc_id, word FROM terms) GROUP BY word)
+         |SELECT doc_id, tf.word AS word, tf, df,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tf DESC, tf.word) AS INT) AS rnk
+         |FROM tf JOIN df ON tf.word = df.word
+         |QUALIFY rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin) {
+      (s, dir) => wordFreq(Tables(s, dir, "documents"))
+    },
 
     QueryDef.sql("text_fingerprint", {
       val sh = shinglesSql(W, 3)

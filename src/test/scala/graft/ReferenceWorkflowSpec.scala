@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorExpressions => V}
+import graft.functions.VectorFunctions
+import graft.sources.DocumentStore
+
+/** End-to-end reference workflow: a user of dist-bit/nebuia_vector_db
+  * does store -> search -> multi_search -> delete_collection over the
+  * HTTP API; this spec drives the same lifecycle through the library
+  * (reference routes, main.go:162-167) including the Q7-adjacent edge
+  * semantics (searching a missing collection is empty, not an error). */
+class ReferenceWorkflowSpec extends SparkSpecBase {
+
+  private def writeReq(dir: String, name: String, json: String): Unit =
+    Files.writeString(java.nio.file.Paths.get(s"$dir/$name"), json)
+
+  test("store -> search -> multi-search -> delete lifecycle") {
+    val drop = Files.createTempDirectory("graft_wf_drop").toString
+    val table = Files.createTempDirectory("graft_wf_store").toString
+
+    // --- store (reference POST /store, one request per collection) ---
+    writeReq(drop, "a.json",
+      """{"collection_name":"alpha","documents":[
+        |{"text":"whole doc","metadata":{"source":"s","name":"docA"},
+        | "chunks":[
+        |  {"text":"alpha one","embedding":{"vector":[1.0,0.0]},
+        |   "metadata":{"source":"cs","name":"a1"},"semantic_score":0.9},
+        |  {"text":"alpha two","embedding":{"vector":[0.6,0.8]},
+        |   "metadata":{"source":"cs","name":"a2"},"semantic_score":0.1}]}]}"""
+        .stripMargin.replace("\n", ""))
+    writeReq(drop, "b.json",
+      """{"collection_name":"beta","documents":[
+        |{"text":"other","metadata":{"source":"s","name":"docB"},
+        | "chunks":[{"text":"beta one","embedding":{"vector":[0.0,1.0]},
+        |   "metadata":{"source":"cs","name":"b1"},"semantic_score":0.2}]}]}"""
+        .stripMargin.replace("\n", ""))
+    val docs = DocumentStore.readStoreRequests(spark, drop)
+    DocumentStore.store(DocumentStore.flattenChunks(docs), table)
+
+    // duplicate store: same doc gets a fresh identity (main.go:330)
+    DocumentStore.store(DocumentStore.flattenChunks(
+      DocumentStore.readStoreRequests(spark, s"$drop/a.json")), table)
+    assert(DocumentStore.read(spark, table, Some("alpha")).count() == 4)
+    assert(DocumentStore.read(spark, table, Some("alpha"))
+      .select("doc_id").distinct().count() == 2)
+
+    // --- search one collection (reference POST /search, E1) ---
+    val q = VectorFunctions.normalize(Array(1.0, 0.0))
+    def search(collection: Option[String], k: Int) =
+      DocumentStore.read(spark, table, collection)
+        .select(col("collection"), col("text"), col("chunk_idx"),
+          V.dot(VectorFunctions.vecLit(q), col("embedding")).as("similarity"))
+        .orderBy(col("similarity").desc, col("text"), col("chunk_idx"))
+        .limit(k)
+    val top = search(Some("alpha"), 2).collect()
+    assert(top.head.getAs[String]("text") == "alpha one")
+    assert(top.head.getAs[Double]("similarity") == 1.0)
+    assert(top.head.getAs[Int]("chunk_idx") == 1) // Q6: 1-based
+
+    // --- multi-search over both collections (E2: union + global top-k) ---
+    val multi = search(None, 10).collect()
+    assert(multi.map(_.getAs[String]("collection")).toSet == Set("alpha", "beta"))
+
+    // missing collection: empty result, not an error (Q7 semantics,
+    // strictly better than the reference's silent skip-and-log)
+    assert(search(Some("nope"), 5).count() == 0)
+
+    // --- delete (reference POST /delete_collection, partition drop) ---
+    DocumentStore.deleteCollection(spark, table, "alpha")
+    assert(DocumentStore.read(spark, table, Some("alpha")).count() == 0)
+    assert(DocumentStore.read(spark, table, Some("beta")).count() == 1)
+  }
+}
