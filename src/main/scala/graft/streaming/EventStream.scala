@@ -109,6 +109,48 @@ object EventStream {
   }
 
   // ------------------------------------------------------------------
+  // Stream-stream join with watermark-bounded state
+  // ------------------------------------------------------------------
+
+  /** Clicks joined to the purchase that followed within one hour, as two
+    * live streams. Both sides carry watermarks and the join condition
+    * bounds purchase time to [click, click + 1h], so Spark can expire
+    * click state one hour past the watermark — without the bound the
+    * join state grows forever. The batch analogue is an interval join. */
+  def clickToPurchaseWithin1h(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withColumn("click_time", timestamp_micros(col("ts_us")))
+      .withWatermark("click_time", "30 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_us").as("click_us"), col("click_time"))
+    val p = purchases
+      .withColumn("purchase_time", timestamp_micros(col("ts_us")))
+      .withWatermark("purchase_time", "30 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts_us").as("purchase_us"), col("purchase_time"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_time") >= col("click_time") &&
+        col("purchase_time") <= col("click_time") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        col("click_us"), col("purchase_us"))
+  }
+
+  // ------------------------------------------------------------------
+  // Streaming deduplication
+  // ------------------------------------------------------------------
+
+  /** Exactly-once event feed from an at-least-once source: duplicate
+    * event_ids are dropped, and `dropDuplicatesWithinWatermark` lets the
+    * dedup state expire once the watermark passes — bounded memory where
+    * a plain dropDuplicates would hold every id ever seen. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ------------------------------------------------------------------
   // Streaming ingest (the reference's async /store, made exactly-once)
   // ------------------------------------------------------------------
 

@@ -74,6 +74,56 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream join matches the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventStream.clickToPurchaseWithin1h(
+      clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(events.filter(_.event_type == "click"))
+      purchases.addData(events.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch reference: plain interval join on the same data
+      val c = events.filter(_.event_type == "click")
+      val p = events.filter(_.event_type == "purchase")
+        .groupBy(_.user_id).withDefaultValue(Seq.empty[Event])
+      val want = (for {
+        click <- c
+        purch <- p(click.user_id)
+        if purch.ts_us >= click.ts_us &&
+          purch.ts_us <= click.ts_us + 3600L * 1000000
+      } yield (click.event_id, purch.event_id)).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops replayed events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents.take(500)
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupEvents(input.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      input.addData(events.take(100)) // at-least-once replay
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.length == events.length)
+      assert(ids.distinct.length == ids.length)
+    } finally q.stop()
+  }
+
   test("streaming ingest lands store requests in the partitioned table") {
     val drop = Files.createTempDirectory("graft_drop").toString
     val table = Files.createTempDirectory("graft_stream_store").toString
