@@ -121,6 +121,55 @@ object Dedup {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * LSH pair graph (jaccard >= 0.5), labeling every document with the
+    * minimum doc_id of its component — the step that turns pairwise
+    * near-dup hits into "keep one canonical doc per cluster".
+    *
+    * Min-label propagation: each round joins current labels across the
+    * (symmetric) edge set and takes the min — one shuffle per round,
+    * O(component diameter) rounds (near-dup components are small dense
+    * clusters, so 2-3 rounds in practice; cap + convergence check bound
+    * it; at true scale swap in the large-star/small-star O(log n)
+    * variant — same join-min primitive). The driver loop carries only
+    * a converged? count per round, never data. */
+  def minhashClusters(documents: DataFrame, threshold: Double = 0.5,
+      maxIters: Int = 15): DataFrame = {
+    val verified = minhashPairs(documents)
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"))
+    val edges = verified.union(verified.select(
+        col("doc_id_2").as("doc_id_1"), col("doc_id_1").as("doc_id_2")))
+      .persist()
+    val nodes = documents
+      .select(col("doc_id"), shingleHashes.as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"))
+    var labels = nodes.withColumn("cluster_id", col("doc_id")).persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val propagated = labels
+        .join(edges, labels("doc_id") === edges("doc_id_1"))
+        .select(col("doc_id_2").as("doc_id"), col("cluster_id"))
+      val next = labels.select("doc_id", "cluster_id").union(propagated)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("cluster_id", "old"),
+        "doc_id").where(col("cluster_id") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val w = Window.partitionBy(col("cluster_id"))
+    val out = labels
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
   // ----------------------------------------------------------------
   // SimHash
   // ----------------------------------------------------------------
@@ -242,6 +291,39 @@ object Dedup {
          |JOIN h2 b2 ON b2.doc_id = cand.doc_id_2
          |ORDER BY doc_id_1, doc_id_2""".stripMargin) {
       (s, dir) => minhashPairs(Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("dedup_clusters",
+      s"""WITH RECURSIVE h AS (SELECT doc_id, $ShSql AS shingle_hashes FROM documents),
+         |h2 AS (SELECT * FROM h WHERE len(shingle_hashes) > 0),
+         |s AS (SELECT doc_id, shingle_hashes, $SigsSql AS sigs FROM h2),
+         |b AS (SELECT doc_id, shingle_hashes, $BandsSql AS bands FROM s),
+         |bl AS (SELECT doc_id, unnest(generate_series(0, ${Bands - 1})) AS band_idx,
+         |         unnest(bands) AS band_hash FROM b),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
+         |  FROM bl x JOIN bl y ON x.band_idx = y.band_idx
+         |    AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |verified AS (
+         |  SELECT doc_id_1, doc_id_2 FROM cand
+         |  JOIN h2 a ON a.doc_id = cand.doc_id_1
+         |  JOIN h2 b2 ON b2.doc_id = cand.doc_id_2
+         |  WHERE CAST(len(list_intersect(a.shingle_hashes, b2.shingle_hashes)) AS DOUBLE) /
+         |    CAST(len(a.shingle_hashes) + len(b2.shingle_hashes)
+         |      - len(list_intersect(a.shingle_hashes, b2.shingle_hashes)) AS DOUBLE)
+         |    >= 0.5E0),
+         |edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM verified
+         |  UNION ALL SELECT doc_id_2, doc_id_1 FROM verified),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM h2
+         |  UNION
+         |  SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.node),
+         |lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         |  FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  doc_id = cluster_id AS keep
+         |FROM lab ORDER BY doc_id""".stripMargin) {
+      (s, dir) => minhashClusters(Tables(s, dir, "documents"))
     },
 
     QueryDef.sql("dedup_simhash", {

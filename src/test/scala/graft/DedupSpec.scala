@@ -62,6 +62,28 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("clusters: edges stay within clusters, canonical is the min id") {
+    val clusters = Dedup.minhashClusters(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("keep"))).toMap
+    // every verified near-dup pair lands in one cluster
+    Dedup.minhashPairs(docs).where(col("jaccard") >= 0.5).collect().foreach { p =>
+      assert(clusters(p.getAs[Long]("doc_id_1"))._1 ==
+        clusters(p.getAs[Long]("doc_id_2"))._1)
+    }
+    // canonical member: exactly one keeper per cluster, the minimum id
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      assert(members.count(_._2._3) == 1)
+      assert(members.values.map(_._2).toSet == Set(members.size.toLong))
+    }
+    // one row per shingled document
+    assert(clusters.size == docs
+      .where(size(TextHashExpressions.shingleHashes(words(col("text")), 3)) > 0)
+      .count())
+  }
+
   test("simhash: near-identical docs have close hamming distance") {
     val df = spark.sql(
       """SELECT * FROM VALUES
