@@ -107,6 +107,27 @@ object Events {
       .orderBy("click_id")
   }
 
+  /** Interval self-join: for every error event, the count and closest
+    * gap of same-user events (any type) within +-5 minutes. Equi-key on
+    * user_id carries the shuffle; the interval predicate filters inside
+    * the join — the batch shape of the stream-stream time-bound join. */
+  def errorContext(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir).select(col("user_id"), col("ts_us"), col("event_id"),
+      col("event_type"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us").as("err_ts"),
+        col("event_id").as("err_id"))
+    val windowUs = 5L * 60 * 1000000
+    errors.join(ev.where(col("event_type") =!= "error"),
+        Seq("user_id"))
+      .where(col("ts_us") >= col("err_ts") - windowUs &&
+        col("ts_us") <= col("err_ts") + windowUs)
+      .groupBy(col("err_id"), col("user_id"), col("err_ts"))
+      .agg(count(lit(1)).as("n_nearby"),
+        min(abs(col("ts_us") - col("err_ts"))).as("closest_gap_us"))
+      .orderBy("err_id")
+  }
+
   // ------------------------------------------------------------------
   // O: skew-resistant two-phase (salted) aggregation
   // ------------------------------------------------------------------
@@ -187,6 +208,19 @@ object Events {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY click_id""".stripMargin)(asofClickPurchase),
+
+    QueryDef.sql("ev_interval_join",
+      """SELECT e.event_id AS err_id, e.user_id,
+        |  epoch_us(e.ts) AS err_ts,
+        |  count(*) AS n_nearby,
+        |  min(abs(epoch_us(o.ts) - epoch_us(e.ts))) AS closest_gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type <> 'error') o
+        |  ON e.user_id = o.user_id
+        |  AND epoch_us(o.ts) >= epoch_us(e.ts) - 300000000
+        |  AND epoch_us(o.ts) <= epoch_us(e.ts) + 300000000
+        |GROUP BY e.event_id, e.user_id, epoch_us(e.ts)
+        |ORDER BY err_id""".stripMargin)(errorContext),
 
     QueryDef.sql("ev_salted_agg",
       """SELECT event_type, count(*) AS n_events,

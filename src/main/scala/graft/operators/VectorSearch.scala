@@ -85,6 +85,24 @@ object VectorSearch {
       .orderBy(col("label"), col("rnk"))
   }
 
+  /** Per-collection top-K via the bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]) instead of a ranking window: partial
+    * heaps aggregate map-side, so the shuffle carries at most k rows per
+    * (collection, partition) and nothing is ever sorted — the
+    * scale-preferred formulation of [[perCollectionTopK]], verified
+    * against the identical oracle. */
+  def perCollectionTopKAgg(emb: DataFrame, k: Int): DataFrame =
+    emb.select(col("label"), scoreRef(col("embedding")).as("similarity"),
+        col("vec_id"))
+      .groupBy("label")
+      .agg(graft.functions.TopKAggregate
+        .topK(col("similarity"), col("vec_id"), k).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("idx", "t")))
+      .select(col("t.id").as("vec_id"), col("label"),
+        col("t.score").as("similarity"),
+        (col("idx") + 1).cast("int").as("rnk"))
+      .orderBy("label", "rnk")
+
   /** Batch KNN join: for each query vector (a small, broadcastable set)
     * find its k nearest neighbours among all vectors. BroadcastNestedLoop
     * join of the tiny query side against the big scan side — the big side
@@ -171,6 +189,23 @@ object VectorSearch {
          |QUALIFY rnk <= 3
          |ORDER BY label, rnk""".stripMargin) {
       (s, dir) => perCollectionTopK(Tables(s, dir, "embeddings"), 3)
+    },
+
+    QueryDef.sql("vs_grouped_topk_agg",
+      // identical oracle to vs_per_collection_topk: the heap aggregate
+      // must reproduce the window formulation bit-for-bit
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |scored AS (
+         |  SELECT vec_id, label,
+         |    ${dotSeqSql("q.v", embD, Dim)} AS similarity
+         |  FROM embeddings, q)
+         |SELECT vec_id, label, similarity,
+         |  CAST(row_number() OVER (PARTITION BY label
+         |    ORDER BY similarity DESC, vec_id) AS INT) AS rnk
+         |FROM scored
+         |QUALIFY rnk <= 3
+         |ORDER BY label, rnk""".stripMargin) {
+      (s, dir) => perCollectionTopKAgg(Tables(s, dir, "embeddings"), 3)
     },
 
     QueryDef.sql("vs_knn_join",

@@ -76,6 +76,24 @@ class PlanSpec extends SparkSpecBase {
     assert(nShuffles(Ann.lshTopK(emb)) == 0)
   }
 
+  test("grouped top-k aggregate: partial heaps map-side, no sort before agg") {
+    val df = VectorSearch.perCollectionTopKAgg(emb, 3)
+    val p = plan(df)
+    // partial + final ObjectHashAggregate (the heap merges map-side)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+    // the only sort is the final output orderBy — nothing sorts below the agg
+    val aggIdx = p.indexOf("ObjectHashAggregate")
+    assert(!p.substring(aggIdx).contains("Sort ["), p)
+    // results identical to the window formulation at several k
+    for (k <- Seq(1, 3, 7)) {
+      val viaAgg = VectorSearch.perCollectionTopKAgg(emb, k).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3))).toSeq
+      val viaWindow = VectorSearch.perCollectionTopK(emb, k).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3))).toSeq
+      assert(viaAgg == viaWindow, s"k=$k")
+    }
+  }
+
   test("as-of join shuffles exactly once on the grouping key") {
     val df = Events.asofClickPurchase(spark, sf)
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan(df)).length
