@@ -48,8 +48,10 @@ object TextAnalysis {
     val spaces = length(regexp_replace(col("text"), "[^ ]", "")).cast("long")
     val nWords = size(ws).cast("long")
     val stops = markerCount(ws, Stopwords("en"))
-    val alphaRatio = alpha.cast("double") / nChars.cast("double")
-    val stopRatio = stops.cast("double") / nWords.cast("double")
+    // guard: ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO on empty
+    // docs; ratios are null when undefined (0 words / 0 chars)
+    val alphaRatio = when(nChars > 0, alpha.cast("double") / nChars.cast("double"))
+    val stopRatio = when(nWords > 0, stops.cast("double") / nWords.cast("double"))
     val lenReward = least(lit(1.0), nWords.cast("double") / lit(100.0))
     documents.select(
       col("doc_id"),
@@ -149,10 +151,16 @@ object TextAnalysis {
          |    $stops AS n_stopwords
          |  FROM documents)
          |SELECT doc_id, n_chars, n_alpha, n_spaces, n_words, n_stopwords,
-         |  CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
-         |  CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
-         |  CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 0.5E0
-         |    + CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) * 0.3E0
+         |  CASE WHEN n_chars > 0
+         |    THEN CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+         |    AS alpha_ratio,
+         |  CASE WHEN n_words > 0
+         |    THEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) END
+         |    AS stopword_ratio,
+         |  CASE WHEN n_chars > 0
+         |    THEN CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END * 0.5E0
+         |    + CASE WHEN n_words > 0
+         |        THEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) END * 0.3E0
          |    + least(1.0E0, CAST(n_words AS DOUBLE) / 100.0E0) * 0.2E0 AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, dir) => qualityScore(Tables(s, dir, "documents")) },

