@@ -330,6 +330,20 @@ object Relational {
   // O: distinct aggregation
   // ------------------------------------------------------------------
 
+  /** Exact interpolated percentiles per group. Spark's `percentile`
+    * (exact: sort + linear interpolation at p·(n-1)) and DuckDB's
+    * `quantile_cont` share the formula bit-for-bit (verified on the
+    * fixtures), so even quantiles hash-match. At scale prefer
+    * `approx_percentile` (t-digest, mergeable) — kept out of the oracle
+    * set because the sketch is engine-specific. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("med"),
+        percentile(col("o_totalprice"), lit(0.95)).as("p95"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   def distinctSuppliers(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -522,6 +536,15 @@ object Relational {
          |  ORDER BY CAST(date_diff('day', DATE '1995-01-01',
          |    CAST(o_orderdate AS DATE)) AS INT), o_orderkey)
          |ORDER BY o_custkey, day_nr, o_orderkey""".stripMargin)(rolling30d),
+
+    QueryDef.sql("rel_percentiles",
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS med,
+        |  quantile_cont(o_totalprice, 0.95) AS p95,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)(percentiles),
 
     QueryDef.sql("rel_distinct_suppliers",
       """SELECT l_returnflag,

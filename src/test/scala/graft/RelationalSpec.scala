@@ -144,6 +144,20 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("approx percentile (t-digest) lands near the exact percentile") {
+    // the sketch is the 100 TB path (mergeable, bounded memory); exact
+    // `percentile` is the oracled operator — they must agree closely
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val exact = Relational.percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = o.groupBy("o_orderpriority")
+      .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("med"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) / v < 0.02, s"$k: $v vs ${approx(k)}")
+    }
+  }
+
   test("string funcs: split/regexp round-trip") {
     val rows = Relational.stringFuncs(spark, sf).limit(50).collect()
     rows.foreach { r =>
