@@ -85,6 +85,25 @@ object VectorSearch {
       .orderBy(col("label"), col("rnk"))
   }
 
+  /** Filtered (hybrid) search: metadata predicate + vector top-k — the
+    * query every production vector store serves and the reference cannot
+    * (it has no metadata filtering at all, SURVEY.md §2.2 "row-level
+    * filters"). The metadata side prunes FIRST (predicate pushdown into
+    * the documents scan), then only surviving ids are scored: a
+    * broadcast semi-join keeps the big vector scan shuffle-free, and at
+    * scale a selective filter turns the top-k into a scan of the
+    * surviving fraction only. */
+  def filteredTopK(emb: DataFrame, docs: DataFrame, lang: String,
+      minChars: Long, k: Int = K): DataFrame = {
+    val keep = docs.where(col("lang") === lang && col("n_chars") >= minChars)
+      .select(col("doc_id"))
+    emb.join(broadcast(keep), col("vec_id") === col("doc_id"), "left_semi")
+      .select(col("vec_id"), col("label"),
+        scoreRef(col("embedding")).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-collection top-K via the bounded-heap aggregate
     * ([[graft.functions.TopKAgg]]) instead of a ranking window: partial
     * heaps aggregate map-side, so the shuffle carries at most k rows per
@@ -189,6 +208,18 @@ object VectorSearch {
          |QUALIFY rnk <= 3
          |ORDER BY label, rnk""".stripMargin) {
       (s, dir) => perCollectionTopK(Tables(s, dir, "embeddings"), 3)
+    },
+
+    QueryDef.sql("vs_filtered_search",
+      s"""WITH q AS (SELECT $qNormSql AS v)
+         |SELECT vec_id, label,
+         |  ${dotSeqSql("q.v", embD, Dim)} AS similarity
+         |FROM embeddings, q
+         |WHERE vec_id IN (SELECT doc_id FROM documents
+         |  WHERE lang = 'en' AND n_chars >= 200)
+         |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
+      (s, dir) => filteredTopK(Tables(s, dir, "embeddings"),
+        Tables(s, dir, "documents"), "en", 200L)
     },
 
     QueryDef.sql("vs_grouped_topk_agg",

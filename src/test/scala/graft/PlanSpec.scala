@@ -76,6 +76,19 @@ class PlanSpec extends SparkSpecBase {
     assert(nShuffles(Ann.lshTopK(emb)) == 0)
   }
 
+  test("filtered search: metadata predicate pushed down, semi-join broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = VectorSearch.filteredTopK(emb, docs, "en", 200L)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(lang), IsNotNull(n_chars), " +
+      "EqualTo(lang,en), GreaterThanOrEqual(n_chars,200)]") ||
+      (p.contains("EqualTo(lang,en)") && p.contains("GreaterThanOrEqual(n_chars,200)")),
+      s"metadata filter must reach the documents scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(nShuffles(df) == 0, "the vector side must never shuffle")
+  }
+
   test("grouped top-k aggregate: partial heaps map-side, no sort before agg") {
     val df = VectorSearch.perCollectionTopKAgg(emb, 3)
     val p = plan(df)
