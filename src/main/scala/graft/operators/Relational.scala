@@ -326,6 +326,30 @@ object Relational {
       .orderBy("o_custkey", "day_nr", "o_orderkey")
   }
 
+  /** Pivot: order counts as a status x priority matrix. Explicit value
+    * list keeps the output schema static (a dynamic pivot would need a
+    * driver-side distinct pass); plans as one conditional aggregate —
+    * exactly what the oracle writes by hand. */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+
+  /** Unpivot (melt): the pricing summary's per-measure columns as
+    * (group, measure, value) rows — the shape feature pipelines want. */
+  def unpivotPricing(s: SparkSession, dir: String): DataFrame =
+    pricingSummary(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base_price"), col("sum_disc_price"))
+      .unpivot(
+        Array(col("l_returnflag"), col("l_linestatus")),
+        Array(col("sum_qty"), col("sum_base_price"), col("sum_disc_price")),
+        "measure", "value")
+      .orderBy("l_returnflag", "l_linestatus", "measure")
+
   // ------------------------------------------------------------------
   // O: distinct aggregation
   // ------------------------------------------------------------------
@@ -536,6 +560,30 @@ object Relational {
          |  ORDER BY CAST(date_diff('day', DATE '1995-01-01',
          |    CAST(o_orderdate AS DATE)) AS INT), o_orderkey)
          |ORDER BY o_custkey, day_nr, o_orderkey""".stripMargin)(rolling30d),
+
+    QueryDef.sql("rel_pivot_status",
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)(pivotStatus),
+
+    QueryDef.sql("rel_unpivot_pricing",
+      s"""WITH ps AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |    ${sumMoneySql("l_extendedprice")} AS sum_base_price,
+         |    $revenueSql AS sum_disc_price
+         |  FROM lineitem
+         |  WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |  GROUP BY l_returnflag, l_linestatus)
+         |UNPIVOT ps
+         |ON sum_qty, sum_base_price, sum_disc_price
+         |INTO NAME measure VALUE value
+         |ORDER BY l_returnflag, l_linestatus, measure""".stripMargin)(
+      unpivotPricing),
 
     QueryDef.sql("rel_percentiles",
       """SELECT o_orderpriority,
