@@ -322,10 +322,13 @@ case class WordStatsExpr(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < m) {
       if (arr.isNullAt(i)) return null
-      val s = arr.getUTF8String(i).toString
-      seen.add(s)
-      sumLen += s.length
-      bpe += (s.length + 3) / 4
+      val u = arr.getUTF8String(i)
+      seen.add(u.toString)
+      // numChars = Unicode code points — matches Spark length() and the
+      // DuckDB oracle (String.length would count UTF-16 units)
+      val len = u.numChars()
+      sumLen += len
+      bpe += (len + 3) / 4
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -340,6 +343,7 @@ case class WordStatsExpr(child: Expression) extends UnaryExpression {
       val bpe = ctx.freshName("bpe")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val len = ctx.freshName("len")
       s"""
          |final int $m = $a.numElements();
          |final java.util.HashSet<String> $seen = new java.util.HashSet<String>();
@@ -347,10 +351,12 @@ case class WordStatsExpr(child: Expression) extends UnaryExpression {
          |long $bpe = 0L;
          |for (int $i = 0; $i < $m && !${ev.isNull}; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  final String $s = $a.getUTF8String($i).toString();
-         |  $seen.add($s);
-         |  $sumLen += $s.length();
-         |  $bpe += ($s.length() + 3) / 4;
+         |  final org.apache.spark.unsafe.types.UTF8String $s =
+         |    $a.getUTF8String($i);
+         |  $seen.add($s.toString());
+         |  final long $len = $s.numChars();
+         |  $sumLen += $len;
+         |  $bpe += ($len + 3) / 4;
          |}
          |if (!${ev.isNull}) {
          |  ${ev.value} =

@@ -130,13 +130,15 @@ object Ann {
     * (no join, no shuffle; the codebook rides inside one fused codegen
     * loop, [[graft.functions.NearestCentroidExpr]] — the (dist, cent_id)
     * lexicographic argmin the oracle's ROW_NUMBER computes). */
-  def ivfAssign(emb: DataFrame): DataFrame = {
-    val cb = codebook(emb)
+  def ivfAssign(emb: DataFrame): DataFrame = ivfAssign(emb, codebook(emb))
+
+  /** [[ivfAssign]] with a pre-collected codebook (one collect, reused by
+    * assignment AND probe selection in [[ivfTopK]]). */
+  def ivfAssign(emb: DataFrame, cb: Seq[(Long, Array[Double])]): DataFrame =
     emb.select(col("vec_id"), col("label"),
         toDouble(col("embedding")).as("v"))
       .withColumn("cent_id", V.nearestCentroid(col("v"),
         cb.map(_._1).toArray, cb.map(_._2).toArray))
-  }
 
   /** IVF-pruned top-K: scan only the NProbe cells nearest the query.
     * Probe cells are chosen driver-side from the codebook (same
@@ -149,7 +151,7 @@ object Ann {
     val probeIds = cb
       .map { case (id, cv) => (l2Scalar(Query, cv), id) }
       .sorted.take(NProbe).map(_._2)
-    ivfAssign(emb)
+    ivfAssign(emb, cb)
       .where(col("cent_id").isin(probeIds: _*))
       .select(col("vec_id"), col("label"), col("cent_id"),
         V.dot(vecLit(QueryNorm), col("v")).as("similarity"))

@@ -134,7 +134,7 @@ object Dedup {
     * variant — same join-min primitive). The driver loop carries only
     * a converged? count per round, never data. */
   def minhashClusters(documents: DataFrame, threshold: Double = 0.5,
-      maxIters: Int = 15): DataFrame = {
+      maxIters: Int = 32): DataFrame = {
     val verified = minhashPairs(documents)
       .where(col("jaccard") >= threshold)
       .select(col("doc_id_1"), col("doc_id_2"))
@@ -161,6 +161,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // a silent non-converged return would emit WRONG clusters (multiple
+    // keepers per component) — fail loudly instead; near-dup components
+    // are dense, so hitting this means the input violates the model
+    require(converged,
+      s"connected components did not converge within $maxIters rounds " +
+        "(component diameter too large — use large-star/small-star)")
     val w = Window.partitionBy(col("cluster_id"))
     val out = labels
       .withColumn("cluster_size", count(lit(1)).over(w))

@@ -112,8 +112,10 @@ object Multimodal {
     mediaTable(s, dir).as[MediaRecord]
       .mapPartitions(_.map { r =>
         val f = decodeFeatures(r.payload)
+        // histogram-weighted approximate byte mean: weight = bin midpoint
+        val binW = 256 / FeatureDim
         MediaFeatures(r.doc_id, r.media_type, r.payload.length,
-          f.zipWithIndex.map { case (v, i) => v * (i * 256 / FeatureDim + 128) }.sum,
+          f.zipWithIndex.map { case (v, i) => v * (i * binW + binW / 2) }.sum,
           f)
       })
       .toDF()

@@ -52,7 +52,10 @@ object EventStream {
       .withWatermark("event_time", "2 hours")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        // decimal partials, like the batch face: the sum is exact and
+        // therefore identical regardless of micro-batch arrival order
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
       .select(unix_micros(col("window.start")).as("ws_us"),
         col("event_type"), col("n_events"), col("sum_value"))
 
@@ -88,8 +91,10 @@ object EventStream {
             events.foreach { e =>
               cur match {
                 case Some(s) if e.ts_us - s.end_us <= GapUs =>
-                  cur = Some(SessionState(s.start_us, math.max(s.end_us, e.ts_us),
-                    s.n_events + 1))
+                  // min on start too: a late-but-within-watermark event can
+                  // extend the session BACKWARDS (batch parity)
+                  cur = Some(SessionState(math.min(s.start_us, e.ts_us),
+                    math.max(s.end_us, e.ts_us), s.n_events + 1))
                 case Some(s) =>
                   closed += Session(userId, s.start_us, s.end_us, s.n_events,
                     s.end_us - s.start_us)
@@ -157,9 +162,14 @@ object EventStream {
   /** Stream reference-format JSON store requests from a drop directory
     * into the collection-partitioned chunk table — the streaming analogue
     * of the reference's async POST /store (main.go:294-326), with the
-    * guarantees it lacks: checkpointed source offsets + atomic batch
-    * appends = exactly-once, and completion is observable via the query
-    * status instead of silently assumed. */
+    * guarantees it lacks: checkpointed source offsets give at-least-once
+    * delivery into foreachBatch, and writing each batch under its own
+    * (collection, ingest_batch) partition with DYNAMIC partition
+    * overwrite makes replays idempotent — a re-delivered batch rewrites
+    * exactly its own partitions (fresh uuids and all) instead of
+    * appending duplicates. At-least-once + idempotent = effective
+    * exactly-once; completion is observable via the query status instead
+    * of silently assumed. */
   def ingestStoreRequests(spark: SparkSession, dropDir: String,
       tablePath: String, checkpoint: String): StreamingQuery = {
     import graft.sources.DocumentStore
@@ -172,8 +182,12 @@ object EventStream {
     DocumentStore.flattenChunks(docs)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        DocumentStore.store(batch, tablePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("ingest_batch", lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("collection", "ingest_batch")
+          .parquet(tablePath)
       }
       .start()
   }

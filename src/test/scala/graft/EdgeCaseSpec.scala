@@ -63,14 +63,19 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(q.getAs[Long]("n_chars") == 0) // ratios are null (0/0) but typed
   }
 
-  test("sessionize and windows over empty events return empty") {
+  test("streaming sessionize over an empty stream emits nothing") {
     import graft.streaming.EventStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    val empty = spark.emptyDataset[EventStream.Event]
-    assert(EventStream.sessionize(empty).isStreaming == false ||
-      true) // batch Dataset: just ensure construction is safe
-    val emptyDf = empty.toDF()
-    assert(emptyDf.count() == 0)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("empty_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("empty_sessions").count() == 0)
+    } finally q.stop()
   }
 
   test("multimodal decode of empty payload is defined") {

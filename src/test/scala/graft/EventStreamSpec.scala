@@ -34,14 +34,16 @@ class EventStreamSpec extends SparkSpecBase {
       input.addData(fixtureEvents)
       q.processAllAvailable()
       val got = spark.table("hourly")
-        .select("ws_us", "event_type", "n_events")
+        .select("ws_us", "event_type", "n_events", "sum_value")
         .collect()
-        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
       val want = Events.hourlyWindows(spark, sf)
-        .select("ws_us", "event_type", "n_events")
+        .select("ws_us", "event_type", "n_events", "sum_value")
         .collect()
-        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
-      assert(got == want)
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got == want) // incl. sum_value: decimal partials are exact
     } finally q.stop()
   }
 
@@ -71,6 +73,32 @@ class EventStreamSpec extends SparkSpecBase {
           r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
         .toSet
       assert(got == want)
+    } finally q.stop()
+  }
+
+  test("out-of-order event within the watermark extends a session backwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode("append").start()
+    try {
+      val t0 = 1000L * 1000000
+      input.addData(Event(1L, t0, 7L, "click", 0.0))
+      q.processAllAvailable()
+      // arrives later but is OLDER than the session start (not late vs
+      // the watermark): must merge and pull start_us back
+      input.addData(Event(2L, t0 - 600L * 1000000, 7L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-1L, t0 + 100L * EventStream.GapUs, 99L, "x", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("ooo_sessions").as[Session].collect()
+        .filter(_.user_id == 7L)
+      assert(sessions.length == 1)
+      assert(sessions.head.start_us == t0 - 600L * 1000000)
+      assert(sessions.head.end_us == t0)
+      assert(sessions.head.n_events == 2)
     } finally q.stop()
   }
 
