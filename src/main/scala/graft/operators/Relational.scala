@@ -594,6 +594,20 @@ object Relational {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)(percentiles),
 
+    QueryDef.sql("rel_page_two",
+      // keyset-free pagination (ORDER BY + LIMIT/OFFSET). Fine for UI
+      // pages; at scale prefer keyset pagination (WHERE key > last) —
+      // OFFSET still scans+discards the skipped rows.
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20 OFFSET 40""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(40).limit(20)
+    },
+
     QueryDef.sql("rel_distinct_suppliers",
       """SELECT l_returnflag,
         |  count(DISTINCT l_suppkey) AS n_suppliers,
