@@ -62,6 +62,14 @@ object GraftExtensions {
     },
     fn("word_stats", "word_stats(words) - (n_words, n_distinct, sum_len, bpe_tokens)", 1) {
       args => WordStatsExpr(args(0))
+    },
+    fn("marker_count", "marker_count(words, csv_markers) - count of words in the marker set", 2) {
+      args => MarkerCountExpr(args(0),
+        args(1).eval().toString.split(",").toSeq)
+    },
+    fn("topk_agg", "topk_agg(score, id, k) - aggregate: k best (score desc, id asc) pairs", 3) {
+      args => TopKAgg(args(0), args(1),
+        args(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
     }
   )
 

@@ -34,6 +34,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("topk_agg and marker_count work from SQL") {
+    val rows = spark.sql(
+      """SELECT grp, topk_agg(score, id, 2) AS top
+        |FROM VALUES (0, 1.0d, 10L), (0, 3.0d, 11L), (0, 2.0d, 12L),
+        |            (1, 5.0d, 20L), (1, 5.0d, 21L)
+        |  AS t(grp, score, id)
+        |GROUP BY grp ORDER BY grp""".stripMargin).collect()
+    val g0 = rows(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top")
+    assert(g0.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 11L), (2.0, 12L)))
+    val g1 = rows(1).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top")
+    assert(g1.map(r => (r.getDouble(0), r.getLong(1))) == Seq((5.0, 20L), (5.0, 21L)))
+    val mc = spark.sql(
+      "SELECT marker_count(array('the','fast','dog'), 'the,a,of') c").head
+    assert(mc.getLong(0) == 1L)
+  }
+
   test("shingle/minhash/simhash/word_stats compose in one SQL query") {
     val row = spark.sql(
       """SELECT
