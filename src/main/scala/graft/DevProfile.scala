@@ -19,7 +19,9 @@ object DevProfile {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop sink: count() would let Catalyst prune the very
+        // projections being profiled (same fix as Bench)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"PROF $name%-28s cold=${times(0)}%7.2fs warm=${times(1)}%7.2fs")

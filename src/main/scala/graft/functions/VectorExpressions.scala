@@ -239,8 +239,12 @@ object VectorExpressions {
   def norm2(v: Column): Column = sqrt(dot(v, v))
 
   /** Codegen'd true cosine: dot / (||a|| * ||b||) — same expression shape
-    * as VectorFunctions.cosine, so bitwise identical. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+    * as VectorFunctions.cosine (incl. the zero-norm→null guard, D5), so
+    * bitwise identical. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm2(a) * norm2(b)
+    org.apache.spark.sql.functions.when(denom > 0.0, dot(a, b) / denom)
+  }
 
   /** Codegen'd Euclidean distance (bitwise == VectorFunctions.l2Dist). */
   def l2Dist(a: Column, b: Column): Column =

@@ -32,9 +32,13 @@ object VectorFunctions {
   /** True cosine similarity (both sides normalized). The reference's
     * "cosine" normalizes only the query (main.go:179-183, 246) — that
     * variant is expressed by pre-normalizing the query literal and calling
-    * [[dotSeq]] directly; see VectorSearch.topK. */
-  def cosine(a: Column, b: Column): Column =
-    dotSeq(a, b) / (norm2(a) * norm2(b))
+    * [[dotSeq]] directly; see VectorSearch.topK. Zero-norm input → null
+    * (defined behavior, D5 — ANSI mode would otherwise throw
+    * DIVIDE_BY_ZERO; the reference emits ±Inf/NaN). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm2(a) * norm2(b)
+    org.apache.spark.sql.functions.when(denom > 0.0, dotSeq(a, b) / denom)
+  }
 
   /** Euclidean distance, sequential fold of squared diffs. */
   def l2Dist(a: Column, b: Column): Column =
@@ -50,9 +54,12 @@ object VectorFunctions {
     Array.tabulate(dim)(i => math.sin(i + 1.0))
 
   /** q / ||q||_2 computed driver-side — the reference normalizes the query
-    * once per request (main.go:179-183); in Spark it's a plan constant. */
+    * once per request (main.go:179-183); in Spark it's a plan constant.
+    * Zero-norm query → defined error (D5; the reference silently produces
+    * ±Inf/NaN scores for every row, main.go:179-183). */
   def normalize(q: Array[Double]): Array[Double] = {
     val n = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
+    require(n > 0.0, "cannot normalize a zero-norm query vector")
     q.map(_ / n)
   }
 

@@ -91,7 +91,11 @@ object Dedup {
   def minhashPairs(documents: DataFrame): DataFrame = {
     // persist: the signature relation feeds both sides of the band
     // self-join plus two set-fetch joins — without it the (expensive)
-    // shingle/signature projection is re-evaluated once per branch
+    // shingle/signature projection is re-evaluated once per branch.
+    // The cache entry lives until session end (the returned frame is
+    // lazy, so there is no post-action hook to unpersist from); callers
+    // doing bulk repeated runs should spark.catalog.clearCache()
+    // between them.
     val sigs = documents
       .select(col("doc_id"), shingleHashes.as("shingle_hashes"))
       .where(size(col("shingle_hashes")) > 0)
@@ -366,9 +370,10 @@ object Dedup {
       val va = "CAST(a.embedding AS DOUBLE[])"
       val vb = "CAST(b.embedding AS DOUBLE[])"
       import graft.functions.VectorFunctions.dotSeqSql
-      val cos = s"${dotSeqSql(va, vb, VectorSearch.Dim)} / " +
-        s"(sqrt(${dotSeqSql(va, va, VectorSearch.Dim)}) * " +
+      val denom = s"(sqrt(${dotSeqSql(va, va, VectorSearch.Dim)}) * " +
         s"sqrt(${dotSeqSql(vb, vb, VectorSearch.Dim)}))"
+      val cos = s"(CASE WHEN $denom > 0.0 THEN " +
+        s"${dotSeqSql(va, vb, VectorSearch.Dim)} / $denom END)"
       s"""SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
          |  a.label AS label, $cos AS cos_sim
          |FROM embeddings a JOIN embeddings b

@@ -157,7 +157,9 @@ object Events {
   def jsonProps(s: SparkSession, dir: String): DataFrame =
     load(s, dir)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        // try_cast: a non-integer k yields null instead of an ANSI
+        // CAST_INVALID_INPUT abort (mirrored by TRY_CAST in the oracle)
+        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
@@ -205,7 +207,8 @@ object Events {
         |  p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts,
         |  epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY click_id""".stripMargin)(asofClickPurchase),
 
@@ -232,9 +235,9 @@ object Events {
 
     QueryDef.sql("ev_json_props",
       """SELECT event_type, count(*) AS n_events,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  min(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)(jsonProps)

@@ -227,9 +227,15 @@ object Relational {
         col("p_partkey"),
         upper(col("p_name")).as("name_upper"),
         length(col("p_name")).as("name_len"),
-        split(col("p_name"), " ").getItem(0).as("adjective"),
-        split(col("p_name"), " ").getItem(1).as("noun"),
-        regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("brand_num"),
+        // split_part ('' when the field is missing) instead of
+        // split().getItem (throws INVALID_ARRAY_INDEX under ANSI for a
+        // one-word name) — and it matches DuckDB's split_part exactly
+        split_part(col("p_name"), lit(" "), lit(1)).as("adjective"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("noun"),
+        // NULLIF before the int cast: a digit-free brand regex-extracts
+        // '' which ANSI CAST throws on (in BOTH engines)
+        nullif(regexp_extract(col("p_brand"), "(\\d+)", 1), lit(""))
+          .cast("int").as("brand_num"),
         concat_ws("/", col("p_type"), col("p_brand")).as("type_brand"),
         substring(col("p_name"), 1, 3).as("prefix3"),
         col("p_name").startsWith("red").as("is_red"),
@@ -492,7 +498,7 @@ object Relational {
         |  CAST(length(p_name) AS INT) AS name_len,
         |  split_part(p_name, ' ', 1) AS adjective,
         |  split_part(p_name, ' ', 2) AS noun,
-        |  CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
+        |  CAST(NULLIF(regexp_extract(p_brand, '(\d+)', 1), '') AS INT) AS brand_num,
         |  concat_ws('/', p_type, p_brand) AS type_brand,
         |  substring(p_name, 1, 3) AS prefix3,
         |  starts_with(p_name, 'red') AS is_red,

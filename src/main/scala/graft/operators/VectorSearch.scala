@@ -166,9 +166,11 @@ object VectorSearch {
     QueryDef.sql("vs_topk_cosine",
       s"""WITH q AS (SELECT $qRawSql AS v)
          |SELECT vec_id, label,
-         |  ${dotSeqSql("q.v", embD, Dim)} /
+         |  CASE WHEN sqrt(${dotSeqSql("q.v", "q.v", Dim)}) *
+         |     sqrt(${dotSeqSql(embD, embD, Dim)}) > 0.0
+         |  THEN ${dotSeqSql("q.v", embD, Dim)} /
          |    (sqrt(${dotSeqSql("q.v", "q.v", Dim)}) *
-         |     sqrt(${dotSeqSql(embD, embD, Dim)})) AS cos_sim
+         |     sqrt(${dotSeqSql(embD, embD, Dim)})) END AS cos_sim
          |FROM embeddings, q
          |ORDER BY cos_sim DESC, vec_id LIMIT $K""".stripMargin) {
       (s, dir) => topKCosine(Tables(s, dir, "embeddings"))
