@@ -150,6 +150,12 @@ object Dedup {
       .where(size(col("sh")) > 0)
       .select(col("doc_id"))
     var labels = nodes.withColumn("cluster_id", col("doc_id")).persist()
+    // convergence metric: Σ cluster_id. Min-label propagation only ever
+    // DECREASES labels, so an unchanged sum ⟺ no label changed — one
+    // cheap aggregate per round instead of a change-detection join.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("cluster_id"), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -159,8 +165,9 @@ object Dedup {
       val next = labels.select("doc_id", "cluster_id").union(propagated)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .persist()
-      converged = next.join(labels.withColumnRenamed("cluster_id", "old"),
-        "doc_id").where(col("cluster_id") =!= col("old")).isEmpty
+      val sumNow = labelSum(next)
+      converged = sumNow == prevSum
+      prevSum = sumNow
       labels.unpersist()
       labels = next
       iter += 1
