@@ -236,6 +236,76 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** LSH band hashes over a MinHash signature: band b =
+  * fold_{v in sigs[b*rows .. b*rows+rows)} (acc*31 + v) % p, acc0=0 —
+  * the fused form of the `transform(sequence)/aggregate(slice)` HOF
+  * chain, which is CodegenFallback (interpreted, and exempt from
+  * common-subexpression elimination, so multi-column projections of the
+  * bands re-evaluated the whole upstream minhash per column). */
+case class BandHashesExpr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  require(bands >= 1 && rowsPerBand >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        val idx = b * rowsPerBand + j
+        if (idx < arr.numElements()) {
+          if (arr.isNullAt(idx)) return null
+          acc = (acc * HashMult + arr.getLong(idx)) % HashMod
+        }
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands && !${ev.isNull}; $b++) {
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < $rowsPerBand; $j++) {
+         |    final int $idx = $b * $rowsPerBand + $j;
+         |    if ($idx < $a.numElements()) {
+         |      if ($a.isNullAt($idx)) { ${ev.isNull} = true; break; }
+         |      $acc = ($acc * ${HashMult}L + $a.getLong($idx)) % ${HashMod}L;
+         |    }
+         |  }
+         |  $out[$b] = $acc;
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Count of array elements contained in a fixed marker set — the
   * codegen'd form of `size(filter(ws, w => w.isin(set)))`. The set is a
   * compile-time constant (tiny stopword profiles), checked via a shared
@@ -393,4 +463,8 @@ object TextHashExpressions {
   /** codegen'd count of words in a fixed marker set. */
   def markerCount(words: Column, markers: Seq[String]): Column =
     ColumnShim.column(MarkerCountExpr(ColumnShim.expression(words), markers))
+
+  /** codegen'd LSH band hashes over a minhash signature. */
+  def bandHashes(sigs: Column, bands: Int, rowsPerBand: Int): Column =
+    ColumnShim.column(BandHashesExpr(ColumnShim.expression(sigs), bands, rowsPerBand))
 }

@@ -67,11 +67,12 @@ object Dedup {
     graft.functions.TextHashExpressions
       .minhashSig(col("shingle_hashes"), NumHashes)
 
-  /** Band hash b = left fold (acc*31 + sig) mod P over the band's sigs. */
+  /** Band hash b = left fold (acc*31 + sig) mod P over the band's sigs
+    * (fused codegen kernel — the HOF chain was CodegenFallback and
+    * re-evaluated per referencing column, see BandHashesExpr). */
   private def bandHashes: Column =
-    transform(sequence(lit(0), lit(Bands - 1)), b =>
-      aggregate(slice(col("sigs"), b * RowsPerBand + 1, lit(RowsPerBand)),
-        lit(0L), (acc, v) => (acc * HashMult + v) % P))
+    graft.functions.TextHashExpressions
+      .bandHashes(col("sigs"), Bands, RowsPerBand)
 
   /** Per-doc MinHash signature compacted to one bigint per band. */
   def minhashSignatures(documents: DataFrame): DataFrame =
