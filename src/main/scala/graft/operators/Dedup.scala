@@ -89,20 +89,24 @@ object Dedup {
     * doc_id to fetch shingle sets — never all-pairs. Docs with no
     * shingles are excluded (their sentinel signatures would otherwise
     * all collide into one quadratic bucket). */
-  def minhashPairs(documents: DataFrame): DataFrame = {
-    // persist: the signature relation feeds both sides of the band
-    // self-join plus two set-fetch joins — without it the (expensive)
-    // shingle/signature projection is re-evaluated once per branch.
-    // The cache entry lives until session end (the returned frame is
-    // lazy, so there is no post-action hook to unpersist from); callers
-    // doing bulk repeated runs should spark.catalog.clearCache()
-    // between them.
-    val sigs = documents
+  /** Shingled+signed relation shared by the pair/cluster operators.
+    * persist: it feeds both sides of the band self-join plus two
+    * set-fetch joins (and the cluster node set) — without it the
+    * (expensive) shingle/signature projection is re-evaluated once per
+    * branch. The cache entry lives until session end (the returned
+    * frames are lazy, so there is no post-action hook to unpersist
+    * from); callers doing bulk repeated runs should
+    * spark.catalog.clearCache() between them. */
+  private def shingled(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), shingleHashes.as("shingle_hashes"))
       .where(size(col("shingle_hashes")) > 0)
       .withColumn("sigs", minhashSigs)
       .withColumn("bands", bandHashes)
       .persist()
+
+  /** Candidate pairs + true jaccard over a prepared [[shingled]] frame. */
+  private def pairsFrom(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val cands = bands.as("x").join(bands.as("y"),
@@ -126,6 +130,9 @@ object Dedup {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
+  def minhashPairs(documents: DataFrame): DataFrame =
+    pairsFrom(shingled(documents))
+
   /** Near-duplicate CLUSTERS: connected components over the verified
     * LSH pair graph (jaccard >= 0.5), labeling every document with the
     * minimum doc_id of its component — the step that turns pairwise
@@ -140,16 +147,15 @@ object Dedup {
     * a converged? count per round, never data. */
   def minhashClusters(documents: DataFrame, threshold: Double = 0.5,
       maxIters: Int = 32): DataFrame = {
-    val verified = minhashPairs(documents)
+    // one shared shingle/signature relation feeds pairs AND the node set
+    val sigs = shingled(documents)
+    val verified = pairsFrom(sigs)
       .where(col("jaccard") >= threshold)
       .select(col("doc_id_1"), col("doc_id_2"))
     val edges = verified.union(verified.select(
         col("doc_id_2").as("doc_id_1"), col("doc_id_1").as("doc_id_2")))
       .persist()
-    val nodes = documents
-      .select(col("doc_id"), shingleHashes.as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("doc_id"))
+    val nodes = sigs.select(col("doc_id"))
     var labels = nodes.withColumn("cluster_id", col("doc_id")).persist()
     // convergence metric: Σ cluster_id. Min-label propagation only ever
     // DECREASES labels, so an unchanged sum ⟺ no label changed — one
