@@ -600,6 +600,25 @@ object Relational {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)(percentiles),
 
+    QueryDef.sql("rel_null_ordering",
+      // engines DISAGREE on default null placement (Spark: NULLS FIRST
+      // asc; DuckDB: NULLS LAST) — explicit placement on any nullable
+      // sort key is mandatory for cross-engine determinism
+      """SELECT o_custkey, o_orderkey, lag(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_price
+        |FROM orders
+        |ORDER BY prev_price ASC NULLS FIRST, o_orderkey
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("date"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+        .orderBy(col("prev_price").asc_nulls_first, col("o_orderkey"))
+        .limit(100)
+    },
+
     QueryDef.sql("rel_page_two",
       // keyset-free pagination (ORDER BY + LIMIT/OFFSET). Fine for UI
       // pages; at scale prefer keyset pagination (WHERE key > last) —
