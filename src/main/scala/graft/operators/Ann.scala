@@ -87,6 +87,19 @@ object Ann {
       .orderBy(col("similarity").desc, col("vec_id"))
       .limit(k)
 
+  /** Materialize the LSH index as a bucket-partitioned parquet store:
+    * probes against the result are directory-level partition pruning
+    * (AnnPartitionSpec proves the PartitionFilters + identical results).
+    * This is the "build index" batch job of the 100 TB layout. */
+  def buildLshIndex(emb: DataFrame, path: String): Unit =
+    emb.withColumn("bucket", bucketCol(col("embedding")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Materialize the IVF index as a cell-partitioned parquet store. */
+  def buildIvfIndex(emb: DataFrame, path: String): Unit =
+    ivfAssign(emb)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(path)
+
   /** Bucket occupancy histogram — the "index statistics" view. */
   def lshBuckets(emb: DataFrame): DataFrame =
     emb.withColumn("bucket", bucketCol(col("embedding")))

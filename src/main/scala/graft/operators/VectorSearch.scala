@@ -104,6 +104,26 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Two-stage retrieve-then-rerank — the canonical RAG/search pipeline:
+    * stage 1 retrieves a wide candidate set by cheap vector similarity
+    * (shuffle-free TakeOrdered), stage 2 reranks only those candidates
+    * by a blended score (vector similarity + document quality). The
+    * expensive signal is computed for `nCandidates` rows, not the
+    * corpus; the candidate set broadcasts into the documents join. */
+  def retrieveRerank(emb: DataFrame, docs: DataFrame,
+      nCandidates: Int = 50, k: Int = K): DataFrame = {
+    val cands = topK(emb, nCandidates)
+    val quality = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"))
+    broadcast(cands)
+      .join(quality, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("label"), col("similarity"),
+        col("quality_score"),
+        (col("similarity") * 0.8 + col("quality_score") * 0.2).as("blended"))
+      .orderBy(col("blended").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-collection top-K via the bounded-heap aggregate
     * ([[graft.functions.TopKAgg]]) instead of a ranking window: partial
     * heaps aggregate map-side, so the shuffle carries at most k rows per
@@ -222,6 +242,39 @@ object VectorSearch {
          |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
       (s, dir) => filteredTopK(Tables(s, dir, "embeddings"),
         Tables(s, dir, "documents"), "en", 200L)
+    },
+
+    QueryDef.sql("vs_retrieve_rerank", {
+      import graft.functions.TextFunctions.{wordsSql, markerCountSql, Stopwords}
+      val W = wordsSql("text")
+      val stops = markerCountSql(W, Stopwords("en"))
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |cand AS (
+         |  SELECT vec_id, label, ${dotSeqSql("q.v", embD, Dim)} AS similarity
+         |  FROM embeddings, q
+         |  ORDER BY similarity DESC, vec_id LIMIT 50),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len($W) AS BIGINT) AS n_words,
+         |    $stops AS n_stopwords
+         |  FROM documents),
+         |qs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_chars > 0
+         |      THEN CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END * 0.5E0
+         |    + CASE WHEN n_words > 0
+         |        THEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) END * 0.3E0
+         |    + least(1.0E0, CAST(n_words AS DOUBLE) / 100.0E0) * 0.2E0
+         |      AS quality_score
+         |  FROM m)
+         |SELECT c.vec_id, c.label, c.similarity, qs.quality_score,
+         |  c.similarity * 0.8E0 + qs.quality_score * 0.2E0 AS blended
+         |FROM cand c JOIN qs ON qs.doc_id = c.vec_id
+         |ORDER BY blended DESC, c.vec_id LIMIT $K""".stripMargin
+    }) { (s, dir) =>
+      retrieveRerank(Tables(s, dir, "embeddings"), Tables(s, dir, "documents"))
     },
 
     QueryDef.sql("vs_grouped_topk_agg",

@@ -16,8 +16,7 @@ class AnnPartitionSpec extends SparkSpecBase {
   test("LSH probe over a bucket-partitioned store is partition pruning") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = Files.createTempDirectory("graft_lsh_store").toString
-    emb.withColumn("bucket", Ann.bucketCol(col("embedding")))
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    Ann.buildLshIndex(emb, dir)
 
     val store = spark.read.parquet(dir)
     val probed = store
@@ -50,8 +49,7 @@ class AnnPartitionSpec extends SparkSpecBase {
   test("IVF cells as partition column: probe reads only nProbe dirs") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = Files.createTempDirectory("graft_ivf_store").toString
-    Ann.ivfAssign(emb)
-      .write.mode("overwrite").partitionBy("cent_id").parquet(dir)
+    Ann.buildIvfIndex(emb, dir)
     val store = spark.read.parquet(dir)
     assert(store.select("cent_id").distinct().count() <= Ann.NList)
     val probeIds = Ann.ivfTopK(emb).collect()
