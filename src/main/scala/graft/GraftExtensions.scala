@@ -42,6 +42,16 @@ object GraftExtensions {
       }
     })
 
+  /** Plan-time evaluation of an argument that must be a literal (n, k,
+    * marker list). Guarded: a column reference here would otherwise NPE
+    * or silently capture a null-row value at plan time. */
+  private def literal(name: String, arg: Expression, what: String): Any = {
+    require(arg.foldable, s"$name: $what must be a literal, got ${arg.sql}")
+    val v = arg.eval()
+    require(v != null, s"$name: $what must not be NULL")
+    v
+  }
+
   val functions = Seq(
     fn("vec_dot", "vec_dot(a, b) - sequential-fold dot product", 2) {
       args => DotProductExpr(args(0), args(1))
@@ -51,11 +61,11 @@ object GraftExtensions {
     },
     fn("shingle_hashes", "shingle_hashes(words, n) - n-word shingle polynomial hashes", 2) {
       args => ShingleHashesExpr(args(0),
-        args(1).eval().asInstanceOf[Number].intValue())
+        literal("shingle_hashes", args(1), "n").asInstanceOf[Number].intValue())
     },
     fn("minhash_sig", "minhash_sig(hashes, k) - k-permutation MinHash signature", 2) {
       args => MinHashSigExpr(args(0),
-        args(1).eval().asInstanceOf[Number].intValue())
+        literal("minhash_sig", args(1), "k").asInstanceOf[Number].intValue())
     },
     fn("simhash32", "simhash32(word_hashes) - 32-bit frequency-weighted SimHash", 1) {
       args => SimHashExpr(args(0))
@@ -65,11 +75,12 @@ object GraftExtensions {
     },
     fn("marker_count", "marker_count(words, csv_markers) - count of words in the marker set", 2) {
       args => MarkerCountExpr(args(0),
-        args(1).eval().toString.split(",").toSeq)
+        literal("marker_count", args(1), "csv_markers").toString.split(",").toSeq)
     },
     fn("topk_agg", "topk_agg(score, id, k) - aggregate: k best (score desc, id asc) pairs", 3) {
       args => TopKAgg(args(0), args(1),
-        args(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        literal("topk_agg", args(2), "k").asInstanceOf[Number].intValue())
+        .toAggregateExpression()
     }
   )
 

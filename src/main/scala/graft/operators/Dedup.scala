@@ -93,17 +93,47 @@ object Dedup {
     * persist: it feeds both sides of the band self-join plus two
     * set-fetch joins (and the cluster node set) — without it the
     * (expensive) shingle/signature projection is re-evaluated once per
-    * branch. The cache entry lives until session end (the returned
-    * frames are lazy, so there is no post-action hook to unpersist
-    * from); callers doing bulk repeated runs should
-    * spark.catalog.clearCache() between them. */
-  private def shingled(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), shingleHashes.as("shingle_hashes"))
-      .where(size(col("shingle_hashes")) > 0)
-      .withColumn("sigs", minhashSigs)
-      .withColumn("bands", bandHashes)
-      .persist()
+    * branch.
+    *
+    * The cached frame is memoized per (session, canonicalized input
+    * plan), so repeated minhashPairs/minhashClusters calls over the same
+    * input (Bench, then DevProfile, ...) share ONE cache entry instead
+    * of leaking a fresh persisted copy per call. Entries live until
+    * [[releaseShingleCache]] (or session end); distinct inputs get
+    * distinct entries. */
+  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+
+  private def shingled(documents: DataFrame): DataFrame = {
+    val key = (documents.sparkSession,
+      documents.queryExecution.analyzed.canonicalized)
+    shingleCache.computeIfAbsent(key, _ =>
+      documents
+        .select(col("doc_id"), shingleHashes.as("shingle_hashes"))
+        .where(size(col("shingle_hashes")) > 0)
+        .withColumn("sigs", minhashSigs)
+        .withColumn("bands", bandHashes)
+        .persist())
+  }
+
+  /** Persisted frames that must outlive their operator call (the
+    * cluster labels feed the caller's lazy result), released together
+    * with the shingle cache. */
+  private val retainedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist and forget every memoized shingle/signature relation and
+    * retained cluster-label frame — the explicit release half of the
+    * implicit index the dedup operators build (mirrors
+    * Ann.buildLshIndex's handle-based lifecycle). */
+  def releaseCaches(): Unit = {
+    val it = shingleCache.values().iterator()
+    while (it.hasNext) { it.next().unpersist(); }
+    shingleCache.clear()
+    var df = retainedCaches.poll()
+    while (df != null) { df.unpersist(); df = retainedCaches.poll() }
+  }
 
   /** Candidate pairs + true jaccard over a prepared [[shingled]] frame. */
   private def pairsFrom(sigs: DataFrame): DataFrame = {
@@ -191,6 +221,8 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
     edges.unpersist()
+    // labels feeds the caller's lazy `out` — release via releaseCaches()
+    retainedCaches.add(labels)
     out
   }
 

@@ -40,6 +40,23 @@ object Relational {
   private def rate1(c: Column): Column = dec(lit(1.0) - c, 8, 4)   // 1-l_discount
   private def rate1p(c: Column): Column = dec(lit(1.0) + c, 8, 4)  // 1+l_tax
 
+  /** Run SQL over per-call uniquely-named temp views. Dataset creation
+    * analyzes eagerly, so the views can be dropped before returning the
+    * (lazy) frame — no fixed global catalog names are clobbered and
+    * concurrent runs over different dirs cannot race. The SQL should
+    * alias each view back to its stable name (`... AS customer_v`). */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def sqlOver(s: SparkSession, views: (String, DataFrame)*)(
+      q: Map[String, String] => String): DataFrame = {
+    val names = views.map { case (alias, df) =>
+      val unique = s"graft_${alias}_${viewSeq.incrementAndGet()}"
+      df.createOrReplaceTempView(unique)
+      alias -> unique
+    }.toMap
+    try s.sql(q(names))
+    finally names.values.foreach(s.catalog.dropTempView)
+  }
+
   private val decSql = "DECIMAL(14,2)"
   private def moneySql(c: String) = s"CAST($c AS $decSql)"
   private def sumMoneySql(c: String) = s"CAST(SUM(${moneySql(c)}) AS DOUBLE)"
@@ -165,19 +182,18 @@ object Relational {
     * on a join-derived frame trips DetectAmbiguousSelfJoin in Spark 4.1.2
     * (Expand re-exposes both sides' dataset-id tags); the SQL path plans
     * the identical Expand+Aggregate without the tagging. */
-  def cubeSegmentNation(s: SparkSession, dir: String): DataFrame = {
-    Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
-    Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
-    s.sql(
-      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
-        |  coalesce(n_name, 'ALL') AS nation,
-        |  count(*) AS n_customers,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
-        |FROM customer_v
-        |  JOIN nation_v ON c_nationkey = n_nationkey
-        |GROUP BY CUBE(c_mktsegment, n_name)
-        |ORDER BY segment, nation""".stripMargin)
-  }
+  def cubeSegmentNation(s: SparkSession, dir: String): DataFrame =
+    sqlOver(s, "customer" -> Tables(s, dir, "customer"),
+        "nation" -> Tables(s, dir, "nation")) { v =>
+      s"""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+         |  coalesce(n_name, 'ALL') AS nation,
+         |  count(*) AS n_customers,
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+         |FROM ${v("customer")} AS customer_v
+         |  JOIN ${v("nation")} AS nation_v ON c_nationkey = n_nationkey
+         |GROUP BY CUBE(c_mktsegment, n_name)
+         |ORDER BY segment, nation""".stripMargin
+    }
 
   // ------------------------------------------------------------------
   // O: window functions — running totals, lag, row_number
@@ -278,17 +294,16 @@ object Relational {
     * per-status totals, and the grand total in one pass (one Expand +
     * one aggregate — not three scans). SQL path, like [[cubeSegmentNation]]
     * (the Dataset API exposes only rollup/cube). */
-  def groupingSets(s: SparkSession, dir: String): DataFrame = {
-    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    s.sql(
-      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
-        |  coalesce(l_linestatus, 'ALL') AS status,
-        |  count(*) AS n_lines,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem_v
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY flag, status""".stripMargin)
-  }
+  def groupingSets(s: SparkSession, dir: String): DataFrame =
+    sqlOver(s, "lineitem" -> Tables(s, dir, "lineitem")) { v =>
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+         |  coalesce(l_linestatus, 'ALL') AS status,
+         |  count(*) AS n_lines,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         |FROM ${v("lineitem")} AS lineitem_v
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY flag, status""".stripMargin
+    }
 
   /** Correlated scalar subqueries: customers whose balance exceeds their
     * nation's average. The predicate is cross-multiplied
@@ -296,19 +311,19 @@ object Relational {
     * double average would be partial-aggregation-order-dependent and
     * could not hash-match the oracle. Catalyst decorrelates both
     * subqueries into one aggregate + join. */
-  def aboveNationAverage(s: SparkSession, dir: String): DataFrame = {
-    Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
-    Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
-    s.sql(
-      """SELECT c_custkey, c_name, c_acctbal, n_name
-        |FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
-        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
-        |    (SELECT count(*) FROM customer_v c2
-        |     WHERE c2.c_nationkey = customer_v.c_nationkey)
-        |  > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) FROM customer_v c2
-        |     WHERE c2.c_nationkey = customer_v.c_nationkey)
-        |ORDER BY c_custkey""".stripMargin)
-  }
+  def aboveNationAverage(s: SparkSession, dir: String): DataFrame =
+    sqlOver(s, "customer" -> Tables(s, dir, "customer"),
+        "nation" -> Tables(s, dir, "nation")) { v =>
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name
+         |FROM ${v("customer")} AS customer_v
+         |  JOIN ${v("nation")} AS nation_v ON c_nationkey = n_nationkey
+         |WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+         |    (SELECT count(*) FROM ${v("customer")} c2
+         |     WHERE c2.c_nationkey = customer_v.c_nationkey)
+         |  > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) FROM ${v("customer")} c2
+         |     WHERE c2.c_nationkey = customer_v.c_nationkey)
+         |ORDER BY c_custkey""".stripMargin
+    }
 
   /** RANGE-framed rolling window: per customer, the 30-day trailing
     * spend (range frame over a day-number order key — peers at the same

@@ -84,8 +84,15 @@ object EventStream {
             Iterator.single(Session(userId, s.start_us, s.end_us, s.n_events,
               s.end_us - s.start_us))
           } else {
+            // flatMapGroupsWithState does NOT auto-drop rows behind the
+            // watermark. Without this filter a beyond-watermark straggler
+            // could extend a session backwards across a gap the batch face
+            // would split — so drop them here, making "late events beyond
+            // the watermark are discarded" actually true and batch-consistent.
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
             // micro-batch arrival order is not event order: fold sorted
-            val events = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val events = batch.filter(_.ts_us >= wmUs)
+              .toSeq.sortBy(e => (e.ts_us, e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             events.foreach { e =>

@@ -20,6 +20,19 @@ class DedupSpec extends SparkSpecBase {
       == rows(1).getAs[String]("content_hash"))
   }
 
+  test("shingled relation is memoized per input; releaseCaches unpersists") {
+    Dedup.releaseCaches()
+    val base = spark.sparkContext.getPersistentRDDs.size
+    Dedup.minhashPairs(docs).collect()
+    val afterFirst = spark.sparkContext.getPersistentRDDs.size
+    assert(afterFirst > base) // the shared shingle relation is cached
+    // same input again: memoized, NOT a second persisted copy
+    Dedup.minhashPairs(docs).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == afterFirst)
+    Dedup.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.size == base)
+  }
+
   test("fused shingle kernel == HOF formulation (bitwise)") {
     val ws = words(col("text"))
     val hof = polyHashAll(shingles(ws, 3))

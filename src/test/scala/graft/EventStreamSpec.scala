@@ -102,6 +102,34 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("beyond-watermark event is dropped, never extends or opens a session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      val t0 = 5000000L * 1000000
+      input.addData(Event(1L, t0, 7L, "click", 0.0))
+      q.processAllAvailable()
+      // advances the watermark far past t0 (and times out user 7's session)
+      input.addData(Event(-1L, t0 + 100L * EventStream.GapUs, 99L, "x", 0.0))
+      q.processAllAvailable()
+      // a straggler MILES behind the watermark: flatMapGroupsWithState
+      // would happily hand it to the function — the function must drop it
+      input.addData(Event(2L, t0 - 50L * EventStream.GapUs, 8L, "view", 0.0))
+      q.processAllAvailable()
+      // flush any state that (incorrectly) formed for user 8
+      input.addData(Event(-2L, t0 + 300L * EventStream.GapUs, 99L, "x", 0.0))
+      q.processAllAvailable()
+      val byUser = spark.table("late_sessions").as[Session].collect()
+        .groupBy(_.user_id)
+      assert(byUser.get(7L).map(_.length) == Some(1))
+      assert(!byUser.contains(8L)) // dropped, not sessionized
+    } finally q.stop()
+  }
+
   test("stream-stream join matches the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -72,4 +72,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head.getLong(0)
     assert(row.getLong(1) == viaColumns)
   }
+
+  test("non-literal n/k arguments are rejected at plan time, not NPE") {
+    Seq(
+      "SELECT shingle_hashes(array('a','b'), CAST(id AS INT)) FROM range(3)",
+      "SELECT minhash_sig(array(1L), CAST(id AS INT)) FROM range(3)",
+      "SELECT marker_count(array('a'), CAST(id AS STRING)) FROM range(3)",
+      "SELECT topk_agg(1.0d, id, CAST(id AS INT)) FROM range(3)"
+    ).foreach { q =>
+      val e = intercept[Exception](spark.sql(q).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("must be a literal")), s"query: $q, got $e")
+    }
+  }
 }
