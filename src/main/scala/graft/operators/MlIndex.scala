@@ -71,13 +71,14 @@ object MlIndex {
     * why [[Dedup]] shingles first — with real web-scale text the same
     * principle holds (shingle, don't bag words).
     *
-    * Even shingled, the degenerate corpus gives arbitrary doc pairs
-    * ~0.2 Jaccard, and MLlib's join OR-amplifies single hashes (no
-    * AND-banding like [[Dedup.minhashPairs]], which stays fast on the
-    * full corpus) — so candidate mass ~ 4·J·n²; the declared query runs
-    * on a doc_id%`sampleMod` block to bound it. */
+    * MLlib's join OR-amplifies single hashes (no AND-banding like
+    * [[Dedup.minhashPairs]]), so candidate mass ~ numTables·J̄·n²/2 —
+    * at SHINGLE level the corpus's arbitrary-pair Jaccard is ~0.01,
+    * which keeps that linear-ish in practice (word-level features would
+    * degenerate to all-pairs; see above). `sampleMod` > 1 bounds the
+    * join to a doc_id block when a corpus IS degenerate. */
   def minhashJoin(s: SparkSession, dir: String,
-      threshold: Double = 0.9, sampleMod: Int = 25): DataFrame = {
+      threshold: Double = 0.9, sampleMod: Int = 1): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .where(col("doc_id") % sampleMod === 0)
       .select(col("doc_id"),
@@ -88,8 +89,9 @@ object MlIndex {
     // persist: approxSimilarityJoin's plan references the feature relation
     // from fit + both join sides + the distance filter — uncached, each
     // branch re-runs the whole shingle/TF projection (measured 61s -> 7s
-    // at sf0.1 from this line alone)
+    // at sf0.1 from this line alone). Tracked for releaseCaches().
     val feats = tf.transform(docs).persist()
+    retained.add(feats)
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(4).setSeed(Seed)
     val model = lsh.fit(feats)
@@ -98,6 +100,17 @@ object MlIndex {
         col("datasetB.doc_id").as("doc_id_2"), col("dist"))
       .where(col("doc_id_1") < col("doc_id_2"))
       .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  /** Persisted frames feeding callers' lazy results (can't be
+    * unpersisted inside the operator call); released on demand —
+    * same lifecycle contract as [[Dedup.releaseCaches]]. */
+  private val retained =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  def releaseCaches(): Unit = {
+    var df = retained.poll()
+    while (df != null) { df.unpersist(); df = retained.poll() }
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -36,8 +36,14 @@ object Multimodal {
   final case class MediaRecord(doc_id: Long, media_type: String,
       payload: Array[Byte], width: Int, height: Int, n_frames: Int)
 
+  /** Flattened feature row: one scalar column per histogram bin. The
+    * flat shape (no array column) is deliberate — downstream relational
+    * ops (and external comparers) treat each feature as an ordinary
+    * double column, and columnar storage prunes unused bins. */
   final case class MediaFeatures(doc_id: Long, media_type: String,
-      n_bytes: Int, byte_mean: Double, features: Array[Double])
+      n_bytes: Int, byte_mean: Double,
+      f0: Double, f1: Double, f2: Double, f3: Double,
+      f4: Double, f5: Double, f6: Double, f7: Double)
 
   final case class Frame(doc_id: Long, frame_idx: Int, offset: Int,
       frame_sig: String)
@@ -112,11 +118,12 @@ object Multimodal {
     mediaTable(s, dir).as[MediaRecord]
       .mapPartitions(_.map { r =>
         val f = decodeFeatures(r.payload)
-        // histogram-weighted approximate byte mean: weight = bin midpoint
+        // histogram-weighted approximate byte mean: weight = bin midpoint;
+        // sequential left fold (Array.sum) — oracle-reproducible
         val binW = 256 / FeatureDim
         MediaFeatures(r.doc_id, r.media_type, r.payload.length,
           f.zipWithIndex.map { case (v, i) => v * (i * binW + binW / 2) }.sum,
-          f)
+          f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
       })
       .toDF()
       .orderBy("doc_id")
@@ -136,34 +143,91 @@ object Multimodal {
     * relational aggregate, the end-to-end pipeline shape. */
   def modalityStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // bin 3 (byte values 96-127) covers lowercase ASCII — the informative
+    // bin for the text-derived fixture payloads
     mediaTable(s, dir).as[MediaRecord]
       .mapPartitions(_.map(r =>
-        (r.media_type, r.payload.length, decodeFeatures(r.payload)(0))))
-      .toDF("media_type", "n_bytes", "f0")
+        (r.media_type, r.payload.length, decodeFeatures(r.payload)(3))))
+      .toDF("media_type", "n_bytes", "f3")
       .groupBy("media_type")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bytes").cast("long")).as("total_bytes"),
-        min(col("f0")).as("min_f0"), max(col("f0")).as("max_f0"))
+        min(col("f3")).as("min_f3"), max(col("f3")).as("max_f3"))
       .orderBy("media_type")
   }
 
   // ------------------------------------------------------------------
-  // Declared queries: metadata path is fully SQL-expressible (oracle);
-  // decode paths use the stub and get the rows-only check.
+  // Declared queries — ALL fully DuckDB-oracled. The stub decode is
+  // deterministic byte arithmetic and the fixture payloads are pure
+  // ASCII (octet_length == length for every row), so the oracle can
+  // re-derive the byte histogram character-by-character. A real codec
+  // would drop these queries back to rows-only + unit-test checks.
   // ------------------------------------------------------------------
+
+  private val MediaTypeSql =
+    "(['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]"
+
+  /** Per-char ascii codes of `text` — the oracle's view of the payload
+    * bytes (valid because the fixture is pure ASCII). */
+  private val CodesSql =
+    "list_transform(string_split_regex(text, ''), c -> ascii(c))"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("mm_metadata",
-      """SELECT doc_id,
-        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  sha256(text) AS payload_sha,
-        |  CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
-        |  CAST(64 + (doc_id % 4) * 32 AS INT) AS height,
-        |  CAST(1 + (doc_id % 16) AS INT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin)(mediaMetadata),
-    QueryDef.rowsOnly("mm_features")(mediaFeatures),
-    QueryDef.rowsOnly("mm_video_frames")(videoFrames),
-    QueryDef.rowsOnly("mm_modality_stats")(modalityStats)
+      s"""SELECT doc_id,
+         |  $MediaTypeSql AS media_type,
+         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         |  sha256(text) AS payload_sha,
+         |  CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
+         |  CAST(64 + (doc_id % 4) * 32 AS INT) AS height,
+         |  CAST(1 + (doc_id % 16) AS INT) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin)(mediaMetadata),
+
+    QueryDef.sql("mm_features",
+      s"""WITH codes AS (
+         |  SELECT doc_id, $CodesSql AS cs FROM documents),
+         |f AS (
+         |  SELECT doc_id, CAST(len(cs) AS INT) AS n_bytes,
+         |    list_transform(range(0, $FeatureDim), j ->
+         |      CAST(len(list_filter(cs, c -> c // 32 = j)) AS DOUBLE)
+         |        / CAST(len(cs) AS DOUBLE)) AS fs
+         |  FROM codes)
+         |SELECT doc_id, $MediaTypeSql AS media_type, n_bytes,
+         |  ((((((((0.0E0 + fs[1]*16E0) + fs[2]*48E0) + fs[3]*80E0)
+         |    + fs[4]*112E0) + fs[5]*144E0) + fs[6]*176E0)
+         |    + fs[7]*208E0) + fs[8]*240E0) AS byte_mean,
+         |  fs[1] AS f0, fs[2] AS f1, fs[3] AS f2, fs[4] AS f3,
+         |  fs[5] AS f4, fs[6] AS f5, fs[7] AS f6, fs[8] AS f7
+         |FROM f ORDER BY doc_id""".stripMargin)(mediaFeatures),
+
+    QueryDef.sql("mm_video_frames",
+      """WITH v AS (
+        |  SELECT doc_id, text,
+        |    least(CAST(1 + doc_id % 16 AS INT), 4) AS n,
+        |    CAST(length(text) AS INT) AS len
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, least(n, len))) AS k,
+        |    greatest(1, len // n) AS span
+        |  FROM v)
+        |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        |  CAST(k * span AS INT) AS offset,
+        |  lower(hex(encode(substring(text, CAST(k * span + 1 AS INT), 4)))) AS frame_sig
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin)(videoFrames),
+
+    QueryDef.sql("mm_modality_stats",
+      s"""WITH codes AS (
+         |  SELECT doc_id, $MediaTypeSql AS media_type,
+         |    $CodesSql AS cs FROM documents),
+         |g AS (
+         |  SELECT media_type, len(cs) AS n_bytes,
+         |    CAST(len(list_filter(cs, c -> c // 32 = 3)) AS DOUBLE)
+         |      / CAST(len(cs) AS DOUBLE) AS f3
+         |  FROM codes)
+         |SELECT media_type, count(*) AS n_docs,
+         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         |  min(f3) AS min_f3, max(f3) AS max_f3
+         |FROM g GROUP BY media_type ORDER BY media_type""".stripMargin)(modalityStats)
   )
 }

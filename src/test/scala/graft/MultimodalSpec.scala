@@ -53,7 +53,9 @@ class MultimodalSpec extends SparkSpecBase {
     feats.take(20).foreach { r =>
       val expect = Multimodal.decodeFeatures(
         docs(r.getAs[Long]("doc_id")).getBytes("UTF-8"))
-      assert(r.getAs[scala.collection.Seq[Double]]("features").toSeq == expect.toSeq)
+      val got = (0 until Multimodal.FeatureDim)
+        .map(i => r.getAs[Double](s"f$i"))
+      assert(got == expect.toSeq)
     }
   }
 
