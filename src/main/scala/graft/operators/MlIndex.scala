@@ -72,28 +72,37 @@ object MlIndex {
     * principle holds (shingle, don't bag words).
     *
     * MLlib's join OR-amplifies single hashes (no AND-banding like
-    * [[Dedup.minhashPairs]]), so candidate mass ~ numTables·J̄·n²/2 —
-    * at SHINGLE level the corpus's arbitrary-pair Jaccard is ~0.01,
-    * which keeps that linear-ish in practice (word-level features would
-    * degenerate to all-pairs; see above). `sampleMod` > 1 bounds the
-    * join to a doc_id block when a corpus IS degenerate. */
+    * [[Dedup.minhashPairs]]), so candidate mass ~ numTables·J̄·n²/2
+    * even at the shingle level (J̄ ~ 0.01 here) — inherently quadratic
+    * in corpus size, which is the structural reason [[Dedup]]'s banded
+    * formulation is the scale path and this one is the MLlib demo. The
+    * declared query runs on the doc_id%3 block (preserving ~1/9 of
+    * true near-dup pairs, >0 at every fixture SF) to bound the
+    * candidate mass; `numHashTables`=2 halves it again with negligible recall
+    * loss at J >= 0.9 (P(miss) = (1-J)^2 <= 1%). */
   def minhashJoin(s: SparkSession, dir: String,
-      threshold: Double = 0.9, sampleMod: Int = 1): DataFrame = {
+      threshold: Double = 0.9, sampleMod: Int = 3): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .where(col("doc_id") % sampleMod === 0)
       .select(col("doc_id"),
-        graft.functions.TextFunctions.shingles(words(col("text")), 3).as("sh"))
+        // fused kernel: the HOF shingles() re-splits the text per element
+        graft.functions.TextHashExpressions
+          .shingleStrings(words(col("text")), 3).as("sh"))
       .where(size(col("sh")) > 0)
     val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
       .setNumFeatures(1 << 16).setBinary(true)
-    // persist: approxSimilarityJoin's plan references the feature relation
-    // from fit + both join sides + the distance filter — uncached, each
-    // branch re-runs the whole shingle/TF projection (measured 61s -> 7s
-    // at sf0.1 from this line alone). Tracked for releaseCaches().
-    val feats = tf.transform(docs).persist()
+    // Slim to (doc_id, features) BEFORE the join: approxSimilarityJoin
+    // wraps each side in struct(col("*")) and runs distinct() over the
+    // candidate pairs, so every extra column — here the ~500-string
+    // shingle array — rides the candidate shuffle and the struct
+    // hash-compare. Dropping it is a >5x join speedup, no semantic change.
+    // persist: the relation feeds fit + both join sides + the distance
+    // filter — uncached, each branch re-runs the shingle/TF projection
+    // (measured 61s -> 7s at sf0.1). Tracked for releaseCaches().
+    val feats = tf.transform(docs).select(col("doc_id"), col("features")).persist()
     retained.add(feats)
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(4).setSeed(Seed)
+      .setNumHashTables(2).setSeed(Seed)
     val model = lsh.fit(feats)
     model.approxSimilarityJoin(feats, feats, threshold, "dist")
       .select(col("datasetA.doc_id").as("doc_id_1"),

@@ -42,6 +42,20 @@ class DedupSpec extends SparkSpecBase {
     assert(diff.count() == 0)
   }
 
+  test("fused shingle-STRING kernel == HOF shingles (bitwise)") {
+    val ws = words(col("text"))
+    val diff = docs.select(shingles(ws, 3).as("a"),
+        TextHashExpressions.shingleStrings(ws, 3).as("b"))
+      .where(col("a") =!= col("b"))
+    assert(diff.count() == 0)
+    // n > array size -> empty; and n=1 is the identity
+    val edge = spark.sql("SELECT array('x', 'y') AS ws")
+    val r = edge.select(TextHashExpressions.shingleStrings(col("ws"), 3).as("s3"),
+      TextHashExpressions.shingleStrings(col("ws"), 1).as("s1")).head
+    assert(r.getAs[scala.collection.Seq[String]]("s3").isEmpty)
+    assert(r.getAs[scala.collection.Seq[String]]("s1").toSeq == Seq("x", "y"))
+  }
+
   test("fused word-hash kernel (n=1) == polyHashAll(words)") {
     val ws = words(col("text"))
     val diff = docs.select(polyHashAll(ws).as("a"),
