@@ -12,7 +12,7 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     VectorSearch.defs ++ ParitySearch.defs ++ TextAnalysis.defs ++
       Dedup.defs ++ Relational.defs ++ Events.defs ++ Ann.defs ++
-      Multimodal.defs ++ MlIndex.defs
+      Multimodal.defs ++ MlIndex.defs ++ Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -107,6 +107,54 @@ object Events {
       .orderBy("click_id")
   }
 
+  /** Forward AS-OF join: for every click, the EARLIEST purchase at or
+    * after it by the same user (the look-ahead twin of
+    * [[asofClickPurchase]] — "did this click convert, and when").
+    * Same single-shuffle union trick, with the frame reversed: clicks
+    * sort before purchases at the same microsecond (kind 0 < 1) so a
+    * same-instant purchase is inside the [current, +inf) frame, and
+    * `first(..., ignoreNulls)` picks the nearest following purchase
+    * (min event_id on ties — the oracle's ASOF `<=` + min). */
+  def asofClickNextPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir)
+    val tagged = ev.where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("purchase_id",
+        first(when(col("kind") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("purchase_ts",
+        first(when(col("kind") === 1, col("ts_us")), ignoreNulls = true).over(w))
+      .where(col("kind") === 0)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("click_ts"), col("purchase_id"), col("purchase_ts"),
+        (col("purchase_ts") - col("ts_us")).as("gap_us"))
+      .orderBy("click_id")
+  }
+
+  /** FULL OUTER join of two per-hour aggregates (clicks vs purchases):
+    * hours with activity on only one side survive with a zero on the
+    * other — the join type every reconciliation query needs and the one
+    * the reference cannot express at all. Both sides aggregate BEFORE
+    * the join, so the full-outer shuffle carries one row per hour, not
+    * per event. */
+  def hourlyClicksVsPurchases(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir)
+    def hourly(tpe: String, out: String) = ev
+      .where(col("event_type") === tpe)
+      .groupBy((col("ts_us") - col("ts_us") % (3600L * 1000000)).as("hr_us"))
+      .agg(count(lit(1)).as(out))
+    hourly("click", "n_clicks")
+      .join(hourly("purchase", "n_purchases"), Seq("hr_us"), "full_outer")
+      .select(col("hr_us"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy("hr_us")
+  }
+
   /** Interval self-join: for every error event, the count and closest
     * gap of same-user events (any type) within +-5 minutes. Equi-key on
     * user_id carries the shuffle; the interval predicate filters inside
@@ -211,6 +259,32 @@ object Events {
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY click_id""".stripMargin)(asofClickPurchase),
+
+    QueryDef.sql("ev_asof_forward",
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  epoch_us(c.ts) AS click_ts,
+        |  p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, min(event_id) AS event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY click_id""".stripMargin)(asofClickNextPurchase),
+
+    QueryDef.sql("ev_hourly_full_outer",
+      """WITH c AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hr_us,
+        |    count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hr_us,
+        |    count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(c.hr_us, p.hr_us) AS hr_us,
+        |  coalesce(n_clicks, 0) AS n_clicks,
+        |  coalesce(n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON c.hr_us = p.hr_us
+        |ORDER BY hr_us""".stripMargin)(hourlyClicksVsPurchases),
 
     QueryDef.sql("ev_interval_join",
       """SELECT e.event_id AS err_id, e.user_id,

@@ -401,7 +401,129 @@ object Relational {
   // Declared queries + DuckDB oracles
   // ------------------------------------------------------------------
 
+  // ------------------------------------------------------------------
+  // O: ranking-window function coverage — dense_rank / percent_rank /
+  // cume_dist / first_value / last_value over a tie-heavy ordering
+  // ------------------------------------------------------------------
+
+  /** The rank-function family over a NON-unique order key (order date):
+    * ties are what distinguish dense_rank from row_number and make
+    * cume_dist/percent_rank step. first/last_value run over the full
+    * frame on a tie-broken companion ordering (deterministic). */
+  def windowRankFuncs(s: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("order_date"))
+    val full = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("order_date"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("order_date"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("order_date"),
+        dense_rank().over(byDate).cast("long").as("day_rank"),
+        percent_rank().over(byDate).as("pct_rank"),
+        cume_dist().over(byDate).as("cume"),
+        first_value(col("o_orderkey")).over(full).as("first_key"),
+        last_value(col("o_orderkey")).over(full).as("last_key"))
+      .orderBy("o_orderkey")
+  }
+
+  // ------------------------------------------------------------------
+  // O: array / regexp scalar function library
+  // ------------------------------------------------------------------
+
+  /** Array + regexp scalar coverage over the documents table: split,
+    * slice, join, contains, min/max, HOF filter, sort+distinct, regexp
+    * count/replace/extract — every one a codegen'd builtin, evaluated in
+    * a single scan-side projection. */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(ws).as("n_words"),
+        array_join(slice(ws, 1, 3), "-").as("first3"),
+        array_contains(ws, "the").as("has_the"),
+        array_min(ws).as("min_word"),
+        array_max(ws).as("max_word"),
+        size(filter(ws, w => length(w) > 4)).as("n_long"),
+        array_join(slice(array_sort(array_distinct(ws)), 1, 5), ",")
+          .as("first5_alpha"),
+        regexp_count(col("text"), lit("ing")).cast("long").as("n_ing"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).as("consonant_len"),
+        regexp_extract(col("text"), "[0-9]+", 0).as("first_num"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // O: table profiling — per-column null / distinct counts
+  // ------------------------------------------------------------------
+
+  /** Column profile of the customer table (the data-quality scan every
+    * ingest pipeline runs): one pass computes all per-column null and
+    * distinct counts (Catalyst plans the multi-distinct aggregate via
+    * one Expand — not one scan per column), then unpivots to long form. */
+  def profileCustomer(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+      "c_acctbal")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+      countDistinct(col(c)).as(s"nd_$c")))
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    val wide = Tables(s, dir, "customer")
+      .agg(allAggs.head, allAggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', nulls_$c, nd_$c").mkString(", ")
+    wide.selectExpr("n_rows",
+        s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, n_distinct)")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"))
+      .orderBy("column_name")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("rel_window_rank_funcs",
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS day_rank,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(o_orderkey) OVER wf AS first_key,
+        |  last_value(o_orderkey) OVER wf AS last_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(o_orderdate AS DATE)),
+        |  wf AS (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin)(windowRankFuncs),
+
+    QueryDef.sql("rel_array_funcs",
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS INT) AS n_words,
+        |  array_to_string(list_slice(ws, 1, 3), '-') AS first3,
+        |  list_contains(ws, 'the') AS has_the,
+        |  list_min(ws) AS min_word,
+        |  list_max(ws) AS max_word,
+        |  CAST(len(list_filter(ws, w -> length(w) > 4)) AS INT) AS n_long,
+        |  array_to_string(list_slice(list_sort(list_distinct(ws)), 1, 5), ',')
+        |    AS first5_alpha,
+        |  CAST(len(regexp_extract_all(text, 'ing')) AS BIGINT) AS n_ing,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT)
+        |    AS consonant_len,
+        |  regexp_extract(text, '[0-9]+') AS first_num
+        |FROM w ORDER BY doc_id""".stripMargin)(arrayFuncs),
+
+    QueryDef.sql("rel_profile", {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        "c_acctbal")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct FROM customer""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    })(profileCustomer),
+
     QueryDef.sql("rel_pricing_summary",
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

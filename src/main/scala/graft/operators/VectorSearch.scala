@@ -173,7 +173,33 @@ object VectorSearch {
   private val qRawSql = vecSql(Query)
   private def embD = "CAST(embedding AS DOUBLE[])"
 
+  /** Per-label norm profile of the embedding table — the index-health
+    * scan run before building an ANN index (zero-norm or wildly-scaled
+    * vectors break cosine assumptions). Norms are per-row sequential
+    * folds (oracle-exact); min/max/count are order-independent, so the
+    * aggregate distributes freely. */
+  def normStats(emb: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.{norm2, toDouble}
+    emb
+      .select(col("label"), norm2(toDouble(col("embedding"))).as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"))
+      .orderBy("label")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("vs_norm_stats",
+      s"""WITH n AS (
+         |  SELECT label, sqrt(${dotSeqSql(embD, embD, Dim)}) AS nrm
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n_vecs,
+         |  min(nrm) AS min_norm, max(nrm) AS max_norm
+         |FROM n GROUP BY label ORDER BY label""".stripMargin) {
+      (s, dir) => normStats(Tables(s, dir, "embeddings"))
+    },
+
     QueryDef.sql("vs_topk",
       s"""WITH q AS (SELECT $qNormSql AS v)
          |SELECT vec_id, label,

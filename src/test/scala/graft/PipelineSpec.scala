@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Events, Pipeline, Relational, VectorSearch}
+
+/** Invariants for the round-2 coverage operators (the DuckDB oracle
+  * checks exact values; these assert the semantic properties). */
+class PipelineSpec extends SparkSpecBase {
+
+  test("train/test split partitions the corpus 80/10/10 by residue") {
+    val rows = Pipeline.trainTestSplit(spark, sf).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.values.sum == total)
+    assert(rows.keySet == Set("train", "val", "test"))
+    // residue split: train gets 8 of 10 residues
+    assert(rows("train") > rows("val") && rows("train") > rows("test"))
+  }
+
+  test("stratified sample: rate ~1/7 per stratum, sample within stratum") {
+    val rows = Pipeline.stratifiedSample(spark, sf).collect()
+    rows.foreach { r =>
+      val (total, sampled) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_sampled"))
+      assert(sampled <= total)
+      assert(r.getAs[Double]("sample_rate") == sampled.toDouble / total.toDouble)
+    }
+  }
+
+  test("quality filter: survivors pass gates and are content-unique") {
+    val rows = Pipeline.qualityFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") >= 30L)
+      assert(r.getAs[Double]("stop_ratio") >= 0.05)
+    }
+    // survivors are exact-dedup keepers: re-hashing their texts yields
+    // no duplicate content hash
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSeq
+    val hashes = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id").isin(ids: _*))
+      .select(sha2(col("text"), 256)).collect().map(_.getString(0))
+    assert(hashes.distinct.length == hashes.length)
+  }
+
+  test("rank funcs: pct_rank/cume bounded, dense_rank tracks date ties") {
+    val rows = Relational.windowRankFuncs(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("pct_rank") >= 0.0 && r.getAs[Double]("pct_rank") <= 1.0)
+      val c = r.getAs[Double]("cume")
+      assert(c > 0.0 && c <= 1.0)
+      assert(r.getAs[Long]("day_rank") >= 1L)
+    }
+    // same (priority, date) => same dense rank
+    val byKey = rows.groupBy(r => (r.getAs[String]("o_orderpriority"),
+      r.getAs[java.sql.Date]("order_date")))
+    byKey.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("day_rank")).distinct.length == 1)
+    }
+  }
+
+  test("array funcs: counts consistent with the word array") {
+    val rows = Relational.arrayFuncs(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_long") <= r.getAs[Int]("n_words"))
+      assert(r.getAs[String]("first3").split("-").length <= 3)
+      assert(r.getAs[String]("min_word") <= r.getAs[String]("max_word"))
+    }
+  }
+
+  test("profile: five columns, keys complete and unique") {
+    val rows = Relational.profileCustomer(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct")))
+      .toMap
+    assert(rows.size == 5)
+    val (n, nulls, nd) = rows("c_custkey")
+    assert(nulls == 0L && nd == n) // primary key: no nulls, all distinct
+    rows.values.foreach { case (rn, nl, ndist) =>
+      assert(nl >= 0 && ndist <= rn)
+    }
+  }
+
+  test("forward as-of: purchase at-or-after the click, nearest first") {
+    val rows = Events.asofClickNextPurchase(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      assert(r.getAs[Long]("purchase_ts") >= r.getAs[Long]("click_ts"))
+      assert(r.getAs[Long]("gap_us") ==
+        r.getAs[Long]("purchase_ts") - r.getAs[Long]("click_ts"))
+    }
+  }
+
+  test("full-outer hourly: covers both sides' hours with zero-fill") {
+    val df = Events.hourlyClicksVsPurchases(spark, sf)
+    val rows = df.collect()
+    val ev = Events.load(spark, sf)
+    def hours(t: String) = ev.where(col("event_type") === t)
+      .select((col("ts_us") - col("ts_us") % (3600L * 1000000)).as("h"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val got = rows.map(_.getAs[Long]("hr_us")).toSet
+    assert(got == (hours("click") ++ hours("purchase")))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_clicks") + r.getAs[Long]("n_purchases") > 0)
+    }
+  }
+
+  test("norm stats: one row per label, 0 < min <= max") {
+    val rows = VectorSearch.normStats(
+      Tables(spark, sf, "embeddings")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("min_norm"), r.getAs[Double]("max_norm"))
+      assert(lo > 0.0 && lo <= hi)
+      assert(r.getAs[Long]("n_vecs") > 0)
+    }
+  }
+}
