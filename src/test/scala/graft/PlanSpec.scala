@@ -119,6 +119,36 @@ class PlanSpec extends SparkSpecBase {
     assert(hashEx <= 2, s"windows must share the user_id exchange:\n${plan(df)}")
   }
 
+  test("full-outer hourly join: both sides pre-aggregate below the join") {
+    val df = Events.hourlyClicksVsPurchases(spark, sf)
+    val p = plan(df)
+    assert(p.contains("FullOuter"), p)
+    // partial+final aggregation on BOTH sides before the join: the
+    // full-outer shuffle carries one row per hour, not per event
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val below = if (joinIdx >= 0) p.substring(joinIdx) else p
+    assert("HashAggregate".r.findAllIn(below).length >= 4,
+      s"sides must aggregate below the join:\n$p")
+  }
+
+  test("profile: one scan, one multi-distinct Expand — not a scan per column") {
+    val df = Relational.profileCustomer(spark, sf)
+    val p = plan(df)
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"expected exactly one scan:\n$p")
+    assert(p.contains("Expand"), p)
+  }
+
+  test("array funcs and norm stats stay scan-side (pipeline-local)") {
+    // array funcs: projection + global sort only — no hash shuffle
+    assert("Exchange hashpartitioning".r
+      .findAllIn(plan(Relational.arrayFuncs(spark, sf))).isEmpty)
+    // norm stats: one partial+final aggregate over the scan projection
+    val p = plan(VectorSearch.normStats(emb))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("KNN join broadcasts the query side, never shuffles candidates") {
     val df = VectorSearch.knnJoin(emb, 0 until 8, 5)
     val p = plan(df)
