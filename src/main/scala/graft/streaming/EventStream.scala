@@ -148,6 +148,32 @@ object EventStream {
         col("click_us"), col("purchase_us"))
   }
 
+  /** LEFT OUTER stream-stream join: every click, with its within-1h
+    * purchase when one exists, or nulls once the watermark proves none
+    * can arrive. The outer side is exactly why the time bound + both
+    * watermarks are mandatory here (not just an optimization): Spark
+    * emits the null-extended row only when the click's join state
+    * expires — an unbounded join could never prove absence. */
+  def clickToPurchaseLeftOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withColumn("click_time", timestamp_micros(col("ts_us")))
+      .withWatermark("click_time", "30 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_us").as("click_us"), col("click_time"))
+    val p = purchases
+      .withColumn("purchase_time", timestamp_micros(col("ts_us")))
+      .withWatermark("purchase_time", "30 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts_us").as("purchase_us"), col("purchase_time"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_time") >= col("click_time") &&
+        col("purchase_time") <= col("click_time") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("click_us"), col("purchase_id"), col("purchase_us"))
+  }
+
   // ------------------------------------------------------------------
   // Streaming deduplication
   // ------------------------------------------------------------------

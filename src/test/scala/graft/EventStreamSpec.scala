@@ -161,6 +161,44 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched clicks after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStream.clickToPurchaseLeftOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("lo_join")
+      .outputMode("append").start()
+    try {
+      val cEv = events.filter(_.event_type == "click")
+      val pEv = events.filter(_.event_type == "purchase")
+      clicks.addData(cEv)
+      purchases.addData(pEv)
+      q.processAllAvailable()
+      // advance both watermarks far past every click + 1h so every
+      // unmatched click's state expires and its null row is emitted
+      val far = events.map(_.ts_us).max + 100L * EventStream.GapUs
+      clicks.addData(Event(-1L, far, 999999L, "click", 0.0))
+      purchases.addData(Event(-2L, far, 999999L, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("lo_join")
+        .where(col("user_id") =!= 999999L)
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // batch reference
+      val pByUser = pEv.groupBy(_.user_id).withDefaultValue(Seq.empty)
+      cEv.foreach { c =>
+        val matches = pByUser(c.user_id).filter(p =>
+          p.ts_us >= c.ts_us && p.ts_us <= c.ts_us + 3600L * 1000000)
+          .map(p => Option(p.event_id)).toSet
+        val want: Set[Option[Long]] = if (matches.isEmpty) Set(None) else matches
+        assert(got.getOrElse(c.event_id, Set.empty) == want, s"click ${c.event_id}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
