@@ -81,6 +81,11 @@ object GraftExtensions {
       args => TopKAgg(args(0), args(1),
         literal("topk_agg", args(2), "k").asInstanceOf[Number].intValue())
         .toAggregateExpression()
+    },
+    fn("kmv_sketch", "kmv_sketch(hash, k) - aggregate: KMV distinct sketch (kth_hash, est)", 2) {
+      args => KmvSketchAgg(args(0),
+        literal("kmv_sketch", args(1), "k").asInstanceOf[Number].intValue())
+        .toAggregateExpression()
     }
   )
 

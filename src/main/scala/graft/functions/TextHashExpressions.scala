@@ -20,12 +20,33 @@ import TextFunctions.{HashMod, HashMult}
   * inside whole-stage codegen. At 100 TB these run at scan speed.
   */
 
+
+/** Shared base for the array-input kernels: correct nullability (the
+  * kernels return null only for a null input OR a null ELEMENT, so the
+  * expression is non-nullable when the array type proves element
+  * non-nullness) and null-assignment codegen that still COMPILES in the
+  * non-nullable case — `ev.isNull` is the literal `false` there, and an
+  * assignment to it is a Janino compile error that silently demoted
+  * every kernel to interpreted mode on non-nullable inputs. */
+trait ArrayKernelExpr extends UnaryExpression {
+  override def nullable: Boolean = child.nullable ||
+    (child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+  /** Copy the local has-null flag into `ev.isNull` when that slot is
+    * assignable; with a non-nullable child+elements the flag is
+    * provably false and `ev.isNull` does not even exist as a variable. */
+  protected def propagateNull(ev: ExprCode, nf: String): String =
+    if (nullable) s"${ev.isNull} = $nf;" else ""
+}
+
 /** Polynomial hashes of every n-word shingle (words joined by a single
   * space): out[i] = polyHash(words[i] + " " + ... + words[i+n-1]).
   * With n=1 this is exactly polyHash of each word. Fewer than n words
   * -> empty array. Null element -> null result. */
 case class ShingleHashesExpr(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ArrayKernelExpr {
 
   require(n >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -64,6 +85,7 @@ case class ShingleHashesExpr(child: Expression, n: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      val nf = ctx.freshName("hasNull")
       val m = ctx.freshName("m")
       val cnt = ctx.freshName("cnt")
       val out = ctx.freshName("out")
@@ -73,13 +95,14 @@ case class ShingleHashesExpr(child: Expression, n: Int)
       val s = ctx.freshName("s")
       val k = ctx.freshName("k")
       s"""
+         |boolean $nf = false;
          |final int $m = $a.numElements();
          |final int $cnt = java.lang.Math.max($m - ${n - 1}, 0);
          |final long[] $out = new long[$cnt];
-         |for (int $i = 0; $i < $cnt && !${ev.isNull}; $i++) {
+         |for (int $i = 0; $i < $cnt && !$nf; $i++) {
          |  long $h = 0L;
          |  for (int $j = 0; $j < $n; $j++) {
-         |    if ($a.isNullAt($i + $j)) { ${ev.isNull} = true; break; }
+         |    if ($a.isNullAt($i + $j)) { $nf = true; break; }
          |    if ($j > 0) $h = ($h * ${HashMult}L + 32L) % ${HashMod}L;
          |    final String $s = $a.getUTF8String($i + $j).toString();
          |    for (int $k = 0; $k < $s.length(); $k++) {
@@ -88,10 +111,11 @@ case class ShingleHashesExpr(child: Expression, n: Int)
          |  }
          |  $out[$i] = $h;
          |}
-         |if (!${ev.isNull}) {
+         |if (!$nf) {
          |  ${ev.value} =
          |    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
          |}
+         |${propagateNull(ev, nf)}
        """.stripMargin
     })
 
@@ -109,7 +133,7 @@ case class ShingleHashesExpr(child: Expression, n: Int)
   * [[ShingleHashesExpr]], whose hashes these strings produce under
   * polyHash). */
 case class ShingleStringsExpr(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ArrayKernelExpr {
 
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -143,6 +167,7 @@ case class ShingleStringsExpr(child: Expression, n: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      val nf = ctx.freshName("hasNull")
       val m = ctx.freshName("m")
       val cnt = ctx.freshName("cnt")
       val out = ctx.freshName("out")
@@ -151,23 +176,25 @@ case class ShingleStringsExpr(child: Expression, n: Int)
       val j = ctx.freshName("j")
       val u8 = "org.apache.spark.unsafe.types.UTF8String"
       s"""
+         |boolean $nf = false;
          |final int $m = $a.numElements();
          |final int $cnt = java.lang.Math.max($m - ${n - 1}, 0);
          |final $u8[] $out = new $u8[$cnt];
          |final $u8[] $tmp = new $u8[$n];
-         |for (int $i = 0; $i < $cnt && !${ev.isNull}; $i++) {
+         |for (int $i = 0; $i < $cnt && !$nf; $i++) {
          |  for (int $j = 0; $j < $n; $j++) {
-         |    if ($a.isNullAt($i + $j)) { ${ev.isNull} = true; break; }
+         |    if ($a.isNullAt($i + $j)) { $nf = true; break; }
          |    $tmp[$j] = $a.getUTF8String($i + $j);
          |  }
-         |  if (!${ev.isNull}) {
+         |  if (!$nf) {
          |    $out[$i] = $u8.concatWs($u8.fromString(" "), $tmp);
          |  }
          |}
-         |if (!${ev.isNull}) {
+         |if (!$nf) {
          |  ${ev.value} =
          |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
+         |${propagateNull(ev, nf)}
        """.stripMargin
     })
 
@@ -179,7 +206,7 @@ case class ShingleStringsExpr(child: Expression, n: Int)
   * sig[j] = min over x of ((2j+1)*x + (12345j+7)) mod P, j < numHashes;
   * empty input -> all -1 (the oracle's coalesce sentinel). */
 case class MinHashSigExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ArrayKernelExpr {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -214,6 +241,7 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      val nf = ctx.freshName("hasNull")
       val m = ctx.freshName("m")
       val out = ctx.freshName("out")
       val i = ctx.freshName("i")
@@ -221,14 +249,15 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
       val v = ctx.freshName("v")
       val minV = ctx.freshName("minV")
       s"""
+         |boolean $nf = false;
          |final int $m = $a.numElements();
          |final long[] $out = new long[$numHashes];
          |java.util.Arrays.fill($out, -1L);
-         |for (int $j = 0; $j < $numHashes && !${ev.isNull}; $j++) {
+         |for (int $j = 0; $j < $numHashes && !$nf; $j++) {
          |  if ($m > 0) {
          |    long $minV = Long.MAX_VALUE;
          |    for (int $i = 0; $i < $m; $i++) {
-         |      if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |      if ($a.isNullAt($i)) { $nf = true; break; }
          |      final long $v = ((2L*$j + 1) * $a.getLong($i)
          |        + (12345L*$j + 7)) % ${HashMod}L;
          |      if ($v < $minV) $minV = $v;
@@ -236,10 +265,11 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
          |    $out[$j] = $minV;
          |  }
          |}
-         |if (!${ev.isNull}) {
+         |if (!$nf) {
          |  ${ev.value} =
          |    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
          |}
+         |${propagateNull(ev, nf)}
        """.stripMargin
     })
 
@@ -249,7 +279,8 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
 
 /** 32-bit frequency-weighted SimHash over word hashes, folded MSB-first
   * into a bigint — identical to the nested-HOF/SQL formulation. */
-case class SimHashExpr(child: Expression) extends UnaryExpression {
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression with ArrayKernelExpr {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
@@ -284,27 +315,30 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      val nf = ctx.freshName("hasNull")
       val counts = ctx.freshName("counts")
       val i = ctx.freshName("i")
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val acc = ctx.freshName("acc")
       s"""
+         |boolean $nf = false;
          |final int[] $counts = new int[32];
-         |for (int $i = 0; $i < $a.numElements() && !${ev.isNull}; $i++) {
-         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |for (int $i = 0; $i < $a.numElements() && !$nf; $i++) {
+         |  if ($a.isNullAt($i)) { $nf = true; break; }
          |  final long $h = $a.getLong($i);
          |  for (int $b = 0; $b < 32; $b++) {
          |    $counts[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
          |  }
          |}
-         |if (!${ev.isNull}) {
+         |if (!$nf) {
          |  long $acc = 0L;
          |  for (int $b = 31; $b >= 0; $b--) {
          |    $acc = $acc * 2 + ($counts[$b] > 0 ? 1L : 0L);
          |  }
          |  ${ev.value} = $acc;
          |}
+         |${propagateNull(ev, nf)}
        """.stripMargin
     })
 
@@ -319,7 +353,7 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   * common-subexpression elimination, so multi-column projections of the
   * bands re-evaluated the whole upstream minhash per column). */
 case class BandHashesExpr(child: Expression, bands: Int, rowsPerBand: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ArrayKernelExpr {
 
   require(bands >= 1 && rowsPerBand >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -353,28 +387,31 @@ case class BandHashesExpr(child: Expression, bands: Int, rowsPerBand: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      val nf = ctx.freshName("hasNull")
       val out = ctx.freshName("out")
       val b = ctx.freshName("b")
       val j = ctx.freshName("j")
       val idx = ctx.freshName("idx")
       val acc = ctx.freshName("acc")
       s"""
+         |boolean $nf = false;
          |final long[] $out = new long[$bands];
-         |for (int $b = 0; $b < $bands && !${ev.isNull}; $b++) {
+         |for (int $b = 0; $b < $bands && !$nf; $b++) {
          |  long $acc = 0L;
          |  for (int $j = 0; $j < $rowsPerBand; $j++) {
          |    final int $idx = $b * $rowsPerBand + $j;
          |    if ($idx < $a.numElements()) {
-         |      if ($a.isNullAt($idx)) { ${ev.isNull} = true; break; }
+         |      if ($a.isNullAt($idx)) { $nf = true; break; }
          |      $acc = ($acc * ${HashMult}L + $a.getLong($idx)) % ${HashMod}L;
          |    }
          |  }
          |  $out[$b] = $acc;
          |}
-         |if (!${ev.isNull}) {
+         |if (!$nf) {
          |  ${ev.value} =
          |    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
          |}
+         |${propagateNull(ev, nf)}
        """.stripMargin
     })
 
@@ -388,7 +425,7 @@ case class BandHashesExpr(child: Expression, bands: Int, rowsPerBand: Int)
   * HashSet reference instead of an interpreted lambda with N `isin`
   * comparisons per word. */
 case class MarkerCountExpr(child: Expression, markers: Seq[String])
-    extends UnaryExpression {
+    extends UnaryExpression with ArrayKernelExpr {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "marker_count"
@@ -420,15 +457,18 @@ case class MarkerCountExpr(child: Expression, markers: Seq[String])
     val setRef = ctx.addReferenceObj("markerSet", markerSet,
       "java.util.HashSet<String>")
     nullSafeCodeGen(ctx, ev, a => {
+      val nf = ctx.freshName("hasNull")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       s"""
+         |boolean $nf = false;
          |long $n = 0L;
-         |for (int $i = 0; $i < $a.numElements() && !${ev.isNull}; $i++) {
-         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |for (int $i = 0; $i < $a.numElements() && !$nf; $i++) {
+         |  if ($a.isNullAt($i)) { $nf = true; break; }
          |  if ($setRef.contains($a.getUTF8String($i).toString())) $n++;
          |}
-         |if (!${ev.isNull}) ${ev.value} = $n;
+         |if (!$nf) ${ev.value} = $n;
+         |${propagateNull(ev, nf)}
        """.stripMargin
     })
   }
@@ -445,7 +485,8 @@ case class MarkerCountExpr(child: Expression, markers: Seq[String])
   * floor((len+3)/4) per word (integer division — identical to the
   * floor-of-double formulation for non-negative lengths, which is what
   * the DuckDB oracle computes). */
-case class WordStatsExpr(child: Expression) extends UnaryExpression {
+case class WordStatsExpr(child: Expression)
+    extends UnaryExpression with ArrayKernelExpr {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_words", LongType, nullable = false),
@@ -483,6 +524,7 @@ case class WordStatsExpr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      val nf = ctx.freshName("hasNull")
       val m = ctx.freshName("m")
       val seen = ctx.freshName("seen")
       val sumLen = ctx.freshName("sumLen")
@@ -491,12 +533,13 @@ case class WordStatsExpr(child: Expression) extends UnaryExpression {
       val s = ctx.freshName("s")
       val len = ctx.freshName("len")
       s"""
+         |boolean $nf = false;
          |final int $m = $a.numElements();
          |final java.util.HashSet<String> $seen = new java.util.HashSet<String>();
          |long $sumLen = 0L;
          |long $bpe = 0L;
-         |for (int $i = 0; $i < $m && !${ev.isNull}; $i++) {
-         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |for (int $i = 0; $i < $m && !$nf; $i++) {
+         |  if ($a.isNullAt($i)) { $nf = true; break; }
          |  final org.apache.spark.unsafe.types.UTF8String $s =
          |    $a.getUTF8String($i);
          |  $seen.add($s.toString());
@@ -504,11 +547,12 @@ case class WordStatsExpr(child: Expression) extends UnaryExpression {
          |  $sumLen += $len;
          |  $bpe += ($len + 3) / 4;
          |}
-         |if (!${ev.isNull}) {
+         |if (!$nf) {
          |  ${ev.value} =
          |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |      new Object[]{(long) $m, (long) $seen.size(), $sumLen, $bpe});
          |}
+         |${propagateNull(ev, nf)}
        """.stripMargin
     })
 

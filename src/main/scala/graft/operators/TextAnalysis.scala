@@ -119,6 +119,28 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Per-language distinct 3-shingle cardinality, exact AND sketched:
+    * the KMV k-minimum-values aggregate ([[graft.functions.KmvSketchAgg]])
+    * keeps the k smallest distinct shingle hashes per group — mergeable,
+    * bounded state, partial-aggregated map-side — next to the exact
+    * countDistinct it approximates. At 100 TB the exact distinct is the
+    * expensive column (full shuffle of distinct hashes); the sketch's
+    * shuffle is ≤ k longs per group per partition. Deterministic hash
+    * arithmetic end-to-end, so unlike approx_count_distinct's HLL the
+    * estimate itself is oracle-checked bit-for-bit. */
+  def distinctShingleSketch(documents: DataFrame, k: Int = 64): DataFrame = {
+    val sh = graft.functions.TextHashExpressions
+      .shingleHashes(words(col("text")), 3)
+    documents
+      .select(col("lang"), explode(sh).as("hv"))
+      .groupBy("lang")
+      .agg(count_distinct(col("hv")).as("n_exact"),
+        graft.functions.SketchAggregate.kmvSketch(col("hv"), k).as("sk"))
+      .select(col("lang"), col("n_exact"),
+        col("sk.kth_hash").as("kth_hash"), col("sk.est").as("n_est"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------------
   // oracles
   // ------------------------------------------------------------------
@@ -203,6 +225,22 @@ object TextAnalysis {
          |  coalesce(list_min(${polyHashAllSql(sh)}), CAST(-1 AS BIGINT)) AS fp_min_shingle,
          |  CAST(len($sh) AS BIGINT) AS n_shingles
          |FROM documents ORDER BY doc_id""".stripMargin
-    }) { (s, dir) => fingerprint(Tables(s, dir, "documents")) }
+    }) { (s, dir) => fingerprint(Tables(s, dir, "documents")) },
+
+    QueryDef.sql("text_distinct_sketch", {
+      // (k-1)·P = 63 · 1000000007 — exact in both engines
+      val hv = polyHashAllSql(shinglesSql(W, 3))
+      s"""WITH t AS (SELECT lang, unnest($hv) AS hv FROM documents),
+         |d AS (SELECT DISTINCT lang, hv FROM t),
+         |g AS (SELECT lang, count(*) AS n_exact,
+         |  list_sort(list(hv)) AS hs FROM d GROUP BY lang)
+         |SELECT lang, n_exact,
+         |  CASE WHEN n_exact >= 64 THEN hs[64]
+         |       ELSE CAST(-1 AS BIGINT) END AS kth_hash,
+         |  CASE WHEN n_exact >= 64
+         |       THEN 63000000441.0E0 / CAST(hs[64] AS DOUBLE)
+         |       ELSE CAST(n_exact AS DOUBLE) END AS n_est
+         |FROM g ORDER BY lang""".stripMargin
+    }) { (s, dir) => distinctShingleSketch(Tables(s, dir, "documents")) }
   )
 }

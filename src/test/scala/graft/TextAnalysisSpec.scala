@@ -65,4 +65,26 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fps(0).getAs[Long]("fp_min_shingle")
       == fps(1).getAs[Long]("fp_min_shingle"))
   }
+
+  test("KMV sketch: exact below k, bounded error above, partition-invariant") {
+    import graft.functions.SketchAggregate.kmvSketch
+    // below k distinct values -> exact count
+    val small = spark.range(10).select((col("id") * 37 % 1000).as("hv"))
+      .agg(kmvSketch(col("hv"), 64).as("sk"))
+      .select(col("sk.kth_hash"), col("sk.est")).head
+    assert(small.getLong(0) == -1L && small.getDouble(1) == 10.0)
+    // above k: estimate within the KMV error envelope (~1/sqrt(k-2))
+    val n = 20000
+    val big = spark.range(n)
+      // pseudo-uniform distinct hashes on [0, P): affine map of id
+      .select(((col("id") * 49979687L + 11L) % 1000000007L).as("hv"))
+    def est(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(kmvSketch(col("hv"), 128).as("sk")).select(col("sk.est"))
+        .head.getDouble(0)
+    val e = est(big)
+    assert(math.abs(e - n) / n < 0.5, s"est $e vs $n")
+    // merge correctness: estimate identical under any partitioning
+    assert(est(big.repartition(1)) == e)
+    assert(est(big.repartition(17)) == e)
+  }
 }
