@@ -194,7 +194,84 @@ object Ann {
   private val probeList = ProbeBuckets.mkString(", ")
   private val centroidList = CentroidIds.mkString(", ")
 
+  /** Symmetric int8 quantization of the embedding table — the classic
+    * 4× compression step before an ANN index is shipped: per vector,
+    * scale = max |component| and q_i = floor(v_i/scale·127 + 0.5)
+    * (range [-127, 127], no clamp needed). Deterministic double
+    * arithmetic in a fixed operand order, so the oracle reproduces the
+    * quantized values AND the reconstruction error bit-for-bit. Pure
+    * scan-side projection: zero shuffles, pipelines into any downstream
+    * scorer. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val ve = graft.functions.VectorFunctions.toDouble(col("embedding"))
+    emb
+      .select(col("vec_id"), col("label"), ve.as("ve"))
+      .withColumn("scale", array_max(transform(col("ve"), x => abs(x))))
+      .where(col("scale") > 0.0)
+      // capture of `scale`/`ve` in the lambdas is an ATTRIBUTE reference
+      // (O(1) slot read), not a re-evaluated subtree — cf. the HOF
+      // shingles pitfall (TextHashExpressions.ShingleStringsExpr)
+      .withColumn("qs", transform(col("ve"),
+        x => floor(x / col("scale") * lit(127.0) + lit(0.5))))
+      .select(col("vec_id"), col("label"), col("scale"),
+        aggregate(col("qs"), lit(0.0), (a, x) => a + x).cast("long").as("q_sum"),
+        array_max(zip_with(col("ve"), col("qs"),
+          (v, q) => abs(v - q * col("scale") / lit(127.0)))).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  /** Recall@k of the LSH probe against the exact scan — the index
+    * quality measurement every ANN deployment monitors. Both top-k sets
+    * are tiny (k rows), so the join is driver-trivial; the expensive
+    * parts are the two scans, each already shuffle-free. */
+  def lshRecallAtK(emb: DataFrame, k: Int = K): DataFrame = {
+    val exact = VectorSearch.topK(emb, k).select(col("vec_id"))
+    val approx = lshTopK(emb, k).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(lit(k).as("k"), col("n_common"),
+        (col("n_common").cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ann_quantize_int8",
+      s"""WITH v AS (
+         |  SELECT vec_id, label, $embD AS ve FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, label, ve,
+         |    list_max(list_transform(ve, x -> abs(x))) AS scale
+         |  FROM v WHERE list_max(list_transform(ve, x -> abs(x))) > 0.0E0),
+         |q AS (
+         |  SELECT vec_id, label, ve, scale,
+         |    list_transform(ve, x -> floor(x / scale * 127.0E0 + 0.5E0)) AS qs
+         |  FROM s)
+         |SELECT vec_id, label, scale,
+         |  CAST(list_reduce(list_prepend(0.0E0, qs), (a, x) -> a + x) AS BIGINT)
+         |    AS q_sum,
+         |  list_max(list_transform(range(1, ${Dim + 1}),
+         |    i -> abs(ve[i] - qs[i] * scale / 127.0E0))) AS max_err
+         |FROM q ORDER BY vec_id""".stripMargin) {
+      (s, dir) => quantizeInt8(Tables(s, dir, "embeddings"))
+    },
+
+    QueryDef.sql("ann_recall_at_k",
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |exact AS (
+         |  SELECT vec_id FROM embeddings, q
+         |  ORDER BY ${dotSeqSql("q.v", embD, Dim)} DESC, vec_id LIMIT $K),
+         |approx AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, CAST($bucketSql AS INT) AS bucket,
+         |      ${dotSeqSql("q.v", embD, Dim)} AS similarity
+         |    FROM embeddings, q)
+         |  WHERE bucket IN ($probeList)
+         |  ORDER BY similarity DESC, vec_id LIMIT $K)
+         |SELECT $K AS k, count(*) AS n_common,
+         |  CAST(count(*) AS DOUBLE) / ${K}.0E0 AS recall
+         |FROM exact JOIN approx USING (vec_id)""".stripMargin) {
+      (s, dir) => lshRecallAtK(Tables(s, dir, "embeddings"))
+    },
+
     QueryDef.sql("ann_lsh_topk",
       s"""WITH q AS (SELECT $qNormSql AS v),
          |scored AS (

@@ -107,6 +107,24 @@ object Events {
       .orderBy("click_id")
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` aggregate — the
+    * built-in face of [[sessionize]]'s hand-rolled window pass (and of
+    * the streaming flatMapGroupsWithState sessionizer). Boundary
+    * semantics differ from [[sessionize]] by design: session_window
+    * merges on OVERLAP (gap strictly greater merges; an exactly-gap
+    * separation splits), so the oracle replicates the `>=` split rule.
+    * Window end = last event + gap (the built-in's convention). */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    load(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("ws_us"),
+        unix_micros(col("sw.end")).as("we_us"),
+        col("n_events"))
+      .orderBy("user_id", "ws_us")
+
   /** Forward AS-OF join: for every click, the EARLIEST purchase at or
     * after it by the same user (the look-ahead twin of
     * [[asofClickPurchase]] — "did this click convert, and when").
@@ -259,6 +277,25 @@ object Events {
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY click_id""".stripMargin)(asofClickPurchase),
+
+    QueryDef.sql("ev_session_window",
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM flagged)
+        |SELECT user_id, min(ts_us) AS ws_us,
+        |  max(ts_us) + 1800000000 AS we_us,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_id, seq
+        |ORDER BY user_id, ws_us""".stripMargin)(sessionWindows),
 
     QueryDef.sql("ev_asof_forward",
       """SELECT c.event_id AS click_id, c.user_id,

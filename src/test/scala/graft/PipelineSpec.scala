@@ -105,6 +105,43 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("native session_window agrees with hand-rolled sessionize off-boundary") {
+    import graft.operators.Events
+    val sw = Events.sessionWindows(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ws_us"),
+        r.getAs[Long]("n_events")))
+    val hand = Events.sessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("n_events")))
+    // boundary semantics differ only at EXACTLY-gap separations (rare to
+    // nonexistent in the fixture); if none, the two agree completely
+    if (sw.length == hand.length) assert(sw.toSet == hand.toSet)
+    else assert(sw.length >= hand.length) // session_window splits more
+  }
+
+  test("int8 quantization: bounded reconstruction error, q_sum consistent") {
+    import graft.operators.Ann
+    val rows = Ann.quantizeInt8(Tables(spark, sf, "embeddings")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      // max reconstruction error of symmetric int8 is half a step
+      assert(r.getAs[Double]("max_err") <= scale / 127.0 / 2.0 + 1e-12)
+      assert(math.abs(r.getAs[Long]("q_sum")) <= 127L * 64)
+    }
+  }
+
+  test("LSH recall@k is measured in [0,1] and matches the set overlap") {
+    import graft.operators.{Ann, VectorSearch}
+    val emb = Tables(spark, sf, "embeddings")
+    val r = Ann.lshRecallAtK(emb).head
+    val recall = r.getAs[Double]("recall")
+    assert(recall >= 0.0 && recall <= 1.0)
+    val exact = VectorSearch.topK(emb).collect().map(_.getAs[Long]("vec_id")).toSet
+    val approx = Ann.lshTopK(emb).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(r.getAs[Long]("n_common") == (exact & approx).size.toLong)
+  }
+
   test("norm stats: one row per label, 0 < min <= max") {
     val rows = VectorSearch.normStats(
       Tables(spark, sf, "embeddings")).collect()
