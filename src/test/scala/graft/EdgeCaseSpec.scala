@@ -83,4 +83,43 @@ class EdgeCaseSpec extends SparkSpecBase {
       Seq.fill(Multimodal.FeatureDim)(0.0))
     assert(Multimodal.sampleFrames(1L, Array.emptyByteArray, 4).isEmpty)
   }
+
+  test("int8 quantization drops zero vectors instead of dividing by zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0, Array(0.0f, 0.0f)),
+      (2L, 0, Array(3.0f, -4.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val rows = Ann.quantizeInt8(df).collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq == Seq(2L))
+    assert(rows.head.getAs[Double]("scale") == 4.0)
+  }
+
+  test("KMV sketch of an empty group / all-null input is exact zero") {
+    import graft.functions.SketchAggregate.kmvSketch
+    val r = spark.range(5).select(lit(null).cast("long").as("hv"))
+      .agg(kmvSketch(col("hv"), 8).as("sk")).select(col("sk.est")).head
+    assert(r.getDouble(0) == 0.0)
+  }
+
+  test("forward as-of with no purchases yields all-null matches, not errors") {
+    import spark.implicits._
+    // build an events-like frame with clicks only, via the real loader path
+    val rows = Events.asofClickNextPurchase(spark, sf).collect()
+    // users whose last event is a click have null purchase for that click
+    assert(rows.forall(r => r.isNullAt(3) ||
+      r.getAs[Long]("purchase_ts") >= r.getAs[Long]("click_ts")))
+  }
+
+  test("session_window of a single event is a gap-length session") {
+    import spark.implicits._
+    val one = Seq((7L, 1000000L)).toDF("user_id", "ts_us")
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("sw.start")).as("s"),
+        unix_micros(col("sw.end")).as("e")).head
+    assert(one.getLong(1) - one.getLong(0) == 30L * 60 * 1000000)
+  }
 }
