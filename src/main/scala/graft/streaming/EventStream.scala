@@ -59,6 +59,24 @@ object EventStream {
       .select(unix_micros(col("window.start")).as("ws_us"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sessionization via the NATIVE streaming `session_window` aggregate —
+    * the built-in face of [[sessionize]]: Spark's session-window state
+    * store merges overlapping windows and emits a session when the
+    * watermark passes its end. Same boundary semantics as the batch
+    * [[graft.operators.Events.sessionWindows]] (overlap merges,
+    * exactly-gap splits), so a replay hash-compares against it. */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "30 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("ws_us"),
+        unix_micros(col("sw.end")).as("we_us"),
+        col("n_events"))
+
   // ------------------------------------------------------------------
   // Stateful sessionization (flatMapGroupsWithState)
   // ------------------------------------------------------------------

@@ -76,6 +76,33 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("native streaming session_window replay == batch sessionWindows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents
+    val maxTs = events.map(_.ts_us).max
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionWindowCounts(input.toDF())
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      input.addData(Event(-1L, maxTs + 10L * EventStream.GapUs, 999999L, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("native_sessions")
+        .where(col("user_id") =!= 999999L)
+        .select("user_id", "ws_us", "we_us", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = Events.sessionWindows(spark, sf)
+        .select("user_id", "ws_us", "we_us", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("out-of-order event within the watermark extends a session backwards") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -149,6 +149,25 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("quantization is a pure scan-side projection: zero hash shuffles") {
+    // the only exchange allowed is the final output range sort
+    val p = plan(Ann.quantizeInt8(emb))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("curation funnel: single window shuffle on the content hash") {
+    val df = operators.Pipeline.qualityFilter(spark, sf)
+    val p = plan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("rank funcs: both window specs share one partition-key exchange") {
+    val df = Relational.windowRankFuncs(spark, sf)
+    val p = plan(df)
+    // one hash exchange on o_orderpriority feeds both Window operators
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("KNN join broadcasts the query side, never shuffles candidates") {
     val df = VectorSearch.knnJoin(emb, 0 until 8, 5)
     val p = plan(df)
