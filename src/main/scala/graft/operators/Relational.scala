@@ -389,6 +389,40 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** One-pass approximate median via a fixed-grid mergeable histogram,
+    * next to the exact percentile it approximates. The exact version
+    * ([[percentiles]]) buffers and sorts every group member — at 100 TB
+    * that is the expensive path; the histogram is a single partial+final
+    * count aggregate (mergeable, bounded state: B longs per group) and
+    * the median estimate is the midpoint of the first bucket whose
+    * cumulative count reaches half. Grid: 64 × 9375 over [0, 600000)
+    * (o_totalprice's domain — TPC-H caps ~530k at any SF). All-integer
+    * bucketing and cumulative logic, so the oracle reproduces the
+    * estimate exactly. */
+  def histogramMedian(s: SparkSession, dir: String): DataFrame = {
+    val width = 9375L
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        least(lit(63L), floor(col("o_totalprice") / lit(width.toDouble))
+          .cast("long")).as("bucket"))
+    val counts = o.groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    counts
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .where(col("cum") * 2 >= col("total"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderpriority")).orderBy(col("bucket"))))
+      .where(col("rn") === 1)
+      .select(col("o_orderpriority"), col("total").as("n_orders"),
+        (col("bucket") * lit(width) + lit(width.toDouble / 2.0))
+          .as("est_median"))
+      .orderBy("o_orderpriority")
+  }
+
   def distinctSuppliers(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -523,6 +557,26 @@ object Relational {
            |  count(DISTINCT $c) AS n_distinct FROM customer""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     })(profileCustomer),
+
+    QueryDef.sql("rel_histogram_median",
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    least(63, CAST(floor(o_totalprice / 9375.0E0) AS BIGINT)) AS bucket
+        |  FROM orders),
+        |c AS (SELECT o_orderpriority, bucket, count(*) AS n
+        |  FROM b GROUP BY 1, 2),
+        |cum AS (SELECT o_orderpriority, bucket, n,
+        |  CAST(SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS total
+        |  FROM c)
+        |SELECT o_orderpriority, total AS n_orders,
+        |  bucket * 9375 + 4687.5E0 AS est_median
+        |FROM cum
+        |WHERE cum * 2 >= total
+        |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY bucket) = 1
+        |ORDER BY o_orderpriority""".stripMargin)(histogramMedian),
 
     QueryDef.sql("rel_pricing_summary",
       s"""SELECT l_returnflag, l_linestatus,

@@ -142,6 +142,18 @@ class PipelineSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_common") == (exact & approx).size.toLong)
   }
 
+  test("histogram median lands within one bucket width of the exact median") {
+    val est = Relational.histogramMedian(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        r.getAs[Double]("est_median")).toMap
+    val exact = Relational.percentiles(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Double]("med")).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)) <= 9375.0, s"$k: est $e vs ${exact(k)}")
+    }
+  }
+
   test("norm stats: one row per label, 0 < min <= max") {
     val rows = VectorSearch.normStats(
       Tables(spark, sf, "embeddings")).collect()
