@@ -488,6 +488,28 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** Map-typed scalar coverage: build word→position maps scan-side and
+    * exercise lookup / keys / values / filter / aggregate-over-values.
+    * The oracle computes the same VALUES from the underlying list
+    * (DuckDB's MAP type has different null/ordering semantics — the
+    * contract is value parity, not representation parity). */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val ws5 = slice(array_distinct(split(col("text"), " ")), 1, 5)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), ws5.as("ks"))
+      .withColumn("m", map_from_arrays(col("ks"),
+        transform(col("ks"), (_, i) => i + 1)))
+      .select(
+        col("doc_id"),
+        size(col("m")).as("map_size"),
+        element_at(col("m"), "the").cast("long").as("pos_the"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"),
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x)
+          .as("sum_pos"),
+        size(map_filter(col("m"), (_, v) => v > 2)).as("n_after2"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
   // O: table profiling — per-column null / distinct counts
   // ------------------------------------------------------------------
@@ -547,6 +569,23 @@ object Relational {
         |    AS consonant_len,
         |  regexp_extract(text, '[0-9]+') AS first_num
         |FROM w ORDER BY doc_id""".stripMargin)(arrayFuncs),
+
+    QueryDef.sql("rel_map_funcs",
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |w AS (
+        |  -- order-preserving distinct (list_distinct scrambles order):
+        |  -- keep each element only at its first occurrence
+        |  SELECT doc_id, list_slice(
+        |    list_filter(ws, (x, i) -> list_position(ws, x) = i), 1, 5) AS ks
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(len(ks) AS INT) AS map_size,
+        |  CAST(NULLIF(list_position(ks, 'the'), 0) AS BIGINT) AS pos_the,
+        |  array_to_string(ks, ',') AS keys_csv,
+        |  CAST(len(ks) * (len(ks) + 1) // 2 AS BIGINT) AS sum_pos,
+        |  CAST(greatest(len(ks) - 2, 0) AS INT) AS n_after2
+        |FROM w ORDER BY doc_id""".stripMargin)(mapFuncs),
 
     QueryDef.sql("rel_profile", {
       val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
