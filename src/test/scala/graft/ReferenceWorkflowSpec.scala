@@ -74,4 +74,51 @@ class ReferenceWorkflowSpec extends SparkSpecBase {
     assert(DocumentStore.read(spark, table, Some("alpha")).count() == 0)
     assert(DocumentStore.read(spark, table, Some("beta")).count() == 1)
   }
+
+  test("Graft facade: the reference's four routes as library calls") {
+    val drop = Files.createTempDirectory("graft_api_drop").toString
+    val table = Files.createTempDirectory("graft_api_store").toString
+    writeReq(drop, "a.json",
+      """{"collection_name":"alpha","documents":[
+        |{"text":"whole doc","metadata":{"source":"s","name":"docA"},
+        | "chunks":[
+        |  {"text":"alpha one","embedding":{"vector":[1.0,0.0]},
+        |   "metadata":{"source":"cs","name":"a1"},"semantic_score":0.9},
+        |  {"text":"alpha two","embedding":{"vector":[0.6,0.8]},
+        |   "metadata":{"source":"cs","name":"a2"},"semantic_score":0.1}]}]}"""
+        .stripMargin.replace("\n", ""))
+    writeReq(drop, "b.json",
+      """{"collection_name":"beta","documents":[
+        |{"text":"other","metadata":{"source":"s","name":"docB"},
+        | "chunks":[{"text":"beta one","embedding":{"vector":[0.0,1.0]},
+        |   "metadata":{"source":"cs","name":"b1"},"semantic_score":0.2}]}]}"""
+        .stripMargin.replace("\n", ""))
+
+    Graft.store(spark, drop, table)
+
+    // /search: top hit + the Q3/Q4/Q6 response quirks, field-for-field
+    val top = Graft.search(spark, table, Array(1.0, 0.0), "alpha", 1).head
+    assert(top.getAs[String]("text") == "alpha one")
+    assert(top.getAs[Double]("similarity") == 1.0)
+    assert(top.getAs[Int]("position") == 1) // 1-based chunk idx (Q6)
+    // Q3: embedding_id and collection_name BOTH carry the doc name
+    assert(top.getAs[String]("embedding_id") == "docA")
+    assert(top.getAs[String]("collection_name") == "docA")
+
+    // /multi_search: global top-k across the named collections
+    val multi = Graft.multiSearch(spark, table, Array(0.0, 1.0),
+      Seq("alpha", "beta"), 2).collect()
+    assert(multi.head.getAs[String]("text") == "beta one")
+    assert(multi.length == 2)
+
+    // unknown collection: empty, never an error (Q7, made strict)
+    assert(Graft.search(spark, table, Array(1.0, 0.0), "nope", 5).count() == 0)
+    assert(Graft.multiSearch(spark, table, Array(1.0, 0.0),
+      Seq("alpha", "nope"), 10).count() == 2)
+
+    // /delete_collection
+    Graft.deleteCollection(spark, table, "alpha")
+    assert(Graft.search(spark, table, Array(1.0, 0.0), "alpha", 5).count() == 0)
+    assert(Graft.search(spark, table, Array(0.0, 1.0), "beta", 5).count() == 1)
+  }
 }
