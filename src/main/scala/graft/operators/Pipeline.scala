@@ -80,6 +80,59 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences (streaming first-fit within each lang, doc_id order) —
+    * the step that turns a curated corpus into packed training rows.
+    * pack_id = exclusive-running-token-count div budget: deterministic,
+    * one window shuffle on lang, and packs overflow by at most one
+    * document (the well-defined streaming-packing trade-off; bin-
+    * packing exactly would be a driver-side loop and is deliberately
+    * not offered). Token counts are the fused word-stats BPE estimate. */
+  def sequencePack(s: SparkSession, dir: String,
+      budgetTokens: Long = 2048L): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextHashExpressions.wordStats(words(col("text")))
+          .getField("bpe_tokens").as("tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("tokens"),
+        (col("cum_before") / budgetTokens).cast("long").as("pack_id"),
+        (col("cum_before") % budgetTokens).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Overlapping word-window chunking: the ingest stage that produces
+    * the reference's chunk table (its documents arrive pre-chunked;
+    * this is the step upstream). Windows of `chunkWords` words every
+    * `step` words, 1-based chunk_idx (the reference's Q6 convention),
+    * emitted via posexplode — scan-side, no shuffle before the output
+    * sort. */
+  def chunkDocuments(s: SparkSession, dir: String,
+      chunkWords: Int = 64, step: Int = 48): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .where(size(col("ws")) > 0)
+      // n_chunks = ceil(max(n - chunk, 0) / step) + 1 — enough windows
+      // to cover the tail; integer arithmetic only
+      .withColumn("n_chunks",
+        (greatest(size(col("ws")) - chunkWords, lit(0)) + (step - 1))
+          .divide(step).cast("int") + 1)
+    d.select(col("doc_id"), col("ws"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => i * step)).as(Seq("pos", "start")))
+      .select(col("doc_id"),
+        (col("pos") + 1).as("chunk_idx"), // 1-based (reference Q6)
+        col("start").cast("long").as("start_word"),
+        size(slice(col("ws"), col("start") + 1, lit(chunkWords)))
+          .as("n_words"),
+        concat_ws(" ", slice(col("ws"), col("start") + 1, lit(chunkWords)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ------------------------------------------------------------------
   // oracles
   // ------------------------------------------------------------------
@@ -107,6 +160,43 @@ object Pipeline {
         |    / CAST(count(*) AS DOUBLE) AS sample_rate
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(
       stratifiedSample),
+
+    QueryDef.sql("pl_sequence_pack", {
+      val bpe = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform($W, w ->
+        |      CAST(floor((length(w) + 3) / 4.0E0) AS BIGINT))),
+        |    (a, x) -> a + x)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $bpe AS tokens FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, tokens,
+         |    CAST(coalesce(SUM(tokens) OVER (PARTITION BY lang
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, lang, tokens,
+         |  CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+         |  CAST(cum_before % 2048 AS BIGINT) AS pack_offset
+         |FROM p ORDER BY doc_id""".stripMargin
+    })((s, dir) => sequencePack(s, dir)),
+
+    QueryDef.sql("pl_chunk_documents",
+      s"""WITH d AS (
+         |  SELECT doc_id, $W AS ws FROM documents WHERE len($W) > 0),
+         |n AS (
+         |  SELECT doc_id, ws,
+         |    CAST((greatest(len(ws) - 64, 0) + 47) // 48 AS INT) + 1
+         |      AS n_chunks
+         |  FROM d),
+         |e AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS k FROM n)
+         |SELECT doc_id, CAST(k + 1 AS INT) AS chunk_idx,
+         |  CAST(k * 48 AS BIGINT) AS start_word,
+         |  CAST(len(list_slice(ws, k*48 + 1, k*48 + 64)) AS INT) AS n_words,
+         |  array_to_string(list_slice(ws, k*48 + 1, k*48 + 64), ' ')
+         |    AS chunk_text
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)(
+      (s, dir) => chunkDocuments(s, dir)),
 
     QueryDef.sql("pl_quality_filter", {
       val stops = markerCountSql(W, Stopwords("en"))

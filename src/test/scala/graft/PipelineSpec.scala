@@ -43,6 +43,44 @@ class PipelineSpec extends SparkSpecBase {
     assert(hashes.distinct.length == hashes.length)
   }
 
+  test("sequence packing: offsets bounded, packs fill in doc order") {
+    val rows = Pipeline.sequencePack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pack_offset") >= 0 &&
+        r.getAs[Long]("pack_offset") < 2048L)
+    }
+    // within a lang, pack ids never decrease as doc_id grows
+    rows.groupBy(_.getAs[String]("lang")).values.foreach { g =>
+      val byDoc = g.sortBy(_.getAs[Long]("doc_id"))
+        .map(_.getAs[Long]("pack_id"))
+      assert(byDoc.zip(byDoc.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("chunking: overlapping windows cover every word exactly") {
+    val chunks = Pipeline.chunkDocuments(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(graft.functions.TextFunctions
+        .words(col("text"))).as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    assert(chunks.keySet == words.filter(_._2 > 0).keySet)
+    chunks.foreach { case (docId, cs) =>
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      // strides of 48, 1-based indices, <= 64 words each
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Int]("chunk_idx") == i + 1)
+        assert(c.getAs[Long]("start_word") == i * 48L)
+        assert(c.getAs[Int]("n_words") <= 64)
+      }
+      // the last window reaches the end of the document
+      val last = sorted.last
+      assert(last.getAs[Long]("start_word") + last.getAs[Int]("n_words")
+        == words(docId).toLong)
+    }
+  }
+
   test("rank funcs: pct_rank/cume bounded, dense_rank tracks date ties") {
     val rows = Relational.windowRankFuncs(spark, sf).collect()
     rows.foreach { r =>
