@@ -488,6 +488,26 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** Ordered string aggregation: each nation's top-3 customers by
+    * balance as one CSV cell (collect_list is unordered by contract —
+    * the deterministic form sorts the collected array before joining,
+    * which is also what makes it oracle-able against DuckDB's
+    * `string_agg(... ORDER BY)`). */
+  def stringAgg(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir, "nation")
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(money(col("c_acctbal")).desc, col("c_name"))
+    Tables(s, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .groupBy("n_name")
+      .agg(array_join(array_sort(collect_list(col("c_name"))), ",")
+          .as("top3_csv"),
+        count(lit(1)).as("n"))
+      .orderBy("n_name")
+  }
+
   /** Map-typed scalar coverage: build word→position maps scan-side and
     * exercise lookup / keys / values / filter / aggregate-over-values.
     * The oracle computes the same VALUES from the underlying list
@@ -569,6 +589,18 @@ object Relational {
         |    AS consonant_len,
         |  regexp_extract(text, '[0-9]+') AS first_num
         |FROM w ORDER BY doc_id""".stripMargin)(arrayFuncs),
+
+    QueryDef.sql("rel_string_agg",
+      """WITH t AS (
+        |  SELECT n_name, c_name,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_name) AS rn
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS top3_csv,
+        |  count(*) AS n
+        |FROM t WHERE rn <= 3
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)(stringAgg),
 
     QueryDef.sql("rel_map_funcs",
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws
