@@ -31,6 +31,10 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // the dedup/MLlib operators build implicit persisted indexes; release
+    // them explicitly (the documented lifecycle) before shutdown
+    graft.operators.Dedup.releaseCaches()
+    graft.operators.MlIndex.releaseCaches()
     spark.stop()
   }
 }

@@ -26,6 +26,10 @@ object DevProfile {
       }
       println(f"PROF $name%-28s cold=${times(0)}%7.2fs warm=${times(1)}%7.2fs")
     }
+    // the dedup/MLlib operators build implicit persisted indexes; release
+    // them explicitly (the documented lifecycle) before shutdown
+    graft.operators.Dedup.releaseCaches()
+    graft.operators.MlIndex.releaseCaches()
     spark.stop()
   }
 }

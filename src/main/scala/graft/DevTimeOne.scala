@@ -17,6 +17,10 @@ object DevTimeOne {
         .write.format("noop").mode("overwrite").save()
       println(f"TIME $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // the dedup/MLlib operators build implicit persisted indexes; release
+    // them explicitly (the documented lifecycle) before shutdown
+    graft.operators.Dedup.releaseCaches()
+    graft.operators.MlIndex.releaseCaches()
     spark.stop()
   }
 }

@@ -37,6 +37,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the dedup/MLlib operators build implicit persisted indexes; release
+    // them explicitly (the documented lifecycle) before shutdown
+    graft.operators.Dedup.releaseCaches()
+    graft.operators.MlIndex.releaseCaches()
     spark.stop()
   }
 }

@@ -175,19 +175,21 @@ case class ShingleStringsExpr(child: Expression, n: Int)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val u8 = "org.apache.spark.unsafe.types.UTF8String"
+      val sep = ctx.freshName("sep")
       s"""
          |boolean $nf = false;
          |final int $m = $a.numElements();
          |final int $cnt = java.lang.Math.max($m - ${n - 1}, 0);
          |final $u8[] $out = new $u8[$cnt];
          |final $u8[] $tmp = new $u8[$n];
+         |final $u8 $sep = $u8.fromString(" ");
          |for (int $i = 0; $i < $cnt && !$nf; $i++) {
          |  for (int $j = 0; $j < $n; $j++) {
          |    if ($a.isNullAt($i + $j)) { $nf = true; break; }
          |    $tmp[$j] = $a.getUTF8String($i + $j);
          |  }
          |  if (!$nf) {
-         |    $out[$i] = $u8.concatWs($u8.fromString(" "), $tmp);
+         |    $out[$i] = $u8.concatWs($sep, $tmp);
          |  }
          |}
          |if (!$nf) {

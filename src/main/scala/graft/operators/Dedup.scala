@@ -99,8 +99,14 @@ object Dedup {
     * plan), so repeated minhashPairs/minhashClusters calls over the same
     * input (Bench, then DevProfile, ...) share ONE cache entry instead
     * of leaking a fresh persisted copy per call. Entries live until
-    * [[releaseShingleCache]] (or session end); distinct inputs get
-    * distinct entries. */
+    * [[releaseCaches]] (or session end); distinct inputs get distinct
+    * entries.
+    *
+    * SNAPSHOT semantics, by design: like any built index, the cached
+    * relation reflects the input AS OF first use — rewriting the
+    * underlying files does NOT invalidate it (the canonicalized plan
+    * compares equal). Writers must call [[releaseCaches]] after
+    * mutating the corpus; the engine's own mains do so on shutdown. */
   private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()

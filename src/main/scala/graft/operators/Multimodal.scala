@@ -188,9 +188,12 @@ object Multimodal {
          |  SELECT doc_id, $CodesSql AS cs FROM documents),
          |f AS (
          |  SELECT doc_id, CAST(len(cs) AS INT) AS n_bytes,
+         |    -- empty-payload guard mirrors the stub's skipped division:
+         |    -- all-zero features, never 0/0
          |    list_transform(range(0, $FeatureDim), j ->
-         |      CAST(len(list_filter(cs, c -> c // 32 = j)) AS DOUBLE)
-         |        / CAST(len(cs) AS DOUBLE)) AS fs
+         |      CASE WHEN len(cs) = 0 THEN 0.0E0 ELSE
+         |        CAST(len(list_filter(cs, c -> c // 32 = j)) AS DOUBLE)
+         |          / CAST(len(cs) AS DOUBLE) END) AS fs
          |  FROM codes)
          |SELECT doc_id, $MediaTypeSql AS media_type, n_bytes,
          |  ((((((((0.0E0 + fs[1]*16E0) + fs[2]*48E0) + fs[3]*80E0)
@@ -222,8 +225,9 @@ object Multimodal {
          |    $CodesSql AS cs FROM documents),
          |g AS (
          |  SELECT media_type, len(cs) AS n_bytes,
-         |    CAST(len(list_filter(cs, c -> c // 32 = 3)) AS DOUBLE)
-         |      / CAST(len(cs) AS DOUBLE) AS f3
+         |    CASE WHEN len(cs) = 0 THEN 0.0E0 ELSE
+         |      CAST(len(list_filter(cs, c -> c // 32 = 3)) AS DOUBLE)
+         |        / CAST(len(cs) AS DOUBLE) END AS f3
          |  FROM codes)
          |SELECT media_type, count(*) AS n_docs,
          |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

@@ -77,10 +77,35 @@ object DocumentStore {
     chunks.write.mode(SaveMode.Append)
       .partitionBy("collection").parquet(tablePath)
 
-  /** Read the full store, pruned to one collection if given (O1/O2). */
+  /** Schema of the flattened chunk table ([[flattenChunks]]'s output,
+    * with the partition column last as parquet stores it). */
+  val chunkTableSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("doc_name", StringType),
+    StructField("doc_source", StringType),
+    StructField("chunk_idx", IntegerType),
+    StructField("text", StringType),
+    StructField("embedding", ArrayType(DoubleType)),
+    StructField("meta_source", StringType),
+    StructField("meta_name", StringType),
+    StructField("semantic_score", DoubleType),
+    StructField("collection", StringType)))
+
+  /** Read the full store, pruned to one collection if given (O1/O2).
+    * An empty or not-yet-created store reads as an empty typed frame —
+    * deleting the last collection must not turn subsequent searches
+    * into schema-inference errors (Q7: defined empties, never faults). */
   def read(spark: SparkSession, tablePath: String,
       collection: Option[String] = None): DataFrame = {
-    val df = spark.read.parquet(tablePath)
+    val base = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df =
+      if (fs.exists(base) && fs.listStatus(base).exists(st =>
+          st.isDirectory || st.getPath.getName.endsWith(".parquet")))
+        spark.read.schema(chunkTableSchema).parquet(tablePath)
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          chunkTableSchema)
     collection.fold(df)(c => df.where(col("collection") === c))
   }
 

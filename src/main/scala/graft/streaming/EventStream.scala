@@ -111,29 +111,39 @@ object EventStream {
             // micro-batch arrival order is not event order: fold sorted
             val events = batch.filter(_.ts_us >= wmUs)
               .toSeq.sortBy(e => (e.ts_us, e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[Session]
-            events.foreach { e =>
-              cur match {
-                case Some(s) if e.ts_us - s.end_us <= GapUs =>
-                  // min on start too: a late-but-within-watermark event can
-                  // extend the session BACKWARDS (batch parity)
-                  cur = Some(SessionState(math.min(s.start_us, e.ts_us),
-                    math.max(s.end_us, e.ts_us), s.n_events + 1))
-                case Some(s) =>
-                  closed += Session(userId, s.start_us, s.end_us, s.n_events,
-                    s.end_us - s.start_us)
-                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
-                case None =>
-                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+            if (events.isEmpty) {
+              // every event in this batch was beyond-watermark: leave the
+              // state and its ALREADY-ARMED timeout untouched. Re-arming
+              // here would call setTimeoutTimestamp with a stale end+gap
+              // that the watermark may have passed — an
+              // IllegalArgumentException that kills the query.
+              Iterator.empty
+            } else {
+              var cur = state.getOption
+              val closed = Seq.newBuilder[Session]
+              events.foreach { e =>
+                cur match {
+                  case Some(s) if e.ts_us - s.end_us <= GapUs =>
+                    // min on start too: a late-but-within-watermark event
+                    // can extend the session BACKWARDS (batch parity)
+                    cur = Some(SessionState(math.min(s.start_us, e.ts_us),
+                      math.max(s.end_us, e.ts_us), s.n_events + 1))
+                  case Some(s) =>
+                    closed += Session(userId, s.start_us, s.end_us, s.n_events,
+                      s.end_us - s.start_us)
+                    cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+                  case None =>
+                    cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+                }
               }
+              cur.foreach { s =>
+                state.update(s)
+                // close when event time passes session end + gap; safe to
+                // arm: events here are >= watermark, so end+gap > watermark
+                state.setTimeoutTimestamp((s.end_us + GapUs) / 1000)
+              }
+              closed.result().iterator
             }
-            cur.foreach { s =>
-              state.update(s)
-              // close when event time passes session end + gap
-              state.setTimeoutTimestamp((s.end_us + GapUs) / 1000)
-            }
-            closed.result().iterator
           }
       }
   }

@@ -157,6 +157,36 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("straggler for an already-expired session neither crashes nor re-arms") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("stale_sessions")
+      .outputMode("append").start()
+    try {
+      val t0 = 8000000L * 1000000
+      input.addData(Event(1L, t0, 7L, "click", 0.0))
+      q.processAllAvailable()
+      // sentinel pushes the watermark FAR past user 7's timeout
+      input.addData(Event(-1L, t0 + 100L * EventStream.GapUs, 99L, "x", 0.0))
+      q.processAllAvailable()
+      // straggler for user 7, beyond the watermark, while 7's armed
+      // timeout is already in the past: must not re-arm the stale
+      // timeout (setTimeoutTimestamp below the watermark throws and
+      // kills the query) and must not resurrect the session
+      input.addData(Event(2L, t0 + 1, 7L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2L, t0 + 300L * EventStream.GapUs, 99L, "x", 0.0))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val sevens = spark.table("stale_sessions").as[Session].collect()
+        .filter(_.user_id == 7L)
+      assert(sevens.length == 1)
+      assert(sevens.head.n_events == 1) // the straggler was dropped
+    } finally q.stop()
+  }
+
   test("stream-stream join matches the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -120,5 +120,15 @@ class ReferenceWorkflowSpec extends SparkSpecBase {
     Graft.deleteCollection(spark, table, "alpha")
     assert(Graft.search(spark, table, Array(1.0, 0.0), "alpha", 5).count() == 0)
     assert(Graft.search(spark, table, Array(0.0, 1.0), "beta", 5).count() == 1)
+
+    // deleting the LAST collection leaves a readable empty store:
+    // searches return typed empties, never schema-inference errors (Q7)
+    Graft.deleteCollection(spark, table, "beta")
+    assert(Graft.search(spark, table, Array(1.0, 0.0), "beta", 5).count() == 0)
+    assert(Graft.multiSearch(spark, table, Array(1.0, 0.0),
+      Seq("alpha", "beta"), 5).count() == 0)
+    // and a never-written store path behaves the same
+    val fresh = Files.createTempDirectory("graft_api_fresh").toString + "/none"
+    assert(Graft.search(spark, fresh, Array(1.0, 0.0), "x", 5).count() == 0)
   }
 }
