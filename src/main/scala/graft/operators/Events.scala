@@ -107,6 +107,43 @@ object Events {
       .orderBy("click_id")
   }
 
+  /** SLIDING-window rates: hourly windows every 15 minutes, so each
+    * event lands in 4 overlapping windows — the smoothing shape
+    * tumbling windows can't express. Spark plans one Expand (×4) before
+    * the aggregation, so the shuffle carries (windows × types) partial
+    * rows, not ×4 raw events. */
+  def slidingRates(s: SparkSession, dir: String): DataFrame =
+    load(s, dir)
+      .groupBy(window(col("event_time"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n_events"))
+      .orderBy("ws_us", "event_type")
+
+  /** Gap-filled hourly resampling: a dense (hour × event_type) grid over
+    * the observed time range with zero-filled holes — what a downstream
+    * rate model needs (missing hours ARE data). The grid is generated
+    * with `sequence` + explode against the aggregated bounds (a 1-row
+    * broadcast), then the sparse counts left-join in: no shuffle is ever
+    * keyed on the raw events beyond the first aggregate. */
+  def gapFilledHourly(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val ev = load(s, dir)
+      .select((col("ts_us") - col("ts_us") % hourUs).as("hr_us"),
+        col("event_type"))
+    val counts = ev.groupBy("hr_us", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = ev.agg(min(col("hr_us")).as("lo"), max(col("hr_us")).as("hi"))
+    val grid = bounds
+      .select(explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hr_us"))
+      .crossJoin(ev.select("event_type").distinct())
+    grid.join(counts, Seq("hr_us", "event_type"), "left_outer")
+      .select(col("hr_us"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("hr_us", "event_type")
+  }
+
   /** Sessionization via Spark's NATIVE `session_window` aggregate — the
     * built-in face of [[sessionize]]'s hand-rolled window pass (and of
     * the streaming flatMapGroupsWithState sessionizer). Boundary
@@ -292,6 +329,29 @@ object Events {
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY click_id""".stripMargin)(asofClickPurchase),
+
+    QueryDef.sql("ev_sliding_rates",
+      """WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+        |x AS (
+        |  SELECT t - t % 900000000 - j * 900000000 AS ws_us, event_type
+        |  FROM e CROSS JOIN unnest(range(0, 4)) AS u(j))
+        |SELECT ws_us, event_type, count(*) AS n_events
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(slidingRates),
+
+    QueryDef.sql("ev_gap_filled_hourly",
+      """WITH e AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hr_us,
+        |    event_type
+        |  FROM events),
+        |c AS (SELECT hr_us, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(hr_us) AS lo, max(hr_us) AS hi FROM e),
+        |g AS (SELECT unnest(range(lo, hi + 3600000000, 3600000000)) AS hr_us
+        |  FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e)
+        |SELECT g.hr_us, t.event_type, coalesce(c.n, 0) AS n_events
+        |FROM g CROSS JOIN t
+        |LEFT JOIN c ON c.hr_us = g.hr_us AND c.event_type = t.event_type
+        |ORDER BY 1, 2""".stripMargin)(gapFilledHourly),
 
     QueryDef.sql("ev_session_window",
       """WITH flagged AS (

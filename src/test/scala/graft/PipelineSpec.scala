@@ -143,6 +143,25 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("sliding windows: every event lands in exactly 4 overlapping windows") {
+    import graft.operators.Events
+    val total = Events.load(spark, sf).count()
+    val windowed = Events.slidingRates(spark, sf).collect()
+      .map(_.getAs[Long]("n_events")).sum
+    assert(windowed == 4 * total)
+  }
+
+  test("gap-filled resample: dense grid, zero-filled holes, counts conserved") {
+    import graft.operators.Events
+    val rows = Events.gapFilledHourly(spark, sf).collect()
+    val hours = rows.map(_.getAs[Long]("hr_us")).distinct.sorted
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    // dense: every (hour, type) cell present, hours contiguous
+    assert(rows.length == hours.length * types.length)
+    assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600000000L })
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Events.load(spark, sf).count())
+  }
+
   test("native session_window agrees with hand-rolled sessionize off-boundary") {
     import graft.operators.Events
     val sw = Events.sessionWindows(spark, sf).collect()
