@@ -124,4 +124,35 @@ object DocumentStore {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dir, true)
   }
+
+  /** Compact one collection's partition to `targetFiles` files — the
+    * maintenance job an append-per-request store needs at scale: every
+    * reference-style store call appends a file, and a year of small
+    * appends turns scans into open-file storms (the classic small-files
+    * problem; at 100 TB compaction targets ~128 MB files to match
+    * `spark.sql.files.maxPartitionBytes`). Rewrites ONLY the named
+    * partition: read → repartition → write to a staging directory →
+    * atomic-ish swap (rename), leaving other collections' files
+    * untouched. Readers see old-or-new, never a partial mix, matching
+    * the store's immutable-snapshot read model. */
+  def compactCollection(spark: SparkSession, tablePath: String,
+      collection: String, targetFiles: Int = 1): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$tablePath/collection=$collection")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$tablePath/.compact_tmp_collection=$collection")
+    fs.delete(staging, true)
+    read(spark, tablePath, Some(collection))
+      .drop("collection") // partition value is the directory name
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // drop the _SUCCESS marker so the swapped dir holds only data files
+    fs.delete(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), false)
+    fs.delete(dir, true)
+    require(fs.rename(staging, dir),
+      s"compaction swap failed for $dir — data remains in $staging")
+  }
 }

@@ -77,4 +77,33 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters") &&
       plan.contains("collection"), plan)
   }
+
+  test("compaction collapses append-per-request files, preserves rows") {
+    import org.apache.spark.sql.functions._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    // simulate the reference's append-per-store pattern: many tiny files
+    val base = spark.range(10).select(
+      lit("c1").as("collection"), col("id").cast("string").as("doc_id"),
+      lit("n").as("doc_name"), lit("s").as("doc_source"),
+      lit(1).as("chunk_idx"), lit("t").as("text"),
+      array(lit(1.0)).as("embedding"), lit("ms").as("meta_source"),
+      lit("mn").as("meta_name"), lit(0.5).as("semantic_score"))
+    (0 until 5).foreach(_ => DocumentStore.store(base, table))
+    def files(c: String) = {
+      val d = new java.io.File(s"$table/collection=$c")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    DocumentStore.store(base.withColumn("collection", lit("c2")), table)
+    val before = DocumentStore.read(spark, table, Some("c1")).collect()
+      .map(_.getAs[String]("doc_id")).sorted
+    assert(files("c1") >= 5)
+    DocumentStore.compactCollection(spark, table, "c1")
+    assert(files("c1") == 1)
+    val after = DocumentStore.read(spark, table, Some("c1")).collect()
+      .map(_.getAs[String]("doc_id")).sorted
+    assert(after.toSeq == before.toSeq)
+    // the other collection's files were not touched
+    assert(DocumentStore.read(spark, table, Some("c2")).count() == 10)
+  }
 }
