@@ -232,6 +232,40 @@ object Dedup {
     out
   }
 
+  /** INCREMENTAL near-dup lookup: match a NEW batch of documents
+    * against the existing corpus without recomputing the corpus side —
+    * the shape every continuously-ingesting pipeline needs (at 100 TB
+    * the corpus signatures are a prebuilt, bucket-partitioned index;
+    * recomputing them per batch would dwarf the batch itself). Candidate
+    * generation joins the batch's band hashes against the corpus's; only
+    * candidates fetch shingle sets for exact-Jaccard verification.
+    * Batch-vs-corpus only — no corpus-corpus pairs (those are
+    * [[minhashPairs]]' job, run once at index build). */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val c = shingled(corpus)
+    val b = shingled(batch)
+    def bands(df: DataFrame) = df.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cands = bands(b).as("n").join(bands(c).as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.band_hash") === col("o.band_hash"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("corpus_id"))
+      .distinct()
+    val inter = size(array_intersect(col("sh_n"), col("sh_c"))).cast("long")
+    cands
+      .join(b.select(col("doc_id").as("new_id"),
+        col("shingle_hashes").as("sh_n")), "new_id")
+      .join(c.select(col("doc_id").as("corpus_id"),
+        col("shingle_hashes").as("sh_c")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (inter.cast("double") /
+          (size(col("sh_n")) + size(col("sh_c")) - inter).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("new_id", "corpus_id")
+  }
+
   // ----------------------------------------------------------------
   // SimHash
   // ----------------------------------------------------------------
@@ -386,6 +420,36 @@ object Dedup {
          |  doc_id = cluster_id AS keep
          |FROM lab ORDER BY doc_id""".stripMargin) {
       (s, dir) => minhashClusters(Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("dedup_incremental",
+      s"""WITH h AS (SELECT doc_id, $ShSql AS shingle_hashes FROM documents),
+         |h2 AS (SELECT * FROM h WHERE len(shingle_hashes) > 0),
+         |s AS (SELECT doc_id, shingle_hashes, $SigsSql AS sigs FROM h2),
+         |b AS (SELECT doc_id, shingle_hashes, $BandsSql AS bands FROM s),
+         |bl AS (SELECT doc_id, unnest(generate_series(0, ${Bands - 1})) AS band_idx,
+         |         unnest(bands) AS band_hash FROM b),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id
+         |  FROM bl n JOIN bl o ON n.band_idx = o.band_idx
+         |    AND n.band_hash = o.band_hash
+         |  WHERE n.doc_id % 10 = 1 AND o.doc_id % 10 <> 1)
+         |SELECT new_id, corpus_id,
+         |  CAST(len(list_intersect(a.shingle_hashes, c.shingle_hashes)) AS DOUBLE) /
+         |    CAST(len(a.shingle_hashes) + len(c.shingle_hashes)
+         |      - len(list_intersect(a.shingle_hashes, c.shingle_hashes)) AS DOUBLE)
+         |    AS jaccard
+         |FROM cand
+         |JOIN h2 a ON a.doc_id = cand.new_id
+         |JOIN h2 c ON c.doc_id = cand.corpus_id
+         |WHERE CAST(len(list_intersect(a.shingle_hashes, c.shingle_hashes)) AS DOUBLE) /
+         |    CAST(len(a.shingle_hashes) + len(c.shingle_hashes)
+         |      - len(list_intersect(a.shingle_hashes, c.shingle_hashes)) AS DOUBLE)
+         |    >= 0.5E0
+         |ORDER BY new_id, corpus_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      incrementalNearDups(
+        docs.where(col("doc_id") % 10 =!= 1),
+        docs.where(col("doc_id") % 10 === 1))
     },
 
     QueryDef.sql("dedup_simhash", {
