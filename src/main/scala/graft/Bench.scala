@@ -35,6 +35,7 @@ object Bench {
     // them explicitly (the documented lifecycle) before shutdown
     graft.operators.Dedup.releaseCaches()
     graft.operators.MlIndex.releaseCaches()
+    graft.operators.Events.releaseCaches()
     spark.stop()
   }
 }

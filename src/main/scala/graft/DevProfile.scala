@@ -30,6 +30,7 @@ object DevProfile {
     // them explicitly (the documented lifecycle) before shutdown
     graft.operators.Dedup.releaseCaches()
     graft.operators.MlIndex.releaseCaches()
+    graft.operators.Events.releaseCaches()
     spark.stop()
   }
 }

@@ -21,6 +21,7 @@ object DevTimeOne {
     // them explicitly (the documented lifecycle) before shutdown
     graft.operators.Dedup.releaseCaches()
     graft.operators.MlIndex.releaseCaches()
+    graft.operators.Events.releaseCaches()
     spark.stop()
   }
 }

@@ -41,6 +41,7 @@ object Verify {
     // them explicitly (the documented lifecycle) before shutdown
     graft.operators.Dedup.releaseCaches()
     graft.operators.MlIndex.releaseCaches()
+    graft.operators.Events.releaseCaches()
     spark.stop()
   }
 }

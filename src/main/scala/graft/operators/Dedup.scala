@@ -111,16 +111,21 @@ object Dedup {
     (org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
 
+  /** The shingle/signature/bands projection, un-persisted — for inputs
+    * that should NOT enter the session cache (e.g. the per-batch side of
+    * [[incrementalNearDups]], where each batch has a fresh plan and
+    * memoizing would leak one persisted frame per batch). */
+  private def shingledPlan(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), shingleHashes.as("shingle_hashes"))
+      .where(size(col("shingle_hashes")) > 0)
+      .withColumn("sigs", minhashSigs)
+      .withColumn("bands", bandHashes)
+
   private def shingled(documents: DataFrame): DataFrame = {
     val key = (documents.sparkSession,
       documents.queryExecution.analyzed.canonicalized)
-    shingleCache.computeIfAbsent(key, _ =>
-      documents
-        .select(col("doc_id"), shingleHashes.as("shingle_hashes"))
-        .where(size(col("shingle_hashes")) > 0)
-        .withColumn("sigs", minhashSigs)
-        .withColumn("bands", bandHashes)
-        .persist())
+    shingleCache.computeIfAbsent(key, _ => shingledPlan(documents).persist())
   }
 
   /** Persisted frames that must outlive their operator call (the
@@ -243,8 +248,13 @@ object Dedup {
     * [[minhashPairs]]' job, run once at index build). */
   def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
       threshold: Double = 0.5): DataFrame = {
+    // corpus side: the memoized persisted index (reused across batches).
+    // batch side: a plain plan — every batch is distinct, so caching it
+    // would leak one persisted frame per ingest cycle; its projection is
+    // evaluated twice (band join + set fetch), which for a batch is
+    // cheaper than owning a cache entry.
     val c = shingled(corpus)
-    val b = shingled(batch)
+    val b = shingledPlan(batch)
     def bands(df: DataFrame) = df.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val cands = bands(b).as("n").join(bands(c).as("o"),

@@ -129,15 +129,28 @@ object Events {
     * keyed on the raw events beyond the first aggregate. */
   def gapFilledHourly(s: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600L * 1000000
-    val ev = load(s, dir)
+    // ONE raw scan: bounds and the type set are tiny aggregates of the
+    // hourly counts, collected to the driver as grid constants (a naive
+    // formulation re-scans the raw events for bounds and again for the
+    // distinct types — two redundant full scans at the 100 TB posture)
+    val counts = load(s, dir)
       .select((col("ts_us") - col("ts_us") % hourUs).as("hr_us"),
         col("event_type"))
-    val counts = ev.groupBy("hr_us", "event_type")
+      .groupBy("hr_us", "event_type")
       .agg(count(lit(1)).as("n_events"))
-    val bounds = ev.agg(min(col("hr_us")).as("lo"), max(col("hr_us")).as("hi"))
-    val grid = bounds
-      .select(explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hr_us"))
-      .crossJoin(ev.select("event_type").distinct())
+      .persist() // tiny (hours × types); released via releaseCaches()
+    retained.add(counts)
+    val meta = counts.agg(min(col("hr_us")).as("lo"), max(col("hr_us")).as("hi"),
+      sort_array(collect_set(col("event_type"))).as("types")).head
+    if (meta.isNullAt(0)) // empty input: a defined empty grid
+      return counts.select(col("hr_us"), col("event_type"), col("n_events"))
+        .where(lit(false))
+    val types = meta.getAs[scala.collection.Seq[String]]("types")
+    val grid = s.range(1).select(explode(sequence(
+        lit(meta.getAs[Long]("lo")), lit(meta.getAs[Long]("hi")),
+        lit(hourUs))).as("hr_us"))
+      .crossJoin(s.createDataFrame(types.map(Tuple1(_)).toSeq)
+        .toDF("event_type"))
     grid.join(counts, Seq("hr_us", "event_type"), "left_outer")
       .select(col("hr_us"), col("event_type"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
@@ -170,8 +183,12 @@ object Events {
     * same-instant purchase is inside the [current, +inf) frame, and
     * `first(..., ignoreNulls)` picks the nearest following purchase
     * (min event_id on ties — the oracle's ASOF `<=` + min). */
-  def asofClickNextPurchase(s: SparkSession, dir: String): DataFrame = {
-    val ev = load(s, dir)
+  def asofClickNextPurchase(s: SparkSession, dir: String): DataFrame =
+    asofForwardOn(load(s, dir))
+
+  /** Core of the forward as-of over any event frame (separable so edge
+    * inputs — e.g. clicks with no purchases at all — are testable). */
+  def asofForwardOn(ev: DataFrame): DataFrame = {
     val tagged = ev.where(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("ts_us"), col("event_id"),
         when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
@@ -282,6 +299,16 @@ object Events {
         count(col("k")).as("n_with_k"),
         sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  /** Persisted frames feeding callers' lazy results; released on demand
+    * (same lifecycle contract as [[Dedup.releaseCaches]]). */
+  private val retained =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  def releaseCaches(): Unit = {
+    var df = retained.poll()
+    while (df != null) { df.unpersist(); df = retained.poll() }
+  }
 
   // ------------------------------------------------------------------
   // Declared queries + DuckDB oracles

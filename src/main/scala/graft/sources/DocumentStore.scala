@@ -144,15 +144,30 @@ object DocumentStore {
     if (!fs.exists(dir)) return
     val staging = new org.apache.hadoop.fs.Path(
       s"$tablePath/.compact_tmp_collection=$collection")
+    val backup = new org.apache.hadoop.fs.Path(
+      s"$tablePath/.compact_old_collection=$collection")
     fs.delete(staging, true)
+    fs.delete(backup, true)
     read(spark, tablePath, Some(collection))
       .drop("collection") // partition value is the directory name
       .repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     // drop the _SUCCESS marker so the swapped dir holds only data files
     fs.delete(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), false)
-    fs.delete(dir, true)
-    require(fs.rename(staging, dir),
-      s"compaction swap failed for $dir — data remains in $staging")
+    // two renames, never a delete of the only copy: move the live dir
+    // aside, move the compacted one in, THEN drop the old copy. A crash
+    // between the renames leaves the backup restorable; a concurrent
+    // reader sees the old files or the new ones, never a deleted window
+    // with the data stranded in a dot-dir.
+    require(fs.rename(dir, backup),
+      s"compaction: could not move $dir aside — store unchanged")
+    if (!fs.rename(staging, dir)) {
+      require(fs.rename(backup, dir),
+        s"compaction rollback failed — original data is at $backup")
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"compaction swap failed for $dir — rolled back to the original")
+    }
+    fs.delete(backup, true)
   }
 }

@@ -103,12 +103,19 @@ class EdgeCaseSpec extends SparkSpecBase {
   }
 
   test("forward as-of with no purchases yields all-null matches, not errors") {
-    import spark.implicits._
-    // build an events-like frame with clicks only, via the real loader path
-    val rows = Events.asofClickNextPurchase(spark, sf).collect()
-    // users whose last event is a click have null purchase for that click
-    assert(rows.forall(r => r.isNullAt(3) ||
-      r.getAs[Long]("purchase_ts") >= r.getAs[Long]("click_ts")))
+    import org.apache.spark.sql.functions.col
+    // clicks only — the purchase side is genuinely empty
+    val clicksOnly = Events.load(spark, sf)
+      .where(col("event_type") === "click")
+    val rows = Events.asofForwardOn(clicksOnly).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("purchase_id")))
+      assert(r.isNullAt(r.fieldIndex("purchase_ts")))
+      assert(r.isNullAt(r.fieldIndex("gap_us")))
+    }
+    // and the count equals the click count — no clicks lost
+    assert(rows.length.toLong == clicksOnly.count())
   }
 
   test("session_window of a single event is a gap-length session") {
