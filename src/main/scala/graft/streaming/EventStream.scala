@@ -203,6 +203,73 @@ object EventStream {
   }
 
   // ------------------------------------------------------------------
+  // Arbitrary state via transformWithState (Spark 4's successor to
+  // flatMapGroupsWithState): a live distinct-cardinality sketch
+  // ------------------------------------------------------------------
+
+  case class TypeDistinct(event_type: String, n_mins: Int, est: Double)
+
+  /** Per-event-type RUNNING distinct-user estimate as a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]]: state is the
+    * KMV sketch's k smallest distinct user hashes (the same mergeable
+    * bounded-set sketch as the batch [[graft.functions.KmvSketchAgg]]),
+    * updated per micro-batch and emitting the current estimate — the
+    * live dashboard twin of the batch sketch. State is O(k) longs per
+    * key forever; an exact running distinct would grow with users. */
+  class RunningKmvProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, TypeDistinct] {
+    import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+    @transient private var mins: ValueState[Array[Long]] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      mins = getHandle.getValueState[Array[Long]]("mins",
+        org.apache.spark.sql.Encoders.javaSerialization[Array[Long]],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeDistinct] = {
+      val set = new java.util.TreeSet[java.lang.Long]()
+      if (mins.exists()) mins.get().foreach(v => set.add(v))
+      rows.foreach { e =>
+        val h = EventStream.userHash(e.user_id)
+        if (set.size < k) set.add(h)
+        else if (h < set.last()) { if (set.add(h)) set.pollLast() }
+      }
+      mins.update(set.toArray(Array.empty[java.lang.Long]).map(_.longValue()))
+      val est =
+        if (set.size < k) set.size.toDouble
+        else (k - 1).toDouble * graft.functions.TextFunctions.HashMod.toDouble /
+          set.last().toDouble
+      Iterator.single(TypeDistinct(key, set.size, est))
+    }
+  }
+
+  /** Deterministic user-id hash onto [0, P) for the KMV sketch (ids are
+    * sequential; the sketch needs a uniform-ish key). */
+  def userHash(userId: Long): Long = {
+    val p = graft.functions.TextFunctions.HashMod
+    (userId * 2654435761L % p + p) % p
+  }
+
+  /** Running distinct users per event type over a live stream — emits
+    * the updated sketch estimate each micro-batch. Requires the RocksDB
+    * state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`): transformWithState keeps
+    * each state variable in its own column family, which the default
+    * HDFS-backed provider does not support. */
+  def runningDistinctUsers(events: Dataset[Event], k: Int = 128): Dataset[TypeDistinct] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new RunningKmvProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  // ------------------------------------------------------------------
   // Streaming deduplication
   // ------------------------------------------------------------------
 

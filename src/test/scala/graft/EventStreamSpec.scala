@@ -275,6 +275,53 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("transformWithState running KMV sketch converges to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents
+    val input = MemoryStream[Event]
+    // transformWithState needs the RocksDB provider (multiple column
+    // families); restore the default after the test
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = EventStream.runningDistinctUsers(input.toDS())
+      .toDF()
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    try {
+      // feed in two micro-batches: the final update must equal the batch
+      // sketch over ALL events (merge path exercised for real)
+      val (first, rest) = events.splitAt(events.length / 2)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(rest)
+      q.processAllAvailable()
+      val lastUpdate = spark.table("kmv_stream").collect()
+        .groupBy(_.getAs[String]("event_type"))
+        .view.mapValues(_.last.getAs[Double]("est")).toMap
+      // batch reference: KmvSketchAgg over the same user hashes
+      import graft.functions.SketchAggregate.kmvSketch
+      val batch = events.toDF()
+        .select(col("event_type"),
+          ((col("user_id") * 2654435761L % 1000000007L + 1000000007L)
+            % 1000000007L).as("hv"))
+        .groupBy("event_type")
+        .agg(kmvSketch(col("hv"), 128).as("sk"))
+        .select(col("event_type"), col("sk.est"))
+        .collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(lastUpdate == batch)
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming ingest lands store requests in the partitioned table") {
     val drop = Files.createTempDirectory("graft_drop").toString
     val table = Files.createTempDirectory("graft_stream_store").toString
