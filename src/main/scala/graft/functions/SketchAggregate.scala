@@ -44,38 +44,26 @@ case class KmvSketchAgg(
     StructField("est", DoubleType, nullable = false)))
   override def prettyName: String = "kmv_sketch"
 
-  /** (k-1)·P, exact as a double (‖ < 2^53). */
-  private val numer: Double = (k - 1).toDouble * HashMod.toDouble
-
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
-
-  private def push(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit =
-    if (buf.size < k) { buf.add(v); () }
-    else if (v < buf.last()) {
-      if (buf.add(v)) { buf.pollLast(); () }
-    }
 
   override def update(buf: java.util.TreeSet[java.lang.Long],
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) push(buf, v.asInstanceOf[Long])
+    if (v != null) SketchAggregate.push(buf, v.asInstanceOf[Long], k)
     buf
   }
 
   override def merge(buf: java.util.TreeSet[java.lang.Long],
       other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
     val it = other.iterator()
-    while (it.hasNext) push(buf, it.next())
+    while (it.hasNext) SketchAggregate.push(buf, it.next(), k)
     buf
   }
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    if (buf.size < k) InternalRow(-1L, buf.size.toDouble)
-    else {
-      val kth = buf.last().longValue()
-      InternalRow(kth, numer / kth.toDouble)
-    }
+    val kth = if (buf.size < k) -1L else buf.last().longValue()
+    InternalRow(kth, SketchAggregate.estimate(buf, k))
   }
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
@@ -111,4 +99,23 @@ object SketchAggregate {
   def kmvSketch(hash: Column, k: Int): Column =
     ColumnShim.column(KmvSketchAgg(ColumnShim.expression(hash), k)
       .toAggregateExpression())
+
+  // The sketch primitives, shared by the batch aggregate above and the
+  // streaming RunningKmvProcessor — ONE definition of the keep-k and
+  // estimate arithmetic, so batch/stream parity is structural, not a
+  // convention two copies must honor.
+
+  /** Insert v into the bounded set of the k smallest distinct values. */
+  def push(buf: java.util.TreeSet[java.lang.Long], v: Long, k: Int): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last()) {
+      if (buf.add(v)) { buf.pollLast(); () }
+    }
+
+  /** Distinct estimate: exact below k; (k-1)·P / kth-smallest at k.
+    * (k-1)·P stays under 2^53 — the product and the single division are
+    * exact-operand IEEE ops, reproducible bit-for-bit. */
+  def estimate(buf: java.util.TreeSet[java.lang.Long], k: Int): Double =
+    if (buf.size < k) buf.size.toDouble
+    else (k - 1).toDouble * HashMod.toDouble / buf.last().longValue().toDouble
 }

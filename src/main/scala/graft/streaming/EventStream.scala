@@ -207,42 +207,57 @@ object EventStream {
   // flatMapGroupsWithState): a live distinct-cardinality sketch
   // ------------------------------------------------------------------
 
-  case class TypeDistinct(event_type: String, n_mins: Int, est: Double)
+  /** One running-sketch update: `n_seen` (cumulative events for the
+    * key) is strictly increasing, so the row with the max n_seen per
+    * key IS the latest state — consumers need no sink-order assumption. */
+  case class TypeDistinct(event_type: String, n_seen: Long, n_mins: Int,
+      est: Double)
 
   /** Per-event-type RUNNING distinct-user estimate as a
     * [[org.apache.spark.sql.streaming.StatefulProcessor]]: state is the
-    * KMV sketch's k smallest distinct user hashes (the same mergeable
-    * bounded-set sketch as the batch [[graft.functions.KmvSketchAgg]]),
-    * updated per micro-batch and emitting the current estimate — the
-    * live dashboard twin of the batch sketch. State is O(k) longs per
-    * key forever; an exact running distinct would grow with users. */
+    * KMV sketch's k smallest distinct user hashes — the SAME
+    * [[graft.functions.SketchAggregate.push]]/
+    * [[graft.functions.SketchAggregate.estimate]] primitives as the
+    * batch aggregate, so batch/stream parity is structural. Updated per
+    * micro-batch, current estimate emitted in Update mode — the live
+    * dashboard twin of the batch sketch. State is O(k) longs per key
+    * forever; an exact running distinct would grow with users. */
   class RunningKmvProcessor(k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, Event, TypeDistinct] {
     import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
     @transient private var mins: ValueState[Array[Long]] = _
+    @transient private var nSeen: ValueState[Long] = _
 
     override def init(outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      // native array/long encoders: compact fixed layout in the state
+      // store, no java-serialization header per update
       mins = getHandle.getValueState[Array[Long]]("mins",
-        org.apache.spark.sql.Encoders.javaSerialization[Array[Long]],
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
         TTLConfig.NONE)
+      nSeen = getHandle.getValueState[Long]("n_seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeDistinct] = {
+      import graft.functions.SketchAggregate
       val set = new java.util.TreeSet[java.lang.Long]()
       if (mins.exists()) mins.get().foreach(v => set.add(v))
+      var n = if (nSeen.exists()) nSeen.get() else 0L
       rows.foreach { e =>
-        val h = EventStream.userHash(e.user_id)
-        if (set.size < k) set.add(h)
-        else if (h < set.last()) { if (set.add(h)) set.pollLast() }
+        SketchAggregate.push(set, EventStream.userHash(e.user_id), k)
+        n += 1
       }
-      mins.update(set.toArray(Array.empty[java.lang.Long]).map(_.longValue()))
-      val est =
-        if (set.size < k) set.size.toDouble
-        else (k - 1).toDouble * graft.functions.TextFunctions.HashMod.toDouble /
-          set.last().toDouble
-      Iterator.single(TypeDistinct(key, set.size, est))
+      val out = new Array[Long](set.size)
+      val it = set.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      mins.update(out)
+      nSeen.update(n)
+      Iterator.single(TypeDistinct(key, n, set.size,
+        SketchAggregate.estimate(set, k)))
     }
   }
 

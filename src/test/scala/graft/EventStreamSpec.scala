@@ -286,7 +286,10 @@ class EventStreamSpec extends SparkSpecBase {
     val oldProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val q = EventStream.runningDistinctUsers(input.toDS())
+    // k = 8 << the fixture's distinct users, so the trim + (k-1)P/kth
+    // estimate path runs for real (not just the exact-below-k branch)
+    val k = 8
+    val q = EventStream.runningDistinctUsers(input.toDS(), k)
       .toDF()
       .writeStream.format("memory").queryName("kmv_stream")
       .outputMode("update").start()
@@ -298,21 +301,26 @@ class EventStreamSpec extends SparkSpecBase {
       q.processAllAvailable()
       input.addData(rest)
       q.processAllAvailable()
+      // latest update per key = max n_seen (strictly increasing), no
+      // sink-order assumption
       val lastUpdate = spark.table("kmv_stream").collect()
         .groupBy(_.getAs[String]("event_type"))
-        .view.mapValues(_.last.getAs[Double]("est")).toMap
-      // batch reference: KmvSketchAgg over the same user hashes
+        .view.mapValues(_.maxBy(_.getAs[Long]("n_seen")).getAs[Double]("est"))
+        .toMap
+      // batch reference: KmvSketchAgg over the SAME userHash values,
+      // computed driver-side via the shared function
       import graft.functions.SketchAggregate.kmvSketch
-      val batch = events.toDF()
-        .select(col("event_type"),
-          ((col("user_id") * 2654435761L % 1000000007L + 1000000007L)
-            % 1000000007L).as("hv"))
+      val batch = events.map(e => (e.event_type, EventStream.userHash(e.user_id)))
+        .toDF("event_type", "hv")
         .groupBy("event_type")
-        .agg(kmvSketch(col("hv"), 128).as("sk"))
+        .agg(kmvSketch(col("hv"), k).as("sk"))
         .select(col("event_type"), col("sk.est"))
         .collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
       assert(lastUpdate == batch)
+      // the estimate path genuinely engaged: below-k would equal n_mins
+      assert(spark.table("kmv_stream").collect()
+        .exists(r => r.getAs[Int]("n_mins") == k))
     } finally {
       q.stop()
       oldProvider match {
