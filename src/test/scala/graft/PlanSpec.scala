@@ -168,6 +168,37 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("sliding rates: Expand feeds PARTIAL aggregation below the shuffle") {
+    val p = plan(Events.slidingRates(spark, sf))
+    val expandIdx = p.indexOf("Expand")
+    val partialIdx = p.indexOf("partial_count")
+    assert(expandIdx >= 0 && partialIdx >= 0 && partialIdx < expandIdx,
+      s"partial agg must sit above Expand (shuffle carries window partials, " +
+        s"not x4 raw events):\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("string agg: WindowGroupLimit prunes to top-3 map-side, heap-aggregated") {
+    val p = plan(Relational.stringAgg(spark, sf))
+    // rank-limit pushdown: partial + final WindowGroupLimit bound the
+    // sort input to k rows per group per partition
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("histogram median: one count aggregate, windows share one exchange") {
+    val p = plan(Relational.histogramMedian(spark, sf))
+    // (priority,bucket) agg exchange + one priority exchange for ALL
+    // window passes (cum, total, rn) — not one per window
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("sequence packing: single stratum shuffle feeds the running window") {
+    val p = plan(operators.Pipeline.sequencePack(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("KNN join broadcasts the query side, never shuffles candidates") {
     val df = VectorSearch.knnJoin(emb, 0 until 8, 5)
     val p = plan(df)
