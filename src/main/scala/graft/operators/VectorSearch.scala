@@ -173,6 +173,39 @@ object VectorSearch {
   private val qRawSql = vecSql(Query)
   private def embD = "CAST(embedding AS DOUBLE[])"
 
+  /** Fixed lexical query for [[hybridSearch]] (terms from the fixture
+    * vocabulary — in production this is the tokenized user query). */
+  val HybridTerms: Seq[String] = Seq("vector", "join", "filter")
+
+  /** HYBRID retrieval: blend the dense (vector) score with a sparse
+    * lexical overlap score — the production shape of modern vector
+    * search (pure-dense misses exact-term intent; pure-lexical misses
+    * paraphrase; the reference offers only dense). Lexical side =
+    * Jaccard overlap of the query's term set with the document's
+    * distinct words; dense side = the engine's standard dot score;
+    * blend = 0.5·dense + 0.5·lexical, top-k. One scan of each table,
+    * one broadcast-able equi-join, shuffle-free top-k — the whole
+    * hybrid is scan-speed. */
+  def hybridSearch(emb: DataFrame, docs: DataFrame, k: Int = K): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val q = array(HybridTerms.map(lit): _*)
+    val lex = docs.select(col("doc_id"),
+      {
+        val dw = array_distinct(words(col("text")))
+        val inter = size(array_intersect(q, dw)).cast("double")
+        (inter / (lit(HybridTerms.length) + size(dw).cast("double")
+          - inter)).as("lex_score")
+      })
+    emb.join(lex, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("label"),
+        scoreRef(col("embedding")).as("dense_score"),
+        col("lex_score"),
+        (lit(0.5) * scoreRef(col("embedding")) + lit(0.5) * col("lex_score"))
+          .as("hybrid_score"))
+      .orderBy(col("hybrid_score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label norm profile of the embedding table — the index-health
     * scan run before building an ANN index (zero-norm or wildly-scaled
     * vectors break cosine assumptions). Norms are per-row sequential
@@ -190,6 +223,30 @@ object VectorSearch {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("vs_hybrid_search", {
+      import graft.functions.TextFunctions.wordsSql
+      val terms = HybridTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+      val nTerms = HybridTerms.length
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |lex AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_intersect($terms, list_distinct(${wordsSql("text")}))) AS DOUBLE)
+         |      / (CAST($nTerms AS DOUBLE)
+         |         + CAST(len(list_distinct(${wordsSql("text")})) AS DOUBLE)
+         |         - CAST(len(list_intersect($terms, list_distinct(${wordsSql("text")}))) AS DOUBLE))
+         |      AS lex_score
+         |  FROM documents)
+         |SELECT vec_id, label,
+         |  ${dotSeqSql("q.v", embD, Dim)} AS dense_score,
+         |  lex_score,
+         |  0.5E0 * ${dotSeqSql("q.v", embD, Dim)} + 0.5E0 * lex_score
+         |    AS hybrid_score
+         |FROM embeddings CROSS JOIN q JOIN lex ON vec_id = doc_id
+         |ORDER BY hybrid_score DESC, vec_id LIMIT $K""".stripMargin
+    }) { (s, dir) =>
+      hybridSearch(Tables(s, dir, "embeddings"), Tables(s, dir, "documents"))
+    },
+
     QueryDef.sql("vs_norm_stats",
       s"""WITH n AS (
          |  SELECT label, sqrt(${dotSeqSql(embD, embD, Dim)}) AS nrm

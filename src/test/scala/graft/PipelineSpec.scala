@@ -211,6 +211,21 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("hybrid search: blend is the exact average, scores bounded") {
+    val rows = VectorSearch.hybridSearch(
+      Tables(spark, sf, "embeddings"), Tables(spark, sf, "documents")).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (d, l, h) = (r.getAs[Double]("dense_score"),
+        r.getAs[Double]("lex_score"), r.getAs[Double]("hybrid_score"))
+      assert(l >= 0.0 && l <= 1.0)
+      assert(h == 0.5 * d + 0.5 * l)
+    }
+    // ranked by the blend, descending with vec_id tie-break
+    val hs = rows.map(_.getAs[Double]("hybrid_score"))
+    assert(hs.zip(hs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("norm stats: one row per label, 0 < min <= max") {
     val rows = VectorSearch.normStats(
       Tables(spark, sf, "embeddings")).collect()
