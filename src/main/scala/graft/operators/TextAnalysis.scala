@@ -84,6 +84,42 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
+  /** Tiny per-language character-trigram profiles (ASCII; in production
+    * these are learned from a labeled corpus — hundreds of trigrams per
+    * language; the mechanism is identical). */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "ing", "ion", "ent", "th ", " th"),
+    "de" -> Seq("der", "sch", "ein", "ich", "und", "en ", "ch "),
+    "es" -> Seq("que", "los", "con", "aci", "ado", "de ", " de"),
+    "fr" -> Seq("les", "que", "ent", "eur", "ais", "le ", " le"))
+
+  /** Language ID via CHARACTER n-gram profiles — the classic n-gram
+    * heuristic (vs [[languageId]]'s stopword markers): count each
+    * language profile's trigrams among the document's overlapping char
+    * trigrams, argmax with the same fixed en>de>es>fr tie priority.
+    * The trigram expansion captures only the scan attribute inside the
+    * lambda (O(1) slot read per element — not the re-evaluated-subtree
+    * HOF pitfall), and each profile count is the fused marker kernel. */
+  def languageIdNgram(documents: DataFrame): DataFrame = {
+    val trigrams = when(length(col("text")) >= 3,
+      expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+      .otherwise(expr("array()").cast("array<string>"))
+    val scored = documents.select(
+      (col("doc_id") +: col("lang") +: TrigramProfiles.map { case (l, prof) =>
+        graft.functions.TextHashExpressions.markerCount(trigrams, prof)
+          .as(s"s_$l")
+      }): _*)
+    val Seq(en, de, es, fr) =
+      TrigramProfiles.map { case (l, _) => col(s"s_$l") }
+    scored
+      .withColumn("predicted",
+        when(en >= de && en >= es && en >= fr, "en")
+          .when(de >= es && de >= fr, "de")
+          .when(es >= fr, "es")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: whole-text polynomial hash plus the
     * min-hash of 3-word shingles (the winnowing-style representative
     * fingerprint used for fast near-dup candidate lookup). */
@@ -201,6 +237,23 @@ object TextAnalysis {
          |       ELSE 'fr' END AS predicted
          |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, dir) => languageId(Tables(s, dir, "documents")) },
+
+    QueryDef.sql("text_langid_ngram", {
+      val tg = "list_transform(range(1, length(text) - 1), i -> substring(text, i, 3))"
+      val scores = TrigramProfiles.map { case (l, prof) =>
+        s"${markerCountSql(tg, prof)} AS s_$l"
+      }.mkString(",\n    ")
+      s"""WITH m AS (
+         |  SELECT doc_id, lang,
+         |    $scores
+         |  FROM documents)
+         |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS predicted
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, dir) => languageIdNgram(Tables(s, dir, "documents")) },
 
     QueryDef.sql("text_word_freq",
       s"""WITH terms AS (
