@@ -139,6 +139,30 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** STUB resize planning: fit each media object into a `box`×`box`
+    * target preserving aspect ratio — the metadata half of a resize
+    * stage (a real implementation feeds these dims to the codec; the
+    * byte estimate scales payload size by the area ratio). All-integer
+    * arithmetic on the metadata columns — the payload is never read,
+    * so at 100 TB this "resize audit" runs at metadata-scan speed. */
+  def mediaResize(s: SparkSession, dir: String, box: Int = 64): DataFrame =
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("media_type"),
+        col("width"), col("height"),
+        length(col("payload")).as("n_bytes"))
+      .withColumn("out_w",
+        when(col("width") >= col("height"), lit(box))
+          .otherwise(greatest(lit(1),
+            (col("width") * box / col("height")).cast("int"))))
+      .withColumn("out_h",
+        when(col("width") >= col("height"),
+          greatest(lit(1), (col("height") * box / col("width")).cast("int")))
+          .otherwise(lit(box)))
+      .withColumn("est_bytes",
+        (col("n_bytes").cast("long") * col("out_w") * col("out_h") /
+          (col("width").cast("long") * col("height"))).cast("long"))
+      .orderBy("doc_id")
+
   /** Per-modality rollup over extracted features — decode feeding a
     * relational aggregate, the end-to-end pipeline shape. */
   def modalityStats(s: SparkSession, dir: String): DataFrame = {
@@ -202,6 +226,24 @@ object Multimodal {
          |  fs[1] AS f0, fs[2] AS f1, fs[3] AS f2, fs[4] AS f3,
          |  fs[5] AS f4, fs[6] AS f5, fs[7] AS f6, fs[8] AS f7
          |FROM f ORDER BY doc_id""".stripMargin)(mediaFeatures),
+
+    QueryDef.sql("mm_resize",
+      s"""WITH m AS (
+         |  SELECT doc_id, $MediaTypeSql AS media_type,
+         |    CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
+         |    CAST(64 + (doc_id % 4) * 32 AS INT) AS height,
+         |    CAST(octet_length(encode(text)) AS INT) AS n_bytes
+         |  FROM documents)
+         |SELECT doc_id, media_type, width, height, n_bytes,
+         |  CAST(CASE WHEN width >= height THEN 64
+         |       ELSE greatest(1, (width * 64) // height) END AS INT) AS out_w,
+         |  CAST(CASE WHEN width >= height
+         |       THEN greatest(1, (height * 64) // width)
+         |       ELSE 64 END AS INT) AS out_h,
+         |  CAST((CAST(n_bytes AS BIGINT) * out_w * out_h)
+         |    // (CAST(width AS BIGINT) * height) AS BIGINT) AS est_bytes
+         |FROM m ORDER BY doc_id""".stripMargin)(
+      (s, dir) => mediaResize(s, dir)),
 
     QueryDef.sql("mm_video_frames",
       """WITH v AS (
