@@ -150,17 +150,19 @@ object Multimodal {
       .select(col("doc_id"), col("media_type"),
         col("width"), col("height"),
         length(col("payload")).as("n_bytes"))
+      // `div` = exact integer division, matching the oracle's `//` at
+      // ANY magnitude (double `/`+cast agrees only below 2^53)
       .withColumn("out_w",
         when(col("width") >= col("height"), lit(box))
           .otherwise(greatest(lit(1),
-            (col("width") * box / col("height")).cast("int"))))
+            expr(s"(width * $box) div height").cast("int"))))
       .withColumn("out_h",
         when(col("width") >= col("height"),
-          greatest(lit(1), (col("height") * box / col("width")).cast("int")))
+          greatest(lit(1), expr(s"(height * $box) div width").cast("int")))
           .otherwise(lit(box)))
       .withColumn("est_bytes",
-        (col("n_bytes").cast("long") * col("out_w") * col("out_h") /
-          (col("width").cast("long") * col("height"))).cast("long"))
+        expr("(CAST(n_bytes AS BIGINT) * out_w * out_h) div " +
+          "(CAST(width AS BIGINT) * height)"))
       .orderBy("doc_id")
 
   /** Per-modality rollup over extracted features — decode feeding a
@@ -190,6 +192,8 @@ object Multimodal {
 
   private val MediaTypeSql =
     "(['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]"
+  private val WidthSql = "CAST(64 + (doc_id % 8) * 32 AS INT)"
+  private val HeightSql = "CAST(64 + (doc_id % 4) * 32 AS INT)"
 
   /** Per-char ascii codes of `text` — the oracle's view of the payload
     * bytes (valid because the fixture is pure ASCII). */
@@ -202,8 +206,8 @@ object Multimodal {
          |  $MediaTypeSql AS media_type,
          |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
          |  sha256(text) AS payload_sha,
-         |  CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
-         |  CAST(64 + (doc_id % 4) * 32 AS INT) AS height,
+         |  $WidthSql AS width,
+         |  $HeightSql AS height,
          |  CAST(1 + (doc_id % 16) AS INT) AS n_frames
          |FROM documents ORDER BY doc_id""".stripMargin)(mediaMetadata),
 
@@ -230,8 +234,8 @@ object Multimodal {
     QueryDef.sql("mm_resize",
       s"""WITH m AS (
          |  SELECT doc_id, $MediaTypeSql AS media_type,
-         |    CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
-         |    CAST(64 + (doc_id % 4) * 32 AS INT) AS height,
+         |    $WidthSql AS width,
+         |    $HeightSql AS height,
          |    CAST(octet_length(encode(text)) AS INT) AS n_bytes
          |  FROM documents)
          |SELECT doc_id, media_type, width, height, n_bytes,

@@ -66,6 +66,22 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
+  /** Fixed-priority argmax over per-language scores (en>de>es>fr on
+    * ties) — ONE definition shared by both language-ID variants, with
+    * [[argmaxLangSql]] as its SQL twin (edit both together: the oracle
+    * equality depends on them agreeing). */
+  private def argmaxLang(en: Column, de: Column, es: Column, fr: Column): Column =
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+
+  private val argmaxLangSql: String =
+    """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_es >= s_fr THEN 'es'
+      |       ELSE 'fr' END""".stripMargin
+
   /** Heuristic language ID: marker-stopword counts per language, argmax
     * with fixed priority en > de > es > fr on ties. */
   def languageId(documents: DataFrame): DataFrame = {
@@ -73,10 +89,7 @@ object TextAnalysis {
     val s = Seq("en", "de", "es", "fr").map(l =>
       l -> markerCount(ws, Stopwords(l)))
     val Seq(en, de, es, fr) = s.map(_._2)
-    val predicted = when(en >= de && en >= es && en >= fr, "en")
-      .when(de >= es && de >= fr, "de")
-      .when(es >= fr, "es")
-      .otherwise("fr")
+    val predicted = argmaxLang(en, de, es, fr)
     documents.select(
       col("doc_id"), col("lang"),
       en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"),
@@ -112,11 +125,7 @@ object TextAnalysis {
     val Seq(en, de, es, fr) =
       TrigramProfiles.map { case (l, _) => col(s"s_$l") }
     scored
-      .withColumn("predicted",
-        when(en >= de && en >= es && en >= fr, "en")
-          .when(de >= es && de >= fr, "de")
-          .when(es >= fr, "es")
-          .otherwise("fr"))
+      .withColumn("predicted", argmaxLang(en, de, es, fr))
       .orderBy("doc_id")
   }
 
@@ -231,10 +240,7 @@ object TextAnalysis {
          |    $en AS s_en, $de AS s_de, $es AS s_es, $fr AS s_fr
          |  FROM documents)
          |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
-         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-         |       WHEN s_es >= s_fr THEN 'es'
-         |       ELSE 'fr' END AS predicted
+         |  $argmaxLangSql AS predicted
          |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, dir) => languageId(Tables(s, dir, "documents")) },
 
@@ -248,10 +254,7 @@ object TextAnalysis {
          |    $scores
          |  FROM documents)
          |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
-         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-         |       WHEN s_es >= s_fr THEN 'es'
-         |       ELSE 'fr' END AS predicted
+         |  $argmaxLangSql AS predicted
          |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, dir) => languageIdNgram(Tables(s, dir, "documents")) },
 

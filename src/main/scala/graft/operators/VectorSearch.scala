@@ -196,7 +196,9 @@ object VectorSearch {
         (inter / (lit(HybridTerms.length) + size(dw).cast("double")
           - inter)).as("lex_score")
       })
-    emb.join(lex, col("vec_id") === col("doc_id"))
+    // explicit broadcast: the lexical side is a 2-column projection and
+    // must never force the vector side to shuffle (CI-asserted)
+    emb.join(broadcast(lex), col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("label"),
         scoreRef(col("embedding")).as("dense_score"),
         col("lex_score"),

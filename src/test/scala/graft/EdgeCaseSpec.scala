@@ -84,6 +84,21 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(Multimodal.sampleFrames(1L, Array.emptyByteArray, 4).isEmpty)
   }
 
+  test("n-gram language ID: texts shorter than a trigram score zero, no crash") {
+    // Spark's sequence(1, 0) counts DOWN — the length<3 guard is load-bearing
+    val df = spark.sql(
+      """SELECT * FROM VALUES (1L, 'x', ''), (2L, 'x', 'ab'),
+        |(3L, 'x', 'the cat') AS t(doc_id, lang, text)""".stripMargin)
+    val rows = TextAnalysis.languageIdNgram(df).collect()
+    assert(rows.length == 3)
+    rows.take(2).foreach { r =>
+      Seq("s_en", "s_de", "s_es", "s_fr").foreach(c =>
+        assert(r.getAs[Long](c) == 0L, s"doc ${r.getLong(0)} $c"))
+      assert(r.getAs[String]("predicted") == "en") // all-zero tie -> en
+    }
+    assert(rows(2).getAs[Long]("s_en") > 0) // 'the' trigram present
+  }
+
   test("int8 quantization drops zero vectors instead of dividing by zero") {
     import spark.implicits._
     val df = Seq(

@@ -69,6 +69,23 @@ class MultimodalSpec extends SparkSpecBase {
     assert(perDoc.length.toLong == videoDocs)
   }
 
+  test("resize planning: aspect preserved, long side hits the box") {
+    val rows = Multimodal.mediaResize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(ow <= 64 && oh <= 64 && ow >= 1 && oh >= 1)
+      if (w >= h) { assert(ow == 64); assert(oh == math.max(1, h * 64 / w)) }
+      else { assert(oh == 64); assert(ow == math.max(1, w * 64 / h)) }
+      assert(r.getAs[Long]("est_bytes") <= r.getAs[Int]("n_bytes").toLong)
+    }
+    // fixture dims are landscape by construction (width mod-8 grid >=
+    // height mod-4 grid); the portrait branch is covered by the per-row
+    // check above whenever dims allow, and by the oracle's CASE parity
+    assert(rows.exists(r => r.getAs[Int]("width") > r.getAs[Int]("height")))
+  }
+
   test("modality stats cover all documents") {
     val stats = Multimodal.modalityStats(spark, sf).collect()
     assert(stats.map(_.getAs[String]("media_type")).toSet ==

@@ -199,6 +199,15 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("hybrid search: lexical side broadcast, shuffle-free top-k") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = VectorSearch.hybridSearch(emb, docs)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
   test("KNN join broadcasts the query side, never shuffles candidates") {
     val df = VectorSearch.knnJoin(emb, 0 until 8, 5)
     val p = plan(df)
