@@ -132,7 +132,8 @@ case class ShingleHashesExpr(child: Expression, n: Int)
   * array; null element -> null result (same contract as
   * [[ShingleHashesExpr]], whose hashes these strings produce under
   * polyHash). */
-case class ShingleStringsExpr(child: Expression, n: Int)
+case class ShingleStringsExpr(child: Expression, n: Int,
+    sep: String = " ")
     extends UnaryExpression with ArrayKernelExpr {
 
   require(n >= 1)
@@ -149,7 +150,7 @@ case class ShingleStringsExpr(child: Expression, n: Int)
     val m = arr.numElements()
     val cnt = math.max(m - n + 1, 0)
     val out = new Array[org.apache.spark.unsafe.types.UTF8String](cnt)
-    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(sep)
     val tmp = new Array[org.apache.spark.unsafe.types.UTF8String](n)
     var i = 0
     while (i < cnt) {
@@ -175,21 +176,23 @@ case class ShingleStringsExpr(child: Expression, n: Int)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val u8 = "org.apache.spark.unsafe.types.UTF8String"
-      val sep = ctx.freshName("sep")
+      // the separator rides along as a reference object (hoisted once
+      // per task, not allocated per shingle)
+      val sepRef = ctx.addReferenceObj("sep",
+        org.apache.spark.unsafe.types.UTF8String.fromString(sep), u8)
       s"""
          |boolean $nf = false;
          |final int $m = $a.numElements();
          |final int $cnt = java.lang.Math.max($m - ${n - 1}, 0);
          |final $u8[] $out = new $u8[$cnt];
          |final $u8[] $tmp = new $u8[$n];
-         |final $u8 $sep = $u8.fromString(" ");
          |for (int $i = 0; $i < $cnt && !$nf; $i++) {
          |  for (int $j = 0; $j < $n; $j++) {
          |    if ($a.isNullAt($i + $j)) { $nf = true; break; }
          |    $tmp[$j] = $a.getUTF8String($i + $j);
          |  }
          |  if (!$nf) {
-         |    $out[$i] = $u8.concatWs($sep, $tmp);
+         |    $out[$i] = $u8.concatWs($sepRef, $tmp);
          |  }
          |}
          |if (!$nf) {
@@ -570,9 +573,10 @@ object TextHashExpressions {
   /** per-word poly-hashes (= shingleHashes with n=1). */
   def wordHashes(words: Column): Column = shingleHashes(words, 1)
 
-  /** n-word shingle strings (space-joined), codegen'd. */
-  def shingleStrings(words: Column, n: Int): Column =
-    ColumnShim.column(ShingleStringsExpr(ColumnShim.expression(words), n))
+  /** n-word shingle strings (sep-joined; default space), codegen'd.
+    * sep="" over a character array gives character n-grams. */
+  def shingleStrings(words: Column, n: Int, sep: String = " "): Column =
+    ColumnShim.column(ShingleStringsExpr(ColumnShim.expression(words), n, sep))
 
   /** MinHash signature array. */
   def minhashSig(hashes: Column, numHashes: Int): Column =
