@@ -58,10 +58,16 @@ object Events {
   /** Classic gap-based sessionization: a session breaks after >30 min of
     * user inactivity. One shuffle on user_id; both window passes reuse the
     * same partitioning (no second exchange). */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeOn(load(s, dir))
+
+  /** Core of [[sessionize]] over any (user_id, ts_us, event_id) frame —
+    * separable so the exactly-gap boundary semantics (STRICTLY-greater
+    * splits, unlike session_window's >=) are unit-testable. */
+  def sessionizeOn(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    load(s, dir)
+    ev
       .select(col("user_id"), col("ts_us"), col("event_id"))
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
       .withColumn("new_sess",
@@ -160,10 +166,13 @@ object Events {
   /** Sessionization via Spark's NATIVE `session_window` aggregate — the
     * built-in face of [[sessionize]]'s hand-rolled window pass (and of
     * the streaming flatMapGroupsWithState sessionizer). Boundary
-    * semantics differ from [[sessionize]] by design: session_window
-    * merges on OVERLAP (gap strictly greater merges; an exactly-gap
-    * separation splits), so the oracle replicates the `>=` split rule.
-    * Window end = last event + gap (the built-in's convention). */
+    * semantics MATCH [[sessionize]]: each event spans [t, t+gap] and
+    * sessions merge on touch, so an exactly-gap separation still merges
+    * and only a STRICTLY greater gap splits (pinned by the exactly-gap
+    * unit test in PipelineSpec — an earlier `>=` reading of the split
+    * rule was wrong and survived only because the fixture has no
+    * exactly-gap pair). The two formulations differ only in the output
+    * convention: window end = last event + gap. */
   def sessionWindows(s: SparkSession, dir: String): DataFrame =
     load(s, dir)
       .groupBy(col("user_id"),
@@ -384,7 +393,7 @@ object Events {
       """WITH flagged AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,26 +80,72 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** pack_id = cum_before div budget, as exact INTEGER division — the
+    * double-division formulation is exact only below 2^53, and per-lang
+    * cumulative token counts exceed that at the 100 TB posture (same
+    * class of fix as mm_resize; the oracle uses `//`). */
+  def packId(cumBefore: Column, budgetTokens: Long): Column =
+    call_function("div", cumBefore, lit(budgetTokens))
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * sequences (streaming first-fit within each lang, doc_id order) —
     * the step that turns a curated corpus into packed training rows.
     * pack_id = exclusive-running-token-count div budget: deterministic,
-    * one window shuffle on lang, and packs overflow by at most one
-    * document (the well-defined streaming-packing trade-off; bin-
-    * packing exactly would be a driver-side loop and is deliberately
-    * not offered). Token counts are the fused word-stats BPE estimate. */
+    * and packs overflow by at most one document (the well-defined
+    * streaming-packing trade-off; bin-packing exactly would be a
+    * driver-side loop and is deliberately not offered). Token counts
+    * are the fused word-stats BPE estimate.
+    *
+    * Scale shape: the per-lang running sum is a TWO-PHASE prefix sum,
+    * not one window per lang (which is one task per lang — the English
+    * partition of a 100 TB corpus on a single core). Documents fall
+    * into deterministic doc_id blocks (`blk = doc_id div blockDocs`,
+    * order-preserving because doc_id orders both); phase 1 computes
+    * within-block running sums with a window per (lang, blk) — one
+    * task per block, so a giant language spreads over n_docs/blockDocs
+    * tasks; phase 2 turns per-block token TOTALS (block-cardinality,
+    * tiny) into block start offsets with a per-lang window over blocks,
+    * broadcast back. Both phases branch off the SAME repartition
+    * exchange (ReuseExchange — CI-asserted single scan), and all
+    * arithmetic is exact long addition, so the decomposition is
+    * bit-identical to the sequential fold at any scale. */
   def sequencePack(s: SparkSession, dir: String,
-      budgetTokens: Long = 2048L): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables(s, dir, "documents")
+      budgetTokens: Long = 2048L, blockDocs: Long = 4096L): DataFrame = {
+    val base = Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         graft.functions.TextHashExpressions.wordStats(words(col("text")))
           .getField("bpe_tokens").as("tokens"))
-      .withColumn("cum_before",
-        coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("blk", call_function("div", col("doc_id"), lit(blockDocs)))
+      // explicit key-null filter BEFORE the shared exchange: the join
+      // below would infer it per-branch at different depths, making the
+      // two exchange subtrees canonically unequal — which silently
+      // defeats ReuseExchange and doubles the scan + tokenize
+      .where(col("lang").isNotNull && col("blk").isNotNull)
+      // ONE explicit shuffle feeds both phases: the per-row window needs
+      // exactly this distribution, and the totals aggregate reuses the
+      // exchange instead of re-scanning (and re-tokenizing) the corpus
+      .repartition(col("lang"), col("blk"))
+    val wIn = Window.partitionBy(col("lang"), col("blk"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val inBlock = base.withColumn("cum_in",
+      coalesce(sum(col("tokens")).over(wIn), lit(0L)))
+    // the offsets window orders blocks by min(doc_id), which is the
+    // same order as blk (blocks are monotone in doc_id) — chosen over
+    // blk itself so doc_id stays REFERENCED in this branch: otherwise
+    // column pruning projects different columns below the two uses of
+    // the exchange and ReuseExchange no longer fires
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("blk_min_doc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("lang"), col("blk"))
+      .agg(sum(col("tokens")).as("blk_total"),
+        min(col("doc_id")).as("blk_min_doc"))
+      .withColumn("blk_offset",
+        coalesce(sum(col("blk_total")).over(wOff), lit(0L)))
+      .select(col("lang"), col("blk"), col("blk_offset"))
+    inBlock.join(broadcast(offsets), Seq("lang", "blk"))
+      .withColumn("cum_before", col("blk_offset") + col("cum_in"))
       .select(col("doc_id"), col("lang"), col("tokens"),
-        (col("cum_before") / budgetTokens).cast("long").as("pack_id"),
+        packId(col("cum_before"), budgetTokens).as("pack_id"),
         (col("cum_before") % budgetTokens).as("pack_offset"))
       .orderBy("doc_id")
   }

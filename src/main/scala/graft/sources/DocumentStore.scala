@@ -133,8 +133,16 @@ object DocumentStore {
     * `spark.sql.files.maxPartitionBytes`). Rewrites ONLY the named
     * partition: read → repartition → write to a staging directory →
     * atomic-ish swap (rename), leaving other collections' files
-    * untouched. Readers see old-or-new, never a partial mix, matching
-    * the store's immutable-snapshot read model. */
+    * untouched. Readers see the OLD files, the NEW files, or — for the
+    * instant between the two renames — an ABSENT partition (which
+    * [[read]] defines as an empty collection); never a partial mix of
+    * generations. A crash between the renames leaves the only copy in
+    * the `.compact_old_` backup dir, invisible to readers until
+    * [[recoverCompaction]] restores it — run it on store startup (or
+    * after any compaction crash) before serving. A table format with a
+    * manifest/transaction log (Delta/Iceberg) removes the absent
+    * window entirely; for raw parquet, rename+recover is the
+    * contract. */
   def compactCollection(spark: SparkSession, tablePath: String,
       collection: String, targetFiles: Int = 1): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -169,5 +177,28 @@ object DocumentStore {
         s"compaction swap failed for $dir — rolled back to the original")
     }
     fs.delete(backup, true)
+  }
+
+  /** Recover from a crash mid-[[compactCollection]] swap: if the live
+    * partition directory is absent but the `.compact_old_` backup
+    * exists, restore the backup and drop any staging leftovers.
+    * Idempotent; returns true iff a restore happened. Call on store
+    * startup before serving reads. */
+  def recoverCompaction(spark: SparkSession, tablePath: String,
+      collection: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$tablePath/collection=$collection")
+    val fs = dir.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$tablePath/.compact_tmp_collection=$collection")
+    val backup = new org.apache.hadoop.fs.Path(
+      s"$tablePath/.compact_old_collection=$collection")
+    if (!fs.exists(dir) && fs.exists(backup)) {
+      require(fs.rename(backup, dir),
+        s"compaction recovery: could not restore $backup to $dir")
+      fs.delete(staging, true)
+      true
+    } else false
   }
 }

@@ -106,4 +106,75 @@ class DocumentStoreSpec extends SparkSpecBase {
     // the other collection's files were not touched
     assert(DocumentStore.read(spark, table, Some("c2")).count() == 10)
   }
+
+  private def tenRows(collection: String) = {
+    import org.apache.spark.sql.functions._
+    spark.range(10).select(
+      lit(collection).as("collection"), col("id").cast("string").as("doc_id"),
+      lit("n").as("doc_name"), lit("s").as("doc_source"),
+      lit(1).as("chunk_idx"), lit("t").as("text"),
+      array(lit(1.0)).as("embedding"), lit("ms").as("meta_source"),
+      lit("mn").as("meta_name"), lit(0.5).as("semantic_score"))
+  }
+
+  test("crash mid-compaction swap: defined empty read, recoverCompaction restores") {
+    val table = tmp() + "/table"
+    DocumentStore.store(tenRows("c1"), table)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window between compaction's two renames: the
+    // live dir is moved aside, the compacted dir never moved in
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$table/collection=c1"),
+      new org.apache.hadoop.fs.Path(s"$table/.compact_old_collection=c1")))
+    // a reader in the window sees an ABSENT partition = a defined empty
+    assert(DocumentStore.read(spark, table, Some("c1")).count() == 0)
+    // startup recovery restores the backup; idempotent second call no-ops
+    assert(DocumentStore.recoverCompaction(spark, table, "c1"))
+    assert(DocumentStore.read(spark, table, Some("c1")).count() == 10)
+    assert(!DocumentStore.recoverCompaction(spark, table, "c1"))
+    assert(DocumentStore.read(spark, table, Some("c1")).count() == 10)
+  }
+
+  test("store lifecycle is FS-agnostic: non-default scheme (s3a stand-in)") {
+    // the reference's storage system is an object store (MinIO,
+    // main.go:131-143); every store/compact/recover path here goes
+    // through the Hadoop FileSystem API only, proven by running the
+    // full lifecycle on a scheme that is NOT the default local fs —
+    // the same seam an s3a:// URI plugs into on a real cluster
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val table = s"graftfs://${tmp()}/table"
+    DocumentStore.store(tenRows("c1"), table)
+    DocumentStore.store(tenRows("c2"), table)
+    assert(DocumentStore.read(spark, table).count() == 20)
+    assert(DocumentStore.read(spark, table, Some("c1")).count() == 10)
+    // append-per-request files compact on the foreign scheme too
+    (0 until 3).foreach(_ => DocumentStore.store(tenRows("c1"), table))
+    DocumentStore.compactCollection(spark, table, "c1")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.getUri.getScheme == "graftfs")
+    val dataFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$table/collection=c1"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(dataFiles == 1)
+    assert(DocumentStore.read(spark, table, Some("c1")).count() == 40)
+    // crash-window recovery uses the same FS handle
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$table/collection=c2"),
+      new org.apache.hadoop.fs.Path(s"$table/.compact_old_collection=c2")))
+    assert(DocumentStore.recoverCompaction(spark, table, "c2"))
+    assert(DocumentStore.read(spark, table, Some("c2")).count() == 10)
+    DocumentStore.deleteCollection(spark, table, "c2")
+    assert(DocumentStore.read(spark, table).count() == 40)
+  }
+}
+
+/** A local filesystem surfaced under a NON-default URI scheme
+  * (`graftfs://`) — the standard Hadoop-test stand-in for an object
+  * store: everything flows through the `FileSystem` API exactly as an
+  * `s3a://` path would, with none of the default-scheme shortcuts. */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }

@@ -133,6 +133,18 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(rows.length.toLong == clicksOnly.count())
   }
 
+  test("pack_id integer div stays exact past 2^53 where double division rounds") {
+    // doubles at 2^60 have spacing 256: +2047 rounds to +2048, so the
+    // retired double-division formulation lands one pack too high
+    val cum = (1L << 60) + 2047L
+    val row = spark.range(1).select(
+      Pipeline.packId(lit(cum), 2048L).as("exact"),
+      (lit(cum) / lit(2048L)).cast("long").as("via_double")).head
+    assert(row.getAs[Long]("exact") == cum / 2048L)
+    assert(row.getAs[Long]("via_double") != cum / 2048L,
+      "double division should be inexact here — exactness fix is load-bearing")
+  }
+
   test("session_window of a single event is a gap-length session") {
     import spark.implicits._
     val one = Seq((7L, 1000000L)).toDF("user_id", "ts_us")

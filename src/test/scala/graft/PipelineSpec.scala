@@ -162,18 +162,60 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n_events")).sum == Events.load(spark, sf).count())
   }
 
-  test("native session_window agrees with hand-rolled sessionize off-boundary") {
+  test("native session_window agrees with hand-rolled sessionize everywhere") {
     import graft.operators.Events
+    // membership semantics are IDENTICAL (merge-on-touch, split strictly
+    // past the gap — pinned by the exactly-gap test below), so the two
+    // formulations must agree exactly, not just off-boundary
     val sw = Events.sessionWindows(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ws_us"),
         r.getAs[Long]("n_events")))
     val hand = Events.sessionize(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
         r.getAs[Long]("n_events")))
-    // boundary semantics differ only at EXACTLY-gap separations (rare to
-    // nonexistent in the fixture); if none, the two agree completely
-    if (sw.length == hand.length) assert(sw.toSet == hand.toSet)
-    else assert(sw.length >= hand.length) // session_window splits more
+    assert(sw.length == hand.length)
+    assert(sw.toSet == hand.toSet)
+  }
+
+  test("exactly-gap separation MERGES in both session formulations") {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000 // == the 30-minute session gap
+    def nativeSessions(sepUs: Long) =
+      Seq((7L, 0L), (7L, sepUs)).toDF("user_id", "ts_us")
+        .withColumn("event_time", timestamp_micros(col("ts_us")))
+        .groupBy(col("user_id"),
+          session_window(col("event_time"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("sw.end")).as("we_us"), col("n_events"))
+        .collect()
+    def handSessions(sepUs: Long) =
+      Events.sessionizeOn(Seq((7L, 0L, 1L), (7L, sepUs, 2L))
+        .toDF("user_id", "ts_us", "event_id")).collect()
+    // AT the gap: one session in both (events span [t, t+gap] and merge
+    // on touch — the `>` split rule the ev_session_window oracle encodes;
+    // an earlier `>=` reading was wrong and this pins the boundary)
+    val swAt = nativeSessions(gapUs)
+    assert(swAt.length == 1, "session_window must merge at exactly-gap")
+    assert(swAt.head.getAs[Long]("n_events") == 2L)
+    assert(swAt.head.getAs[Long]("we_us") == gapUs + gapUs) // end = last + gap
+    val handAt = handSessions(gapUs)
+    assert(handAt.length == 1, "sessionize must merge at exactly-gap")
+    assert(handAt.head.getAs[Long]("n_events") == 2L)
+    // one microsecond PAST the gap: both split
+    assert(nativeSessions(gapUs + 1L).length == 2)
+    assert(handSessions(gapUs + 1L).length == 2)
+  }
+
+  test("sequence packing: block decomposition is exact at any block size") {
+    def rows(blockDocs: Long) =
+      Pipeline.sequencePack(spark, sf, 2048L, blockDocs).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+          r.getAs[Long]("tokens"), r.getAs[Long]("pack_id"),
+          r.getAs[Long]("pack_offset"))).toSeq
+    val oneBlock = rows(Long.MaxValue) // degenerate: the sequential fold
+    assert(oneBlock.nonEmpty)
+    assert(rows(16L) == oneBlock)   // many blocks per lang
+    assert(rows(4096L) == oneBlock) // the default
   }
 
   test("int8 quantization: bounded reconstruction error, q_sum consistent") {

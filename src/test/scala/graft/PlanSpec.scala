@@ -194,9 +194,23 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_count"), p)
   }
 
-  test("sequence packing: single stratum shuffle feeds the running window") {
-    val p = plan(operators.Pipeline.sequencePack(spark, sf))
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  test("sequence packing: two-phase prefix sum parallelizes within a lang") {
+    val df = operators.Pipeline.sequencePack(spark, sf, 2048L, 64L)
+    val p0 = plan(df)
+    // per-row work partitions by (lang, blk): many tasks per language,
+    // not the one-core-per-lang single-window shape
+    assert("hashpartitioning\\(lang#\\d+, blk".r.findAllIn(p0).nonEmpty, p0)
+    // the only full-row hash shuffle is the shared (lang, blk)
+    // repartition; the offsets window shuffles block TOTALS only
+    assert("Exchange hashpartitioning\\(lang#\\d+, blk".r
+      .findAllIn(p0).length == 2, p0) // one per branch pre-AQE...
+    // ...and AQE's runtime stage reuse collapses them: both phases
+    // must share ONE scan + shuffle, not re-scan/re-tokenize. AQE only
+    // dedupes at execution, so run the frame and read the final plan.
+    df.collect()
+    val pf = plan(df)
+    assert(pf.contains("isFinalPlan=true"), pf)
+    assert(pf.contains("ReusedExchange") || pf.contains("reused"), pf)
   }
 
   test("hybrid search: lexical side broadcast, shuffle-free top-k") {
