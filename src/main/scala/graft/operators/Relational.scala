@@ -98,14 +98,19 @@ object Relational {
     val li = Tables(s, dir, "lineitem")
     val n = Tables(s, dir, "nation")
     val r = Tables(s, dir, "region")
-    // customer ⋈ nation ⋈ region collapses to a small dim — broadcast it
-    // into orders so the only shuffle is orders ⋈ lineitem on orderkey.
+    // nation and region are TRUE dims (25 / 5 rows at any scale) —
+    // broadcast them into customer unconditionally. The result is a
+    // fifth of the CUSTOMER table: fact-sized, so it carries NO hint —
+    // join selection (stats + AQE) broadcasts it while it fits and
+    // shuffles orders ⋈ customer on custkey past the threshold, which
+    // is the plan that survives 100×. (A forced broadcast here OOMs
+    // the driver building a customer-cardinality hash relation.)
     val custDim = c
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .where(col("r_name") === "ASIA")
       .select(col("c_custkey"), col("n_name"))
-    o.join(broadcast(custDim), col("o_custkey") === col("c_custkey"))
+    o.join(custDim, col("o_custkey") === col("c_custkey"))
       .join(li, col("l_orderkey") === col("o_orderkey"))
       .groupBy("n_name")
       .agg(

@@ -35,6 +35,25 @@ object VectorSearch {
   val Query: Array[Double] = syntheticQuery(Dim)
   val QueryNorm: Array[Double] = normalize(Query)
 
+  /** Hint `broadcast(df)` only when the optimizer's size estimate fits
+    * the session's `autoBroadcastJoinThreshold`; otherwise return the
+    * frame unhinted so join selection (and AQE, with runtime sizes)
+    * picks a shuffle join. An unconditional hint is a scale trap: the
+    * build sides gated here (the lexical score relation, a filter's
+    * surviving-id set) grow with the CORPUS, and force-broadcasting a
+    * corpus-sized relation OOMs the driver at 100 TB. The gate keeps
+    * the small-side fast path (vector scan never shuffles) exactly
+    * while it is safe — the same size rule Spark's own join selection
+    * applies — and degrades to a shuffle join past it. */
+  private[operators] def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val threshold = org.apache.spark.sql.graftshim.ConfShim
+      .autoBroadcastJoinThreshold(df.sparkSession)
+    if (threshold > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+      broadcast(df)
+    else df
+  }
+
   /** score = dot(q_normalized, v) — the reference's half-normalized
     * "cosine" (main.go:246, Q1). */
   def scoreRef(emb: Column): Column = V.dot(vecLit(QueryNorm), emb)
@@ -92,12 +111,14 @@ object VectorSearch {
     * the documents scan), then only surviving ids are scored: a
     * broadcast semi-join keeps the big vector scan shuffle-free, and at
     * scale a selective filter turns the top-k into a scan of the
-    * surviving fraction only. */
+    * surviving fraction only. The broadcast is size-GATED
+    * ([[broadcastIfSmall]]): a permissive filter leaves a corpus-sized
+    * id set, which must shuffle-join instead of OOMing the driver. */
   def filteredTopK(emb: DataFrame, docs: DataFrame, lang: String,
       minChars: Long, k: Int = K): DataFrame = {
     val keep = docs.where(col("lang") === lang && col("n_chars") >= minChars)
       .select(col("doc_id"))
-    emb.join(broadcast(keep), col("vec_id") === col("doc_id"), "left_semi")
+    emb.join(broadcastIfSmall(keep), col("vec_id") === col("doc_id"), "left_semi")
       .select(col("vec_id"), col("label"),
         scoreRef(col("embedding")).as("similarity"))
       .orderBy(col("similarity").desc, col("vec_id"))
@@ -196,9 +217,12 @@ object VectorSearch {
         (inter / (lit(HybridTerms.length) + size(dw).cast("double")
           - inter)).as("lex_score")
       })
-    // explicit broadcast: the lexical side is a 2-column projection and
-    // must never force the vector side to shuffle (CI-asserted)
-    emb.join(broadcast(lex), col("vec_id") === col("doc_id"))
+    // size-gated broadcast: the lexical side is a 2-column projection
+    // but ONE ROW PER DOCUMENT — corpus cardinality, not a dim. While
+    // it fits the broadcast threshold the vector side never shuffles
+    // (CI-asserted); past it the hint would OOM the driver, so the
+    // join degrades to a shuffle join on doc_id (see SCALING.md)
+    emb.join(broadcastIfSmall(lex), col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("label"),
         scoreRef(col("embedding")).as("dense_score"),
         col("lex_score"),

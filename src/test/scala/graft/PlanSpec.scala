@@ -22,6 +22,14 @@ class PlanSpec extends SparkSpecBase {
 
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  private def withConf(key: String, value: String)(f: => Unit): Unit = {
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try f finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  private val BroadcastThresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
@@ -50,11 +58,26 @@ class PlanSpec extends SparkSpecBase {
 
   test("revenue-by-nation broadcasts every dimension side") {
     val p = plan(Relational.revenueByNation(spark, sf))
+    // at fixture scale, stats-based selection still broadcasts all
+    // three joins (nation/region hinted; custDim under the threshold)
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
       s"expected >=3 broadcast joins in:\n$p")
     // the only shuffles: orders||lineitem join + final agg/sort
     assert(!p.contains("SortMergeJoin") ||
       "Exchange hashpartitioning".r.findAllIn(p).length <= 3)
+  }
+
+  test("revenue-by-nation: the customer-derived side is NOT force-broadcast") {
+    // disable auto-broadcast: hints alone decide. The fact-sized
+    // custDim must shuffle on custkey (the 100 TB regime); only the
+    // true dims (nation, region — fixed 25/5 rows) stay hinted.
+    withConf(BroadcastThresholdKey, "-1") {
+      val p = plan(Relational.revenueByNation(spark, sf))
+      assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+        s"only nation+region may broadcast when stats say 'big':\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"orders ⋈ customer must degrade to a shuffle join:\n$p")
+    }
   }
 
   test("column pruning: token stats scan reads only the needed columns") {
@@ -213,13 +236,31 @@ class PlanSpec extends SparkSpecBase {
     assert(pf.contains("ReusedExchange") || pf.contains("reused"), pf)
   }
 
-  test("hybrid search: lexical side broadcast, shuffle-free top-k") {
+  test("hybrid search: small regime — lexical side broadcast, shuffle-free top-k") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = VectorSearch.hybridSearch(emb, docs)
     val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("broadcast gates: corpus-sized build sides degrade to shuffle joins") {
+    // the lexical relation (hybrid) and surviving-id set (filtered) are
+    // corpus-cardinality: when the size estimate exceeds the broadcast
+    // threshold the gate must NOT hint, and the join shuffles instead
+    // of OOMing the driver. Simulated by disabling the threshold.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    withConf(BroadcastThresholdKey, "-1") {
+      val hybrid = plan(VectorSearch.hybridSearch(emb, docs))
+      assert(!hybrid.contains("BroadcastHashJoin"), hybrid)
+      assert(hybrid.contains("SortMergeJoin"), hybrid)
+      assert(hybrid.contains("TakeOrderedAndProject"), hybrid)
+      val filtered = plan(VectorSearch.filteredTopK(emb, docs, "en", 200L))
+      assert(!filtered.contains("BroadcastHashJoin"), filtered)
+      assert(filtered.contains("SortMergeJoin") && filtered.contains("LeftSemi"),
+        filtered)
+    }
   }
 
   test("KNN join broadcasts the query side, never shuffles candidates") {
