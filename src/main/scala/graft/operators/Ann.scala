@@ -185,11 +185,14 @@ object Ann {
     s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), " +
       s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (acc, x) -> acc + x))"
 
-  /** DuckDB fragment mirroring [[bucketCol]]. */
-  private val bucketSql: String =
+  /** DuckDB fragment mirroring [[bucketCol]] over an arbitrary
+    * DOUBLE[] expression (shared with Dedup's LSH-blocked near-dup). */
+  private[operators] def bucketSqlFor(v: String): String =
     Planes.zipWithIndex.map { case (p, j) =>
-      s"(CASE WHEN ${dotSeqSql(vecSql(p), embD, Dim)} > 0.0 THEN ${1 << j} ELSE 0 END)"
+      s"(CASE WHEN ${dotSeqSql(vecSql(p), v, Dim)} > 0.0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  private val bucketSql: String = bucketSqlFor(embD)
 
   private val probeList = ProbeBuckets.mkString(", ")
   private val centroidList = CentroidIds.mkString(", ")

@@ -326,7 +326,15 @@ object Dedup {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
-  /** Embedding-cosine near-dup pairs inside label blocks, cos >= 0.25. */
+  /** Embedding-cosine near-dup pairs inside label blocks, cos >= 0.25.
+    *
+    * VERIFY-SCALE / ground-truth formulation only: blocking on a
+    * metadata label is quadratic within a block, and a hot label at
+    * 100 TB is a killed stage. The scale path is
+    * [[embeddingNearDupLsh]] (blocks on the sign-LSH bucket, whose
+    * granularity is controlled by NPlanes, not by the data); its miss
+    * rate against this exact set is measured by
+    * [[embeddingNearDupRecall]]. */
   def embeddingNearDup(embeddings: DataFrame): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
     e.as("a").join(e.as("b"),
@@ -338,6 +346,56 @@ object Dedup {
         V.cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
       .where(col("cos_sim") >= 0.25)
       .orderBy("vec_id_1", "vec_id_2")
+  }
+
+  /** Embedding near-dup pairs blocked on the SIGN-LSH bucket
+    * ([[Ann.bucketCol]] — the same 8 fixed hyperplanes the ANN index
+    * uses): candidate pairs are generated only within a bucket, so the
+    * self-join is an equi-join on a data-independent key whose block
+    * count (2^NPlanes) is a CONFIG knob — more planes halve the block
+    * mass per plane, vs. label blocking where one hot label is a
+    * quadratic stage no config can split. Cosine-close vectors agree
+    * on most hyperplane signs, so near-dups overwhelmingly share a
+    * bucket (miss rate = [[embeddingNearDupRecall]], measured, not
+    * assumed). Bucket assignment is a scan-side codegen projection;
+    * the only shuffle is the (bucket) equi-join. */
+  def embeddingNearDupLsh(embeddings: DataFrame,
+      threshold: Double = 0.25): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      Ann.bucketCol(col("embedding")).as("bucket"), col("embedding"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_1"),
+        col("b.vec_id").as("vec_id_2"),
+        col("a.bucket").as("bucket"),
+        V.cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .orderBy("vec_id_1", "vec_id_2")
+  }
+
+  /** Recall of the LSH-blocked pairs against the UNBLOCKED exact pair
+    * set — the index-quality measurement for [[embeddingNearDupLsh]]
+    * (the embedding-space analogue of `ann_recall_at_k`). The blocked
+    * set is a strict subset of the exact set (same cosine predicate,
+    * extra same-bucket constraint), so recall = |blocked| / |exact| as
+    * plain counts. Deliberately quadratic: it COMPUTES the ground
+    * truth, so it runs at verify scale (or on a sample), never on the
+    * full corpus. */
+  def embeddingNearDupRecall(embeddings: DataFrame,
+      threshold: Double = 0.25): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      Ann.bucketCol(col("embedding")).as("bucket"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select((col("a.bucket") === col("b.bucket")).as("same_bucket"),
+        V.cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .agg(count(lit(1)).as("n_exact"),
+        count(when(col("same_bucket"), lit(1))).as("n_lsh"))
+      .select(col("n_exact"), col("n_lsh"),
+        when(col("n_exact") > 0,
+          col("n_lsh").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
   }
 
   // ------------------------------------------------------------------
@@ -493,19 +551,59 @@ object Dedup {
     },
 
     QueryDef.sql("dedup_embedding_cosine", {
-      val va = "CAST(a.embedding AS DOUBLE[])"
-      val vb = "CAST(b.embedding AS DOUBLE[])"
-      import graft.functions.VectorFunctions.dotSeqSql
-      val denom = s"(sqrt(${dotSeqSql(va, va, VectorSearch.Dim)}) * " +
-        s"sqrt(${dotSeqSql(vb, vb, VectorSearch.Dim)}))"
-      val cos = s"(CASE WHEN $denom > 0.0 THEN " +
-        s"${dotSeqSql(va, vb, VectorSearch.Dim)} / $denom END)"
+      val cos = cosSql("CAST(a.embedding AS DOUBLE[])",
+        "CAST(b.embedding AS DOUBLE[])")
       s"""SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
          |  a.label AS label, $cos AS cos_sim
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE $cos >= 0.25E0
          |ORDER BY vec_id_1, vec_id_2""".stripMargin
-    }) { (s, dir) => embeddingNearDup(Tables(s, dir, "embeddings")) }
+    }) { (s, dir) => embeddingNearDup(Tables(s, dir, "embeddings")) },
+
+    QueryDef.sql("dedup_embedding_lsh", {
+      val cos = cosSql("a.v", "b.v")
+      s"""WITH e0 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, v, CAST($BucketSql AS INT) AS bucket FROM e0)
+         |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         |  a.bucket AS bucket, $cos AS cos_sim
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE $cos >= 0.25E0
+         |ORDER BY vec_id_1, vec_id_2""".stripMargin
+    }) { (s, dir) => embeddingNearDupLsh(Tables(s, dir, "embeddings")) },
+
+    QueryDef.sql("dedup_embedding_recall", {
+      val cos = cosSql("a.v", "b.v")
+      s"""WITH e0 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, v, CAST($BucketSql AS INT) AS bucket FROM e0),
+         |p AS (
+         |  SELECT a.bucket = b.bucket AS same_bucket
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE $cos >= 0.25E0)
+         |SELECT count(*) AS n_exact,
+         |  count(*) FILTER (same_bucket) AS n_lsh,
+         |  CASE WHEN count(*) > 0
+         |    THEN CAST(count(*) FILTER (same_bucket) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) END AS recall
+         |FROM p""".stripMargin
+    }) { (s, dir) => embeddingNearDupRecall(Tables(s, dir, "embeddings")) }
   )
+
+  /** DuckDB fragment: guarded sequential-fold cosine (mirrors
+    * V.cosine's fold order bitwise). */
+  private def cosSql(va: String, vb: String): String = {
+    import graft.functions.VectorFunctions.dotSeqSql
+    val denom = s"(sqrt(${dotSeqSql(va, va, VectorSearch.Dim)}) * " +
+      s"sqrt(${dotSeqSql(vb, vb, VectorSearch.Dim)}))"
+    s"(CASE WHEN $denom > 0.0 THEN " +
+      s"${dotSeqSql(va, vb, VectorSearch.Dim)} / $denom END)"
+  }
+
+  /** DuckDB fragment: the sign-LSH bucket of the CTE-bound vector `v`
+    * (identical arithmetic to [[Ann.bucketCol]]). */
+  private def BucketSql: String = Ann.bucketSqlFor("v")
 }

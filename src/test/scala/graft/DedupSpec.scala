@@ -129,4 +129,29 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.forall(r => r.getAs[Long]("vec_id_1") < r.getAs[Long]("vec_id_2")))
     assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.25))
   }
+
+  test("LSH-blocked embedding near-dup ⊆ exact pairs; recall measures the gap") {
+    import graft.operators.Ann
+    val emb = Tables(spark, sf, "embeddings")
+    val lsh = Dedup.embeddingNearDupLsh(emb).collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.forall(r => r.getAs[Long]("vec_id_1") < r.getAs[Long]("vec_id_2")))
+    assert(lsh.forall(_.getAs[Double]("cos_sim") >= 0.25))
+    // every blocked pair genuinely shares its sign-LSH bucket
+    val buckets = emb.select(col("vec_id"),
+        Ann.bucketCol(col("embedding")).as("b")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("b")).toMap
+    lsh.foreach { r =>
+      assert(buckets(r.getAs[Long]("vec_id_1")) == r.getAs[Int]("bucket"))
+      assert(buckets(r.getAs[Long]("vec_id_2")) == r.getAs[Int]("bucket"))
+    }
+    // recall row: n_lsh == |blocked set|, n_exact >= n_lsh, ratio exact
+    val rec = Dedup.embeddingNearDupRecall(emb).head
+    val (nExact, nLsh) = (rec.getAs[Long]("n_exact"), rec.getAs[Long]("n_lsh"))
+    assert(nLsh == lsh.length.toLong)
+    assert(nExact >= nLsh && nExact > 0)
+    assert(rec.getAs[Double]("recall") == nLsh.toDouble / nExact.toDouble)
+    // the exact side of recall subsumes the label-blocked ground truth
+    assert(nExact >= Dedup.embeddingNearDup(emb).count())
+  }
 }
