@@ -131,4 +131,33 @@ class ReferenceWorkflowSpec extends SparkSpecBase {
     val fresh = Files.createTempDirectory("graft_api_fresh").toString + "/none"
     assert(Graft.search(spark, fresh, Array(1.0, 0.0), "x", 5).count() == 0)
   }
+
+  test("non-string metadata.source round-trips as its JSON text (SURVEY §1.2)") {
+    // the reference's Metadata.Source is `interface{}` (main.go:42) —
+    // arbitrary JSON. The port constrains it to ONE column type by
+    // carrying the value's JSON text: a string stays a string, an
+    // object/number/array surfaces as its serialized JSON. This pins
+    // that contract end-to-end through store -> search.
+    val drop = Files.createTempDirectory("graft_src_drop").toString
+    val table = Files.createTempDirectory("graft_src_store").toString
+    writeReq(drop, "a.json",
+      """{"collection_name":"alpha","documents":[
+        |{"text":"doc","metadata":{"source":{"bucket":"b1","path":"p/q"},"name":"docA"},
+        | "chunks":[
+        |  {"text":"c one","embedding":{"vector":[1.0,0.0]},
+        |   "metadata":{"source":42,"name":"a1"},"semantic_score":0.9},
+        |  {"text":"c two","embedding":{"vector":[0.0,1.0]},
+        |   "metadata":{"source":"plain","name":"a2"},"semantic_score":0.1}]}]}"""
+        .stripMargin.replace("\n", ""))
+    Graft.store(spark, drop, table)
+    val rows = Graft.search(spark, table, Array(1.0, 0.0), "alpha", 2)
+      .collect().sortBy(_.getAs[Int]("position"))
+    // chunk-level source: a JSON number arrives as its text
+    assert(rows(0).getAs[String]("metadata_source") == "42")
+    assert(rows(1).getAs[String]("metadata_source") == "plain")
+    // document-level source: the object arrives as its JSON text
+    val docSource = DocumentStore.read(spark, table, Some("alpha"))
+      .select("doc_source").head.getString(0)
+    assert(docSource == """{"bucket":"b1","path":"p/q"}""", docSource)
+  }
 }
