@@ -183,9 +183,10 @@ object Dedup {
     * (symmetric) edge set and takes the min — one shuffle per round,
     * O(component diameter) rounds (near-dup components are small dense
     * clusters, so 2-3 rounds in practice; cap + convergence check bound
-    * it; at true scale swap in the large-star/small-star O(log n)
-    * variant — same join-min primitive). The driver loop carries only
-    * a converged? count per round, never data. */
+    * it; for long-chain components use [[minhashClustersStar]] — the
+    * implemented O(log n) large-star/small-star variant, hash-matched
+    * against the same oracle). The driver loop carries only a
+    * converged? count per round, never data. */
   def minhashClusters(documents: DataFrame, threshold: Double = 0.5,
       maxIters: Int = 32): DataFrame = {
     // one shared shingle/signature relation feeds pairs AND the node set
@@ -210,9 +211,14 @@ object Dedup {
       val propagated = labels
         .join(edges, labels("doc_id") === edges("doc_id_1"))
         .select(col("doc_id_2").as("doc_id"), col("cluster_id"))
+      // localCheckpoint, not persist: each round's plan embeds the
+      // previous round's ~2×, and a persisted frame still hands the
+      // optimizer the full 2^round tree (the star solver hit this wall
+      // hard at 3^round). Checkpointing keeps per-round analysis O(1);
+      // the round count stays bounded by the convergence check.
       val next = labels.select("doc_id", "cluster_id").union(propagated)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .persist()
+        .localCheckpoint()
       val sumNow = labelSum(next)
       converged = sumNow == prevSum
       prevSum = sumNow
@@ -235,6 +241,110 @@ object Dedup {
     // labels feeds the caller's lazy `out` — release via releaseCaches()
     retainedCaches.add(labels)
     out
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the O(log n)-round solver [[minhashClusters]]' scaladoc
+    * names as the escape hatch for components whose DIAMETER exceeds
+    * what min-label propagation can walk (join-min needs one round per
+    * diameter step; a 10^6-node chain is 10^6 rounds).
+    *
+    *   - large-star: every node points its LARGER neighbours at the
+    *     minimum of its closed neighbourhood;
+    *   - small-star: every node and its SMALLER neighbours collapse
+    *     onto their minimum.
+    *
+    * Each round is two grouped mins + two joins keyed on node id —
+    * the same shuffle profile as one join-min round — and the edge set
+    * only ever shrinks toward a star forest, so the 100 TB cost is
+    * O(log n) bounded-size shuffles. Convergence = stable
+    * (count, xxhash64-sum) edge-set signature (order-independent;
+    * collision odds ~2^-64 — and a missed stop only costs one extra
+    * identical round, never a wrong answer... a non-converged exit
+    * still fails loudly like join-min).
+    *
+    * Returns (doc_id, cluster_id = min doc_id of the component). */
+  private[graft] def connectedComponentsStar(nodes: DataFrame,
+      undirected: DataFrame, maxIters: Int = 64): DataFrame = {
+    def sym(df: DataFrame): DataFrame =
+      df.union(df.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        // per-edge hash bounded to < 2^31 so the ANSI sum cannot
+        // overflow a long below ~2^32 edges per partition tree
+        coalesce(sum(pmod(xxhash64(col("src"), col("dst")),
+          lit(2147483647L))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    // LINEAGE DISCIPLINE: each round's edge set embeds the previous
+    // round's plan ~3× (self-join + grouped min + symmetrize), so
+    // carrying plain persisted frames across rounds hands Catalyst a
+    // 3^round-node logical tree — at ~8 rounds the OPTIMIZER, not the
+    // data, burns hours. localCheckpoint (eager) materializes each
+    // round AND truncates the plan to the checkpointed RDD, keeping
+    // every round's analysis O(1). On a cluster, reliable checkpoint()
+    // swaps in where executor loss must be survivable.
+    var e = sym(undirected.select(col("doc_id_1").as("src"),
+      col("doc_id_2").as("dst"))).localCheckpoint()
+    var sig = signature(e)
+    var iter = 0
+    var converged = sig._1 == 0L
+    while (iter < maxIters && !converged) {
+      // LARGE-STAR: m = min(neighbourhood ∪ self); larger nbrs -> m
+      val mins = e.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val ls = sym(e.join(mins, "src").where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")))
+      // SMALL-STAR: m = min(smaller nbrs ∪ self); they collapse onto m
+      val lower = ls.where(col("dst") < col("src"))
+      val minsS = lower.groupBy("src").agg(min(col("dst")).as("m"))
+      val ssDirected = lower.join(minsS, "src")
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(minsS.select(col("src"), col("m").as("dst")))
+        .distinct()
+      val next = sym(ssDirected).localCheckpoint()
+      val sigNow = signature(next)
+      converged = sigNow == sig
+      sig = sigNow
+      e.unpersist() // next is materialized; the old round's data can go
+      e = next
+      iter += 1
+    }
+    val stars = e.where(col("dst") < col("src")) // (node -> root) map
+    require(converged,
+      s"large-star/small-star did not converge within $maxIters rounds")
+    // at the fixpoint the lower-directed edges form a star forest: one
+    // root per component; isolated nodes label themselves. min() guards
+    // the (impossible at fixpoint) multi-edge case instead of dropping
+    // rows silently.
+    val roots = stars.groupBy("src").agg(min(col("dst")).as("root"))
+    val out = nodes.join(roots, nodes("doc_id") === roots("src"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    retainedCaches.add(e) // feeds the caller's lazy result
+    out
+  }
+
+  /** [[minhashClusters]] with the component solver swapped for
+    * [[connectedComponentsStar]] — identical clusters (same oracle as
+    * `dedup_clusters`, hash-matched), diameter-independent round count.
+    * This is the formulation to run when components can be long chains
+    * (adversarially chained near-dups, transitive paraphrase drift). */
+  def minhashClustersStar(documents: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = shingled(documents)
+    val verified = pairsFrom(sigs)
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"))
+    val labels = connectedComponentsStar(sigs.select(col("doc_id")), verified)
+    val w = Window.partitionBy(col("cluster_id"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** INCREMENTAL near-dup lookup: match a NEW batch of documents
@@ -457,37 +567,14 @@ object Dedup {
       (s, dir) => minhashPairs(Tables(s, dir, "documents"))
     },
 
-    QueryDef.sql("dedup_clusters",
-      s"""WITH RECURSIVE h AS (SELECT doc_id, $ShSql AS shingle_hashes FROM documents),
-         |h2 AS (SELECT * FROM h WHERE len(shingle_hashes) > 0),
-         |s AS (SELECT doc_id, shingle_hashes, $SigsSql AS sigs FROM h2),
-         |b AS (SELECT doc_id, shingle_hashes, $BandsSql AS bands FROM s),
-         |bl AS (SELECT doc_id, unnest(generate_series(0, ${Bands - 1})) AS band_idx,
-         |         unnest(bands) AS band_hash FROM b),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
-         |  FROM bl x JOIN bl y ON x.band_idx = y.band_idx
-         |    AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-         |verified AS (
-         |  SELECT doc_id_1, doc_id_2 FROM cand
-         |  JOIN h2 a ON a.doc_id = cand.doc_id_1
-         |  JOIN h2 b2 ON b2.doc_id = cand.doc_id_2
-         |  WHERE CAST(len(list_intersect(a.shingle_hashes, b2.shingle_hashes)) AS DOUBLE) /
-         |    CAST(len(a.shingle_hashes) + len(b2.shingle_hashes)
-         |      - len(list_intersect(a.shingle_hashes, b2.shingle_hashes)) AS DOUBLE)
-         |    >= 0.5E0),
-         |edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM verified
-         |  UNION ALL SELECT doc_id_2, doc_id_1 FROM verified),
-         |reach(node, lbl) AS (
-         |  SELECT doc_id, doc_id FROM h2
-         |  UNION
-         |  SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.node),
-         |lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
-         |  FROM reach GROUP BY node)
-         |SELECT doc_id, cluster_id,
-         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-         |  doc_id = cluster_id AS keep
-         |FROM lab ORDER BY doc_id""".stripMargin) {
+    QueryDef.sql("dedup_clusters", ClustersOracleSql) {
       (s, dir) => minhashClusters(Tables(s, dir, "documents"))
+    },
+
+    // identical oracle: the star solver must reproduce join-min's
+    // clusters bit-for-bit — only the round complexity differs
+    QueryDef.sql("dedup_clusters_star", ClustersOracleSql) {
+      (s, dir) => minhashClustersStar(Tables(s, dir, "documents"))
     },
 
     QueryDef.sql("dedup_incremental",
@@ -592,6 +679,40 @@ object Dedup {
          |FROM p""".stripMargin
     }) { (s, dir) => embeddingNearDupRecall(Tables(s, dir, "embeddings")) }
   )
+
+  /** Shared oracle for BOTH cluster formulations (join-min and
+    * large-star/small-star): connected components as a recursive CTE,
+    * labels = component minimum. */
+  private lazy val ClustersOracleSql: String =
+      s"""WITH RECURSIVE h AS (SELECT doc_id, $ShSql AS shingle_hashes FROM documents),
+         |h2 AS (SELECT * FROM h WHERE len(shingle_hashes) > 0),
+         |s AS (SELECT doc_id, shingle_hashes, $SigsSql AS sigs FROM h2),
+         |b AS (SELECT doc_id, shingle_hashes, $BandsSql AS bands FROM s),
+         |bl AS (SELECT doc_id, unnest(generate_series(0, ${Bands - 1})) AS band_idx,
+         |         unnest(bands) AS band_hash FROM b),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
+         |  FROM bl x JOIN bl y ON x.band_idx = y.band_idx
+         |    AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |verified AS (
+         |  SELECT doc_id_1, doc_id_2 FROM cand
+         |  JOIN h2 a ON a.doc_id = cand.doc_id_1
+         |  JOIN h2 b2 ON b2.doc_id = cand.doc_id_2
+         |  WHERE CAST(len(list_intersect(a.shingle_hashes, b2.shingle_hashes)) AS DOUBLE) /
+         |    CAST(len(a.shingle_hashes) + len(b2.shingle_hashes)
+         |      - len(list_intersect(a.shingle_hashes, b2.shingle_hashes)) AS DOUBLE)
+         |    >= 0.5E0),
+         |edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM verified
+         |  UNION ALL SELECT doc_id_2, doc_id_1 FROM verified),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM h2
+         |  UNION
+         |  SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.node),
+         |lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         |  FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  doc_id = cluster_id AS keep
+         |FROM lab ORDER BY doc_id""".stripMargin
 
   /** DuckDB fragment: guarded sequential-fold cosine (mirrors
     * V.cosine's fold order bitwise). */

@@ -111,6 +111,37 @@ class DedupSpec extends SparkSpecBase {
       .count())
   }
 
+  test("star solver clusters == join-min clusters on the fixture") {
+    val viaStar = Dedup.minhashClustersStar(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("keep"))).toSeq
+    val viaJoinMin = Dedup.minhashClusters(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("keep"))).toSeq
+    assert(viaStar == viaJoinMin)
+  }
+
+  test("star solver handles an adversarial long chain (diameter >> rounds)") {
+    import spark.implicits._
+    // a 300-node path: join-min needs ~300 rounds (past its cap); the
+    // star alternation must collapse it in O(log n)
+    val n = 300
+    val nodes = spark.range(n).select(col("id").as("doc_id"))
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_id_1", "doc_id_2")
+    val labels = Dedup.connectedComponentsStar(nodes, edges, maxIters = 16)
+      .collect()
+    assert(labels.length == n)
+    assert(labels.forall(_.getAs[Long]("cluster_id") == 0L))
+    // and disjoint singletons stay themselves
+    val lone = Dedup.connectedComponentsStar(
+      spark.range(5).select(col("id").as("doc_id")),
+      Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2")).collect()
+    assert(lone.forall(r =>
+      r.getAs[Long]("cluster_id") == r.getAs[Long]("doc_id")))
+    Dedup.releaseCaches()
+  }
+
   test("simhash: near-identical docs have close hamming distance") {
     val df = spark.sql(
       """SELECT * FROM VALUES
