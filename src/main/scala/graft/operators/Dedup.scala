@@ -471,17 +471,35 @@ object Dedup {
     * the only shuffle is the (bucket) equi-join. */
   def embeddingNearDupLsh(embeddings: DataFrame,
       threshold: Double = 0.25): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
-      Ann.bucketCol(col("embedding")).as("bucket"), col("embedding"))
+    val e = scoredSide(embeddings)
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id_1"),
         col("b.vec_id").as("vec_id_2"),
         col("a.bucket").as("bucket"),
-        V.cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        pairCosine.as("cos_sim"))
       .where(col("cos_sim") >= threshold)
       .orderBy("vec_id_1", "vec_id_2")
+  }
+
+  /** Pair-join side with the per-ROW work precomputed: double-cast
+    * vector, sign-LSH bucket, L2 norm. Folding the norms here instead
+    * of inside a per-pair cosine kernel turns O(pairs) norm folds into
+    * O(rows) — for an all-pairs ground-truth query that is the
+    * difference between 1 and ~5 array folds per pair. */
+  private def scoredSide(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", Ann.bucketCol(col("v")))
+      .withColumn("nrm", V.norm2(col("v")))
+
+  /** cos over a [[scoredSide]] self-join — IDENTICAL arithmetic to
+    * V.cosine (same folds, same operand order, same zero-norm→null
+    * guard), with the norms read from the precomputed columns. */
+  private def pairCosine: Column = {
+    val denom = col("a.nrm") * col("b.nrm")
+    when(denom > 0.0, V.dot(col("a.v"), col("b.v")) / denom)
   }
 
   /** Recall of the LSH-blocked pairs against the UNBLOCKED exact pair
@@ -494,11 +512,10 @@ object Dedup {
     * full corpus. */
   def embeddingNearDupRecall(embeddings: DataFrame,
       threshold: Double = 0.25): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
-      Ann.bucketCol(col("embedding")).as("bucket"), col("embedding"))
+    val e = scoredSide(embeddings)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select((col("a.bucket") === col("b.bucket")).as("same_bucket"),
-        V.cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        pairCosine.as("cos_sim"))
       .where(col("cos_sim") >= threshold)
       .agg(count(lit(1)).as("n_exact"),
         count(when(col("same_bucket"), lit(1))).as("n_lsh"))

@@ -61,10 +61,12 @@ object EventStream {
 
   /** Sessionization via the NATIVE streaming `session_window` aggregate —
     * the built-in face of [[sessionize]]: Spark's session-window state
-    * store merges overlapping windows and emits a session when the
-    * watermark passes its end. Same boundary semantics as the batch
-    * [[graft.operators.Events.sessionWindows]] (overlap merges,
-    * exactly-gap splits), so a replay hash-compares against it. */
+    * store merges touching-or-overlapping windows and emits a session
+    * when the watermark passes its end. Same boundary semantics as the
+    * batch [[graft.operators.Events.sessionWindows]] (merge-on-touch:
+    * an exactly-gap separation still MERGES; only strictly-greater
+    * splits — pinned by the exactly-gap tests), so a replay
+    * hash-compares against it. */
   def sessionWindowCounts(events: DataFrame): DataFrame =
     events
       .withColumn("event_time", timestamp_micros(col("ts_us")))

@@ -103,6 +103,46 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming exactly-gap separation merges in BOTH session faces") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1000L * 1000000
+    // stateful sessionizer: <= gap merges (batch sessionize's > rule)
+    val in1 = MemoryStream[Event]
+    val q1 = EventStream.sessionize(in1.toDS())
+      .writeStream.format("memory").queryName("gap_sessions")
+      .outputMode("append").start()
+    try {
+      in1.addData(Event(1L, t0, 7L, "click", 0.0),
+        Event(2L, t0 + EventStream.GapUs, 7L, "click", 0.0))
+      q1.processAllAvailable()
+      in1.addData(Event(-1L, t0 + 100L * EventStream.GapUs, 99L, "x", 0.0))
+      q1.processAllAvailable()
+      val s = spark.table("gap_sessions").as[Session].collect()
+        .filter(_.user_id == 7L)
+      assert(s.length == 1, "stateful sessionizer must merge at exactly-gap")
+      assert(s.head.n_events == 2)
+    } finally q1.stop()
+    // native session_window: merge-on-touch gives the same single session
+    val in2 = MemoryStream[Event]
+    val q2 = EventStream.sessionWindowCounts(in2.toDF())
+      .writeStream.format("memory").queryName("gap_native")
+      .outputMode("append").start()
+    try {
+      in2.addData(Event(1L, t0, 7L, "click", 0.0),
+        Event(2L, t0 + EventStream.GapUs, 7L, "click", 0.0))
+      q2.processAllAvailable()
+      in2.addData(Event(-1L, t0 + 100L * EventStream.GapUs, 99L, "x", 0.0))
+      q2.processAllAvailable()
+      val rows = spark.table("gap_native")
+        .where(col("user_id") === 7L).collect()
+      assert(rows.length == 1, "native session_window must merge at exactly-gap")
+      assert(rows.head.getAs[Long]("n_events") == 2L)
+      assert(rows.head.getAs[Long]("we_us") ==
+        t0 + EventStream.GapUs + EventStream.GapUs) // end = last + gap
+    } finally q2.stop()
+  }
+
   test("out-of-order event within the watermark extends a session backwards") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
