@@ -103,6 +103,40 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionization is micro-batch-split invariant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same fixture, but delivered as FOUR time-contiguous micro-batches
+    // (so no event is beyond-watermark) — sessions spanning a batch
+    // boundary must carry state across, yielding exactly the
+    // single-batch replay's (== the batch face's) sessions
+    val events = fixtureEvents.sortBy(e => (e.ts_us, e.event_id))
+    val chunks = events.grouped((events.length + 3) / 4).toSeq
+    val sentinelUser = 999999L
+    val maxTs = events.map(_.ts_us).max
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("split_sessions")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        input.addData(c)
+        q.processAllAvailable()
+      }
+      input.addData(Event(-1L, maxTs + 10L * EventStream.GapUs, sentinelUser, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("split_sessions").as[Session].collect()
+        .filter(_.user_id != sentinelUser)
+        .map(s => (s.user_id, s.start_us, s.end_us, s.n_events))
+        .toSet
+      val want = Events.sessionize(spark, sf).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+        .toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming exactly-gap separation merges in BOTH session faces") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
