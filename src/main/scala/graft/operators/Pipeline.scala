@@ -53,6 +53,32 @@ object Pipeline {
           .as("sample_rate"))
       .orderBy("lang")
 
+  /** Deterministic uniform sample via BOTTOM-K hashing: the k documents
+    * with the smallest affine hash of doc_id. Strictly better than the
+    * mod-based sampler when the id space is irregular (mod-k biases
+    * toward arithmetic patterns; an affine hash mod a prime does not),
+    * while keeping every property a training pipeline needs: membership
+    * is a pure row property (stable under any repartitioning,
+    * resumable, auditable), the sample is MERGEABLE (bottom-k of a
+    * union = bottom-k over each part's bottom-k — so per-shard samples
+    * combine exactly), and the plan is a zero-shuffle
+    * TakeOrderedAndProject: per-partition bounded heaps, k rows to the
+    * driver, no rand() nondeterminism anywhere. */
+  def bottomKSample(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val h = pmod(pmod(col("doc_id"), lit(SampleMod)) * SampleMult + SampleAdd,
+      lit(SampleMod))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), h.as("hkey"))
+      .orderBy(col("hkey"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** Affine-hash constants for [[bottomKSample]] — prime modulus keeps
+    * the map bias-free; all arithmetic stays below 2^61 (ANSI-safe). */
+  val SampleMod = 1000000007L
+  val SampleMult = 1103515245L % 1000000007L
+  val SampleAdd = 12345L
+
   /** The corpus-curation funnel: quality gate (length + stopword
     * density) then exact dedup, keeping one canonical doc per content
     * hash. Composes the fused word-stats/marker kernels with the
@@ -226,6 +252,14 @@ object Pipeline {
          |  CAST(cum_before % 2048 AS BIGINT) AS pack_offset
          |FROM p ORDER BY doc_id""".stripMargin
     })((s, dir) => sequencePack(s, dir)),
+
+    QueryDef.sql("pl_bottomk_sample",
+      s"""SELECT doc_id, lang, n_chars,
+         |  ((doc_id % $SampleMod) * $SampleMult + $SampleAdd) % $SampleMod
+         |    AS hkey
+         |FROM documents
+         |ORDER BY hkey, doc_id LIMIT 100""".stripMargin)(
+      (s, dir) => bottomKSample(s, dir)),
 
     QueryDef.sql("pl_chunk_documents",
       s"""WITH d AS (

@@ -58,6 +58,26 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("bottom-k sample: exact bottom-k by hash, mergeable across splits") {
+    val k = 50
+    val got = Pipeline.bottomKSample(spark, sf, k).collect()
+      .map(r => (r.getAs[Long]("hkey"), r.getAs[Long]("doc_id"))).toSeq
+    // driver-side ground truth over all ids
+    def h(id: Long) = ((id % Pipeline.SampleMod) * Pipeline.SampleMult
+      + Pipeline.SampleAdd) % Pipeline.SampleMod
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val want = ids.map(id => (h(id), id)).sorted.take(k).toSeq
+    assert(got == want)
+    // mergeability: bottom-k of the union == bottom-k over the two
+    // halves' bottom-k's — the property that lets per-shard samples
+    // combine without a global pass
+    val (even, odd) = ids.partition(_ % 2 == 0)
+    val merged = (even.map(id => (h(id), id)).sorted.take(k) ++
+      odd.map(id => (h(id), id)).sorted.take(k)).sorted.take(k).toSeq
+    assert(merged == want)
+  }
+
   test("chunking: overlapping windows cover every word exactly") {
     val chunks = Pipeline.chunkDocuments(spark, sf).collect()
       .groupBy(_.getAs[Long]("doc_id"))

@@ -236,6 +236,13 @@ class PlanSpec extends SparkSpecBase {
     assert(pf.contains("ReusedExchange") || pf.contains("reused"), pf)
   }
 
+  test("bottom-k sample plans as a zero-shuffle TakeOrderedAndProject") {
+    val df = operators.Pipeline.bottomKSample(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(nShuffles(df) == 0, p)
+  }
+
   test("hybrid search: small regime — lexical side broadcast, shuffle-free top-k") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = VectorSearch.hybridSearch(emb, docs)
