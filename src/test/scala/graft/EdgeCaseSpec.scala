@@ -99,6 +99,15 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(rows(2).getAs[Long]("s_en") > 0) // 'the' trigram present
   }
 
+  test("embedding LSH dedup and recall are defined on empty input") {
+    val empty = emptyLike(s"$sf/embeddings.parquet")
+    assert(Dedup.embeddingNearDupLsh(empty).count() == 0)
+    val r = Dedup.embeddingNearDupRecall(empty).head
+    assert(r.getAs[Long]("n_exact") == 0L)
+    assert(r.getAs[Long]("n_lsh") == 0L)
+    assert(r.isNullAt(r.fieldIndex("recall"))) // 0/0 -> null, not a throw
+  }
+
   test("int8 quantization drops zero vectors instead of dividing by zero") {
     import spark.implicits._
     val df = Seq(

@@ -236,6 +236,16 @@ class PlanSpec extends SparkSpecBase {
     assert(pf.contains("ReusedExchange") || pf.contains("reused"), pf)
   }
 
+  test("LSH embedding dedup: scan-side bucket/norm projection, one bucket-key join") {
+    val df = Dedup.embeddingNearDupLsh(emb)
+    val p = plan(df)
+    // per-row work (cast, bucket, norm) happens below the join; the only
+    // hash exchanges are the two sides of the bucket equi-join
+    assert("Exchange hashpartitioning\\(bucket".r.findAllIn(p).length <= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bottom-k sample plans as a zero-shuffle TakeOrderedAndProject") {
     val df = operators.Pipeline.bottomKSample(spark, sf)
     val p = plan(df)
