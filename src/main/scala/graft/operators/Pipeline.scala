@@ -168,7 +168,13 @@ object Pipeline {
       .withColumn("blk_offset",
         coalesce(sum(col("blk_total")).over(wOff), lit(0L)))
       .select(col("lang"), col("blk"), col("blk_offset"))
-    inBlock.join(broadcast(offsets), Seq("lang", "blk"))
+    // offsets is block-cardinality: n_docs/blockDocs rows — tiny for
+    // sane blockDocs, but it GROWS with the corpus, so the broadcast is
+    // size-gated (past the threshold the join shuffles on (lang, blk),
+    // which the row side is already partitioned by). blockDocs trades
+    // offsets size against per-lang parallelism; at 10^11 docs pick
+    // blockDocs ~1M to keep offsets in the low MBs.
+    inBlock.join(VectorSearch.broadcastIfSmall(offsets), Seq("lang", "blk"))
       .withColumn("cum_before", col("blk_offset") + col("cum_in"))
       .select(col("doc_id"), col("lang"), col("tokens"),
         packId(col("cum_before"), budgetTokens).as("pack_id"),

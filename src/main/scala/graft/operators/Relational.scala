@@ -127,7 +127,10 @@ object Relational {
   def topCustomersBySegment(s: SparkSession, dir: String, topN: Int = 3): DataFrame = {
     val c = Tables(s, dir, "customer")
     val o = Tables(s, dir, "orders")
-    val spend = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // customer is FACT-sized (same class as revenueByNation's custDim):
+    // no forced hint — stats/AQE broadcast it while small and shuffle
+    // orders ⋈ customer on custkey once it outgrows the threshold
+    val spend = o.join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment", "c_custkey")
       .agg(sum(money(col("o_totalprice"))).cast("double").as("total_spend"),
         count(lit(1)).as("n_orders"))

@@ -159,7 +159,11 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("word"))
-    tf.join(broadcast(df), "word")
+    // the df relation is VOCABULARY-cardinality — sublinear in the
+    // corpus (Heaps' law) but unbounded; size-gate the broadcast so a
+    // 100 TB vocabulary degrades to a shuffle join on the word instead
+    // of OOMing the driver
+    tf.join(VectorSearch.broadcastIfSmall(df), "word")
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= topN)
       .select(col("doc_id"), col("word"), col("tf"), col("df"), col("rnk"))
