@@ -227,9 +227,20 @@ object Ann {
     * quality measurement every ANN deployment monitors. Both top-k sets
     * are tiny (k rows), so the join is driver-trivial; the expensive
     * parts are the two scans, each already shuffle-free. */
-  def lshRecallAtK(emb: DataFrame, k: Int = K): DataFrame = {
+  def lshRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
+    recallAtK(lshTopK(emb, k), emb, k)
+
+  /** Recall@k of the IVF probe (NProbe of NList cells) against the
+    * exact scan — completes the measurement story for the second index
+    * layout: both ANN paths ship with their miss rate measured, never
+    * assumed. */
+  def ivfRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
+    recallAtK(ivfTopK(emb, k), emb, k)
+
+  private def recallAtK(approxTopK: DataFrame, emb: DataFrame,
+      k: Int): DataFrame = {
     val exact = VectorSearch.topK(emb, k).select(col("vec_id"))
-    val approx = lshTopK(emb, k).select(col("vec_id"))
+    val approx = approxTopK.select(col("vec_id"))
     exact.join(approx, Seq("vec_id"))
       .agg(count(lit(1)).as("n_common"))
       .select(lit(k).as("k"), col("n_common"),
@@ -273,6 +284,38 @@ object Ann {
          |  CAST(count(*) AS DOUBLE) / ${K}.0E0 AS recall
          |FROM exact JOIN approx USING (vec_id)""".stripMargin) {
       (s, dir) => lshRecallAtK(Tables(s, dir, "embeddings"))
+    },
+
+    QueryDef.sql("ann_ivf_recall",
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |exact AS (
+         |  SELECT vec_id FROM embeddings, q
+         |  ORDER BY ${dotSeqSql("q.v", embD, Dim)} DESC, vec_id LIMIT $K),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, $embD AS c_vec
+         |  FROM embeddings WHERE vec_id IN ($centroidList)),
+         |probe AS (
+         |  SELECT cent_id FROM (
+         |    SELECT cent_id, row_number() OVER (
+         |      ORDER BY ${l2Sql(qRawSql, "c_vec")}, cent_id) AS crn
+         |    FROM cents)
+         |  WHERE crn <= $NProbe),
+         |assigned AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |    SELECT e.vec_id, $embD AS v, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql(embD, "c_vec")}, c.cent_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |approx AS (
+         |  SELECT vec_id FROM assigned, q
+         |  WHERE cent_id IN (SELECT cent_id FROM probe)
+         |  ORDER BY ${dotSeqSql("q.v", "assigned.v", Dim)} DESC, vec_id
+         |  LIMIT $K)
+         |SELECT $K AS k, count(*) AS n_common,
+         |  CAST(count(*) AS DOUBLE) / ${K}.0E0 AS recall
+         |FROM exact JOIN approx USING (vec_id)""".stripMargin) {
+      (s, dir) => ivfRecallAtK(Tables(s, dir, "embeddings"))
     },
 
     QueryDef.sql("ann_lsh_topk",

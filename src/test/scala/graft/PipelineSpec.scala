@@ -250,15 +250,18 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
-  test("LSH recall@k is measured in [0,1] and matches the set overlap") {
+  test("LSH and IVF recall@k are measured in [0,1] and match the set overlap") {
     import graft.operators.{Ann, VectorSearch}
     val emb = Tables(spark, sf, "embeddings")
-    val r = Ann.lshRecallAtK(emb).head
-    val recall = r.getAs[Double]("recall")
-    assert(recall >= 0.0 && recall <= 1.0)
     val exact = VectorSearch.topK(emb).collect().map(_.getAs[Long]("vec_id")).toSet
-    val approx = Ann.lshTopK(emb).collect().map(_.getAs[Long]("vec_id")).toSet
-    assert(r.getAs[Long]("n_common") == (exact & approx).size.toLong)
+    val rl = Ann.lshRecallAtK(emb).head
+    assert(rl.getAs[Double]("recall") >= 0.0 && rl.getAs[Double]("recall") <= 1.0)
+    val lsh = Ann.lshTopK(emb).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(rl.getAs[Long]("n_common") == (exact & lsh).size.toLong)
+    val ri = Ann.ivfRecallAtK(emb).head
+    assert(ri.getAs[Double]("recall") >= 0.0 && ri.getAs[Double]("recall") <= 1.0)
+    val ivf = Ann.ivfTopK(emb).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ri.getAs[Long]("n_common") == (exact & ivf).size.toLong)
   }
 
   test("histogram median lands within one bucket width of the exact median") {
