@@ -246,6 +246,20 @@ class PlanSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("audit regression: customer-table and vocabulary sides never force-broadcast") {
+    withConf(BroadcastThresholdKey, "-1") {
+      // topCustomersBySegment: orders ⋈ customer (fact-sized side)
+      val top = plan(Relational.topCustomersBySegment(spark, sf))
+      assert(!top.contains("BroadcastHashJoin"), top)
+      assert(top.contains("SortMergeJoin"), top)
+      // wordFreq: tf ⋈ df (vocabulary-sized side, gated)
+      val wf = plan(TextAnalysis.wordFreq(
+        spark.read.parquet(s"$sf/documents.parquet")))
+      assert(!wf.contains("BroadcastHashJoin"), wf)
+      assert(wf.contains("SortMergeJoin"), wf)
+    }
+  }
+
   test("bottom-k sample plans as a zero-shuffle TakeOrderedAndProject") {
     val df = operators.Pipeline.bottomKSample(spark, sf)
     val p = plan(df)
