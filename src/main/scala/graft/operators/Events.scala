@@ -113,6 +113,25 @@ object Events {
       .orderBy("click_id")
   }
 
+  /** BOUNDED as-of join: like [[asofClickPurchase]] but a match only
+    * counts inside an attribution window (purchase within `boundUs`
+    * before the click) — the shape every conversion-attribution
+    * pipeline runs. Because the running `last` already carries the
+    * NEAREST earlier purchase, the bound is a pure post-projection:
+    * nearest-too-old ⟹ every purchase is too old, so nulling the
+    * carried match is exactly "no purchase within the window". Same
+    * single user_id shuffle; no second pass. */
+  def asofClickPurchaseBounded(s: SparkSession, dir: String,
+      boundUs: Long = 24L * 3600 * 1000000): DataFrame = {
+    val base = asofClickPurchase(s, dir)
+    val inWindow = col("gap_us") <= boundUs // gap >= 0 by construction
+    base.select(col("click_id"), col("user_id"), col("click_ts"),
+        when(inWindow, col("purchase_id")).as("purchase_id"),
+        when(inWindow, col("purchase_ts")).as("purchase_ts"),
+        when(inWindow, col("gap_us")).as("gap_us"))
+      .orderBy("click_id")
+  }
+
   /** SLIDING-window rates: hourly windows every 15 minutes, so each
     * event lands in 4 overlapping windows — the smoothing shape
     * tumbling windows can't express. Spark plans one Expand (×4) before
@@ -365,6 +384,23 @@ object Events {
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY click_id""".stripMargin)(asofClickPurchase),
+
+    QueryDef.sql("ev_asof_bounded",
+      """WITH a AS (
+        |  SELECT c.event_id AS click_id, c.user_id,
+        |    epoch_us(c.ts) AS click_ts,
+        |    p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts,
+        |    epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |  ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+        |    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts)
+        |SELECT click_id, user_id, click_ts,
+        |  CASE WHEN gap_us <= 86400000000 THEN purchase_id END AS purchase_id,
+        |  CASE WHEN gap_us <= 86400000000 THEN purchase_ts END AS purchase_ts,
+        |  CASE WHEN gap_us <= 86400000000 THEN gap_us END AS gap_us
+        |FROM a ORDER BY click_id""".stripMargin)(
+      (s, dir) => asofClickPurchaseBounded(s, dir)),
 
     QueryDef.sql("ev_sliding_rates",
       """WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),

@@ -58,6 +58,25 @@ class EventsSpec extends SparkSpecBase {
     }
   }
 
+  test("bounded as-of: match kept iff within the window, else all-null") {
+    val bound = 24L * 3600 * 1000000
+    val base = Events.asofClickPurchase(spark, sf).collect()
+      .map(r => r.getAs[Long]("click_id") ->
+        (if (r.isNullAt(r.fieldIndex("gap_us"))) None
+         else Some(r.getAs[Long]("gap_us")))).toMap
+    val rows = Events.asofClickPurchaseBounded(spark, sf).collect()
+    assert(rows.length == base.size)
+    rows.foreach { r =>
+      val inWindow = base(r.getAs[Long]("click_id")).exists(_ <= bound)
+      assert(r.isNullAt(r.fieldIndex("purchase_id")) == !inWindow)
+      assert(r.isNullAt(r.fieldIndex("purchase_ts")) == !inWindow)
+      if (inWindow) assert(r.getAs[Long]("gap_us") <= bound)
+    }
+    // the fixture exercises BOTH branches
+    assert(rows.exists(_.isNullAt(rows.head.fieldIndex("purchase_id"))))
+    assert(rows.exists(!_.isNullAt(rows.head.fieldIndex("purchase_id"))))
+  }
+
   test("json props: k extracted for every event") {
     val rows = Events.jsonProps(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_events")).sum == Events.load(spark, sf).count())

@@ -112,6 +112,37 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("star CC == union-find on random graphs (incl. chains and forests)") {
+    import spark.implicits._
+    val genGraph: Gen[(Int, Seq[(Long, Long)])] = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(0, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+        if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield (n, edges)
+    samples(genGraph, 12).zipWithIndex.foreach { case ((n, edges), gi) =>
+      // driver-side ground truth: plain union-find with min-label roots
+      val parent = Array.tabulate(n.toLong.toInt)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = operators.Dedup.connectedComponentsStar(
+          spark.range(n).select(col("id").as("doc_id")),
+          edges.toDF("doc_id_1", "doc_id_2"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+        .toMap
+      assert(got == want, s"graph #$gi: n=$n edges=$edges")
+    }
+    operators.Dedup.releaseCaches()
+  }
+
   test("fused word stats == reference formulation on random word lists") {
     val genWord = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     val genDoc = Gen.listOfN(30, genWord).map(_.toSeq)
