@@ -201,4 +201,20 @@ object DocumentStore {
       true
     } else false
   }
+
+  /** Startup recovery sweep: scan the store for orphaned
+    * `.compact_old_` backups (crashes mid-swap) and restore each via
+    * [[recoverCompaction]] — no collection list needed, so a store
+    * opener can always run this first. Returns the collections that
+    * were actually restored. */
+  def recoverAll(spark: SparkSession, tablePath: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    val prefix = ".compact_old_collection="
+    fs.listStatus(base).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix))
+      .filter(c => recoverCompaction(spark, tablePath, c))
+  }
 }

@@ -136,6 +136,28 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(DocumentStore.read(spark, table, Some("c1")).count() == 10)
   }
 
+  test("recoverAll sweeps every orphaned compaction backup at startup") {
+    val table = tmp() + "/table"
+    DocumentStore.store(tenRows("c1"), table)
+    DocumentStore.store(tenRows("c2"), table)
+    DocumentStore.store(tenRows("c3"), table)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // two collections crashed mid-swap; one is healthy
+    Seq("c1", "c3").foreach { c =>
+      assert(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$table/collection=$c"),
+        new org.apache.hadoop.fs.Path(s"$table/.compact_old_collection=$c")))
+    }
+    assert(DocumentStore.recoverAll(spark, table).sorted == Seq("c1", "c3"))
+    Seq("c1", "c2", "c3").foreach { c =>
+      assert(DocumentStore.read(spark, table, Some(c)).count() == 10)
+    }
+    // idempotent; and a missing store path is a defined no-op
+    assert(DocumentStore.recoverAll(spark, table).isEmpty)
+    assert(DocumentStore.recoverAll(spark, tmp() + "/never").isEmpty)
+  }
+
   test("store lifecycle is FS-agnostic: non-default scheme (s3a stand-in)") {
     // the reference's storage system is an object store (MinIO,
     // main.go:131-143); every store/compact/recover path here goes
