@@ -236,6 +236,13 @@ class PipelineSpec extends SparkSpecBase {
     assert(oneBlock.nonEmpty)
     assert(rows(16L) == oneBlock)   // many blocks per lang
     assert(rows(4096L) == oneBlock) // the default
+    // gate-off regime: when the offsets side may not broadcast, the
+    // shuffle-join fallback must produce the identical packing
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try assert(rows(16L) == oneBlock)
+    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   test("int8 quantization: bounded reconstruction error, q_sum consistent") {
