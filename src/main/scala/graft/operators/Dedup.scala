@@ -259,10 +259,13 @@ object Dedup {
     * the same shuffle profile as one join-min round — and the edge set
     * only ever shrinks toward a star forest, so the 100 TB cost is
     * O(log n) bounded-size shuffles. Convergence = stable
-    * (count, xxhash64-sum) edge-set signature (order-independent;
-    * collision odds ~2^-64 — and a missed stop only costs one extra
-    * identical round, never a wrong answer... a non-converged exit
-    * still fails loudly like join-min).
+    * (count, xxhash64-XOR) edge-set signature. The dangerous direction
+    * is a COLLISION between different edge sets: it reads as FALSE
+    * convergence — `require(converged)` passes and wrong clusters are
+    * returned silently — so the signature must be genuinely full-width
+    * (XOR keeps all 64 bits, order-independent, no ANSI overflow;
+    * collision odds ~2^-64 per round, vs ~2^-31 for the earlier
+    * sum-of-pmod-2^31 formulation).
     *
     * Returns (doc_id, cluster_id = min doc_id of the component). */
   private[graft] def connectedComponentsStar(nodes: DataFrame,
@@ -271,11 +274,13 @@ object Dedup {
       df.union(df.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
     def signature(df: DataFrame): (Long, Long) = {
+      // full-64-bit XOR, not a truncated sum: the edge sets are
+      // distinct()ed, so XOR of per-edge hashes identifies the SET
+      // (order-independent, overflow-free under ANSI); count guards
+      // the empty set and same-parity degeneracies
       val r = df.agg(count(lit(1)),
-        // per-edge hash bounded to < 2^31 so the ANSI sum cannot
-        // overflow a long below ~2^32 edges per partition tree
-        coalesce(sum(pmod(xxhash64(col("src"), col("dst")),
-          lit(2147483647L))), lit(0L))).head
+        coalesce(call_function("bit_xor",
+          xxhash64(col("src"), col("dst"))), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
     // LINEAGE DISCIPLINE: each round's edge set embeds the previous

@@ -62,8 +62,9 @@ object Events {
     sessionizeOn(load(s, dir))
 
   /** Core of [[sessionize]] over any (user_id, ts_us, event_id) frame —
-    * separable so the exactly-gap boundary semantics (STRICTLY-greater
-    * splits, unlike session_window's >=) are unit-testable. */
+    * separable so the exactly-gap boundary semantics (the same
+    * strictly-greater split rule as `session_window`: events exactly
+    * `gap` apart still merge) are unit-testable. */
   def sessionizeOn(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -136,22 +136,36 @@ object Pipeline {
     * arithmetic is exact long addition, so the decomposition is
     * bit-identical to the sequential fold at any scale. */
   def sequencePack(s: SparkSession, dir: String,
+      budgetTokens: Long = 2048L, blockDocs: Long = 4096L): DataFrame =
+    sequencePackOn(Tables(s, dir, "documents"), budgetTokens, blockDocs)
+
+  /** [[sequencePack]] over any (doc_id, lang, text) frame — separable so
+    * the null-lang partition semantics are unit-testable. */
+  def sequencePackOn(documents: DataFrame,
       budgetTokens: Long = 2048L, blockDocs: Long = 4096L): DataFrame = {
-    val base = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
+    val base = documents
+      .select(col("doc_id"),
+        // NULL lang is a PARTITION, not a dropped row (the oracle's
+        // `PARTITION BY lang` groups NULLs together; an isNotNull
+        // filter here would silently diverge). Keying on a coalesced
+        // sentinel keeps the join/windows null-safe — and because the
+        // sentinel literal is non-nullable, the join below infers no
+        // per-branch null filter that would break ReuseExchange.
+        coalesce(col("lang"), lit(LangNullSentinel)).as("lang_key"),
         graft.functions.TextHashExpressions.wordStats(words(col("text")))
           .getField("bpe_tokens").as("tokens"))
       .withColumn("blk", call_function("div", col("doc_id"), lit(blockDocs)))
       // explicit key-null filter BEFORE the shared exchange: the join
       // below would infer it per-branch at different depths, making the
       // two exchange subtrees canonically unequal — which silently
-      // defeats ReuseExchange and doubles the scan + tokenize
-      .where(col("lang").isNotNull && col("blk").isNotNull)
+      // defeats ReuseExchange and doubles the scan + tokenize.
+      // (blk is null only when doc_id is — a broken key, not data.)
+      .where(col("blk").isNotNull)
       // ONE explicit shuffle feeds both phases: the per-row window needs
       // exactly this distribution, and the totals aggregate reuses the
       // exchange instead of re-scanning (and re-tokenizing) the corpus
-      .repartition(col("lang"), col("blk"))
-    val wIn = Window.partitionBy(col("lang"), col("blk"))
+      .repartition(col("lang_key"), col("blk"))
+    val wIn = Window.partitionBy(col("lang_key"), col("blk"))
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
     val inBlock = base.withColumn("cum_in",
       coalesce(sum(col("tokens")).over(wIn), lit(0L)))
@@ -160,27 +174,36 @@ object Pipeline {
     // blk itself so doc_id stays REFERENCED in this branch: otherwise
     // column pruning projects different columns below the two uses of
     // the exchange and ReuseExchange no longer fires
-    val wOff = Window.partitionBy(col("lang")).orderBy(col("blk_min_doc"))
+    val wOff = Window.partitionBy(col("lang_key")).orderBy(col("blk_min_doc"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("lang"), col("blk"))
+    val offsets = base.groupBy(col("lang_key"), col("blk"))
       .agg(sum(col("tokens")).as("blk_total"),
         min(col("doc_id")).as("blk_min_doc"))
       .withColumn("blk_offset",
         coalesce(sum(col("blk_total")).over(wOff), lit(0L)))
-      .select(col("lang"), col("blk"), col("blk_offset"))
+      .select(col("lang_key"), col("blk"), col("blk_offset"))
     // offsets is block-cardinality: n_docs/blockDocs rows — tiny for
     // sane blockDocs, but it GROWS with the corpus, so the broadcast is
     // size-gated (past the threshold the join shuffles on (lang, blk),
     // which the row side is already partitioned by). blockDocs trades
     // offsets size against per-lang parallelism; at 10^11 docs pick
     // blockDocs ~1M to keep offsets in the low MBs.
-    inBlock.join(VectorSearch.broadcastIfSmall(offsets), Seq("lang", "blk"))
+    inBlock.join(VectorSearch.broadcastIfSmall(offsets), Seq("lang_key", "blk"))
       .withColumn("cum_before", col("blk_offset") + col("cum_in"))
-      .select(col("doc_id"), col("lang"), col("tokens"),
+      .select(col("doc_id"),
+        // un-sentinel: emit the original (possibly null) lang
+        when(col("lang_key") === lit(LangNullSentinel), lit(null: String))
+          .otherwise(col("lang_key")).as("lang"),
+        col("tokens"),
         packId(col("cum_before"), budgetTokens).as("pack_id"),
         (col("cum_before") % budgetTokens).as("pack_offset"))
       .orderBy("doc_id")
   }
+
+  /** Stand-in partition key for NULL lang in [[sequencePackOn]] — NUL
+    * is not a language code, so the round-trip through the sentinel is
+    * lossless for any real corpus. */
+  val LangNullSentinel = "\u0000"
 
   /** Overlapping word-window chunking: the ingest stage that produces
     * the reference's chunk table (its documents arrive pre-chunked;

@@ -128,13 +128,24 @@ object VectorSearch {
   /** Two-stage retrieve-then-rerank — the canonical RAG/search pipeline:
     * stage 1 retrieves a wide candidate set by cheap vector similarity
     * (shuffle-free TakeOrdered), stage 2 reranks only those candidates
-    * by a blended score (vector similarity + document quality). The
-    * expensive signal is computed for `nCandidates` rows, not the
-    * corpus; the candidate set broadcasts into the documents join. */
+    * by a blended score (vector similarity + document quality).
+    *
+    * ORDER MATTERS at scale: the documents table is semi-joined down to
+    * the ≤ `nCandidates` survivors FIRST (broadcast of the k-row
+    * candidate ids), and only then are the expensive text-quality
+    * kernels evaluated — so each rerank query pays the word-stats pass
+    * on ~50 rows, not the corpus. (Computing quality below the join
+    * would be a full-corpus text-analysis scan per query; PlanSpec
+    * asserts the kernel sits ABOVE the semi-join.) The candidate top-k
+    * is evaluated twice (semi-join build side + final join side) —
+    * two shuffle-free TakeOrdered scans, each far cheaper than one
+    * corpus-wide quality pass. */
   def retrieveRerank(emb: DataFrame, docs: DataFrame,
       nCandidates: Int = 50, k: Int = K): DataFrame = {
     val cands = topK(emb, nCandidates)
-    val quality = TextAnalysis.qualityScore(docs)
+    val survivors = docs.join(broadcast(cands.select(col("vec_id"))),
+      col("doc_id") === col("vec_id"), "left_semi")
+    val quality = TextAnalysis.qualityScore(survivors)
       .select(col("doc_id"), col("quality_score"))
     broadcast(cands)
       .join(quality, col("vec_id") === col("doc_id"))

@@ -58,6 +58,34 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("sequence packing: NULL lang is its own partition, not dropped") {
+    import spark.implicits._
+    // mirrors the oracle's PARTITION BY lang, which groups NULLs
+    // together — an isNotNull filter would silently drop these rows
+    val docs = Seq(
+      (1L, "en", "a b c d"), // 4 one-char words = 4 bpe tokens
+      (2L, null, "e f g"),   // 3 tokens
+      (3L, "en", "h i"),     // 2 tokens
+      (4L, null, "j k l m"), // 4 tokens
+      (5L, null, "n")        // 1 token
+    ).toDF("doc_id", "lang", "text")
+    val got = Pipeline.sequencePackOn(docs, budgetTokens = 2L, blockDocs = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("tokens"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("pack_offset"))).toSeq
+    // null-lang docs pack among themselves in doc_id order (cum_before
+    // 0, 3, 7 over budget 2), en docs likewise (0, 4); lang round-trips
+    // through the sentinel back to null
+    val want = Seq(
+      (1L, "en", 4L, 0L, 0L),
+      (2L, null, 3L, 0L, 0L),
+      (3L, "en", 2L, 2L, 0L),
+      (4L, null, 4L, 1L, 1L),
+      (5L, null, 1L, 3L, 1L))
+    assert(got == want)
+  }
+
   test("bottom-k sample: exact bottom-k by hash, mergeable across splits") {
     val k = 50
     val got = Pipeline.bottomKSample(spark, sf, k).collect()

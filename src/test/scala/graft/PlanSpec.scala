@@ -220,12 +220,12 @@ class PlanSpec extends SparkSpecBase {
   test("sequence packing: two-phase prefix sum parallelizes within a lang") {
     val df = operators.Pipeline.sequencePack(spark, sf, 2048L, 64L)
     val p0 = plan(df)
-    // per-row work partitions by (lang, blk): many tasks per language,
-    // not the one-core-per-lang single-window shape
-    assert("hashpartitioning\\(lang#\\d+, blk".r.findAllIn(p0).nonEmpty, p0)
-    // the only full-row hash shuffle is the shared (lang, blk)
+    // per-row work partitions by (lang_key, blk): many tasks per
+    // language, not the one-core-per-lang single-window shape
+    assert("hashpartitioning\\(lang_key#\\d+, blk".r.findAllIn(p0).nonEmpty, p0)
+    // the only full-row hash shuffle is the shared (lang_key, blk)
     // repartition; the offsets window shuffles block TOTALS only
-    assert("Exchange hashpartitioning\\(lang#\\d+, blk".r
+    assert("Exchange hashpartitioning\\(lang_key#\\d+, blk".r
       .findAllIn(p0).length == 2, p0) // one per branch pre-AQE...
     // ...and AQE's runtime stage reuse collapses them: both phases
     // must share ONE scan + shuffle, not re-scan/re-tokenize. AQE only
@@ -292,6 +292,22 @@ class PlanSpec extends SparkSpecBase {
       assert(filtered.contains("SortMergeJoin") && filtered.contains("LeftSemi"),
         filtered)
     }
+  }
+
+  test("retrieve-rerank: quality kernels evaluate above the candidate semi-join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = VectorSearch.retrieveRerank(emb, docs)
+    val p = plan(df)
+    val semiIdx = p.indexOf("LeftSemi")
+    assert(semiIdx >= 0, p)
+    // everything printed from the semi-join down is its subtree (docs
+    // scan + broadcast candidate ids): the expensive text kernels must
+    // NOT be there — they run on the ≤ nCandidates survivors ABOVE the
+    // join, so a rerank query never pays a corpus-wide quality pass
+    assert(!p.substring(semiIdx).contains("marker_count"),
+      s"quality kernel below the semi-join (full-corpus pass):\n$p")
+    assert(p.substring(0, semiIdx).contains("marker_count"),
+      s"quality kernel missing above the semi-join:\n$p")
   }
 
   test("KNN join broadcasts the query side, never shuffles candidates") {
