@@ -36,19 +36,33 @@ object Bench {
       try {
         once() // warmup (untimed)
         val timed = Array.fill(reps)(once()).sorted
-        (name, timed(reps / 2), true)
+        (name, timed(reps / 2), timed.head, timed.last, true)
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-          (name, -1.0, false)
+          (name, -1.0, -1.0, -1.0, false)
       }
     }
     // failed queries report -1, never a near-zero "success"
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1) }
+    val qs = results.map { case (k, v, _, _, ok) => s"\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    // per-query [min, max] across the timed reps: the noise band around
+    // each median, so a round-over-round delta can be judged against it
+    val spread = results.map { case (k, _, lo, hi, ok) =>
+      s"\"" + k + "\":" + (if (ok) s"[$lo,$hi]" else "[-1,-1]")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v, _, _, true) => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures only a bounded tail of stdout, which has
+    // historically truncated the per-query map — also write the full
+    // line to a file when SPARK_GRAFT_BENCH_OUT names one
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      val pw = new java.io.PrintWriter(path, "UTF-8")
+      try pw.println(line) finally pw.close()
+    }
     // the dedup/MLlib operators build implicit persisted indexes; release
     // them explicitly (the documented lifecycle) before shutdown
     graft.operators.Dedup.releaseCaches()

@@ -223,6 +223,41 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** Top-K scored on the INT8 representation — the second half of the
+    * compression story ([[quantizeInt8]] is the first): the scorer an
+    * index serves when it ships quantized vectors, here evaluated as
+    * dequantize-then-dot so the arithmetic stays deterministic double
+    * math in a fixed operand order (q_i * scale / 127, left-assoc —
+    * bitwise-reproducible in DuckDB; an integer-accumulator kernel
+    * with a per-vector float rescale would score identically but its
+    * fidelity could not be oracle-checked). Same plan shape as the
+    * exact path: pure scan-side projection → shuffle-free TakeOrdered.
+    * Rank fidelity vs the exact scorer is MEASURED, not assumed —
+    * `ann_quantized_recall` below, the third use of the recall
+    * pattern. */
+  def quantizedTopK(emb: DataFrame, k: Int = K): DataFrame = {
+    val ve = toDouble(col("embedding"))
+    emb
+      .select(col("vec_id"), col("label"), ve.as("ve"))
+      .withColumn("scale", array_max(transform(col("ve"), x => abs(x))))
+      .where(col("scale") > 0.0)
+      .withColumn("qs", transform(col("ve"),
+        x => floor(x / col("scale") * lit(127.0) + lit(0.5))))
+      // dequantized vector rides one codegen'd projection into the
+      // shared sequential-fold dot kernel (≡ the oracle's list fold)
+      .withColumn("dq", transform(col("qs"),
+        x => x * col("scale") / lit(127.0)))
+      .select(col("vec_id"), col("label"),
+        V.dot(vecLit(QueryNorm), col("dq")).as("q_sim"))
+      .orderBy(col("q_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Recall@k of the int8-quantized scorer against the exact scan —
+    * the measured quality loss of the 4× compression. */
+  def quantizedRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
+    recallAtK(quantizedTopK(emb, k), emb, k)
+
   /** Recall@k of the LSH probe against the exact scan — the index
     * quality measurement every ANN deployment monitors. Both top-k sets
     * are tiny (k rows), so the join is driver-trivial; the expensive
@@ -247,7 +282,49 @@ object Ann {
         (col("n_common").cast("double") / lit(k.toDouble)).as("recall"))
   }
 
+  /** Shared oracle CTEs deriving the dequantized vector table `d`
+    * (vec_id, label, dq) — the SQL twin of [[quantizedTopK]]'s
+    * projection chain (same operand order everywhere). */
+  private val quantDqCtes: String =
+    s"""v AS (
+       |  SELECT vec_id, label, $embD AS ve FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, label, ve,
+       |    list_max(list_transform(ve, x -> abs(x))) AS scale
+       |  FROM v WHERE list_max(list_transform(ve, x -> abs(x))) > 0.0E0),
+       |d AS (
+       |  SELECT vec_id, label,
+       |    list_transform(
+       |      list_transform(ve, y -> floor(y / scale * 127.0E0 + 0.5E0)),
+       |      x -> x * scale / 127.0E0) AS dq
+       |  FROM s)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ann_quantized_topk",
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |$quantDqCtes
+         |SELECT vec_id, label,
+         |  ${dotSeqSql("q.v", "dq", Dim)} AS q_sim
+         |FROM d, q
+         |ORDER BY q_sim DESC, vec_id LIMIT $K""".stripMargin) {
+      (s, dir) => quantizedTopK(Tables(s, dir, "embeddings"))
+    },
+
+    QueryDef.sql("ann_quantized_recall",
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |exact AS (
+         |  SELECT vec_id FROM embeddings, q
+         |  ORDER BY ${dotSeqSql("q.v", embD, Dim)} DESC, vec_id LIMIT $K),
+         |$quantDqCtes,
+         |approx AS (
+         |  SELECT vec_id FROM d, q
+         |  ORDER BY ${dotSeqSql("q.v", "dq", Dim)} DESC, vec_id LIMIT $K)
+         |SELECT $K AS k, count(*) AS n_common,
+         |  CAST(count(*) AS DOUBLE) / ${K}.0E0 AS recall
+         |FROM exact JOIN approx USING (vec_id)""".stripMargin) {
+      (s, dir) => quantizedRecallAtK(Tables(s, dir, "embeddings"))
+    },
+
     QueryDef.sql("ann_quantize_int8",
       s"""WITH v AS (
          |  SELECT vec_id, label, $embD AS ve FROM embeddings),

@@ -33,6 +33,11 @@ object MlIndex {
   val NClusters = 16
   val Seed = 42L
 
+  /** Input ceiling for [[minhashJoin]] — generous for any demo block
+    * (the sf0.1 sampled slice is ~3 MB) yet far below corpus scale, so
+    * the quadratic path cannot be misused as the production join. */
+  val MaxJoinInputBytes: Long = 256L << 20
+
   /** K-means-trained IVF: fit NClusters centers on the embeddings (the
     * learned version of [[Ann.codebook]]'s fixed stride), assign every
     * vector to its center, probe the NProbe centers nearest the query,
@@ -79,11 +84,27 @@ object MlIndex {
     * declared query runs on the doc_id%3 block (preserving ~1/9 of
     * true near-dup pairs, >0 at every fixture SF) to bound the
     * candidate mass; `numHashTables`=2 halves it again with negligible recall
-    * loss at J >= 0.9 (P(miss) = (1-J)^2 <= 1%). */
+    * loss at J >= 0.9 (P(miss) = (1-J)^2 <= 1%).
+    *
+    * STRUCTURAL GUARD: a Θ(n²) job must not be pointable at a corpus by
+    * accident, so the call REFUSES (fails fast, before any Spark job)
+    * when the sampled input's optimizer size estimate exceeds
+    * `maxInputBytes` — the same plan-stats estimate the broadcast gates
+    * consult. Corpus-scale near-dup joins go through
+    * [[Dedup.minhashPairs]] (banded, never all-pairs). */
   def minhashJoin(s: SparkSession, dir: String,
-      threshold: Double = 0.9, sampleMod: Int = 3): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+      threshold: Double = 0.9, sampleMod: Int = 3,
+      maxInputBytes: Long = MaxJoinInputBytes): DataFrame = {
+    val sampled = Tables(s, dir, "documents")
       .where(col("doc_id") % sampleMod === 0)
+    val est = sampled.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= maxInputBytes,
+      s"ml_minhash_join is the structurally quadratic MLlib demo " +
+        s"(candidate mass ~ numTables*J*n^2/2): input size estimate " +
+        s"$est B exceeds the $maxInputBytes B cap - use " +
+        s"Dedup.minhashPairs (banded LSH) at corpus scale, or raise " +
+        s"sampleMod to shrink the block")
+    val docs = sampled
       .select(col("doc_id"),
         // fused kernel: the HOF shingles() re-splits the text per element
         graft.functions.TextHashExpressions

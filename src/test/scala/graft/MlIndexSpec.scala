@@ -30,6 +30,18 @@ class MlIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("MinHashLSH join: the quadratic demo refuses over-cap input") {
+    // the size-estimate guard must fire BEFORE any Spark job: with a
+    // 1-byte cap even the sampled fixture slice is refused, and the
+    // message points at the banded scale path
+    val e = intercept[IllegalArgumentException] {
+      MlIndex.minhashJoin(spark, sf, maxInputBytes = 1L)
+    }
+    assert(e.getMessage.contains("Dedup.minhashPairs"))
+    // at the default cap the demo block is comfortably admitted
+    assert(MlIndex.minhashJoin(spark, sf).columns.nonEmpty)
+  }
+
   test("salted two-phase aggregation equals direct group-by exactly") {
     val salted = Events.saltedTypeStats(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq

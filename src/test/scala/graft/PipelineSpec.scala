@@ -297,6 +297,13 @@ class PipelineSpec extends SparkSpecBase {
     assert(ri.getAs[Double]("recall") >= 0.0 && ri.getAs[Double]("recall") <= 1.0)
     val ivf = Ann.ivfTopK(emb).collect().map(_.getAs[Long]("vec_id")).toSet
     assert(ri.getAs[Long]("n_common") == (exact & ivf).size.toLong)
+    // int8 scoring: same set-overlap consistency, and the quantization
+    // error (≤ scale/254 per component) must barely perturb the ranking
+    val rq = Ann.quantizedRecallAtK(emb).head
+    val qz = Ann.quantizedTopK(emb).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(rq.getAs[Long]("n_common") == (exact & qz).size.toLong)
+    assert(rq.getAs[Double]("recall") >= 0.8,
+      s"int8 rank fidelity collapsed: ${rq.getAs[Double]("recall")}")
   }
 
   test("histogram median lands within one bucket width of the exact median") {

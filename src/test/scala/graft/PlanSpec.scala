@@ -178,6 +178,13 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
   }
 
+  test("quantized top-k keeps the exact path's shape: shuffle-free TakeOrdered") {
+    val df = Ann.quantizedTopK(emb)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(nShuffles(df) == 0, p)
+  }
+
   test("curation funnel: single window shuffle on the content hash") {
     val df = operators.Pipeline.qualityFilter(spark, sf)
     val p = plan(df)
