@@ -132,6 +132,93 @@ object MlIndex {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
+  /** Batch KNN SIMILARITY JOIN via `BucketedRandomProjectionLSH` on
+    * UNIT-NORMALIZED vectors — the "neighbours for EVERY vector" job
+    * (embedding-level corpus dedup, hard-negative mining) that the
+    * brute-force [[VectorSearch.knnJoin]] cannot scale to: that one is
+    * exact but O(n·q); this one is the sub-quadratic many-query path.
+    * On the unit sphere Euclidean and cosine NN coincide
+    * (‖a−b‖² = 2−2·cosθ), so random-projection bucketing — MLlib's only
+    * metric — serves the engine's cosine semantics (the reference's one
+    * real capability, reference main.go:263-275, at batch scale).
+    *
+    * Scale shape: `approxSimilarityJoin` explodes the `numTables` hash
+    * buckets and equi-joins on (table, bucket) — candidates are
+    * same-bucket pairs only, never all-pairs (CI-asserted: no cartesian
+    * / nested-loop in the plan; the join is hash-keyed). Candidate mass
+    * is Σ_buckets n_b² — controlled by `bucketLength` (≈ p·n for
+    * occupancy p), not n² — and only candidates pay the exact distance.
+    * Per-query truncation to k is a ranking window on (query, dist).
+    * Recall vs the exact scan is MEASURED ([[brpKnnRecall]]), the same
+    * discipline as every other approximate path here. */
+  def brpKnnJoin(s: SparkSession, dir: String, k: Int = 5,
+      bucketLength: Double = 0.25, numTables: Int = 4,
+      maxDist: Double = 1.5): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(s, dir, "embeddings")
+    val feats = emb
+      .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm2(col("ve")))
+      .where(col("nrm") > 0.0)
+      // slim to (vec_id, features) for the same struct-shuffle reason
+      // as minhashJoin; persist: feeds fit + both join sides
+      .select(col("vec_id"),
+        array_to_vector(transform(col("ve"), x => x / col("nrm")))
+          .as("features"))
+      .persist()
+    retained.add(feats)
+    val brp = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numTables)
+      .setSeed(Seed)
+    val model = brp.fit(feats)
+    val pairs = model.approxSimilarityJoin(feats, feats, maxDist, "dist")
+      .select(col("datasetA.vec_id").as("query_id"),
+        col("datasetB.vec_id").as("neighbor_id"), col("dist"))
+      .where(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Measured recall of [[brpKnnJoin]] against the EXACT cosine KNN of
+    * the same query subset (brute-force broadcast — verification-scale
+    * only). Exact ground truth is cosine, matching the join's
+    * normalized-Euclidean ordering; [[VectorSearch.knnJoin]]'s raw-dot
+    * ranking would not be the same ordering unless all norms were
+    * equal. Rows-only verification: MLlib's hash family is internal, so
+    * the oracle cannot re-derive the approximate side. */
+  def brpKnnRecall(s: SparkSession, dir: String,
+      queryIds: Seq[Int] = 0 until 8, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(s, dir, "embeddings")
+    val queries = emb.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        toDouble(col("embedding")).as("q_vec"))
+    val cands = emb.select(col("vec_id").as("cand_id"),
+      toDouble(col("embedding")).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    val exact = cands.join(broadcast(queries),
+        col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        V.cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = brpKnnJoin(s, dir, k)
+      .where(col("query_id").isin(queryIds: _*))
+      .select(col("query_id"), col("neighbor_id").as("cand_id"))
+    exact.join(approx, Seq("query_id", "cand_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(lit(k).as("k"), col("n_common"),
+        (col("n_common").cast("double") /
+          lit((queryIds.size * k).toDouble)).as("recall"))
+  }
+
   /** Persisted frames feeding callers' lazy results (can't be
     * unpersisted inside the operator call); released on demand —
     * same lifecycle contract as [[Dedup.releaseCaches]]. */
@@ -145,6 +232,8 @@ object MlIndex {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.rowsOnly("ml_kmeans_ivf")((s, dir) => kmeansIvfTopK(s, dir)),
-    QueryDef.rowsOnly("ml_minhash_join")((s, dir) => minhashJoin(s, dir))
+    QueryDef.rowsOnly("ml_minhash_join")((s, dir) => minhashJoin(s, dir)),
+    QueryDef.rowsOnly("ml_brp_knn_join")((s, dir) => brpKnnJoin(s, dir)),
+    QueryDef.rowsOnly("ml_brp_knn_recall")((s, dir) => brpKnnRecall(s, dir))
   )
 }
