@@ -205,8 +205,12 @@ object DocumentStore {
   /** Startup recovery sweep: scan the store for orphaned
     * `.compact_old_` backups (crashes mid-swap) and restore each via
     * [[recoverCompaction]] — no collection list needed, so a store
-    * opener can always run this first. Returns the collections that
-    * were actually restored. */
+    * opener can always run this first. A backup found NEXT TO a healthy
+    * live dir is the other crash window (after the second rename,
+    * before the backup delete): the completed swap makes the live dir
+    * authoritative, so the stale old-generation copy is dropped rather
+    * than left to linger until the next compaction. Returns the
+    * collections that were actually restored. */
   def recoverAll(spark: SparkSession, tablePath: String): Seq[String] = {
     val base = new org.apache.hadoop.fs.Path(tablePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -215,6 +219,13 @@ object DocumentStore {
     fs.listStatus(base).toSeq.map(_.getPath.getName)
       .filter(_.startsWith(prefix))
       .map(_.stripPrefix(prefix))
-      .filter(c => recoverCompaction(spark, tablePath, c))
+      .filter { c =>
+        val restored = recoverCompaction(spark, tablePath, c)
+        if (!restored)
+          // swap completed: live dir exists, backup is a stale copy
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$tablePath/$prefix$c"), true)
+        restored
+      }
   }
 }

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.DocumentStore
+import graft.sources.{DocumentStore, ManifestStore}
 
 class DocumentStoreSpec extends SparkSpecBase {
 
@@ -156,6 +156,95 @@ class DocumentStoreSpec extends SparkSpecBase {
     // idempotent; and a missing store path is a defined no-op
     assert(DocumentStore.recoverAll(spark, table).isEmpty)
     assert(DocumentStore.recoverAll(spark, tmp() + "/never").isEmpty)
+  }
+
+  test("recoverAll drops a stale backup left beside a healthy live dir") {
+    // the OTHER crash window: after the second rename, before the
+    // backup delete — live dir authoritative, backup is a stale copy
+    val table = tmp() + "/table"
+    DocumentStore.store(tenRows("c1"), table)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(
+      s"$table/.compact_old_collection=c1")
+    assert(fs.mkdirs(backup))
+    // nothing to restore (live dir healthy) — but the sweep must leave
+    // the store clean instead of letting the stale copy linger
+    assert(DocumentStore.recoverAll(spark, table).isEmpty)
+    assert(!fs.exists(backup))
+    assert(DocumentStore.read(spark, table, Some("c1")).count() == 10)
+  }
+
+  test("manifest store: pointer-committed lifecycle on the object-store scheme") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val table = s"graftfs://${tmp()}/mtable"
+    ManifestStore.store(tenRows("c1"), table, "c1")
+    ManifestStore.store(tenRows("c2"), table, "c2")
+    assert(ManifestStore.read(spark, table).count() == 20)
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
+    // appends land in the live generation
+    (0 until 3).foreach(_ => ManifestStore.store(tenRows("c1"), table, "c1"))
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
+    assert(ManifestStore.currentGen(spark, table, "c1").contains(1L))
+
+    // a reader resolved BEFORE the compaction keeps its snapshot: the
+    // superseded generation's files outlive the pointer swap, so there
+    // is no absent window (rename-swap's documented gap) at any instant
+    val snapshot = ManifestStore.read(spark, table, Some("c1"))
+    ManifestStore.compactCollection(spark, table, "c1")
+    assert(ManifestStore.currentGen(spark, table, "c1").contains(2L))
+    assert(snapshot.count() == 40) // old snapshot still fully readable
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$table/collection=c1/gen=000002"))
+      .count(_.getPath.getName.endsWith(".parquet")) == 1)
+    // vacuum reclaims exactly the superseded generation
+    val removed = ManifestStore.vacuum(spark, table)
+    assert(removed.exists(_.contains("gen=000001")))
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
+
+    // delete = tombstone pointer (pure metadata); data lives to vacuum
+    ManifestStore.deleteCollection(spark, table, "c2")
+    assert(ManifestStore.read(spark, table, Some("c2")).count() == 0)
+    assert(ManifestStore.read(spark, table).count() == 40)
+    assert(ManifestStore.vacuum(spark, table)
+      .exists(_.contains("collection=c2")))
+    // re-store after the tombstone opens a fresh generation atomically
+    ManifestStore.store(tenRows("c2"), table, "c2")
+    assert(ManifestStore.read(spark, table, Some("c2")).count() == 10)
+    assert(ManifestStore.currentGen(spark, table, "c2").exists(_ >= 2L))
+  }
+
+  test("manifest store: crash artifacts never corrupt pointer resolution") {
+    val table = tmp() + "/mtable"
+    ManifestStore.store(tenRows("c1"), table, "c1")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash AFTER writing a new generation, BEFORE its pointer: an
+    // orphan gen dir — readers resolve through the pointer, unaffected
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$table/collection=c1/gen=000002"))
+    assert(ManifestStore.currentGen(spark, table, "c1").contains(1L))
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
+    // crash DURING a pointer create: an empty pointer file is invalid
+    // content — skipped, resolution falls back to the previous commit
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$table/_manifest/c1/ptr-000002"), true).close()
+    assert(ManifestStore.currentGen(spark, table, "c1").contains(1L))
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
+    // no recovery sweep needed: the next compaction re-targets the
+    // crashed generation number (Overwrite clears the orphan) and
+    // commits past the invalid pointer
+    ManifestStore.compactCollection(spark, table, "c1")
+    assert(ManifestStore.currentGen(spark, table, "c1").contains(2L))
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
+    ManifestStore.vacuum(spark, table)
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
+    // a store that never existed reads as a defined empty (Q7)
+    assert(ManifestStore.read(spark, tmp() + "/never").count() == 0)
   }
 
   test("store lifecycle is FS-agnostic: non-default scheme (s3a stand-in)") {
