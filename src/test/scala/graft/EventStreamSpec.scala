@@ -404,6 +404,61 @@ class EventStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("stateful replay == batch under the RocksDB state-store provider") {
+    // the scale state-store config (EventStream.runningDistinctUsers'
+    // scaladoc): transformWithState already runs under RocksDB above —
+    // this pins the OTHER stateful operators (flatMapGroupsWithState
+    // sessionization, dedup-within-watermark) to the same provider, so
+    // the replay≡batch contract is proven on the store a 100 TB
+    // deployment would run, not just the default in-memory one
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = fixtureEvents
+      val maxTs = events.map(_.ts_us).max
+      // flatMapGroupsWithState sessionization: replay == batch
+      val input = MemoryStream[Event]
+      val q = EventStream.sessionize(input.toDS())
+        .writeStream.format("memory").queryName("rocksdb_sessions")
+        .outputMode("append").start()
+      try {
+        input.addData(events)
+        q.processAllAvailable()
+        input.addData(Event(-1L, maxTs + 10L * EventStream.GapUs, 999999L, "x", 0.0))
+        q.processAllAvailable()
+        val got = spark.table("rocksdb_sessions").as[Session].collect()
+          .filter(_.user_id != 999999L)
+          .map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
+        val want = Events.sessionize(spark, sf).collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+            r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+        assert(got == want)
+      } finally q.stop()
+      // dedup-within-watermark: replayed events still dropped exactly
+      val dedupIn = MemoryStream[Event]
+      val dq = EventStream.dedupEvents(dedupIn.toDS().toDF())
+        .writeStream.format("memory").queryName("rocksdb_dedup")
+        .outputMode("append").start()
+      try {
+        val evs = events.take(500)
+        dedupIn.addData(evs)
+        dedupIn.addData(evs.take(100))
+        dq.processAllAvailable()
+        val ids = spark.table("rocksdb_dedup").select("event_id")
+          .collect().map(_.getLong(0)).toSeq
+        assert(ids.length == evs.length)
+        assert(ids.distinct.length == ids.length)
+      } finally dq.stop()
+    } finally oldProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("streaming ingest lands store requests in the partitioned table") {
     val drop = Files.createTempDirectory("graft_drop").toString
     val table = Files.createTempDirectory("graft_stream_store").toString
