@@ -58,7 +58,11 @@ object Graft {
       collection: String): Unit =
     DocumentStore.deleteCollection(spark, tablePath, collection)
 
-  private def searchIn(chunks: DataFrame, queryVector: Array[Double],
+  /** Core of every search route over any chunk-table frame — the same
+    * projection serves both store backends ([[DocumentStore]]'s flat
+    * partitions and [[graft.sources.ManifestStore]]'s generation
+    * snapshots read to the identical schema). */
+  private[graft] def searchIn(chunks: DataFrame, queryVector: Array[Double],
       topK: Int): DataFrame = {
     val qn = VF.vecLit(VF.normalize(queryVector)) // driver-side, once (O5)
     chunks

@@ -38,6 +38,20 @@ object MlIndex {
     * the quadratic path cannot be misused as the production join. */
   val MaxJoinInputBytes: Long = 256L << 20
 
+  /** BRP-LSH defaults for [[brpKnnJoin]]. Unit-vector projections onto
+    * MLlib's unit random directions are ~N(0, 1/√d) (σ ≈ 0.125 at
+    * d=64): `bucketLength` ≫ σ collapses every vector into a handful
+    * of buckets (the "bucketed" join quietly degenerates toward
+    * all-pairs — measured 52 s at sf0.1 with 0.25 under the MLlib
+    * struct join), while `bucketLength` ≪ σ splits true neighbours
+    * apart and recall dies (0.02 → 0.33). The sweet spot measured at
+    * sf0.1: 0.15 with 6 OR'd tables → recall 0.975 against the exact
+    * top-5 at ~5 s, candidate mass well under all-pairs. More tables
+    * buy recall linearly in bucket-relation size — the knob to turn
+    * first at bigger corpora. */
+  val BrpBucketLength: Double = 0.15
+  val BrpNumTables: Int = 6
+
   /** K-means-trained IVF: fit NClusters centers on the embeddings (the
     * learned version of [[Ann.codebook]]'s fixed stride), assign every
     * vector to its center, probe the NProbe centers nearest the query,
@@ -142,30 +156,37 @@ object MlIndex {
     * metric — serves the engine's cosine semantics (the reference's one
     * real capability, reference main.go:263-275, at batch scale).
     *
-    * Scale shape: `approxSimilarityJoin` explodes the `numTables` hash
-    * buckets and equi-joins on (table, bucket) — candidates are
-    * same-bucket pairs only, never all-pairs (CI-asserted: no cartesian
-    * / nested-loop in the plan; the join is hash-keyed). Candidate mass
-    * is Σ_buckets n_b² — controlled by `bucketLength` (≈ p·n for
-    * occupancy p), not n² — and only candidates pay the exact distance.
-    * Per-query truncation to k is a ranking window on (query, dist).
-    * Recall vs the exact scan is MEASURED ([[brpKnnRecall]]), the same
-    * discipline as every other approximate path here. */
+    * Scale shape — same candidate SEMANTICS as MLlib's
+    * `approxSimilarityJoin` (OR over `numTables` hash tables: a pair is
+    * a candidate iff it shares a (table, bucket) cell), but the join
+    * plan is hand-laid the way [[Dedup.minhashPairs]] lays its band
+    * join, because `approxSimilarityJoin` keys its candidate distinct
+    * on full row STRUCTS (features vector included) — measured 3-4× of
+    * the query's cost at sf0.1. Here the bucket equi-join and the
+    * distinct carry (table, bucket, vec_id) longs only; vectors are
+    * re-joined ONLY for the distinct candidate pairs, which then pay
+    * one codegen'd sequential-fold distance each. Never all-pairs
+    * (CI-asserted: no cartesian / nested-loop; the join is
+    * bucket-keyed), and per-query truncation is a rank-limit window
+    * (WindowGroupLimit prunes map-side). Recall vs the exact scan is
+    * MEASURED ([[brpKnnRecall]]), the same discipline as every other
+    * approximate path here. */
   def brpKnnJoin(s: SparkSession, dir: String, k: Int = 5,
-      bucketLength: Double = 0.25, numTables: Int = 4,
+      bucketLength: Double = BrpBucketLength, numTables: Int = BrpNumTables,
       maxDist: Double = 1.5): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.vector_to_array
     import org.apache.spark.sql.expressions.Window
     val emb = Tables(s, dir, "embeddings")
     val feats = emb
       .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
       .withColumn("nrm", graft.functions.VectorFunctions.norm2(col("ve")))
       .where(col("nrm") > 0.0)
-      // slim to (vec_id, features) for the same struct-shuffle reason
-      // as minhashJoin; persist: feeds fit + both join sides
-      .select(col("vec_id"),
-        array_to_vector(transform(col("ve"), x => x / col("nrm")))
-          .as("features"))
+      // unit-normalized twice-shaped: array for the codegen distance
+      // kernel, vector for the MLlib hasher; persist: feeds fit, the
+      // bucket projection, and both sides of the candidate re-join
+      .select(col("vec_id"), transform(col("ve"), x => x / col("nrm")).as("uv"))
+      .withColumn("features", array_to_vector(col("uv")))
       .persist()
     retained.add(feats)
     val brp = new BucketedRandomProjectionLSH()
@@ -173,13 +194,30 @@ object MlIndex {
       .setBucketLength(bucketLength).setNumHashTables(numTables)
       .setSeed(Seed)
     val model = brp.fit(feats)
-    val pairs = model.approxSimilarityJoin(feats, feats, maxDist, "dist")
-      .select(col("datasetA.vec_id").as("query_id"),
-        col("datasetB.vec_id").as("neighbor_id"), col("dist"))
-      .where(col("query_id") =!= col("neighbor_id"))
+    // (vec_id, table, bucket) — the slim join key relation
+    val buckets = model.transform(feats)
+      .select(col("vec_id"), posexplode(col("hashes")).as(Seq("tbl", "hv")))
+      .select(col("vec_id"), col("tbl"),
+        vector_to_array(col("hv")).getItem(0).as("bucket"))
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"))
+      .distinct() // OR-amplification: one candidate per pair, any table
+    val uv = feats.select(col("vec_id"), col("uv"))
+    val scored = cands
+      .join(uv.select(col("vec_id").as("query_id"), col("uv").as("q_uv")),
+        "query_id")
+      .join(uv.select(col("vec_id").as("neighbor_id"), col("uv").as("n_uv")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        V.l2Dist(col("q_uv"), col("n_uv")).as("dist"))
+      .where(col("dist") <= maxDist)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
-    pairs.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .orderBy("query_id", "rnk")
   }
@@ -192,7 +230,14 @@ object MlIndex {
     * equal. Rows-only verification: MLlib's hash family is internal, so
     * the oracle cannot re-derive the approximate side. */
   def brpKnnRecall(s: SparkSession, dir: String,
-      queryIds: Seq[Int] = 0 until 8, k: Int = 5): DataFrame = {
+      queryIds: Seq[Int] = 0 until 8, k: Int = 5): DataFrame =
+    brpKnnRecallWith(s, dir, queryIds, k, BrpBucketLength, BrpNumTables)
+
+  /** [[brpKnnRecall]] with the LSH knobs exposed (parameter tuning). */
+  def brpKnnRecallWith(s: SparkSession, dir: String,
+      queryIds: Seq[Int] = 0 until 8, k: Int = 5,
+      bucketLength: Double = BrpBucketLength,
+      numTables: Int = BrpNumTables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables(s, dir, "embeddings")
     val queries = emb.where(col("vec_id").isin(queryIds: _*))
@@ -209,7 +254,7 @@ object MlIndex {
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("cand_id"))
-    val approx = brpKnnJoin(s, dir, k)
+    val approx = brpKnnJoin(s, dir, k, bucketLength, numTables)
       .where(col("query_id").isin(queryIds: _*))
       .select(col("query_id"), col("neighbor_id").as("cand_id"))
     exact.join(approx, Seq("query_id", "cand_id"))

@@ -132,6 +132,62 @@ class ReferenceWorkflowSpec extends SparkSpecBase {
     assert(Graft.search(spark, fresh, Array(1.0, 0.0), "x", 5).count() == 0)
   }
 
+  test("reference workflow end-to-end over the manifest-store backend") {
+    // the same four-route lifecycle, backed by the object-store-safe
+    // ManifestStore: both backends read to the identical chunk-table
+    // schema, so the quirk-faithful search projection is shared
+    import graft.sources.ManifestStore
+    val drop = Files.createTempDirectory("graft_man_drop").toString
+    val table = Files.createTempDirectory("graft_man_store").toString + "/t"
+    writeReq(drop, "a.json",
+      """{"collection_name":"alpha","documents":[
+        |{"text":"whole doc","metadata":{"source":"s","name":"docA"},
+        | "chunks":[
+        |  {"text":"alpha one","embedding":{"vector":[1.0,0.0]},
+        |   "metadata":{"source":"cs","name":"a1"},"semantic_score":0.9},
+        |  {"text":"alpha two","embedding":{"vector":[0.6,0.8]},
+        |   "metadata":{"source":"cs","name":"a2"},"semantic_score":0.1}]}]}"""
+        .stripMargin.replace("\n", ""))
+    writeReq(drop, "b.json",
+      """{"collection_name":"beta","documents":[
+        |{"text":"other","metadata":{"source":"s","name":"docB"},
+        | "chunks":[{"text":"beta one","embedding":{"vector":[0.0,1.0]},
+        |   "metadata":{"source":"cs","name":"b1"},"semantic_score":0.2}]}]}"""
+        .stripMargin.replace("\n", ""))
+    def flatten(req: String) = DocumentStore.flattenChunks(
+      DocumentStore.readStoreRequests(spark, s"$drop/$req"))
+    ManifestStore.store(flatten("a.json"), table, "alpha")
+    ManifestStore.store(flatten("b.json"), table, "beta")
+
+    // /search with the Q3/Q6 quirk fields, over the snapshot read
+    val top = Graft.searchIn(
+      ManifestStore.read(spark, table, Some("alpha")), Array(1.0, 0.0), 1).head
+    assert(top.getAs[String]("text") == "alpha one")
+    assert(top.getAs[Double]("similarity") == 1.0)
+    assert(top.getAs[Int]("position") == 1)
+    assert(top.getAs[String]("embedding_id") == "docA")
+
+    // /multi_search: one snapshot read, one global top-k
+    val multi = Graft.searchIn(
+      ManifestStore.read(spark, table)
+        .where(col("collection").isin("alpha", "beta")),
+      Array(0.0, 1.0), 2).collect()
+    assert(multi.head.getAs[String]("text") == "beta one")
+    assert(multi.length == 2)
+
+    // compaction mid-lifecycle is observably a no-op for searches
+    ManifestStore.compactCollection(spark, table, "alpha")
+    assert(Graft.searchIn(ManifestStore.read(spark, table, Some("alpha")),
+      Array(1.0, 0.0), 5).count() == 2)
+
+    // /delete_collection = tombstone; searches read defined empties (Q7)
+    ManifestStore.deleteCollection(spark, table, "alpha")
+    assert(Graft.searchIn(ManifestStore.read(spark, table, Some("alpha")),
+      Array(1.0, 0.0), 5).count() == 0)
+    assert(Graft.searchIn(ManifestStore.read(spark, table),
+      Array(1.0, 0.0), 5).count() == 1)
+  }
+
   test("non-string metadata.source round-trips as its JSON text (SURVEY §1.2)") {
     // the reference's Metadata.Source is `interface{}` (main.go:42) —
     // arbitrary JSON. The port constrains it to ONE column type by
