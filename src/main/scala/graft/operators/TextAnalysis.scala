@@ -145,6 +145,41 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
+  /** Repetition statistics — the Gopher/C4-style quality signals that
+    * catch boilerplate and degenerate generation: the share of the
+    * document consumed by its single most frequent word, and the
+    * fraction of duplicated word-bigrams. Both are pure scan-side
+    * array math (no shuffle, no state); the per-doc cost is
+    * O(n·distinct) for the top-word count — bounded by document
+    * length, independent of corpus size. The inner `filter` lambda
+    * captures only the outer lambda VARIABLE and a scan attribute
+    * (O(1) slot reads — not the re-evaluated-subtree HOF pitfall). */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val st = graft.functions.TextHashExpressions.wordStats(ws)
+    documents
+      .select(col("doc_id"), ws.as("ws"),
+        st.getField("n_words").as("n_words"),
+        st.getField("n_distinct_words").as("n_distinct_words"))
+      .withColumn("top_word_count",
+        coalesce(array_max(transform(array_distinct(col("ws")),
+          w => size(filter(col("ws"), x => x === w)).cast("long"))),
+          lit(0L)))
+      .withColumn("bg",
+        graft.functions.TextHashExpressions.shingleStrings(col("ws"), 2))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("top_word_count"),
+        when(col("n_words") > 0, col("top_word_count").cast("double") /
+          col("n_words").cast("double")).as("top_word_share"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long")
+          .as("n_distinct_bigrams"),
+        when(size(col("bg")) > 0,
+          (size(col("bg")) - size(array_distinct(col("bg")))).cast("double")
+            / size(col("bg")).cast("double")).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Term-frequency / document-frequency table: top-3 terms per document
     * by in-doc count, each with its corpus document frequency — the
     * integer-exact core of TF-IDF (the log-weighted score is left to the
@@ -263,6 +298,31 @@ object TextAnalysis {
          |  $argmaxLangSql AS predicted
          |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, dir) => languageIdNgram(Tables(s, dir, "documents")) },
+
+    QueryDef.sql("text_repetition", {
+      val bg = shinglesSql("ws", 2)
+      s"""WITH t AS (SELECT doc_id, $W AS ws FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+         |    coalesce(list_max(list_transform(list_distinct(ws),
+         |      w -> CAST(len(list_filter(ws, x -> x = w)) AS BIGINT))),
+         |      CAST(0 AS BIGINT)) AS top_word_count,
+         |    $bg AS bg
+         |  FROM t)
+         |SELECT doc_id, n_words, n_distinct_words, top_word_count,
+         |  CASE WHEN n_words > 0
+         |    THEN CAST(top_word_count AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |  END AS top_word_share,
+         |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+         |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+         |  CASE WHEN len(bg) > 0
+         |    THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+         |      / CAST(len(bg) AS DOUBLE)
+         |  END AS dup_bigram_frac
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, dir) => repetitionStats(Tables(s, dir, "documents")) },
 
     QueryDef.sql("text_word_freq",
       s"""WITH terms AS (

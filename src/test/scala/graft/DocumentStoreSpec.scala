@@ -245,6 +245,12 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
     // a store that never existed reads as a defined empty (Q7)
     assert(ManifestStore.read(spark, tmp() + "/never").count() == 0)
+    // the optimistic-lock primitive the commit protocol rests on:
+    // create-no-overwrite admits exactly one winner per pointer seq
+    val claimed = new org.apache.hadoop.fs.Path(
+      s"$table/_manifest/c1/ptr-000009")
+    fs.create(claimed, false).close()
+    intercept[java.io.IOException] { fs.create(claimed, false).close() }
   }
 
   test("store lifecycle is FS-agnostic: non-default scheme (s3a stand-in)") {

@@ -54,6 +54,37 @@ class TextAnalysisSpec extends SparkSpecBase {
     })
   }
 
+  test("repetition stats: known values on constructed text, fixture bounds") {
+    import spark.implicits._
+    // "a a a b": top word a×3; bigrams [a a, a a, a b] -> 3 total, 2
+    // distinct, dup fraction 1/3
+    val one = TextAnalysis.repetitionStats(
+      Seq((1L, "a a a b")).toDF("doc_id", "text")).head
+    assert(one.getAs[Long]("n_words") == 4L)
+    assert(one.getAs[Long]("top_word_count") == 3L)
+    assert(one.getAs[Double]("top_word_share") == 0.75)
+    assert(one.getAs[Long]("n_bigrams") == 3L)
+    assert(one.getAs[Long]("n_distinct_bigrams") == 2L)
+    assert(one.getAs[Double]("dup_bigram_frac") == 1.0 / 3.0)
+    // empty text: zero counts, null ratios — never a division error
+    val empty = TextAnalysis.repetitionStats(
+      Seq((2L, "")).toDF("doc_id", "text")).head
+    assert(empty.getAs[Long]("n_words") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("top_word_share")))
+    assert(empty.isNullAt(empty.fieldIndex("dup_bigram_frac")))
+    // fixture-wide invariants
+    TextAnalysis.repetitionStats(docs).collect().foreach { r =>
+      val (n, top) = (r.getAs[Long]("n_words"), r.getAs[Long]("top_word_count"))
+      assert(top <= n && (n == 0L || top >= 1L))
+      assert(r.getAs[Long]("n_bigrams") == math.max(n - 1, 0L))
+      assert(r.getAs[Long]("n_distinct_bigrams") <= r.getAs[Long]("n_bigrams"))
+      if (n > 0) {
+        val share = r.getAs[Double]("top_word_share")
+        assert(share > 0.0 && share <= 1.0)
+      }
+    }
+  }
+
   test("fingerprint: identical text -> identical fp, different -> differs") {
     val df = spark.sql(
       """SELECT * FROM VALUES (1L, 'the quick brown fox jumps'),
