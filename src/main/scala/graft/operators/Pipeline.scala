@@ -106,6 +106,24 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Gopher/C4-style repetition gate — the curation rule set that
+    * drops boilerplate and degenerate text: minimum length, bounded
+    * top-word concentration, bounded duplicate-bigram share (the
+    * signals [[TextAnalysis.repetitionStats]] computes; thresholds sit
+    * just past the fixture's p90s so the gate provably fires without
+    * emptying the corpus). Same scan-side shape as the signals
+    * themselves: no shuffle before the output sort. */
+  def gopherFilter(s: SparkSession, dir: String, minWords: Long = 30L,
+      maxTopWordShare: Double = 0.12,
+      maxDupBigramFrac: Double = 0.05): DataFrame =
+    TextAnalysis.repetitionStats(Tables(s, dir, "documents"))
+      .where(col("n_words") >= minWords &&
+        col("top_word_share") <= maxTopWordShare &&
+        col("dup_bigram_frac") <= maxDupBigramFrac)
+      .select(col("doc_id"), col("n_words"), col("top_word_share"),
+        col("dup_bigram_frac"))
+      .orderBy("doc_id")
+
   /** pack_id = cum_before div budget, as exact INTEGER division — the
     * double-division formulation is exact only below 2^53, and per-lang
     * cumulative token counts exceed that at the 100 TB posture (same
@@ -281,6 +299,15 @@ object Pipeline {
          |  CAST(cum_before % 2048 AS BIGINT) AS pack_offset
          |FROM p ORDER BY doc_id""".stripMargin
     })((s, dir) => sequencePack(s, dir)),
+
+    QueryDef.sql("pl_gopher_filter",
+      s"""WITH ${TextAnalysis.repetitionRelationSql}
+         |SELECT doc_id, n_words, top_word_share, dup_bigram_frac
+         |FROM rep
+         |WHERE n_words >= 30 AND top_word_share <= 0.12E0
+         |  AND dup_bigram_frac <= 0.05E0
+         |ORDER BY doc_id""".stripMargin)(
+      (s, dir) => gopherFilter(s, dir)),
 
     QueryDef.sql("pl_bottomk_sample",
       s"""SELECT doc_id, lang, n_chars,

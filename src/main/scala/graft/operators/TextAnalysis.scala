@@ -233,6 +233,35 @@ object TextAnalysis {
 
   private val W = wordsSql("text")
 
+  /** SQL twin of [[repetitionStats]] as a reusable CTE chain ending in
+    * relation `rep` — shared by the `text_repetition` oracle and the
+    * `pl_gopher_filter` funnel so the two can never drift apart. */
+  private[operators] lazy val repetitionRelationSql: String = {
+    val bg = shinglesSql("ws", 2)
+    s"""t AS (SELECT doc_id, $W AS ws FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+       |    coalesce(list_max(list_transform(list_distinct(ws),
+       |      w -> CAST(len(list_filter(ws, x -> x = w)) AS BIGINT))),
+       |      CAST(0 AS BIGINT)) AS top_word_count,
+       |    $bg AS bg
+       |  FROM t),
+       |rep AS (
+       |  SELECT doc_id, n_words, n_distinct_words, top_word_count,
+       |    CASE WHEN n_words > 0
+       |      THEN CAST(top_word_count AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |    END AS top_word_share,
+       |    CAST(len(bg) AS BIGINT) AS n_bigrams,
+       |    CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+       |    CASE WHEN len(bg) > 0
+       |      THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+       |        / CAST(len(bg) AS DOUBLE)
+       |    END AS dup_bigram_frac
+       |  FROM m)""".stripMargin
+  }
+
   private def sumSql(list: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $list), (a, x) -> a + x)"
 
@@ -299,30 +328,13 @@ object TextAnalysis {
          |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, dir) => languageIdNgram(Tables(s, dir, "documents")) },
 
-    QueryDef.sql("text_repetition", {
-      val bg = shinglesSql("ws", 2)
-      s"""WITH t AS (SELECT doc_id, $W AS ws FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    CAST(len(ws) AS BIGINT) AS n_words,
-         |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
-         |    coalesce(list_max(list_transform(list_distinct(ws),
-         |      w -> CAST(len(list_filter(ws, x -> x = w)) AS BIGINT))),
-         |      CAST(0 AS BIGINT)) AS top_word_count,
-         |    $bg AS bg
-         |  FROM t)
+    QueryDef.sql("text_repetition",
+      s"""WITH $repetitionRelationSql
          |SELECT doc_id, n_words, n_distinct_words, top_word_count,
-         |  CASE WHEN n_words > 0
-         |    THEN CAST(top_word_count AS DOUBLE) / CAST(n_words AS DOUBLE)
-         |  END AS top_word_share,
-         |  CAST(len(bg) AS BIGINT) AS n_bigrams,
-         |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
-         |  CASE WHEN len(bg) > 0
-         |    THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
-         |      / CAST(len(bg) AS DOUBLE)
-         |  END AS dup_bigram_frac
-         |FROM m ORDER BY doc_id""".stripMargin
-    }) { (s, dir) => repetitionStats(Tables(s, dir, "documents")) },
+         |  top_word_share, n_bigrams, n_distinct_bigrams, dup_bigram_frac
+         |FROM rep ORDER BY doc_id""".stripMargin) {
+      (s, dir) => repetitionStats(Tables(s, dir, "documents"))
+    },
 
     QueryDef.sql("text_word_freq",
       s"""WITH terms AS (

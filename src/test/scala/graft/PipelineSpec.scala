@@ -58,6 +58,19 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("gopher filter: survivors pass every repetition gate, gate fires") {
+    val rows = Pipeline.gopherFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") >= 30L)
+      assert(r.getAs[Double]("top_word_share") <= 0.12)
+      assert(r.getAs[Double]("dup_bigram_frac") <= 0.05)
+    }
+    // the gate actually rejects something on the fixture corpus
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length < total)
+  }
+
   test("sequence packing: NULL lang is its own partition, not dropped") {
     import spark.implicits._
     // mirrors the oracle's PARTITION BY lang, which groups NULLs
