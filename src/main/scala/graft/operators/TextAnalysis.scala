@@ -149,22 +149,33 @@ object TextAnalysis {
     * catch boilerplate and degenerate generation: the share of the
     * document consumed by its single most frequent word, and the
     * fraction of duplicated word-bigrams. Both are pure scan-side
-    * array math (no shuffle, no state); the per-doc cost is
-    * O(n·distinct) for the top-word count — bounded by document
-    * length, independent of corpus size. The inner `filter` lambda
-    * captures only the outer lambda VARIABLE and a scan attribute
-    * (O(1) slot reads — not the re-evaluated-subtree HOF pitfall). */
+    * array math (no shuffle, no state). The top-word count is a SORT +
+    * RUN-LENGTH fold — O(n log n) per document — not the obvious
+    * `distinct × filter` nesting, which is O(n·distinct) and turns a
+    * single 100k-word document into ~10^9 lambda evaluations; per-doc
+    * cost must stay near-linear in doc length for the corpus scan to
+    * be scan-speed. The fold's state is a (prev, run, best) struct of
+    * lambda-variable slot reads (not the re-evaluated-subtree HOF
+    * pitfall). */
   def repetitionStats(documents: DataFrame): DataFrame = {
     val ws = words(col("text"))
     val st = graft.functions.TextHashExpressions.wordStats(ws)
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
     documents
       .select(col("doc_id"), ws.as("ws"),
         st.getField("n_words").as("n_words"),
         st.getField("n_distinct_words").as("n_distinct_words"))
+      // equal words are adjacent after the sort, so the longest run IS
+      // the top word's count ("" never collides: words() drops empties)
       .withColumn("top_word_count",
-        coalesce(array_max(transform(array_distinct(col("ws")),
-          w => size(filter(col("ws"), x => x === w)).cast("long"))),
-          lit(0L)))
+        aggregate(array_sort(col("ws")), zero,
+          (s, w) => {
+            val run = when(w === s.getField("prev"), s.getField("run") + 1L)
+              .otherwise(lit(1L))
+            struct(w.as("prev"), run.as("run"),
+              greatest(s.getField("best"), run).as("best"))
+          },
+          s => s.getField("best")))
       .withColumn("bg",
         graft.functions.TextHashExpressions.shingleStrings(col("ws"), 2))
       .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
@@ -239,15 +250,16 @@ object TextAnalysis {
   private[operators] lazy val repetitionRelationSql: String = {
     val bg = shinglesSql("ws", 2)
     s"""t AS (SELECT doc_id, $W AS ws FROM documents),
+       |terms AS (SELECT doc_id, unnest(ws) AS w FROM t),
+       |wc AS (SELECT doc_id, w, count(*) AS c FROM terms GROUP BY doc_id, w),
+       |top AS (SELECT doc_id, max(c) AS top_word_count FROM wc GROUP BY doc_id),
        |m AS (
-       |  SELECT doc_id,
+       |  SELECT t.doc_id,
        |    CAST(len(ws) AS BIGINT) AS n_words,
        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
-       |    coalesce(list_max(list_transform(list_distinct(ws),
-       |      w -> CAST(len(list_filter(ws, x -> x = w)) AS BIGINT))),
-       |      CAST(0 AS BIGINT)) AS top_word_count,
+       |    CAST(coalesce(top.top_word_count, 0) AS BIGINT) AS top_word_count,
        |    $bg AS bg
-       |  FROM t),
+       |  FROM t LEFT JOIN top ON t.doc_id = top.doc_id),
        |rep AS (
        |  SELECT doc_id, n_words, n_distinct_words, top_word_count,
        |    CASE WHEN n_words > 0
