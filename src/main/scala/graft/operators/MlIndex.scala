@@ -221,12 +221,12 @@ object MlIndex {
     * equal. Rows-only verification: MLlib's hash family is internal, so
     * the oracle cannot re-derive the approximate side. */
   def brpKnnRecall(s: SparkSession, dir: String,
-      queryIds: Seq[Int] = 0 until 8, k: Int = 5): DataFrame =
+      queryIds: Seq[Int] = 0 until 32, k: Int = 5): DataFrame =
     brpKnnRecallWith(s, dir, queryIds, k, BrpBucketLength, BrpNumTables)
 
   /** [[brpKnnRecall]] with the LSH knobs exposed (parameter tuning). */
   def brpKnnRecallWith(s: SparkSession, dir: String,
-      queryIds: Seq[Int] = 0 until 8, k: Int = 5,
+      queryIds: Seq[Int] = 0 until 32, k: Int = 5,
       bucketLength: Double = BrpBucketLength,
       numTables: Int = BrpNumTables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
