@@ -261,27 +261,35 @@ object MlIndex {
   private val retained =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** The BRP index — normalized persisted features + fitted hash model
-    * — memoized per (session, canonicalized input plan, knobs), the
-    * same discipline as Dedup's shingle cache: repeated
-    * `ml_brp_knn_join`/`ml_brp_knn_recall` calls (Bench reps, the
-    * recall query re-running the join) share ONE persisted frame and
-    * ONE fit instead of leaking a copy per call. Snapshot semantics:
-    * the index reflects the input as of first use; writers call
-    * [[releaseCaches]] after mutating the corpus. */
-  private val brpCache = new java.util.concurrent.ConcurrentHashMap[
+  /** The BRP index, memoized at the same discipline as Dedup's shingle
+    * cache so repeated `ml_brp_knn_join`/`ml_brp_knn_recall` calls
+    * (Bench reps, the recall query re-running the join) share ONE
+    * persisted frame and ONE fit per knob setting. Two tiers, because
+    * they depend on different keys: the normalized FEATURES frame is
+    * knob-independent (keyed by session + canonicalized input plan —
+    * a tuning sweep holds one persisted copy, not one per knob), while
+    * the fitted hash MODEL adds (bucketLength, numTables). Races use
+    * get/putIfAbsent with loser-unpersist rather than computeIfAbsent,
+    * so no Spark job (the fit) ever runs under a map bin lock, and
+    * [[releaseCaches]] removes entries atomically before unpersisting
+    * (an entry can't slip between a sweep and a clear). Snapshot
+    * semantics: the index reflects the input as of first use; writers
+    * call [[releaseCaches]] after mutating the corpus. */
+  private val featsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame]()
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      Double, Int), (DataFrame, BucketedRandomProjectionLSHModel)]()
+      Double, Int), BucketedRandomProjectionLSHModel]()
 
   private def brpIndex(emb: DataFrame, bucketLength: Double,
       numTables: Int): (DataFrame, BucketedRandomProjectionLSHModel) = {
-    val key = (emb.sparkSession, emb.queryExecution.analyzed.canonicalized,
-      bucketLength, numTables)
-    brpCache.computeIfAbsent(key, _ => {
+    val planKey = (emb.sparkSession, emb.queryExecution.analyzed.canonicalized)
+    val feats = Option(featsCache.get(planKey)).getOrElse {
       // unit-normalized twice-shaped: array for the codegen distance
       // kernel, vector for the MLlib hasher; persist: feeds fit, the
       // bucket projection, and both sides of the candidate re-join
-      val feats = emb
+      val built = emb
         .select(col("vec_id"), toDouble(col("embedding")).as("ve"))
         .withColumn("nrm", graft.functions.VectorFunctions.norm2(col("ve")))
         .where(col("nrm") > 0.0)
@@ -289,20 +297,30 @@ object MlIndex {
           transform(col("ve"), x => x / col("nrm")).as("uv"))
         .withColumn("features", array_to_vector(col("uv")))
         .persist()
-      val model = new BucketedRandomProjectionLSH()
+      val prev = featsCache.putIfAbsent(planKey, built)
+      if (prev != null) { built.unpersist(); prev } else built
+    }
+    val mKey = (planKey._1, planKey._2, bucketLength, numTables)
+    val model = Option(modelCache.get(mKey)).getOrElse {
+      val m = new BucketedRandomProjectionLSH()
         .setInputCol("features").setOutputCol("hashes")
         .setBucketLength(bucketLength).setNumHashTables(numTables)
         .setSeed(Seed)
         .fit(feats)
-      (feats, model)
-    })
+      Option(modelCache.putIfAbsent(mKey, m)).getOrElse(m)
+    }
+    (feats, model)
   }
 
   def releaseCaches(): Unit = {
     var df = retained.poll()
     while (df != null) { df.unpersist(); df = retained.poll() }
-    brpCache.forEach((_, v) => v._1.unpersist())
-    brpCache.clear()
+    val keys = featsCache.keySet().iterator()
+    while (keys.hasNext) {
+      val v = featsCache.remove(keys.next())
+      if (v != null) v.unpersist()
+    }
+    modelCache.clear()
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -166,16 +166,19 @@ object TextAnalysis {
         st.getField("n_words").as("n_words"),
         st.getField("n_distinct_words").as("n_distinct_words"))
       // equal words are adjacent after the sort, so the longest run IS
-      // the top word's count ("" never collides: words() drops empties)
+      // the top word's count ("" never collides: words() drops empties).
+      // coalesce: a NULL text gives a NULL word array and a NULL fold —
+      // the oracle's LEFT JOIN + coalesce path yields 0 for that row,
+      // and both engines must agree bitwise
       .withColumn("top_word_count",
-        aggregate(array_sort(col("ws")), zero,
+        coalesce(aggregate(array_sort(col("ws")), zero,
           (s, w) => {
             val run = when(w === s.getField("prev"), s.getField("run") + 1L)
               .otherwise(lit(1L))
             struct(w.as("prev"), run.as("run"),
               greatest(s.getField("best"), run).as("best"))
           },
-          s => s.getField("best")))
+          s => s.getField("best")), lit(0L)))
       .withColumn("bg",
         graft.functions.TextHashExpressions.shingleStrings(col("ws"), 2))
       .select(col("doc_id"), col("n_words"), col("n_distinct_words"),

@@ -90,7 +90,8 @@ object ManifestStore {
     * valid pointer, so a crashed segment write is safely re-targeted).
     */
   private[sources] final case class Resolved(
-      liveSegs: Option[Seq[Long]], nextPtrSeq: Long, nextSeg: Long)
+      liveSegs: Option[Seq[Long]], nextPtrSeq: Long, nextSeg: Long,
+      decidedSeq: Long)
 
   /** Full small-file read: None for missing, unreadable, or empty
     * files (crash artifacts of an interrupted create). Loops to EOF —
@@ -110,12 +111,23 @@ object ManifestStore {
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
-  /** `segs:000001,000003` → Some(Seq(1, 3)); anything malformed → None
-    * (treated as an invalid pointer, fall back to the previous one). */
+  /** Commit-content terminator: a pointer is valid ONLY when its full
+    * content survived the crash — a prefix of a longer segment list
+    * ("segs:0000" from "segs:000001,...") would otherwise PARSE to a
+    * wrong-but-plausible list. Tombstones are exact-match, so they
+    * need no terminator. (Format v2; the short-lived v1 "gen-" format
+    * never shipped in any round artifact — unrecognized content is
+    * simply an invalid pointer, there is no migration path to carry.) */
+  private val SegsSuffix = ";end"
+
+  /** `segs:000001,000003;end` → Some(Seq(1, 3)); anything malformed or
+    * truncated → None (an invalid pointer; fall back to the previous
+    * one). */
   private def parseSegs(content: String): Option[Seq[Long]] =
-    if (!content.startsWith(SegsPrefix)) None
+    if (!content.startsWith(SegsPrefix) || !content.endsWith(SegsSuffix)) None
     else {
-      val parts = content.stripPrefix(SegsPrefix).split(",").toSeq
+      val parts = content.stripPrefix(SegsPrefix).stripSuffix(SegsSuffix)
+        .split(",").toSeq
       val nums = parts.flatMap(_.trim.toLongOption)
       if (nums.nonEmpty && nums.length == parts.length) Some(nums) else None
     }
@@ -123,22 +135,28 @@ object ManifestStore {
   private[sources] def resolve(fs: FileSystem, tablePath: String,
       c: String): Resolved = {
     val dir = manifestDir(tablePath, c)
-    if (!fs.exists(dir)) return Resolved(None, 1L, 1L)
+    if (!fs.exists(dir)) return Resolved(None, 1L, 1L, 0L)
     val ptrs = fs.listStatus(dir).toSeq.map(_.getPath)
       .filter(_.getName.startsWith(PtrPrefix))
       .flatMap(p => p.getName.stripPrefix(PtrPrefix).toLongOption.map(_ -> p))
       .sortBy(-_._1)
-    val contents = ptrs.map { case (_, p) => readPtr(fs, p) }
+    // resolution cost is O(pointers since the last vacuum): each call
+    // opens every retained pointer file (maxSeg needs them anyway for
+    // crash-safe segment numbering); [[vacuum]] prunes superseded ones
+    // so the set stays bounded by the vacuum cadence, not the
+    // collection's total commit history
+    val contents = ptrs.map { case (seq, p) => seq -> readPtr(fs, p) }
     // newest pointer with VALID content decides; invalid ones (crash
     // mid-create) are skipped — the previous commit stays live
-    val live = contents.iterator.collectFirst {
-      case Some(Tombstone) => None
-      case Some(s) if parseSegs(s).isDefined => parseSegs(s)
-    }.flatten
+    val decided = contents.iterator.collectFirst {
+      case (seq, Some(Tombstone)) => seq -> None
+      case (seq, Some(s)) if parseSegs(s).isDefined => seq -> parseSegs(s)
+    }
     val maxSeq = ptrs.headOption.map(_._1).getOrElse(0L)
-    val maxSeg = contents.flatten.flatMap(parseSegs).flatten
+    val maxSeg = contents.flatMap(_._2).flatMap(parseSegs).flatten
       .maxOption.getOrElse(0L)
-    Resolved(live, maxSeq + 1, maxSeg + 1)
+    Resolved(decided.flatMap(_._2), maxSeq + 1, maxSeg + 1,
+      decided.map(_._1).getOrElse(0L))
   }
 
   /** Publish one commit: create-once, no overwrite — the atomicity
@@ -154,7 +172,7 @@ object ManifestStore {
   }
 
   private def segsContent(segs: Seq[Long]): String =
-    segs.map(s => f"$s%06d").mkString(SegsPrefix, ",", "")
+    segs.map(s => f"$s%06d").mkString(SegsPrefix, ",", SegsSuffix)
 
   /** Collections with a manifest (live or tombstoned). */
   def listCollections(spark: SparkSession, tablePath: String): Seq[String] = {
@@ -245,12 +263,27 @@ object ManifestStore {
       publish(fs, tablePath, c, r.nextPtrSeq, Tombstone)
   }
 
-  /** Garbage-collect directories no pointer references: superseded and
-    * abandoned (crashed-write) segments, and the data of tombstoned
-    * collections — but ONLY those older than `minAgeMs` (modification
-    * time), which is what keeps a concurrent writer's not-yet-committed
-    * segment and recent readers' superseded snapshots safe. Returns the
-    * removed paths. */
+  /** Age of a candidate directory for the vacuum guard: the newest of
+    * the directory's own mtime and its direct children's — S3-class
+    * stores report 0/meaningless mtimes for inferred directory
+    * entries, but the FILES inside (the actual objects) carry real
+    * timestamps, so the guard must look one level down or it is void
+    * exactly on the stores this module targets. */
+  private def newestMtime(fs: FileSystem, p: Path): Long = {
+    val own = fs.getFileStatus(p).getModificationTime
+    val children =
+      try fs.listStatus(p).toSeq.map(_.getModificationTime)
+      catch { case _: java.io.IOException => Seq.empty }
+    (own +: children).max
+  }
+
+  /** Garbage-collect everything no pointer references: superseded and
+    * abandoned (crashed-write) segments, the data of tombstoned
+    * collections, and superseded pointer files (so [[resolve]]'s cost
+    * tracks the vacuum cadence, not total commit history) — but ONLY
+    * entries older than `minAgeMs` ([[newestMtime]]), which is what
+    * keeps a concurrent writer's not-yet-committed segment and recent
+    * readers' superseded snapshots safe. Returns the removed paths. */
   def vacuum(spark: SparkSession, tablePath: String,
       minAgeMs: Long = DefaultVacuumMinAgeMs): Seq[String] = {
     val fs = fsOf(spark, tablePath)
@@ -262,17 +295,17 @@ object ManifestStore {
       .map(_.stripPrefix("collection="))
     val removed = Seq.newBuilder[String]
     (dataCols ++ listCollections(spark, tablePath)).distinct.foreach { c =>
+      val r = resolve(fs, tablePath, c)
       val cdir = collectionDir(tablePath, c)
       if (fs.exists(cdir)) {
-        val keep = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
-          .map(segName).toSet
-        fs.listStatus(cdir).toSeq
-          .filter(st => st.getPath.getName.startsWith("seg=") &&
-            !keep.contains(st.getPath.getName) &&
-            st.getModificationTime < cutoff)
-          .foreach { st =>
-            fs.delete(st.getPath, true)
-            removed += st.getPath.toString
+        val keep = r.liveSegs.toSeq.flatten.map(segName).toSet
+        fs.listStatus(cdir).toSeq.map(_.getPath)
+          .filter(p => p.getName.startsWith("seg=") &&
+            !keep.contains(p.getName) &&
+            newestMtime(fs, p) < cutoff)
+          .foreach { p =>
+            fs.delete(p, true)
+            removed += p.toString
           }
         // a tombstoned collection with every segment swept leaves an
         // empty dir — drop it so the store listing stays clean
@@ -281,6 +314,25 @@ object ManifestStore {
           removed += cdir.toString
         }
       }
+      // pointer log compaction: commits BELOW the deciding pointer are
+      // history (the deciding one carries the live list, and every
+      // commit's list contains the global max segment number, so
+      // numbering stays monotone from the deciding pointer alone).
+      // Tombstoned collections keep their full log until the data dir
+      // is swept — pruning to a bare tombstone would restart segment
+      // numbering while age-protected old segments still exist.
+      val mdir = manifestDir(tablePath, c)
+      if (r.decidedSeq > 0L && r.liveSegs.isDefined && fs.exists(mdir))
+        fs.listStatus(mdir).toSeq.map(_.getPath)
+          .filter { p =>
+            p.getName.stripPrefix(PtrPrefix).toLongOption
+              .exists(_ < r.decidedSeq) &&
+              fs.getFileStatus(p).getModificationTime < cutoff
+          }
+          .foreach { p =>
+            fs.delete(p, false)
+            removed += p.toString
+          }
     }
     removed.result()
   }

@@ -206,10 +206,16 @@ class DocumentStoreSpec extends SparkSpecBase {
         s"$table/collection=c1/seg=000005"))
       .count(_.getPath.getName.endsWith(".parquet")) == 1)
     // vacuum (age guard waived) reclaims exactly the superseded segments
+    // AND compacts the pointer log down to the deciding commit, so
+    // resolution cost tracks vacuum cadence, not total commit history
     val removed = ManifestStore.vacuum(spark, table, 0L)
     assert(removed.exists(_.contains("seg=000001")))
     assert(removed.exists(_.contains("seg=000004")))
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$table/_manifest/c1")).map(_.getPath.getName).toSeq == Seq("ptr-000005"))
+    assert(ManifestStore.currentSegments(spark, table, "c1")
+      .contains(Seq(5L)))
 
     // delete = tombstone pointer (pure metadata); data lives to vacuum
     ManifestStore.deleteCollection(spark, table, "c2")

@@ -72,6 +72,11 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(empty.getAs[Long]("n_words") == 0L)
     assert(empty.isNullAt(empty.fieldIndex("top_word_share")))
     assert(empty.isNullAt(empty.fieldIndex("dup_bigram_frac")))
+    // NULL text: top_word_count must be 0, matching the oracle's
+    // LEFT JOIN + coalesce path (a bare fold would yield NULL here)
+    val nul = TextAnalysis.repetitionStats(
+      Seq((3L, null: String)).toDF("doc_id", "text")).head
+    assert(nul.getAs[Long]("top_word_count") == 0L)
     // fixture-wide invariants
     TextAnalysis.repetitionStats(docs).collect().foreach { r =>
       val (n, top) = (r.getAs[Long]("n_words"), r.getAs[Long]("top_word_count"))
