@@ -24,8 +24,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     compaction writes one new segment replacing the whole list;
   *   - commit: `table/_manifest/<c>/ptr-<NNNNNN>` — tiny files, created
   *     once, NEVER overwritten or renamed. The highest-sequence pointer
-  *     with valid content (`segs:<n>,<n>,...` or `tombstone`) names the
-  *     collection's LIVE SEGMENT LIST. Publishing a commit — append,
+  *     with valid content (`segs:<n>,<n>,...;end` — terminator-checked
+  *     so a crash-truncated prefix can never parse — or `tombstone`)
+  *     names the collection's LIVE SEGMENT LIST. Publishing a commit — append,
   *     compaction, delete alike — is one single-file create, the one
   *     primitive every object store makes atomic (a PUT is visible in
   *     full or not at all). Every state change goes through a pointer,
