@@ -92,7 +92,7 @@ object ManifestStore {
     */
   private[sources] final case class Resolved(
       liveSegs: Option[Seq[Long]], nextPtrSeq: Long, nextSeg: Long,
-      decidedSeq: Long)
+      decidedSeq: Long, seenTags: Set[String])
 
   /** Full small-file read: None for missing, unreadable, or empty
     * files (crash artifacts of an interrupted create). Loops to EOF —
@@ -121,22 +121,33 @@ object ManifestStore {
     * simply an invalid pointer, there is no migration path to carry.) */
   private val SegsSuffix = ";end"
 
-  /** `segs:000001,000003;end` → Some(Seq(1, 3)); anything malformed or
-    * truncated → None (an invalid pointer; fall back to the previous
-    * one). */
-  private def parseSegs(content: String): Option[Seq[Long]] =
+  /** `segs:000001,000003;end` or `segs:000001;src=batch-7;end` →
+    * Some((segments, provenance tag)); anything malformed or truncated
+    * → None (an invalid pointer; fall back to the previous one). The
+    * optional `src=` tag records WHICH ingest produced a commit — the
+    * idempotency key for at-least-once replays ([[storeBatch]]). */
+  private def parseBody(content: String): Option[(Seq[Long], Option[String])] =
     if (!content.startsWith(SegsPrefix) || !content.endsWith(SegsSuffix)) None
     else {
-      val parts = content.stripPrefix(SegsPrefix).stripSuffix(SegsSuffix)
-        .split(",").toSeq
+      val body = content.stripPrefix(SegsPrefix).stripSuffix(SegsSuffix)
+      val (listPart, tag) = body.indexOf(";src=") match {
+        case -1 => (body, None)
+        case i => (body.substring(0, i), Some(body.substring(i + 5)))
+      }
+      val parts = listPart.split(",").toSeq
       val nums = parts.flatMap(_.trim.toLongOption)
-      if (nums.nonEmpty && nums.length == parts.length) Some(nums) else None
+      if (nums.nonEmpty && nums.length == parts.length)
+        Some((nums, tag.filter(_.nonEmpty)))
+      else None
     }
+
+  private def parseSegs(content: String): Option[Seq[Long]] =
+    parseBody(content).map(_._1)
 
   private[sources] def resolve(fs: FileSystem, tablePath: String,
       c: String): Resolved = {
     val dir = manifestDir(tablePath, c)
-    if (!fs.exists(dir)) return Resolved(None, 1L, 1L, 0L)
+    if (!fs.exists(dir)) return Resolved(None, 1L, 1L, 0L, Set.empty)
     val ptrs = fs.listStatus(dir).toSeq.map(_.getPath)
       .filter(_.getName.startsWith(PtrPrefix))
       .flatMap(p => p.getName.stripPrefix(PtrPrefix).toLongOption.map(_ -> p))
@@ -154,10 +165,10 @@ object ManifestStore {
       case (seq, Some(s)) if parseSegs(s).isDefined => seq -> parseSegs(s)
     }
     val maxSeq = ptrs.headOption.map(_._1).getOrElse(0L)
-    val maxSeg = contents.flatMap(_._2).flatMap(parseSegs).flatten
-      .maxOption.getOrElse(0L)
+    val bodies = contents.flatMap(_._2).flatMap(parseBody)
+    val maxSeg = bodies.flatMap(_._1).maxOption.getOrElse(0L)
     Resolved(decided.flatMap(_._2), maxSeq + 1, maxSeg + 1,
-      decided.map(_._1).getOrElse(0L))
+      decided.map(_._1).getOrElse(0L), bodies.flatMap(_._2).toSet)
   }
 
   /** Publish one commit: create-once, no overwrite — the atomicity
@@ -172,8 +183,9 @@ object ManifestStore {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private def segsContent(segs: Seq[Long]): String =
-    segs.map(s => f"$s%06d").mkString(SegsPrefix, ",", SegsSuffix)
+  private def segsContent(segs: Seq[Long], srcTag: Option[String] = None): String =
+    segs.map(s => f"$s%06d")
+      .mkString(SegsPrefix, ",", srcTag.fold("")(t => s";src=$t") + SegsSuffix)
 
   /** Collections with a manifest (live or tombstoned). */
   def listCollections(spark: SparkSession, tablePath: String): Seq[String] = {
@@ -203,6 +215,32 @@ object ManifestStore {
       .parquet(segDir(tablePath, collection, r.nextSeg).toString)
     publish(fs, tablePath, collection, r.nextPtrSeq,
       segsContent(r.liveSegs.getOrElse(Seq.empty) :+ r.nextSeg))
+  }
+
+  /** IDEMPOTENT append: like [[store]], but the commit carries a
+    * provenance `tag`, and a commit with the same tag already in the
+    * retained pointer log is SKIPPED — the manifest-side half of
+    * effective exactly-once ingest from an at-least-once source
+    * (Structured Streaming's foreachBatch redelivers a batch after a
+    * crash; the tag makes redelivery a no-op). Returns true iff a new
+    * commit was published. The dedup window is the retained pointer
+    * log: [[vacuum]]'s age bound (default 24 h) must exceed the
+    * source's replay horizon — for a checkpointed stream that horizon
+    * is the last uncommitted micro-batch, far inside any sane bound. */
+  def storeBatch(chunks: DataFrame, tablePath: String, collection: String,
+      tag: String): Boolean = {
+    val spark = chunks.sparkSession
+    val fs = fsOf(spark, tablePath)
+    val r = resolve(fs, tablePath, collection)
+    if (r.seenTags.contains(tag)) false
+    else {
+      chunks.drop("collection")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(segDir(tablePath, collection, r.nextSeg).toString)
+      publish(fs, tablePath, collection, r.nextPtrSeq,
+        segsContent(r.liveSegs.getOrElse(Seq.empty) :+ r.nextSeg, Some(tag)))
+      true
+    }
   }
 
   /** Read schema = the flat store's chunk table + the `seg` partition

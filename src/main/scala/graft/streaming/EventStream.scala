@@ -336,4 +336,42 @@ object EventStream {
       }
       .start()
   }
+
+  /** [[ingestStoreRequests]] against the object-store-safe
+    * [[graft.sources.ManifestStore]]: each micro-batch commits one
+    * pointer-gated segment per collection, tagged `batch-<id>` — on an
+    * at-least-once redelivery the tag is already in the pointer log
+    * and the commit is skipped, so the effective-exactly-once contract
+    * carries over to the backend where dynamic partition overwrite
+    * (the flat store's idempotency trick) is not rename-safe. The
+    * driver-side collection loop is metadata-cardinality (the
+    * reference's /store is one collection per request, main.go:25-29);
+    * the batch is pinned while both jobs (distinct + per-collection
+    * writes) read it. */
+  def ingestStoreRequestsManifest(spark: SparkSession, dropDir: String,
+      tablePath: String, checkpoint: String): StreamingQuery = {
+    import graft.sources.{DocumentStore, ManifestStore}
+    val docs = spark.readStream
+      .schema(DocumentStore.storeRequestSchema)
+      .json(dropDir)
+      .select(col("collection_name").as("collection"),
+        explode(col("documents")).as("doc"))
+      .withColumn("doc_id", expr("uuid()"))
+    DocumentStore.flattenChunks(docs)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          val colls = batch.select("collection").distinct()
+            .collect().map(_.getString(0)).sorted
+          colls.foreach { c =>
+            ManifestStore.storeBatch(
+              batch.where(col("collection") === c), tablePath, c,
+              s"batch-$batchId")
+          }
+        } finally batch.unpersist()
+      }
+      .start()
+  }
 }

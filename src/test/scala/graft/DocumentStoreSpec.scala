@@ -278,6 +278,28 @@ class DocumentStoreSpec extends SparkSpecBase {
     intercept[java.io.IOException] { fs.create(claimed, false).close() }
   }
 
+  test("manifest store: tagged commits are replay-idempotent") {
+    val table = tmp() + "/mtable"
+    // first delivery commits; the at-least-once REdelivery is a no-op
+    assert(ManifestStore.storeBatch(tenRows("c1"), table, "c1", "batch-0"))
+    assert(!ManifestStore.storeBatch(tenRows("c1"), table, "c1", "batch-0"))
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
+    // a NEW batch commits normally on top
+    assert(ManifestStore.storeBatch(tenRows("c1"), table, "c1", "batch-1"))
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 20)
+    // crash window: segment written, pointer never published — the
+    // retry sees no tag, rewrites the same segment, and commits once
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$table/collection=c1/seg=000003")) // the orphan a crash leaves
+    assert(ManifestStore.storeBatch(tenRows("c1"), table, "c1", "batch-2"))
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 30)
+    // untagged appends coexist (plain store never collides with tags)
+    ManifestStore.store(tenRows("c1"), table, "c1")
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
+  }
+
   test("store lifecycle is FS-agnostic: non-default scheme (s3a stand-in)") {
     // the reference's storage system is an object store (MinIO,
     // main.go:131-143); every store/compact/recover path here goes

@@ -480,4 +480,30 @@ class EventStreamSpec extends SparkSpecBase {
       .map(_.getString(0)).toSeq == Seq("s1"))
     assert(stored.where(col("chunk_idx") === 1).count() == 1)
   }
+
+  test("streaming ingest into the manifest store: committed, exactly-once shape") {
+    import graft.sources.ManifestStore
+    val drop = Files.createTempDirectory("graft_mdrop").toString
+    val table = Files.createTempDirectory("graft_mstream").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_mckpt").toString
+    val json =
+      """{"collection_name":"s1","documents":[
+        |{"text":"d","metadata":{"source":"s","name":"doc1"},
+        | "chunks":[{"text":"c1","embedding":{"vector":[1.0,0.0]},
+        |   "metadata":{"source":"cs","name":"cn"},"semantic_score":0.5},
+        |  {"text":"c2","embedding":{"vector":[0.0,1.0]},
+        |   "metadata":{"source":"cs","name":"cn"},"semantic_score":0.1}]}]}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(java.nio.file.Paths.get(s"$drop/req1.json"), json)
+    val q = EventStream.ingestStoreRequestsManifest(spark, drop, table, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val stored = ManifestStore.read(spark, table)
+    assert(stored.count() == 2)
+    assert(stored.where(col("chunk_idx") === 1).count() == 1)
+    // the commit is pointer-gated and tagged: a manual redelivery of
+    // the same batch tag is a no-op (the foreachBatch replay path)
+    val chunks = ManifestStore.read(spark, table, Some("s1"))
+    assert(!ManifestStore.storeBatch(chunks, table, "s1", "batch-0"))
+    assert(ManifestStore.read(spark, table).count() == 2)
+  }
 }
