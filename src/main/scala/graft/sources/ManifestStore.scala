@@ -116,8 +116,9 @@ object ManifestStore {
     * content survived the crash — a prefix of a longer segment list
     * ("segs:0000" from "segs:000001,...") would otherwise PARSE to a
     * wrong-but-plausible list. Tombstones are exact-match, so they
-    * need no terminator. (Format v2; the short-lived v1 "gen-" format
-    * never shipped in any round artifact — unrecognized content is
+    * need no terminator. (Format v2; neither the short-lived v1 "gen-"
+    * format nor the terminator-less `segs:` interim ever shipped
+    * outside this repo's own test fixtures — unrecognized content is
     * simply an invalid pointer, there is no migration path to carry.) */
   private val SegsSuffix = ";end"
 
@@ -157,15 +158,19 @@ object ManifestStore {
     // crash-safe segment numbering); [[vacuum]] prunes superseded ones
     // so the set stays bounded by the vacuum cadence, not the
     // collection's total commit history
-    val contents = ptrs.map { case (seq, p) => seq -> readPtr(fs, p) }
+    // ONE parse per pointer: (seq, tombstone?, parsed body)
+    val parsed = ptrs.map { case (seq, p) =>
+      val content = readPtr(fs, p)
+      (seq, content.contains(Tombstone), content.flatMap(parseBody))
+    }
     // newest pointer with VALID content decides; invalid ones (crash
     // mid-create) are skipped — the previous commit stays live
-    val decided = contents.iterator.collectFirst {
-      case (seq, Some(Tombstone)) => seq -> None
-      case (seq, Some(s)) if parseSegs(s).isDefined => seq -> parseSegs(s)
+    val decided = parsed.iterator.collectFirst {
+      case (seq, true, _) => seq -> None
+      case (seq, _, Some((segs, _))) => seq -> Some(segs)
     }
     val maxSeq = ptrs.headOption.map(_._1).getOrElse(0L)
-    val bodies = contents.flatMap(_._2).flatMap(parseBody)
+    val bodies = parsed.flatMap(_._3)
     val maxSeg = bodies.flatMap(_._1).maxOption.getOrElse(0L)
     Resolved(decided.flatMap(_._2), maxSeq + 1, maxSeg + 1,
       decided.map(_._1).getOrElse(0L), bodies.flatMap(_._2).toSet)
@@ -229,6 +234,12 @@ object ManifestStore {
     * is the last uncommitted micro-batch, far inside any sane bound. */
   def storeBatch(chunks: DataFrame, tablePath: String, collection: String,
       tag: String): Boolean = {
+    // a ';' inside the tag could let a crash-truncated pointer stop at
+    // an embedded ';end' and still parse (the wrong-but-plausible class
+    // the terminator exists to kill); an empty tag parses back to None
+    // and would silently disable idempotency
+    require(tag.nonEmpty && !tag.contains(';'),
+      s"storeBatch tag must be non-empty and ';'-free, got '$tag'")
     val spark = chunks.sparkSession
     val fs = fsOf(spark, tablePath)
     val r = resolve(fs, tablePath, collection)
@@ -302,19 +313,28 @@ object ManifestStore {
       publish(fs, tablePath, c, r.nextPtrSeq, Tombstone)
   }
 
-  /** Age of a candidate directory for the vacuum guard: the newest of
-    * the directory's own mtime and its direct children's — S3-class
-    * stores report 0/meaningless mtimes for inferred directory
-    * entries, but the FILES inside (the actual objects) carry real
-    * timestamps, so the guard must look one level down or it is void
-    * exactly on the stores this module targets. */
-  private def newestMtime(fs: FileSystem, p: Path): Long = {
-    val own = fs.getFileStatus(p).getModificationTime
-    val children =
-      try fs.listStatus(p).toSeq.map(_.getModificationTime)
-      catch { case _: java.io.IOException => Seq.empty }
-    (own +: children).max
-  }
+  /** Age of a candidate directory for the vacuum guard: the newest
+    * mtime of the directory and every FILE under it, recursively —
+    * S3-class stores report 0/meaningless mtimes for inferred
+    * directory entries, but the files (actual objects) carry real
+    * timestamps, and an in-flight Spark write stages them arbitrarily
+    * deep (`_temporary/<attempt>/...`), so one level down is not
+    * enough. Returns Long.MaxValue ("young — do not touch") when the
+    * directory vanished mid-sweep (a concurrent writer re-targeting
+    * the number, or another vacuum) or when NO real timestamp exists
+    * at all (zero is "meaningless", never "old"). */
+  private def newestMtime(fs: FileSystem, p: Path): Long =
+    try {
+      // plain listStatus recursion, not listFiles(recursive): the
+      // LocatedFileStatus path needs block locations/permissions that
+      // non-default FileSystem schemes don't always serve
+      def walk(st: org.apache.hadoop.fs.FileStatus): Long =
+        if (!st.isDirectory) st.getModificationTime
+        else (st.getModificationTime +:
+          fs.listStatus(st.getPath).toSeq.map(walk)).max
+      val newest = walk(fs.getFileStatus(p))
+      if (newest == 0L) Long.MaxValue else newest
+    } catch { case _: java.io.IOException => Long.MaxValue }
 
   /** Garbage-collect everything no pointer references: superseded and
     * abandoned (crashed-write) segments, the data of tombstoned
@@ -362,15 +382,16 @@ object ManifestStore {
       // numbering while age-protected old segments still exist.
       val mdir = manifestDir(tablePath, c)
       if (r.decidedSeq > 0L && r.liveSegs.isDefined && fs.exists(mdir))
-        fs.listStatus(mdir).toSeq.map(_.getPath)
-          .filter { p =>
-            p.getName.stripPrefix(PtrPrefix).toLongOption
+        fs.listStatus(mdir).toSeq
+          .filter { st => // mtime from the listing itself: no re-fetch RPC
+            st.getPath.getName.stripPrefix(PtrPrefix).toLongOption
               .exists(_ < r.decidedSeq) &&
-              fs.getFileStatus(p).getModificationTime < cutoff
+              st.getModificationTime != 0L &&
+              st.getModificationTime < cutoff
           }
-          .foreach { p =>
-            fs.delete(p, false)
-            removed += p.toString
+          .foreach { st =>
+            fs.delete(st.getPath, false)
+            removed += st.getPath.toString
           }
     }
     removed.result()

@@ -339,22 +339,36 @@ object EventStream {
 
   /** [[ingestStoreRequests]] against the object-store-safe
     * [[graft.sources.ManifestStore]]: each micro-batch commits one
-    * pointer-gated segment per collection, tagged `batch-<id>` — on an
-    * at-least-once redelivery the tag is already in the pointer log
-    * and the commit is skipped, so the effective-exactly-once contract
-    * carries over to the backend where dynamic partition overwrite
-    * (the flat store's idempotency trick) is not rename-safe. The
-    * driver-side collection loop is metadata-cardinality (the
-    * reference's /store is one collection per request, main.go:25-29);
-    * the batch is pinned while both jobs (distinct + per-collection
-    * writes) read it. */
+    * pointer-gated segment per collection, tagged
+    * `<ingest-id>-<batchId>` — on an at-least-once redelivery the tag
+    * is already in the pointer log and the commit is skipped, so the
+    * effective-exactly-once contract carries over to the backend where
+    * dynamic partition overwrite (the flat store's idempotency trick)
+    * is not rename-safe.
+    *
+    * The ingest id lives IN the checkpoint directory (the Delta
+    * txn-appId discipline): batch ids only identify a batch relative
+    * to one checkpoint lineage, so a fresh checkpoint — whose batch 0
+    * may carry entirely new input — must get a fresh id or its commits
+    * would silently dedup against a dead stream's tags; restarting
+    * from the SAME checkpoint reuses the id and replays dedup exactly.
+    *
+    * NULL collection_name rows land under the Hive default-partition
+    * name (the flat path's behavior via partitionBy) instead of
+    * NPE-ing the per-collection loop. The driver-side loop is
+    * metadata-cardinality (the reference's /store is one collection
+    * per request, main.go:25-29); the batch is pinned while both jobs
+    * (distinct + per-collection writes) read it. */
   def ingestStoreRequestsManifest(spark: SparkSession, dropDir: String,
       tablePath: String, checkpoint: String): StreamingQuery = {
     import graft.sources.{DocumentStore, ManifestStore}
+    val ingestId = ingestIdentity(spark, checkpoint)
     val docs = spark.readStream
       .schema(DocumentStore.storeRequestSchema)
       .json(dropDir)
-      .select(col("collection_name").as("collection"),
+      .select(
+        coalesce(col("collection_name"), lit("__HIVE_DEFAULT_PARTITION__"))
+          .as("collection"),
         explode(col("documents")).as("doc"))
       .withColumn("doc_id", expr("uuid()"))
     DocumentStore.flattenChunks(docs)
@@ -368,10 +382,34 @@ object EventStream {
           colls.foreach { c =>
             ManifestStore.storeBatch(
               batch.where(col("collection") === c), tablePath, c,
-              s"batch-$batchId")
+              s"$ingestId-$batchId")
           }
         } finally batch.unpersist()
       }
       .start()
+  }
+
+  /** Read-or-create the stable ingest identity under the checkpoint
+    * dir — same lifetime as the batch-id sequence it scopes. */
+  private def ingestIdentity(spark: SparkSession, checkpoint: String): String = {
+    val dir = new org.apache.hadoop.fs.Path(checkpoint)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idFile = new org.apache.hadoop.fs.Path(dir, "graft-ingest-id")
+    if (fs.exists(idFile)) {
+      val in = fs.open(idFile)
+      try {
+        val out = new java.io.ByteArrayOutputStream(64)
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, "UTF-8").trim
+      } finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString
+      fs.mkdirs(dir)
+      val out = fs.create(idFile, false)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      id
+    }
   }
 }

@@ -500,10 +500,18 @@ class EventStreamSpec extends SparkSpecBase {
     val stored = ManifestStore.read(spark, table)
     assert(stored.count() == 2)
     assert(stored.where(col("chunk_idx") === 1).count() == 1)
-    // the commit is pointer-gated and tagged: a manual redelivery of
-    // the same batch tag is a no-op (the foreachBatch replay path)
+    // the commit is pointer-gated and tagged with the checkpoint-scoped
+    // ingest id: a manual redelivery of the same (id, batch) tag is a
+    // no-op (the foreachBatch replay path), while a DIFFERENT ingest
+    // id — a fresh checkpoint lineage — commits normally
+    val id = {
+      val p = java.nio.file.Paths.get(s"$ckpt/graft-ingest-id")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    }
     val chunks = ManifestStore.read(spark, table, Some("s1"))
-    assert(!ManifestStore.storeBatch(chunks, table, "s1", "batch-0"))
+    assert(!ManifestStore.storeBatch(chunks, table, "s1", s"$id-0"))
     assert(ManifestStore.read(spark, table).count() == 2)
+    assert(ManifestStore.storeBatch(chunks, table, "s1", "other-lineage-0"))
+    assert(ManifestStore.read(spark, table).count() == 4)
   }
 }
