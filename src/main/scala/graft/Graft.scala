@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorFunctions => VF}
 import graft.functions.{VectorExpressions => V}
-import graft.sources.DocumentStore
+import graft.sources.{DocumentStore, ManifestBackend, StoreBackend}
 
 /** The library facade: the reference's four HTTP routes as library
   * calls over a collection-partitioned parquet store — what a user of
@@ -26,6 +26,15 @@ import graft.sources.DocumentStore
   * collection-pruned read (zero shuffles); multi-search over n
   * collections is ONE pruned scan + one global top-k, provably ≡ the
   * reference's per-collection fan-out + re-top-k (PropertySpec).
+  *
+  * Every route takes a [[graft.sources.StoreBackend]]; the default is
+  * [[graft.sources.ManifestBackend]] — the object-store-safe layout
+  * matching where the reference actually keeps data (MinIO, reference
+  * main.go:131-143). Pass [[graft.sources.FlatBackend]] for plain
+  * collection-partitioned parquet (HDFS/POSIX, any-tool-readable).
+  * Both ingest the same flattened chunk table and read to the same
+  * schema, so results are identical row-for-row across backends
+  * (ReferenceWorkflowSpec runs the full lifecycle against both).
   */
 object Graft {
 
@@ -33,30 +42,31 @@ object Graft {
     * chunk table. Fresh UUID per document, like the reference
     * (main.go:330) — re-storing a document yields a new identity. */
   def store(spark: SparkSession, requestsJsonPath: String,
-      tablePath: String): Unit =
-    DocumentStore.store(DocumentStore.flattenChunks(
+      tablePath: String, backend: StoreBackend = ManifestBackend): Unit =
+    backend.store(DocumentStore.flattenChunks(
       DocumentStore.readStoreRequests(spark, requestsJsonPath)), tablePath)
 
   /** POST /search: top-k chunks of one collection by dot(q̂, v). */
   def search(spark: SparkSession, tablePath: String,
-      queryVector: Array[Double], collection: String,
-      topK: Int): DataFrame =
-    searchIn(DocumentStore.read(spark, tablePath, Some(collection)),
+      queryVector: Array[Double], collection: String, topK: Int,
+      backend: StoreBackend = ManifestBackend): DataFrame =
+    searchIn(backend.read(spark, tablePath, Some(Seq(collection))),
       queryVector, topK)
 
   /** POST /multi_search: one pruned scan over the named collections,
     * one global top-k (≡ per-collection top-k then merge). Unknown
     * collections prune to nothing (Q7: defined, not skipped-and-logged). */
   def multiSearch(spark: SparkSession, tablePath: String,
-      queryVector: Array[Double], collections: Seq[String],
-      topK: Int): DataFrame =
-    searchIn(DocumentStore.read(spark, tablePath)
-      .where(col("collection").isin(collections: _*)), queryVector, topK)
+      queryVector: Array[Double], collections: Seq[String], topK: Int,
+      backend: StoreBackend = ManifestBackend): DataFrame =
+    searchIn(backend.read(spark, tablePath, Some(collections)),
+      queryVector, topK)
 
-  /** POST /delete_collection: synchronous partition drop. */
+  /** POST /delete_collection: synchronous drop — a partition delete
+    * (flat) or a tombstone commit (manifest). */
   def deleteCollection(spark: SparkSession, tablePath: String,
-      collection: String): Unit =
-    DocumentStore.deleteCollection(spark, tablePath, collection)
+      collection: String, backend: StoreBackend = ManifestBackend): Unit =
+    backend.deleteCollection(spark, tablePath, collection)
 
   /** Core of every search route over any chunk-table frame — the same
     * projection serves both store backends ([[DocumentStore]]'s flat

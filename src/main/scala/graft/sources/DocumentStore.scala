@@ -20,6 +20,16 @@ import org.apache.spark.sql.types._
   */
 object DocumentStore {
 
+  // Partition values are escaped by partitionBy on write
+  // (ExternalCatalogUtils.escapePathName); every hand-built partition
+  // path must escape the same way, or a collection named with '%',
+  // '/', ':' or '=' (names come from arbitrary ingest JSON) silently
+  // misses its directory — or worse, hits a different one.
+  private def esc(c: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(c)
+  private def unesc(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
   /** Wire schema of the reference's ingest JSON (main.go:25-62;
     * FIXTURES.md §A). `metadata.source` is `interface{}` in the
     * reference — carried as a JSON string (SURVEY.md §1.2). */
@@ -120,7 +130,7 @@ object DocumentStore {
   def deleteCollection(spark: SparkSession, tablePath: String,
       collection: String): Unit = {
     val dir = new org.apache.hadoop.fs.Path(
-      s"$tablePath/collection=$collection")
+      s"$tablePath/collection=${esc(collection)}")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dir, true)
   }
@@ -147,13 +157,13 @@ object DocumentStore {
       collection: String, targetFiles: Int = 1): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(
-      s"$tablePath/collection=$collection")
+      s"$tablePath/collection=${esc(collection)}")
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return
     val staging = new org.apache.hadoop.fs.Path(
-      s"$tablePath/.compact_tmp_collection=$collection")
+      s"$tablePath/.compact_tmp_collection=${esc(collection)}")
     val backup = new org.apache.hadoop.fs.Path(
-      s"$tablePath/.compact_old_collection=$collection")
+      s"$tablePath/.compact_old_collection=${esc(collection)}")
     fs.delete(staging, true)
     fs.delete(backup, true)
     read(spark, tablePath, Some(collection))
@@ -188,12 +198,12 @@ object DocumentStore {
       collection: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(
-      s"$tablePath/collection=$collection")
+      s"$tablePath/collection=${esc(collection)}")
     val fs = dir.getFileSystem(conf)
     val staging = new org.apache.hadoop.fs.Path(
-      s"$tablePath/.compact_tmp_collection=$collection")
+      s"$tablePath/.compact_tmp_collection=${esc(collection)}")
     val backup = new org.apache.hadoop.fs.Path(
-      s"$tablePath/.compact_old_collection=$collection")
+      s"$tablePath/.compact_old_collection=${esc(collection)}")
     if (!fs.exists(dir) && fs.exists(backup)) {
       require(fs.rename(backup, dir),
         s"compaction recovery: could not restore $backup to $dir")
@@ -218,13 +228,13 @@ object DocumentStore {
     val prefix = ".compact_old_collection="
     fs.listStatus(base).toSeq.map(_.getPath.getName)
       .filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix))
+      .map(n => unesc(n.stripPrefix(prefix))) // dir names are escaped
       .filter { c =>
         val restored = recoverCompaction(spark, tablePath, c)
         if (!restored)
           // swap completed: live dir exists, backup is a stale copy
           fs.delete(new org.apache.hadoop.fs.Path(
-            s"$tablePath/$prefix$c"), true)
+            s"$tablePath/$prefix${esc(c)}"), true)
         restored
       }
   }

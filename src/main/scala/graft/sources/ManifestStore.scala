@@ -27,10 +27,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     with valid content (`segs:<n>,<n>,...;end` — terminator-checked
   *     so a crash-truncated prefix can never parse — or `tombstone`)
   *     names the collection's LIVE SEGMENT LIST. Publishing a commit — append,
-  *     compaction, delete alike — is one single-file create, the one
-  *     primitive every object store makes atomic (a PUT is visible in
-  *     full or not at all). Every state change goes through a pointer,
-  *     so every state change is all-or-nothing to readers.
+  *     compaction, delete alike — is one single-file create: a PUT is
+  *     visible in full or not at all on every object store, so a commit
+  *     is all-or-nothing to readers. (The WRITER-side race lock
+  *     additionally needs atomic create-no-overwrite — see [[publish]]
+  *     for the exact FS capability and the S3A caveat.) Every state
+  *     change goes through a pointer, so every state change is
+  *     all-or-nothing to readers.
   *
   * Crash matrix (why no recovery sweep is needed, unlike the rename
   * protocol's `recoverAll`):
@@ -68,17 +71,40 @@ object ManifestStore {
   private val SegsPrefix = "segs:"
 
   /** Default [[vacuum]] age guard: directories younger than this are
-    * never swept, protecting in-flight writers and recent readers. */
+    * never swept, protecting in-flight writers and recent readers.
+    * The cutoff clock is STORE-observed, not the vacuum host's
+    * (see [[storeNow]]), so writer/vacuum clock skew does not eat
+    * into the margin. */
   val DefaultVacuumMinAgeMs: Long = 24L * 3600 * 1000
+
+  /** Separate (longer) retention floor for TAGGED (`src=`) pointers:
+    * they are [[storeBatch]]'s idempotency window, so sweeping them
+    * early silently re-opens duplicate ingest on replay — a stream
+    * down for longer than the general `minAgeMs` must still find its
+    * tags. An operator who passes a small `minAgeMs` to reclaim data
+    * space does NOT shrink this window unless they lower
+    * `tagMinAgeMs` explicitly. */
+  val DefaultTagRetentionMs: Long = 7L * 24 * 3600 * 1000
 
   private def fsOf(spark: SparkSession, tablePath: String): FileSystem =
     new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // Collection names come from arbitrary ingest JSON (the reference's
+  // collection_name field): escape them in BOTH layouts' paths exactly
+  // the way partitioned writes escape partition values, so '%', '/',
+  // ':' or '=' in a name neither corrupts the layout nor silently
+  // reads back as a different collection (Spark partition discovery
+  // URL-decodes directory names on read).
+  private def esc(c: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(c)
+  private def unesc(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
   private def manifestDir(tablePath: String, c: String): Path =
-    new Path(s"$tablePath/_manifest/$c")
+    new Path(s"$tablePath/_manifest/${esc(c)}")
 
   private def collectionDir(tablePath: String, c: String): Path =
-    new Path(s"$tablePath/collection=$c")
+    new Path(s"$tablePath/collection=${esc(c)}")
 
   private def segName(seg: Long): String = f"seg=$seg%06d"
 
@@ -89,10 +115,14 @@ object ManifestStore {
     * or tombstoned), the next free pointer sequence, and the next
     * unused segment number (one past anything ever referenced by a
     * valid pointer, so a crashed segment write is safely re-targeted).
-    */
+    * `taggedSeqs` are the retained pointers carrying a `src=` tag —
+    * [[vacuum]] holds them under the longer tag-retention floor;
+    * `minRetainedSeq` is the oldest retained VALID pointer (0 when
+    * none), the horizon below which [[readAsOf]] cannot resolve. */
   private[sources] final case class Resolved(
       liveSegs: Option[Seq[Long]], nextPtrSeq: Long, nextSeg: Long,
-      decidedSeq: Long, seenTags: Set[String])
+      decidedSeq: Long, seenTags: Set[String],
+      taggedSeqs: Set[Long] = Set.empty, minRetainedSeq: Long = 0L)
 
   /** Full small-file read: None for missing, unreadable, or empty
     * files (crash artifacts of an interrupted create). Loops to EOF —
@@ -146,7 +176,15 @@ object ManifestStore {
     parseBody(content).map(_._1)
 
   private[sources] def resolve(fs: FileSystem, tablePath: String,
-      c: String): Resolved = {
+      c: String): Resolved = resolveAt(fs, tablePath, c, Long.MaxValue)
+
+  /** [[resolve]] with a snapshot ceiling: the LIVE list is decided by
+    * the newest valid pointer with seq <= `asOfSeq` (the state the
+    * collection was in just after commit `asOfSeq`), while the writer
+    * fields (`nextPtrSeq`/`nextSeg`) always come from the FULL log —
+    * a snapshot reader must never influence commit numbering. */
+  private[sources] def resolveAt(fs: FileSystem, tablePath: String,
+      c: String, asOfSeq: Long): Resolved = {
     val dir = manifestDir(tablePath, c)
     if (!fs.exists(dir)) return Resolved(None, 1L, 1L, 0L, Set.empty)
     val ptrs = fs.listStatus(dir).toSeq.map(_.getPath)
@@ -163,22 +201,37 @@ object ManifestStore {
       val content = readPtr(fs, p)
       (seq, content.contains(Tombstone), content.flatMap(parseBody))
     }
-    // newest pointer with VALID content decides; invalid ones (crash
-    // mid-create) are skipped — the previous commit stays live
+    // newest pointer (under the ceiling) with VALID content decides;
+    // invalid ones (crash mid-create) are skipped — the previous
+    // commit stays live
     val decided = parsed.iterator.collectFirst {
-      case (seq, true, _) => seq -> None
-      case (seq, _, Some((segs, _))) => seq -> Some(segs)
+      case (seq, true, _) if seq <= asOfSeq => seq -> None
+      case (seq, _, Some((segs, _))) if seq <= asOfSeq => seq -> Some(segs)
     }
     val maxSeq = ptrs.headOption.map(_._1).getOrElse(0L)
     val bodies = parsed.flatMap(_._3)
     val maxSeg = bodies.flatMap(_._1).maxOption.getOrElse(0L)
+    val valid = parsed.collect {
+      case (seq, true, _) => seq
+      case (seq, _, Some(_)) => seq
+    }
     Resolved(decided.flatMap(_._2), maxSeq + 1, maxSeg + 1,
-      decided.map(_._1).getOrElse(0L), bodies.flatMap(_._2).toSet)
+      decided.map(_._1).getOrElse(0L), bodies.flatMap(_._2).toSet,
+      parsed.collect { case (seq, _, Some((_, Some(_)))) => seq }.toSet,
+      valid.minOption.getOrElse(0L))
   }
 
   /** Publish one commit: create-once, no overwrite — the atomicity
-    * primitive (object-store PUT / HDFS create), and the optimistic
-    * lock against a racing writer on the same sequence. */
+    * primitive, and the optimistic lock against a racing writer on the
+    * same sequence. The required FS capability is ATOMIC
+    * create-no-overwrite: HDFS/POSIX have it natively; S3 via Hadoop
+    * 3.4.1+ with `fs.s3a.create.conditional` (conditional PUT). On an
+    * S3A without conditional create, create(overwrite=false) is a
+    * non-atomic exists-then-PUT, so COMMIT races between two
+    * *concurrent writers* additionally rely on the documented
+    * single-writer-per-collection contract; crash atomicity (a pointer
+    * is visible in full or not at all) holds on any object store
+    * regardless. */
   private def publish(fs: FileSystem, tablePath: String, c: String,
       seq: Long, content: String): Unit = {
     val dir = manifestDir(tablePath, c)
@@ -192,19 +245,123 @@ object ManifestStore {
     segs.map(s => f"$s%06d")
       .mkString(SegsPrefix, ",", srcTag.fold("")(t => s";src=$t") + SegsSuffix)
 
-  /** Collections with a manifest (live or tombstoned). */
+  /** Collections with a manifest (live or tombstoned). Directory
+    * names are unescaped back to the user's collection names. */
   def listCollections(spark: SparkSession, tablePath: String): Seq[String] = {
     val fs = fsOf(spark, tablePath)
     val base = new Path(s"$tablePath/_manifest")
     if (!fs.exists(base)) Seq.empty
     else fs.listStatus(base).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).sorted
+      .map(st => unesc(st.getPath.getName)).sorted
   }
 
   /** Live segment numbers of a collection, if any. */
   def currentSegments(spark: SparkSession, tablePath: String,
       c: String): Option[Seq[Long]] =
     resolve(fsOf(spark, tablePath), tablePath, c).liveSegs
+
+  /** One retained, valid commit of a collection's pointer log:
+    * `segs` is the full live segment list as of this commit (empty for
+    * a tombstone), `srcTag` the [[storeBatch]] provenance tag if the
+    * commit carried one. */
+  final case class VersionInfo(ptrSeq: Long, tombstone: Boolean,
+      segs: Seq[Long], srcTag: Option[String])
+
+  /** The RETAINED version history of a collection, oldest first — the
+    * pointer log read back as data. Every entry is addressable by
+    * [[readAsOf]]/[[readSince]] until [[vacuum]] prunes it (the
+    * pointer log IS the history; vacuum's age bound is the retention
+    * contract, exactly like Delta/Iceberg time travel). Invalid
+    * (crash-truncated) pointers are not versions and are skipped. */
+  def listVersions(spark: SparkSession, tablePath: String,
+      c: String): Seq[VersionInfo] = {
+    val fs = fsOf(spark, tablePath)
+    val dir = manifestDir(tablePath, c)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(PtrPrefix))
+      .flatMap(p => p.getName.stripPrefix(PtrPrefix).toLongOption.map(_ -> p))
+      .sortBy(_._1)
+      .flatMap { case (seq, p) =>
+        readPtr(fs, p).flatMap { content =>
+          if (content == Tombstone)
+            Some(VersionInfo(seq, tombstone = true, Seq.empty, None))
+          else parseBody(content).map { case (segs, tag) =>
+            VersionInfo(seq, tombstone = false, segs, tag)
+          }
+        }
+      }
+  }
+
+  /** SNAPSHOT READ: the collection as it stood just after pointer
+    * `asOfPtrSeq` — the newest valid commit at-or-below that sequence
+    * decides (so an interrupted commit at exactly `asOfPtrSeq`
+    * resolves to its predecessor, the same rule live reads follow).
+    * This is what pins a training corpus to a version: a train/test
+    * split or an index build that records the pointer sequence
+    * ([[currentPtrSeq]]) can be re-run bit-identically while ingest
+    * moves the live pointer on.
+    *
+    * THROWS when the snapshot is not resolvable: `asOfPtrSeq` below
+    * the oldest retained pointer (either the history was
+    * [[vacuum]]ed — whose age bound is the retention contract, a
+    * snapshot older than the guard may be swept, exactly Delta's
+    * time-travel contract — or the collection did not exist yet; the
+    * two are indistinguishable from a pruned log, and a versioned
+    * read must not silently return something else). A resolvable
+    * tombstone reads as a defined empty frame. */
+  def readAsOf(spark: SparkSession, tablePath: String, c: String,
+      asOfPtrSeq: Long): DataFrame = {
+    val fs = fsOf(spark, tablePath)
+    val r = resolveAt(fs, tablePath, c, asOfPtrSeq)
+    require(r.decidedSeq > 0L,
+      s"snapshot $asOfPtrSeq of collection '$c' is not resolvable: " +
+        (if (r.minRetainedSeq > 0L)
+          s"oldest retained commit is ${r.minRetainedSeq} (earlier " +
+            "history was vacuumed or never existed)"
+        else "the collection has no committed history"))
+    readSegs(spark, tablePath, c, r.liveSegs.toSeq.flatten)
+  }
+
+  /** The live pointer sequence of a collection (0 = no valid commit) —
+    * what a reproducible pipeline records next to its outputs so
+    * [[readAsOf]]/[[readSince]] can anchor to today's state. */
+  def currentPtrSeq(spark: SparkSession, tablePath: String,
+      c: String): Long =
+    resolve(fsOf(spark, tablePath), tablePath, c).decidedSeq
+
+  /** INCREMENTAL CHANGE FEED: rows in segments that are live NOW but
+    * were not live just after pointer `sincePtrSeq` — exactly the data
+    * appended since that snapshot, which is what incremental
+    * dedup/indexing ([[graft.operators.Dedup.incrementalNearDups]])
+    * consumes: process `readSince`, not the whole corpus.
+    *
+    * Append-only ingest yields precisely the new batches. A
+    * COMPACTION in the window degrades to a full replay (the
+    * compacted segment is new by definition and this log records
+    * segment lists, not row lineage — the same caveat as consuming a
+    * Delta table's files without CDF); a tombstone in the window
+    * yields an empty feed plus whatever was appended after it.
+    * Same resolvability contract as [[readAsOf]]: throws when
+    * `sincePtrSeq` has been vacuumed out of the log. `sincePtrSeq` = 0
+    * is always resolvable and feeds the whole live collection (the
+    * cold-start bootstrap). */
+  def readSince(spark: SparkSession, tablePath: String, c: String,
+      sincePtrSeq: Long): DataFrame = {
+    val fs = fsOf(spark, tablePath)
+    val now = resolve(fs, tablePath, c)
+    val base = if (sincePtrSeq == 0L) Set.empty[Long]
+    else {
+      val r = resolveAt(fs, tablePath, c, sincePtrSeq)
+      require(r.decidedSeq > 0L,
+        s"change-feed anchor $sincePtrSeq of collection '$c' is not " +
+          s"resolvable: oldest retained commit is ${r.minRetainedSeq}; " +
+          "re-bootstrap from a full read")
+      r.liveSegs.toSeq.flatten.toSet
+    }
+    readSegs(spark, tablePath, c,
+      now.liveSegs.toSeq.flatten.filterNot(base))
+  }
 
   /** Append `chunks` (one collection per call, the reference's /store
     * shape) as a NEW immutable segment: data lands fully, then one
@@ -229,9 +386,12 @@ object ManifestStore {
     * (Structured Streaming's foreachBatch redelivers a batch after a
     * crash; the tag makes redelivery a no-op). Returns true iff a new
     * commit was published. The dedup window is the retained pointer
-    * log: [[vacuum]]'s age bound (default 24 h) must exceed the
-    * source's replay horizon — for a checkpointed stream that horizon
-    * is the last uncommitted micro-batch, far inside any sane bound. */
+    * log: tagged pointers are held under [[vacuum]]'s dedicated tag
+    * floor ([[DefaultTagRetentionMs]], 7 d — independent of the
+    * general `minAgeMs`, so reclaiming data space cannot silently
+    * shrink this window), which must exceed the source's replay
+    * horizon — for a checkpointed stream that horizon is the last
+    * uncommitted micro-batch, far inside the floor. */
   def storeBatch(chunks: DataFrame, tablePath: String, collection: String,
       tag: String): Boolean = {
     // a ';' inside the tag could let a crash-truncated pointer stop at
@@ -266,14 +426,32 @@ object ManifestStore {
     * Absent/tombstoned collections read as a defined empty frame (Q7).
     */
   def read(spark: SparkSession, tablePath: String,
-      collection: Option[String] = None): DataFrame = {
+      collection: Option[String] = None): DataFrame =
+    readMany(spark, tablePath,
+      collection.map(Seq(_)).getOrElse(listCollections(spark, tablePath)))
+
+  /** [[read]] over a NAMED set of collections: only their pointers are
+    * resolved and only their live segments listed — the multi-search
+    * path reads nothing of the store's other collections (the manifest
+    * analogue of partition pruning by `collection IN (...)`). Unknown
+    * or tombstoned names contribute nothing (Q7: defined empties). */
+  def readMany(spark: SparkSession, tablePath: String,
+      collections: Seq[String]): DataFrame = {
     val fs = fsOf(spark, tablePath)
-    val colls = collection.map(Seq(_))
-      .getOrElse(listCollections(spark, tablePath))
-    val paths = colls.flatMap { c =>
+    readPaths(spark, tablePath, collections.distinct.flatMap { c =>
       resolve(fs, tablePath, c).liveSegs.toSeq.flatten
         .map(s => segDir(tablePath, c, s).toString)
-    }
+    })
+  }
+
+  /** One collection's named segments as a chunk-table frame. */
+  private def readSegs(spark: SparkSession, tablePath: String, c: String,
+      segs: Seq[Long]): DataFrame =
+    readPaths(spark, tablePath,
+      segs.map(s => segDir(tablePath, c, s).toString))
+
+  private def readPaths(spark: SparkSession, tablePath: String,
+      paths: Seq[String]): DataFrame =
     if (paths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], DocumentStore.chunkTableSchema)
@@ -281,7 +459,6 @@ object ManifestStore {
       spark.read.option("basePath", tablePath).schema(segReadSchema)
         .parquet(paths: _*)
         .select(DocumentStore.chunkTableSchema.fieldNames.toSeq.map(col): _*)
-  }
 
   /** Compact the live segment list into ONE new segment of
     * `targetFiles` files, committed by pointer — concurrent readers of
@@ -336,22 +513,52 @@ object ManifestStore {
       if (newest == 0L) Long.MaxValue else newest
     } catch { case _: java.io.IOException => Long.MaxValue }
 
+  /** "Now" as the STORE observes it: the mtime of a freshly written
+    * probe object, not the vacuum host's clock — [[vacuum]]'s age
+    * guard compares against mtimes the STORE stamped on segment
+    * files, so clock skew between the vacuum host and the store would
+    * silently eat into (or inflate) the safety margin. The probe is
+    * best-effort: if the store reports no usable mtime, fall back to
+    * the client clock (and the skew assumption is then the caller's —
+    * keep `minAgeMs` well above any plausible skew). */
+  private def storeNow(fs: FileSystem, tablePath: String): Long = {
+    val probe = new Path(s"$tablePath/_manifest/.vacuum-probe")
+    try {
+      val out = fs.create(probe, true)
+      try out.write('t'.toInt) finally out.close()
+      val t = fs.getFileStatus(probe).getModificationTime
+      fs.delete(probe, false)
+      if (t > 0L) t else System.currentTimeMillis()
+    } catch {
+      case _: java.io.IOException => System.currentTimeMillis()
+    }
+  }
+
   /** Garbage-collect everything no pointer references: superseded and
     * abandoned (crashed-write) segments, the data of tombstoned
     * collections, and superseded pointer files (so [[resolve]]'s cost
     * tracks the vacuum cadence, not total commit history) — but ONLY
-    * entries older than `minAgeMs` ([[newestMtime]]), which is what
-    * keeps a concurrent writer's not-yet-committed segment and recent
-    * readers' superseded snapshots safe. Returns the removed paths. */
+    * entries older than `minAgeMs` ([[newestMtime]], against the
+    * store-observed clock [[storeNow]]), which is what keeps a
+    * concurrent writer's not-yet-committed segment and recent
+    * readers' superseded snapshots safe. Superseded TAGGED pointers
+    * ([[storeBatch]]'s idempotency keys) are additionally held for
+    * `tagMinAgeMs` ([[DefaultTagRetentionMs]]) — an aggressive
+    * `minAgeMs` reclaims data space without silently re-opening
+    * duplicate ingest for a stream that was down. Returns the removed
+    * paths. */
   def vacuum(spark: SparkSession, tablePath: String,
-      minAgeMs: Long = DefaultVacuumMinAgeMs): Seq[String] = {
+      minAgeMs: Long = DefaultVacuumMinAgeMs,
+      tagMinAgeMs: Long = DefaultTagRetentionMs): Seq[String] = {
     val fs = fsOf(spark, tablePath)
     val base = new Path(tablePath)
     if (!fs.exists(base)) return Seq.empty
-    val cutoff = System.currentTimeMillis() - minAgeMs
+    val now = storeNow(fs, tablePath)
+    val cutoff = now - minAgeMs
+    val tagCutoff = now - math.max(minAgeMs, tagMinAgeMs)
     val dataCols = fs.listStatus(base).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("collection="))
-      .map(_.stripPrefix("collection="))
+      .map(n => unesc(n.stripPrefix("collection=")))
     val removed = Seq.newBuilder[String]
     (dataCols ++ listCollections(spark, tablePath)).distinct.foreach { c =>
       val r = resolve(fs, tablePath, c)
@@ -385,9 +592,15 @@ object ManifestStore {
         fs.listStatus(mdir).toSeq
           .filter { st => // mtime from the listing itself: no re-fetch RPC
             st.getPath.getName.stripPrefix(PtrPrefix).toLongOption
-              .exists(_ < r.decidedSeq) &&
-              st.getModificationTime != 0L &&
-              st.getModificationTime < cutoff
+              .exists { seq =>
+                // tagged commits are the replay-idempotency window:
+                // they outlive plain history by the tag floor
+                val floor = if (r.taggedSeqs.contains(seq)) tagCutoff
+                else cutoff
+                seq < r.decidedSeq &&
+                  st.getModificationTime != 0L &&
+                  st.getModificationTime < floor
+              }
           }
           .foreach { st =>
             fs.delete(st.getPath, false)

@@ -300,6 +300,153 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
   }
 
+  test("manifest snapshot reads: version history, as-of, change feed, vacuum horizon") {
+    val table = tmp() + "/mtable"
+    ManifestStore.store(tenRows("c1"), table, "c1") // ptr1 -> [seg1]
+    val anchor = ManifestStore.currentPtrSeq(spark, table, "c1")
+    assert(anchor == 1L)
+    ManifestStore.store(tenRows("c1"), table, "c1") // ptr2 -> [seg1,seg2]
+    ManifestStore.store(tenRows("c1"), table, "c1") // ptr3 -> [seg1..seg3]
+
+    // change feed: exactly the rows appended after the anchor
+    assert(ManifestStore.readSince(spark, table, "c1", anchor).count() == 20)
+    assert(ManifestStore.readSince(spark, table, "c1",
+      ManifestStore.currentPtrSeq(spark, table, "c1")).count() == 0)
+    assert(ManifestStore.readSince(spark, table, "c1", 0L).count() == 30)
+
+    // as-of reads resolve any retained commit
+    assert(ManifestStore.readAsOf(spark, table, "c1", 1L).count() == 10)
+    assert(ManifestStore.readAsOf(spark, table, "c1", 2L).count() == 20)
+
+    // the PRE-COMPACTION snapshot stays addressable by sequence (the
+    // superseded segments outlive the pointer swap until vacuum) ...
+    ManifestStore.compactCollection(spark, table, "c1") // ptr4 -> [seg4]
+    assert(ManifestStore.readAsOf(spark, table, "c1", 3L).count() == 30)
+    assert(ManifestStore.readAsOf(spark, table, "c1", 2L).count() == 20)
+    // ... and a feed spanning the compaction degrades to full replay
+    // (segment lists, not row lineage — the documented caveat)
+    assert(ManifestStore.readSince(spark, table, "c1", anchor).count() == 30)
+
+    // the PRE-DELETE snapshot stays addressable; the tombstone itself
+    // reads as a defined empty (Q7 extended through history)
+    ManifestStore.deleteCollection(spark, table, "c1") // ptr5 tombstone
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 0)
+    assert(ManifestStore.readAsOf(spark, table, "c1", 4L).count() == 30)
+    assert(ManifestStore.readAsOf(spark, table, "c1", 5L).count() == 0)
+
+    // the version log is the pointer log read back as data
+    val vs = ManifestStore.listVersions(spark, table, "c1")
+    assert(vs.map(_.ptrSeq) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(vs(2).segs == Seq(1L, 2L, 3L) && vs(3).segs == Seq(4L))
+    assert(vs.last.tombstone)
+
+    // an interrupted (invalid) pointer is not a version: as-of at its
+    // sequence resolves to the predecessor, same rule as live reads
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$table/_manifest/c1/ptr-000006"), true).close()
+    assert(ManifestStore.listVersions(spark, table, "c1")
+      .map(_.ptrSeq) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(ManifestStore.readAsOf(spark, table, "c1", 6L).count() == 0)
+
+    // vacuum prunes history: below the retained horizon a versioned
+    // read THROWS (Delta's time-travel retention contract) instead of
+    // silently resolving to something else
+    ManifestStore.store(tenRows("c1"), table, "c1") // ptr7 re-creates
+    ManifestStore.vacuum(spark, table, 0L, 0L)
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.readAsOf(spark, table, "c1", 2L)
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      ManifestStore.readSince(spark, table, "c1", 2L)
+    }
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
+  }
+
+  test("vacuum holds TAGGED commits under the longer idempotency floor") {
+    val table = tmp() + "/mtable"
+    assert(ManifestStore.storeBatch(tenRows("c1"), table, "c1", "batch-0"))
+    ManifestStore.store(tenRows("c1"), table, "c1") // plain superseding commit
+    ManifestStore.store(tenRows("c1"), table, "c1")
+    // an aggressive data vacuum (minAge 0) with the DEFAULT tag floor:
+    // the superseded PLAIN pointer goes, the tagged one stays — so a
+    // replay of batch-0 while the stream was down is still a no-op
+    ManifestStore.vacuum(spark, table, 0L)
+    assert(!ManifestStore.storeBatch(tenRows("c1"), table, "c1", "batch-0"))
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 30)
+    // only an explicit tag-floor waiver forgets the tag
+    ManifestStore.vacuum(spark, table, 0L, 0L)
+    assert(ManifestStore.storeBatch(tenRows("c1"), table, "c1", "batch-0"))
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
+  }
+
+  test("change feed drives incremental near-dup detection end-to-end") {
+    import org.apache.spark.sql.functions._
+    val table = tmp() + "/mtable"
+    def chunkRows(rows: Seq[(String, String)]) =
+      spark.createDataFrame(rows).toDF("id", "txt").select(
+        lit("docs").as("collection"), col("id").as("doc_id"),
+        lit("n").as("doc_name"), lit("s").as("doc_source"),
+        lit(1).as("chunk_idx"), col("txt").as("text"),
+        array(lit(1.0)).as("embedding"), lit("ms").as("meta_source"),
+        lit("mn").as("meta_name"), lit(0.5).as("semantic_score"))
+    ManifestStore.store(chunkRows(Seq(
+      "d1" -> "the quick brown fox jumps over the lazy dog today",
+      "d2" -> "an entirely different set of words about spark engines")),
+      table, "docs")
+    val anchor = ManifestStore.currentPtrSeq(spark, table, "docs")
+    ManifestStore.store(chunkRows(Seq(
+      "d3" -> "the quick brown fox jumps over the lazy dog today", // ~d1
+      "d4" -> "totally novel content mentioning manifest pointer commits")),
+      table, "docs")
+    // the feed is exactly the new batch ...
+    val feed = ManifestStore.readSince(spark, table, "docs", anchor)
+    assert(feed.select("doc_id").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("d3", "d4"))
+    // ... and incremental near-dup consumes the FEED against the
+    // ANCHORED corpus snapshot — no full recompute, reproducible even
+    // as ingest keeps moving the live pointer
+    val corpus = ManifestStore.readAsOf(spark, table, "docs", anchor)
+      .select(col("doc_id"), col("text"))
+    val dups = graft.operators.Dedup.incrementalNearDups(
+      corpus, feed.select(col("doc_id"), col("text"))).collect()
+    assert(dups.map(r => (r.getAs[String]("new_id"),
+      r.getAs[String]("corpus_id"))).toSeq == Seq(("d3", "d1")))
+    graft.operators.Dedup.releaseCaches()
+  }
+
+  test("hostile collection names round-trip on both layouts (escaped paths)") {
+    // names come from arbitrary ingest JSON (the reference's
+    // collection_name): a percent-escape must not alias another
+    // collection, and '/', ':', '=' must not corrupt the layout
+    val names = Seq("a%41b", "x/y", "c:d=e", "sp ace")
+    val mt = tmp() + "/mtable"
+    names.foreach(n => ManifestStore.store(tenRows(n), mt, n))
+    assert(ManifestStore.listCollections(spark, mt) == names.sorted)
+    names.foreach { n =>
+      val got = ManifestStore.read(spark, mt, Some(n))
+      assert(got.count() == 10, n)
+      assert(got.select("collection").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq(n))
+    }
+    ManifestStore.deleteCollection(spark, mt, "a%41b")
+    assert(ManifestStore.read(spark, mt, Some("a%41b")).count() == 0)
+    assert(ManifestStore.read(spark, mt, Some("x/y")).count() == 10)
+    assert(ManifestStore.read(spark, mt).count() == 30)
+    // flat layout: partitionBy escapes on write; every hand-built path
+    // (delete, compact, recover) must escape identically
+    val ft = tmp() + "/ftable"
+    names.foreach(n => DocumentStore.store(tenRows(n), ft))
+    assert(DocumentStore.read(spark, ft, Some("a%41b")).count() == 10)
+    DocumentStore.compactCollection(spark, ft, "a%41b")
+    assert(DocumentStore.read(spark, ft, Some("a%41b")).count() == 10)
+    DocumentStore.deleteCollection(spark, ft, "x/y")
+    assert(DocumentStore.read(spark, ft, Some("x/y")).count() == 0)
+    assert(DocumentStore.read(spark, ft).count() == 30)
+  }
+
   test("store lifecycle is FS-agnostic: non-default scheme (s3a stand-in)") {
     // the reference's storage system is an object store (MinIO,
     // main.go:131-143); every store/compact/recover path here goes

@@ -75,9 +75,13 @@ class ReferenceWorkflowSpec extends SparkSpecBase {
     assert(DocumentStore.read(spark, table, Some("beta")).count() == 1)
   }
 
-  test("Graft facade: the reference's four routes as library calls") {
+  // the four-route lifecycle, driven through the PUBLIC facade against
+  // each pluggable backend — identical assertions, identical results
+  for (backend <- Seq(graft.sources.FlatBackend, graft.sources.ManifestBackend))
+  test(s"Graft facade: the reference's four routes as library calls " +
+      s"(${backend.getClass.getSimpleName.stripSuffix("$")})") {
     val drop = Files.createTempDirectory("graft_api_drop").toString
-    val table = Files.createTempDirectory("graft_api_store").toString
+    val table = Files.createTempDirectory("graft_api_store").toString + "/t"
     writeReq(drop, "a.json",
       """{"collection_name":"alpha","documents":[
         |{"text":"whole doc","metadata":{"source":"s","name":"docA"},
@@ -94,10 +98,11 @@ class ReferenceWorkflowSpec extends SparkSpecBase {
         |   "metadata":{"source":"cs","name":"b1"},"semantic_score":0.2}]}]}"""
         .stripMargin.replace("\n", ""))
 
-    Graft.store(spark, drop, table)
+    Graft.store(spark, drop, table, backend)
 
     // /search: top hit + the Q3/Q4/Q6 response quirks, field-for-field
-    val top = Graft.search(spark, table, Array(1.0, 0.0), "alpha", 1).head
+    val top = Graft.search(spark, table, Array(1.0, 0.0), "alpha", 1,
+      backend).head
     assert(top.getAs[String]("text") == "alpha one")
     assert(top.getAs[Double]("similarity") == 1.0)
     assert(top.getAs[Int]("position") == 1) // 1-based chunk idx (Q6)
@@ -107,29 +112,34 @@ class ReferenceWorkflowSpec extends SparkSpecBase {
 
     // /multi_search: global top-k across the named collections
     val multi = Graft.multiSearch(spark, table, Array(0.0, 1.0),
-      Seq("alpha", "beta"), 2).collect()
+      Seq("alpha", "beta"), 2, backend).collect()
     assert(multi.head.getAs[String]("text") == "beta one")
     assert(multi.length == 2)
 
     // unknown collection: empty, never an error (Q7, made strict)
-    assert(Graft.search(spark, table, Array(1.0, 0.0), "nope", 5).count() == 0)
+    assert(Graft.search(spark, table, Array(1.0, 0.0), "nope", 5,
+      backend).count() == 0)
     assert(Graft.multiSearch(spark, table, Array(1.0, 0.0),
-      Seq("alpha", "nope"), 10).count() == 2)
+      Seq("alpha", "nope"), 10, backend).count() == 2)
 
     // /delete_collection
-    Graft.deleteCollection(spark, table, "alpha")
-    assert(Graft.search(spark, table, Array(1.0, 0.0), "alpha", 5).count() == 0)
-    assert(Graft.search(spark, table, Array(0.0, 1.0), "beta", 5).count() == 1)
+    Graft.deleteCollection(spark, table, "alpha", backend)
+    assert(Graft.search(spark, table, Array(1.0, 0.0), "alpha", 5,
+      backend).count() == 0)
+    assert(Graft.search(spark, table, Array(0.0, 1.0), "beta", 5,
+      backend).count() == 1)
 
     // deleting the LAST collection leaves a readable empty store:
     // searches return typed empties, never schema-inference errors (Q7)
-    Graft.deleteCollection(spark, table, "beta")
-    assert(Graft.search(spark, table, Array(1.0, 0.0), "beta", 5).count() == 0)
+    Graft.deleteCollection(spark, table, "beta", backend)
+    assert(Graft.search(spark, table, Array(1.0, 0.0), "beta", 5,
+      backend).count() == 0)
     assert(Graft.multiSearch(spark, table, Array(1.0, 0.0),
-      Seq("alpha", "beta"), 5).count() == 0)
+      Seq("alpha", "beta"), 5, backend).count() == 0)
     // and a never-written store path behaves the same
     val fresh = Files.createTempDirectory("graft_api_fresh").toString + "/none"
-    assert(Graft.search(spark, fresh, Array(1.0, 0.0), "x", 5).count() == 0)
+    assert(Graft.search(spark, fresh, Array(1.0, 0.0), "x", 5,
+      backend).count() == 0)
   }
 
   test("reference workflow end-to-end over the manifest-store backend") {
@@ -205,14 +215,14 @@ class ReferenceWorkflowSpec extends SparkSpecBase {
         |  {"text":"c two","embedding":{"vector":[0.0,1.0]},
         |   "metadata":{"source":"plain","name":"a2"},"semantic_score":0.1}]}]}"""
         .stripMargin.replace("\n", ""))
-    Graft.store(spark, drop, table)
+    Graft.store(spark, drop, table) // default backend (manifest)
     val rows = Graft.search(spark, table, Array(1.0, 0.0), "alpha", 2)
       .collect().sortBy(_.getAs[Int]("position"))
     // chunk-level source: a JSON number arrives as its text
     assert(rows(0).getAs[String]("metadata_source") == "42")
     assert(rows(1).getAs[String]("metadata_source") == "plain")
     // document-level source: the object arrives as its JSON text
-    val docSource = DocumentStore.read(spark, table, Some("alpha"))
+    val docSource = graft.sources.ManifestStore.read(spark, table, Some("alpha"))
       .select("doc_source").head.getString(0)
     assert(docSource == """{"bucket":"b1","path":"p/q"}""", docSource)
   }
