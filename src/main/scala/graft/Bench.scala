@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every declared query against
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line.
   *
-  * Measurement discipline: one untimed WARMUP run per query (codegen
-  * compile, file-index and implicit-index caches, JIT) followed by
+  * Measurement discipline: TWO untimed WARMUP runs per query (codegen
+  * compile, file-index and implicit-index caches, JIT — one warmup
+  * left the first timed rep carrying several-second JIT tails, e.g. a
+  * [0.59, 4.15] spread on a 0.6 s query) followed by
   * `SPARK_GRAFT_BENCH_REPS` timed runs (default 3); the reported number
   * is the per-query MEDIAN. Single-shot timings on this suite swing
   * several× on identical jars (JIT/GC/page-cache noise), which makes a
@@ -34,7 +36,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       try {
-        once() // warmup (untimed)
+        once(); once() // warmup x2 (untimed)
         val timed = Array.fill(reps)(once()).sorted
         (name, timed(reps / 2), timed.head, timed.last, true)
       } catch {

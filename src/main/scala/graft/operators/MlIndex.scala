@@ -292,26 +292,43 @@ object MlIndex {
     * duplicate-heavy corpus — the input this operator exists for. */
   private[graft] def brpCandidates(emb: DataFrame, bucketLength: Double,
       numTables: Int, maxOccupancy: Int): DataFrame = {
-    val buckets = brpBuckets(emb, bucketLength, numTables)
-    val hot = buckets.groupBy(col("tbl"), col("bucket"))
-      .agg(count(lit(1)).as("occ"))
-      .where(col("occ") > maxOccupancy)
-      .select(col("tbl"), col("bucket"),
-        ceil(col("occ").cast("double") / maxOccupancy).cast("long")
-          .as("nsplit"))
-    // probe-then-branch: one cheap limit-1 pass over the (persisted)
-    // cell relation decides the regime — a well-spread corpus pays
-    // nothing beyond the probe (the salt join would cost ~12% at
-    // sf0.1 for a cap that never engages), a duplicate-heavy one gets
-    // the capped plan. Index-build metadata, same driver-side class
-    // as [[Ann]]'s nlist-row codebook collect.
-    val keyed = if (hot.isEmpty) buckets.withColumn("salt", lit(0L))
-    else buckets
-      .join(VectorSearch.broadcastIfSmall(hot), Seq("tbl", "bucket"), "left")
-      .select(col("vec_id"), col("tbl"), col("bucket"),
-        when(col("nsplit").isNull, lit(0L))
-          .otherwise(pmod(xxhash64(col("vec_id"), col("tbl")),
-            col("nsplit"))).as("salt"))
+    // the salted key relation is memoized like the tiers above it: the
+    // occupancy aggregate runs ONCE per (input, knobs) — not once for
+    // the regime probe plus once per join side — and repeat calls
+    // (bench reps, the recall query re-running the join) skip it
+    // entirely. The hot-path variant is persisted (slim longs, n·T
+    // rows); the cold-path variant is the already-persisted buckets
+    // plus a literal column, nothing new to persist.
+    val key = (emb.sparkSession, emb.queryExecution.analyzed.canonicalized,
+      bucketLength, numTables, maxOccupancy)
+    val keyed = Option(keyedCache.get(key)).getOrElse {
+      val buckets = brpBuckets(emb, bucketLength, numTables)
+      val hot = buckets.groupBy(col("tbl"), col("bucket"))
+        .agg(count(lit(1)).as("occ"))
+        .where(col("occ") > maxOccupancy)
+        .select(col("tbl"), col("bucket"),
+          ceil(col("occ").cast("double") / maxOccupancy).cast("long")
+            .as("nsplit"))
+      // aggregate-then-branch: ONE pass over the (persisted) cell
+      // relation decides the regime — a well-spread corpus pays only
+      // the aggregate (the salt join would cost ~12% at sf0.1 for a
+      // cap that never engages), a duplicate-heavy one gets the
+      // capped plan. The hot set (≤ n/cap rows) is index-build
+      // metadata, same driver-side class as [[Ann]]'s codebook.
+      val hotRows = hot.limit(1).count() > 0
+      val built =
+        if (!hotRows) buckets.withColumn("salt", lit(0L))
+        else buckets
+          .join(VectorSearch.broadcastIfSmall(hot), Seq("tbl", "bucket"),
+            "left")
+          .select(col("vec_id"), col("tbl"), col("bucket"),
+            when(col("nsplit").isNull, lit(0L))
+              .otherwise(pmod(xxhash64(col("vec_id"), col("tbl")),
+                col("nsplit"))).as("salt"))
+          .persist()
+      val prev = keyedCache.putIfAbsent(key, built)
+      if (prev != null) { if (hotRows) built.unpersist(); prev } else built
+    }
     keyed.as("a").join(keyed.as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&
@@ -339,11 +356,18 @@ object MlIndex {
       .agg(count(lit(1)).as("n_buckets"),
         sum(col("occ")).as("n_entries"),
         max(col("occ")).as("max_occ"),
-        sum(col("occ") * col("occ")).as("pair_mass"),
+        // double, not long: sum(occ²) on a duplicate-heavy corpus —
+        // exactly the input this query diagnoses — overflows a long
+        // sum under ANSI (one 3e9-occupancy cell, or a few 1e9 ones,
+        // exceeds 2^63) and the observability query must not die
+        // precisely when cells are hottest; these are diagnostics,
+        // double precision is the right trade
+        sum(col("occ").cast("double") * col("occ").cast("double"))
+          .as("pair_mass"),
         sum(when(col("occ") > maxOccupancy, 1L).otherwise(0L))
           .as("hot_cells"),
-        sum(least(col("occ"), lit(maxOccupancy.toLong)) * col("occ"))
-          .as("capped_mass"))
+        sum(least(col("occ"), lit(maxOccupancy.toLong)).cast("double") *
+          col("occ").cast("double")).as("capped_mass"))
       .orderBy(col("tbl"))
 
   /** Measured recall of [[brpKnnJoin]] against the EXACT cosine KNN of
@@ -422,6 +446,9 @@ object MlIndex {
   private val bucketsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       Double, Int), DataFrame]()
+  private val keyedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Double, Int, Int), DataFrame]()
 
   private def brpIndex(emb: DataFrame, bucketLength: Double,
       numTables: Int): (DataFrame, BucketedRandomProjectionLSHModel) = {
@@ -464,6 +491,11 @@ object MlIndex {
     while (bKeys.hasNext) {
       val v = bucketsCache.remove(bKeys.next())
       if (v != null) v.unpersist()
+    }
+    val kKeys = keyedCache.keySet().iterator()
+    while (kKeys.hasNext) {
+      val v = keyedCache.remove(kKeys.next())
+      if (v != null) v.unpersist() // no-op for the unpersisted cold path
     }
     val mhKeys = mhCache.keySet().iterator()
     while (mhKeys.hasNext) {

@@ -438,10 +438,28 @@ object ManifestStore {
   def readMany(spark: SparkSession, tablePath: String,
       collections: Seq[String]): DataFrame = {
     val fs = fsOf(spark, tablePath)
-    readPaths(spark, tablePath, collections.distinct.flatMap { c =>
+    val paths = collections.distinct.flatMap { c =>
       resolve(fs, tablePath, c).liveSegs.toSeq.flatten
         .map(s => segDir(tablePath, c, s).toString)
-    })
+    }
+    // layout misconfiguration must fail LOUD, not read as empty: a
+    // table with collection= data but no _manifest at all is a FLAT
+    // store ([[DocumentStore]]) being queried through the manifest
+    // backend — silently returning zero results is indistinguishable
+    // from "no matching documents". (Only checked when nothing
+    // resolved — the happy path pays no extra RPC; a genuinely
+    // missing collection in a real manifest store still reads as a
+    // defined empty, Q7.)
+    if (paths.isEmpty &&
+        !fs.exists(new Path(s"$tablePath/_manifest")) &&
+        fs.exists(new Path(tablePath)) &&
+        fs.listStatus(new Path(tablePath)).exists(
+          _.getPath.getName.startsWith("collection=")))
+      throw new IllegalArgumentException(
+        s"$tablePath has collection= data but no _manifest: this is a " +
+          "flat DocumentStore layout - read it with FlatBackend / " +
+          "DocumentStore.read, or re-ingest through ManifestStore")
+    readPaths(spark, tablePath, paths)
   }
 
   /** One collection's named segments as a chunk-table frame. */
@@ -534,19 +552,34 @@ object ManifestStore {
     }
   }
 
-  /** Garbage-collect everything no pointer references: superseded and
-    * abandoned (crashed-write) segments, the data of tombstoned
-    * collections, and superseded pointer files (so [[resolve]]'s cost
-    * tracks the vacuum cadence, not total commit history) — but ONLY
-    * entries older than `minAgeMs` ([[newestMtime]], against the
+  /** Garbage-collect history: superseded pointer files (so
+    * [[resolve]]'s cost tracks the vacuum cadence, not total commit
+    * history) and every segment no RETAINED pointer references —
+    * superseded, abandoned (crashed-write), and tombstoned data alike —
+    * subject to the age guard `minAgeMs` ([[newestMtime]], against the
     * store-observed clock [[storeNow]]), which is what keeps a
-    * concurrent writer's not-yet-committed segment and recent
-    * readers' superseded snapshots safe. Superseded TAGGED pointers
-    * ([[storeBatch]]'s idempotency keys) are additionally held for
-    * `tagMinAgeMs` ([[DefaultTagRetentionMs]]) — an aggressive
-    * `minAgeMs` reclaims data space without silently re-opening
-    * duplicate ingest for a stream that was down. Returns the removed
-    * paths. */
+    * concurrent writer's not-yet-committed segment and recent readers'
+    * snapshots safe. Returns the removed paths.
+    *
+    * Two invariants tie retention together (both spec-pinned):
+    *
+    *   - **The retained log is a contiguous SUFFIX** — pruning walks
+    *     the log oldest-first and STOPS at the first pointer it must
+    *     keep (too young, or tagged within `tagMinAgeMs`,
+    *     [[DefaultTagRetentionMs]] — the [[storeBatch]] idempotency
+    *     window an aggressive `minAgeMs` must not reopen). No holes:
+    *     [[readAsOf]]/[[readSince]] either resolve the exact commit
+    *     history or throw, never silently skip across a pruned gap to
+    *     an older commit.
+    *   - **Every retained version stays READABLE**: the segment sweep
+    *     keeps the union of segments referenced by retained pointers,
+    *     not just the live list — [[listVersions]] never advertises a
+    *     version whose data was swept out from under it. The flip
+    *     side: a pointer held back (age or tag floor) holds its
+    *     segments too, so for a tagged-ingest collection the
+    *     EFFECTIVE data-retention floor is the tag floor — lower
+    *     `tagMinAgeMs` (keeping it above the replay horizon) to
+    *     reclaim sooner. */
   def vacuum(spark: SparkSession, tablePath: String,
       minAgeMs: Long = DefaultVacuumMinAgeMs,
       tagMinAgeMs: Long = DefaultTagRetentionMs): Seq[String] = {
@@ -562,12 +595,45 @@ object ManifestStore {
     val removed = Seq.newBuilder[String]
     (dataCols ++ listCollections(spark, tablePath)).distinct.foreach { c =>
       val r = resolve(fs, tablePath, c)
+      // pointer log first: what survives defines which segments
+      // history still needs. Commits below the deciding pointer are
+      // history (the deciding one carries the live list, and every
+      // commit's list contains the global max segment number, so
+      // numbering stays monotone while any body is retained; a log
+      // pruned to a bare tombstone restarts numbering at 1, which is
+      // safe because every pointer pruned here is older than its own
+      // segments' age floor — anything a restarted number could
+      // overwrite is unreferenced garbage past the guard).
+      val mdir = manifestDir(tablePath, c)
+      val log = if (!fs.exists(mdir)) Seq.empty else
+        fs.listStatus(mdir).toSeq
+          .flatMap(st => st.getPath.getName.stripPrefix(PtrPrefix)
+            .toLongOption.map(_ -> st))
+          .sortBy(_._1)
+          .map { case (seq, st) =>
+            (seq, st, readPtr(fs, st.getPath).flatMap(parseBody))
+          }
+      val deletable = if (r.decidedSeq == 0L) Seq.empty else
+        log.takeWhile { case (seq, st, body) =>
+          // mtime from the listing itself: no re-fetch RPC; tagged
+          // commits are the replay-idempotency window and outlive
+          // plain history by the tag floor
+          val floor = if (body.exists(_._2.isDefined)) tagCutoff else cutoff
+          seq < r.decidedSeq && st.getModificationTime != 0L &&
+            st.getModificationTime < floor
+        }
+      deletable.foreach { case (_, st, _) =>
+        fs.delete(st.getPath, false)
+        removed += st.getPath.toString
+      }
+      // every version still in the log keeps its segments readable
+      val keepSegs = (log.drop(deletable.size).flatMap(_._3).flatMap(_._1)
+        ++ r.liveSegs.toSeq.flatten).map(segName).toSet
       val cdir = collectionDir(tablePath, c)
       if (fs.exists(cdir)) {
-        val keep = r.liveSegs.toSeq.flatten.map(segName).toSet
         fs.listStatus(cdir).toSeq.map(_.getPath)
           .filter(p => p.getName.startsWith("seg=") &&
-            !keep.contains(p.getName) &&
+            !keepSegs.contains(p.getName) &&
             newestMtime(fs, p) < cutoff)
           .foreach { p =>
             fs.delete(p, true)
@@ -575,37 +641,12 @@ object ManifestStore {
           }
         // a tombstoned collection with every segment swept leaves an
         // empty dir — drop it so the store listing stays clean
-        if (keep.isEmpty && fs.exists(cdir) && fs.listStatus(cdir).isEmpty) {
+        if (keepSegs.isEmpty && fs.exists(cdir) &&
+            fs.listStatus(cdir).isEmpty) {
           fs.delete(cdir, true)
           removed += cdir.toString
         }
       }
-      // pointer log compaction: commits BELOW the deciding pointer are
-      // history (the deciding one carries the live list, and every
-      // commit's list contains the global max segment number, so
-      // numbering stays monotone from the deciding pointer alone).
-      // Tombstoned collections keep their full log until the data dir
-      // is swept — pruning to a bare tombstone would restart segment
-      // numbering while age-protected old segments still exist.
-      val mdir = manifestDir(tablePath, c)
-      if (r.decidedSeq > 0L && r.liveSegs.isDefined && fs.exists(mdir))
-        fs.listStatus(mdir).toSeq
-          .filter { st => // mtime from the listing itself: no re-fetch RPC
-            st.getPath.getName.stripPrefix(PtrPrefix).toLongOption
-              .exists { seq =>
-                // tagged commits are the replay-idempotency window:
-                // they outlive plain history by the tag floor
-                val floor = if (r.taggedSeqs.contains(seq)) tagCutoff
-                else cutoff
-                seq < r.decidedSeq &&
-                  st.getModificationTime != 0L &&
-                  st.getModificationTime < floor
-              }
-          }
-          .foreach { st =>
-            fs.delete(st.getPath, false)
-            removed += st.getPath.toString
-          }
     }
     removed.result()
   }

@@ -59,13 +59,20 @@ object ManifestBackend extends StoreBackend {
     // one-collection-per-request, main.go:25-28, so this loop is
     // almost always a single iteration); the distinct is bounded by
     // collections-per-ingest — the same driver-side shape as the
-    // streaming ingest's per-micro-batch collection list
-    val colls = chunks.select(col("collection")).distinct()
-      .collect().map(_.getString(0))
-    colls.foreach { c =>
-      ManifestStore.store(chunks.where(col("collection") === c),
-        tablePath, c)
-    }
+    // streaming ingest's per-micro-batch collection list. persist:
+    // the ingest pipeline (JSON read + flatten) feeds the collection
+    // listing plus one filtered write per collection — uncached that
+    // is 1+N full input scans. Writes are synchronous, so the frame
+    // is released before return.
+    val cached = chunks.persist()
+    try {
+      val colls = cached.select(col("collection")).distinct()
+        .collect().map(_.getString(0))
+      colls.foreach { c =>
+        ManifestStore.store(cached.where(col("collection") === c),
+          tablePath, c)
+      }
+    } finally cached.unpersist()
   }
 
   def read(spark: SparkSession, tablePath: String,

@@ -371,15 +371,32 @@ class DocumentStoreSpec extends SparkSpecBase {
     ManifestStore.store(tenRows("c1"), table, "c1") // plain superseding commit
     ManifestStore.store(tenRows("c1"), table, "c1")
     // an aggressive data vacuum (minAge 0) with the DEFAULT tag floor:
-    // the superseded PLAIN pointer goes, the tagged one stays — so a
-    // replay of batch-0 while the stream was down is still a no-op
+    // the tagged pointer stays — so a replay of batch-0 while the
+    // stream was down is still a no-op — and retention is CONTIGUOUS:
+    // the plain pointers NEWER than the held tagged one stay too (no
+    // holes in the log), and every retained version keeps its
+    // segments, so history remains exactly addressable
     ManifestStore.vacuum(spark, table, 0L)
     assert(!ManifestStore.storeBatch(tenRows("c1"), table, "c1", "batch-0"))
+    assert(ManifestStore.listVersions(spark, table, "c1")
+      .map(_.ptrSeq) == Seq(1L, 2L, 3L))
+    assert(ManifestStore.readAsOf(spark, table, "c1", 2L).count() == 20)
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 30)
     // only an explicit tag-floor waiver forgets the tag
     ManifestStore.vacuum(spark, table, 0L, 0L)
     assert(ManifestStore.storeBatch(tenRows("c1"), table, "c1", "batch-0"))
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
+  }
+
+  test("manifest read of a flat-layout table fails loud, not silently empty") {
+    val ft = tmp() + "/flat"
+    DocumentStore.store(tenRows("c1"), ft)
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.read(spark, ft, Some("c1")).count()
+    }
+    assert(e.getMessage.contains("FlatBackend"), e.getMessage)
+    // a genuinely fresh path still reads as a defined empty (Q7)
+    assert(ManifestStore.read(spark, tmp() + "/none").count() == 0)
   }
 
   test("change feed drives incremental near-dup detection end-to-end") {
