@@ -45,10 +45,14 @@ object MlIndex {
     * all-pairs — measured 52 s at sf0.1 with 0.25 under the MLlib
     * struct join), while `bucketLength` ≪ σ splits true neighbours
     * apart and recall dies (0.02 → 0.33). The sweet spot measured at
-    * sf0.1: 0.15 with 6 OR'd tables → recall 0.975 against the exact
-    * top-5 at ~5 s, candidate mass well under all-pairs. More tables
-    * buy recall linearly in bucket-relation size — the knob to turn
-    * first at bigger corpora. */
+    * sf0.1: 0.15 with 6 OR'd tables → recall 0.95 (32-probe measure)
+    * against the exact top-5. Candidate mass at this fixture is
+    * inherently near-all-pairs (label-clustered embeddings keep the
+    * cells coarse: a 2026-08 sweep to bl=0.06/nt=10 cut mass only
+    * 3.6M → 3.0M while recall fell to 0.87), so the defaults stand;
+    * on corpora with real spread, mass ∝ Σocc² drops with bucket
+    * granularity and more tables buy recall linearly in
+    * bucket-relation size. */
   val BrpBucketLength: Double = 0.15
   val BrpNumTables: Int = 6
 
@@ -315,24 +319,30 @@ object MlIndex {
       // cap that never engages), a duplicate-heavy one gets the
       // capped plan. The hot set (≤ n/cap rows) is index-build
       // metadata, same driver-side class as [[Ann]]'s codebook.
+      // the join key is PACKED to one long (hash of cell × salt): the
+      // self-join and its exchanges then carry (cell, vec_id) longs
+      // only — same discipline as Dedup's band join. A hash collision
+      // merely MERGES two cells: extra candidates that the exact
+      // distance scores away — recall can only gain, and the expected
+      // extra mass at 64-bit collision rates is nil.
       val hotRows = hot.limit(1).count() > 0
       val built =
-        if (!hotRows) buckets.withColumn("salt", lit(0L))
+        if (!hotRows) buckets.select(col("vec_id"),
+          xxhash64(col("tbl"), col("bucket")).as("cell"))
         else buckets
           .join(VectorSearch.broadcastIfSmall(hot), Seq("tbl", "bucket"),
             "left")
-          .select(col("vec_id"), col("tbl"), col("bucket"),
-            when(col("nsplit").isNull, lit(0L))
-              .otherwise(pmod(xxhash64(col("vec_id"), col("tbl")),
-                col("nsplit"))).as("salt"))
+          .select(col("vec_id"),
+            xxhash64(col("tbl"), col("bucket"),
+              when(col("nsplit").isNull, lit(0L))
+                .otherwise(pmod(xxhash64(col("vec_id"), col("tbl")),
+                  col("nsplit")))).as("cell"))
           .persist()
       val prev = keyedCache.putIfAbsent(key, built)
       if (prev != null) { if (hotRows) built.unpersist(); prev } else built
     }
     keyed.as("a").join(keyed.as("b"),
-        col("a.tbl") === col("b.tbl") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.salt") === col("b.salt") &&
+        col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"),
         col("b.vec_id").as("neighbor_id"))

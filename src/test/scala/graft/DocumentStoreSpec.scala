@@ -388,6 +388,27 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
   }
 
+  test("snapshot-pinned deterministic split is reproducible under ongoing ingest") {
+    // the pipeline-reproducibility use case time travel exists for: a
+    // train/test split anchored to a pointer sequence re-derives
+    // bit-identically while ingest and compaction move the live state
+    val table = tmp() + "/mtable"
+    ManifestStore.store(tenRows("c1"), table, "c1")
+    val anchor = ManifestStore.currentPtrSeq(spark, table, "c1")
+    def split(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        when(pmod(xxhash64(col("doc_id")), lit(10)) < 8, "train")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val s1 = split(ManifestStore.readAsOf(spark, table, "c1", anchor))
+    ManifestStore.store(tenRows("c1"), table, "c1") // ingest moves on
+    ManifestStore.compactCollection(spark, table, "c1")
+    val s2 = split(ManifestStore.readAsOf(spark, table, "c1", anchor))
+    assert(s1 == s2 && s1.nonEmpty)
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 20)
+  }
+
   test("manifest read of a flat-layout table fails loud, not silently empty") {
     val ft = tmp() + "/flat"
     DocumentStore.store(tenRows("c1"), ft)
