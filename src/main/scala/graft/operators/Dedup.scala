@@ -391,6 +391,42 @@ object Dedup {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Benchmark DECONTAMINATION: flag every training document sharing
+    * at least `minShared` word-shingles with a held-out evaluation set
+    * (here doc_id % `benchMod` == 0 — in production, the benchmark
+    * suite) — the standard pre-training hygiene step: a train doc
+    * containing an eval n-gram leaks the benchmark into the model.
+    *
+    * Inverted-index shape, same discipline as [[minhashPairs]]: the
+    * benchmark's DISTINCT shingle set joins the exploded train
+    * shingles on hash — candidates exist only where an actual shingle
+    * is shared, never train×bench all-pairs. The bench side grows
+    * with the eval corpus, so its broadcast is size-gated; at 100 TB
+    * train × fixed benchmark suite this is one shuffle of the train
+    * shingles against a broadcast eval set. Reuses the memoized
+    * [[shingled]] index (three consumers: bench set, train set,
+    * explode). */
+  def decontaminate(documents: DataFrame, benchMod: Int = 17,
+      minShared: Long = 1L): DataFrame = {
+    val h = shingled(documents)
+    val bench = h.where(col("doc_id") % benchMod === 0)
+      .select(explode(col("shingle_hashes")).as("hash")).distinct()
+    val train = h.where(col("doc_id") % benchMod =!= 0)
+    val shared = train
+      .select(col("doc_id"), explode(col("shingle_hashes")).as("hash"))
+      .join(VectorSearch.broadcastIfSmall(bench), Seq("hash"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    train
+      .select(col("doc_id"),
+        size(col("shingle_hashes")).cast("long").as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------------
   // SimHash
   // ----------------------------------------------------------------
@@ -587,6 +623,24 @@ object Dedup {
          |JOIN h2 b2 ON b2.doc_id = cand.doc_id_2
          |ORDER BY doc_id_1, doc_id_2""".stripMargin) {
       (s, dir) => minhashPairs(Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("dedup_decontaminate",
+      s"""WITH h AS (SELECT doc_id, $ShSql AS shingle_hashes FROM documents),
+         |h2 AS (SELECT * FROM h WHERE len(shingle_hashes) > 0),
+         |bench AS (SELECT DISTINCT unnest(shingle_hashes) AS hash
+         |  FROM h2 WHERE doc_id % 17 = 0),
+         |tr AS (SELECT doc_id, shingle_hashes FROM h2 WHERE doc_id % 17 <> 0),
+         |ex AS (SELECT doc_id, unnest(shingle_hashes) AS hash FROM tr),
+         |sh2 AS (SELECT ex.doc_id, count(*) AS n_shared
+         |  FROM ex JOIN bench USING (hash) GROUP BY ex.doc_id)
+         |SELECT tr.doc_id AS doc_id,
+         |  CAST(len(tr.shingle_hashes) AS BIGINT) AS n_shingles,
+         |  COALESCE(sh2.n_shared, 0) AS n_shared,
+         |  COALESCE(sh2.n_shared, 0) >= 1 AS contaminated
+         |FROM tr LEFT JOIN sh2 ON tr.doc_id = sh2.doc_id
+         |ORDER BY tr.doc_id""".stripMargin) {
+      (s, dir) => decontaminate(Tables(s, dir, "documents"))
     },
 
     QueryDef.sql("dedup_clusters", ClustersOracleSql) {

@@ -7,6 +7,19 @@ import graft.functions.TextHashExpressions
 import graft.operators.Dedup
 
 class DedupSpec extends SparkSpecBase {
+
+  test("decontamination: bench docs excluded, shared counts bounded, flag consistent") {
+    val rows = Dedup.decontaminate(
+      graft.Tables(spark, sf, "documents")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 17 != 0) // the held-out set is never flagged
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Boolean]("contaminated") ==
+        (r.getAs[Long]("n_shared") >= 1L))
+    }
+    Dedup.releaseCaches()
+  }
   private def docs = Tables(spark, sf, "documents")
 
   test("exact dedup: duplicates share cluster, min doc_id is keeper") {

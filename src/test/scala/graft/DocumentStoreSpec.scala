@@ -388,6 +388,26 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
   }
 
+  test("change-feed anchors advance across repeated ingest cycles") {
+    // the continuous-consumption loop: anchor -> ingest -> readSince
+    // -> process -> advance anchor; each cycle sees exactly its new
+    // batch, never a replayed or skipped row — including across a
+    // tagged (streaming, at-least-once) commit whose redelivery is
+    // a manifest no-op
+    val table = tmp() + "/mtable"
+    ManifestStore.store(tenRows("c1"), table, "c1")
+    var anchor = ManifestStore.currentPtrSeq(spark, table, "c1")
+    (1 to 3).foreach { i =>
+      assert(ManifestStore.storeBatch(tenRows("c1"), table, "c1", s"b-$i"))
+      assert(!ManifestStore.storeBatch(tenRows("c1"), table, "c1", s"b-$i"))
+      val feed = ManifestStore.readSince(spark, table, "c1", anchor)
+      assert(feed.count() == 10, s"cycle $i")
+      anchor = ManifestStore.currentPtrSeq(spark, table, "c1")
+    }
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
+    assert(ManifestStore.readSince(spark, table, "c1", anchor).count() == 0)
+  }
+
   test("snapshot-pinned deterministic split is reproducible under ongoing ingest") {
     // the pipeline-reproducibility use case time travel exists for: a
     // train/test split anchored to a pointer sequence re-derives
