@@ -388,6 +388,25 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
   }
 
+  test("snapshot API edges: seq 0 throws, future seq reads live, missing collection empty") {
+    val table = tmp() + "/mtable"
+    ManifestStore.store(tenRows("c1"), table, "c1")
+    // 0 = "before any commit": not a state, never silently empty
+    intercept[IllegalArgumentException] {
+      ManifestStore.readAsOf(spark, table, "c1", 0L)
+    }
+    // a sequence beyond the log resolves to the newest commit at or
+    // below it — i.e. the live state (same rule as a crashed top ptr)
+    assert(ManifestStore.readAsOf(spark, table, "c1", 999L).count() == 10)
+    assert(ManifestStore.readSince(spark, table, "c1", 999L).count() == 0)
+    // versioned APIs on a collection that never existed
+    assert(ManifestStore.listVersions(spark, table, "nope").isEmpty)
+    intercept[IllegalArgumentException] {
+      ManifestStore.readAsOf(spark, table, "nope", 1L)
+    }
+    assert(ManifestStore.currentPtrSeq(spark, table, "nope") == 0L)
+  }
+
   test("change-feed anchors advance across repeated ingest cycles") {
     // the continuous-consumption loop: anchor -> ingest -> readSince
     // -> process -> advance anchor; each cycle sees exactly its new

@@ -317,6 +317,21 @@ class PlanSpec extends SparkSpecBase {
       s"quality kernel missing above the semi-join:\n$p")
   }
 
+  test("decontamination: inverted-index join, bench side broadcast when small") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = Dedup.decontaminate(docs)
+    val p = plan(df)
+    // candidates exist only where a shingle is actually shared — the
+    // join is hash-keyed, never a train x bench cartesian pass
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the (distinct) eval shingle set rides a broadcast at this size;
+    // corpus-sized eval sets degrade through the same size gate the
+    // other operators use (broadcastIfSmall)
+    assert(p.contains("BroadcastHashJoin"), p)
+    Dedup.releaseCaches()
+  }
+
   test("KNN join broadcasts the query side, never shuffles candidates") {
     val df = VectorSearch.knnJoin(emb, 0 until 8, 5)
     val p = plan(df)
