@@ -647,6 +647,20 @@ object ManifestStore {
           removed += cdir.toString
         }
       }
+      // tombstone RETIREMENT: once a tombstoned collection's data is
+      // fully reclaimed and its entire log (the tombstone included) is
+      // past the age guard, the manifest dir itself goes — without
+      // this, every create/delete cycle leaks one manifest dir and a
+      // permanent listCollections entry. Safe to restart numbering: no
+      // segment data remains, and a concurrent re-creator is excluded
+      // by the single-writer-per-collection contract.
+      if (r.decidedSeq > 0L && r.liveSegs.isEmpty && !fs.exists(cdir) &&
+          log.nonEmpty && log.forall { case (_, st, _) =>
+            st.getModificationTime != 0L && st.getModificationTime < cutoff
+          } && fs.exists(mdir)) {
+        fs.delete(mdir, true)
+        removed += mdir.toString
+      }
     }
     removed.result()
   }

@@ -388,6 +388,28 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
   }
 
+  test("vacuum retires a fully-reclaimed tombstone: no manifest leak") {
+    val table = tmp() + "/mtable"
+    ManifestStore.store(tenRows("c1"), table, "c1")
+    ManifestStore.deleteCollection(spark, table, "c1")
+    assert(ManifestStore.listCollections(spark, table) == Seq("c1"))
+    // age waived: data swept AND the whole log (tombstone included) is
+    // past the guard -> the manifest dir itself is retired, so
+    // create/delete cycles do not leak listCollections entries
+    ManifestStore.vacuum(spark, table, 0L, 0L)
+    assert(ManifestStore.listCollections(spark, table).isEmpty)
+    // a fresh create after retirement starts a clean history
+    ManifestStore.store(tenRows("c1"), table, "c1")
+    assert(ManifestStore.currentPtrSeq(spark, table, "c1") == 1L)
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
+    // a tombstone with RETAINED (young) history is NOT retired: its
+    // pre-delete snapshots stay addressable inside the age guard
+    ManifestStore.deleteCollection(spark, table, "c1")
+    ManifestStore.vacuum(spark, table)
+    assert(ManifestStore.listCollections(spark, table) == Seq("c1"))
+    assert(ManifestStore.readAsOf(spark, table, "c1", 1L).count() == 10)
+  }
+
   test("snapshot API edges: seq 0 throws, future seq reads live, missing collection empty") {
     val table = tmp() + "/mtable"
     ManifestStore.store(tenRows("c1"), table, "c1")
