@@ -141,6 +141,27 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("rnk"))
   }
 
+  /** Correlated LATERAL subquery — the other SQL spelling of
+    * top-n-per-group: each nation row drives a dependent ORDER
+    * BY/LIMIT over its suppliers. Catalyst DECORRELATES this into the
+    * same ranked-window shape [[topCustomersBySegment]] writes by hand
+    * (no per-row re-execution survives into the physical plan), so the
+    * lateral form costs what the window form costs — the point of
+    * declaring it is that the SQL surface accepts it. */
+  def lateralTopSuppliers(s: SparkSession, dir: String,
+      topN: Int = 2): DataFrame =
+    sqlOver(s, "nation" -> Tables(s, dir, "nation"),
+        "supplier" -> Tables(s, dir, "supplier")) { v =>
+      s"""SELECT n.n_name, t.s_name, t.s_acctbal
+         |FROM ${v("nation")} n,
+         |LATERAL (
+         |  SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+         |  FROM ${v("supplier")} s
+         |  WHERE s.s_nationkey = n.n_nationkey
+         |  ORDER BY s_acctbal DESC, s_name LIMIT $topN) t
+         |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin
+    }
+
   // ------------------------------------------------------------------
   // O: semi / anti joins
   // ------------------------------------------------------------------
@@ -696,6 +717,17 @@ object Relational {
          |FROM spend QUALIFY rnk <= 3
          |ORDER BY c_mktsegment, rnk""".stripMargin)(
       (s, dir) => topCustomersBySegment(s, dir)),
+
+    QueryDef.sql("rel_lateral_top_suppliers",
+      """SELECT n.n_name, t.s_name, t.s_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        |  FROM supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+        |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin)(
+      (s, dir) => lateralTopSuppliers(s, dir)),
 
     QueryDef.sql("rel_late_priorities",
       """SELECT o_orderpriority, count(*) AS order_count
