@@ -128,6 +128,26 @@ object Dedup {
     shingleCache.computeIfAbsent(key, _ => shingledPlan(documents).persist())
   }
 
+  /** SLIM shingle tier: (doc_id, shingle_hashes) only — for consumers
+    * like [[decontaminate]] that never read MinHash signatures or band
+    * hashes. [[shingled]]'s full tier computes and caches 16-perm
+    * sigs + bands per document; paying that to populate a cache the
+    * consumer won't read is the dominant per-doc cost at corpus scale.
+    * Separate cache map, same lifecycle ([[releaseCaches]]). */
+  private val slimShingleCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+
+  private def shingledSlim(documents: DataFrame): DataFrame = {
+    val key = (documents.sparkSession,
+      documents.queryExecution.analyzed.canonicalized)
+    slimShingleCache.computeIfAbsent(key, _ =>
+      documents
+        .select(col("doc_id"), shingleHashes.as("shingle_hashes"))
+        .where(size(col("shingle_hashes")) > 0)
+        .persist())
+  }
+
   /** Persisted frames that must outlive their operator call (the
     * cluster labels feed the caller's lazy result), released together
     * with the shingle cache. */
@@ -142,6 +162,9 @@ object Dedup {
     val it = shingleCache.values().iterator()
     while (it.hasNext) { it.next().unpersist(); }
     shingleCache.clear()
+    val sit = slimShingleCache.values().iterator()
+    while (sit.hasNext) { sit.next().unpersist(); }
+    slimShingleCache.clear()
     var df = retainedCaches.poll()
     while (df != null) { df.unpersist(); df = retainedCaches.poll() }
   }
@@ -403,12 +426,13 @@ object Dedup {
     * is shared, never train×bench all-pairs. The bench side grows
     * with the eval corpus, so its broadcast is size-gated; at 100 TB
     * train × fixed benchmark suite this is one shuffle of the train
-    * shingles against a broadcast eval set. Reuses the memoized
-    * [[shingled]] index (three consumers: bench set, train set,
-    * explode). */
+    * shingles against a broadcast eval set. Reuses the memoized SLIM
+    * shingle tier (three consumers: bench set, train set, explode) —
+    * not [[shingled]]'s full tier, whose 16-perm signatures this
+    * operator never reads. */
   def decontaminate(documents: DataFrame, benchMod: Int = 17,
       minShared: Long = 1L): DataFrame = {
-    val h = shingled(documents)
+    val h = shingledSlim(documents)
     val bench = h.where(col("doc_id") % benchMod === 0)
       .select(explode(col("shingle_hashes")).as("hash")).distinct()
     val train = h.where(col("doc_id") % benchMod =!= 0)

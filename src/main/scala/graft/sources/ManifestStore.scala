@@ -124,12 +124,14 @@ object ManifestStore {
       decidedSeq: Long, seenTags: Set[String],
       taggedSeqs: Set[Long] = Set.empty, minRetainedSeq: Long = 0L)
 
-  /** Full small-file read: None for missing, unreadable, or empty
-    * files (crash artifacts of an interrupted create). Loops to EOF —
-    * a single read() may legally return a prefix, and a short read
-    * must not truncate valid pointer content into different-but-
-    * parseable content. */
-  private def readPtr(fs: FileSystem, p: Path): Option[String] =
+  /** Full small-file read, DISTINGUISHING transient failure from
+    * content: Left = the store could not serve the object (IO error —
+    * says nothing about the commit), Right = the bytes as written
+    * (possibly empty — an interrupted create's crash artifact). Loops
+    * to EOF — a single read() may legally return a prefix, and a
+    * short read must not truncate valid pointer content into
+    * different-but-parseable content. */
+  private def readPtrEither(fs: FileSystem, p: Path): Either[Unit, String] =
     try {
       val in = fs.open(p)
       try {
@@ -137,10 +139,18 @@ object ManifestStore {
         val buf = new Array[Byte](256)
         var n = in.read(buf)
         while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-        if (out.size() == 0) None
-        else Some(new String(out.toByteArray, "UTF-8").trim)
+        Right(new String(out.toByteArray, "UTF-8").trim)
       } finally in.close()
-    } catch { case _: java.io.IOException => None }
+    } catch { case _: java.io.IOException => Left(()) }
+
+  /** [[readPtrEither]] collapsed for the READ path: missing,
+    * unreadable, or empty all resolve as "invalid pointer, fall back
+    * to the previous commit" — conservative for readers. The
+    * DESTRUCTIVE path ([[vacuum]]) must NOT use this: it has to tell
+    * a transient error apart from invalid content before deleting
+    * anything. */
+  private def readPtr(fs: FileSystem, p: Path): Option[String] =
+    readPtrEither(fs, p).toOption.filter(_.nonEmpty)
 
   /** Commit-content terminator: a pointer is valid ONLY when its full
     * content survived the crash — a prefix of a longer segment list
@@ -605,14 +615,23 @@ object ManifestStore {
       // segments' age floor — anything a restarted number could
       // overwrite is unreferenced garbage past the guard).
       val mdir = manifestDir(tablePath, c)
-      val log = if (!fs.exists(mdir)) Seq.empty else
+      val reads = if (!fs.exists(mdir)) Seq.empty else
         fs.listStatus(mdir).toSeq
           .flatMap(st => st.getPath.getName.stripPrefix(PtrPrefix)
             .toLongOption.map(_ -> st))
           .sortBy(_._1)
           .map { case (seq, st) =>
-            (seq, st, readPtr(fs, st.getPath).flatMap(parseBody))
+            (seq, st, readPtrEither(fs, st.getPath))
           }
+      // a TRANSIENTLY unreadable pointer says nothing about its
+      // commit: misclassifying it as plain/invalid would prune a
+      // tagged idempotency pointer, sweep segments a retained version
+      // references, or retire a live manifest. Vacuum is maintenance —
+      // skip THIS collection for this pass and let the next one retry.
+      if (!reads.exists(_._3.isLeft)) {
+      val log = reads.map { case (seq, st, body) =>
+        (seq, st, body.toOption.filter(_.nonEmpty).flatMap(parseBody))
+      }
       val deletable = if (r.decidedSeq == 0L) Seq.empty else
         log.takeWhile { case (seq, st, body) =>
           // mtime from the listing itself: no re-fetch RPC; tagged
@@ -649,18 +668,23 @@ object ManifestStore {
       }
       // tombstone RETIREMENT: once a tombstoned collection's data is
       // fully reclaimed and its entire log (the tombstone included) is
-      // past the age guard, the manifest dir itself goes — without
-      // this, every create/delete cycle leaks one manifest dir and a
-      // permanent listCollections entry. Safe to restart numbering: no
-      // segment data remains, and a concurrent re-creator is excluded
-      // by the single-writer-per-collection contract.
+      // past its floor — the TAG floor for tagged commits, same
+      // per-pointer rule as the prune, so an in-window idempotency
+      // pointer blocks retirement directly, not just via the data dir —
+      // the manifest dir itself goes: without this, every create/delete
+      // cycle leaks one manifest dir and a permanent listCollections
+      // entry. Safe to restart numbering: no segment data remains, and
+      // a concurrent re-creator is excluded by the
+      // single-writer-per-collection contract.
       if (r.decidedSeq > 0L && r.liveSegs.isEmpty && !fs.exists(cdir) &&
-          log.nonEmpty && log.forall { case (_, st, _) =>
-            st.getModificationTime != 0L && st.getModificationTime < cutoff
+          log.nonEmpty && log.forall { case (_, st, body) =>
+            val floor = if (body.exists(_._2.isDefined)) tagCutoff else cutoff
+            st.getModificationTime != 0L && st.getModificationTime < floor
           } && fs.exists(mdir)) {
         fs.delete(mdir, true)
         removed += mdir.toString
       }
+      } // readable-log guard
     }
     removed.result()
   }

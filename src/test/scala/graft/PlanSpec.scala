@@ -325,10 +325,13 @@ class PlanSpec extends SparkSpecBase {
     // join is hash-keyed, never a train x bench cartesian pass
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
-    // the (distinct) eval shingle set rides a broadcast at this size;
-    // corpus-sized eval sets degrade through the same size gate the
-    // other operators use (broadcastIfSmall)
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the (distinct) eval shingle set rides a broadcast at this size —
+    // asserted on the hash-keyed join SPECIFICALLY (a bare
+    // `contains(BroadcastHashJoin)` could be satisfied by the final
+    // doc_id left join and miss a dropped gate); corpus-sized eval
+    // sets degrade through the same size gate the other operators use
+    // (broadcastIfSmall)
+    assert("BroadcastHashJoin \\[hash#\\d+L?\\]".r.findFirstIn(p).isDefined, p)
     Dedup.releaseCaches()
   }
 
