@@ -252,6 +252,66 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Span-dedup knobs: non-overlapping [[SpanWords]]-word spans; a span
+    * seen in more than [[SpanMaxDf]] DISTINCT documents is boilerplate. */
+  val SpanWords = 3
+  val SpanMaxDf = 3
+
+  /** C4-style cross-document span deduplication (boilerplate removal).
+    * C4 drops any three-sentence span duplicated across the corpus;
+    * RefinedWeb's line dedup is the same shape over lines. Over
+    * unstructured text the unit is a non-overlapping [[SpanWords]]-word
+    * span: count each span's corpus-wide DOCUMENT frequency (distinct
+    * docs, not occurrences — a doc repeating its own phrase is
+    * repetition, `text_repetition`'s job, not boilerplate), drop spans
+    * above [[SpanMaxDf]], reassemble each document from its surviving
+    * spans in order. Documents whose every span is boilerplate drop out
+    * entirely (that IS the C4 outcome for pure-boilerplate pages).
+    *
+    * Scale shape: one scan → one hash aggregate on span text (the only
+    * corpus-wide shuffle), over-common spans are a small relation
+    * (boilerplate is few distinct strings by definition — but it GROWS
+    * with the corpus, so the anti-join broadcast is size-gated), then
+    * one groupBy doc_id to reassemble. Never all-pairs, nothing
+    * driver-side; the span explode is scan-side and re-derived on each
+    * pass rather than persisted (recompute beats caching a corpus-sized
+    * intermediate at 100 TB).
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame =
+    spanDedupOn(Tables(s, dir, "documents"), SpanWords, SpanMaxDf)
+
+  /** [[spanDedup]] over an explicit documents frame (needs `doc_id`,
+    * `text`) with explicit knobs — the spec surface. */
+  def spanDedupOn(documents: DataFrame, spanWords: Int,
+      maxDf: Int): DataFrame = {
+    val spans = documents
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .where(size(col("ws")) > 0)
+      // ceil(len/k) in integer arithmetic (positive, so cast truncation
+      // is floor)
+      .withColumn("n_spans",
+        (size(col("ws")) + (spanWords - 1)).divide(spanWords).cast("long"))
+      .select(col("doc_id"), col("n_spans"),
+        posexplode(transform(
+          sequence(lit(0), col("n_spans").cast("int") - 1),
+          i => concat_ws(" ",
+            slice(col("ws"), i * spanWords + 1, lit(spanWords)))))
+          .as(Seq("span_idx", "span_text")))
+    val boilerplate = spans.groupBy("span_text")
+      .agg(countDistinct(col("doc_id")).as("span_df"))
+      .where(col("span_df") > maxDf)
+      .select("span_text")
+    spans.join(VectorSearch.broadcastIfSmall(boilerplate),
+        Seq("span_text"), "left_anti")
+      .groupBy("doc_id")
+      .agg(min(col("n_spans")).as("n_spans"),
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span_text")))),
+          x => x.getField("span_text"))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
   // oracles
   // ------------------------------------------------------------------
@@ -333,6 +393,33 @@ object Pipeline {
          |    AS chunk_text
          |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)(
       (s, dir) => chunkDocuments(s, dir)),
+
+    QueryDef.sql("pl_span_dedup",
+      s"""WITH d AS (
+         |  SELECT doc_id, $W AS ws FROM documents WHERE len($W) > 0),
+         |n AS (
+         |  SELECT doc_id, ws,
+         |    CAST((len(ws) + ${SpanWords - 1}) // $SpanWords AS BIGINT)
+         |      AS n_spans
+         |  FROM d),
+         |s AS (
+         |  SELECT doc_id, n_spans, ws, unnest(range(0, n_spans)) AS i
+         |  FROM n),
+         |spans AS (
+         |  SELECT doc_id, n_spans, i,
+         |    array_to_string(
+         |      list_slice(ws, i*$SpanWords + 1, i*$SpanWords + $SpanWords),
+         |      ' ') AS span_text
+         |  FROM s),
+         |b AS (
+         |  SELECT span_text FROM spans GROUP BY span_text
+         |  HAVING count(DISTINCT doc_id) > $SpanMaxDf),
+         |kept AS (SELECT * FROM spans ANTI JOIN b USING (span_text))
+         |SELECT doc_id, min(n_spans) AS n_spans,
+         |  count(*) AS n_kept,
+         |  string_agg(span_text, ' ' ORDER BY i) AS clean_text
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)(
+      (s, dir) => spanDedup(s, dir)),
 
     QueryDef.sql("pl_quality_filter", {
       val stops = markerCountSql(W, Stopwords("en"))

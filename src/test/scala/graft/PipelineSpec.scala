@@ -99,6 +99,48 @@ class PipelineSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("span dedup: boilerplate spans removed, clean docs untouched, " +
+      "all-boilerplate docs drop out") {
+    import spark.implicits._
+    // span size 2, maxDf 2: "BUY NOW" is boilerplate (3 distinct docs,
+    // twice in doc 1 — occurrences don't inflate the DOCUMENT
+    // frequency); "unique one/two/..." spans are each df=1
+    val docs = Seq(
+      (1L, "BUY NOW unique one BUY NOW"),
+      (2L, "BUY NOW unique two"),
+      (3L, "unique three words here"),
+      (4L, "BUY NOW"), // all-boilerplate: must drop out entirely
+      (5L, "")         // empty: never emitted
+    ).toDF("doc_id", "text")
+    val got = Pipeline.spanDedupOn(docs, spanWords = 2, maxDf = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))).toSeq
+    val want = Seq(
+      (1L, 3L, 1L, "unique one"),       // spans: BUY NOW|unique one|BUY NOW
+      (2L, 2L, 1L, "unique two"),
+      (3L, 2L, 2L, "unique three words here"))
+    assert(got == want)
+  }
+
+  test("span dedup: reassembly preserves span order") {
+    import spark.implicits._
+    // no span repeats across docs -> nothing removed; clean_text must
+    // equal the original text for every doc (order restored from
+    // span_idx after the anti-join shuffle)
+    // alphanumeric words only: normText folds separator punctuation
+    // (e.g. underscores) to spaces before splitting
+    val docs = (1L to 20L).map(i =>
+      (i, (0 until 9).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Pipeline.spanDedupOn(docs, spanWords = 4, maxDf = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("clean_text")).toMap
+    val want = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+  }
+
   test("bottom-k sample: exact bottom-k by hash, mergeable across splits") {
     val k = 50
     val got = Pipeline.bottomKSample(spark, sf, k).collect()
