@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Observation, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max, min}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Object-store-safe document store: immutable SEGMENT directories
@@ -373,6 +373,117 @@ object ManifestStore {
       now.liveSegs.toSeq.flatten.filterNot(base))
   }
 
+  // ------------------------------------------------------------------
+  // segment zone maps (Delta/Iceberg-style file skipping, one level up)
+  // ------------------------------------------------------------------
+
+  /** Column whose per-segment [min,max] is recorded at commit time.
+    * Parquet footers already give ROW-GROUP skipping inside a file;
+    * the zone map gives SEGMENT skipping one level up — a pruned
+    * [[readRange]] never lists, plans, or opens a segment whose range
+    * can't match, which at 100 TB is the difference between "the scan
+    * schedules a task per file and the footer rejects it" and "the
+    * driver never saw the file". `doc_id` is the reference's document
+    * identity key (main.go:300 — the UUID every store assigns), the
+    * natural carrier for ingest-ordered segment locality. */
+  val ZoneMapColumn = "doc_id"
+
+  private val StatsPrefix = "stats-"
+  private val ZmPrefix = "zm:"
+
+  private def statsPath(tablePath: String, c: String, seg: Long): Path =
+    new Path(manifestDir(tablePath, c), f"$StatsPrefix$seg%06d")
+
+  // zone-map values are arbitrary user strings: URL-encode so the
+  // ';'/','/'=' framing chars can never appear in a value, keeping the
+  // same crash property as pointers (a truncated sidecar fails the
+  // terminator check and reads as "no stats" — never as wrong bounds)
+  private def zmEnc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def zmDec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Write one segment + its zone-map sidecar (data first, sidecar
+    * second, pointer LAST — an interrupted commit leaves only
+    * unreferenced files). The [min,max] is collected by an
+    * [[Observation]] DURING the segment write itself: zero extra pass
+    * over the data, exactly the way Delta collects file stats while
+    * writing. Sidecars are advisory metadata: a segment without one
+    * (pre-zone-map history, all-null column, or a failed sidecar
+    * create) is simply never pruned — reads stay correct, just less
+    * lazy. */
+  private def writeSegment(df: DataFrame, fs: FileSystem,
+      tablePath: String, c: String, seg: Long): Unit = {
+    val dir = segDir(tablePath, c, seg).toString
+    if (!df.columns.contains(ZoneMapColumn)) {
+      df.write.mode(SaveMode.Overwrite).parquet(dir)
+    } else {
+      val obs = Observation()
+      df.observe(obs,
+          min(col(ZoneMapColumn).cast("string")).as("zm_min"),
+          max(col(ZoneMapColumn).cast("string")).as("zm_max"))
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      val m = obs.get
+      (m.get("zm_min"), m.get("zm_max")) match {
+        case (Some(lo: String), Some(hi: String)) =>
+          try {
+            val out = fs.create(statsPath(tablePath, c, seg), false)
+            try out.write(
+              (s"$ZmPrefix${zmEnc(ZoneMapColumn)}=${zmEnc(lo)},${zmEnc(hi)}"
+                + SegsSuffix).getBytes("UTF-8"))
+            finally out.close()
+          } catch { case _: java.io.IOException => () /* advisory */ }
+        case _ => () // empty segment or all-null column: no sidecar
+      }
+    }
+  }
+
+  /** The segment's recorded zone map: column → (min, max), empty when
+    * the sidecar is missing, torn, or unparseable (= "cannot prune"). */
+  private[sources] def readSegStats(fs: FileSystem, tablePath: String,
+      c: String, seg: Long): Map[String, (String, String)] =
+    readPtr(fs, statsPath(tablePath, c, seg)) match {
+      case Some(s) if s.startsWith(ZmPrefix) && s.endsWith(SegsSuffix) =>
+        s.stripPrefix(ZmPrefix).stripSuffix(SegsSuffix)
+          .split(';').toSeq.filter(_.nonEmpty)
+          .flatMap { entry =>
+            entry.split('=') match {
+              case Array(name, range) => range.split(',') match {
+                case Array(lo, hi) =>
+                  Some(zmDec(name) -> (zmDec(lo), zmDec(hi)))
+                case _ => None
+              }
+              case _ => None
+            }
+          }.toMap
+      case _ => Map.empty
+    }
+
+  /** ZONE-MAP-PRUNED range read: rows of `c` with `column` in
+    * [lo, hi] (inclusive, string comparison — the column is cast to
+    * string in both the stats and the residual predicate, so the
+    * ordering the map was built with is the ordering the prune uses).
+    * Segments whose recorded range cannot intersect are skipped
+    * WITHOUT being listed or planned; segments lacking stats are read
+    * conservatively. The residual predicate still applies — pruning is
+    * a strict optimization, never the filter itself — and pushes into
+    * the parquet scan of the surviving segments, so row-group skipping
+    * still happens inside them. */
+  def readRange(spark: SparkSession, tablePath: String, c: String,
+      lo: String, hi: String,
+      column: String = ZoneMapColumn): DataFrame = {
+    val fs = fsOf(spark, tablePath)
+    val segs = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
+    val kept = segs.filter { s =>
+      readSegStats(fs, tablePath, c, s).get(column) match {
+        case Some((mn, mx)) => mn <= hi && mx >= lo
+        case None => true
+      }
+    }
+    readSegs(spark, tablePath, c, kept)
+      .where(col(column).cast("string").between(lit(lo), lit(hi)))
+  }
+
   /** Append `chunks` (one collection per call, the reference's /store
     * shape) as a NEW immutable segment: data lands fully, then one
     * pointer create makes it visible — an interrupted append is never
@@ -382,9 +493,8 @@ object ManifestStore {
     val spark = chunks.sparkSession
     val fs = fsOf(spark, tablePath)
     val r = resolve(fs, tablePath, collection)
-    chunks.drop("collection")
-      .write.mode(SaveMode.Overwrite)
-      .parquet(segDir(tablePath, collection, r.nextSeg).toString)
+    writeSegment(chunks.drop("collection"), fs, tablePath, collection,
+      r.nextSeg)
     publish(fs, tablePath, collection, r.nextPtrSeq,
       segsContent(r.liveSegs.getOrElse(Seq.empty) :+ r.nextSeg))
   }
@@ -415,9 +525,8 @@ object ManifestStore {
     val r = resolve(fs, tablePath, collection)
     if (r.seenTags.contains(tag)) false
     else {
-      chunks.drop("collection")
-        .write.mode(SaveMode.Overwrite)
-        .parquet(segDir(tablePath, collection, r.nextSeg).toString)
+      writeSegment(chunks.drop("collection"), fs, tablePath, collection,
+        r.nextSeg)
       publish(fs, tablePath, collection, r.nextPtrSeq,
         segsContent(r.liveSegs.getOrElse(Seq.empty) :+ r.nextSeg, Some(tag)))
       true
@@ -498,11 +607,10 @@ object ManifestStore {
     val fs = fsOf(spark, tablePath)
     val r = resolve(fs, tablePath, c)
     if (r.liveSegs.isDefined) {
-      read(spark, tablePath, Some(c))
-        .drop("collection")
-        .repartition(targetFiles)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(segDir(tablePath, c, r.nextSeg).toString)
+      writeSegment(
+        read(spark, tablePath, Some(c)).drop("collection")
+          .repartition(targetFiles),
+        fs, tablePath, c, r.nextSeg)
       publish(fs, tablePath, c, r.nextPtrSeq, segsContent(Seq(r.nextSeg)))
     }
   }
@@ -665,6 +773,25 @@ object ManifestStore {
           fs.delete(cdir, true)
           removed += cdir.toString
         }
+      }
+      // zone-map sidecars follow their segments: one whose segment is
+      // no longer retained is dead metadata. Age-guarded like the data
+      // (a sidecar just written for a still-uncommitted segment is
+      // younger than the cutoff and survives).
+      if (fs.exists(mdir)) {
+        fs.listStatus(mdir).toSeq
+          .filter { st =>
+            val n = st.getPath.getName
+            n.startsWith(StatsPrefix) &&
+            n.stripPrefix(StatsPrefix).toLongOption.exists(s =>
+              !keepSegs.contains(segName(s))) &&
+            st.getModificationTime != 0L &&
+            st.getModificationTime < cutoff
+          }
+          .foreach { st =>
+            fs.delete(st.getPath, false)
+            removed += st.getPath.toString
+          }
       }
       // tombstone RETIREMENT: once a tombstoned collection's data is
       // fully reclaimed and its entire log (the tombstone included) is

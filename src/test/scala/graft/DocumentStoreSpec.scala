@@ -212,8 +212,11 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(removed.exists(_.contains("seg=000001")))
     assert(removed.exists(_.contains("seg=000004")))
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
+    // what remains: the deciding pointer and the LIVE segment's
+    // zone-map sidecar (superseded segments' sidecars went with them)
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(
-      s"$table/_manifest/c1")).map(_.getPath.getName).toSeq == Seq("ptr-000005"))
+        s"$table/_manifest/c1")).map(_.getPath.getName).toSeq.sorted
+      == Seq("ptr-000005", "stats-000005"))
     assert(ManifestStore.currentSegments(spark, table, "c1")
       .contains(Seq(5L)))
 
@@ -276,6 +279,74 @@ class DocumentStoreSpec extends SparkSpecBase {
       s"$table/_manifest/c1/ptr-000009")
     fs.create(claimed, false).close()
     intercept[java.io.IOException] { fs.create(claimed, false).close() }
+  }
+
+  private def idRows(c: String, lo: Int, hi: Int) = {
+    import org.apache.spark.sql.functions._
+    spark.range(lo, hi + 1).select(
+      lit(c).as("collection"),
+      format_string("%04d", col("id")).as("doc_id"),
+      lit("n").as("doc_name"), lit("s").as("doc_source"),
+      lit(1).as("chunk_idx"), lit("t").as("text"),
+      array(lit(1.0)).as("embedding"), lit("ms").as("meta_source"),
+      lit("mn").as("meta_name"), lit(0.5).as("semantic_score"))
+  }
+
+  test("manifest zone maps: range reads skip segments; sidecars are " +
+      "advisory and vacuumed with their segments") {
+    val table = tmp() + "/table"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // three segments with disjoint, zero-padded doc_id ranges (string
+    // order == numeric order)
+    ManifestStore.store(idRows("c1", 100, 199), table, "c1")
+    ManifestStore.store(idRows("c1", 200, 299), table, "c1")
+    ManifestStore.store(idRows("c1", 300, 399), table, "c1")
+    // an in-range read touches ONLY the matching segment's files...
+    val one = ManifestStore.readRange(spark, table, "c1", "0250", "0260")
+    assert(one.count() == 11)
+    assert(one.inputFiles.nonEmpty &&
+      one.inputFiles.forall(_.contains("seg=000002")))
+    // ...a straddling read touches exactly the two matching segments...
+    val two = ManifestStore.readRange(spark, table, "c1", "0150", "0250")
+    assert(two.count() == 101)
+    assert(two.inputFiles.exists(_.contains("seg=000001")) &&
+      two.inputFiles.exists(_.contains("seg=000002")) &&
+      !two.inputFiles.exists(_.contains("seg=000003")))
+    // ...and a miss reads nothing at all
+    assert(ManifestStore.readRange(spark, table, "c1", "9000", "9999")
+      .inputFiles.isEmpty)
+    // sidecars are ADVISORY: a missing one degrades to reading the
+    // segment (correct, just less lazy), never to wrong pruning
+    val s2 = new org.apache.hadoop.fs.Path(
+      s"$table/_manifest/c1/stats-000002")
+    fs.delete(s2, false)
+    val degraded = ManifestStore.readRange(spark, table, "c1", "0250", "0260")
+    assert(degraded.count() == 11)
+    assert(degraded.inputFiles.exists(_.contains("seg=000002")))
+    // a TORN sidecar (crash artifact: prefix without terminator) reads
+    // as no-stats, same conservative path
+    val s1 = new org.apache.hadoop.fs.Path(
+      s"$table/_manifest/c1/stats-000001")
+    val out = fs.create(s1, true)
+    try out.write("zm:doc_id=0100".getBytes("UTF-8")) finally out.close()
+    val torn = ManifestStore.readRange(spark, table, "c1", "0350", "0360")
+    assert(torn.count() == 11)
+    assert(torn.inputFiles.exists(_.contains("seg=000001")) &&
+      torn.inputFiles.exists(_.contains("seg=000003")))
+    // compaction records a sidecar for the new segment too
+    ManifestStore.compactCollection(spark, table, "c1")
+    val post = ManifestStore.readRange(spark, table, "c1", "0250", "0260")
+    assert(post.count() == 11)
+    assert(post.inputFiles.nonEmpty &&
+      post.inputFiles.forall(_.contains("seg=000004")))
+    // vacuum sweeps superseded segments' sidecars with the segments;
+    // the live segment's sidecar stays
+    ManifestStore.vacuum(spark, table, 0L, 0L)
+    val statsLeft = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$table/_manifest/c1")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("stats-"))
+    assert(statsLeft == Seq("stats-000004"))
   }
 
   test("manifest store: tagged commits are replay-idempotent") {
