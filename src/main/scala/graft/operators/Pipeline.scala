@@ -223,6 +223,121 @@ object Pipeline {
     * lossless for any real corpus. */
   val LangNullSentinel = "\u0000"
 
+  /** Domain-mixture knobs: acceptance granularity (hash buckets per
+    * domain) and the target weights — English 8/20 = 40% of the output
+    * mixture, every other language 3/20 each (weights renormalize over
+    * the domains actually present). Downsample-only: the feasible
+    * output size is capped by the scarcest domain relative to its
+    * target share. */
+  val MixBuckets = 4096L
+  val MixEnWeight = 8L
+  val MixOtherWeight = 3L
+
+  /** Target-mixture weight of a domain — a pure expression so both the
+    * audit aggregate and the row-level resample inline it. */
+  private def mixWeight(lang: Column): Column =
+    when(lang === "en", lit(MixEnWeight)).otherwise(lit(MixOtherWeight))
+
+  private def mixHashBucket: Column =
+    pmod(pmod(col("doc_id"), lit(SampleMod)) * SampleMult + SampleAdd,
+      lit(SampleMod)) % MixBuckets
+
+  /** Per-domain quotas for the target mixture, derived from the
+    * per-(domain, hash-bucket) histogram in EXACT integer arithmetic:
+    *   w_total = Σ weights over present domains
+    *   n_star  = min_d ⌊n_d · w_total / w_d⌋   (largest downsample-only
+    *             output hitting every target share exactly)
+    *   quota_d = ⌊n_star · w_d / w_total⌋
+    * A document is accepted iff `hb · n_total < quota · MixBuckets`
+    * (i.e. its hash bucket falls below the domain's acceptance
+    * threshold) — a pure row property once quota is known, stable
+    * under any partitioning. All products stay far under 2^63 at any
+    * corpus size (hb < 4096, weights ≤ 8). The windows here are
+    * whole-relation (single partition) — safe because this relation is
+    * at most domains × [[MixBuckets]] rows of longs, regardless of
+    * corpus size. */
+  private def mixQuotas(hist: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy()
+    hist.groupBy("lang_key")
+      .agg(sum(col("n")).as("n_total"))
+      .withColumn("weight", mixWeight(col("lang_key")))
+      .withColumn("w_total", sum(col("weight")).over(wAll))
+      .withColumn("n_star",
+        min(call_function("div", col("n_total") * col("w_total"),
+          col("weight"))).over(wAll))
+      .withColumn("quota",
+        call_function("div", col("n_star") * col("weight"), col("w_total")))
+  }
+
+  /** Domain-mixture resampling AUDIT: per language, the population, its
+    * target weight, the integer quota, the realized kept count under
+    * deterministic hash acceptance, and the realized output share.
+    * n_kept tracks quota within n_total/[[MixBuckets]] granularity.
+    *
+    * Scale shape: ONE corpus scan into a partial+final aggregate keyed
+    * (lang, hash-bucket) — the shuffle carries at most
+    * domains × [[MixBuckets]] rows no matter the corpus size; every
+    * window/join after it runs on that tiny relation. */
+  def domainMix(s: SparkSession, dir: String): DataFrame =
+    domainMixOn(Tables(s, dir, "documents"))
+
+  /** (lang_key, hash-bucket) histogram — NULL lang rides the
+    * [[LangNullSentinel]] so the joins downstream can't silently drop
+    * it (same contract as [[sequencePackOn]]). */
+  private def mixHist(documents: DataFrame): DataFrame =
+    documents
+      .select(coalesce(col("lang"), lit(LangNullSentinel)).as("lang_key"),
+        mixHashBucket.as("hb"))
+      .groupBy("lang_key", "hb").agg(count(lit(1)).as("n"))
+
+  private def unSentinel(langKey: Column): Column =
+    when(langKey === lit(LangNullSentinel), lit(null: String))
+      .otherwise(langKey)
+
+  /** [[domainMix]] over an explicit documents frame — the spec surface. */
+  def domainMixOn(documents: DataFrame): DataFrame = {
+    val hist = mixHist(documents)
+    val wAll = Window.partitionBy()
+    hist.join(mixQuotas(hist), Seq("lang_key"))
+      .groupBy(col("lang_key"), col("n_total"), col("weight"), col("quota"))
+      .agg(sum(when(col("hb") * col("n_total") < col("quota") * MixBuckets,
+        col("n")).otherwise(lit(0L))).as("n_kept"))
+      .withColumn("realized_share",
+        col("n_kept").cast("double") /
+          sum(col("n_kept")).over(wAll).cast("double"))
+      .select(unSentinel(col("lang_key")).as("lang"), col("n_total"),
+        col("weight"), col("quota"), col("n_kept"), col("realized_share"))
+      .orderBy("lang")
+  }
+
+  /** Row-level domain-mixture resample: the documents the mixture
+    * KEEPS. The per-domain thresholds (a domains-cardinality relation)
+    * broadcast back onto the corpus and acceptance is the same pure
+    * row predicate as the audit — so membership is reproducible across
+    * runs and partitionings, and `count(pl_domain_mix_docs) per lang`
+    * equals the audit's `n_kept` by construction (spec-pinned).
+    *
+    * Scale shape: scan #1 builds the tiny histogram; scan #2 filters
+    * the corpus with a BROADCAST of the domains-row quota relation —
+    * no corpus-wide shuffle anywhere. */
+  def domainMixDocs(s: SparkSession, dir: String): DataFrame =
+    domainMixDocsOn(Tables(s, dir, "documents"))
+
+  /** [[domainMixDocs]] over an explicit documents frame. */
+  def domainMixDocsOn(documents: DataFrame): DataFrame = {
+    val quotas = mixQuotas(mixHist(documents))
+      .select("lang_key", "n_total", "quota")
+    documents
+      .select(col("doc_id"),
+        coalesce(col("lang"), lit(LangNullSentinel)).as("lang_key"),
+        mixHashBucket.as("hb"))
+      .join(VectorSearch.broadcastIfSmall(quotas), Seq("lang_key"))
+      .where(col("hb") * col("n_total") < col("quota") * MixBuckets)
+      .select(col("doc_id"), unSentinel(col("lang_key")).as("lang"),
+        col("hb"))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping word-window chunking: the ingest stage that produces
     * the reference's chunk table (its documents arrive pre-chunked;
     * this is the step upstream). Windows of `chunkWords` words every
@@ -317,6 +432,35 @@ object Pipeline {
   // ------------------------------------------------------------------
 
   private val W = wordsSql("text")
+
+  /** Shared CTE stack for the two mixture oracles — the same integer
+    * quota derivation as [[mixQuotas]], spelled in DuckDB. */
+  private val MixOracleCtes =
+    s"""h AS (
+       |  SELECT doc_id, coalesce(lang, chr(0)) AS lang_key,
+       |    ((doc_id % $SampleMod) * $SampleMult + $SampleAdd) % $SampleMod
+       |      % $MixBuckets AS hb
+       |  FROM documents),
+       |hist AS (
+       |  SELECT lang_key, hb, count(*) AS n FROM h GROUP BY lang_key, hb),
+       |d AS (
+       |  SELECT lang_key, CAST(sum(n) AS BIGINT) AS n_total,
+       |    CAST(CASE WHEN lang_key = 'en' THEN $MixEnWeight
+       |              ELSE $MixOtherWeight END AS BIGINT) AS weight
+       |  FROM hist GROUP BY lang_key),
+       |q1 AS (SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS w_total
+       |  FROM d),
+       |q2 AS (SELECT *,
+       |    CAST(min(n_total * w_total // weight) OVER () AS BIGINT) AS n_star
+       |  FROM q1),
+       |q AS (SELECT *, CAST(n_star * weight // w_total AS BIGINT) AS quota
+       |  FROM q2),
+       |k AS (
+       |  SELECT lang_key, n_total, weight, quota,
+       |    CAST(sum(CASE WHEN hb * n_total < quota * $MixBuckets
+       |      THEN n ELSE 0 END) AS BIGINT) AS n_kept
+       |  FROM hist JOIN q USING (lang_key)
+       |  GROUP BY lang_key, n_total, weight, quota)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("pl_train_test_split",
@@ -420,6 +564,26 @@ object Pipeline {
          |  string_agg(span_text, ' ' ORDER BY i) AS clean_text
          |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)(
       (s, dir) => spanDedup(s, dir)),
+
+    QueryDef.sql("pl_domain_mix",
+      s"""WITH $MixOracleCtes
+         |SELECT CASE WHEN lang_key = chr(0) THEN NULL ELSE lang_key END
+         |    AS lang,
+         |  n_total, weight, quota, n_kept,
+         |  CAST(n_kept AS DOUBLE) / CAST(sum(n_kept) OVER () AS DOUBLE)
+         |    AS realized_share
+         |FROM k ORDER BY lang NULLS FIRST""".stripMargin)(
+      (s, dir) => domainMix(s, dir)),
+
+    QueryDef.sql("pl_domain_mix_docs",
+      s"""WITH $MixOracleCtes
+         |SELECT doc_id,
+         |  CASE WHEN lang_key = chr(0) THEN NULL ELSE lang_key END AS lang,
+         |  hb
+         |FROM h JOIN q USING (lang_key)
+         |WHERE hb * n_total < quota * $MixBuckets
+         |ORDER BY doc_id""".stripMargin)(
+      (s, dir) => domainMixDocs(s, dir)),
 
     QueryDef.sql("pl_quality_filter", {
       val stops = markerCountSql(W, Stopwords("en"))

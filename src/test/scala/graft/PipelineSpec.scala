@@ -99,6 +99,56 @@ class PipelineSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("domain mix: integer quotas hit the target shares, NULL lang is " +
+      "a domain, membership is a pure row property") {
+    import spark.implicits._
+    // skewed fixture: en 40 docs, de 10, NULL 10 → weights 8/3/3
+    // (w_total 14), n_star = min(40·14/8, 10·14/3, 10·14/3) = 46,
+    // quotas en 46·8/14 = 26, de/null 46·3/14 = 9
+    val docs = ((1L to 40L).map((_, "en")) ++ (41L to 50L).map((_, "de")) ++
+      (51L to 60L).map((_, null: String))).toDF("doc_id", "lang")
+    val audit = Pipeline.domainMixOn(docs).collect()
+      .map(r => Option(r.getAs[String]("lang")) ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("weight"),
+          r.getAs[Long]("quota"), r.getAs[Long]("n_kept"))).toMap
+    assert(audit.keySet == Set(Some("en"), Some("de"), None))
+    assert(audit(Some("en"))._1 == 40L && audit(Some("en"))._2 == 8L &&
+      audit(Some("en"))._3 == 26L)
+    assert(audit(Some("de"))._3 == 9L && audit(None)._3 == 9L)
+    audit.values.foreach { case (total, _, _, kept) => assert(kept <= total) }
+
+    // the row-level resample agrees with the audit per domain...
+    val kept = Pipeline.domainMixDocsOn(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), Option(r.getAs[String]("lang"))))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(byLang == audit.view.mapValues(_._4).toMap)
+
+    // ...membership is the documented pure row predicate (independent
+    // sequential reimplementation)...
+    def hb(id: Long) = ((id % Pipeline.SampleMod) * Pipeline.SampleMult +
+      Pipeline.SampleAdd) % Pipeline.SampleMod % Pipeline.MixBuckets
+    val wantEn = (1L to 40L).filter(id => hb(id) * 40L < 26L * Pipeline.MixBuckets)
+    assert(kept.filter(_._2 == Some("en")).map(_._1).sorted.toSeq == wantEn)
+
+    // ...and stable under repartitioning
+    val again = Pipeline.domainMixDocsOn(docs.repartition(13)).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(again == kept.map(_._1).sorted.toSeq)
+  }
+
+  test("domain mix: corpus rebalance lands near the 40% en target") {
+    val audit = Pipeline.domainMix(spark, sf).collect()
+    val shares = audit.map(r => r.getAs[String]("lang") ->
+      r.getAs[Double]("realized_share")).toMap
+    assert(math.abs(audit.map(_.getAs[Double]("realized_share")).sum - 1.0)
+      < 1e-12)
+    assert(math.abs(shares("en") - 0.40) < 0.06)
+    // every domain got downsampled or kept, never upsampled
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+    }
+  }
+
   test("span dedup: boilerplate spans removed, clean docs untouched, " +
       "all-boilerplate docs drop out") {
     import spark.implicits._
