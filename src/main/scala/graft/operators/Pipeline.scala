@@ -64,14 +64,19 @@ object Pipeline {
     * combine exactly), and the plan is a zero-shuffle
     * TakeOrderedAndProject: per-partition bounded heaps, k rows to the
     * driver, no rand() nondeterminism anywhere. */
-  def bottomKSample(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
-    val h = pmod(pmod(col("doc_id"), lit(SampleMod)) * SampleMult + SampleAdd,
-      lit(SampleMod))
+  def bottomKSample(s: SparkSession, dir: String, k: Int = 100): DataFrame =
     Tables(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("n_chars"), h.as("hkey"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        sampleHash.as("hkey"))
       .orderBy(col("hkey"), col("doc_id"))
       .limit(k)
-  }
+
+  /** The affine doc_id hash in [0, [[SampleMod]]) — single definition
+    * shared by [[bottomKSample]] and the mixture sampler so the
+    * constants can never drift apart between them. */
+  private def sampleHash: Column =
+    pmod(pmod(col("doc_id"), lit(SampleMod)) * SampleMult + SampleAdd,
+      lit(SampleMod))
 
   /** Affine-hash constants for [[bottomKSample]] — prime modulus keeps
     * the map bias-free; all arithmetic stays below 2^61 (ANSI-safe). */
@@ -210,8 +215,7 @@ object Pipeline {
       .withColumn("cum_before", col("blk_offset") + col("cum_in"))
       .select(col("doc_id"),
         // un-sentinel: emit the original (possibly null) lang
-        when(col("lang_key") === lit(LangNullSentinel), lit(null: String))
-          .otherwise(col("lang_key")).as("lang"),
+        unSentinel(col("lang_key")).as("lang"),
         col("tokens"),
         packId(col("cum_before"), budgetTokens).as("pack_id"),
         (col("cum_before") % budgetTokens).as("pack_offset"))
@@ -238,9 +242,7 @@ object Pipeline {
   private def mixWeight(lang: Column): Column =
     when(lang === "en", lit(MixEnWeight)).otherwise(lit(MixOtherWeight))
 
-  private def mixHashBucket: Column =
-    pmod(pmod(col("doc_id"), lit(SampleMod)) * SampleMult + SampleAdd,
-      lit(SampleMod)) % MixBuckets
+  private def mixHashBucket: Column = sampleHash % MixBuckets
 
   /** Per-domain quotas for the target mixture, derived from the
     * per-(domain, hash-bucket) histogram in EXACT integer arithmetic:
@@ -302,9 +304,12 @@ object Pipeline {
       .groupBy(col("lang_key"), col("n_total"), col("weight"), col("quota"))
       .agg(sum(when(col("hb") * col("n_total") < col("quota") * MixBuckets,
         col("n")).otherwise(lit(0L))).as("n_kept"))
+      // null (not NaN) when NOTHING is kept anywhere: Spark's 0.0/0.0
+      // is NaN but DuckDB's is NULL — guard in both engines
       .withColumn("realized_share",
-        col("n_kept").cast("double") /
-          sum(col("n_kept")).over(wAll).cast("double"))
+        when(sum(col("n_kept")).over(wAll) > 0,
+          col("n_kept").cast("double") /
+            sum(col("n_kept")).over(wAll).cast("double")))
       .select(unSentinel(col("lang_key")).as("lang"), col("n_total"),
         col("weight"), col("quota"), col("n_kept"), col("realized_share"))
       .orderBy("lang")
@@ -331,7 +336,13 @@ object Pipeline {
       .select(col("doc_id"),
         coalesce(col("lang"), lit(LangNullSentinel)).as("lang_key"),
         mixHashBucket.as("hb"))
-      .join(VectorSearch.broadcastIfSmall(quotas), Seq("lang_key"))
+      // UNCONDITIONAL broadcast: quotas is one row per distinct
+      // language code — a bounded dim (ISO codes, not a corpus-growing
+      // vocabulary). The stats-based gate would misfire here: the
+      // size-only estimator prices the aggregate at its child-scan
+      // size, which scales with the corpus, and the degraded plan
+      // shuffles the whole corpus onto a handful of lang keys.
+      .join(broadcast(quotas), Seq("lang_key"))
       .where(col("hb") * col("n_total") < col("quota") * MixBuckets)
       .select(col("doc_id"), unSentinel(col("lang_key")).as("lang"),
         col("hb"))
@@ -570,8 +581,9 @@ object Pipeline {
          |SELECT CASE WHEN lang_key = chr(0) THEN NULL ELSE lang_key END
          |    AS lang,
          |  n_total, weight, quota, n_kept,
-         |  CAST(n_kept AS DOUBLE) / CAST(sum(n_kept) OVER () AS DOUBLE)
-         |    AS realized_share
+         |  CASE WHEN sum(n_kept) OVER () > 0 THEN
+         |    CAST(n_kept AS DOUBLE) / CAST(sum(n_kept) OVER () AS DOUBLE)
+         |  END AS realized_share
          |FROM k ORDER BY lang NULLS FIRST""".stripMargin)(
       (s, dir) => domainMix(s, dir)),
 

@@ -403,6 +403,21 @@ object ManifestStore {
   private def zmDec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** Unsigned UTF-8 byte comparison — the ordering `UTF8String` gives
+    * Spark's string min/max, which Java's UTF-16 `compareTo` does NOT
+    * match for supplementary-plane code points. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Write one segment + its zone-map sidecar (data first, sidecar
     * second, pointer LAST — an interrupted commit leaves only
     * unreferenced files). The [min,max] is collected by an
@@ -415,6 +430,13 @@ object ManifestStore {
   private def writeSegment(df: DataFrame, fs: FileSystem,
       tablePath: String, c: String, seg: Long): Unit = {
     val dir = segDir(tablePath, c, seg).toString
+    // a crash-retry re-targets the SAME segment number (the pointer
+    // never landed), so a sidecar from the failed attempt may describe
+    // the OLD bytes — drop it BEFORE the data write and recreate it
+    // after, or stale bounds would prune the new data (wrong results,
+    // not just missed pruning)
+    try fs.delete(statsPath(tablePath, c, seg), false)
+    catch { case _: java.io.IOException => () }
     if (!df.columns.contains(ZoneMapColumn)) {
       df.write.mode(SaveMode.Overwrite).parquet(dir)
     } else {
@@ -427,7 +449,7 @@ object ManifestStore {
       (m.get("zm_min"), m.get("zm_max")) match {
         case (Some(lo: String), Some(hi: String)) =>
           try {
-            val out = fs.create(statsPath(tablePath, c, seg), false)
+            val out = fs.create(statsPath(tablePath, c, seg), true)
             try out.write(
               (s"$ZmPrefix${zmEnc(ZoneMapColumn)}=${zmEnc(lo)},${zmEnc(hi)}"
                 + SegsSuffix).getBytes("UTF-8"))
@@ -461,8 +483,12 @@ object ManifestStore {
 
   /** ZONE-MAP-PRUNED range read: rows of `c` with `column` in
     * [lo, hi] (inclusive, string comparison — the column is cast to
-    * string in both the stats and the residual predicate, so the
-    * ordering the map was built with is the ordering the prune uses).
+    * string in both the stats and the residual predicate, and the
+    * driver-side prune compares UTF-8 BYTES, because that is the
+    * ordering Spark's min/max collected the stats under
+    * (`UTF8String.compareTo` is unsigned byte order; Java's
+    * `String.compareTo` is UTF-16 code units, which disagrees for
+    * supplementary-plane text and would mis-prune).
     * Segments whose recorded range cannot intersect are skipped
     * WITHOUT being listed or planned; segments lacking stats are read
     * conservatively. The residual predicate still applies — pruning is
@@ -476,7 +502,7 @@ object ManifestStore {
     val segs = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
     val kept = segs.filter { s =>
       readSegStats(fs, tablePath, c, s).get(column) match {
-        case Some((mn, mx)) => mn <= hi && mx >= lo
+        case Some((mn, mx)) => utf8Cmp(mn, hi) <= 0 && utf8Cmp(mx, lo) >= 0
         case None => true
       }
     }

@@ -349,6 +349,29 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(statsLeft == Seq("stats-000004"))
   }
 
+  test("manifest zone maps: a crash-retry refreshes the failed " +
+      "attempt's stale sidecar") {
+    val table = tmp() + "/table"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ManifestStore.store(idRows("c1", 100, 199), table, "c1") // seg 1
+    // simulate an interrupted append at seg 2: its sidecar landed (for
+    // bytes that will be OVERWRITTEN by the retry) but the pointer
+    // never did
+    val stale = new org.apache.hadoop.fs.Path(
+      s"$table/_manifest/c1/stats-000002")
+    val out = fs.create(stale, false)
+    try out.write("zm:doc_id=0900,0999;end".getBytes("UTF-8"))
+    finally out.close()
+    // the retry re-targets seg 2 with DIFFERENT data; were the stale
+    // bounds kept, this range read would wrongly prune the only
+    // matching segment and silently return nothing
+    ManifestStore.store(idRows("c1", 200, 299), table, "c1") // seg 2
+    val got = ManifestStore.readRange(spark, table, "c1", "0250", "0260")
+    assert(got.count() == 11)
+    assert(got.inputFiles.exists(_.contains("seg=000002")))
+  }
+
   test("manifest store: tagged commits are replay-idempotent") {
     val table = tmp() + "/mtable"
     // first delivery commits; the at-least-once REdelivery is a no-op

@@ -335,6 +335,20 @@ class PlanSpec extends SparkSpecBase {
     Dedup.releaseCaches()
   }
 
+  test("domain-mix resample: quota side broadcast, corpus never " +
+      "shuffled onto lang keys") {
+    val df = Pipeline.domainMixDocs(spark, sf)
+    val p = plan(df)
+    // the quota relation (one row per language) must ride a broadcast:
+    // a SortMergeJoin here would shuffle the WHOLE corpus onto a
+    // handful of lang_key values — one task per language at 100 TB
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the histogram aggregate combines map-side before its (tiny,
+    // bucket-bounded) exchange
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
   test("KNN join broadcasts the query side, never shuffles candidates") {
     val df = VectorSearch.knnJoin(emb, 0 until 8, 5)
     val p = plan(df)
