@@ -627,16 +627,34 @@ object ManifestStore {
     * `targetFiles` files, committed by pointer — concurrent readers of
     * the old segments are undisturbed (their files stay until
     * [[vacuum]]), and there is no instant at which the collection reads
-    * absent or partially compacted. */
+    * absent or partially compacted.
+    *
+    * `cluster = true` RANGE-CLUSTERS the rewrite on [[ZoneMapColumn]]
+    * (repartitionByRange + sortWithinPartitions) instead of
+    * round-robin `repartition`. Round-robin scatters every key range
+    * across every output file, so after compaction the segment's zone
+    * map spans the whole domain and every parquet footer spans the
+    * whole domain — [[readRange]] can prune nothing and row-group
+    * skipping dies. Clustered, each output file covers a disjoint key
+    * range and the rows inside are sorted, so a point/range read
+    * touches one file's worth of row groups. This is Delta's OPTIMIZE
+    * ZORDER specialized to the single-column case (one column needs no
+    * space-filling curve — a range sort IS the optimal clustering).
+    * The extra cost over round-robin is the range-exchange's sampling
+    * pass + an in-partition sort — both O(n log n) in the segment, and
+    * compaction is already a full rewrite. */
   def compactCollection(spark: SparkSession, tablePath: String,
-      c: String, targetFiles: Int = 1): Unit = {
+      c: String, targetFiles: Int = 1, cluster: Boolean = false): Unit = {
     val fs = fsOf(spark, tablePath)
     val r = resolve(fs, tablePath, c)
     if (r.liveSegs.isDefined) {
-      writeSegment(
-        read(spark, tablePath, Some(c)).drop("collection")
-          .repartition(targetFiles),
-        fs, tablePath, c, r.nextSeg)
+      val rows = read(spark, tablePath, Some(c)).drop("collection")
+      val laid =
+        if (cluster && rows.columns.contains(ZoneMapColumn))
+          rows.repartitionByRange(targetFiles, col(ZoneMapColumn))
+            .sortWithinPartitions(ZoneMapColumn)
+        else rows.repartition(targetFiles)
+      writeSegment(laid, fs, tablePath, c, r.nextSeg)
       publish(fs, tablePath, c, r.nextPtrSeq, segsContent(Seq(r.nextSeg)))
     }
   }

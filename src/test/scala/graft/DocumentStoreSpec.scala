@@ -372,6 +372,37 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(got.inputFiles.exists(_.contains("seg=000002")))
   }
 
+  test("manifest clustered compaction: output files cover disjoint " +
+      "key ranges; round-robin does not") {
+    val table = tmp() + "/table"
+    // three ingest-ordered segments, interleaved enough that a
+    // round-robin rewrite MUST scatter ranges across files
+    ManifestStore.store(idRows("c1", 100, 199), table, "c1")
+    ManifestStore.store(idRows("c1", 200, 299), table, "c1")
+    ManifestStore.store(idRows("c1", 300, 399), table, "c1")
+    ManifestStore.compactCollection(spark, table, "c1", targetFiles = 3,
+      cluster = true)
+    val files = ManifestStore.read(spark, table, Some("c1")).inputFiles
+    assert(files.length == 3)
+    val ranges = files.toSeq.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("doc_id"),
+          org.apache.spark.sql.functions.max("doc_id")).head
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    // every row survived, and the per-file ranges are DISJOINT — the
+    // property that makes parquet footer stats (and any future
+    // per-file zone map) actually prune after a compaction
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 300)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, ranges)
+      case _ => ()
+    }
+    // a narrow range read post-compaction stays correct
+    assert(ManifestStore.readRange(spark, table, "c1", "0250", "0260")
+      .count() == 11)
+  }
+
   test("manifest store: tagged commits are replay-idempotent") {
     val table = tmp() + "/mtable"
     // first delivery commits; the at-least-once REdelivery is a no-op
