@@ -256,6 +256,102 @@ object Events {
       .orderBy("hr_us")
   }
 
+  /** One week of microseconds — the funnel conversion window and the
+    * retention cohort bucket. Weeks are epoch-aligned integer division
+    * of epoch-µs (no calendar/timezone arithmetic), so both engines
+    * bucket identically. */
+  val WeekUs = 7L * 24 * 3600 * 1000000
+
+  /** Ordered funnel steps for [[funnel]]. */
+  val FunnelSteps = Seq("view", "click", "purchase")
+
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelOn(load(s, dir))
+
+  /** SEQUENTIAL funnel conversion: of the users who viewed, how many
+    * then clicked strictly after their first view, then purchased
+    * strictly after that earliest qualifying click — all within one
+    * [[WeekUs]] window anchored at the first view. "Strictly after"
+    * is the ordered-funnel semantics: a click BEFORE any view (or a
+    * purchase before the qualifying click) does not convert.
+    *
+    * Scale shape: ONE shuffle on user_id; both running-min window
+    * passes and the per-user aggregate share that partitioning and its
+    * (ts_us, event_id) sort — the running `min(step-k qualifying time
+    * so far)` is what replaces the self-join-per-step formulation
+    * (k corpus-sized joins) with k window projections. The final
+    * 3-row unpivot runs on a single aggregated row. */
+  def funnelOn(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = ev
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("t1_run",
+        min(when(col("event_type") === FunnelSteps(0), col("ts_us"))).over(w))
+      .withColumn("c2",
+        when(col("event_type") === FunnelSteps(1) &&
+          col("ts_us") > col("t1_run") &&
+          col("ts_us") <= col("t1_run") + WeekUs, col("ts_us")))
+      .withColumn("t2_run", min(col("c2")).over(w))
+      .withColumn("c3",
+        when(col("event_type") === FunnelSteps(2) &&
+          col("ts_us") > col("t2_run") &&
+          col("ts_us") <= col("t1_run") + WeekUs, col("ts_us")))
+    staged.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === FunnelSteps(0), col("ts_us"))).as("t1"),
+        min(col("c2")).as("t2"),
+        min(col("c3")).as("t3"))
+      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      .select(expr(s"""stack(3,
+          1, '${FunnelSteps(0)}', n1,
+          2, '${FunnelSteps(1)}', n2,
+          3, '${FunnelSteps(2)}', n3) AS (step, step_name, n_users)"""),
+        col("n1"))
+      .withColumn("conversion",
+        when(col("n1") > 0,
+          col("n_users").cast("double") / col("n1").cast("double")))
+      .select(col("step"), col("step_name"), col("n_users"),
+        col("conversion"))
+      .orderBy("step")
+  }
+
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame =
+    retentionCohortsOn(load(s, dir))
+
+  /** Weekly cohort retention: users bucketed by first-activity week;
+    * for each (cohort, week offset), how many are still active and
+    * what fraction of the cohort that is. The offset-0 row exists for
+    * every cohort by construction (each user's first event IS at
+    * offset 0), so cohort_size is never null and the division never
+    * sees zero.
+    *
+    * Scale shape: the cohort week is a running property of the user's
+    * partition (ONE shuffle on user_id), the (user, cohort, offset)
+    * distinct collapses each user-week to one row before the count,
+    * and the per-cohort size lookup is a window over the tiny
+    * (cohort × offset) aggregate — no corpus-sized join anywhere. */
+  def retentionCohortsOn(ev: DataFrame): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+    val wC = Window.partitionBy(col("cohort_wk"))
+    ev.select(col("user_id"),
+        call_function("div", col("ts_us"), lit(WeekUs)).as("wk"))
+      .withColumn("cohort_wk", min(col("wk")).over(wU))
+      .select(col("user_id"), col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .distinct()
+      .groupBy(col("cohort_wk"), col("offset_wk"))
+      .agg(count(lit(1)).as("n_active"))
+      .withColumn("cohort_size",
+        max(when(col("offset_wk") === 0, col("n_active"))).over(wC))
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+      .orderBy("cohort_wk", "offset_wk")
+  }
+
   /** Interval self-join: for every error event, the count and closest
     * gap of same-user events (any type) within +-5 minutes. Equi-key on
     * user_id carries the shuffle; the interval predicate filters inside
@@ -352,6 +448,75 @@ object Events {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin)(hourlyWindows),
+
+    QueryDef.sql("ev_funnel",
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+         |  FROM events),
+         |r1 AS (
+         |  SELECT *,
+         |    min(CASE WHEN event_type = 'view' THEN ts_us END) OVER w
+         |      AS t1_run
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |r2 AS (
+         |  SELECT *, CASE WHEN event_type = 'click' AND ts_us > t1_run
+         |      AND ts_us <= t1_run + $WeekUs THEN ts_us END AS c2
+         |  FROM r1),
+         |r3 AS (
+         |  SELECT *, min(c2) OVER w AS t2_run
+         |  FROM r2
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |r4 AS (
+         |  SELECT *, CASE WHEN event_type = 'purchase' AND ts_us > t2_run
+         |      AND ts_us <= t1_run + $WeekUs THEN ts_us END AS c3
+         |  FROM r3),
+         |u AS (
+         |  SELECT user_id,
+         |    min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1,
+         |    min(c2) AS t2, min(c3) AS t3
+         |  FROM r4 GROUP BY user_id),
+         |a AS (
+         |  SELECT CAST(count(t1) AS BIGINT) AS n1,
+         |    CAST(count(t2) AS BIGINT) AS n2,
+         |    CAST(count(t3) AS BIGINT) AS n3
+         |  FROM u),
+         |s AS (
+         |  SELECT 1 AS step, 'view' AS step_name, n1 AS n_users, n1 FROM a
+         |  UNION ALL
+         |  SELECT 2, 'click', n2, n1 FROM a
+         |  UNION ALL
+         |  SELECT 3, 'purchase', n3, n1 FROM a)
+         |SELECT step, step_name, n_users,
+         |  CASE WHEN n1 > 0 THEN
+         |    CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conversion
+         |FROM s ORDER BY step""".stripMargin)(funnel),
+
+    QueryDef.sql("ev_retention_cohorts",
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) // $WeekUs AS wk FROM events),
+         |c AS (
+         |  SELECT user_id, wk,
+         |    min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+         |  FROM e),
+         |d AS (
+         |  SELECT DISTINCT user_id, cohort_wk, wk - cohort_wk AS offset_wk
+         |  FROM c),
+         |n AS (
+         |  SELECT cohort_wk, offset_wk, CAST(count(*) AS BIGINT) AS n_active
+         |  FROM d GROUP BY cohort_wk, offset_wk),
+         |s AS (
+         |  SELECT *, max(CASE WHEN offset_wk = 0 THEN n_active END)
+         |    OVER (PARTITION BY cohort_wk) AS cohort_size
+         |  FROM n)
+         |SELECT cohort_wk, offset_wk, n_active,
+         |  CAST(cohort_size AS BIGINT) AS cohort_size,
+         |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+         |    AS retention
+         |FROM s ORDER BY cohort_wk, offset_wk""".stripMargin)(
+      retentionCohorts),
 
     QueryDef.sql("ev_sessionize",
       """WITH flagged AS (

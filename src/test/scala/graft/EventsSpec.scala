@@ -77,6 +77,59 @@ class EventsSpec extends SparkSpecBase {
     assert(rows.exists(!_.isNullAt(rows.head.fieldIndex("purchase_id"))))
   }
 
+  test("funnel: strictly-ordered steps, window cap, pre-view clicks " +
+      "never convert") {
+    import spark.implicits._
+    val W = Events.WeekUs
+    val ev = Seq(
+      // user 1: clean view -> click -> purchase = converts all 3 steps
+      (1L, 10L, 101L, "view"), (1L, 20L, 102L, "click"),
+      (1L, 30L, 103L, "purchase"),
+      // user 2: click BEFORE the first view never counts; the purchase
+      // then has no qualifying click to follow
+      (2L, 10L, 201L, "click"), (2L, 20L, 202L, "view"),
+      (2L, 30L, 203L, "purchase"),
+      // user 3: purchase(15) sits before the click(20) -> steps 1-2 only
+      (3L, 10L, 301L, "view"), (3L, 20L, 302L, "click"),
+      (3L, 15L, 303L, "purchase"),
+      // user 4: click past the one-week window -> step 1 only
+      (4L, 10L, 401L, "view"), (4L, 10L + W + 1L, 402L, "click"),
+      // user 5: click at the SAME microsecond as the view -> strict
+      // "after" fails -> step 1 only
+      (5L, 10L, 501L, "view"), (5L, 10L, 502L, "click"),
+      // user 6: never viewed -> in no step's count
+      (6L, 10L, 601L, "click"), (6L, 20L, 602L, "purchase")
+    ).toDF("user_id", "ts_us", "event_id", "event_type")
+    val got = Events.funnelOn(ev).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("step_name"),
+        r.getAs[Long]("n_users"), r.getAs[Double]("conversion"))).toSeq
+    assert(got == Seq((1, "view", 5L, 1.0), (2, "click", 2L, 0.4),
+      (3, "purchase", 1L, 0.2)))
+  }
+
+  test("retention cohorts: first-week anchoring, distinct user-weeks, " +
+      "offset-0 row defines the cohort size") {
+    import spark.implicits._
+    val W = Events.WeekUs
+    def at(wk: Long, off: Long = 5L) = wk * W + off
+    val ev = Seq(
+      // user 1, cohort week 0, active weeks 0/1/3 — week 1 TWICE (the
+      // distinct must collapse it)
+      (1L, at(0)), (1L, at(1)), (1L, at(1, 99L)), (1L, at(3)),
+      // user 2, cohort 0, active weeks 0/1
+      (2L, at(0)), (2L, at(1)),
+      // user 3, cohort 1, active weeks 1/3 (offset 2)
+      (3L, at(1)), (3L, at(3))
+    ).toDF("user_id", "ts_us")
+    val got = Events.retentionCohortsOn(ev).collect()
+      .map(r => (r.getAs[Long]("cohort_wk"), r.getAs[Long]("offset_wk"),
+        r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+        r.getAs[Double]("retention"))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 2L, 1.0), (0L, 1L, 2L, 2L, 1.0), (0L, 3L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0), (1L, 2L, 1L, 1L, 1.0)))
+  }
+
   test("json props: k extracted for every event") {
     val rows = Events.jsonProps(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_events")).sum == Events.load(spark, sf).count())
