@@ -349,6 +349,31 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_count") || p.contains("partial"), p)
   }
 
+  test("funnel: one corpus shuffle, window passes and per-user agg " +
+      "share it") {
+    val p = plan(Events.funnel(spark, sf))
+    // the ONLY corpus-sized exchange is the user_id hash — both
+    // running-min windows sort once over it and the per-user aggregate
+    // reuses the clustering (no exchange of its own); everything past
+    // the global count is 1-3 rows
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1, p)
+    assert("Window \\[".r.findAllIn(p).length == 2, p)
+    // per-step self-joins would show up as joins; there are none
+    assert(!p.contains("Join"), p)
+  }
+
+  test("retention cohorts: user shuffle is the only corpus-sized " +
+      "exchange; distinct collapses before the cohort aggregate") {
+    val p = plan(Events.retentionCohorts(spark, sf))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1, p)
+    // the distinct's partial aggregate runs on the user-partitioned
+    // side WITHOUT an exchange of its own (its keys start with
+    // user_id), so the (cohort, offset) exchange ships collapsed
+    // user-weeks, not raw events
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("KNN join broadcasts the query side, never shuffles candidates") {
     val df = VectorSearch.knnJoin(emb, 0 until 8, 5)
     val p = plan(df)
