@@ -349,6 +349,48 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** PII patterns — deliberately restricted to constructs with
+    * IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB):
+    * explicit ASCII classes, bounded quantifiers, `\b`/`\d` (ASCII in
+    * both), no lookaround, no Unicode classes. */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub — the C4/Dolma redaction stage: count and replace
+    * email addresses and IPv4 literals per document. Pure scan-side
+    * projection (regexp match + replace are row-local); the only
+    * shuffle is the output sort.
+    *
+    * The declared query plants one synthetic email + IP per row
+    * ([[piiAugment]]) because the fixture corpus is lowercase
+    * word-salad with no digits — without the marker the oracle would
+    * only pin the no-match path. With it, every row exercises
+    * match + replace parity across both regex engines, on real text
+    * surroundings. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    piiScrubOn(piiAugment(Tables(s, dir, "documents")))
+
+  /** Appends a deterministic synthetic contact line per document. */
+  private def piiAugment(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com from 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"), lit(" now")).as("text"))
+
+  /** [[piiScrub]] over any (doc_id, text) frame — the spec surface.
+    * Emails are redacted before IPs; the replacement tokens contain
+    * no digits or '@', so the two passes cannot interfere. */
+  def piiScrubOn(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailPat)).cast("long")
+          .as("n_emails"),
+        regexp_count(col("text"), lit(Ipv4Pat)).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+          Ipv4Pat, "<IP>").as("clean_text"))
+      .orderBy("doc_id")
+
   /** Overlapping word-window chunking: the ingest stage that produces
     * the reference's chunk table (its documents arrive pre-chunked;
     * this is the step upstream). Windows of `chunkWords` words every
@@ -596,6 +638,24 @@ object Pipeline {
          |WHERE hb * n_total < quota * $MixBuckets
          |ORDER BY doc_id""".stripMargin)(
       (s, dir) => domainMixDocs(s, dir)),
+
+    QueryDef.sql("pl_pii_scrub",
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example.com from 10.'
+         |      || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+         |      || CAST(doc_id % 100 AS VARCHAR) || ' now' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$Ipv4Pat')) AS BIGINT)
+         |    AS n_ips,
+         |  regexp_replace(regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
+         |    '$Ipv4Pat', '<IP>', 'g') AS clean_text
+         |FROM a ORDER BY doc_id""".stripMargin)(
+      (s, dir) => piiScrub(s, dir)),
 
     QueryDef.sql("pl_quality_filter", {
       val stops = markerCountSql(W, Stopwords("en"))

@@ -149,6 +149,36 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("pii scrub: counts and redactions, near-miss patterns survive, " +
+      "scrubbing is idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a@bb.cc text mid x.y@mail.co end z@host.org"),
+      (2L, "bad a@b.c1 stays, digit tld is not a tld"),   // TLD needs letters
+      (3L, "ip 10.0.0.1 and run 1.2.3.4.5 tail"),         // greedy first 4 octets
+      (4L, "no pii here at all"),
+      (5L, "both x@y.zz then 1.2.3.4 now")
+    ).toDF("doc_id", "text")
+    val got = Pipeline.piiScrubOn(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_emails"),
+        r.getAs[Long]("n_ips"), r.getAs[String]("clean_text"))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 0L, "<EMAIL> text mid <EMAIL> end <EMAIL>"),
+      (2L, 0L, 0L, "bad a@b.c1 stays, digit tld is not a tld"),
+      (3L, 0L, 2L, "ip <IP> and run <IP>.5 tail"),
+      (4L, 0L, 0L, "no pii here at all"),
+      (5L, 1L, 1L, "both <EMAIL> then <IP> now")))
+    // idempotent: a scrubbed corpus re-scrubs to itself with zero hits
+    val again = Pipeline.piiScrubOn(
+      Pipeline.piiScrubOn(docs).select(col("doc_id"),
+        col("clean_text").as("text"))).collect()
+    again.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 0L && r.getAs[Long]("n_ips") == 0L)
+    }
+    assert(again.map(_.getAs[String]("clean_text")).toSeq ==
+      got.map(_._4))
+  }
+
   test("span dedup: boilerplate spans removed, clean docs untouched, " +
       "all-boilerplate docs drop out") {
     import spark.implicits._
