@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -219,6 +219,78 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** BM25 knobs (classic Robertson defaults) and the fixed demo query
+    * terms (in production the tokenized user query). The idf is the
+    * RATIONAL Robertson–Spärck Jones core `(N − df + ½)/(df + ½)`
+    * WITHOUT the usual log wrap: libm `log` is not bitwise-portable
+    * across engines (the repo's float-determinism rules ban it), and
+    * since log is monotone the per-term ranking is unchanged — only
+    * the relative weighting across terms in the sum differs from
+    * textbook BM25 (documented variant, spec-pinned). */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "merge")
+  val Bm25TopK = 10
+
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    bm25On(Tables(s, dir, "documents"), Bm25Terms, Bm25TopK)
+
+  /** BM25-style ranked retrieval over any (doc_id, text) frame.
+    *
+    * Scale shape: ZERO corpus shuffles — pass 1 is one global
+    * aggregate (N, Σdl, per-term df) collapsing to a single row that
+    * rides a broadcast cross join; pass 2 computes tf/score as
+    * scan-side array-kernel projections and feeds a shuffle-free
+    * TakeOrderedAndProject top-k. No explode, no per-term join: for a
+    * FIXED query the per-term tf is a column, not a relation. (The
+    * inverted-index formulation — explode + df join — is [[wordFreq]];
+    * this is the ranked-retrieval shape where the query is small and
+    * the corpus is not.) All float arithmetic is literal-for-literal
+    * mirrored in the oracle: IEEE ±·/ are correctly rounded in both
+    * engines, so determinism needs only identical operand order. */
+  def bm25On(documents: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+      .where(col("dl") > 0)
+    val dfCols = terms.map(t =>
+      sum(when(array_contains(col("ws"), t), 1L).otherwise(0L))
+        .as(s"df_$t"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("sum_dl") +: dfCols): _*)
+    // per-term tf as an array kernel — the lambda captures only a
+    // literal, so the HOF re-evaluation pitfall doesn't apply
+    val tfCols = terms.map(t =>
+      size(filter(col("ws"), w => w === lit(t))).cast("long").as(s"tf_$t"))
+    // stats is exactly one row by construction — unconditionally
+    // broadcastable
+    val scored = base.crossJoin(broadcast(stats))
+      .select(Seq(col("doc_id"), col("dl")) ++ tfCols ++
+        Seq(col("n_docs"), col("sum_dl")) ++
+        terms.map(t => col(s"df_$t")): _*)
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val df = col(s"df_$t").cast("double")
+      val idf = (col("n_docs").cast("double") - df + lit(0.5)) /
+        (df + lit(0.5))
+      val avgdl = col("sum_dl").cast("double") /
+        col("n_docs").cast("double")
+      // norm = (1 − b) + b·dl/avgdl with b = 0.75 pre-folded to 0.25:
+      // computing 1 − 0.75 at runtime vs parsing the literal 0.25 can
+      // differ from a literal by an ulp — both engines get LITERALS
+      val norm = lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") / avgdl)
+      // k1 = 1.2, k1+1 pre-folded to the literal 2.2 for the same reason
+      idf * (tf * lit(2.2)) / (tf + lit(1.2) * norm)
+    }
+    scored
+      .withColumn("score",
+        terms.map(termScore).reduceLeft(_ + _))
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-language distinct 3-shingle cardinality, exact AND sketched:
     * the KMV k-minimum-values aggregate ([[graft.functions.KmvSketchAgg]])
     * keeps the k smallest distinct shingle hashes per group — mergeable,
@@ -350,6 +422,43 @@ object TextAnalysis {
          |FROM rep ORDER BY doc_id""".stripMargin) {
       (s, dir) => repetitionStats(Tables(s, dir, "documents"))
     },
+
+    QueryDef.sql("text_bm25", {
+      val termSql = Bm25Terms.map { t =>
+        s"""(((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5E0)
+           |    / (CAST(df_$t AS DOUBLE) + 0.5E0))
+           |  * (CAST(tf_$t AS DOUBLE) * 2.2E0))
+           |/ (CAST(tf_$t AS DOUBLE) + 1.2E0 *
+           |   (0.25E0 + 0.75E0 * (CAST(dl AS DOUBLE)
+           |     / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
+          .stripMargin
+      }.mkString("(", ")\n + (", ")")
+      val dfSql = Bm25Terms.map(t =>
+        s"""CAST(sum(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS df_$t""".stripMargin).mkString(",\n")
+      val tfSql = Bm25Terms.map(t =>
+        s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf_$t")
+        .mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT doc_id, $W AS ws FROM documents),
+         |b AS (
+         |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
+         |  FROM d WHERE len(ws) > 0),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |$dfSql
+         |  FROM b),
+         |sc AS (
+         |  SELECT doc_id, dl,
+         |$tfSql,
+         |    n_docs, sum_dl, ${Bm25Terms.map(t => s"df_$t").mkString(", ")}
+         |  FROM b CROSS JOIN st)
+         |SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+         |  $termSql AS score
+         |FROM sc
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    })((s, dir) => bm25(s, dir)),
 
     QueryDef.sql("text_word_freq",
       s"""WITH terms AS (

@@ -374,6 +374,19 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_count"), p)
   }
 
+  test("bm25: zero corpus shuffles — 1-row stats broadcast + " +
+      "shuffle-free top-k") {
+    val df = TextAnalysis.bm25(spark, sf)
+    val p = plan(df)
+    // pass 1 collapses to one row (its SinglePartition exchange ships
+    // partial aggregates, not rows); pass 2 is scan-side scoring into
+    // TakeOrderedAndProject — no hash exchange anywhere
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 0, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("KNN join broadcasts the query side, never shuffles candidates") {
     val df = VectorSearch.knnJoin(emb, 0 until 8, 5)
     val p = plan(df)

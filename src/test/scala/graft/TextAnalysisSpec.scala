@@ -90,6 +90,48 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("bm25: formula matches a sequential reimplementation; tf, idf " +
+      "and length normalization rank as BM25 must") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark beats all"),          // tf=3, dl=5
+      (2L, "spark beats all other things here"),    // tf=1, dl=6
+      (3L, "spark beats all other things padding " +
+        "padding padding padding padding"),         // same tf=1, LONG (dl=10)
+      (4L, "join join beats all"),                  // rare term, tf=2
+      (5L, "nothing relevant at all here")          // tf=0
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "join")
+    val rows = graft.operators.TextAnalysis.bm25On(docs, terms, 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+
+    // independent sequential reimplementation (same operand order)
+    val split = Seq(
+      1L -> Seq("spark", "spark", "spark", "beats", "all"),
+      2L -> Seq("spark", "beats", "all", "other", "things", "here"),
+      3L -> Seq("spark", "beats", "all", "other", "things", "padding",
+        "padding", "padding", "padding", "padding"),
+      4L -> Seq("join", "join", "beats", "all"),
+      5L -> Seq("nothing", "relevant", "at", "all", "here"))
+    val n = split.length.toDouble
+    val sumDl = split.map(_._2.length.toLong).sum.toDouble
+    def score(ws: Seq[String]): Double = terms.map { t =>
+      val tf = ws.count(_ == t).toDouble
+      val df = split.count(_._2.contains(t)).toDouble
+      val idf = (n - df + 0.5) / (df + 0.5)
+      val norm = 0.25 + 0.75 * (ws.length.toDouble / (sumDl / n))
+      idf * (tf * 2.2) / (tf + 1.2 * norm)
+    }.reduceLeft(_ + _)
+    split.foreach { case (id, ws) => assert(rows(id) == score(ws), id) }
+
+    // BM25 orderings: more occurrences beat fewer (1 > 2); at EQUAL
+    // tf, length normalization penalizes the padded doc (2 > 3); the
+    // rarer term (join: df=1 vs spark: df=3) outweighs tf parity (4 > 1)
+    assert(rows(1L) > rows(2L) && rows(2L) > rows(3L))
+    assert(rows(4L) > rows(1L))
+    assert(rows(5L) == 0.0)
+  }
+
   test("fingerprint: identical text -> identical fp, different -> differs") {
     val df = spark.sql(
       """SELECT * FROM VALUES (1L, 'the quick brown fox jumps'),
