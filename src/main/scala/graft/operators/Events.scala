@@ -455,13 +455,13 @@ object Events {
          |  FROM events),
          |r1 AS (
          |  SELECT *,
-         |    min(CASE WHEN event_type = 'view' THEN ts_us END) OVER w
+         |    min(CASE WHEN event_type = '${FunnelSteps(0)}' THEN ts_us END) OVER w
          |      AS t1_run
          |  FROM e
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
          |r2 AS (
-         |  SELECT *, CASE WHEN event_type = 'click' AND ts_us > t1_run
+         |  SELECT *, CASE WHEN event_type = '${FunnelSteps(1)}' AND ts_us > t1_run
          |      AND ts_us <= t1_run + $WeekUs THEN ts_us END AS c2
          |  FROM r1),
          |r3 AS (
@@ -470,12 +470,12 @@ object Events {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
          |r4 AS (
-         |  SELECT *, CASE WHEN event_type = 'purchase' AND ts_us > t2_run
+         |  SELECT *, CASE WHEN event_type = '${FunnelSteps(2)}' AND ts_us > t2_run
          |      AND ts_us <= t1_run + $WeekUs THEN ts_us END AS c3
          |  FROM r3),
          |u AS (
          |  SELECT user_id,
-         |    min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1,
+         |    min(CASE WHEN event_type = '${FunnelSteps(0)}' THEN ts_us END) AS t1,
          |    min(c2) AS t2, min(c3) AS t3
          |  FROM r4 GROUP BY user_id),
          |a AS (
@@ -484,11 +484,11 @@ object Events {
          |    CAST(count(t3) AS BIGINT) AS n3
          |  FROM u),
          |s AS (
-         |  SELECT 1 AS step, 'view' AS step_name, n1 AS n_users, n1 FROM a
+         |  SELECT 1 AS step, '${FunnelSteps(0)}' AS step_name, n1 AS n_users, n1 FROM a
          |  UNION ALL
-         |  SELECT 2, 'click', n2, n1 FROM a
+         |  SELECT 2, '${FunnelSteps(1)}', n2, n1 FROM a
          |  UNION ALL
-         |  SELECT 3, 'purchase', n3, n1 FROM a)
+         |  SELECT 3, '${FunnelSteps(2)}', n3, n1 FROM a)
          |SELECT step, step_name, n_users,
          |  CASE WHEN n1 > 0 THEN
          |    CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conversion

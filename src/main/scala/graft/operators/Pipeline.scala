@@ -379,16 +379,27 @@ object Pipeline {
         (col("doc_id") % 100).cast("string"), lit(" now")).as("text"))
 
   /** [[piiScrub]] over any (doc_id, text) frame — the spec surface.
-    * Emails are redacted before IPs; the replacement tokens contain
-    * no digits or '@', so the two passes cannot interfere. */
+    * Redaction is sequential (emails first, then IPs on the
+    * email-redacted text), and EACH COUNT DESCRIBES ITS OWN PASS:
+    * n_emails counts matches on the original text (exactly what the
+    * first replace consumes), n_ips counts matches on the
+    * email-redacted text (exactly what the second replace consumes).
+    * Counting both on the original would let the passes disagree with
+    * the counts — an email can swallow a counted IP
+    * (`a@1.2.3.4.com`), and a replacement boundary can manufacture an
+    * IP match that was never counted. With pass-scoped counts,
+    * `n_emails + n_ips` always equals the number of `<EMAIL>`/`<IP>`
+    * tokens in clean_text (spec-pinned). */
   def piiScrubOn(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"),
+    documents
+      .select(col("doc_id"),
         regexp_count(col("text"), lit(EmailPat)).cast("long")
           .as("n_emails"),
-        regexp_count(col("text"), lit(Ipv4Pat)).cast("long").as("n_ips"),
-        regexp_replace(
-          regexp_replace(col("text"), EmailPat, "<EMAIL>"),
-          Ipv4Pat, "<IP>").as("clean_text"))
+        regexp_replace(col("text"), EmailPat, "<EMAIL>").as("no_email"))
+      .select(col("doc_id"), col("n_emails"),
+        regexp_count(col("no_email"), lit(Ipv4Pat)).cast("long")
+          .as("n_ips"),
+        regexp_replace(col("no_email"), Ipv4Pat, "<IP>").as("clean_text"))
       .orderBy("doc_id")
 
   /** Overlapping word-window chunking: the ingest stage that produces
@@ -646,15 +657,18 @@ object Pipeline {
          |      || '@mail.example.com from 10.'
          |      || CAST(doc_id % 256 AS VARCHAR) || '.0.'
          |      || CAST(doc_id % 100 AS VARCHAR) || ' now' AS text
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT)
-         |    AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '$Ipv4Pat')) AS BIGINT)
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT)
+         |      AS n_emails,
+         |    regexp_replace(text, '$EmailPat', '<EMAIL>', 'g') AS no_email
+         |  FROM a)
+         |SELECT doc_id, n_emails,
+         |  CAST(len(regexp_extract_all(no_email, '$Ipv4Pat')) AS BIGINT)
          |    AS n_ips,
-         |  regexp_replace(regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
-         |    '$Ipv4Pat', '<IP>', 'g') AS clean_text
-         |FROM a ORDER BY doc_id""".stripMargin)(
+         |  regexp_replace(no_email, '$Ipv4Pat', '<IP>', 'g') AS clean_text
+         |FROM e ORDER BY doc_id""".stripMargin)(
       (s, dir) => piiScrub(s, dir)),
 
     QueryDef.sql("pl_quality_filter", {

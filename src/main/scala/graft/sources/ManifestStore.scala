@@ -642,17 +642,31 @@ object ManifestStore {
     * space-filling curve — a range sort IS the optimal clustering).
     * The extra cost over round-robin is the range-exchange's sampling
     * pass + an in-partition sort — both O(n log n) in the segment, and
-    * compaction is already a full rewrite. */
+    * compaction is already a full rewrite.
+    *
+    * The cluster key is the column CAST TO STRING — the ordering the
+    * zone-map stats are collected under and [[readRange]] compares
+    * with. Clustering on the natural type order instead would produce
+    * files disjoint in an ordering no read path uses (for the store's
+    * UUID-string `doc_id` the two coincide; for a numeric column they
+    * do not). Note for non-string columns the residual predicate is a
+    * cast-wrapped comparison that parquet footers cannot serve — the
+    * pruning tiers that survive are the segment zone map and the
+    * clustered file layout itself. */
   def compactCollection(spark: SparkSession, tablePath: String,
       c: String, targetFiles: Int = 1, cluster: Boolean = false): Unit = {
     val fs = fsOf(spark, tablePath)
     val r = resolve(fs, tablePath, c)
     if (r.liveSegs.isDefined) {
       val rows = read(spark, tablePath, Some(c)).drop("collection")
+      if (cluster) require(rows.columns.contains(ZoneMapColumn),
+        s"cluster=true needs column '$ZoneMapColumn' in collection '$c' " +
+          s"(has: ${rows.columns.mkString(", ")})")
       val laid =
-        if (cluster && rows.columns.contains(ZoneMapColumn))
-          rows.repartitionByRange(targetFiles, col(ZoneMapColumn))
-            .sortWithinPartitions(ZoneMapColumn)
+        if (cluster)
+          rows.repartitionByRange(targetFiles,
+              col(ZoneMapColumn).cast("string"))
+            .sortWithinPartitions(col(ZoneMapColumn).cast("string"))
         else rows.repartition(targetFiles)
       writeSegment(laid, fs, tablePath, c, r.nextSeg)
       publish(fs, tablePath, c, r.nextPtrSeq, segsContent(Seq(r.nextSeg)))

@@ -157,7 +157,10 @@ class PipelineSpec extends SparkSpecBase {
       (2L, "bad a@b.c1 stays, digit tld is not a tld"),   // TLD needs letters
       (3L, "ip 10.0.0.1 and run 1.2.3.4.5 tail"),         // greedy first 4 octets
       (4L, "no pii here at all"),
-      (5L, "both x@y.zz then 1.2.3.4 now")
+      (5L, "both x@y.zz then 1.2.3.4 now"),
+      // the email swallows the dotted quad: ONE email, ZERO ips —
+      // pass-scoped counts keep counts and redactions in agreement
+      (6L, "mail a@1.2.3.4.com end")
     ).toDF("doc_id", "text")
     val got = Pipeline.piiScrubOn(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_emails"),
@@ -167,7 +170,13 @@ class PipelineSpec extends SparkSpecBase {
       (2L, 0L, 0L, "bad a@b.c1 stays, digit tld is not a tld"),
       (3L, 0L, 2L, "ip <IP> and run <IP>.5 tail"),
       (4L, 0L, 0L, "no pii here at all"),
-      (5L, 1L, 1L, "both <EMAIL> then <IP> now")))
+      (5L, 1L, 1L, "both <EMAIL> then <IP> now"),
+      (6L, 1L, 0L, "mail <EMAIL> end")))
+    // counts reconcile with the redactions they describe
+    got.foreach { case (_, ne, ni, clean) =>
+      assert(ne == "<EMAIL>".r.findAllIn(clean).length)
+      assert(ni == "<IP>".r.findAllIn(clean).length)
+    }
     // idempotent: a scrubbed corpus re-scrubs to itself with zero hits
     val again = Pipeline.piiScrubOn(
       Pipeline.piiScrubOn(docs).select(col("doc_id"),
