@@ -119,6 +119,35 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(rows.head.getAs[Double]("scale") == 4.0)
   }
 
+  test("round-6 operators are defined on empty/degenerate input") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    // mixture: no domains -> empty audit and empty resample (the
+    // whole-relation windows and the n_star min see zero rows)
+    assert(Pipeline.domainMixOn(emptyDocs).count() == 0)
+    assert(Pipeline.domainMixDocsOn(emptyDocs).count() == 0)
+    // pii scrub / span dedup: empty in, empty out
+    assert(Pipeline.piiScrubOn(emptyDocs).count() == 0)
+    assert(Pipeline.spanDedupOn(emptyDocs, 3, 3).count() == 0)
+    // bm25: the WHERE dl > 0 gate also voids an all-empty-text corpus
+    // (stats would be n_docs = 0; no score is ever evaluated on it)
+    assert(TextAnalysis.bm25On(emptyDocs, Seq("a", "b"), 5).count() == 0)
+    assert(TextAnalysis.bm25On(
+      Seq((1L, ""), (2L, " ")).toDF("doc_id", "text"),
+      Seq("a"), 5).count() == 0)
+    // funnel over no events: the global aggregate still emits the
+    // 3-step shape with zero users and NULL conversion (0/0 guarded)
+    val emptyEv = Seq.empty[(Long, Long, Long, String)]
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val f = Events.funnelOn(emptyEv).collect()
+    assert(f.map(r => (r.getAs[Int]("step"), r.getAs[Long]("n_users")))
+      .toSeq == Seq((1, 0L), (2, 0L), (3, 0L)))
+    assert(f.forall(r => r.isNullAt(r.fieldIndex("conversion"))))
+    assert(Events.retentionCohortsOn(
+      Seq.empty[(Long, Long)].toDF("user_id", "ts_us")).count() == 0)
+  }
+
   test("KMV sketch of an empty group / all-null input is exact zero") {
     import graft.functions.SketchAggregate.kmvSketch
     val r = spark.range(5).select(lit(null).cast("long").as("hv"))
