@@ -8,10 +8,12 @@ import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 
 /** Training-data pipeline composition operators: deterministic dataset
-  * splitting, stratified sampling, and the filter→dedup funnel every
-  * LLM corpus build runs. The reference engine has nothing upstream of
-  * storage (SURVEY.md §2.2); these are north-star extensions composing
-  * the text/dedup primitives into end-to-end curation shapes.
+  * splitting, stratified sampling, the filter→dedup funnel every LLM
+  * corpus build runs, C4-style span dedup, PII redaction,
+  * domain-mixture rebalancing, sequence packing and chunking. The
+  * reference engine has nothing upstream of storage (SURVEY.md §2.2);
+  * these are north-star extensions composing the text/dedup
+  * primitives into end-to-end curation shapes.
   *
   * Determinism note: splits and samples key on `doc_id % k`, not on
   * `rand()` or Spark's `sampleBy` — reproducible across engines, runs
