@@ -143,6 +143,50 @@ class PropertySpec extends SparkSpecBase {
     operators.Dedup.releaseCaches()
   }
 
+  test("domain-mix quotas: downsample-only, share-exact within integer " +
+      "granularity, audit == resample on random corpora") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    // random corpora: 2-6 domains (sometimes including NULL), skewed
+    // sizes 1-120
+    val genCorpus = for {
+      nd <- Gen.chooseNum(2, 6)
+      doms <- Gen.pick(nd, Seq("en", "de", "es", "fr", "zh", null))
+      sizes <- Gen.listOfN(nd, Gen.chooseNum(1, 120))
+    } yield doms.zip(sizes).toSeq
+    samples(genCorpus, 8).zipWithIndex.foreach { case (spec, ci) =>
+      var nextId = 1000L * ci
+      val rows = spec.flatMap { case (dom, sz) =>
+        (1 to sz).map { _ => nextId += 1; (nextId, dom) }
+      }
+      val docs = rows.toDF("doc_id", "lang")
+      val audit = Pipeline.domainMixOn(docs).collect().map { r =>
+        (Option(r.getAs[String]("lang")), r.getAs[Long]("n_total"),
+          r.getAs[Long]("weight"), r.getAs[Long]("quota"),
+          r.getAs[Long]("n_kept"))
+      }
+      val wTotal = audit.map(_._3).sum
+      val nStar = audit.map { case (_, n, w, _, _) => n * wTotal / w }.min
+      audit.foreach { case (lang, nTotal, w, quota, kept) =>
+        // downsample-only + the documented integer derivation
+        assert(quota == nStar * w / wTotal, (ci, lang))
+        assert(quota <= nTotal, (ci, lang))
+        assert(kept <= nTotal, (ci, lang))
+        // share-exactness: quota is within 1 of the ideal real-valued
+        // target share of n_star (floor error only)
+        assert(math.abs(quota - nStar.toDouble * w / wTotal) <= 1.0,
+          (ci, lang))
+      }
+      // the row-level resample agrees with the audit exactly
+      val keptByLang = Pipeline.domainMixDocsOn(docs).collect()
+        .groupBy(r => Option(r.getAs[String]("lang")))
+        .view.mapValues(_.length.toLong).toMap
+      audit.foreach { case (lang, _, _, _, kept) =>
+        assert(keptByLang.getOrElse(lang, 0L) == kept, (ci, lang))
+      }
+    }
+  }
+
   test("fused word stats == reference formulation on random word lists") {
     val genWord = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     val genDoc = Gen.listOfN(30, genWord).map(_.toSeq)
