@@ -330,21 +330,33 @@ object Pipeline {
   def domainMixDocs(s: SparkSession, dir: String): DataFrame =
     domainMixDocsOn(Tables(s, dir, "documents"))
 
+  /** Broadcast ceiling for the quota relation: far above any ISO
+    * language inventory (~8k codes), far below anything a driver
+    * would mind holding. */
+  val MaxMixQuotaRows = 100000L
+
   /** [[domainMixDocs]] over an explicit documents frame. */
   def domainMixDocsOn(documents: DataFrame): DataFrame = {
+    // quotas is one row per distinct lang — a bounded dim (ISO codes)
+    // in a clean corpus, but `lang` is DATA, and a dirty corpus with
+    // free-text values makes it corpus-growing. The stats-based
+    // broadcast gate can't referee this (the size-only estimator
+    // prices the aggregate at its child-scan size and never
+    // broadcasts), so gate on the ACTUAL realized cardinality:
+    // localCheckpoint the tiny relation once (the count and the join
+    // both reuse it — no extra corpus scan) and broadcast only under
+    // [[MaxMixQuotaRows]]; past it, fall back to a shuffle join, which
+    // is the only correct plan for a corpus-sized dim anyway.
     val quotas = mixQuotas(mixHist(documents))
       .select("lang_key", "n_total", "quota")
+      .localCheckpoint()
+    val quotasHinted =
+      if (quotas.count() <= MaxMixQuotaRows) broadcast(quotas) else quotas
     documents
       .select(col("doc_id"),
         coalesce(col("lang"), lit(LangNullSentinel)).as("lang_key"),
         mixHashBucket.as("hb"))
-      // UNCONDITIONAL broadcast: quotas is one row per distinct
-      // language code — a bounded dim (ISO codes, not a corpus-growing
-      // vocabulary). The stats-based gate would misfire here: the
-      // size-only estimator prices the aggregate at its child-scan
-      // size, which scales with the corpus, and the degraded plan
-      // shuffles the whole corpus onto a handful of lang keys.
-      .join(broadcast(quotas), Seq("lang_key"))
+      .join(quotasHinted, Seq("lang_key"))
       .where(col("hb") * col("n_total") < col("quota") * MixBuckets)
       .select(col("doc_id"), unSentinel(col("lang_key")).as("lang"),
         col("hb"))

@@ -89,16 +89,11 @@ object ManifestStore {
   private def fsOf(spark: SparkSession, tablePath: String): FileSystem =
     new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // Collection names come from arbitrary ingest JSON (the reference's
-  // collection_name field): escape them in BOTH layouts' paths exactly
-  // the way partitioned writes escape partition values, so '%', '/',
-  // ':' or '=' in a name neither corrupts the layout nor silently
-  // reads back as a different collection (Spark partition discovery
-  // URL-decodes directory names on read).
-  private def esc(c: String): String =
-    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(c)
-  private def unesc(s: String): String =
-    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+  // Shared name⇄segment codec ([[PathNames]]): partition-value escape
+  // plus traversal neutralization ('', '.', '..' can never become a
+  // raw path segment under _manifest/).
+  private def esc(c: String): String = PathNames.esc(c)
+  private def unesc(s: String): String = PathNames.unesc(s)
 
   private def manifestDir(tablePath: String, c: String): Path =
     new Path(s"$tablePath/_manifest/${esc(c)}")
@@ -510,6 +505,42 @@ object ManifestStore {
       .where(col(column).cast("string").between(lit(lo), lit(hi)))
   }
 
+  /** Write-side twin of [[readMany]]'s flat-layout loud-fail: a
+    * manifest append into a PRE-EXISTING flat-layout table would write
+    * `seg=` dirs and a `_manifest` next to the flat parquet — after
+    * which `_manifest` exists, the read-side check never fires again,
+    * and every manifest read silently SHADOWS all pre-existing flat
+    * data. Refuse before touching anything: a collection dir holding
+    * non-`seg=` entries (the flat layout's `part-*.parquet` land
+    * directly in it) is [[DocumentStore]] data — write it with
+    * FlatBackend, or migrate it through ManifestStore first. */
+  private def assertNotFlatLayout(fs: FileSystem, tablePath: String,
+      c: String): Unit = {
+    def holdsFlatData(dir: Path): Boolean =
+      try fs.exists(dir) && fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("seg=") && !n.startsWith(".") && !n.startsWith("_")
+      } catch { case _: java.io.IOException => false }
+    // FIRST write to a table (no _manifest yet): sweep every
+    // collection= dir at the root — a flat table's OTHER collections
+    // would be shadowed just the same. One-time cost; once _manifest
+    // exists the table is established manifest-layout and only the
+    // target dir is probed (no per-append RPC storm over thousands of
+    // collections).
+    val suspects =
+      if (!fs.exists(new Path(s"$tablePath/_manifest")) &&
+          fs.exists(new Path(tablePath)))
+        fs.listStatus(new Path(tablePath)).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("collection="))
+      else Seq(collectionDir(tablePath, c))
+    suspects.find(holdsFlatData).foreach { dir =>
+      throw new IllegalArgumentException(
+        s"$dir holds non-seg= files: this is a flat DocumentStore " +
+          "layout - write it with FlatBackend / DocumentStore.store, " +
+          "or re-ingest through ManifestStore into a fresh table")
+    }
+  }
+
   /** Append `chunks` (one collection per call, the reference's /store
     * shape) as a NEW immutable segment: data lands fully, then one
     * pointer create makes it visible — an interrupted append is never
@@ -518,6 +549,7 @@ object ManifestStore {
   def store(chunks: DataFrame, tablePath: String, collection: String): Unit = {
     val spark = chunks.sparkSession
     val fs = fsOf(spark, tablePath)
+    assertNotFlatLayout(fs, tablePath, collection)
     val r = resolve(fs, tablePath, collection)
     writeSegment(chunks.drop("collection"), fs, tablePath, collection,
       r.nextSeg)
@@ -548,6 +580,7 @@ object ManifestStore {
       s"storeBatch tag must be non-empty and ';'-free, got '$tag'")
     val spark = chunks.sparkSession
     val fs = fsOf(spark, tablePath)
+    assertNotFlatLayout(fs, tablePath, collection)
     val r = resolve(fs, tablePath, collection)
     if (r.seenTags.contains(tag)) false
     else {
@@ -718,6 +751,15 @@ object ManifestStore {
   private def storeNow(fs: FileSystem, tablePath: String): Long = {
     val probe = new Path(s"$tablePath/_manifest/.vacuum-probe")
     try {
+      // probe ONLY inside an existing _manifest: fs.create would mkdir
+      // the parent, and a vacuum mistakenly pointed at a FLAT-layout
+      // table would thereby plant a _manifest there — permanently
+      // defeating readMany's flat-layout loud-fail (which keys on
+      // _manifest's absence) and turning manifest reads of that table
+      // into silent empties. No manifest → client clock (the skew
+      // assumption is then the caller's).
+      if (!fs.exists(new Path(s"$tablePath/_manifest")))
+        return System.currentTimeMillis()
       val out = fs.create(probe, true)
       try out.write('t'.toInt) finally out.close()
       val t = fs.getFileStatus(probe).getModificationTime

@@ -704,6 +704,79 @@ class DocumentStoreSpec extends SparkSpecBase {
     DocumentStore.deleteCollection(spark, table, "c2")
     assert(DocumentStore.read(spark, table).count() == 40)
   }
+
+  test("traversal names ('.', '..', '') cannot escape the manifest tree") {
+    // collection names come from arbitrary ingest JSON; escapePathName
+    // passes '.' through, so without special encoding a collection
+    // named '..' would resolve _manifest/.. to the TABLE ROOT and
+    // plant pointer files there, and '.' would alias _manifest itself
+    val mt = tmp() + "/mtable"
+    val fs = new org.apache.hadoop.fs.Path(mt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(".", "..", "...").foreach(n => ManifestStore.store(tenRows(n), mt, n))
+    // round-trip: encoded on disk, original names on the API
+    assert(ManifestStore.listCollections(spark, mt) == Seq(".", "..", "..."))
+    Seq(".", "..", "...").foreach { n =>
+      val got = ManifestStore.read(spark, mt, Some(n))
+      assert(got.count() == 10, n)
+      assert(got.select("collection").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq(n))
+    }
+    // nothing landed at the table root ('..' traversal) ...
+    val rootNames = fs.listStatus(new org.apache.hadoop.fs.Path(mt))
+      .map(_.getPath.getName).toSet
+    assert(!rootNames.exists(_.startsWith("ptr-")), rootNames)
+    // ... and _manifest holds only ENCODED per-collection dirs — no
+    // pointer files directly inside it ('.' aliasing)
+    val mEntries = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$mt/_manifest")).toSeq
+    assert(mEntries.forall(_.isDirectory), mEntries.map(_.getPath.getName))
+    assert(mEntries.map(_.getPath.getName).toSet ==
+      Set("%2E", "%2E%2E", "%2E%2E%2E"), mEntries.map(_.getPath.getName))
+    // delete/vacuum round-trip on the hostile name
+    ManifestStore.deleteCollection(spark, mt, "..")
+    assert(ManifestStore.read(spark, mt, Some("..")).count() == 0)
+    assert(ManifestStore.read(spark, mt).count() == 20)
+    // the empty name — not a path segment at all — is rejected loud
+    intercept[IllegalArgumentException] {
+      ManifestStore.store(tenRows(""), mt, "")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestStore.read(spark, mt, Some("")).count()
+    }
+  }
+
+  test("flat-layout table: vacuum plants no _manifest, manifest write refuses") {
+    val ft = tmp() + "/flat"
+    DocumentStore.store(tenRows("c1"), ft)
+    val fs = new org.apache.hadoop.fs.Path(ft)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a vacuum mistakenly pointed at the flat table must not create
+    // _manifest as a probe side effect — that would permanently defeat
+    // the read-side flat-layout loud-fail (which keys on its absence)
+    assert(ManifestStore.vacuum(spark, ft, minAgeMs = 0L).isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ft/_manifest")))
+    intercept[IllegalArgumentException] {
+      ManifestStore.read(spark, ft, Some("c1")).count()
+    }
+    // a manifest WRITE into the flat table refuses before touching
+    // anything — otherwise seg= dirs + _manifest land next to the flat
+    // parquet and every read silently shadows the pre-existing data
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.store(tenRows("c1"), ft, "c1")
+    }
+    assert(e.getMessage.contains("FlatBackend"), e.getMessage)
+    // ... even into a collection the flat table does NOT have (the
+    // first-write sweep checks the whole root, because _manifest
+    // appearing anywhere defeats the read-side check for every
+    // collection)
+    intercept[IllegalArgumentException] {
+      ManifestStore.storeBatch(tenRows("cX"), ft, "cX", "b0")
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ft/_manifest")))
+    // flat data is intact and still readable through its own layout
+    assert(DocumentStore.read(spark, ft).count() == 10)
+  }
 }
 
 /** A local filesystem surfaced under a NON-default URI scheme

@@ -344,9 +344,16 @@ class PlanSpec extends SparkSpecBase {
     // handful of lang_key values — one task per language at 100 TB
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // the histogram aggregate combines map-side before its (tiny,
-    // bucket-bounded) exchange
-    assert(p.contains("partial_count") || p.contains("partial"), p)
+    // the quota side is materialized ONCE (localCheckpoint) so the
+    // cardinality gate's count and the join share one derivation —
+    // the corpus-side scan plan must not recompute the histogram
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
+    assert(!p.contains("partial_count"), p)
+    // the histogram aggregate (in the AUDIT query, where it stays in
+    // plan) combines map-side before its (tiny, bucket-bounded)
+    // exchange
+    val ap = plan(Pipeline.domainMix(spark, sf))
+    assert(ap.contains("partial_count") || ap.contains("partial"), ap)
   }
 
   test("funnel: one corpus shuffle, window passes and per-user agg " +
