@@ -293,9 +293,6 @@ object Dedup {
     * Returns (doc_id, cluster_id = min doc_id of the component). */
   private[graft] def connectedComponentsStar(nodes: DataFrame,
       undirected: DataFrame, maxIters: Int = 64): DataFrame = {
-    def sym(df: DataFrame): DataFrame =
-      df.union(df.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
     def signature(df: DataFrame): (Long, Long) = {
       // full-64-bit XOR, not a truncated sum: the edge sets are
       // distinct()ed, so XOR of per-edge hashes identifies the SET
@@ -306,34 +303,60 @@ object Dedup {
           xxhash64(col("src"), col("dst"))), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
+    // The carried state is the CANONICAL edge set (src > dst, distinct)
+    // — half the rows of the symmetric form the first formulation
+    // checkpointed, and the symmetric view is re-derived per round by a
+    // NARROW union (both directions are disjoint when src ≠ dst, so no
+    // distinct is needed to symmetrize). Each star step computes its
+    // neighbourhood minimum with a WINDOW over the partitioning the
+    // step already needs — one exchange — instead of a grouped-min +
+    // re-join of the same relation (two exchanges). Net shuffle
+    // profile: 2 window exchanges + 1 distinct per round, down from
+    // ~7 exchanges in the agg+join+symmetrize formulation; the
+    // intermediates tolerate duplicate edges (window min is
+    // multiplicity-blind, and the round's closing distinct restores
+    // set semantics before the signature reads it).
+    def canon(df: DataFrame): DataFrame =
+      df.where(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+    def symView(canonical: DataFrame): DataFrame =
+      canonical.union(
+        canonical.select(col("dst").as("src"), col("src").as("dst")))
+    val wSrc = Window.partitionBy(col("src"))
     // LINEAGE DISCIPLINE: each round's edge set embeds the previous
-    // round's plan ~3× (self-join + grouped min + symmetrize), so
-    // carrying plain persisted frames across rounds hands Catalyst a
-    // 3^round-node logical tree — at ~8 rounds the OPTIMIZER, not the
-    // data, burns hours. localCheckpoint (eager) materializes each
-    // round AND truncates the plan to the checkpointed RDD, keeping
-    // every round's analysis O(1). On a cluster, reliable checkpoint()
-    // swaps in where executor loss must be survivable.
-    var e = sym(undirected.select(col("doc_id_1").as("src"),
-      col("doc_id_2").as("dst"))).localCheckpoint()
+    // round's plan several-fold (windows + symmetrize + distinct), so
+    // carrying plain persisted frames across rounds hands Catalyst an
+    // exponentially growing logical tree — at ~8 rounds the OPTIMIZER,
+    // not the data, burns hours. localCheckpoint (eager) materializes
+    // each round AND truncates the plan to the checkpointed RDD,
+    // keeping every round's analysis O(1). On a cluster, reliable
+    // checkpoint() swaps in where executor loss must be survivable.
+    var e = canon(undirected.select(col("doc_id_1").as("src"),
+      col("doc_id_2").as("dst"))).distinct().localCheckpoint()
     var sig = signature(e)
     var iter = 0
     var converged = sig._1 == 0L
     while (iter < maxIters && !converged) {
-      // LARGE-STAR: m = min(neighbourhood ∪ self); larger nbrs -> m
-      val mins = e.groupBy("src").agg(min(col("dst")).as("mn"))
-        .select(col("src"), least(col("mn"), col("src")).as("m"))
-      val ls = sym(e.join(mins, "src").where(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst")))
-      // SMALL-STAR: m = min(smaller nbrs ∪ self); they collapse onto m
-      val lower = ls.where(col("dst") < col("src"))
-      val minsS = lower.groupBy("src").agg(min(col("dst")).as("m"))
-      val ssDirected = lower.join(minsS, "src")
-        .where(col("dst") =!= col("m"))
+      // LARGE-STAR: m = min(neighbourhood ∪ self); larger nbrs -> m.
+      // Every emitted edge (v, m) has v > src ≥ m, so the output is
+      // already canonically oriented.
+      val ls = symView(e)
+        .withColumn("m", least(min(col("dst")).over(wSrc), col("src")))
+        .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .union(minsS.select(col("src"), col("m").as("dst")))
-        .distinct()
-      val next = sym(ssDirected).localCheckpoint()
+      // SMALL-STAR: m = min(smaller nbrs ∪ self); they collapse onto
+      // m. `ls` rows have dst < src by construction (= the "lower"
+      // half the first formulation re-filtered out of a symmetrized
+      // set), so the window partitioning can consume it directly.
+      val ss = ls
+        .withColumn("m", min(col("dst")).over(wSrc))
+        .select(
+          when(col("dst") === col("m"), col("src"))
+            .otherwise(col("dst")).as("src"),
+          col("m").as("dst"))
+      val next = ss.where(col("src") =!= col("dst")).distinct()
+        .localCheckpoint()
       val sigNow = signature(next)
       converged = sigNow == sig
       sig = sigNow
@@ -341,14 +364,13 @@ object Dedup {
       e = next
       iter += 1
     }
-    val stars = e.where(col("dst") < col("src")) // (node -> root) map
     require(converged,
       s"large-star/small-star did not converge within $maxIters rounds")
-    // at the fixpoint the lower-directed edges form a star forest: one
-    // root per component; isolated nodes label themselves. min() guards
-    // the (impossible at fixpoint) multi-edge case instead of dropping
+    // at the fixpoint the canonical edges form a star forest: one root
+    // per component; isolated nodes label themselves. min() guards the
+    // (impossible at fixpoint) multi-edge case instead of dropping
     // rows silently.
-    val roots = stars.groupBy("src").agg(min(col("dst")).as("root"))
+    val roots = e.groupBy("src").agg(min(col("dst")).as("root"))
     val out = nodes.join(roots, nodes("doc_id") === roots("src"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("root"), col("doc_id")).as("cluster_id"))
