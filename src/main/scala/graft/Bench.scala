@@ -12,7 +12,12 @@ import org.apache.spark.sql.SparkSession
   * is the per-query MEDIAN. Single-shot timings on this suite swing
   * several× on identical jars (JIT/GC/page-cache noise), which makes a
   * 2× regression in any one query invisible — the median of warmed runs
-  * is stable enough to compare round over round. */
+  * is stable enough to compare round over round.
+  *
+  * The artifact also carries `calib`: the median of a PINNED
+  * data-independent probe run under the same protocol. Comparing
+  * query/calib ratios across rounds divides out machine drift; the
+  * probe's workload is frozen and must never be edited. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,6 +32,27 @@ object Bench {
     // JVM/codegen session warmup so the first query's number measures the
     // query, not executor + codegen init (same as DevProfile).
     spark.range(1000).selectExpr("sum(id)").collect()
+    // CALIBRATION ANCHOR — a pinned, data-independent probe (in-memory
+    // range → shuffle agg → sort) measured with the same
+    // 2-warmups + median protocol as the suite. Its workload must
+    // NEVER change across rounds: query/calib ratios are what make
+    // round-over-round deltas attributable when the machine itself
+    // drifts (round 6's uniform ~1.25× environment shift muddied every
+    // comparison). It reads no tables, so it moves with CPU/JIT/GC/
+    // scheduler drift only — exactly the component to divide out.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("id % 4096 AS k", "id AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v").as("s"),
+          org.apache.spark.sql.functions.count("v").as("c"))
+        .orderBy("k")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce(); calibOnce() // warmup x2 (untimed)
+    val calib = Array.fill(reps)(calibOnce()).sorted.apply(reps / 2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink forces full materialization of every output column —
       // count() would let Catalyst prune the projection being measured.
@@ -56,7 +82,7 @@ object Bench {
     val failed = results.collect { case (k, _, _, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, _, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"reps":$reps,"calib":$calib,"sf":"$sfDir"}"""
     println(line)
     // the driver captures only a bounded tail of stdout, which has
     // historically truncated the per-query map — also write the full
