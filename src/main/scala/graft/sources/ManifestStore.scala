@@ -39,9 +39,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * protocol's `recoverAll`):
   *   - crash while writing a segment (append or compaction) → pointer
   *     unmoved, the partial directory is unreferenced and invisible;
-  *     the next attempt re-targets the same segment number with
-  *     `SaveMode.Overwrite`, and [[vacuum]] (past its age guard)
-  *     removes abandoned ones;
+  *     the next attempt claims a FRESH segment number (the crashed
+  *     number's claim file keeps it retired), and [[vacuum]] (past its
+  *     age guard) removes abandoned segment dirs and claims together;
   *   - crash while creating the pointer file → a truncated/empty
   *     pointer is INVALID content and is skipped; resolution falls back
   *     to the previous pointer (the old segment list stays live);
@@ -51,15 +51,27 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * any concurrent append/compaction/delete — there is no absent window
   * and no torn append at any instant.
   *
-  * Concurrency: one writer per collection (the reference serializes
-  * with a per-collection mutex, main.go O12; SURVEY §2.3 replaces that
-  * with immutable snapshots). The pointer create with overwrite=false
-  * is an optimistic lock serializing COMMITS — two racing writers
-  * collide on the same sequence and exactly one wins; segment-dir
-  * writes themselves rely on the single-writer contract. [[vacuum]]
-  * deletes only unreferenced directories older than its age guard, so
-  * an in-flight writer's uncommitted segment (or a brand-new
-  * collection's first segment racing its pointer) is never swept; run
+  * Concurrency — CONCURRENT WRITERS are supported and the race is
+  * DEMONSTRATED by spec (the reference serializes with a
+  * per-collection mutex, main.go O12, and runs preforked processes
+  * against it, main.go:113; SURVEY §2.3 replaces the lock with
+  * immutable snapshots plus two optimistic create-no-overwrite locks):
+  *
+  *   - SEGMENT NUMBERS are claimed before any data write
+  *     ([[claimSeg]]: create-no-overwrite on `claim-<n>`, losers bump),
+  *     so racing writers never target the same directory;
+  *   - COMMITS serialize on the pointer create ([[commitWithRetry]]):
+  *     the loser's create throws, it re-resolves against the winner's
+  *     published state, recomputes its commit content (append keeps
+  *     the winner's segments; compaction re-bases or abandons; a
+  *     duplicate idempotency tag abandons), and retries — every
+  *     writer's batch lands exactly once, the pointer log stays dense.
+  *
+  * Both locks need the same FS capability (atomic create-no-overwrite,
+  * see [[publish]] for the S3A caveat). [[vacuum]] deletes only
+  * unreferenced directories older than its age guard, so an in-flight
+  * writer's uncommitted segment and its claim (or a brand-new
+  * collection's first segment racing its pointer) are never swept; run
   * it with an age bound exceeding both the longest write and the
   * longest reader of superseded snapshots (the Delta VACUUM retention
   * contract).
@@ -67,8 +79,16 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 object ManifestStore {
 
   private val PtrPrefix = "ptr-"
+  private val ClaimPrefix = "claim-"
   private val Tombstone = "tombstone"
   private val SegsPrefix = "segs:"
+
+  /** Bound on claim bumps and commit retries under writer contention:
+    * each failed attempt means some OTHER writer made progress (its
+    * claim or pointer landed), so hitting the bound requires this many
+    * concurrent commits to the same collection inside one call —
+    * past it, failing loud beats spinning. */
+  private val MaxCommitAttempts = 64
 
   /** Default [[vacuum]] age guard: directories younger than this are
     * never swept, protecting in-flight writers and recent readers.
@@ -192,10 +212,17 @@ object ManifestStore {
       c: String, asOfSeq: Long): Resolved = {
     val dir = manifestDir(tablePath, c)
     if (!fs.exists(dir)) return Resolved(None, 1L, 1L, 0L, Set.empty)
-    val ptrs = fs.listStatus(dir).toSeq.map(_.getPath)
+    val entries = fs.listStatus(dir).toSeq.map(_.getPath)
+    val ptrs = entries
       .filter(_.getName.startsWith(PtrPrefix))
       .flatMap(p => p.getName.stripPrefix(PtrPrefix).toLongOption.map(_ -> p))
       .sortBy(-_._1)
+    // live claims push the segment-number fast start past in-flight
+    // writers' numbers, so the claim loop usually lands first try
+    val maxClaim = entries
+      .filter(_.getName.startsWith(ClaimPrefix))
+      .flatMap(_.getName.stripPrefix(ClaimPrefix).toLongOption)
+      .maxOption.getOrElse(0L)
     // resolution cost is O(pointers since the last vacuum): each call
     // opens every retained pointer file (maxSeg needs them anyway for
     // crash-safe segment numbering); [[vacuum]] prunes superseded ones
@@ -220,7 +247,8 @@ object ManifestStore {
       case (seq, true, _) => seq
       case (seq, _, Some(_)) => seq
     }
-    Resolved(decided.flatMap(_._2), maxSeq + 1, maxSeg + 1,
+    Resolved(decided.flatMap(_._2), maxSeq + 1,
+      math.max(maxSeg, maxClaim) + 1,
       decided.map(_._1).getOrElse(0L), bodies.flatMap(_._2).toSet,
       parsed.collect { case (seq, _, Some((_, Some(_)))) => seq }.toSet,
       valid.minOption.getOrElse(0L))
@@ -249,6 +277,85 @@ object ManifestStore {
   private def segsContent(segs: Seq[Long], srcTag: Option[String] = None): String =
     segs.map(s => f"$s%06d")
       .mkString(SegsPrefix, ",", srcTag.fold("")(t => s";src=$t") + SegsSuffix)
+
+  /** Atomically CLAIM a segment number >= `from` before writing any
+    * data into it: create-no-overwrite on `claim-<n>` — the same FS
+    * primitive as the pointer lock, applied one step earlier. Without
+    * it, two racing writers resolve the same `nextSeg` and both write
+    * the same segment directory; the pointer race then decides a
+    * winner whose committed directory may hold the LOSER's bytes.
+    * An existing claim (concurrent or crashed writer) bumps to the
+    * next number — segment numbering may skip, which is fine because
+    * pointers name their segments explicitly. Claims are retired
+    * best-effort after commit and swept by [[vacuum]]. */
+  private def claimSeg(fs: FileSystem, tablePath: String, c: String,
+      from: Long): Long = {
+    val dir = manifestDir(tablePath, c)
+    fs.mkdirs(dir)
+    var n = from
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val created =
+        try {
+          val out = fs.create(new Path(dir, f"$ClaimPrefix$n%06d"), false)
+          try out.write('c'.toInt) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (created) return n
+      // taken (or transient error — bumping past is safe either way:
+      // skipped numbers are never resurrected, see [[vacuum]])
+      n += 1
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"could not claim a segment number for '$c' after " +
+        s"$MaxCommitAttempts attempts (extreme writer contention?)")
+  }
+
+  private def releaseClaim(fs: FileSystem, tablePath: String, c: String,
+      seg: Long): Unit =
+    try fs.delete(new Path(manifestDir(tablePath, c),
+      f"$ClaimPrefix$seg%06d"), false)
+    catch { case _: java.io.IOException => () /* vacuum sweeps it */ }
+
+  /** Publish with OPTIMISTIC-LOCK RETRY — the writer half of the
+    * multi-writer commit protocol. `contentFor` derives the commit
+    * content from a fresh [[Resolved]] snapshot (or None to abandon
+    * the commit — e.g. the idempotency tag landed via another writer,
+    * or a concurrent commit made this one moot). A successful
+    * create-no-overwrite at `nextPtrSeq` PROVES no commit intervened
+    * since that snapshot: any later commit would have consumed exactly
+    * the sequence this writer targets (sequences are dense — every
+    * writer targets maxSeq+1), so the loser's create throws and the
+    * loop re-resolves against the winner's state and recomputes.
+    * Returns true iff THIS writer's commit published. */
+  private def commitWithRetry(fs: FileSystem, tablePath: String, c: String,
+      first: Resolved)(contentFor: Resolved => Option[String]): Boolean = {
+    var r = first
+    var attempts = 0
+    while (true) {
+      contentFor(r) match {
+        case None => return false
+        case Some(content) =>
+          try {
+            publish(fs, tablePath, c, r.nextPtrSeq, content)
+            return true
+          } catch {
+            case e: java.io.IOException =>
+              attempts += 1
+              if (attempts >= MaxCommitAttempts)
+                throw new IllegalStateException(
+                  s"commit of '$c' lost $MaxCommitAttempts pointer races " +
+                    "(extreme writer contention?)", e)
+              // tiny jittered backoff so two symmetric losers don't
+              // lockstep; then re-resolve against the winner's state
+              Thread.sleep(1L + scala.util.Random.nextInt(8).toLong)
+              r = resolve(fs, tablePath, c)
+          }
+      }
+    }
+    false // unreachable
+  }
 
   /** Collections with a manifest (live or tombstoned). Directory
     * names are unescaped back to the user's collection names. */
@@ -551,10 +658,17 @@ object ManifestStore {
     val fs = fsOf(spark, tablePath)
     assertNotFlatLayout(fs, tablePath, collection)
     val r = resolve(fs, tablePath, collection)
-    writeSegment(chunks.drop("collection"), fs, tablePath, collection,
-      r.nextSeg)
-    publish(fs, tablePath, collection, r.nextPtrSeq,
-      segsContent(r.liveSegs.getOrElse(Seq.empty) :+ r.nextSeg))
+    val seg = claimSeg(fs, tablePath, collection, r.nextSeg)
+    writeSegment(chunks.drop("collection"), fs, tablePath, collection, seg)
+    commitWithRetry(fs, tablePath, collection, r) { rr =>
+      val live = rr.liveSegs.getOrElse(Seq.empty)
+      // already listed ⇒ an earlier create reported an error but
+      // actually landed (ambiguous PUT) — re-appending would read the
+      // segment twice
+      if (live.contains(seg)) None
+      else Some(segsContent(live :+ seg))
+    }
+    releaseClaim(fs, tablePath, collection, seg)
   }
 
   /** IDEMPOTENT append: like [[store]], but the commit carries a
@@ -584,11 +698,19 @@ object ManifestStore {
     val r = resolve(fs, tablePath, collection)
     if (r.seenTags.contains(tag)) false
     else {
-      writeSegment(chunks.drop("collection"), fs, tablePath, collection,
-        r.nextSeg)
-      publish(fs, tablePath, collection, r.nextPtrSeq,
-        segsContent(r.liveSegs.getOrElse(Seq.empty) :+ r.nextSeg, Some(tag)))
-      true
+      val seg = claimSeg(fs, tablePath, collection, r.nextSeg)
+      writeSegment(chunks.drop("collection"), fs, tablePath, collection, seg)
+      val won = commitWithRetry(fs, tablePath, collection, r) { rr =>
+        val live = rr.liveSegs.getOrElse(Seq.empty)
+        // the tag landing via ANOTHER writer (concurrent replay of the
+        // same batch) abandons this commit — its orphan segment is
+        // unreferenced and vacuumed; exactly one copy of the batch is
+        // ever readable
+        if (rr.seenTags.contains(tag) || live.contains(seg)) None
+        else Some(segsContent(live :+ seg, Some(tag)))
+      }
+      releaseClaim(fs, tablePath, collection, seg)
+      won
     }
   }
 
@@ -701,8 +823,25 @@ object ManifestStore {
               col(ZoneMapColumn).cast("string"))
             .sortWithinPartitions(col(ZoneMapColumn).cast("string"))
         else rows.repartition(targetFiles)
-      writeSegment(laid, fs, tablePath, c, r.nextSeg)
-      publish(fs, tablePath, c, r.nextPtrSeq, segsContent(Seq(r.nextSeg)))
+      val inputSegs = r.liveSegs.getOrElse(Seq.empty).toSet
+      val seg = claimSeg(fs, tablePath, c, r.nextSeg)
+      writeSegment(laid, fs, tablePath, c, seg)
+      commitWithRetry(fs, tablePath, c, r) { rr =>
+        rr.liveSegs match {
+          // a racing append is preserved: the compacted segment
+          // replaces exactly the inputs it rewrote, anything committed
+          // since rides along (compacted data first — list order is
+          // data age, the change feed's contract)
+          case Some(live) if inputSegs.subsetOf(live.toSet) &&
+              !live.contains(seg) =>
+            Some(segsContent(seg +: live.filterNot(inputSegs.contains)))
+          // concurrently deleted, or another compaction already
+          // rewrote (some of) the inputs: this rewrite is moot — its
+          // orphan segment is unreferenced and vacuumed
+          case _ => None
+        }
+      }
+      releaseClaim(fs, tablePath, c, seg)
     }
   }
 
@@ -714,7 +853,10 @@ object ManifestStore {
     val fs = fsOf(spark, tablePath)
     val r = resolve(fs, tablePath, c)
     if (r.liveSegs.isDefined)
-      publish(fs, tablePath, c, r.nextPtrSeq, Tombstone)
+      commitWithRetry(fs, tablePath, c, r) { rr =>
+        // already tombstoned (possibly by a racing delete) ⇒ done
+        if (rr.liveSegs.isDefined) Some(Tombstone) else None
+      }
   }
 
   /** Age of a candidate directory for the vacuum guard: the newest
@@ -893,6 +1035,29 @@ object ManifestStore {
             removed += st.getPath.toString
           }
       }
+      // segment-number CLAIMS follow the same lifecycle: a claim whose
+      // segment is RETAINED is dead weight (numbering has moved past
+      // it via the pointer log — it can never be re-issued), deletable
+      // unguarded; a claim with no committed segment is either an
+      // in-flight writer's (young — the age guard protects it exactly
+      // like its half-written segment dir) or a crashed writer's
+      // (aged out — swept together with its orphan segment above).
+      if (fs.exists(mdir)) {
+        fs.listStatus(mdir).toSeq
+          .filter { st =>
+            val n = st.getPath.getName
+            n.startsWith(ClaimPrefix) &&
+            n.stripPrefix(ClaimPrefix).toLongOption.exists { s =>
+              keepSegs.contains(segName(s)) ||
+              (st.getModificationTime != 0L &&
+                st.getModificationTime < cutoff)
+            }
+          }
+          .foreach { st =>
+            fs.delete(st.getPath, false)
+            removed += st.getPath.toString
+          }
+      }
       // tombstone RETIREMENT: once a tombstoned collection's data is
       // fully reclaimed and its entire log (the tombstone included) is
       // past its floor — the TAG floor for tagged commits, same
@@ -900,14 +1065,17 @@ object ManifestStore {
       // pointer blocks retirement directly, not just via the data dir —
       // the manifest dir itself goes: without this, every create/delete
       // cycle leaks one manifest dir and a permanent listCollections
-      // entry. Safe to restart numbering: no segment data remains, and
-      // a concurrent re-creator is excluded by the
-      // single-writer-per-collection contract.
+      // entry. Safe to restart numbering: no segment data remains, a
+      // surviving (young) claim blocks retirement for this pass, and a
+      // writer stalled PAST the age floor is outside the vacuum
+      // contract (same exposure as its half-written segment dir).
       if (r.decidedSeq > 0L && r.liveSegs.isEmpty && !fs.exists(cdir) &&
           log.nonEmpty && log.forall { case (_, st, body) =>
             val floor = if (body.exists(_._2.isDefined)) tagCutoff else cutoff
             st.getModificationTime != 0L && st.getModificationTime < floor
-          } && fs.exists(mdir)) {
+          } && fs.exists(mdir) &&
+          !fs.listStatus(mdir).exists(
+            _.getPath.getName.startsWith(ClaimPrefix))) {
         fs.delete(mdir, true)
         removed += mdir.toString
       }
