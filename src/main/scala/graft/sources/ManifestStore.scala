@@ -479,19 +479,72 @@ object ManifestStore {
   // segment zone maps (Delta/Iceberg-style file skipping, one level up)
   // ------------------------------------------------------------------
 
-  /** Column whose per-segment [min,max] is recorded at commit time.
-    * Parquet footers already give ROW-GROUP skipping inside a file;
-    * the zone map gives SEGMENT skipping one level up — a pruned
+  /** DEFAULT column whose per-segment [min,max] is recorded at commit
+    * time. Parquet footers already give ROW-GROUP skipping inside a
+    * file; the zone map gives SEGMENT skipping one level up — a pruned
     * [[readRange]] never lists, plans, or opens a segment whose range
     * can't match, which at 100 TB is the difference between "the scan
     * schedules a task per file and the footer rejects it" and "the
     * driver never saw the file". `doc_id` is the reference's document
     * identity key (main.go:300 — the UUID every store assigns), the
-    * natural carrier for ingest-ordered segment locality. */
+    * natural carrier for ingest-ordered segment locality. Tables whose
+    * dominant pruning axis differs (time-series: an event timestamp)
+    * configure their own set via [[setZoneMapColumns]]. */
   val ZoneMapColumn = "doc_id"
 
   private val StatsPrefix = "stats-"
   private val ZmPrefix = "zm:"
+  private val ZmColsPrefix = "zmcols:"
+
+  private def zmColsPath(tablePath: String): Path =
+    new Path(s"$tablePath/_manifest/.zm-cols")
+
+  /** Configure WHICH columns get per-segment zone-map stats for this
+    * table — persisted next to the manifests so every writer and
+    * compactor agrees. Applies to segments written AFTER the call
+    * (stats are advisory: older segments simply never prune). Each
+    * column's stat is typed by its KIND — integral columns record
+    * numeric bounds served by [[readRangeLong]], everything else
+    * records string bounds served by [[readRange]] — and a range read
+    * only ever prunes on a stat of its own kind, because the two
+    * orders disagree ("9" > "10" as strings) and a cross-kind prune
+    * would silently drop matching segments. */
+  def setZoneMapColumns(spark: SparkSession, tablePath: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "zone-map column set must be non-empty")
+    val fs = fsOf(spark, tablePath)
+    assertNotFlatLayout(fs, tablePath, "zm-config")
+    fs.mkdirs(new Path(s"$tablePath/_manifest"))
+    val out = fs.create(zmColsPath(tablePath), true) // config update
+    try out.write(
+      (ZmColsPrefix + cols.map(zmEnc).mkString(",") + SegsSuffix)
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The table's configured zone-map columns; [[ZoneMapColumn]] when
+    * unset (or the config file is torn — advisory, like the stats). */
+  private[sources] def zoneMapColumnsOf(fs: FileSystem,
+      tablePath: String): Seq[String] =
+    readPtr(fs, zmColsPath(tablePath)) match {
+      case Some(s) if s.startsWith(ZmColsPrefix) && s.endsWith(SegsSuffix) =>
+        val cols = s.stripPrefix(ZmColsPrefix).stripSuffix(SegsSuffix)
+          .split(',').toSeq.filter(_.nonEmpty).map(zmDec)
+        if (cols.nonEmpty) cols else Seq(ZoneMapColumn)
+      case _ => Seq(ZoneMapColumn)
+    }
+
+  /** Stat kind for a column type: 'l' = integral (numeric-ordered
+    * bounds), 's' = everything else via cast-to-string (UTF-8-ordered
+    * bounds — the order Spark's string min/max collects under). */
+  private def zmKindOf(dt: org.apache.spark.sql.types.DataType): Char =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => 'l'
+      case _ => 's'
+    }
 
   private def statsPath(tablePath: String, c: String, seg: Long): Path =
     new Path(manifestDir(tablePath, c), f"$StatsPrefix$seg%06d")
@@ -532,40 +585,53 @@ object ManifestStore {
   private def writeSegment(df: DataFrame, fs: FileSystem,
       tablePath: String, c: String, seg: Long): Unit = {
     val dir = segDir(tablePath, c, seg).toString
-    // a crash-retry re-targets the SAME segment number (the pointer
-    // never landed), so a sidecar from the failed attempt may describe
-    // the OLD bytes — drop it BEFORE the data write and recreate it
-    // after, or stale bounds would prune the new data (wrong results,
-    // not just missed pruning)
+    // a sidecar left by a crashed attempt at this number describes
+    // bytes that never committed — drop it BEFORE the data write and
+    // recreate it after, or stale bounds would prune the new data
+    // (wrong results, not just missed pruning)
     try fs.delete(statsPath(tablePath, c, seg), false)
     catch { case _: java.io.IOException => () }
-    if (!df.columns.contains(ZoneMapColumn)) {
+    val zmCols = zoneMapColumnsOf(fs, tablePath)
+      .filter(df.columns.contains)
+      .map(n => (n, zmKindOf(df.schema(n).dataType)))
+    if (zmCols.isEmpty) {
       df.write.mode(SaveMode.Overwrite).parquet(dir)
     } else {
+      // every configured column's [min,max] rides ONE Observation on
+      // the segment write itself — zero extra passes however many
+      // columns are mapped
       val obs = Observation()
-      df.observe(obs,
-          min(col(ZoneMapColumn).cast("string")).as("zm_min"),
-          max(col(ZoneMapColumn).cast("string")).as("zm_max"))
+      val aggs = zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
+        val base = if (k == 'l') col(n) else col(n).cast("string")
+        Seq(min(base).as(s"zm_lo_$i"), max(base).as(s"zm_hi_$i"))
+      }
+      df.observe(obs, aggs.head, aggs.tail: _*)
         .write.mode(SaveMode.Overwrite).parquet(dir)
       val m = obs.get
-      (m.get("zm_min"), m.get("zm_max")) match {
-        case (Some(lo: String), Some(hi: String)) =>
-          try {
-            val out = fs.create(statsPath(tablePath, c, seg), true)
-            try out.write(
-              (s"$ZmPrefix${zmEnc(ZoneMapColumn)}=${zmEnc(lo)},${zmEnc(hi)}"
-                + SegsSuffix).getBytes("UTF-8"))
-            finally out.close()
-          } catch { case _: java.io.IOException => () /* advisory */ }
-        case _ => () // empty segment or all-null column: no sidecar
+      val entries = zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
+        (m.get(s"zm_lo_$i"), m.get(s"zm_hi_$i")) match {
+          // empty segment or all-null column: no entry for this column
+          case (Some(lo), Some(hi)) if lo != null && hi != null =>
+            Some(s"${zmEnc(n)}:$k=${zmEnc(lo.toString)},${zmEnc(hi.toString)}")
+          case _ => None
+        }
       }
+      if (entries.nonEmpty)
+        try {
+          val out = fs.create(statsPath(tablePath, c, seg), true)
+          try out.write(
+            (ZmPrefix + entries.mkString(";") + SegsSuffix).getBytes("UTF-8"))
+          finally out.close()
+        } catch { case _: java.io.IOException => () /* advisory */ }
     }
   }
 
-  /** The segment's recorded zone map: column → (min, max), empty when
-    * the sidecar is missing, torn, or unparseable (= "cannot prune"). */
+  /** The segment's recorded zone map: column → (kind, min, max), empty
+    * when the sidecar is missing, torn, or unparseable (= "cannot
+    * prune"). Entries without a kind marker (pre-generalization
+    * sidecars) are string-kind — that is what they recorded. */
   private[sources] def readSegStats(fs: FileSystem, tablePath: String,
-      c: String, seg: Long): Map[String, (String, String)] =
+      c: String, seg: Long): Map[String, (Char, String, String)] =
     readPtr(fs, statsPath(tablePath, c, seg)) match {
       case Some(s) if s.startsWith(ZmPrefix) && s.endsWith(SegsSuffix) =>
         s.stripPrefix(ZmPrefix).stripSuffix(SegsSuffix)
@@ -574,7 +640,13 @@ object ManifestStore {
             entry.split('=') match {
               case Array(name, range) => range.split(',') match {
                 case Array(lo, hi) =>
-                  Some(zmDec(name) -> (zmDec(lo), zmDec(hi)))
+                  // name is URL-encoded, so a raw ':' can only be the
+                  // kind marker
+                  val (n, kind) = name.split(':') match {
+                    case Array(n0, k) if k.length == 1 => (n0, k.head)
+                    case _ => (name, 's')
+                  }
+                  Some(zmDec(n) -> (kind, zmDec(lo), zmDec(hi)))
                 case _ => None
               }
               case _ => None
@@ -604,13 +676,81 @@ object ManifestStore {
     val segs = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
     val kept = segs.filter { s =>
       readSegStats(fs, tablePath, c, s).get(column) match {
-        case Some((mn, mx)) => utf8Cmp(mn, hi) <= 0 && utf8Cmp(mx, lo) >= 0
-        case None => true
+        // KIND discipline: only string-kind stats serve a string-order
+        // prune — numeric-kind bounds are ordered differently ("9" >
+        // "10") and would silently drop matching segments
+        case Some(('s', mn, mx)) =>
+          utf8Cmp(mn, hi) <= 0 && utf8Cmp(mx, lo) >= 0
+        case _ => true
       }
     }
-    readSegs(spark, tablePath, c, kept)
-      .where(col(column).cast("string").between(lit(lo), lit(hi)))
+    rangeResidual(
+      readSegsInferred(spark, tablePath, c, kept, segs), column,
+      col(column).cast("string").between(lit(lo), lit(hi)))
   }
+
+  /** [[readRange]] for INTEGRAL columns — the time-series axis
+    * (`events.ts`-style epoch-longs) that dominates pruning at 100 TB.
+    * The prune compares numeric bounds (only 'l'-kind stats are
+    * consulted, see [[readRange]] on kind discipline) and the residual
+    * predicate is the NATIVE long comparison — no cast wrapper, so it
+    * pushes all the way into the surviving segments' parquet footers
+    * and row-group skipping works inside them too. */
+  def readRangeLong(spark: SparkSession, tablePath: String, c: String,
+      lo: Long, hi: Long, column: String): DataFrame = {
+    val fs = fsOf(spark, tablePath)
+    val segs = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
+    val kept = segs.filter { s =>
+      readSegStats(fs, tablePath, c, s).get(column) match {
+        case Some(('l', mn, mx)) =>
+          (mn.toLongOption, mx.toLongOption) match {
+            case (Some(a), Some(b)) => a <= hi && b >= lo
+            case _ => true // unparseable bounds: cannot prune
+          }
+        case _ => true
+      }
+    }
+    rangeResidual(
+      readSegsInferred(spark, tablePath, c, kept, segs), column,
+      col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** Residual-predicate application shared by the range reads: an
+    * ABSENT collection stays the defined empty the store promises
+    * (Q7), but a live table missing the queried column fails loud —
+    * silently returning every row unfiltered (or none) would be a
+    * wrong answer wearing a plausible shape. */
+  private def rangeResidual(df: DataFrame, column: String,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    if (df.columns.contains(column)) df.where(pred)
+    else if (df.isEmpty) df
+    else throw new IllegalArgumentException(
+      s"range read on '$column': no such column " +
+        s"(has: ${df.columns.mkString(", ")})")
+
+  /** Segment read for the range paths with the SCHEMA INFERRED from
+    * the segments themselves — zone-mapped tables are not necessarily
+    * chunk-shaped (a time-series table carries its own columns).
+    * A fully pruned read still needs a schema for its defined-empty
+    * result: one driver-side footer read of any live segment (no job);
+    * an absent collection falls back to the store's default chunk
+    * shape. */
+  private def readSegsInferred(spark: SparkSession, tablePath: String,
+      c: String, kept: Seq[Long], allLive: Seq[Long]): DataFrame =
+    if (kept.nonEmpty)
+      spark.read.option("basePath", tablePath)
+        .parquet(kept.map(s => segDir(tablePath, c, s).toString): _*)
+        .drop("seg")
+    else {
+      val schema = allLive.headOption match {
+        case Some(s) =>
+          StructType(spark.read
+            .parquet(segDir(tablePath, c, s).toString).schema.fields.toSeq :+
+            StructField("collection", StringType))
+        case None => DocumentStore.chunkTableSchema
+      }
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
 
   /** Write-side twin of [[readMany]]'s flat-layout loud-fail: a
     * manifest append into a PRE-EXISTING flat-layout table would write
@@ -813,7 +953,13 @@ object ManifestStore {
     val fs = fsOf(spark, tablePath)
     val r = resolve(fs, tablePath, c)
     if (r.liveSegs.isDefined) {
-      val rows = read(spark, tablePath, Some(c)).drop("collection")
+      // INFERRED schema, not the chunk contract: a generalized
+      // (time-series) table's own columns must survive the rewrite —
+      // the chunk-schema read would silently drop them from the
+      // compacted segment
+      val live = r.liveSegs.toSeq.flatten
+      val rows = readSegsInferred(spark, tablePath, c, live, live)
+        .drop("collection")
       if (cluster) require(rows.columns.contains(ZoneMapColumn),
         s"cluster=true needs column '$ZoneMapColumn' in collection '$c' " +
           s"(has: ${rows.columns.mkString(", ")})")

@@ -372,6 +372,74 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(got.inputFiles.exists(_.contains("seg=000002")))
   }
 
+  test("generalized zone maps: time-series segment skipping on a " +
+      "configured ts column (numeric bounds, native residual)") {
+    // the dominant pruning axis at 100 TB is TIME — an events-style
+    // table maps `ts` (epoch-micros long, the `events.ts` shape) and
+    // gets segment skipping on it; `doc_id` stays mapped alongside,
+    // with each stat kind serving only its own ordering
+    val table = tmp() + "/evtable"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id", "ts"))
+    def evRows(lo: Long, hi: Long) = spark.range(lo, hi + 1).select(
+      lit("ev").as("collection"),
+      format_string("%06d", col("id")).as("doc_id"),
+      (col("id") * 1000000L).as("ts"),
+      (col("id") % 7).as("val"))
+    ManifestStore.store(evRows(100, 199), table, "ev") // seg1
+    ManifestStore.store(evRows(200, 299), table, "ev") // seg2
+    ManifestStore.store(evRows(300, 399), table, "ev") // seg3
+    // numeric in-range read touches ONLY the matching segment...
+    val one = ManifestStore.readRangeLong(spark, table, "ev",
+      250000000L, 260000000L, "ts")
+    assert(one.count() == 11)
+    assert(one.inputFiles.nonEmpty &&
+      one.inputFiles.forall(_.contains("seg=000002")))
+    // ...a straddling read exactly the two matching ones...
+    val two = ManifestStore.readRangeLong(spark, table, "ev",
+      150000000L, 250000000L, "ts")
+    assert(two.count() == 101)
+    assert(two.inputFiles.exists(_.contains("seg=000001")) &&
+      two.inputFiles.exists(_.contains("seg=000002")) &&
+      !two.inputFiles.exists(_.contains("seg=000003")))
+    // ...and a miss plans nothing, as a defined empty with the
+    // table's own schema
+    val miss = ManifestStore.readRangeLong(spark, table, "ev",
+      900000000L, 990000000L, "ts")
+    assert(miss.inputFiles.isEmpty && miss.count() == 0)
+    assert(miss.columns.contains("ts"), miss.columns.toSeq)
+    // NUMERIC order is what prunes: string order would misplace
+    // 1000000xx between 100000000 and 400000000 — a string-kind prune
+    // on this column is never consulted, so boundary rows survive
+    assert(ManifestStore.readRangeLong(spark, table, "ev",
+      100000000L, 100000000L, "ts").count() == 1)
+    // the sidecar round-trips BOTH columns: the string axis still
+    // prunes through readRange on the same segments
+    val sOne = ManifestStore.readRange(spark, table, "ev",
+      "000250", "000260", "doc_id")
+    assert(sOne.count() == 11)
+    assert(sOne.inputFiles.nonEmpty &&
+      sOne.inputFiles.forall(_.contains("seg=000002")))
+    // kind discipline: a STRING-order range read on the numeric
+    // column cannot use the numeric stats — conservative (all
+    // segments), never wrongly pruned
+    val strOnTs = ManifestStore.readRange(spark, table, "ev",
+      "150000000", "250000000", "ts")
+    assert(strOnTs.count() == 101)
+    // a typo'd column fails loud instead of returning unfiltered rows
+    intercept[IllegalArgumentException] {
+      ManifestStore.readRangeLong(spark, table, "ev", 0L, 1L, "tz")
+        .count()
+    }
+    // vacuum/compaction lifecycle stays green on the generalized table
+    ManifestStore.compactCollection(spark, table, "ev")
+    assert(ManifestStore.readRangeLong(spark, table, "ev",
+      250000000L, 260000000L, "ts").count() == 11)
+    ManifestStore.vacuum(spark, table, 0L, 0L)
+    assert(ManifestStore.readRangeLong(spark, table, "ev",
+      250000000L, 260000000L, "ts").count() == 11)
+    assert(ManifestStore.read(spark, table, Some("ev")).count() == 300)
+  }
+
   test("manifest clustered compaction: output files cover disjoint " +
       "key ranges; round-robin does not") {
     val table = tmp() + "/table"
