@@ -291,6 +291,92 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Query SUITE for the relation-shaped BM25 ([[bm25Multi]]): the
+    * multi-query regime a training-data pipeline actually runs
+    * (millions of decontamination/eval probes, not three hardcoded
+    * terms). Includes the fixed demo's terms, an overlapping second
+    * query, a stopword-heavy one, and a no-hit probe (which must
+    * yield zero rows, not a fault). */
+  val Bm25QuerySuite: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join", 1L -> "merge",
+    2L -> "data", 2L -> "join",
+    3L -> "the", 3L -> "of",
+    4L -> "zxqvjkwpt")
+
+  def bm25Multi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bm25MultiOn(Tables(s, dir, "documents"),
+      Bm25QuerySuite.toDF("query_id", "term"), Bm25TopK)
+  }
+
+  /** BM25 where the QUERY SIDE IS A RELATION (query_id, term) — the
+    * inverted-index formulation [[bm25On]]'s scaladoc points to for
+    * query sets too large to live in the plan.
+    *
+    * Scale shape: the corpus shuffles ONCE, onto (doc_id, word), to
+    * build per-document term frequencies; the query suite then joins
+    * INTO that relation through [[VectorSearch.broadcastIfSmall]] — a
+    * benchmark-suite-sized relation broadcasts (hash join, no corpus
+    * movement), a corpus-derived query side degrades to a shuffle
+    * join, which is then the only correct plan. Document frequencies
+    * come from a window over the HITS relation (suite terms only) —
+    * never a vocabulary-wide join. Scoring folds each document's
+    * matched terms in sorted order (sequential left fold, the repo's
+    * float-determinism rule) against the same rational-idf,
+    * literal-folded arithmetic as [[bm25On]]; corpus stats ride a
+    * 1-row broadcast. */
+  def bm25MultiOn(documents: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+      .where(col("dl") > 0)
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("word"))
+      .groupBy("doc_id", "dl", "word")
+      .agg(count(lit(1)).as("tf"))
+    val qterms = queries.select(col("query_id"), col("term")).distinct()
+    val suiteTerms = qterms.select(col("term")).distinct()
+    val wWord = Window.partitionBy(col("word"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(VectorSearch.broadcastIfSmall(suiteTerms),
+        col("word") === col("term"), "left_semi")
+      // df(word) counted over the SEMI-joined hits: tf rows are
+      // distinct (doc, word) pairs, so the per-word row count IS the
+      // corpus document frequency — computed only for suite terms.
+      // The semi-join must precede this window: counting after
+      // attaching query_ids would double-count a document for every
+      // query sharing the term
+      .withColumn("df", count(lit(1)).over(wWord))
+      .join(VectorSearch.broadcastIfSmall(qterms),
+        col("word") === col("term"))
+      .groupBy(col("query_id"), col("doc_id"), col("dl"))
+      .agg(sort_array(collect_list(
+        struct(col("word"), col("tf"), col("df")))).as("tl"))
+      .crossJoin(broadcast(stats)) // exactly one row by construction
+      .withColumn("nd", col("n_docs").cast("double"))
+      .withColumn("norm", lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") /
+          (col("sum_dl").cast("double") / col("nd"))))
+      // sorted sequential fold: ((0 + s_1) + s_2) + ... — the oracle
+      // mirrors the exact op order; the lambda captures only
+      // ATTRIBUTES (nd, norm), per the HOF re-evaluation rule
+      .withColumn("score", aggregate(col("tl"), lit(0.0), (acc, x) => {
+        val tfv = x.getField("tf").cast("double")
+        val dfv = x.getField("df").cast("double")
+        val idf = (col("nd") - dfv + lit(0.5)) / (dfv + lit(0.5))
+        acc + idf * (tfv * lit(2.2)) / (tfv + lit(1.2) * col("norm"))
+      }))
+      .withColumn("rnk", row_number().over(wq))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("dl"), col("score"),
+        col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Per-language distinct 3-shingle cardinality, exact AND sketched:
     * the KMV k-minimum-values aggregate ([[graft.functions.KmvSketchAgg]])
     * keeps the k smallest distinct shingle hashes per group — mergeable,
@@ -459,6 +545,44 @@ object TextAnalysis {
          |FROM sc
          |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     })((s, dir) => bm25(s, dir)),
+
+    QueryDef.sql("text_bm25_multi", {
+      val qvals = Bm25QuerySuite
+        .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
+        .mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $qvals),
+         |d AS (SELECT doc_id, $W AS ws FROM documents),
+         |b AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
+         |  FROM d WHERE len(ws) > 0),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM b),
+         |terms AS (SELECT doc_id, dl, unnest(ws) AS word FROM b),
+         |tf AS (SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM terms GROUP BY doc_id, dl, word),
+         |hits0 AS (SELECT doc_id, dl, word, tf,
+         |    CAST(count(*) OVER (PARTITION BY word) AS BIGINT) AS df
+         |  FROM tf WHERE word IN (SELECT term FROM q)),
+         |hits AS (SELECT q.query_id, h.doc_id, h.dl, h.word, h.tf, h.df
+         |  FROM hits0 h JOIN q ON h.word = q.term),
+         |g AS (SELECT query_id, doc_id, dl,
+         |    list_sort(list({'word': word, 'tf': tf, 'df': df})) AS tl
+         |  FROM hits GROUP BY query_id, doc_id, dl),
+         |sc AS (SELECT query_id, doc_id, dl,
+         |  list_reduce(list_prepend(0.0E0, list_transform(tl, x ->
+         |    (((CAST(n_docs AS DOUBLE) - CAST(x.df AS DOUBLE) + 0.5E0)
+         |        / (CAST(x.df AS DOUBLE) + 0.5E0))
+         |      * (CAST(x.tf AS DOUBLE) * 2.2E0))
+         |    / (CAST(x.tf AS DOUBLE) + 1.2E0 *
+         |       (0.25E0 + 0.75E0 * (CAST(dl AS DOUBLE)
+         |         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))),
+         |    (a, x) -> a + x) AS score
+         |  FROM g CROSS JOIN st)
+         |SELECT query_id, doc_id, dl, score,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id) AS INT) AS rnk
+         |FROM sc QUALIFY rnk <= $Bm25TopK
+         |ORDER BY query_id, rnk""".stripMargin
+    })((s, dir) => bm25Multi(s, dir)),
 
     QueryDef.sql("text_word_freq",
       s"""WITH terms AS (

@@ -394,6 +394,35 @@ class PlanSpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("bm25 multi-query: suite rides broadcasts into the inverted " +
+      "index; a corpus-sized query side degrades to a shuffle join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    // regime 1 — benchmark-suite query relation: BOTH query-side joins
+    // (semi for df, inner for query_ids) broadcast; the corpus
+    // shuffles only for its own aggregates/windows, never onto a
+    // query-relation join key by SortMergeJoin
+    val suite = TextAnalysis.Bm25QuerySuite.toDF("query_id", "term")
+    val p = plan(TextAnalysis.bm25MultiOn(
+      Tables(spark, sf, "documents"), suite, 10))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // regime 2 — a query side too big for the driver (forced via the
+    // threshold, since at spec SF everything is genuinely small): the
+    // size gate must refuse the broadcast, degrading to the shuffle
+    // join that is the only correct plan at that size
+    val big = Tables(spark, sf, "documents")
+      .select((col("doc_id") % 50).as("query_id"),
+        explode(graft.functions.TextFunctions.words(col("text")))
+          .as("term"))
+    withConf(BroadcastThresholdKey, "-1") {
+      val p2 = plan(TextAnalysis.bm25MultiOn(
+        Tables(spark, sf, "documents"), big, 10))
+      assert(p2.contains("SortMergeJoin"), p2)
+      assert(!p2.contains("BroadcastHashJoin"), p2)
+    }
+  }
+
   test("KNN join broadcasts the query side, never shuffles candidates") {
     val df = VectorSearch.knnJoin(emb, 0 until 8, 5)
     val p = plan(df)
