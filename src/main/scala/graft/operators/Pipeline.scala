@@ -86,6 +86,41 @@ object Pipeline {
   val SampleMult = 1103515245L % 1000000007L
   val SampleAdd = 12345L
 
+  /** Shard count and a SECOND affine map (constants distinct from
+    * [[sampleHash]]'s, so the training-order stream is independent of
+    * the sampling stream) for [[shuffleShards]]. */
+  val ShardCount = 16
+  val ShuffleMult = 2862933555777941757L % SampleMod
+  val ShuffleAdd = 3037000493L % SampleMod
+
+  private def shuffleKey: Column =
+    pmod(pmod(col("doc_id"), lit(SampleMod)) * ShuffleMult + ShuffleAdd,
+      lit(SampleMod))
+
+  def shuffleShards(s: SparkSession, dir: String): DataFrame =
+    shuffleShardsOn(Tables(s, dir, "documents"))
+
+  /** Deterministic TRAINING-ORDER global shuffle — the curation stage
+    * that fixes "which shard does each example land in, and in what
+    * order is the shard read", reproducibly. Both coordinates are PURE
+    * ROW PROPERTIES (the same discipline as [[bottomKSample]]):
+    * `skey` is an affine permutation of doc_id mod a prime, `shard`
+    * its residue — so the assignment is mergeable (disjoint corpus
+    * parts compute their shards independently), resumable (re-running
+    * any subset reproduces it), and identical under ANY input
+    * partitioning. The training order within a shard is "sorted by
+    * skey" — a property of the rows, NOT a window rank: at 100 TB a
+    * per-shard row_number would serialize each shard through one
+    * task, while a sort-on-read (or a range-clustered shard write)
+    * keeps the order without ever materializing global positions. */
+  def shuffleShardsOn(documents: DataFrame,
+      shards: Int = ShardCount): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"), shuffleKey.as("skey"))
+      .withColumn("shard", (col("skey") % shards).cast("int"))
+      .select(col("doc_id"), col("lang"), col("shard"), col("skey"))
+      .orderBy(col("shard"), col("skey"), col("doc_id"))
+
   /** The corpus-curation funnel: quality gate (length + stopword
     * density) then exact dedup, keeping one canonical doc per content
     * hash. Composes the fused word-stats/marker kernels with the
@@ -598,6 +633,16 @@ object Pipeline {
          |FROM documents
          |ORDER BY hkey, doc_id LIMIT 100""".stripMargin)(
       (s, dir) => bottomKSample(s, dir)),
+
+    QueryDef.sql("pl_shuffle_shards",
+      s"""SELECT doc_id, lang,
+         |  CAST(((doc_id % $SampleMod) * $ShuffleMult + $ShuffleAdd)
+         |    % $SampleMod % $ShardCount AS INT) AS shard,
+         |  ((doc_id % $SampleMod) * $ShuffleMult + $ShuffleAdd)
+         |    % $SampleMod AS skey
+         |FROM documents
+         |ORDER BY shard, skey, doc_id""".stripMargin)(
+      (s, dir) => shuffleShards(s, dir)),
 
     QueryDef.sql("pl_chunk_documents",
       s"""WITH d AS (

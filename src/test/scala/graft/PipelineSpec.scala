@@ -136,6 +136,44 @@ class PipelineSpec extends SparkSpecBase {
     assert(again == kept.map(_._1).sorted.toSeq)
   }
 
+  test("shuffle shards: assignment is a pure row property (stable " +
+      "under repartition, mergeable), sizes balanced, order shuffled") {
+    import spark.implicits._
+    val docs = (1L to 600L).map(i => (i, if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.shuffleShardsOn(df).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("shard"), r.getAs[Long]("skey"))).toMap
+    val whole = asMap(docs)
+    assert(whole.size == 600)
+    // stable under ANY input partitioning ...
+    assert(asMap(docs.repartition(13)) == whole)
+    // ... and MERGEABLE: disjoint corpus parts shard independently to
+    // the same assignment (the resumable-ingest property)
+    val parts = asMap(docs.where(col("doc_id") % 2 === 0)) ++
+      asMap(docs.where(col("doc_id") % 2 =!= 0))
+    assert(parts == whole)
+    // independent sequential reimplementation of the documented map
+    def skey(id: Long) = ((id % Pipeline.SampleMod) * Pipeline.ShuffleMult +
+      Pipeline.ShuffleAdd) % Pipeline.SampleMod
+    whole.foreach { case (id, (sh, sk)) =>
+      assert(sk == skey(id) && sh == (skey(id) % Pipeline.ShardCount).toInt)
+    }
+    // every shard populated, sizes within a generous binomial band
+    val sizes = whole.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (0 until Pipeline.ShardCount).toSet, sizes)
+    val mean = 600.0 / Pipeline.ShardCount
+    sizes.values.foreach(s => assert(s > mean / 2 && s < mean * 2, sizes))
+    // the within-shard order is a genuine shuffle, not ingest order:
+    // skey-sorted doc_ids in a shard are not monotone
+    val shard0 = Pipeline.shuffleShardsOn(docs).collect()
+      .filter(_.getAs[Int]("shard") == 0).map(_.getAs[Long]("doc_id"))
+    assert(shard0.length > 3)
+    assert(shard0.zip(shard0.tail).exists { case (a, b) => a > b },
+      shard0.toSeq)
+  }
+
   test("domain mix: corpus rebalance lands near the 40% en target") {
     val audit = Pipeline.domainMix(spark, sf).collect()
     val shares = audit.map(r => r.getAs[String]("lang") ->
