@@ -12,6 +12,7 @@ object DevExplain {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     graft.operators.Dedup.releaseCaches()
+    graft.operators.Pipeline.releaseCaches()
     graft.operators.MlIndex.releaseCaches()
     graft.operators.Events.releaseCaches()
     spark.stop()

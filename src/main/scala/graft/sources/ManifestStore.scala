@@ -730,27 +730,41 @@ object ManifestStore {
 
   /** Segment read for the range paths with the SCHEMA INFERRED from
     * the segments themselves — zone-mapped tables are not necessarily
-    * chunk-shaped (a time-series table carries its own columns).
+    * chunk-shaped (a time-series table carries its own columns). Two
+    * traps the naive inferred read falls into, both avoided here:
+    *
+    *   - `mergeSchema` is ON: without it Spark types the scan from
+    *     ONE footer, and a column present only in other segments
+    *     silently vanishes — fatal when [[compactCollection]] rewrites
+    *     through this path (the column would be LOST once vacuum
+    *     reclaims the inputs). A segment lacking a queried column has
+    *     no stats for it and is therefore always conservatively kept,
+    *     so the merge also guarantees the residual column resolves.
+    *   - no `basePath`/partition discovery: partition-value TYPE
+    *     inference would type `collection` from its value (a
+    *     collection named "0123" reads back as the integer 123). The
+    *     collection is a constant of the call — append it as a typed
+    *     literal instead.
+    *
     * A fully pruned read still needs a schema for its defined-empty
-    * result: one driver-side footer read of any live segment (no job);
+    * result: driver-side footer reads of the live segments (no job);
     * an absent collection falls back to the store's default chunk
     * shape. */
   private def readSegsInferred(spark: SparkSession, tablePath: String,
       c: String, kept: Seq[Long], allLive: Seq[Long]): DataFrame =
     if (kept.nonEmpty)
-      spark.read.option("basePath", tablePath)
+      spark.read.option("mergeSchema", "true")
         .parquet(kept.map(s => segDir(tablePath, c, s).toString): _*)
-        .drop("seg")
-    else {
-      val schema = allLive.headOption match {
-        case Some(s) =>
-          StructType(spark.read
-            .parquet(segDir(tablePath, c, s).toString).schema.fields.toSeq :+
-            StructField("collection", StringType))
-        case None => DocumentStore.chunkTableSchema
-      }
+        .withColumn("collection", lit(c))
+    else if (allLive.nonEmpty) {
+      val schema = StructType(
+        spark.read.option("mergeSchema", "true")
+          .parquet(allLive.map(s => segDir(tablePath, c, s).toString): _*)
+          .schema.fields.toSeq :+ StructField("collection", StringType))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    }
+    } else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        DocumentStore.chunkTableSchema)
 
   /** Write-side twin of [[readMany]]'s flat-layout loud-fail: a
     * manifest append into a PRE-EXISTING flat-layout table would write
@@ -763,11 +777,15 @@ object ManifestStore {
     * FlatBackend, or migrate it through ManifestStore first. */
   private def assertNotFlatLayout(fs: FileSystem, tablePath: String,
       c: String): Unit = {
+    // a transient listing failure must NOT read as "not flat": this
+    // guard exists to refuse before creating the permanent-shadowing
+    // state, so an undecidable probe fails the WRITE loud (caller
+    // retries) rather than waving it through
     def holdsFlatData(dir: Path): Boolean =
-      try fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      fs.exists(dir) && fs.listStatus(dir).exists { st =>
         val n = st.getPath.getName
         !n.startsWith("seg=") && !n.startsWith(".") && !n.startsWith("_")
-      } catch { case _: java.io.IOException => false }
+      }
     // FIRST write to a table (no _manifest yet): sweep every
     // collection= dir at the root — a flat table's OTHER collections
     // would be shadowed just the same. One-time cost; once _manifest
@@ -1222,8 +1240,21 @@ object ManifestStore {
           } && fs.exists(mdir) &&
           !fs.listStatus(mdir).exists(
             _.getPath.getName.startsWith(ClaimPrefix))) {
-        fs.delete(mdir, true)
-        removed += mdir.toString
+        // NOT a recursive delete: a resurrecting writer may create a
+        // claim between the listing above and this delete, and a
+        // recursive rm would erase it — re-opening the
+        // duplicate-segment-number race the claims exist to close.
+        // Delete exactly the files the listing showed, then remove the
+        // dir NON-recursively: if anything (a fresh claim) landed in
+        // the window, the rmdir fails on non-empty and retirement
+        // simply waits for the next pass.
+        try {
+          fs.listStatus(mdir)
+            .filterNot(_.getPath.getName.startsWith(ClaimPrefix))
+            .foreach(st => fs.delete(st.getPath, false))
+          fs.delete(mdir, false)
+          removed += mdir.toString
+        } catch { case _: java.io.IOException => () /* next pass */ }
       }
       } // readable-log guard
     }

@@ -344,11 +344,17 @@ class PlanSpec extends SparkSpecBase {
     // handful of lang_key values — one task per language at 100 TB
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // the quota side is materialized ONCE (localCheckpoint) so the
-    // cardinality gate's count and the join share one derivation —
-    // the corpus-side scan plan must not recompute the histogram
-    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
-    assert(!p.contains("partial_count"), p)
+    // the quota side is materialized ONCE (memoized persist, populated
+    // by the cardinality gate's count before the returned plan can
+    // run) so the gate and the join share one derivation — the
+    // corpus-side execution must read cached quota blocks, never
+    // recompute the histogram
+    assert(p.contains("InMemoryTableScan"), p)
+    // the histogram aggregation may appear INSIDE the InMemoryRelation
+    // printout (that is the cached derivation, populated before this
+    // plan can run) but never above the cache boundary, where it would
+    // mean a live recompute per query
+    assert(!p.split("InMemoryRelation").head.contains("partial_count"), p)
     // the histogram aggregate (in the AUDIT query, where it stays in
     // plan) combines map-side before its (tiny, bucket-bounded)
     // exchange
