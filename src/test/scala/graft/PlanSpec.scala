@@ -274,6 +274,18 @@ class PlanSpec extends SparkSpecBase {
     assert(nShuffles(df) == 0, p)
   }
 
+  test("PQ search: scan-side encode, zero shuffles through both stages") {
+    val df = operators.Ann.pqTopK(emb)
+    val p = plan(df)
+    // the ADC stage is a pure projection (PqM argmin kernels + lut
+    // reads) feeding a TakeOrdered shortlist; the exact re-rank tops a
+    // shortlist-sized set — no exchange, no join anywhere
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(nShuffles(df) == 0, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("nearest_centroid"), p)
+  }
+
   test("hybrid search: small regime — lexical side broadcast, shuffle-free top-k") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = VectorSearch.hybridSearch(emb, docs)
