@@ -121,6 +121,89 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("shard"), col("skey"))
       .orderBy(col("shard"), col("skey"), col("doc_id"))
 
+  /** Epoch weights for [[oversampleDocs]] in TENTHS — exact integer
+    * config, no float weights anywhere: src0 trains 2.4 epochs, src2
+    * 3.0, unlisted sources 1.0. Every weight must be ≥ 10 (pure
+    * OVERsampling — downweighting is [[domainMixDocs]]' job; keeping
+    * copies ≥ 1 also keeps the repeat sequence non-empty). */
+  val OverWeightTenths: Seq[(String, Int)] =
+    Seq("src0" -> 24, "src1" -> 17, "src2" -> 30, "src3" -> 12)
+  val OverDefaultTenths = 10
+  /** Upper bound on copies per doc (tenths ≤ 39 → ≤ 3 + 1 fractional);
+    * spreads the (doc, copy) pair into a single key below. */
+  val OverMaxCopies = 8
+  /** Dedicated affine map for the FRACTIONAL-copy acceptance residue —
+    * constants distinct from both the sampling and the training-order
+    * streams, so repeat membership correlates with neither. */
+  val OverMult = 48271L
+  val OverAdd = 11L
+
+  private def overTenthsCol: Column =
+    OverWeightTenths.foldLeft(null: Column) { case (acc, (src, t)) =>
+      if (acc == null) when(col("source") === src, lit(t))
+      else acc.when(col("source") === src, lit(t))
+    }.otherwise(lit(OverDefaultTenths))
+
+  def oversample(s: SparkSession, dir: String): DataFrame =
+    oversampleAuditOn(Tables(s, dir, "documents"))
+
+  def oversampleDocs(s: SparkSession, dir: String): DataFrame =
+    oversampleDocsOn(Tables(s, dir, "documents"))
+
+  /** Per-document copy count: floor(w) full copies + one more iff the
+    * doc's acceptance residue falls under the fractional part —
+    * EXACT integer arithmetic (w_tenths ``/ 10`` and ``% 10``), so the
+    * realized per-source row count is n·⌊w⌋ + |{h₁₀ < w mod 10}| by
+    * construction, not in expectation. A pure row property: stable
+    * under repartitioning, mergeable across corpus parts, and
+    * re-derivable for any single doc (resumable). */
+  private def nCopiesCol: Column = {
+    val h10 = pmod(pmod(col("doc_id"), lit(SampleMod)) * OverMult + OverAdd,
+      lit(SampleMod)) % 10
+    expr("w_tenths div 10").cast("long") +
+      when(h10 < col("w_tenths") % 10, 1L).otherwise(0L)
+  }
+
+  /** Epoch-weighted OVERSAMPLING — the data-mixing stage that repeats
+    * high-value sources a fractional number of epochs (e.g. "books ×
+    * 2.4") in one pass. Each (doc, copy) row gets its own
+    * training-order key `tkey` — an affine permutation of
+    * doc_id·[[OverMaxCopies]]+copy on the [[shuffleShardsOn]] stream —
+    * so repeats of a document land SPREAD across the training order,
+    * never adjacent. Scale shape: scan → projection → explode
+    * (`sequence` of at most ⌈w⌉ ints, generated, never materialized
+    * corpus-wide) — zero shuffles before the output sort; composes
+    * directly with [[shuffleShardsOn]]'s shard assignment. */
+  def oversampleDocsOn(documents: DataFrame): DataFrame = {
+    val tkey = pmod(
+      pmod(col("doc_id") * OverMaxCopies + col("copy"), lit(SampleMod))
+        * ShuffleMult + ShuffleAdd, lit(SampleMod))
+    documents
+      .select(col("doc_id"), col("source"), overTenthsCol.as("w_tenths"))
+      .withColumn("n_copies", nCopiesCol)
+      .select(col("doc_id"), col("source"), col("w_tenths"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+      .withColumn("tkey", tkey)
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
+  /** The audit twin of [[oversampleDocsOn]]: per source, the configured
+    * weight, population, realized repeated-row count and rate — one
+    * partial+final aggregate over the SAME copy-count row property (no
+    * explode; counting never pays the repetition). */
+  def oversampleAuditOn(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"), overTenthsCol.as("w_tenths"))
+      .withColumn("n_copies", nCopiesCol)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("w_tenths")).as("w_tenths"),
+        sum(col("n_copies")).as("n_rows"))
+      .select(col("source"), col("n_docs"), col("w_tenths"), col("n_rows"),
+        (col("n_rows").cast("double") / col("n_docs").cast("double"))
+          .as("realized_epochs"))
+      .orderBy("source")
+
   /** The corpus-curation funnel: quality gate (length + stopword
     * density) then exact dedup, keeping one canonical doc per content
     * hash. Composes the fused word-stats/marker kernels with the
@@ -596,6 +679,28 @@ object Pipeline {
        |  FROM hist JOIN q USING (lang_key)
        |  GROUP BY lang_key, n_total, weight, quota)""".stripMargin
 
+  /** DuckDB CASE mirroring [[overTenthsCol]]. */
+  private def overCaseSql: String =
+    "CASE source " +
+      OverWeightTenths.map { case (s, t) => s"WHEN '$s' THEN $t" }
+        .mkString(" ") +
+      s" ELSE $OverDefaultTenths END"
+
+  /** Shared oracle CTE `c` — the per-doc copy count, ≡ [[nCopiesCol]]
+    * (integer arithmetic only, so the twin derivations cannot drift). */
+  private def overCopiesCteSql: String =
+    s"""w AS (
+       |  SELECT doc_id, source, $overCaseSql AS w_tenths,
+       |    ((doc_id % $SampleMod) * $OverMult + $OverAdd)
+       |      % $SampleMod % 10 AS h10
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, w_tenths,
+       |    CAST(w_tenths // 10
+       |      + CASE WHEN h10 < w_tenths % 10 THEN 1 ELSE 0 END
+       |      AS BIGINT) AS n_copies
+       |  FROM w)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("pl_train_test_split",
       """WITH s AS (
@@ -664,6 +769,27 @@ object Pipeline {
          |FROM documents
          |ORDER BY shard, skey, doc_id""".stripMargin)(
       (s, dir) => shuffleShards(s, dir)),
+
+    QueryDef.sql("pl_oversample", {
+      s"""WITH $overCopiesCteSql
+         |SELECT source, count(*) AS n_docs, min(w_tenths) AS w_tenths,
+         |  CAST(sum(n_copies) AS BIGINT) AS n_rows,
+         |  CAST(sum(n_copies) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS realized_epochs
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
+    })((s, dir) => oversample(s, dir)),
+
+    QueryDef.sql("pl_oversample_docs", {
+      s"""WITH $overCopiesCteSql,
+         |r AS (
+         |  SELECT doc_id, source, w_tenths,
+         |    unnest(range(n_copies)) AS copy
+         |  FROM c)
+         |SELECT doc_id, source, w_tenths, copy,
+         |  (((doc_id * $OverMaxCopies + copy) % $SampleMod)
+         |      * $ShuffleMult + $ShuffleAdd) % $SampleMod AS tkey
+         |FROM r ORDER BY doc_id, copy""".stripMargin
+    })((s, dir) => oversampleDocs(s, dir)),
 
     QueryDef.sql("pl_chunk_documents",
       s"""WITH d AS (

@@ -174,6 +174,49 @@ class PipelineSpec extends SparkSpecBase {
       shard0.toSeq)
   }
 
+  test("oversample: exact integer quotas, copies spread, pure row " +
+      "property (stable under repartition, mergeable)") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, s"src${i % 5}")).toDF("doc_id", "source")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.oversampleDocsOn(df).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy"),
+          r.getAs[Long]("tkey"))).toSet
+    val whole = rows(docs)
+    // every doc appears (copy 0) and copy counts stay in [1, 4]
+    val byDoc = whole.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byDoc.keySet == (1L to 400L).toSet)
+    assert(byDoc.values.forall(n => n >= 1 && n <= 4), byDoc)
+    // EXACT realized quota per source: n·⌊w⌋ + |{h10 < w mod 10}|,
+    // re-derived sequentially from the documented map
+    val tenths = Pipeline.OverWeightTenths.toMap
+    def h10(id: Long) = ((id % Pipeline.SampleMod) * Pipeline.OverMult +
+      Pipeline.OverAdd) % Pipeline.SampleMod % 10
+    (0 until 5).foreach { s =>
+      val ids = (1L to 400L).filter(_ % 5 == s)
+      val w = tenths.getOrElse(s"src$s", Pipeline.OverDefaultTenths)
+      val want = ids.map(id => w / 10 + (if (h10(id) < w % 10) 1 else 0)).sum
+      val got = whole.count(r => r._1 % 5 == s)
+      assert(got == want, s"src$s: $got != $want")
+    }
+    // stable under repartitioning, mergeable across disjoint parts
+    assert(rows(docs.repartition(13)) == whole)
+    assert(rows(docs.where(col("doc_id") <= 200)) ++
+      rows(docs.where(col("doc_id") > 200)) == whole)
+    // training-order keys are distinct (copies never collide) and
+    // repeats of one doc are NOT adjacent in tkey order
+    assert(whole.map(_._3).size == whole.size)
+    val order = whole.toSeq.sortBy(_._3).map(_._1)
+    val adjacentDup = order.zip(order.tail).count { case (a, b) => a == b }
+    assert(adjacentDup < order.length / 50, s"$adjacentDup adjacent repeats")
+    // audit agrees with the exploded rows without paying the explode
+    val audit = Pipeline.oversampleAuditOn(docs).collect()
+    audit.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_rows") == whole.count(x => s"src${x._1 % 5}" == src))
+    }
+  }
+
   test("domain mix: corpus rebalance lands near the 40% en target") {
     val audit = Pipeline.domainMix(spark, sf).collect()
     val shares = audit.map(r => r.getAs[String]("lang") ->

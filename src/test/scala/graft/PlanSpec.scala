@@ -374,6 +374,20 @@ class PlanSpec extends SparkSpecBase {
     assert(ap.contains("partial_count") || ap.contains("partial"), ap)
   }
 
+  test("oversample: explode is scan-side, no hash shuffle anywhere") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val d = operators.Pipeline.oversampleDocsOn(docs)
+    val pd = plan(d)
+    // copy generation pipelines into the scan (Generate over sequence);
+    // the only exchange is the output sort's range partitioning
+    assert(pd.contains("Generate"), pd)
+    assert("Exchange hashpartitioning".r.findAllIn(pd).isEmpty, pd)
+    // the audit counts WITHOUT exploding (no Generate), partial-aggregated
+    val pa = plan(operators.Pipeline.oversampleAuditOn(docs))
+    assert(!pa.contains("Generate"), pa)
+    assert(pa.contains("partial"), pa)
+  }
+
   test("funnel: one corpus shuffle, window passes and per-user agg " +
       "share it") {
     val p = plan(Events.funnel(spark, sf))
