@@ -51,6 +51,29 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Canonical-key for [[canonical]]: case-folded, whitespace-collapsed
+    * text prefix — the C4/Dolma normalization that catches re-crawls
+    * differing only in case, spacing or trailing content. The engine-
+    * portable subset (ASCII `\s`, char-based substr) so the oracle
+    * derives the identical key. */
+  def canonicalKey: Column =
+    substring(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 128)
+
+  /** Canonical-key dedup — exact dedup's normalization-tolerant twin:
+    * group by the canonical key, keep the minimum doc_id. Same scale
+    * shape as [[exact]] (one uniform hash shuffle on the key, partial
+    * aggregation map-side — a groupBy, not a window, because nothing
+    * here needs per-row group context). */
+  def canonical(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), canonicalKey.as("canon"))
+      .groupBy("canon")
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_variants"))
+      .select(col("doc_id"), col("n_variants"),
+        length(col("canon")).cast("long").as("canon_len"))
+      .orderBy("doc_id")
+
   // ----------------------------------------------------------------
   // MinHash signatures + LSH banding
   // ----------------------------------------------------------------
@@ -643,6 +666,18 @@ object Dedup {
         |  doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
         |FROM documents ORDER BY doc_id""".stripMargin) {
       (s, dir) => exact(Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("dedup_canonical",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |      1, 128) AS canon
+        |  FROM documents)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_variants,
+        |  CAST(length(canon) AS BIGINT) AS canon_len
+        |FROM c GROUP BY canon ORDER BY doc_id""".stripMargin) {
+      (s, dir) => canonical(Tables(s, dir, "documents"))
     },
 
     QueryDef.sql("dedup_minhash_sig",

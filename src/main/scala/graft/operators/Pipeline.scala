@@ -241,7 +241,7 @@ object Pipeline {
   def gopherFilter(s: SparkSession, dir: String, minWords: Long = 30L,
       maxTopWordShare: Double = 0.12,
       maxDupBigramFrac: Double = 0.05): DataFrame =
-    TextAnalysis.repetitionStats(Tables(s, dir, "documents"))
+    TextAnalysis.repetitionStatsCore(Tables(s, dir, "documents"), Nil)
       .where(col("n_words") >= minWords &&
         col("top_word_share") <= maxTopWordShare &&
         col("dup_bigram_frac") <= maxDupBigramFrac)
@@ -502,6 +502,45 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  def corpusPipeline(s: SparkSession, dir: String): DataFrame =
+    corpusPipelineOn(Tables(s, dir, "documents"))
+
+  /** The END-TO-END curation pipeline, composed from the suite's own
+    * stages in the order a corpus build runs them:
+    *
+    *   1. Gopher repetition gate — scan-side quality kernels, inline
+    *      predicate (no join; `lang`/`text` ride the projection);
+    *   2. canonical-key dedup ([[Dedup.canonicalKey]]) keeping the
+    *      minimum doc_id per normalized prefix — ONE corpus shuffle;
+    *   3. domain-mixture acceptance ([[domainMixDocsOn]]) over the
+    *      SURVIVING corpus — quotas derive from what dedup kept, not
+    *      from the raw table (mixing before dedup would re-skew the
+    *      mixture by each domain's duplicate rate);
+    *   4. training-order shard assignment ([[shuffleShardsOn]]).
+    *
+    * The composition is the point: every stage is a pure row property
+    * or a keyed aggregate over the previous stage's output, so the
+    * whole pipeline is ONE declarative plan — Catalyst pipelines the
+    * quality kernels into the scan, the only corpus-sized exchanges
+    * are the dedup key shuffle and the final sort, and the mixture's
+    * histogram/quota relation stays broadcast-tiny. Re-running any
+    * stage over a corpus delta reproduces membership (every predicate
+    * is deterministic in the row). */
+  def corpusPipelineOn(documents: DataFrame): DataFrame = {
+    val quality = TextAnalysis
+      .repetitionStatsCore(documents, keep = Seq("lang", "text"))
+      .where(col("n_words") >= 30L &&
+        col("top_word_share") <= 0.12 &&
+        col("dup_bigram_frac") <= 0.05)
+    val w = Window.partitionBy(col("canon"))
+    val deduped = quality
+      .select(col("doc_id"), col("lang"), Dedup.canonicalKey.as("canon"))
+      .withColumn("keeper", col("doc_id") === min(col("doc_id")).over(w))
+      .where(col("keeper"))
+      .select(col("doc_id"), col("lang"))
+    shuffleShardsOn(domainMixDocsOn(deduped))
+  }
+
   /** PII patterns — deliberately restricted to constructs with
     * IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB):
     * explicit ASCII classes, bounded quantifiers, `\b`/`\d` (ASCII in
@@ -650,14 +689,16 @@ object Pipeline {
 
   private val W = wordsSql("text")
 
-  /** Shared CTE stack for the two mixture oracles — the same integer
-    * quota derivation as [[mixQuotas]], spelled in DuckDB. */
-  private val MixOracleCtes =
+  /** Shared CTE stack for the mixture oracles — the same integer
+    * quota derivation as [[mixQuotas]], spelled in DuckDB, over an
+    * arbitrary source relation (the composed-pipeline oracle feeds it
+    * a filtered CTE instead of the raw table). */
+  private def mixOracleCtes(src: String = "documents"): String =
     s"""h AS (
        |  SELECT doc_id, coalesce(lang, chr(0)) AS lang_key,
        |    ((doc_id % $SampleMod) * $SampleMult + $SampleAdd) % $SampleMod
        |      % $MixBuckets AS hb
-       |  FROM documents),
+       |  FROM $src),
        |hist AS (
        |  SELECT lang_key, hb, count(*) AS n FROM h GROUP BY lang_key, hb),
        |d AS (
@@ -836,7 +877,7 @@ object Pipeline {
       (s, dir) => spanDedup(s, dir)),
 
     QueryDef.sql("pl_domain_mix",
-      s"""WITH $MixOracleCtes
+      s"""WITH ${mixOracleCtes()}
          |SELECT CASE WHEN lang_key = chr(0) THEN NULL ELSE lang_key END
          |    AS lang,
          |  n_total, weight, quota, n_kept,
@@ -847,7 +888,7 @@ object Pipeline {
       (s, dir) => domainMix(s, dir)),
 
     QueryDef.sql("pl_domain_mix_docs",
-      s"""WITH $MixOracleCtes
+      s"""WITH ${mixOracleCtes()}
          |SELECT doc_id,
          |  CASE WHEN lang_key = chr(0) THEN NULL ELSE lang_key END AS lang,
          |  hb
@@ -855,6 +896,34 @@ object Pipeline {
          |WHERE hb * n_total < quota * $MixBuckets
          |ORDER BY doc_id""".stripMargin)(
       (s, dir) => domainMixDocs(s, dir)),
+
+    QueryDef.sql("pl_corpus_pipeline",
+      s"""WITH ${TextAnalysis.repetitionRelationSql},
+         |surv AS (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d JOIN rep USING (doc_id)
+         |  WHERE rep.n_words >= 30 AND rep.top_word_share <= 0.12E0
+         |    AND rep.dup_bigram_frac <= 0.05E0),
+         |cn AS (
+         |  SELECT doc_id, lang,
+         |    substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+         |      1, 128) AS canon
+         |  FROM surv),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM cn GROUP BY canon),
+         |base AS (SELECT cn.doc_id, cn.lang FROM cn JOIN keepers USING (doc_id)),
+         |${mixOracleCtes("base")},
+         |mixed AS (
+         |  SELECT doc_id, lang_key FROM h JOIN q USING (lang_key)
+         |  WHERE hb * n_total < quota * $MixBuckets)
+         |SELECT doc_id,
+         |  CASE WHEN lang_key = chr(0) THEN NULL ELSE lang_key END AS lang,
+         |  CAST(((doc_id % $SampleMod) * $ShuffleMult + $ShuffleAdd)
+         |    % $SampleMod % $ShardCount AS INT) AS shard,
+         |  ((doc_id % $SampleMod) * $ShuffleMult + $ShuffleAdd)
+         |    % $SampleMod AS skey
+         |FROM mixed
+         |ORDER BY shard, skey, doc_id""".stripMargin)(
+      (s, dir) => corpusPipeline(s, dir)),
 
     QueryDef.sql("pl_pii_scrub",
       s"""WITH a AS (

@@ -157,14 +157,24 @@ object TextAnalysis {
     * be scan-speed. The fold's state is a (prev, run, best) struct of
     * lambda-variable slot reads (not the re-evaluated-subtree HOF
     * pitfall). */
-  def repetitionStats(documents: DataFrame): DataFrame = {
+  def repetitionStats(documents: DataFrame): DataFrame =
+    repetitionStatsCore(documents, Nil).orderBy("doc_id")
+
+  /** [[repetitionStats]] WITHOUT the output sort and with pass-through
+    * columns — the composition surface: a consumer that filters on the
+    * signals (the Gopher gate, the corpus pipeline) must not pay a
+    * corpus-wide range exchange it immediately destroys (the optimizer
+    * does NOT eliminate an intermediate global sort under a window's
+    * hash exchange — measured on the composed-pipeline plan). */
+  private[operators] def repetitionStatsCore(documents: DataFrame,
+      keep: Seq[String]): DataFrame = {
     val ws = words(col("text"))
     val st = graft.functions.TextHashExpressions.wordStats(ws)
     val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
     documents
-      .select(col("doc_id"), ws.as("ws"),
-        st.getField("n_words").as("n_words"),
-        st.getField("n_distinct_words").as("n_distinct_words"))
+      .select(col("doc_id") +: keep.map(col) :+ ws.as("ws") :+
+        st.getField("n_words").as("n_words") :+
+        st.getField("n_distinct_words").as("n_distinct_words"): _*)
       // equal words are adjacent after the sort, so the longest run IS
       // the top word's count ("" never collides: words() drops empties).
       // coalesce: a NULL text gives a NULL word array and a NULL fold —
@@ -181,17 +191,17 @@ object TextAnalysis {
           s => s.getField("best")), lit(0L)))
       .withColumn("bg",
         graft.functions.TextHashExpressions.shingleStrings(col("ws"), 2))
-      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
-        col("top_word_count"),
+      .select(col("doc_id") +: keep.map(col) :+ col("n_words") :+
+        col("n_distinct_words") :+
+        col("top_word_count") :+
         when(col("n_words") > 0, col("top_word_count").cast("double") /
-          col("n_words").cast("double")).as("top_word_share"),
-        size(col("bg")).cast("long").as("n_bigrams"),
+          col("n_words").cast("double")).as("top_word_share") :+
+        size(col("bg")).cast("long").as("n_bigrams") :+
         size(array_distinct(col("bg"))).cast("long")
-          .as("n_distinct_bigrams"),
+          .as("n_distinct_bigrams") :+
         when(size(col("bg")) > 0,
           (size(col("bg")) - size(array_distinct(col("bg")))).cast("double")
-            / size(col("bg")).cast("double")).as("dup_bigram_frac"))
-      .orderBy("doc_id")
+            / size(col("bg")).cast("double")).as("dup_bigram_frac"): _*)
   }
 
   /** Term-frequency / document-frequency table: top-3 terms per document

@@ -22,6 +22,25 @@ class DedupSpec extends SparkSpecBase {
   }
   private def docs = Tables(spark, sf, "documents")
 
+  test("canonical dedup: case/whitespace variants collapse, prefix " +
+      "bounds the key, distinct texts survive") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'Hello  World'),
+        |  (2L, 'hello world'),
+        |  (3L, ' hello   WORLD '),
+        |  (4L, 'hello worlds'),
+        |  (5L, concat('pad ', repeat('x', 200), ' tail-A')),
+        |  (6L, concat('PAD ', repeat('x', 200), ' tail-B'))
+        |AS t(doc_id, text)""".stripMargin)
+    val rows = Dedup.canonical(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_variants"))
+      .toMap
+    // 1,2,3 normalize to one key (keeper = 1); 4 differs; 5,6 agree on
+    // the 128-char prefix (the tails differ past the bound)
+    assert(rows == Map(1L -> 3L, 4L -> 1L, 5L -> 2L))
+  }
+
   test("exact dedup: duplicates share cluster, min doc_id is keeper") {
     val df = spark.sql(
       """SELECT * FROM VALUES (1L,'same text'),(2L,'same text'),(3L,'other')

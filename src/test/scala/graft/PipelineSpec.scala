@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Events, Pipeline, Relational, VectorSearch}
+import graft.operators.{Dedup, Events, Pipeline, Relational, VectorSearch}
 
 /** Invariants for the round-2 coverage operators (the DuckDB oracle
   * checks exact values; these assert the semantic properties). */
@@ -215,6 +215,33 @@ class PipelineSpec extends SparkSpecBase {
       val src = r.getAs[String]("source")
       assert(r.getAs[Long]("n_rows") == whole.count(x => s"src${x._1 % 5}" == src))
     }
+  }
+
+  test("corpus pipeline: composition equals running the stages by hand") {
+    val docs = Tables(spark, sf, "documents")
+    val got = Pipeline.corpusPipelineOn(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Long]("skey")))
+    assert(got.nonEmpty && got.length < docs.count())
+    // re-derive membership stage by stage through the public operators
+    val survivors = Pipeline.gopherFilter(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val deduped = Dedup.canonical(
+      docs.where(col("doc_id").isin(survivors.toSeq: _*))).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val mixed = Pipeline.domainMixDocsOn(
+      docs.where(col("doc_id").isin(deduped.toSeq: _*))
+        .select("doc_id", "lang")).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got.map(_._1).toSet == mixed)
+    // output arrives in training order with the documented coordinates
+    def skey(id: Long) = ((id % Pipeline.SampleMod) * Pipeline.ShuffleMult +
+      Pipeline.ShuffleAdd) % Pipeline.SampleMod
+    got.foreach { case (id, sh, sk) =>
+      assert(sk == skey(id) && sh == (sk % Pipeline.ShardCount).toInt)
+    }
+    assert(got.sortBy(r => (r._2, r._3, r._1)).toSeq == got.toSeq)
+    Pipeline.releaseCaches()
   }
 
   test("domain mix: corpus rebalance lands near the 40% en target") {

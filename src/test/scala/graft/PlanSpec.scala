@@ -388,6 +388,25 @@ class PlanSpec extends SparkSpecBase {
     assert(pa.contains("partial"), pa)
   }
 
+  test("corpus pipeline: quality kernels scan-side, one live corpus " +
+      "shuffle (the dedup key), quotas broadcast from cache") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = operators.Pipeline.corpusPipelineOn(docs)
+    val p = plan(df)
+    // mixture quotas ride a broadcast of the persisted quota relation —
+    // never a corpus-wide SortMergeJoin on lang
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    // live path (above the quota cache's printout): the ONLY
+    // corpus-sized exchanges are the canonical-key window shuffle and
+    // the final training-order sort — the quality gate adds none
+    val live = p.split("InMemoryRelation").head
+    assert("Exchange hashpartitioning".r.findAllIn(live).length == 1, p)
+    assert("Exchange rangepartitioning".r.findAllIn(live).length == 1, p)
+    operators.Pipeline.releaseCaches()
+  }
+
   test("funnel: one corpus shuffle, window passes and per-user agg " +
       "share it") {
     val p = plan(Events.funnel(spark, sf))
