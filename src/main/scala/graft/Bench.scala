@@ -53,6 +53,21 @@ object Bench {
     }
     calibOnce(); calibOnce() // warmup x2 (untimed)
     val calib = Array.fill(reps)(calibOnce()).sorted.apply(reps / 2)
+    // SECOND ANCHOR — an I/O-bound probe (full-table parquet scan +
+    // 1-row aggregate over the bench SF's largest table). The CPU
+    // probe above cannot see page-cache/disk drift, which round 7
+    // measured moving scan-heavy queries ±2× while `calib` held flat;
+    // with both anchors a delta decomposes into CPU vs I/O drift.
+    // Same protocol, same rule: NEVER edit the workload.
+    def calibScanOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_quantity) AS s", "count(*) AS c")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibScanOnce(); calibScanOnce() // warmup x2 (untimed)
+    val calibScan = Array.fill(reps)(calibScanOnce()).sorted.apply(reps / 2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink forces full materialization of every output column —
       // count() would let Catalyst prune the projection being measured.
@@ -82,7 +97,7 @@ object Bench {
     val failed = results.collect { case (k, _, _, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, _, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"reps":$reps,"calib":$calib,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"reps":$reps,"calib":$calib,"calib_scan":$calibScan,"sf":"$sfDir"}"""
     println(line)
     // the driver captures only a bounded tail of stdout, which has
     // historically truncated the per-query map — also write the full
