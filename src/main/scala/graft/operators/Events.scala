@@ -425,6 +425,56 @@ object Events {
         sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Score threshold and stats-relation broadcast ceiling for
+    * [[anomaly]]. */
+  val AnomalyThreshold = 3.5
+  val MaxAnomalyStatsRows = 100000L
+
+  def anomaly(s: SparkSession, dir: String): DataFrame = anomalyOn(load(s, dir))
+
+  /** Robust outlier detection — the monitoring query a pipeline ops
+    * team runs over metric streams: per event type, the MEDIAN and the
+    * MAD (median absolute deviation), then every event whose robust
+    * z-score |value − med| / mad exceeds [[AnomalyThreshold]], worst
+    * first. Median/MAD instead of mean/stddev for two reasons: the
+    * estimator doesn't chase its own outliers (the point of robust
+    * stats), and a distributed float stddev is ORDER-DEPENDENT —
+    * banned by the repo's determinism rules — where rank statistics
+    * are exactly reproducible. Exact MAD is inherently two dependent
+    * medians, so the operator is three passes (median, deviations'
+    * median, scoring); the per-type stats relations are
+    * type-cardinality — persisted, count-gated onto broadcasts (the
+    * [[Pipeline.domainMixDocsOn]] lesson: event_type is DATA, and the
+    * stats estimator misprices tiny aggregates), so no pass shuffles
+    * the corpus. At 100 TB swap the exact percentile for the mergeable
+    * histogram ([[Relational.histogramMedian]]'s path) — the exact
+    * formulation here is the oracle-checkable baseline. Division is
+    * null-guarded (mad = 0 on a constant stream; ANSI throws on /0). */
+  def anomalyOn(events: DataFrame): DataFrame = {
+    val med = events.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+      .persist()
+    retained.add(med)
+    val medH = if (med.count() <= MaxAnomalyStatsRows) broadcast(med) else med
+    val stats = events.join(medH, "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+      .groupBy("event_type")
+      .agg(first(col("med")).as("med"),
+        percentile(col("adev"), lit(0.5)).as("mad"))
+      .persist()
+    retained.add(stats)
+    val statsH =
+      if (stats.count() <= MaxAnomalyStatsRows) broadcast(stats) else stats
+    events.join(statsH, "event_type")
+      .withColumn("score",
+        when(col("mad") > 0.0, (col("value") - col("med")) / col("mad")))
+      .where(abs(col("score")) > AnomalyThreshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), col("score"))
+      .orderBy(abs(col("score")).desc, col("event_id"))
+      .limit(50)
+  }
+
   /** Persisted frames feeding callers' lazy results; released on demand
     * (same lifecycle contract as [[Dedup.releaseCaches]]). */
   private val retained =
@@ -648,6 +698,27 @@ object Events {
         |  AND epoch_us(o.ts) <= epoch_us(e.ts) + 300000000
         |GROUP BY e.event_id, e.user_id, epoch_us(e.ts)
         |ORDER BY err_id""".stripMargin)(errorContext),
+
+    QueryDef.sql("ev_anomaly",
+      s"""WITH st AS (
+         |  SELECT event_type, quantile_cont(value, 0.5) AS med
+         |  FROM events GROUP BY event_type),
+         |ad AS (
+         |  SELECT e.event_id, e.event_type, e.value, st.med,
+         |    abs(e.value - st.med) AS adev
+         |  FROM events e JOIN st USING (event_type)),
+         |md AS (
+         |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+         |  FROM ad GROUP BY event_type),
+         |sc AS (
+         |  SELECT ad.event_id, ad.event_type, ad.value, ad.med, md.mad,
+         |    CASE WHEN md.mad > 0.0E0 THEN (ad.value - ad.med) / md.mad
+         |      END AS score
+         |  FROM ad JOIN md USING (event_type))
+         |SELECT event_id, event_type, value, med, mad, score
+         |FROM sc WHERE abs(score) > ${AnomalyThreshold}E0
+         |ORDER BY abs(score) DESC, event_id LIMIT 50""".stripMargin)(
+      (s, dir) => anomaly(s, dir)),
 
     QueryDef.sql("ev_salted_agg",
       """SELECT event_type, count(*) AS n_events,

@@ -13,6 +13,28 @@ class EventsSpec extends SparkSpecBase {
     assert(r.getLong(0) / 1000 == r.getLong(1))
   }
 
+  test("anomaly: robust z-scores find planted outliers, constant " +
+      "streams yield none (mad=0 never divides)") {
+    import spark.implicits._
+    // metric stream: values 0..99 around median 49.5 (mad 25), two
+    // planted spikes; a second type that never varies
+    val ev = ((1L to 100L).map(i => (i, "m", (i - 1).toDouble)) ++
+      Seq((101L, "m", 100000.0), (102L, "m", -100000.0)) ++
+      (201L to 260L).map(i => (i, "flat", 7.0)))
+      .toDF("event_id", "event_type", "value")
+    val rows = Events.anomalyOn(ev).collect()
+    // exactly the spikes: |0..99 − 49.5| / 25.25 ≤ 1.97 < 3.5
+    assert(rows.map(_.getAs[Long]("event_id")).toSet == Set(101L, 102L))
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("score")) > Events.AnomalyThreshold)
+      assert(r.getAs[String]("event_type") == "m")
+    }
+    // worst-first output order
+    val scores = rows.map(r => math.abs(r.getAs[Double]("score"))).toSeq
+    assert(scores == scores.sortBy(-_))
+    Events.releaseCaches()
+  }
+
   test("hourly windows partition all events") {
     val agg = Events.hourlyWindows(spark, sf)
     val total = agg.agg(sum("n_events")).head.getLong(0)

@@ -388,6 +388,17 @@ class PlanSpec extends SparkSpecBase {
     assert(pa.contains("partial"), pa)
   }
 
+  test("anomaly: per-type stats ride broadcasts, the corpus is never " +
+      "shuffled onto event_type") {
+    val df = operators.Events.anomaly(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // final ranking is a bounded-heap TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    operators.Events.releaseCaches()
+  }
+
   test("corpus pipeline: quality kernels scan-side, one live corpus " +
       "shuffle (the dedup key), quotas broadcast from cache") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
