@@ -121,6 +121,25 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("shard"), col("skey"))
       .orderBy(col("shard"), col("skey"), col("doc_id"))
 
+  /** Materialize the training order [[shuffleShardsOn]] declares:
+    * shard-partitioned parquet whose files are internally skey-sorted.
+    * This is the "range-clustered shard write" the operator's scaladoc
+    * promises — a reader streams one shard's files in file order and
+    * gets the training order WITHOUT a global sort ever existing:
+    * `repartition(shard)` is one uniform exchange into exactly
+    * `shards` tasks and the sort is per-task. Epoch-resumable (the
+    * order is a row property, so re-writing any shard reproduces it)
+    * and merge-friendly (disjoint corpus parts write disjoint row
+    * sets of the same deterministic order). */
+  def writeTrainingShards(documents: DataFrame, path: String,
+      shards: Int = ShardCount): Unit =
+    documents
+      .select(col("doc_id"), col("lang"), shuffleKey.as("skey"))
+      .withColumn("shard", (col("skey") % shards).cast("int"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("skey"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Epoch weights for [[oversampleDocs]] in TENTHS — exact integer
     * config, no float weights anywhere: src0 trains 2.4 epochs, src2
     * 3.0, unlisted sources 1.0. Every weight must be ≥ 10 (pure

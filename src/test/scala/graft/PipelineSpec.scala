@@ -217,6 +217,29 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("training-shard write: per-shard files carry the declared order " +
+      "without a global sort") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, if (i % 4 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val dir: String =
+      java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Pipeline.writeTrainingShards(docs, dir)
+    val declared = Pipeline.shuffleShardsOn(docs).collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("skey"),
+        r.getAs[Long]("doc_id")))
+    (0 until Pipeline.ShardCount).foreach { sh =>
+      // file order IS training order: no sort on read
+      val got = spark.read.parquet(s"$dir/shard=$sh").collect()
+        .map(r => (r.getAs[Long]("skey"), r.getAs[Long]("doc_id")))
+      val want = declared.filter(_._1 == sh).map(t => (t._2, t._3))
+      assert(got.toSeq == want.toSeq, s"shard $sh")
+    }
+    // nothing lost, nothing duplicated across the shard dirs
+    val all = spark.read.parquet(dir).collect().map(_.getAs[Long]("doc_id"))
+    assert(all.sorted.toSeq == (1L to 500L).toSeq)
+  }
+
   test("corpus pipeline: composition equals running the stages by hand") {
     val docs = Tables(spark, sf, "documents")
     val got = Pipeline.corpusPipelineOn(docs).collect()

@@ -313,6 +313,37 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("AQE splits a skewed shuffle join at runtime (the no-code-change " +
+      "skew path next to the explicit salting of ev_salted_agg)") {
+    import spark.implicits._
+    // one hot key carrying ~99% of the left side — the shape a dedup
+    // graph's hub or a null-ish join key produces at 100 TB
+    val left = spark.range(0, 200000)
+      .selectExpr("CASE WHEN id % 100 < 99 THEN 0L ELSE id END AS k",
+        "id AS v")
+    val right = (0L to 200L).map(k => (k, s"dim$k")).toDF("k", "name")
+    withConf(BroadcastThresholdKey, "-1") {
+      withConf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2") {
+        withConf(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB") {
+          withConf("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+              "64KB") {
+            // no aggregate downstream: a consumer requiring the join
+            // key's distribution would veto the skew split (AQE only
+            // splits when it can't break a required distribution)
+            val joined = left.join(right, "k")
+            joined.collect() // AQE re-plans DURING execution
+            val p = joined.queryExecution.executedPlan.toString()
+            assert(p.contains("isFinalPlan=true"), p)
+            // the hot partition was split: the final SMJ is marked skew
+            assert(p.contains("skew=true"), p)
+          }
+        }
+      }
+    }
+  }
+
   test("retrieve-rerank: quality kernels evaluate above the candidate semi-join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = VectorSearch.retrieveRerank(emb, docs)
