@@ -584,7 +584,45 @@ object Relational {
       .orderBy("column_name")
   }
 
+  /** Native recursive CTE (Spark 4's `WITH RECURSIVE`): every supplier
+    * walks its binary ancestor chain (suppkey halving — an implicit,
+    * cycle-free hierarchy over the keys), accumulating depth and the
+    * ancestor-key sum. Spark supports only UNION ALL recursion (a
+    * cyclic reachability like the dedup oracle's UNION-distinct closure
+    * diverges — that shape stays with the iterative DataFrame solvers,
+    * `Dedup.minhashClustersStar`); an acyclic walk is exactly what the
+    * feature covers, and the per-iteration frontier here shrinks
+    * geometrically (the 100 TB posture: ≤ log₂(maxkey) rounds, each a
+    * narrow self-union, no driver loop). */
+  def recursiveChain(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier")
+    s.sql(
+      """WITH RECURSIVE up(s_suppkey, anc, depth, anc_sum) AS (
+        |  SELECT s_suppkey, s_suppkey, 0, CAST(s_suppkey AS BIGINT)
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey, anc DIV 2, depth + 1,
+        |    anc_sum + CAST(anc DIV 2 AS BIGINT)
+        |  FROM up WHERE anc > 1)
+        |SELECT s_suppkey, CAST(max(depth) AS BIGINT) AS chain_len,
+        |  max(anc_sum) AS anc_sum
+        |FROM up GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("rel_recursive_chain",
+      """WITH RECURSIVE up(s_suppkey, anc, depth, anc_sum) AS (
+        |  SELECT s_suppkey, s_suppkey, 0, CAST(s_suppkey AS BIGINT)
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey, anc // 2, depth + 1,
+        |    anc_sum + CAST(anc // 2 AS BIGINT)
+        |  FROM up WHERE anc > 1)
+        |SELECT s_suppkey, CAST(max(depth) AS BIGINT) AS chain_len,
+        |  max(anc_sum) AS anc_sum
+        |FROM up GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)(
+      recursiveChain),
+
     QueryDef.sql("rel_window_rank_funcs",
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(o_orderdate AS DATE) AS order_date,

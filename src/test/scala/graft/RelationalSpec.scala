@@ -158,6 +158,18 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("recursive CTE: ancestor chains match the sequential halving walk") {
+    val rows = Relational.recursiveChain(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("s_suppkey")
+      var (anc, depth, sum) = (k, 0L, k)
+      while (anc > 1) { anc = anc / 2; depth += 1; sum += anc }
+      assert(r.getAs[Long]("chain_len") == depth, s"key $k")
+      assert(r.getAs[Long]("anc_sum") == sum, s"key $k")
+    }
+  }
+
   test("string funcs: split/regexp round-trip") {
     val rows = Relational.stringFuncs(spark, sf).limit(50).collect()
     rows.foreach { r =>
