@@ -31,6 +31,9 @@ object EventStream {
   case class Event(event_id: Long, ts_us: Long, user_id: Long,
       event_type: String, value: Double)
 
+  /** A live document-feed row for [[curateDocuments]]. */
+  case class DocEvent(doc_id: Long, ts_us: Long, lang: String, text: String)
+
   case class SessionState(start_us: Long, end_us: Long, n_events: Long)
 
   case class Session(user_id: Long, start_us: Long, end_us: Long,
@@ -299,6 +302,36 @@ object EventStream {
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming CURATION — the corpus pipeline's first two stages run
+    * against a live document feed instead of a parquet corpus:
+    *
+    *   1. the Gopher-style quality gate (all scan-side kernels —
+    *      STATELESS on a stream, so it adds zero state store);
+    *   2. canonical-key dedup: [[graft.operators.Dedup.canonicalKey]]
+    *      + `dropDuplicatesWithinWatermark`, keeping the FIRST arrival
+    *      per normalized key with state that EXPIRES at the watermark
+    *      (bounded memory; a plain dropDuplicates would pin every key
+    *      ever seen — the same trade as [[dedupEvents]]).
+    *
+    * Semantic note, documented deliberately: batch
+    * [[graft.operators.Dedup.canonical]] keeps the MINIMUM doc_id per
+    * key; the stream keeps the EARLIEST ARRIVAL. They agree whenever
+    * arrival order follows doc_id (the replay≡batch spec pins exactly
+    * that case); under out-of-order arrival first-wins is the only
+    * semantics a one-pass stream can offer. */
+  def curateDocuments(docs: DataFrame, minWords: Long = 30L): DataFrame = {
+    val ws = graft.functions.TextFunctions.words(col("text"))
+    val st = graft.functions.TextHashExpressions.wordStats(ws)
+    docs
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withColumn("n_words", st.getField("n_words"))
+      .where(col("n_words") >= minWords)
+      .withColumn("canon", graft.operators.Dedup.canonicalKey)
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("canon")
+      .select(col("doc_id"), col("lang"), col("n_words"), col("canon"))
+  }
 
   // ------------------------------------------------------------------
   // Streaming ingest (the reference's async /store, made exactly-once)

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.operators.Events
+import graft.operators.{Dedup, Events}
 import graft.streaming.EventStream
 import graft.streaming.EventStream.{Event, Session}
 
@@ -346,6 +346,47 @@ class EventStreamSpec extends SparkSpecBase {
         .collect().map(_.getLong(0)).toSeq
       assert(ids.length == events.length)
       assert(ids.distinct.length == ids.length)
+    } finally q.stop()
+  }
+
+  test("streaming curation: quality gate + canonical dedup ≡ batch " +
+      "when arrival follows doc_id; replays and variants drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000000L
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away to find some more interesting things to do today " +
+      "with all of its many good friends in the warm green forest"
+    val docs = Seq(
+      EventStream.DocEvent(1L, t0, "en", good),
+      EventStream.DocEvent(2L, t0 + 1, "en", "too short"),
+      EventStream.DocEvent(3L, t0 + 2, "en", good.toUpperCase + "  extra"),
+      EventStream.DocEvent(4L, t0 + 3, "en", good + " " + good))
+    val input = MemoryStream[EventStream.DocEvent]
+    val q = EventStream.curateDocuments(input.toDF())
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      input.addData(docs)
+      input.addData(docs) // at-least-once replay of the whole feed
+      q.processAllAvailable()
+      val got = spark.table("curated").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      // 2 fails the gate; 3 collapses onto 1 (same 128-char canonical
+      // prefix after case/space folding — and ALSO matches 4's, whose
+      // doubled text shares the prefix); replays add nothing
+      assert(got == Set(1L))
+      // ≡ batch: same survivors as the batch gate + canonical keeper
+      // (arrival order followed doc_id here, so first-wins = min-wins)
+      val batchDocs = docs.toDF().select(col("doc_id"), col("lang"),
+        col("text"))
+      val ws = graft.functions.TextFunctions.words(col("text"))
+      val gated = batchDocs.where(
+        graft.functions.TextHashExpressions.wordStats(ws)
+          .getField("n_words") >= 30L)
+      val batch = Dedup.canonical(gated).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(batch == got)
     } finally q.stop()
   }
 
