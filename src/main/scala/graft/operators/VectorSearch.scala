@@ -196,6 +196,33 @@ object VectorSearch {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** [[knnJoin]] with the ranking window replaced by the bounded-heap
+    * aggregate ([[graft.functions.TopKAgg]]) — the scale-preferred
+    * twin, same oracle. The window formulation shuffles and SORTS the
+    * whole (queries × corpus) scored relation; here partial heaps
+    * aggregate map-side, so the single shuffle carries at most k rows
+    * per (query, partition) and nothing is ever sorted — at 100 TB the
+    * difference between a Q·N-row exchange and a Q·k·partitions one.
+    * Same discipline as [[perCollectionTopKAgg]]. */
+  def knnJoinAgg(emb: DataFrame, queryIds: Seq[Int], k: Int): DataFrame = {
+    val queries = emb.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        toDouble(col("embedding")).as("q_vec"))
+    emb.select(col("vec_id").as("cand_id"),
+        toDouble(col("embedding")).as("c_vec"))
+      .join(broadcast(queries), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        V.dot(col("q_vec"), col("c_vec")).as("similarity"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregate
+        .topK(col("similarity"), col("cand_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "t")))
+      .select(col("query_id"), col("t.id").as("cand_id"),
+        col("t.score").as("similarity"),
+        (col("idx") + 1).cast("int").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   // ------------------------------------------------------------------
   // Declared queries + DuckDB oracles
   // ------------------------------------------------------------------
@@ -429,6 +456,25 @@ object VectorSearch {
          |QUALIFY rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin) {
       (s, dir) => knnJoin(Tables(s, dir, "embeddings"), 0 until 8, 5)
+    },
+
+    // identical oracle to vs_knn_join: the heap aggregate must
+    // reproduce the window formulation bit-for-bit
+    QueryDef.sql("vs_knn_join_agg",
+      s"""WITH cands AS (SELECT vec_id AS cand_id, $embD AS c_vec FROM embeddings),
+         |queries AS (SELECT vec_id AS query_id, $embD AS q_vec FROM embeddings
+         |            WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |    ${dotSeqSql("q_vec", "c_vec", Dim)} AS similarity
+         |  FROM cands, queries WHERE query_id <> cand_id)
+         |SELECT query_id, cand_id, similarity,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY similarity DESC, cand_id) AS INT) AS rnk
+         |FROM scored
+         |QUALIFY rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin) {
+      (s, dir) => knnJoinAgg(Tables(s, dir, "embeddings"), 0 until 8, 5)
     }
   )
 }

@@ -130,6 +130,19 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("KNN join (agg twin): broadcast queries, partial heaps map-side, " +
+      "no sort before the aggregate") {
+    val df = VectorSearch.knnJoinAgg(emb, 0 until 8, 5)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // ONE exchange on query_id with partial aggregation below it; the
+    // window twin would SORT the whole scored relation instead
+    assert(p.contains("partial_topk") || p.contains("ObjectHashAggregate"), p)
+    assert(nShuffles(df) <= 2, p) // group-key hash + output sort
+    assert(!p.contains("WindowExec"), p)
+  }
+
   test("as-of join shuffles exactly once on the grouping key") {
     val df = Events.asofClickPurchase(spark, sf)
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan(df)).length
