@@ -242,6 +242,12 @@ object Ann {
     * matches bitwise. */
   def pqTopK(emb: DataFrame, k: Int = K): DataFrame = {
     val cb = pqCodebook(emb)
+    // empty/degenerate table: no codebook rows exist — a defined empty
+    // result (the reference's panic class, SURVEY.md D5)
+    if (cb.isEmpty)
+      return emb.select(col("vec_id"), col("label"),
+          lit(0.0).as("pq_sim"), lit(0.0).as("similarity"))
+        .where(lit(false))
     val lut: Array[Array[Double]] = Array.tabulate(PqM) { m =>
       Array.tabulate(PqKsub) { c =>
         var acc = 0.0

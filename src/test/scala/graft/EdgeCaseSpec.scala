@@ -148,6 +148,26 @@ class EdgeCaseSpec extends SparkSpecBase {
       Seq.empty[(Long, Long)].toDF("user_id", "ts_us")).count() == 0)
   }
 
+  test("round-7 operators are defined on empty/degenerate input") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "lang", "source", "text")
+    assert(Dedup.canonical(emptyDocs).count() == 0)
+    assert(Pipeline.oversampleDocsOn(emptyDocs).count() == 0)
+    assert(Pipeline.oversampleAuditOn(emptyDocs).count() == 0)
+    assert(Pipeline.corpusPipelineOn(emptyDocs).count() == 0)
+    // anomaly over no events: no groups, no stats, no divisions
+    val emptyEv = Seq.empty[(Long, String, Double)]
+      .toDF("event_id", "event_type", "value")
+    assert(Events.anomalyOn(emptyEv).count() == 0)
+    // PQ search: an empty table has no codebook rows — defined empty
+    val emptyEmb = emptyLike(s"$sf/embeddings.parquet")
+    assert(Ann.pqTopK(emptyEmb).count() == 0)
+    assert(VectorSearch.knnJoinAgg(emptyEmb, 0 until 8, 5).count() == 0)
+    Pipeline.releaseCaches()
+    Events.releaseCaches()
+  }
+
   test("KMV sketch of an empty group / all-null input is exact zero") {
     import graft.functions.SketchAggregate.kmvSketch
     val r = spark.range(5).select(lit(null).cast("long").as("hv"))
