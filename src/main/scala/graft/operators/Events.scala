@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 import graft.{QueryDef, Tables}
 
@@ -12,23 +12,37 @@ import graft.{QueryDef, Tables}
   * has no streaming model at all; its "async" store is a fire-and-forget
   * goroutine, reference main.go:302-321).
   *
-  * Timestamp handling: `events.ts` is parquet INT64 TIMESTAMP(NANOS),
-  * which Spark 4 refuses to read as a timestamp
-  * ([PARQUET_TYPE_ILLEGAL]); `spark.sql.legacy.parquet.nanosAsLong`
-  * reads it as raw nanos. DuckDB (the oracle) truncates the same column
-  * to microseconds, so every declared output uses epoch MICROsecond longs
-  * (`ts div 1000` here == `epoch_us(ts)` there) — longs hash identically
-  * across engines, timestamps may not.
+  * Timestamp handling: the fixture generator has shipped `events.ts` as
+  * both parquet INT64 TIMESTAMP(NANOS) — which Spark 4 refuses to read
+  * as a timestamp ([PARQUET_TYPE_ILLEGAL]) unless
+  * `spark.sql.legacy.parquet.nanosAsLong` reads it as raw nanos — and
+  * as plain TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ).
+  * [[load]] normalizes BOTH physical layouts to the same epoch
+  * MICROsecond long `ts_us`, which is what every declared output keys
+  * on: the DuckDB oracle's `epoch_us(ts)` yields the identical naive
+  * micros in either case, and longs hash identically across engines
+  * while timestamps may not.
   */
 object Events {
 
-  /** Events table with `ts` as epoch-nanos long plus derived µs/timestamp
-    * columns. The conf is runtime-settable and only widens behavior (nanos
-    * columns elsewhere would otherwise be unreadable). */
+  /** Events table with a normalized `ts_us` epoch-micros long plus a
+    * derived timestamp column, whatever the parquet physical type of
+    * `ts` (see object doc). The conf is runtime-settable and only widens
+    * behavior (nanos columns elsewhere would otherwise be unreadable).
+    * `cast(ntz as timestamp)` is evaluated under the session timezone —
+    * every entry point pins `spark.sql.session.timeZone=UTC`, making it
+    * the identity on the naive value, same as the oracle's `epoch_us`. */
   def load(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val raw = Tables(s, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000") // NANOS read as raw nanos
+      case TimestampNTZType => expr("unix_micros(cast(ts as timestamp))")
+      case TimestampType    => expr("unix_micros(ts)")
+      case other => throw new IllegalStateException(
+        s"unsupported events.ts parquet type: $other")
+    }
+    raw.withColumn("ts_us", tsUs)
       .withColumn("event_time", timestamp_micros(col("ts_us")))
   }
 
