@@ -565,6 +565,69 @@ case class WordStatsExpr(child: Expression)
     copy(child = c)
 }
 
+/** Fused character-class counts over a STRING: one pass over the UTF-8
+  * bytes computes (n_alpha = code points in [a-z], n_spaces = ' '
+  * count) — replacing two whole-text `regexp_replace` calls that each
+  * allocated a filtered copy of the document per row just to take its
+  * length. Both classes are single-byte ASCII and UTF-8
+  * continuation/lead bytes are all >= 0x80, so the byte scan counts
+  * code points exactly (identical to the regex formulation and the
+  * DuckDB oracle). Unlike the array kernels there is no element
+  * nullability: plain UnaryExpression null semantics apply. */
+case class CharClassStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_spaces", LongType, nullable = false)))
+  override def prettyName: String = "char_class_stats"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val m = u.numBytes()
+    var alpha = 0L
+    var spaces = 0L
+    var i = 0
+    while (i < m) {
+      val b = u.getByte(i)
+      if (b >= 'a' && b <= 'z') alpha += 1
+      else if (b == ' ') spaces += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](alpha, spaces))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.freshName("m")
+      val alpha = ctx.freshName("alpha")
+      val spaces = ctx.freshName("spaces")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      s"""
+         |final int $m = $a.numBytes();
+         |long $alpha = 0L;
+         |long $spaces = 0L;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  final byte $b = $a.getByte($i);
+         |  if ($b >= 97 && $b <= 122) $alpha++;
+         |  else if ($b == 32) $spaces++;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{$alpha, $spaces});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextHashExpressions {
   /** shingle poly-hashes (n-word, space-joined), codegen'd. */
   def shingleHashes(words: Column, n: Int): Column =
@@ -597,4 +660,8 @@ object TextHashExpressions {
   /** codegen'd LSH band hashes over a minhash signature. */
   def bandHashes(sigs: Column, bands: Int, rowsPerBand: Int): Column =
     ColumnShim.column(BandHashesExpr(ColumnShim.expression(sigs), bands, rowsPerBand))
+
+  /** fused (n_alpha, n_spaces) character-class counts over a string. */
+  def charClassStats(text: Column): Column =
+    ColumnShim.column(CharClassStatsExpr(ColumnShim.expression(text)))
 }

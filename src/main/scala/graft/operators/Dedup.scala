@@ -235,6 +235,7 @@ object Dedup {
     * converged? count per round, never data. */
   def minhashClusters(documents: DataFrame, threshold: Double = 0.5,
       maxIters: Int = 32): DataFrame = {
+    val spark = documents.sparkSession
     // one shared shingle/signature relation feeds pairs AND the node set
     val sigs = shingled(documents)
     val verified = pairsFrom(sigs)
@@ -244,6 +245,21 @@ object Dedup {
         col("doc_id_2").as("doc_id_1"), col("doc_id_1").as("doc_id_2")))
       .persist()
     val nodes = sigs.select(col("doc_id"))
+    // SCHEDULING-TAX CONTROL: the iterative loop runs 3-5 tiny jobs per
+    // round over an edge relation that is typically a microscopic
+    // fraction of the corpus (LSH-verified near-dup pairs). At the
+    // session's full shuffle width those rounds are pure task-scheduling
+    // overhead (32 partitions of KBs, measured as the suite's noisiest
+    // query in rounds 6-7), so the LOOP's shuffle width is derived from
+    // the measured edge count (~1M edge rows ≈ 16 MB per partition),
+    // clamped to the session width so a genuinely large graph keeps full
+    // parallelism. Only the loop runs under the narrowed conf — the
+    // count below also materializes the persisted edge set, and the
+    // final labeling window executes lazily after the conf is restored.
+    val nEdges = edges.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.min(sessionParts.toLong,
+      nEdges / 1000000L + 1L).toString
     var labels = nodes.withColumn("cluster_id", col("doc_id")).persist()
     // convergence metric: Σ cluster_id. Min-label propagation only ever
     // DECREASES labels, so an unchanged sum ⟺ no label changed — one
@@ -253,25 +269,32 @@ object Dedup {
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
-    while (iter < maxIters && !converged) {
-      val propagated = labels
-        .join(edges, labels("doc_id") === edges("doc_id_1"))
-        .select(col("doc_id_2").as("doc_id"), col("cluster_id"))
-      // localCheckpoint, not persist: each round's plan embeds the
-      // previous round's ~2×, and a persisted frame still hands the
-      // optimizer the full 2^round tree (the star solver hit this wall
-      // hard at 3^round). Checkpointing keeps per-round analysis O(1);
-      // the round count stays bounded by the convergence check.
-      val next = labels.select("doc_id", "cluster_id").union(propagated)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
-      val sumNow = labelSum(next)
-      converged = sumNow == prevSum
-      prevSum = sumNow
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      while (iter < maxIters && !converged) {
+        val propagated = labels
+          .join(edges, labels("doc_id") === edges("doc_id_1"))
+          .select(col("doc_id_2").as("doc_id"), col("cluster_id"))
+        // localCheckpoint, not persist: each round's plan embeds the
+        // previous round's ~2×, and a persisted frame still hands the
+        // optimizer the full 2^round tree (the star solver hit this wall
+        // hard at 3^round). Checkpointing keeps per-round analysis O(1);
+        // the round count stays bounded by the convergence check.
+        // LAZY checkpoint: the convergence aggregate right below is the
+        // materializing action, so each round runs ONE job instead of
+        // two — on KB-scale edge data the loop cost is job latency, not
+        // compute.
+        val next = labels.select("doc_id", "cluster_id").union(propagated)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+          .localCheckpoint(eager = false)
+        val sumNow = labelSum(next)
+        converged = sumNow == prevSum
+        prevSum = sumNow
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
     // a silent non-converged return would emit WRONG clusters (multiple
     // keepers per component) — fail loudly instead; near-dup components
     // are dense, so hitting this means the input violates the model
@@ -363,7 +386,16 @@ object Dedup {
     var sig = signature(e)
     var iter = 0
     var converged = sig._1 == 0L
-    while (iter < maxIters && !converged) {
+    // Same scheduling-tax control as [[minhashClusters]]: the loop's
+    // shuffle width follows the measured edge count (already carried in
+    // the signature — no extra job), clamped to the session width. The
+    // edge set only ever SHRINKS toward the star forest, so the width
+    // chosen from the initial count is an upper bound for every round.
+    val spark = nodes.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.min(sessionParts.toLong, sig._1 / 1000000L + 1L).toString
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try while (iter < maxIters && !converged) {
       // LARGE-STAR: m = min(neighbourhood ∪ self); larger nbrs -> m.
       // Every emitted edge (v, m) has v > src ≥ m, so the output is
       // already canonically oriented.
@@ -384,15 +416,17 @@ object Dedup {
         .where(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(minsS.select(col("src"), col("m").as("dst")))
+      // lazy: signature() below is the materializing action — one job
+      // per round instead of checkpoint + signature (see minhashClusters)
       val next = ss.where(col("src") =!= col("dst")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val sigNow = signature(next)
       converged = sigNow == sig
       sig = sigNow
       e.unpersist() // next is materialized; the old round's data can go
       e = next
       iter += 1
-    }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
     require(converged,
       s"large-star/small-star did not converge within $maxIters rounds")
     // at the fixpoint the canonical edges form a star forest: one root

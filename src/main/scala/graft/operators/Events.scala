@@ -29,11 +29,15 @@ object Events {
     * derived timestamp column, whatever the parquet physical type of
     * `ts` (see object doc). The conf is runtime-settable and only widens
     * behavior (nanos columns elsewhere would otherwise be unreadable).
-    * `cast(ntz as timestamp)` is evaluated under the session timezone —
-    * every entry point pins `spark.sql.session.timeZone=UTC`, making it
-    * the identity on the naive value, same as the oracle's `epoch_us`. */
+    * `cast(ntz as timestamp)` is evaluated under the session timezone, so
+    * load pins `spark.sql.session.timeZone=UTC` itself (not just in the
+    * entry-point boilerplate — an embedder via GraftExtensions would
+    * otherwise silently shift every ts_us by the local offset), making
+    * the cast the identity on the naive value, same as the oracle's
+    * `epoch_us`. */
   def load(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = Tables(s, dir, "events")
     val tsUs = raw.schema("ts").dataType match {
       case LongType         => expr("ts div 1000") // NANOS read as raw nanos

@@ -40,26 +40,34 @@ object TextAnalysis {
   }
 
   /** Quality scoring: character-class ratios + stopword density + a
-    * bounded length reward, combined in a fixed-order double formula. */
+    * bounded length reward, combined in a fixed-order double formula.
+    * The char-class counts are ONE fused byte-scan kernel
+    * (CharClassStatsExpr) — the regexp_replace formulation allocated two
+    * filtered copies of every document per row just to measure their
+    * lengths, which at 100 TB doubles the scan's allocation rate. */
   def qualityScore(documents: DataFrame): DataFrame = {
     val ws = words(col("text"))
-    val nChars = length(col("text")).cast("long")
-    val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
-    val spaces = length(regexp_replace(col("text"), "[^ ]", "")).cast("long")
-    val nWords = size(ws).cast("long")
-    val stops = markerCount(ws, Stopwords("en"))
+    val cs = graft.functions.TextHashExpressions.charClassStats(col("text"))
+    val counted = documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      cs.as("cs"),
+      size(ws).cast("long").as("n_words"),
+      markerCount(ws, Stopwords("en")).as("n_stopwords"))
     // guard: ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO on empty
     // docs; ratios are null when undefined (0 words / 0 chars)
-    val alphaRatio = when(nChars > 0, alpha.cast("double") / nChars.cast("double"))
-    val stopRatio = when(nWords > 0, stops.cast("double") / nWords.cast("double"))
-    val lenReward = least(lit(1.0), nWords.cast("double") / lit(100.0))
-    documents.select(
+    val alphaRatio = when(col("n_chars") > 0,
+      col("cs.n_alpha").cast("double") / col("n_chars").cast("double"))
+    val stopRatio = when(col("n_words") > 0,
+      col("n_stopwords").cast("double") / col("n_words").cast("double"))
+    val lenReward = least(lit(1.0), col("n_words").cast("double") / lit(100.0))
+    counted.select(
       col("doc_id"),
-      nChars.as("n_chars"),
-      alpha.as("n_alpha"),
-      spaces.as("n_spaces"),
-      nWords.as("n_words"),
-      stops.as("n_stopwords"),
+      col("n_chars"),
+      col("cs.n_alpha").as("n_alpha"),
+      col("cs.n_spaces").as("n_spaces"),
+      col("n_words"),
+      col("n_stopwords"),
       alphaRatio.as("alpha_ratio"),
       stopRatio.as("stopword_ratio"),
       (alphaRatio * 0.5 + stopRatio * 0.3 + lenReward * 0.2).as("quality_score")

@@ -1,16 +1,28 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.operators.Events
 
 class EventsSpec extends SparkSpecBase {
 
-  test("events load: nanos ts surfaces as long + derived micro timestamp") {
+  test("events load: ts normalizes to epoch-micros ts_us under any " +
+      "physical layout") {
     val ev = Events.load(spark, sf)
-    assert(ev.schema("ts").dataType.typeName == "long")
-    val r = ev.select(col("ts"), col("ts_us")).head
-    assert(r.getLong(0) / 1000 == r.getLong(1))
+    // contract 1: event_time is exactly timestamp_micros(ts_us)
+    assert(ev.where(expr("unix_micros(event_time) != ts_us")).count() == 0)
+    // contract 2: ts_us equals the epoch micros of ts for whatever
+    // physical type the fixture ships. The LongType arm of Events.load
+    // is now only reachable on legacy raw-nanos fixtures; current
+    // fixtures carry timestamp[us] NTZ.
+    val mismatched = ev.schema("ts").dataType match {
+      case LongType => ev.where(expr("ts div 1000 != ts_us"))
+      case TimestampNTZType | TimestampType =>
+        ev.where(expr("unix_micros(cast(ts as timestamp)) != ts_us"))
+      case other => fail(s"unsupported events.ts parquet type: $other")
+    }
+    assert(mismatched.count() == 0)
   }
 
   test("anomaly: robust z-scores find planted outliers, constant " +
