@@ -215,9 +215,11 @@ object Ann {
       toDouble(col("embedding")).as("ve"))
     (0 until PqM).foldLeft(base) { (df, m) =>
       val sub = cb.map(_.slice(m * PqSub, (m + 1) * PqSub))
+      // cb.size, not PqKsub: a trained codebook may carry fewer centers
+      // (k-means|| on a slice with < k distinct points)
       df.withColumn(s"c$m",
         V.nearestCentroid(slice(col("ve"), m * PqSub + 1, PqSub),
-          Array.tabulate(PqKsub)(_.toLong), sub.toArray))
+          Array.tabulate(cb.size)(_.toLong), sub.toArray))
     }
   }
 
@@ -240,8 +242,15 @@ object Ann {
     * costs. All folds share the sequential order, so the oracle (which
     * re-derives codes AND re-computes the subspace dots itself)
     * matches bitwise. */
-  def pqTopK(emb: DataFrame, k: Int = K): DataFrame = {
-    val cb = pqCodebook(emb)
+  def pqTopK(emb: DataFrame, k: Int = K): DataFrame =
+    pqTopKWith(emb, pqCodebook(emb), k)
+
+  /** [[pqTopK]] against a caller-supplied codebook — the seam that lets
+    * [[MlIndex.pqKmeansTopK]] swap the deterministic sampled codebook
+    * for a per-subspace k-means-TRAINED one (the faiss shape) while
+    * sharing the whole encode + ADC + re-rank pipeline. */
+  private[graft] def pqTopKWith(emb: DataFrame, cb: Seq[Array[Double]],
+      k: Int = K): DataFrame = {
     // empty/degenerate table: no codebook rows exist — a defined empty
     // result (the reference's panic class, SURVEY.md D5)
     if (cb.isEmpty)
@@ -249,7 +258,7 @@ object Ann {
           lit(0.0).as("pq_sim"), lit(0.0).as("similarity"))
         .where(lit(false))
     val lut: Array[Array[Double]] = Array.tabulate(PqM) { m =>
-      Array.tabulate(PqKsub) { c =>
+      Array.tabulate(cb.size) { c =>
         var acc = 0.0
         var j = 0
         while (j < PqSub) {
@@ -425,7 +434,7 @@ object Ann {
   def ivfRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
     recallAtK(ivfTopK(emb, k), emb, k)
 
-  private def recallAtK(approxTopK: DataFrame, emb: DataFrame,
+  private[graft] def recallAtK(approxTopK: DataFrame, emb: DataFrame,
       k: Int): DataFrame = {
     val exact = VectorSearch.topK(emb, k).select(col("vec_id"))
     val approx = approxTopK.select(col("vec_id"))

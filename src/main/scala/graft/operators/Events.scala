@@ -493,6 +493,81 @@ object Events {
       .limit(50)
   }
 
+  // ------------------------------------------------------------------
+  // O: manifest-backed time-range scan (zone-map SEGMENT pruning)
+  // ------------------------------------------------------------------
+
+  /** Segment count for the manifest-backed events table — time-
+    * contiguous slices, so the ts_us zone maps are disjoint and a range
+    * read can prove most segments irrelevant. */
+  val RangeSegs = 8
+
+  /** Manifest-backed events table (implicit index, built once per
+    * (session, sf dir) into a temp table path): the slim event relation
+    * re-stored through [[graft.sources.ManifestStore]] as [[RangeSegs]]
+    * time-contiguous segments under a `ts_us` zone-map config — the
+    * ingest-ordered layout a streamed event log naturally has, where
+    * each commit covers a narrow time window. Returns
+    * (tablePath, min ts_us, max ts_us). At 100 TB this table IS the
+    * store (segments arrive from the stream, [[EventStream]]-style);
+    * here it is derived from the fixture once and torn down by
+    * [[releaseCaches]]. */
+  private[graft] def manifestEventsTable(s: SparkSession,
+      dir: String): (String, Long, Long) = {
+    val key = (s, dir)
+    Option(manifestTables.get(key)).getOrElse {
+      val ev = load(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_us")
+      val r = ev.agg(min("ts_us"), max("ts_us")).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val w = (hi - lo) / RangeSegs
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ev-manifest-").toString
+      graft.sources.ManifestStore.setZoneMapColumns(s, path, Seq("ts_us"))
+      (0 until RangeSegs).foreach { i =>
+        val sLo = lo + i * w
+        val sHi = if (i == RangeSegs - 1) hi else sLo + w - 1
+        graft.sources.ManifestStore.store(
+          ev.where(col("ts_us").between(sLo, sHi)), path, "events")
+      }
+      val built = (path, lo, hi)
+      Option(manifestTables.putIfAbsent(key, built)).map { prev =>
+        deleteTable(s, path); prev // racing builder lost: drop the dup
+      }.getOrElse(built)
+    }
+  }
+
+  /** Time-range aggregate over the MIDDLE QUARTER of the event log,
+    * served by [[graft.sources.ManifestStore.readRangeLong]]: the
+    * driver consults the per-segment ts_us zone maps and never lists,
+    * plans, or opens the segments outside [lo+3w, lo+5w] — with
+    * [[RangeSegs]] = 8 equal slices that is 3 of 8 segments read, and
+    * the residual predicate still pushes into the surviving parquet for
+    * row-group skipping. The oracle re-derives the identical bounds
+    * arithmetically from the raw table (integer floor division in both
+    * engines). */
+  def rangeScan(s: SparkSession, dir: String): DataFrame = {
+    val (path, lo, hi) = manifestEventsTable(s, dir)
+    val w = (hi - lo) / RangeSegs
+    graft.sources.ManifestStore
+      .readRangeLong(s, path, "events", lo + 3 * w, lo + 5 * w, "ts_us")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"),
+        min("ts_us").as("min_ts_us"), max("ts_us").as("max_ts_us"))
+      .orderBy("event_type")
+  }
+
+  private val manifestTables = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long, Long)]()
+
+  private def deleteTable(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    try p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    catch { case _: java.io.IOException => () }
+  }
+
   /** Persisted frames feeding callers' lazy results; released on demand
     * (same lifecycle contract as [[Dedup.releaseCaches]]). */
   private val retained =
@@ -501,6 +576,12 @@ object Events {
   def releaseCaches(): Unit = {
     var df = retained.poll()
     while (df != null) { df.unpersist(); df = retained.poll() }
+    val keys = manifestTables.keySet().iterator()
+    while (keys.hasNext) {
+      val k = keys.next()
+      val v = manifestTables.remove(k)
+      if (v != null) deleteTable(k._1, v._1)
+    }
   }
 
   // ------------------------------------------------------------------
@@ -508,6 +589,19 @@ object Events {
   // ------------------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("ev_range_scan",
+      s"""WITH b AS (
+         |  SELECT min(epoch_us(ts)) AS lo,
+         |    (max(epoch_us(ts)) - min(epoch_us(ts))) // $RangeSegs AS w
+         |  FROM events)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+         |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+         |FROM events, b
+         |WHERE epoch_us(ts) BETWEEN b.lo + 3 * b.w AND b.lo + 5 * b.w
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)(rangeScan),
+
     QueryDef.sql("ev_hourly_windows",
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us,
         |  event_type, count(*) AS n_events,

@@ -381,7 +381,13 @@ object Pipeline {
   private def mixWeight(lang: Column): Column =
     when(lang === "en", lit(MixEnWeight)).otherwise(lit(MixOtherWeight))
 
-  private def mixHashBucket: Column = sampleHash % MixBuckets
+  private[graft] def mixHashBucket: Column = sampleHash % MixBuckets
+
+  /** The pure row-property acceptance predicate over (hb, n_total,
+    * quota) columns — ONE definition shared by the batch resample and
+    * the streaming mix stage so the membership rule can never drift. */
+  private[graft] def mixAccept: Column =
+    col("hb") * col("n_total") < col("quota") * MixBuckets
 
   /** Per-domain quotas for the target mixture, derived from the
     * per-(domain, hash-bucket) histogram in EXACT integer arithmetic:
@@ -492,6 +498,21 @@ object Pipeline {
     quotaCache.clear()
   }
 
+  /** The slim (lang_key, n_total, quota) relation for an explicit
+    * corpus — the BATCH-derived static state the streaming mix stage
+    * ([[graft.streaming.EventStream.curateDocumentsMixed]]) consumes:
+    * quotas are corpus-level (they need full per-domain counts), which
+    * a one-pass stream cannot derive, so the boundary is explicit —
+    * batch owns quota derivation, the stream owns row acceptance.
+    * Same memoized persisted relation the batch resample joins. */
+  def mixQuotasFor(documents: DataFrame): DataFrame = {
+    val key = (documents.sparkSession,
+      documents.queryExecution.analyzed.canonicalized)
+    quotaCache.computeIfAbsent(key, _ =>
+      mixQuotas(mixHist(documents))
+        .select("lang_key", "n_total", "quota").persist())
+  }
+
   /** [[domainMixDocs]] over an explicit documents frame. */
   def domainMixDocsOn(documents: DataFrame): DataFrame = {
     // quotas is one row per distinct lang — a bounded dim (ISO codes)
@@ -503,11 +524,7 @@ object Pipeline {
     // memoized persisted relation and broadcast only under
     // [[MaxMixQuotaRows]]; past it, fall back to a shuffle join, which
     // is the only correct plan for a corpus-sized dim anyway.
-    val key = (documents.sparkSession,
-      documents.queryExecution.analyzed.canonicalized)
-    val quotas = quotaCache.computeIfAbsent(key, _ =>
-      mixQuotas(mixHist(documents))
-        .select("lang_key", "n_total", "quota").persist())
+    val quotas = mixQuotasFor(documents)
     val quotasHinted =
       if (quotas.count() <= MaxMixQuotaRows) broadcast(quotas) else quotas
     documents
@@ -515,7 +532,7 @@ object Pipeline {
         coalesce(col("lang"), lit(LangNullSentinel)).as("lang_key"),
         mixHashBucket.as("hb"))
       .join(quotasHinted, Seq("lang_key"))
-      .where(col("hb") * col("n_total") < col("quota") * MixBuckets)
+      .where(mixAccept)
       .select(col("doc_id"), unSentinel(col("lang_key")).as("lang"),
         col("hb"))
       .orderBy("doc_id")

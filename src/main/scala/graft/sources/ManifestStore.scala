@@ -700,19 +700,34 @@ object ManifestStore {
       lo: Long, hi: Long, column: String): DataFrame = {
     val fs = fsOf(spark, tablePath)
     val segs = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
-    val kept = segs.filter { s =>
-      readSegStats(fs, tablePath, c, s).get(column) match {
-        case Some(('l', mn, mx)) =>
-          (mn.toLongOption, mx.toLongOption) match {
-            case (Some(a), Some(b)) => a <= hi && b >= lo
-            case _ => true // unparseable bounds: cannot prune
-          }
-        case _ => true
-      }
-    }
+    val kept = segs.filter(keepLong(fs, tablePath, c, _, lo, hi, column))
     rangeResidual(
       readSegsInferred(spark, tablePath, c, kept, segs), column,
       col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** The [[readRangeLong]] prune predicate: keep the segment unless its
+    * recorded numeric bounds PROVE it cannot intersect [lo, hi]. */
+  private def keepLong(fs: FileSystem, tablePath: String, c: String,
+      seg: Long, lo: Long, hi: Long, column: String): Boolean =
+    readSegStats(fs, tablePath, c, seg).get(column) match {
+      case Some(('l', mn, mx)) =>
+        (mn.toLongOption, mx.toLongOption) match {
+          case (Some(a), Some(b)) => a <= hi && b >= lo
+          case _ => true // unparseable bounds: cannot prune
+        }
+      case _ => true
+    }
+
+  /** (kept, total) live-segment counts a [[readRangeLong]] with these
+    * bounds would plan — the observability hook that lets callers (and
+    * the pruning spec) assert segment skipping actually engaged,
+    * without coupling to manifest internals. */
+  def rangeLongPlanned(spark: SparkSession, tablePath: String, c: String,
+      lo: Long, hi: Long, column: String): (Int, Int) = {
+    val fs = fsOf(spark, tablePath)
+    val segs = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
+    (segs.count(keepLong(fs, tablePath, c, _, lo, hi, column)), segs.size)
   }
 
   /** Residual-predicate application shared by the range reads: an

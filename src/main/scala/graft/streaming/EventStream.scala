@@ -333,6 +333,41 @@ object EventStream {
       .select(col("doc_id"), col("lang"), col("n_words"), col("canon"))
   }
 
+  /** [[curateDocuments]] with the domain-mixture acceptance stage
+    * appended — the batch corpus pipeline's third stage
+    * ([[graft.operators.Pipeline.domainMixDocsOn]]) run against a live
+    * feed.
+    *
+    * BOUNDARY, documented deliberately: the per-domain quota histogram
+    * is CORPUS-LEVEL state — it needs the complete per-domain counts —
+    * which a one-pass stream cannot derive (any running estimate would
+    * change earlier rows' acceptance retroactively). So quotas arrive
+    * as a BATCH-derived static relation
+    * ([[graft.operators.Pipeline.mixQuotasFor]] over the reference
+    * corpus), joined stream-static into the feed — broadcast under the
+    * same realized-cardinality gate as the batch resample (`lang` is
+    * data; a dirty corpus can make the quota relation corpus-growing).
+    * Acceptance itself is the SAME pure row predicate
+    * ([[graft.operators.Pipeline.mixAccept]]), so for identical inputs
+    * the stream and the batch pipeline keep identical doc sets — the
+    * replay≡batch spec pins it. The stage is STATELESS on the stream
+    * (the join is to a static side): no new state store beyond
+    * [[curateDocuments]]'s dedup state. */
+  def curateDocumentsMixed(docs: DataFrame, quotas: DataFrame,
+      minWords: Long = 30L): DataFrame = {
+    import graft.operators.Pipeline
+    val quotasHinted =
+      if (quotas.count() <= Pipeline.MaxMixQuotaRows) broadcast(quotas)
+      else quotas
+    curateDocuments(docs, minWords)
+      .withColumn("lang_key",
+        coalesce(col("lang"), lit(Pipeline.LangNullSentinel)))
+      .withColumn("hb", Pipeline.mixHashBucket)
+      .join(quotasHinted, Seq("lang_key"))
+      .where(Pipeline.mixAccept)
+      .select(col("doc_id"), col("lang"), col("n_words"), col("canon"))
+  }
+
   // ------------------------------------------------------------------
   // Streaming ingest (the reference's async /store, made exactly-once)
   // ------------------------------------------------------------------

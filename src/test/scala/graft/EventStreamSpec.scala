@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Events}
+import graft.operators.{Dedup, Events, Pipeline}
 import graft.streaming.EventStream
 import graft.streaming.EventStream.{Event, Session}
 
@@ -388,6 +388,57 @@ class EventStreamSpec extends SparkSpecBase {
         .map(_.getAs[Long]("doc_id")).toSet
       assert(batch == got)
     } finally q.stop()
+  }
+
+  test("streaming curation + domain mix ≡ batch pipeline under RocksDB " +
+      "(batch-derived quotas, stream-static broadcast join)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the real fixture corpus as an ordered feed (arrival follows
+    // doc_id, so stream first-wins = batch min-wins)
+    val t0 = 1700000000000000L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+      .map(r => EventStream.DocEvent(r.getAs[Long]("doc_id"),
+        t0 + r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text"))).toSeq
+    val minWords = 5L
+    // batch side: gate -> canonical keepers -> quotas from SURVIVORS
+    val batchDocs = docs.toDF()
+    val ws = graft.functions.TextFunctions.words(col("text"))
+    val gated = batchDocs.where(
+      graft.functions.TextHashExpressions.wordStats(ws)
+        .getField("n_words") >= minWords)
+    val keepers = Dedup.canonical(gated).select("doc_id")
+    val survivors = gated.join(keepers, "doc_id")
+    val quotas = Pipeline.mixQuotasFor(survivors)
+    val want = Pipeline.domainMixDocsOn(survivors).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(want.nonEmpty && want.size < docs.size) // the mix actually cut
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStream.DocEvent]
+    val q = EventStream.curateDocumentsMixed(input.toDF(), quotas, minWords)
+      .writeStream.format("memory").queryName("curated_mixed")
+      .outputMode("append").start()
+    try {
+      input.addData(docs)
+      input.addData(docs.take(50)) // at-least-once replay adds nothing
+      q.processAllAvailable()
+      val got = spark.table("curated_mixed").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == want)
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      Pipeline.releaseCaches()
+    }
   }
 
   test("transformWithState running KMV sketch converges to the batch sketch") {

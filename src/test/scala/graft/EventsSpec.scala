@@ -25,6 +25,30 @@ class EventsSpec extends SparkSpecBase {
     assert(mismatched.count() == 0)
   }
 
+  test("range scan: zone maps prune most segments, result equals the " +
+      "raw filter") {
+    val (path, lo, hi) = Events.manifestEventsTable(spark, sf)
+    val w = (hi - lo) / Events.RangeSegs
+    val (kept, total) = graft.sources.ManifestStore.rangeLongPlanned(
+      spark, path, "events", lo + 3 * w, lo + 5 * w, "ts_us")
+    assert(total == Events.RangeSegs)
+    // time-contiguous segments 3..4 intersect the range fully and 5
+    // touches its upper bound; 0-2 and 6-7 must be SKIPPED
+    assert(kept <= 3, s"kept=$kept of $total — zone maps did not prune")
+    assert(kept >= 1)
+    // end-to-end: the manifest-served aggregate equals the same
+    // aggregate over the raw parquet filtered driver-side
+    val got = Events.rangeScan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = Events.load(spark, sf)
+      .where(col("ts_us").between(lo + 3 * w, lo + 5 * w))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    Events.releaseCaches()
+  }
+
   test("anomaly: robust z-scores find planted outliers, constant " +
       "streams yield none (mad=0 never divides)") {
     import spark.implicits._
