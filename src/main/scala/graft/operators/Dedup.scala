@@ -586,6 +586,50 @@ object Dedup {
       .orderBy("doc_id_1", "doc_id_2")
   }
 
+  /** Shingle-CONTAINMENT pairs: C(A→B) = |A∩B| / |A| — the asymmetric
+    * overlap measure that catches doc-inside-doc relations (quoted
+    * articles, boilerplate wrappers, page + comments re-crawls) which
+    * Jaccard structurally dilutes: a 50-shingle doc fully embedded in a
+    * 1000-shingle doc scores J ≈ 0.05 but C = 1.0, so a Jaccard-only
+    * dedup ships the duplicate. Both directions ride the canonical
+    * (id1 < id2) pair; a pair survives when EITHER direction clears the
+    * threshold.
+    *
+    * Candidates come from the shingle inverted index (the
+    * [[ngramJaccardPairs]] formulation) — EXACT for this measure: any
+    * pair with nonzero overlap meets under a shared shingle, and the
+    * join's group count IS |A∩B| (no set refetch). Lang-blocked, NOT
+    * doc_id-sampled (unlike the Jaccard demo — containment pairs are
+    * rare and sampling would miss them): the join cost is the postings
+    * pair mass Σ_shingle occ², measured ~1.3M groups at sf0.1 with a
+    * hottest-shingle occupancy of 25 — shingle specificity is the
+    * natural blocker. At corpus scale the boilerplate-shingle head
+    * (the only way occ² grows superlinearly) is dropped by a DF cap,
+    * the [[decontaminate]] index discipline. */
+  def containmentPairs(documents: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val d = documents
+      .select(col("doc_id"), col("lang"), shingleHashes.as("sh"))
+      .where(size(col("sh")) > 0)
+    val ex = d.select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
+      explode(col("sh")).as("h"))
+    ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        col("c").cast("long").as("n_common"),
+        (col("c").cast("double") / col("n1").cast("double"))
+          .as("containment_12"),
+        (col("c").cast("double") / col("n2").cast("double"))
+          .as("containment_21"))
+      .where(greatest(col("containment_12"), col("containment_21"))
+        >= threshold)
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
   /** Embedding-cosine near-dup pairs inside label blocks, cos >= 0.25.
     *
     * VERIFY-SCALE / ground-truth formulation only: blocking on a
@@ -832,6 +876,24 @@ object Dedup {
          |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.01E0
          |ORDER BY doc_id_1, doc_id_2""".stripMargin) {
       (s, dir) => ngramJaccardPairs(Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("dedup_containment",
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $ShSql AS sh FROM documents),
+         |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
+         |p AS (
+         |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      CAST(len(a.sh) AS DOUBLE) AS containment_12,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      CAST(len(b.sh) AS DOUBLE) AS containment_21
+         |  FROM d2 a JOIN d2 b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |SELECT * FROM p
+         |WHERE greatest(containment_12, containment_21) >= 0.5E0
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin) {
+      (s, dir) => containmentPairs(Tables(s, dir, "documents"))
     },
 
     QueryDef.sql("dedup_embedding_cosine", {

@@ -443,6 +443,40 @@ object Events {
         sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Heavy-hitter cut: a user is "heavy" when its event count exceeds
+    * [[HeavyNum]]/[[HeavyDen]] × the mean events-per-user. A RELATIVE
+    * threshold (vs the classic count > n/k) because it is
+    * scale-invariant: the mean is the corpus's own yardstick, so the
+    * same query means the same thing at sf0.001 and at 100 TB. */
+  val HeavyNum = 5L
+  val HeavyDen = 4L
+
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHittersOn(load(s, dir))
+
+  /** Heavy-hitter users — the abuse/bot-detection ops query: per-user
+    * event counts (ONE partial+final aggregate on user_id — uniform key,
+    * map-side combine, the corpus never shuffles raw rows), then the
+    * (1-row) corpus totals broadcast back and the cut applied in EXACT
+    * integer arithmetic (`n · n_users · HeavyDen > n_total · HeavyNum`
+    * — no float mean, no division at all until the reported share).
+    * At 100 TB the per-user relation is user-cardinality — large, but
+    * partitioned; nothing here is single-partition. */
+  def heavyHittersOn(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val totals = perUser.agg(sum(col("n_events")).as("n_total"),
+      count(lit(1)).as("n_users"))
+    perUser.crossJoin(broadcast(totals)) // 1-row stats relation
+      .where(col("n_events") * col("n_users") * HeavyDen >
+        col("n_total") * HeavyNum)
+      .select(col("user_id"), col("n_events"), col("n_total"),
+        col("n_users"),
+        (col("n_events").cast("double") / col("n_total").cast("double"))
+          .as("share"))
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
   /** Score threshold and stats-relation broadcast ceiling for
     * [[anomaly]]. */
   val AnomalyThreshold = 3.5
@@ -601,6 +635,18 @@ object Events {
          |WHERE epoch_us(ts) BETWEEN b.lo + 3 * b.w AND b.lo + 5 * b.w
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin)(rangeScan),
+
+    QueryDef.sql("ev_heavy_hitters",
+      s"""WITH u AS (
+         |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+         |t AS (
+         |  SELECT CAST(sum(n_events) AS BIGINT) AS n_total,
+         |    count(*) AS n_users FROM u)
+         |SELECT user_id, n_events, n_total, n_users,
+         |  CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+         |FROM u, t
+         |WHERE n_events * n_users * $HeavyDen > n_total * $HeavyNum
+         |ORDER BY n_events DESC, user_id""".stripMargin)(heavyHitters),
 
     QueryDef.sql("ev_hourly_windows",
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us,

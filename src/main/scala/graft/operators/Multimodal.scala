@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -165,6 +166,23 @@ object Multimodal {
           "(CAST(width AS BIGINT) * height)"))
       .orderBy("doc_id")
 
+  /** Exact media dedup: cluster by payload content hash, keep the
+    * minimum doc_id — the first stage of any multimodal corpus build
+    * (re-crawled images/audio share exact bytes far more often than
+    * text does, and hashing is the only modality-independent identity).
+    * Metadata-scan shape: the sha is computed once during the scan and
+    * the single shuffle is hash-partitioned on it (uniform by
+    * construction); the payload bytes never ride the exchange. */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("payload_sha"))
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("media_type"),
+        sha2(col("payload"), 256).as("payload_sha"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .orderBy("doc_id")
+  }
+
   /** Per-modality rollup over extracted features — decode feeding a
     * relational aggregate, the end-to-end pipeline shape. */
   def modalityStats(s: SparkSession, dir: String): DataFrame = {
@@ -210,6 +228,16 @@ object Multimodal {
          |  $HeightSql AS height,
          |  CAST(1 + (doc_id % 16) AS INT) AS n_frames
          |FROM documents ORDER BY doc_id""".stripMargin)(mediaMetadata),
+
+    QueryDef.sql("mm_dedup",
+      s"""WITH m AS (
+         |  SELECT doc_id, $MediaTypeSql AS media_type,
+         |    sha256(text) AS payload_sha
+         |  FROM documents)
+         |SELECT doc_id, media_type, payload_sha,
+         |  count(*) OVER (PARTITION BY payload_sha) AS group_size,
+         |  doc_id = min(doc_id) OVER (PARTITION BY payload_sha) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin)(mediaDedup),
 
     QueryDef.sql("mm_features",
       s"""WITH codes AS (

@@ -8,6 +8,32 @@ import graft.operators.Dedup
 
 class DedupSpec extends SparkSpecBase {
 
+  test("containment: embedded doc scores C=1 where jaccard is diluted") {
+    import spark.implicits._
+    // doc 3 is fully embedded at the head of doc 6; doc 12 is disjoint.
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (3L, "en", small),
+      (6L, "en", small + " " + filler),
+      (12L, "en", "totally unrelated words nothing shared here at all"))
+      .toDF("doc_id", "lang", "text")
+    val rows = Dedup.containmentPairs(docs).collect()
+    assert(rows.map(r => (r.getAs[Long]("doc_id_1"),
+      r.getAs[Long]("doc_id_2"))).toSeq == Seq((3L, 6L)))
+    val r = rows.head
+    // every shingle of 3 appears in 6 → full forward containment…
+    assert(r.getAs[Double]("containment_12") == 1.0)
+    // …while the symmetric measures stay small (6 is mostly filler)
+    assert(r.getAs[Double]("containment_21") < 0.2)
+    val j = r.getAs[Long]("n_common").toDouble /
+      (r.getAs[Long]("n_common") / r.getAs[Double]("containment_12") +
+        r.getAs[Long]("n_common") / r.getAs[Double]("containment_21") -
+        r.getAs[Long]("n_common"))
+    assert(j < 0.2) // jaccard alone would never flag this pair at 0.5
+    Dedup.releaseCaches()
+  }
+
   test("decontamination: bench docs excluded, shared counts bounded, flag consistent") {
     val rows = Dedup.decontaminate(
       graft.Tables(spark, sf, "documents")).collect()

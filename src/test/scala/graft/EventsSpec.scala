@@ -49,6 +49,18 @@ class EventsSpec extends SparkSpecBase {
     Events.releaseCaches()
   }
 
+  test("heavy hitters: exact relative cut at 1.25x the mean") {
+    import spark.implicits._
+    // users 1..9 at 10 events, user 10 at 110: mean 20, cut at 25
+    val ev = ((1L to 9L).flatMap(u => Seq.fill(10)(u)) ++ Seq.fill(110)(10L))
+      .toDF("user_id")
+    val rows = Events.heavyHittersOn(ev).collect()
+    assert(rows.map(_.getAs[Long]("user_id")).toSeq == Seq(10L))
+    assert(rows.head.getAs[Long]("n_events") == 110L)
+    assert(rows.head.getAs[Long]("n_total") == 200L)
+    assert(rows.head.getAs[Double]("share") == 110.0 / 200.0)
+  }
+
   test("anomaly: robust z-scores find planted outliers, constant " +
       "streams yield none (mad=0 never divides)") {
     import spark.implicits._

@@ -6,6 +6,18 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSpecBase {
 
+  test("media dedup: exactly one keeper per content hash, sizes agree") {
+    val rows = Multimodal.mediaDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("payload_sha")).foreach { case (_, g) =>
+      assert(g.count(_.getAs[Boolean]("keep")) == 1)
+      assert(g.forall(_.getAs[Long]("group_size") == g.length))
+      // the keeper is the minimum doc_id of its cluster
+      assert(g.filter(_.getAs[Boolean]("keep")).head.getAs[Long]("doc_id")
+        == g.map(_.getAs[Long]("doc_id")).min)
+    }
+  }
+
   test("stub decode is deterministic, fixed-dim, L1-normalized") {
     val payload = "some media bytes".getBytes("UTF-8")
     val f1 = Multimodal.decodeFeatures(payload)
