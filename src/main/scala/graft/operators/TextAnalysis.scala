@@ -237,6 +237,47 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Vocabulary size for [[oovRate]] — deliberately BELOW the fixture's
+    * 31-word vocabulary so the out-of-vocabulary signal is real (a
+    * production corpus uses ~10^5; the mechanism is identical). */
+  val OovVocabSize = 16
+
+  /** Out-of-vocabulary rate — the CCNet-style quality signal the
+    * stopword-based [[qualityScore]] can't provide: score each document
+    * by the fraction of its tokens OUTSIDE the corpus's own top-K
+    * vocabulary (gibberish, code, boilerplate and non-target-language
+    * text all surface as high OOV against a clean reference corpus).
+    *
+    * Two corpus passes by construction: (1) derive the vocabulary —
+    * a word-count aggregate (uniform keys, map-side partials, shuffle
+    * bounded by DISTINCT-word cardinality, Heaps-sublinear) topped to
+    * [[OovVocabSize]] under the total (tf DESC, word) order both
+    * engines share; (2) score — scan + broadcast semi-join against the
+    * K-row vocabulary (fixed-size by config: unconditional broadcast is
+    * correct) + one per-doc count aggregate. Total word counts ride the
+    * fused [[graft.functions.TextHashExpressions.wordStats]] kernel, so
+    * pass 2 explodes only for the vocabulary intersection. */
+  def oovRate(documents: DataFrame): DataFrame = {
+    val terms = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val vocab = terms.groupBy("word").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("word")).limit(OovVocabSize)
+      .select("word")
+    val inVocab = terms.join(broadcast(vocab), Seq("word"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_in_vocab"))
+    val st = graft.functions.TextHashExpressions.wordStats(words(col("text")))
+    documents
+      .select(col("doc_id"), st.getField("n_words").as("n_words"))
+      .join(inVocab, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"),
+        when(col("n_words") > 0,
+          (col("n_words") - coalesce(col("n_in_vocab"), lit(0L)))
+            .cast("double") / col("n_words").cast("double"))
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 knobs (classic Robertson defaults) and the fixed demo query
     * terms (in production the tokenized user query). The idf is the
     * RATIONAL Robertson–Spärck Jones core `(N − df + ½)/(df + ½)`
@@ -616,6 +657,26 @@ object TextAnalysis {
          |QUALIFY rnk <= 3
          |ORDER BY doc_id, rnk""".stripMargin) {
       (s, dir) => wordFreq(Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("text_oov_rate",
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest($W) AS word FROM documents),
+         |v AS (SELECT word FROM (
+         |  SELECT word, count(*) AS tf FROM terms GROUP BY word
+         |  ORDER BY tf DESC, word LIMIT $OovVocabSize)),
+         |c AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS n_words
+         |  FROM documents),
+         |iv AS (SELECT doc_id, count(*) AS n_in_vocab
+         |  FROM terms JOIN v USING (word) GROUP BY doc_id)
+         |SELECT c.doc_id AS doc_id, c.n_words AS n_words,
+         |  COALESCE(iv.n_in_vocab, 0) AS n_in_vocab,
+         |  CASE WHEN c.n_words > 0 THEN
+         |    CAST(c.n_words - COALESCE(iv.n_in_vocab, 0) AS DOUBLE) /
+         |      CAST(c.n_words AS DOUBLE) END AS oov_rate
+         |FROM c LEFT JOIN iv ON c.doc_id = iv.doc_id
+         |ORDER BY doc_id""".stripMargin) {
+      (s, dir) => oovRate(Tables(s, dir, "documents"))
     },
 
     QueryDef.sql("text_fingerprint", {

@@ -30,6 +30,33 @@ class PlanSpec extends SparkSpecBase {
 
   private val BroadcastThresholdKey = "spark.sql.autoBroadcastJoinThreshold"
 
+  test("heavy hitters: totals side broadcast, per-user agg partial+final") {
+    val df = Events.heavyHitters(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected the 1-row totals broadcast in:\n$p")
+    // map-side combine on the user aggregate (partial + final)
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("media dedup: payload bytes never ride the exchange") {
+    val df = Multimodal.mediaDedup(spark, sf)
+    val p = plan(df)
+    // exactly one hash shuffle (the content-hash window) + the output sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    // the shuffle's projection carries the sha, not the payload column
+    assert(!p.contains("payload#") ||
+      !"Exchange hashpartitioning[^\\n]*payload".r.findFirstIn(p).isDefined)
+  }
+
+  test("oov rate: vocabulary side broadcast into the scoring join") {
+    val df = TextAnalysis.oovRate(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val p = plan(df)
+    assert(p.contains("BroadcastExchange"),
+      s"expected the K-row vocabulary broadcast in:\n$p")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -6,6 +6,29 @@ import graft.functions.TextFunctions._
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpecBase {
+
+  test("oov rate: gibberish scores high against the corpus vocabulary, " +
+      "clean text scores zero") {
+    import spark.implicits._
+    // corpus dominated by 9 clean words (tf >= 20 each) + one gibberish
+    // doc of 20 distinct one-shot words; top-16 vocab = the 9 clean
+    // words + the first 7 gibberish words under the (tf DESC, word)
+    // tie-break
+    val clean = "the cat sat on the mat and the dog ran off"
+    val gib = (1 to 20).map(i => f"zz$i%02d").mkString(" ")
+    val docs = ((1L to 20L).map(i => (i, clean)) :+ (99L, gib))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.oovRate(docs).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_in_vocab") <= r.getAs[Long]("n_words"))
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    val by = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("oov_rate")).toMap
+    assert(by(1L) == 0.0)
+    assert(by(99L) == 13.0 / 20.0)
+  }
   private def docs = Tables(spark, sf, "documents")
 
   test("polyHash: known value, empty-string guard, order sensitivity") {
