@@ -448,21 +448,28 @@ object MlIndex {
           slice(toDouble(col("embedding")), m * Ann.PqSub + 1, Ann.PqSub))
           .as(s"f$m")): _*)
         .persist()
-      val centers: Array[Array[Array[Double]]] = (0 until Ann.PqM).map { m =>
-        new KMeans().setK(Ann.PqKsub).setSeed(Seed + m).setMaxIter(5)
-          .setFeaturesCol(s"f$m").setPredictionCol(s"p$m")
-          .fit(sliced).clusterCenters.map(_.toArray)
-      }.toArray
-      sliced.unpersist()
-      // k-means|| can return FEWER than k centers when the slice has
-      // fewer distinct points — truncate to the common width so the
-      // virtual vectors stay rectangular (encode handles any length)
-      val kEff = centers.map(_.length).min
-      val cb = (0 until kEff).map { c =>
-        val full = new Array[Double](Ann.PqM * Ann.PqSub)
-        for (m <- 0 until Ann.PqM; j <- 0 until Ann.PqSub)
-          full(m * Ann.PqSub + j) = centers(m)(c)(j)
-        full
+      // empty table: nothing to train on — a defined empty codebook
+      // (pqTopKWith's empty-cb branch), not an MLlib fit error
+      val cb = if (sliced.isEmpty) {
+        sliced.unpersist()
+        Seq.empty[Array[Double]]
+      } else {
+        val centers: Array[Array[Array[Double]]] = (0 until Ann.PqM).map { m =>
+          new KMeans().setK(Ann.PqKsub).setSeed(Seed + m).setMaxIter(5)
+            .setFeaturesCol(s"f$m").setPredictionCol(s"p$m")
+            .fit(sliced).clusterCenters.map(_.toArray)
+        }.toArray
+        sliced.unpersist()
+        // k-means|| can return FEWER than k centers when the slice has
+        // fewer distinct points — truncate to the common width so the
+        // virtual vectors stay rectangular (encode handles any length)
+        val kEff = centers.map(_.length).min
+        (0 until kEff).map { c =>
+          val full = new Array[Double](Ann.PqM * Ann.PqSub)
+          for (m <- 0 until Ann.PqM; j <- 0 until Ann.PqSub)
+            full(m * Ann.PqSub + j) = centers(m)(c)(j)
+          full
+        }
       }
       Option(pqCbCache.putIfAbsent(key, cb)).getOrElse(cb)
     }

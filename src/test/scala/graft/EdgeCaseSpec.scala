@@ -168,6 +168,30 @@ class EdgeCaseSpec extends SparkSpecBase {
     Events.releaseCaches()
   }
 
+  test("round-8 operators are defined on empty/degenerate input") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    assert(Dedup.containmentPairs(emptyDocs).count() == 0)
+    assert(TextAnalysis.oovRate(emptyDocs).count() == 0)
+    // empty TEXT: zero words -> null rate (0/0 guarded), zero counts
+    val r = TextAnalysis.oovRate(
+      Seq((1L, "en", "")).toDF("doc_id", "lang", "text")).head
+    assert(r.getAs[Long]("n_words") == 0L)
+    assert(r.getAs[Long]("n_in_vocab") == 0L)
+    assert(r.isNullAt(r.fieldIndex("oov_rate")))
+    // heavy hitters over no events: empty, no division ever evaluated
+    assert(Events.heavyHittersOn(
+      Seq.empty[Long].toDF("user_id")).count() == 0)
+    // trained-PQ codebook over an empty table: defined empty result,
+    // not an MLlib fit error
+    val emptyEmb = emptyLike(s"$sf/embeddings.parquet")
+    assert(graft.operators.Ann.pqTopKWith(
+      emptyEmb, MlIndex.pqKmeansCodebook(emptyEmb)).count() == 0)
+    MlIndex.releaseCaches()
+    Dedup.releaseCaches()
+  }
+
   test("KMV sketch of an empty group / all-null input is exact zero") {
     import graft.functions.SketchAggregate.kmvSketch
     val r = spark.range(5).select(lit(null).cast("long").as("hv"))
