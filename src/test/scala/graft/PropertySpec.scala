@@ -187,6 +187,39 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("fused char-class stats == regex formulation on random strings " +
+      "(incl. multi-byte UTF-8)") {
+    // unicode chars exercise the byte-scan's claim that continuation/
+    // lead bytes (>= 0x80) can never collide with [a-z] or ' '
+    val genChunk = Gen.frequency(
+      6 -> Gen.alphaLowerChar.map(_.toString), 2 -> Gen.const(" "),
+      2 -> Gen.alphaUpperChar.map(_.toString),
+      1 -> Gen.numChar.map(_.toString),
+      // 2-, 3- and 4-byte UTF-8 sequences (the emoji is supplementary)
+      1 -> Gen.oneOf("é", "ß", "あ", "€", "🎉"))
+    val genText = Gen.listOf(genChunk).map(_.mkString)
+    val texts = samples(genText, 80)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(texts.zipWithIndex.map { case (t, i) =>
+        Row(i.toLong, t)
+      }),
+      StructType(Seq(StructField("id", LongType),
+        StructField("text", StringType))))
+    val cs = graft.functions.TextHashExpressions.charClassStats(col("text"))
+    val out = df.select(col("id"), cs.as("cs"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+          .as("alpha_ref"),
+        length(regexp_replace(col("text"), "[^ ]", "")).cast("long")
+          .as("space_ref"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val s = r.getStruct(1)
+      assert(s.getLong(0) == r.getLong(2), s"alpha mismatch on id ${r.getLong(0)}")
+      assert(s.getLong(1) == r.getLong(3), s"space mismatch on id ${r.getLong(0)}")
+    }
+  }
+
   test("fused word stats == reference formulation on random word lists") {
     val genWord = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     val genDoc = Gen.listOfN(30, genWord).map(_.toSeq)
