@@ -172,6 +172,51 @@ object Ann {
       .limit(k)
   }
 
+  /** END-TO-END curated index search — the index-side composition that
+    * closes the reference-replacement loop (the curation-side twin is
+    * `pl_corpus_pipeline`): gate the corpus on the Gopher repetition
+    * signals, keep one document per canonical key, keep only the
+    * SURVIVORS' vectors, and answer the query through the IVF-pruned
+    * index over exactly that curated set. This is the query a user of
+    * the reference actually wants to run after curation — search over
+    * the cleaned corpus — expressed as ONE declarative plan: the
+    * quality kernels pipeline into the documents scan, the keeper
+    * window is the only corpus shuffle, the vector side joins in on
+    * vec_id, and the IVF probe stays a scan-side filter.
+    *
+    * Index metadata (codebook, probe set) is fixed on the FULL table:
+    * an index is built once at ingest; curation changes which rows the
+    * probed cells still contain, not where the cells are. At 100 TB
+    * the curated keeper set is corpus-growing, so the embeddings join
+    * is an unhinted equi-join (shuffle when big, broadcast when the
+    * optimizer proves it small) — never force-broadcast. */
+  def curatedSearch(s: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val quality = TextAnalysis.repetitionStatsCore(docs, keep = Seq("text"))
+      .where(col("n_words") >= 30L && col("top_word_share") <= 0.12 &&
+        col("dup_bigram_frac") <= 0.05)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canon"))
+    val keepers = quality
+      .select(col("doc_id"), Dedup.canonicalKey.as("canon"))
+      .withColumn("keeper", col("doc_id") === min(col("doc_id")).over(w))
+      .where(col("keeper"))
+      .select(col("doc_id").as("vec_id"))
+    val emb = Tables(s, dir, "embeddings")
+    val cb = codebook(emb)
+    if (cb.isEmpty)
+      return emb.select(col("vec_id"), col("label"),
+          lit(0L).as("cent_id"), lit(0.0).as("similarity"))
+        .where(lit(false))
+    val probeIds = cb.map { case (id, cv) => (l2Scalar(Query, cv), id) }
+      .sorted.take(NProbe).map(_._2)
+    ivfAssign(emb.join(keepers, Seq("vec_id")), cb)
+      .where(col("cent_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("label"), col("cent_id"),
+        V.dot(vecLit(QueryNorm), col("v")).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // ---- product quantization (PQ) ----
 
   /** Subspace count: 64 dims → 16 blocks of 4. More, smaller subspaces
@@ -637,6 +682,42 @@ object Ann {
          |WHERE cent_id IN (SELECT cent_id FROM probe)
          |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
       (s, dir) => ivfTopK(Tables(s, dir, "embeddings"))
+    },
+
+    QueryDef.sql("ann_curated_search",
+      s"""WITH ${TextAnalysis.repetitionRelationSql},
+         |keepers AS (
+         |  SELECT min(d.doc_id) AS vec_id
+         |  FROM documents d JOIN rep USING (doc_id)
+         |  WHERE rep.n_words >= 30 AND rep.top_word_share <= 0.12E0
+         |    AND rep.dup_bigram_frac <= 0.05E0
+         |  GROUP BY substr(trim(regexp_replace(lower(d.text), '\\s+', ' ',
+         |    'g')), 1, 128)),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, $embD AS c_vec
+         |  FROM embeddings WHERE vec_id IN ($centroidList)),
+         |probe AS (
+         |  SELECT cent_id FROM (
+         |    SELECT cent_id, row_number() OVER (
+         |      ORDER BY ${l2Sql(qRawSql, "c_vec")}, cent_id) AS crn
+         |    FROM cents)
+         |  WHERE crn <= $NProbe),
+         |cur AS (
+         |  SELECT e.vec_id, e.label, e.embedding
+         |  FROM embeddings e JOIN keepers USING (vec_id)),
+         |assigned AS (
+         |  SELECT vec_id, label, v, cent_id FROM (
+         |    SELECT e.vec_id, e.label, $embD AS v, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql(embD, "c_vec")}, c.cent_id) AS rn
+         |    FROM cur e CROSS JOIN cents c)
+         |  WHERE rn = 1)
+         |SELECT vec_id, label, cent_id,
+         |  ${dotSeqSql(qNormSql, "v", Dim)} AS similarity
+         |FROM assigned
+         |WHERE cent_id IN (SELECT cent_id FROM probe)
+         |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
+      (s, dir) => curatedSearch(s, dir)
     }
   )
 }

@@ -2,9 +2,27 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, VectorSearch}
+import graft.operators.{Ann, Dedup, Pipeline, VectorSearch}
 
 class AnnSpec extends SparkSpecBase {
+
+  test("curated search: every hit is a gate survivor AND a canonical " +
+      "keeper, scored from probed cells only") {
+    val rows = Ann.curatedSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hits = rows.map(_.getAs[Long]("vec_id")).toSet
+    val gateIds = Pipeline.gopherFilter(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(hits.subsetOf(gateIds), "a hit failed the repetition gate")
+    val gatedDocs = graft.Tables(spark, sf, "documents")
+      .where(col("doc_id").isin(gateIds.toSeq: _*))
+    val keeperIds = Dedup.canonical(gatedDocs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(hits.subsetOf(keeperIds), "a hit is a dropped duplicate")
+    // cells: only the NProbe probed centroids appear
+    assert(rows.map(_.getAs[Long]("cent_id")).distinct.length <= Ann.NProbe)
+    Dedup.releaseCaches()
+  }
 
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
