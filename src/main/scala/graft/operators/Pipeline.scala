@@ -538,6 +538,47 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  def curationFunnel(s: SparkSession, dir: String): DataFrame =
+    curationFunnelOn(Tables(s, dir, "documents"))
+
+  /** Curation YIELD report — the one-row audit every corpus build logs:
+    * how many documents survive each stage of [[corpusPipelineOn]]
+    * (raw → repetition gate → canonical dedup → domain mix) and each
+    * stage's yield against the raw corpus. Stage memberships are the
+    * pipeline's own relations (same predicates, same quota cache), so
+    * the report can never drift from the pipeline it describes.
+    *
+    * Scale shape: each count is a partial+final 1-row aggregate over
+    * the corresponding stage relation, combined by 1-row cross joins
+    * (the stats-broadcast pattern) — no corpus-sized exchange beyond
+    * what the stages themselves pay, and the whole report is ONE
+    * declarative plan. */
+  def curationFunnelOn(documents: DataFrame): DataFrame = {
+    val gated = TextAnalysis
+      .repetitionStatsCore(documents, keep = Seq("lang", "text"))
+      .where(col("n_words") >= 30L &&
+        col("top_word_share") <= 0.12 &&
+        col("dup_bigram_frac") <= 0.05)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val keepers = gated
+      .select(col("doc_id"), Dedup.canonicalKey.as("canon"))
+      .groupBy("canon").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val deduped = gated.join(keepers, "doc_id").select("doc_id", "lang")
+    val mixed = domainMixDocsOn(deduped).select("doc_id")
+    def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    def yld(num: Column) = when(col("n_raw") > 0,
+      num.cast("double") / col("n_raw").cast("double"))
+    n(documents, "n_raw")
+      .crossJoin(n(gated, "n_gated"))
+      .crossJoin(n(keepers, "n_deduped"))
+      .crossJoin(n(mixed, "n_mixed"))
+      .select(col("n_raw"), col("n_gated"), col("n_deduped"), col("n_mixed"),
+        yld(col("n_gated")).as("yield_gated"),
+        yld(col("n_deduped")).as("yield_deduped"),
+        yld(col("n_mixed")).as("yield_mixed"))
+  }
+
   def corpusPipeline(s: SparkSession, dir: String): DataFrame =
     corpusPipelineOn(Tables(s, dir, "documents"))
 
@@ -960,6 +1001,43 @@ object Pipeline {
          |FROM mixed
          |ORDER BY shard, skey, doc_id""".stripMargin)(
       (s, dir) => corpusPipeline(s, dir)),
+
+    QueryDef.sql("pl_curation_funnel",
+      s"""WITH ${TextAnalysis.repetitionRelationSql},
+         |g AS (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d JOIN rep USING (doc_id)
+         |  WHERE rep.n_words >= 30 AND rep.top_word_share <= 0.12E0
+         |    AND rep.dup_bigram_frac <= 0.05E0),
+         |kp AS (
+         |  SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT doc_id,
+         |      substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+         |        1, 128) AS canon
+         |    FROM g)
+         |  GROUP BY canon),
+         |base AS (SELECT g.doc_id, g.lang FROM g JOIN kp USING (doc_id)),
+         |${mixOracleCtes("base")},
+         |mx AS (
+         |  SELECT doc_id FROM h JOIN q USING (lang_key)
+         |  WHERE hb * n_total < quota * $MixBuckets),
+         |c AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n_raw,
+         |    (SELECT count(*) FROM g) AS n_gated,
+         |    (SELECT count(*) FROM kp) AS n_deduped,
+         |    (SELECT count(*) FROM mx) AS n_mixed)
+         |SELECT n_raw, n_gated, n_deduped, n_mixed,
+         |  CASE WHEN n_raw > 0 THEN
+         |    CAST(n_gated AS DOUBLE) / CAST(n_raw AS DOUBLE) END
+         |    AS yield_gated,
+         |  CASE WHEN n_raw > 0 THEN
+         |    CAST(n_deduped AS DOUBLE) / CAST(n_raw AS DOUBLE) END
+         |    AS yield_deduped,
+         |  CASE WHEN n_raw > 0 THEN
+         |    CAST(n_mixed AS DOUBLE) / CAST(n_raw AS DOUBLE) END
+         |    AS yield_mixed
+         |FROM c""".stripMargin)(
+      (s, dir) => curationFunnel(s, dir)),
 
     QueryDef.sql("pl_pii_scrub",
       s"""WITH a AS (

@@ -8,6 +8,22 @@ import graft.operators.{Dedup, Events, Pipeline, Relational, VectorSearch}
   * checks exact values; these assert the semantic properties). */
 class PipelineSpec extends SparkSpecBase {
 
+  test("curation funnel: monotone stage counts, yields exact, final " +
+      "stage equals the composed pipeline") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val r = Pipeline.curationFunnelOn(docs).head
+    val raw = r.getAs[Long]("n_raw")
+    val g = r.getAs[Long]("n_gated")
+    val d = r.getAs[Long]("n_deduped")
+    val m = r.getAs[Long]("n_mixed")
+    assert(raw >= g && g >= d && d >= m && m > 0)
+    assert(r.getAs[Double]("yield_gated") == g.toDouble / raw)
+    assert(r.getAs[Double]("yield_mixed") == m.toDouble / raw)
+    // the report can never drift from the pipeline it describes
+    assert(m == Pipeline.corpusPipelineOn(docs).count())
+    Pipeline.releaseCaches()
+  }
+
   test("train/test split partitions the corpus 80/10/10 by residue") {
     val rows = Pipeline.trainTestSplit(spark, sf).collect()
       .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
