@@ -496,6 +496,9 @@ object Pipeline {
     val it = quotaCache.values().iterator()
     while (it.hasNext) { it.next().unpersist() }
     quotaCache.clear()
+    val git = gatedCache.values().iterator()
+    while (git.hasNext) { git.next().unpersist() }
+    gatedCache.clear()
   }
 
   /** The slim (lang_key, n_total, quota) relation for an explicit
@@ -541,6 +544,29 @@ object Pipeline {
   def curationFunnel(s: SparkSession, dir: String): DataFrame =
     curationFunnelOn(Tables(s, dir, "documents"))
 
+  /** The repetition-gated corpus (doc_id, lang, text) — memoized and
+    * PERSISTED by canonicalized input plan (the [[Dedup]] shingle-cache
+    * discipline) because it feeds multiple branches of the SAME plan in
+    * both [[curationFunnelOn]] (three count branches) and
+    * [[corpusPipelineOn]]: uncached, Catalyst re-evaluates the Gopher
+    * signal kernels once per branch (measured 4.3 s vs 2.7 s at sf0.1).
+    * Released via [[releaseCaches]]. */
+  private val gatedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame]()
+
+  private def gatedDocs(documents: DataFrame): DataFrame = {
+    val key = (documents.sparkSession,
+      documents.queryExecution.analyzed.canonicalized)
+    gatedCache.computeIfAbsent(key, _ =>
+      TextAnalysis.repetitionStatsCore(documents, keep = Seq("lang", "text"))
+        .where(col("n_words") >= 30L &&
+          col("top_word_share") <= 0.12 &&
+          col("dup_bigram_frac") <= 0.05)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .persist())
+  }
+
   /** Curation YIELD report — the one-row audit every corpus build logs:
     * how many documents survive each stage of [[corpusPipelineOn]]
     * (raw → repetition gate → canonical dedup → domain mix) and each
@@ -554,12 +580,7 @@ object Pipeline {
     * what the stages themselves pay, and the whole report is ONE
     * declarative plan. */
   def curationFunnelOn(documents: DataFrame): DataFrame = {
-    val gated = TextAnalysis
-      .repetitionStatsCore(documents, keep = Seq("lang", "text"))
-      .where(col("n_words") >= 30L &&
-        col("top_word_share") <= 0.12 &&
-        col("dup_bigram_frac") <= 0.05)
-      .select(col("doc_id"), col("lang"), col("text"))
+    val gated = gatedDocs(documents)
     val keepers = gated
       .select(col("doc_id"), Dedup.canonicalKey.as("canon"))
       .groupBy("canon").agg(min("doc_id").as("doc_id"))
@@ -604,11 +625,7 @@ object Pipeline {
     * stage over a corpus delta reproduces membership (every predicate
     * is deterministic in the row). */
   def corpusPipelineOn(documents: DataFrame): DataFrame = {
-    val quality = TextAnalysis
-      .repetitionStatsCore(documents, keep = Seq("lang", "text"))
-      .where(col("n_words") >= 30L &&
-        col("top_word_share") <= 0.12 &&
-        col("dup_bigram_frac") <= 0.05)
+    val quality = gatedDocs(documents)
     val w = Window.partitionBy(col("canon"))
     val deduped = quality
       .select(col("doc_id"), col("lang"), Dedup.canonicalKey.as("canon"))
