@@ -554,6 +554,38 @@ object Dedup {
   // blocked pairwise similarity
   // ----------------------------------------------------------------
 
+  /** Default document-frequency cap for the shingle inverted index
+    * ([[cappedPostings]]). 256 is an order of magnitude above the
+    * fixture corpus' hottest-shingle df (25 at sf0.1) — the cap is a
+    * no-op on fixture data, so the exact DuckDB oracles stay valid —
+    * while at corpus scale it bounds any shingle's self-join
+    * contribution to cap² = 64K pairs regardless of how many million
+    * documents carry a boilerplate header. */
+  val ShingleDfCap = 256
+
+  /** Shingle postings (doc_id, lang, n, h) with the high-document-
+    * frequency head DROPPED: a per-(shingle, lang) count window
+    * computes df on the exploded postings and rows with df > cap never
+    * reach the self-join. This is the scale guard for the inverted-
+    * index pair generators — their join mass is Σ_shingle df(s)², so
+    * one license-header shingle with df = 10⁶ is 10¹² join rows in a
+    * single hot key without the cap, and ≤ cap² with it. Dropping a
+    * shingle can only LOSE overlap evidence (never invent a pair), and
+    * a df-10⁶ shingle carries no dedup signal — the same head-drop
+    * discipline web-scale suffix/shingle indexes apply. The window's
+    * hash partitioning on (h, lang) is exactly the downstream
+    * self-join key, so the exchange is reused: capping costs a sort,
+    * not a shuffle. */
+  private[graft] def cappedPostings(d: DataFrame,
+      cap: Int = ShingleDfCap): DataFrame = {
+    val ex = d.select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
+      explode(col("sh")).as("h"))
+    ex.withColumn("df", count(lit(1))
+        .over(Window.partitionBy(col("h"), col("lang"))))
+      .where(col("df") <= cap)
+      .drop("df")
+  }
+
   /** n-gram Jaccard near-dup pairs inside (lang) blocks over a doc_id%3
     * sample, threshold 0.01.
     *
@@ -566,13 +598,15 @@ object Dedup {
     * Σ_shingle df(s)² join rows and scales to corpora where blocks
     * don't fit a quadratic pass. Pairs sharing zero shingles (jaccard
     * 0 < threshold) are identical under both formulations. The shuffle
-    * key is the shingle hash — uniform by construction, no lang skew. */
-  def ngramJaccardPairs(documents: DataFrame): DataFrame = {
+    * key is the shingle hash — uniform by construction up to the
+    * boilerplate head, which [[cappedPostings]] drops at `cap` so no
+    * single shingle can contribute more than cap² join rows. */
+  def ngramJaccardPairs(documents: DataFrame,
+      cap: Int = ShingleDfCap): DataFrame = {
     val d = documents.where(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("lang"), shingleHashes.as("sh"))
       .where(size(col("sh")) > 0)
-    val ex = d.select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
-      explode(col("sh")).as("h"))
+    val ex = cappedPostings(d, cap)
     ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -604,15 +638,20 @@ object Dedup {
     * pair mass Σ_shingle occ², measured ~1.3M groups at sf0.1 with a
     * hottest-shingle occupancy of 25 — shingle specificity is the
     * natural blocker. At corpus scale the boilerplate-shingle head
-    * (the only way occ² grows superlinearly) is dropped by a DF cap,
-    * the [[decontaminate]] index discipline. */
+    * (the only way occ² grows superlinearly) is dropped by
+    * [[cappedPostings]] at df > `cap` before the self-join — a capped
+    * shingle contributes 0 instead of df² join rows, so a hot key
+    * cannot kill the stage. Dropping df-capped shingles only shrinks
+    * |A∩B| (n_common / containments become lower bounds for pairs
+    * glued solely by boilerplate); on the fixture the cap is provably
+    * inactive and the exact oracle hash-matches. */
   def containmentPairs(documents: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      cap: Int = ShingleDfCap): DataFrame = {
     val d = documents
       .select(col("doc_id"), col("lang"), shingleHashes.as("sh"))
       .where(size(col("sh")) > 0)
-    val ex = d.select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
-      explode(col("sh")).as("h"))
+    val ex = cappedPostings(d, cap)
     ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))

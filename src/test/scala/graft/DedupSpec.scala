@@ -34,6 +34,35 @@ class DedupSpec extends SparkSpecBase {
     Dedup.releaseCaches()
   }
 
+  test("df cap: a boilerplate shingle above the cap never reaches the self-join") {
+    import spark.implicits._
+    // One hot shingle (df = 6, i.e. every doc) + per-doc unique shingles.
+    val postings = Seq.tabulate(6) { i =>
+      (i.toLong * 3, "en", Seq(100L, 1000L + i, 2000L + i))
+    }.toDF("doc_id", "lang", "sh")
+    val capped = Dedup.cappedPostings(postings, cap = 4).collect()
+    assert(!capped.exists(_.getAs[Long]("h") == 100L),
+      "df-6 shingle must be dropped at cap 4")
+    assert(capped.length == 12, "df-1 shingles all survive")
+    assert(capped.forall(_.getAs[Int]("n") == 3),
+      "n keeps the UNCAPPED set size (denominators unchanged)")
+    // uncapped: everything survives
+    assert(Dedup.cappedPostings(postings, cap = 6).count() == 18)
+
+    // End-to-end: docs glued ONLY by a common boilerplate header. With
+    // the cap above df the pairs appear; with the cap below df the hot
+    // shingles are excluded and the pair mass collapses to zero.
+    val header = (1 to 12).map(i => s"license$i").mkString(" ")
+    val docs = Seq.tabulate(6) { i =>
+      (i.toLong * 3, "en", s"$header unique${i}a unique${i}b")
+    }.toDF("doc_id", "lang", "text")
+    assert(Dedup.containmentPairs(docs).count() == 15) // C(6,2): cap inactive
+    assert(Dedup.containmentPairs(docs, cap = 4).count() == 0)
+    assert(Dedup.ngramJaccardPairs(docs).count() == 15)
+    assert(Dedup.ngramJaccardPairs(docs, cap = 4).count() == 0)
+    Dedup.releaseCaches()
+  }
+
   test("decontamination: bench docs excluded, shared counts bounded, flag consistent") {
     val rows = Dedup.decontaminate(
       graft.Tables(spark, sf, "documents")).collect()
