@@ -181,8 +181,8 @@ object Ann {
     * the reference actually wants to run after curation — search over
     * the cleaned corpus — expressed as ONE declarative plan: the
     * quality kernels pipeline into the documents scan, the keeper
-    * window is the only corpus shuffle, the vector side joins in on
-    * vec_id, and the IVF probe stays a scan-side filter.
+    * aggregation is the only corpus shuffle, the vector side joins in
+    * on vec_id, and the IVF probe stays a scan-side filter.
     *
     * Index metadata (codebook, probe set) is fixed on the FULL table:
     * an index is built once at ingest; curation changes which rows the
@@ -191,15 +191,14 @@ object Ann {
     * is an unhinted equi-join (shuffle when big, broadcast when the
     * optimizer proves it small) — never force-broadcast. */
   def curatedSearch(s: SparkSession, dir: String, k: Int = K): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    val quality = TextAnalysis.repetitionStatsCore(docs, keep = Seq("text"))
-      .where(col("n_words") >= 30L && col("top_word_share") <= 0.12 &&
-        col("dup_bigram_frac") <= 0.05)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canon"))
-    val keepers = quality
-      .select(col("doc_id"), Dedup.canonicalKey.as("canon"))
-      .withColumn("keeper", col("doc_id") === min(col("doc_id")).over(w))
-      .where(col("keeper"))
+    // The gate and the keeper set are the curation pipeline's OWN
+    // relations (Pipeline.gatedDocs is memoized+persisted, the
+    // thresholds are Pipeline.GateMinWords etc., the keeper
+    // formulation is Dedup.canonicalKeepers) — the search side cannot
+    // drift from the pipeline, and bench reps reuse the cached corpus
+    // instead of re-running the repetition kernels per call.
+    val keepers = Dedup
+      .canonicalKeepers(Pipeline.gatedDocs(Tables(s, dir, "documents")))
       .select(col("doc_id").as("vec_id"))
     val emb = Tables(s, dir, "embeddings")
     val cb = codebook(emb)
@@ -689,8 +688,7 @@ object Ann {
          |keepers AS (
          |  SELECT min(d.doc_id) AS vec_id
          |  FROM documents d JOIN rep USING (doc_id)
-         |  WHERE rep.n_words >= 30 AND rep.top_word_share <= 0.12E0
-         |    AND rep.dup_bigram_frac <= 0.05E0
+         |  WHERE ${Pipeline.gateSql("rep.")}
          |  GROUP BY substr(trim(regexp_replace(lower(d.text), '\\s+', ' ',
          |    'g')), 1, 128)),
          |cents AS (

@@ -59,6 +59,21 @@ object Dedup {
   def canonicalKey: Column =
     substring(trim(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 128)
 
+  /** Canonical-dedup KEEPER ids — the one formulation of "which doc_id
+    * survives canonical dedup" shared by every consumer
+    * ([[Pipeline.curationFunnelOn]], [[Pipeline.corpusPipelineOn]],
+    * [[Ann.curatedSearch]]): min doc_id per [[canonicalKey]], as a
+    * groupBy — partial aggregation bounds the canon shuffle to one
+    * (canon, min-doc_id) partial per map task, where the window
+    * spelling shuffles and sorts every surviving row. Callers join the
+    * returned (doc_id) set back on doc_id — a uniform key — to recover
+    * their payload columns. Input needs (doc_id, text). */
+  def canonicalKeepers(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), canonicalKey.as("canon"))
+      .groupBy("canon").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
   /** Canonical-key dedup — exact dedup's normalization-tolerant twin:
     * group by the canonical key, keep the minimum doc_id. Same scale
     * shape as [[exact]] (one uniform hash shuffle on the key, partial

@@ -250,6 +250,25 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Gopher repetition-gate thresholds — the ONE definition every gate
+    * site reads: [[gopherFilter]]'s defaults, [[gatedDocs]] (and through
+    * it [[curationFunnelOn]], [[corpusPipelineOn]],
+    * [[Ann.curatedSearch]], [[graft.streaming.EventStream]]'s curation
+    * stages), and via [[gateSql]] every DuckDB oracle. A threshold edit
+    * lands everywhere at once — the curated search can no longer
+    * silently desynchronize from the pipeline it twins. */
+  val GateMinWords = 30L
+  val GateMaxTopWordShare = 0.12
+  val GateMaxDupBigramFrac = 0.05
+
+  /** DuckDB fragment of the gate predicate over columns
+    * (n_words, top_word_share, dup_bigram_frac), optionally qualified
+    * with `p` (e.g. "rep."). E0 suffixes keep the literals DOUBLE. */
+  def gateSql(p: String = ""): String =
+    s"${p}n_words >= $GateMinWords AND " +
+      s"${p}top_word_share <= ${GateMaxTopWordShare}E0 AND " +
+      s"${p}dup_bigram_frac <= ${GateMaxDupBigramFrac}E0"
+
   /** Gopher/C4-style repetition gate — the curation rule set that
     * drops boilerplate and degenerate text: minimum length, bounded
     * top-word concentration, bounded duplicate-bigram share (the
@@ -257,9 +276,10 @@ object Pipeline {
     * just past the fixture's p90s so the gate provably fires without
     * emptying the corpus). Same scan-side shape as the signals
     * themselves: no shuffle before the output sort. */
-  def gopherFilter(s: SparkSession, dir: String, minWords: Long = 30L,
-      maxTopWordShare: Double = 0.12,
-      maxDupBigramFrac: Double = 0.05): DataFrame =
+  def gopherFilter(s: SparkSession, dir: String,
+      minWords: Long = GateMinWords,
+      maxTopWordShare: Double = GateMaxTopWordShare,
+      maxDupBigramFrac: Double = GateMaxDupBigramFrac): DataFrame =
     TextAnalysis.repetitionStatsCore(Tables(s, dir, "documents"), Nil)
       .where(col("n_words") >= minWords &&
         col("top_word_share") <= maxTopWordShare &&
@@ -555,14 +575,14 @@ object Pipeline {
     (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
     DataFrame]()
 
-  private def gatedDocs(documents: DataFrame): DataFrame = {
+  private[operators] def gatedDocs(documents: DataFrame): DataFrame = {
     val key = (documents.sparkSession,
       documents.queryExecution.analyzed.canonicalized)
     gatedCache.computeIfAbsent(key, _ =>
       TextAnalysis.repetitionStatsCore(documents, keep = Seq("lang", "text"))
-        .where(col("n_words") >= 30L &&
-          col("top_word_share") <= 0.12 &&
-          col("dup_bigram_frac") <= 0.05)
+        .where(col("n_words") >= GateMinWords &&
+          col("top_word_share") <= GateMaxTopWordShare &&
+          col("dup_bigram_frac") <= GateMaxDupBigramFrac)
         .select(col("doc_id"), col("lang"), col("text"))
         .persist())
   }
@@ -581,10 +601,7 @@ object Pipeline {
     * declarative plan. */
   def curationFunnelOn(documents: DataFrame): DataFrame = {
     val gated = gatedDocs(documents)
-    val keepers = gated
-      .select(col("doc_id"), Dedup.canonicalKey.as("canon"))
-      .groupBy("canon").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
+    val keepers = Dedup.canonicalKeepers(gated)
     val deduped = gated.join(keepers, "doc_id").select("doc_id", "lang")
     val mixed = domainMixDocsOn(deduped).select("doc_id")
     def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
@@ -608,8 +625,9 @@ object Pipeline {
     *
     *   1. Gopher repetition gate — scan-side quality kernels, inline
     *      predicate (no join; `lang`/`text` ride the projection);
-    *   2. canonical-key dedup ([[Dedup.canonicalKey]]) keeping the
-    *      minimum doc_id per normalized prefix — ONE corpus shuffle;
+    *   2. canonical-key dedup ([[Dedup.canonicalKeepers]]) keeping the
+    *      minimum doc_id per normalized prefix — a partial-aggregated
+    *      canon shuffle plus a uniform doc_id join;
     *   3. domain-mixture acceptance ([[domainMixDocsOn]]) over the
     *      SURVIVING corpus — quotas derive from what dedup kept, not
     *      from the raw table (mixing before dedup would re-skew the
@@ -620,17 +638,13 @@ object Pipeline {
     * or a keyed aggregate over the previous stage's output, so the
     * whole pipeline is ONE declarative plan — Catalyst pipelines the
     * quality kernels into the scan, the only corpus-sized exchanges
-    * are the dedup key shuffle and the final sort, and the mixture's
+    * are the dedup shuffles and the final sort, and the mixture's
     * histogram/quota relation stays broadcast-tiny. Re-running any
     * stage over a corpus delta reproduces membership (every predicate
     * is deterministic in the row). */
   def corpusPipelineOn(documents: DataFrame): DataFrame = {
     val quality = gatedDocs(documents)
-    val w = Window.partitionBy(col("canon"))
-    val deduped = quality
-      .select(col("doc_id"), col("lang"), Dedup.canonicalKey.as("canon"))
-      .withColumn("keeper", col("doc_id") === min(col("doc_id")).over(w))
-      .where(col("keeper"))
+    val deduped = quality.join(Dedup.canonicalKeepers(quality), "doc_id")
       .select(col("doc_id"), col("lang"))
     shuffleShardsOn(domainMixDocsOn(deduped))
   }
@@ -882,8 +896,7 @@ object Pipeline {
       s"""WITH ${TextAnalysis.repetitionRelationSql}
          |SELECT doc_id, n_words, top_word_share, dup_bigram_frac
          |FROM rep
-         |WHERE n_words >= 30 AND top_word_share <= 0.12E0
-         |  AND dup_bigram_frac <= 0.05E0
+         |WHERE ${gateSql()}
          |ORDER BY doc_id""".stripMargin)(
       (s, dir) => gopherFilter(s, dir)),
 
@@ -996,8 +1009,7 @@ object Pipeline {
          |surv AS (
          |  SELECT d.doc_id, d.lang, d.text
          |  FROM documents d JOIN rep USING (doc_id)
-         |  WHERE rep.n_words >= 30 AND rep.top_word_share <= 0.12E0
-         |    AND rep.dup_bigram_frac <= 0.05E0),
+         |  WHERE ${gateSql("rep.")}),
          |cn AS (
          |  SELECT doc_id, lang,
          |    substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
@@ -1024,8 +1036,7 @@ object Pipeline {
          |g AS (
          |  SELECT d.doc_id, d.lang, d.text
          |  FROM documents d JOIN rep USING (doc_id)
-         |  WHERE rep.n_words >= 30 AND rep.top_word_share <= 0.12E0
-         |    AND rep.dup_bigram_frac <= 0.05E0),
+         |  WHERE ${gateSql("rep.")}),
          |kp AS (
          |  SELECT min(doc_id) AS doc_id FROM (
          |    SELECT doc_id,

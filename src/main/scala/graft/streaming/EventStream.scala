@@ -320,7 +320,8 @@ object EventStream {
     * arrival order follows doc_id (the replay≡batch spec pins exactly
     * that case); under out-of-order arrival first-wins is the only
     * semantics a one-pass stream can offer. */
-  def curateDocuments(docs: DataFrame, minWords: Long = 30L): DataFrame = {
+  def curateDocuments(docs: DataFrame,
+      minWords: Long = graft.operators.Pipeline.GateMinWords): DataFrame = {
     val ws = graft.functions.TextFunctions.words(col("text"))
     val st = graft.functions.TextHashExpressions.wordStats(ws)
     docs
@@ -354,7 +355,7 @@ object EventStream {
     * (the join is to a static side): no new state store beyond
     * [[curateDocuments]]'s dedup state. */
   def curateDocumentsMixed(docs: DataFrame, quotas: DataFrame,
-      minWords: Long = 30L): DataFrame = {
+      minWords: Long = graft.operators.Pipeline.GateMinWords): DataFrame = {
     import graft.operators.Pipeline
     val quotasHinted =
       if (quotas.count() <= Pipeline.MaxMixQuotaRows) broadcast(quotas)

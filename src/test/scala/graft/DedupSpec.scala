@@ -34,6 +34,20 @@ class DedupSpec extends SparkSpecBase {
     Dedup.releaseCaches()
   }
 
+  test("canonicalKeepers: groupBy-min formulation ≡ the window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+    val viaHelper = Dedup.canonicalKeepers(d)
+      .collect().map(_.getLong(0)).toSet
+    val w = Window.partitionBy(col("canon"))
+    val viaWindow = d
+      .select(col("doc_id"), Dedup.canonicalKey.as("canon"))
+      .withColumn("keeper", col("doc_id") === min(col("doc_id")).over(w))
+      .where(col("keeper"))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaHelper == viaWindow && viaHelper.nonEmpty)
+  }
+
   test("df cap: a boilerplate shingle above the cap never reaches the self-join") {
     import spark.implicits._
     // One hot shingle (df = 6, i.e. every doc) + per-doc unique shingles.

@@ -470,21 +470,26 @@ class PlanSpec extends SparkSpecBase {
     operators.Events.releaseCaches()
   }
 
-  test("corpus pipeline: quality kernels scan-side, one live corpus " +
-      "shuffle (the dedup key), quotas broadcast from cache") {
+  test("corpus pipeline: quality kernels scan-side, keeper aggregate " +
+      "partial below its shuffle, quotas broadcast from cache") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = operators.Pipeline.corpusPipelineOn(docs)
     val p = plan(df)
-    // mixture quotas ride a broadcast of the persisted quota relation —
-    // never a corpus-wide SortMergeJoin on lang
+    // mixture quotas and (at fixture scale) the keeper id set ride
+    // broadcasts — never a corpus-wide SortMergeJoin; both joins are
+    // unhinted, so a corpus-grown build side degrades to shuffle
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("InMemoryTableScan"), p)
-    // live path (above the quota cache's printout): the ONLY
-    // corpus-sized exchanges are the canonical-key window shuffle and
-    // the final training-order sort — the quality gate adds none
+    // canonical dedup is Dedup.canonicalKeepers — a groupBy-min whose
+    // canon exchange ships MAP-SIDE PARTIAL minima, not full rows (the
+    // window spelling shuffled and sorted every surviving row)
+    assert(p.contains("partial_min(doc_id"), p)
+    // live path (above the caches' printout): the quality gate and
+    // shard assignment add no exchange of their own — the only live
+    // corpus-sized exchange is the final training-order sort
     val live = p.split("InMemoryRelation").head
-    assert("Exchange hashpartitioning".r.findAllIn(live).length == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(live).isEmpty, p)
     assert("Exchange rangepartitioning".r.findAllIn(live).length == 1, p)
     operators.Pipeline.releaseCaches()
   }
