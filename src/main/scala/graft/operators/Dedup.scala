@@ -260,56 +260,67 @@ object Dedup {
         col("doc_id_2").as("doc_id_1"), col("doc_id_1").as("doc_id_2")))
       .persist()
     val nodes = sigs.select(col("doc_id"))
-    // SCHEDULING-TAX CONTROL: the iterative loop runs 3-5 tiny jobs per
+    // SCHEDULING-TAX CONTROL: the iterative loop runs tiny jobs per
     // round over an edge relation that is typically a microscopic
     // fraction of the corpus (LSH-verified near-dup pairs). At the
     // session's full shuffle width those rounds are pure task-scheduling
     // overhead (32 partitions of KBs, measured as the suite's noisiest
-    // query in rounds 6-7), so the LOOP's shuffle width is derived from
+    // query in rounds 6-7), so the loop's shuffle width is derived from
     // the measured edge count (~1M edge rows ≈ 16 MB per partition),
-    // clamped to the session width so a genuinely large graph keeps full
-    // parallelism. Only the loop runs under the narrowed conf — the
-    // count below also materializes the persisted edge set, and the
-    // final labeling window executes lazily after the conf is restored.
-    val nEdges = edges.count()
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.min(sessionParts.toLong,
-      nEdges / 1000000L + 1L).toString
+    // clamped to the session width so a genuinely large graph keeps
+    // full parallelism. The width is applied PER-PLAN — an explicit
+    // repartition on the one relation each round shuffles — never by
+    // mutating the session's shuffle-partitions conf, which would
+    // silently narrow any concurrent query planned while the loop runs.
+    val tDbg0 = System.nanoTime()
+    def dbg(l: String): Unit = if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(f"CCDBG $l ${(System.nanoTime() - tDbg0) / 1e9}%.2f")
+    // ONE fused stats job: materializes the persisted edge set (the
+    // count side) and reads the convergence baseline Σ doc_id (the sum
+    // side — initial labels are cluster_id = doc_id, so the node sum IS
+    // labelSum(labels0) without a second aggregate job over it).
+    val st = edges.agg(count(lit(1)).as("n")).crossJoin(
+      nodes.agg(coalesce(sum("doc_id"), lit(0L)).as("s"))).head
+    val nEdges = st.getLong(0)
+    dbg("edges-counted")
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.min(sessionParts.toLong, nEdges / 1000000L + 1L).toInt
     var labels = nodes.withColumn("cluster_id", col("doc_id")).persist()
     // convergence metric: Σ cluster_id. Min-label propagation only ever
     // DECREASES labels, so an unchanged sum ⟺ no label changed — one
     // cheap aggregate per round instead of a change-detection join.
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("cluster_id"), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
+    var prevSum = st.getLong(1)
     var iter = 0
     var converged = false
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
-      while (iter < maxIters && !converged) {
-        val propagated = labels
-          .join(edges, labels("doc_id") === edges("doc_id_1"))
-          .select(col("doc_id_2").as("doc_id"), col("cluster_id"))
-        // localCheckpoint, not persist: each round's plan embeds the
-        // previous round's ~2×, and a persisted frame still hands the
-        // optimizer the full 2^round tree (the star solver hit this wall
-        // hard at 3^round). Checkpointing keeps per-round analysis O(1);
-        // the round count stays bounded by the convergence check.
-        // LAZY checkpoint: the convergence aggregate right below is the
-        // materializing action, so each round runs ONE job instead of
-        // two — on KB-scale edge data the loop cost is job latency, not
-        // compute.
-        val next = labels.select("doc_id", "cluster_id").union(propagated)
-          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-          .localCheckpoint(eager = false)
-        val sumNow = labelSum(next)
-        converged = sumNow == prevSum
-        prevSum = sumNow
-        labels.unpersist()
-        labels = next
-        iter += 1
-      }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    while (iter < maxIters && !converged) {
+      val propagated = labels
+        .join(edges, labels("doc_id") === edges("doc_id_1"))
+        .select(col("doc_id_2").as("doc_id"), col("cluster_id"))
+      // localCheckpoint, not persist: each round's plan embeds the
+      // previous round's ~2×, and a persisted frame still hands the
+      // optimizer the full 2^round tree (the star solver hit this wall
+      // hard at 3^round). Checkpointing keeps per-round analysis O(1);
+      // the round count stays bounded by the convergence check.
+      // LAZY checkpoint: the convergence aggregate right below is the
+      // materializing action, so each round runs ONE job instead of
+      // two — on KB-scale edge data the loop cost is job latency, not
+      // compute. The explicit repartition pins the round's only
+      // exchange at loopParts AND satisfies the groupBy's distribution
+      // (no second ENSURE_REQUIREMENTS exchange behind it).
+      val next = labels.select("doc_id", "cluster_id").union(propagated)
+        .repartition(loopParts, col("doc_id"))
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(eager = false)
+      val sumNow = labelSum(next)
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      labels.unpersist()
+      labels = next
+      iter += 1
+      dbg(s"round-$iter")
+    }
     // a silent non-converged return would emit WRONG clusters (multiple
     // keepers per component) — fail loudly instead; near-dup components
     // are dense, so hitting this means the input violates the model
@@ -406,15 +417,18 @@ object Dedup {
     // the signature — no extra job), clamped to the session width. The
     // edge set only ever SHRINKS toward the star forest, so the width
     // chosen from the initial count is an upper bound for every round.
+    // Width is applied per-plan (explicit repartitions that double as
+    // the groupBys'/joins' required distribution, one exchange reused
+    // by each agg+join pair) — never by mutating session conf, which
+    // would narrow concurrent queries planned during the loop.
     val spark = nodes.sparkSession
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.min(sessionParts.toLong, sig._1 / 1000000L + 1L).toString
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try while (iter < maxIters && !converged) {
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.min(sessionParts.toLong, sig._1 / 1000000L + 1L).toInt
+    while (iter < maxIters && !converged) {
       // LARGE-STAR: m = min(neighbourhood ∪ self); larger nbrs -> m.
       // Every emitted edge (v, m) has v > src ≥ m, so the output is
       // already canonically oriented.
-      val sym = symView(e)
+      val sym = symView(e).repartition(loopParts, col("src"))
       val mins = sym.groupBy("src")
         .agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
@@ -426,14 +440,16 @@ object Dedup {
       // half the first formulation re-filtered out of a symmetrized
       // set), so m = min over the group directly; each member ≠ m
       // points at m, and the group's node itself joins it.
-      val minsS = ls.groupBy("src").agg(min(col("dst")).as("m"))
-      val ss = ls.join(minsS, "src")
+      val lsK = ls.repartition(loopParts, col("src"))
+      val minsS = lsK.groupBy("src").agg(min(col("dst")).as("m"))
+      val ss = lsK.join(minsS, "src")
         .where(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(minsS.select(col("src"), col("m").as("dst")))
       // lazy: signature() below is the materializing action — one job
       // per round instead of checkpoint + signature (see minhashClusters)
-      val next = ss.where(col("src") =!= col("dst")).distinct()
+      val next = ss.where(col("src") =!= col("dst"))
+        .repartition(loopParts, col("src"), col("dst")).distinct()
         .localCheckpoint(eager = false)
       val sigNow = signature(next)
       converged = sigNow == sig
@@ -441,7 +457,7 @@ object Dedup {
       e.unpersist() // next is materialized; the old round's data can go
       e = next
       iter += 1
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    }
     require(converged,
       s"large-star/small-star did not converge within $maxIters rounds")
     // at the fixpoint the canonical edges form a star forest: one root
