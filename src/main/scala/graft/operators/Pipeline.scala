@@ -115,11 +115,18 @@ object Pipeline {
     * keeps the order without ever materializing global positions. */
   def shuffleShardsOn(documents: DataFrame,
       shards: Int = ShardCount): DataFrame =
-    documents
-      .select(col("doc_id"), col("lang"), shuffleKey.as("skey"))
-      .withColumn("shard", (col("skey") % shards).cast("int"))
+    shardCoords(documents.select(col("doc_id"), col("lang")), shards)
       .select(col("doc_id"), col("lang"), col("shard"), col("skey"))
       .orderBy(col("shard"), col("skey"), col("doc_id"))
+
+  /** The (skey, shard) coordinate pair appended to any frame with a
+    * doc_id — THE definition of the training-order assignment, shared
+    * by [[shuffleShardsOn]], [[writeTrainingShards]] and the streaming
+    * curation ([[graft.streaming.EventStream]]). Pure row-property
+    * projection: no shuffle, no state, stream-safe. */
+  def shardCoords(df: DataFrame, shards: Int = ShardCount): DataFrame =
+    df.withColumn("skey", shuffleKey)
+      .withColumn("shard", (col("skey") % shards).cast("int"))
 
   /** Materialize the training order [[shuffleShardsOn]] declares:
     * shard-partitioned parquet whose files are internally skey-sorted.
@@ -133,9 +140,7 @@ object Pipeline {
     * sets of the same deterministic order). */
   def writeTrainingShards(documents: DataFrame, path: String,
       shards: Int = ShardCount): Unit =
-    documents
-      .select(col("doc_id"), col("lang"), shuffleKey.as("skey"))
-      .withColumn("shard", (col("skey") % shards).cast("int"))
+    shardCoords(documents.select(col("doc_id"), col("lang")), shards)
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("skey"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)

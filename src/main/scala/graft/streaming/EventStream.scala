@@ -369,6 +369,30 @@ object EventStream {
       .select(col("doc_id"), col("lang"), col("n_words"), col("canon"))
   }
 
+  /** The COMPLETE streaming curation: [[curateDocumentsMixed]] (gate →
+    * canonical dedup → domain mix) with the training-order shard
+    * assignment appended — every stage of the batch
+    * [[graft.operators.Pipeline.corpusPipelineOn]] that can run on a
+    * one-pass stream, in the same order.
+    *
+    * The shard stage costs the stream NOTHING in state or shuffle:
+    * (skey, shard) are [[graft.operators.Pipeline.shardCoords]] — pure
+    * row properties of doc_id, the same single definition the batch
+    * pipeline and the shard writer use — so a document's placement is
+    * identical whether it arrived by replay, by batch, or by a later
+    * backfill. What the stream deliberately does NOT do is the batch
+    * output's global (shard, skey) ORDER: training order is a property
+    * of the rows (sort-on-read / range-clustered shard write, see
+    * [[graft.operators.Pipeline.shuffleShardsOn]]), not of arrival —
+    * a stream sink appends each shard's rows and the order
+    * materializes at read time. Quota derivation stays batch-owned
+    * ([[curateDocumentsMixed]]'s documented corpus-state boundary). */
+  def curateDocumentsSharded(docs: DataFrame, quotas: DataFrame,
+      minWords: Long = graft.operators.Pipeline.GateMinWords): DataFrame =
+    graft.operators.Pipeline
+      .shardCoords(curateDocumentsMixed(docs, quotas, minWords))
+      .select(col("doc_id"), col("lang"), col("shard"), col("skey"))
+
   // ------------------------------------------------------------------
   // Streaming ingest (the reference's async /store, made exactly-once)
   // ------------------------------------------------------------------

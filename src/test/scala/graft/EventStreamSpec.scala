@@ -441,6 +441,57 @@ class EventStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming gate+dedup+mix+shard ≡ batch pipeline under RocksDB " +
+      "(shard coords are row properties — identical under replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000000L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+      .map(r => EventStream.DocEvent(r.getAs[Long]("doc_id"),
+        t0 + r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text"))).toSeq
+    val minWords = 5L
+    // batch side: the full pipeline tail over the same gate
+    val ws = graft.functions.TextFunctions.words(col("text"))
+    val gated = docs.toDF().where(
+      graft.functions.TextHashExpressions.wordStats(ws)
+        .getField("n_words") >= minWords)
+    val survivors = gated.join(Dedup.canonical(gated).select("doc_id"),
+      "doc_id")
+    val quotas = Pipeline.mixQuotasFor(survivors)
+    val want = Pipeline.shuffleShardsOn(Pipeline.domainMixDocsOn(survivors))
+      .select("doc_id", "shard", "skey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+    assert(want.map(_._2).size > 1) // more than one shard actually hit
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStream.DocEvent]
+    val q = EventStream.curateDocumentsSharded(input.toDF(), quotas, minWords)
+      .writeStream.format("memory").queryName("curated_sharded")
+      .outputMode("append").start()
+    try {
+      input.addData(docs)
+      input.addData(docs.take(50)) // at-least-once replay adds nothing
+      q.processAllAvailable()
+      val got = spark.table("curated_sharded")
+        .select("doc_id", "shard", "skey").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == want)
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      Pipeline.releaseCaches()
+    }
+  }
+
   test("transformWithState running KMV sketch converges to the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
