@@ -183,6 +183,81 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Quantization levels per histogram bin for the perceptual-hash
+    * signature — the GRANULARITY KNOB: more levels → finer bands →
+    * smaller candidate buckets (the [[Ann]] NPlanes argument; measured
+    * on the fixture: hottest bucket 1168 at 256 levels vs 323 at 1024,
+    * sf0.1). */
+  val PhashLevels = 1024
+  /** L1 verify threshold for [[mediaPhashNearDup]]. */
+  val PhashMaxL1 = 2e-4
+
+  /** Perceptual NEAR-dup media pairs — [[mediaDedup]]'s
+    * byte-tolerant twin (re-encoded/resized media shares no bytes but
+    * near-identical decoded features). pHash-banded LSH over the stub
+    * feature histogram:
+    *
+    *   1. signature: each of the 8 stub features quantized to
+    *      [[PhashLevels]] levels — with a real codec this is the
+    *      DCT-sign step of pHash; the quantized-histogram stand-in
+    *      keeps the exact contract (deterministic ints from bytes);
+    *   2. banding: adjacent feature pairs form 4 bands; candidates
+    *      share ≥1 band value — the [[Dedup]] MinHash OR-amplification,
+    *      so near-misses in one band still meet in another. ZERO bands
+    *      (both bins empty) are DROPPED before the self-join: absence
+    *      of signal matches everything (on ASCII fixtures the high
+    *      half of the byte histogram is structurally empty, and a
+    *      zero-band join is the all-pairs quadratic blowup — same
+    *      head-drop discipline as [[Dedup.cappedPostings]]);
+    *   3. verify: exact L1 distance over the full 8-dim histogram,
+    *      sequential-fold arithmetic the DuckDB oracle reproduces
+    *      bitwise.
+    *
+    * The only corpus shuffles are the (band_idx, band_value) equi-join
+    * and the two doc_id set-fetch joins — never all-pairs; payload
+    * bytes never leave the scan (features are a scan-side decode). */
+  def mediaPhashNearDup(s: SparkSession, dir: String,
+      levels: Int = PhashLevels, maxL1: Double = PhashMaxL1): DataFrame = {
+    import s.implicits._
+    val feats = mediaTable(s, dir).as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        if (r.payload.isEmpty) Iterator.empty else {
+          val f = decodeFeatures(r.payload)
+          Iterator.single(MediaFeatures(r.doc_id, r.media_type,
+            r.payload.length, 0.0,
+            f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7)))
+        }
+      })
+      .toDF()
+      .select(col("doc_id") +:
+        (0 until FeatureDim).map(j => col(s"f$j")): _*)
+    val qs = (0 until FeatureDim).map(j =>
+      least(lit(levels - 1L), floor(col(s"f$j") * levels).cast("long")))
+    val bandCols = (0 until FeatureDim / 2).map(j =>
+      struct(lit(j).as("band_idx"),
+        (qs(2 * j) * levels + qs(2 * j + 1)).as("bv")))
+    val bands = feats
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx").as("band_idx"),
+        col("b.bv").as("bv"))
+      .where(col("bv") > 0L)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+      .distinct()
+    val a = feats.toDF("doc_id_1" +: (0 until FeatureDim).map(j => s"a$j"): _*)
+    val b = feats.toDF("doc_id_2" +: (0 until FeatureDim).map(j => s"b$j"): _*)
+    val l1 = (0 until FeatureDim)
+      .map(j => abs(col(s"a$j") - col(s"b$j")))
+      .reduceLeft(_ + _) // sequential fold — oracle-reproducible
+    cand.join(a, "doc_id_1").join(b, "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"), l1.as("l1_dist"))
+      .where(col("l1_dist") <= maxL1)
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
   /** Per-modality rollup over extracted features — decode feeding a
     * relational aggregate, the end-to-end pipeline shape. */
   def modalityStats(s: SparkSession, dir: String): DataFrame = {
@@ -238,6 +313,43 @@ object Multimodal {
          |  count(*) OVER (PARTITION BY payload_sha) AS group_size,
          |  doc_id = min(doc_id) OVER (PARTITION BY payload_sha) AS keep
          |FROM m ORDER BY doc_id""".stripMargin)(mediaDedup),
+
+    QueryDef.sql("mm_phash_neardup",
+      s"""WITH codes AS (
+         |  SELECT doc_id, $CodesSql AS cs FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, $FeatureDim), j ->
+         |      CASE WHEN len(cs) = 0 THEN 0.0E0 ELSE
+         |        CAST(len(list_filter(cs, c -> c // 32 = j)) AS DOUBLE)
+         |          / CAST(len(cs) AS DOUBLE) END) AS fs
+         |  FROM codes WHERE len(cs) > 0),
+         |q AS (
+         |  SELECT doc_id, fs, list_transform(fs, v ->
+         |    CAST(least(${PhashLevels - 1}, floor(v * ${PhashLevels}E0))
+         |      AS BIGINT)) AS qs
+         |  FROM f),
+         |bands AS (
+         |  SELECT doc_id, j AS band_idx,
+         |    qs[2*j+1] * $PhashLevels + qs[2*j+2] AS bv
+         |  FROM q, unnest(range(0, ${FeatureDim / 2})) AS t(j)
+         |  WHERE qs[2*j+1] * $PhashLevels + qs[2*j+2] > 0),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
+         |  FROM bands x JOIN bands y ON x.band_idx = y.band_idx
+         |    AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_id_1, doc_id_2,
+         |  abs(a.fs[1]-b.fs[1])+abs(a.fs[2]-b.fs[2])+abs(a.fs[3]-b.fs[3])
+         |    +abs(a.fs[4]-b.fs[4])+abs(a.fs[5]-b.fs[5])+abs(a.fs[6]-b.fs[6])
+         |    +abs(a.fs[7]-b.fs[7])+abs(a.fs[8]-b.fs[8]) AS l1_dist
+         |FROM cand
+         |JOIN q a ON a.doc_id = cand.doc_id_1
+         |JOIN q b ON b.doc_id = cand.doc_id_2
+         |WHERE abs(a.fs[1]-b.fs[1])+abs(a.fs[2]-b.fs[2])+abs(a.fs[3]-b.fs[3])
+         |    +abs(a.fs[4]-b.fs[4])+abs(a.fs[5]-b.fs[5])+abs(a.fs[6]-b.fs[6])
+         |    +abs(a.fs[7]-b.fs[7])+abs(a.fs[8]-b.fs[8]) <= $PhashMaxL1
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin)(
+      (s, dir) => mediaPhashNearDup(s, dir)),
 
     QueryDef.sql("mm_features",
       s"""WITH codes AS (

@@ -98,6 +98,77 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows.exists(r => r.getAs[Int]("width") > r.getAs[Int]("height")))
   }
 
+  test("phash near-dup: exact byte-dups all found at l1=0, every pair " +
+      "within threshold, no self/reversed pairs") {
+    import spark.implicits._
+    // fixture docs (no exact dups below sf0.1) + PLANTED byte-dups:
+    // ids 900001/900002 and 900003/900004 duplicate two fixture texts
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val sample = base.orderBy("doc_id").limit(2).collect()
+    val planted = Seq(
+      (900001L, "en", sample(0).getAs[String]("text")),
+      (900002L, "en", sample(0).getAs[String]("text")),
+      (900003L, "en", sample(1).getAs[String]("text")),
+      (900004L, "en", sample(1).getAs[String]("text")))
+      .toDF("doc_id", "lang", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_phash2").toString
+    base.union(planted).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    try {
+      val pairs = Multimodal.mediaPhashNearDup(spark, tmp).collect()
+      assert(pairs.nonEmpty)
+      pairs.foreach { r =>
+        assert(r.getAs[Long]("doc_id_1") < r.getAs[Long]("doc_id_2"))
+        val d = r.getAs[Double]("l1_dist")
+        assert(d >= 0.0 && d <= Multimodal.PhashMaxL1)
+      }
+      val got = pairs.map(r =>
+        (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"))).toSet
+      // RECALL floor: identical payloads have identical histograms →
+      // identical signatures in every band → the banded join MUST emit
+      // every exact-dup pair (l1 = 0). mediaDedup is the ground truth.
+      val exactGroups = Multimodal.mediaDedup(spark, tmp).collect()
+        .groupBy(_.getAs[String]("payload_sha")).values
+        .filter(_.length > 1)
+      val exactPairs = exactGroups.flatMap { g =>
+        val ids = g.map(_.getAs[Long]("doc_id")).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+      assert(exactPairs.size >= 2, "planted media dups must be present")
+      assert(exactPairs.subsetOf(got),
+        s"missing ${(exactPairs -- got).take(5)} of ${exactPairs.size}")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("phash signature: zero bands are dropped before the self-join") {
+    import spark.implicits._
+    // two docs whose payloads produce DISJOINT non-zero histogram bins
+    // (all-lowercase vs all-space) share only the structurally-empty
+    // bins; with zero bands dropped they must NOT pair — while two
+    // same-bin docs with equal histograms must.
+    val docs = Seq(
+      (1L, "en", "aaaa aaaa aaaa aaaa aaaa"),
+      (2L, "en", "aaaa aaaa aaaa aaaa aaaa"),
+      (3L, "en", "!!!! !!!! !!!! !!!! !!!!"))
+      .toDF("doc_id", "lang", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_phash").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val got = Multimodal.mediaPhashNearDup(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2")))
+        .toSet
+      assert(got == Set((1L, 2L)))
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("modality stats cover all documents") {
     val stats = Multimodal.modalityStats(spark, sf).collect()
     assert(stats.map(_.getAs[String]("media_type")).toSet ==
