@@ -19,6 +19,34 @@ import org.apache.spark.sql.SparkSession
   * query/calib ratios across rounds divides out machine drift; the
   * probe's workload is frozen and must never be edited. */
 object Bench {
+  /** Committed idle-machine anchor for `calib` (round-8 committed
+    * artifact: 0.604, judge rerun 0.615). Used ONLY by the noisy flag's
+    * deviation test — the probe workload itself is pinned separately. */
+  val CalibAnchor = 0.604
+  /** A query is "wide" when its timed reps spread beyond this
+    * max/min ratio. */
+  val NoisySpreadRatio = 3.0
+  /** The run is flagged noisy at this many wide queries... */
+  val NoisySpreadCount = 5
+  /** ...or when calib deviates this fraction from [[CalibAnchor]]. */
+  val NoisyCalibDev = 0.25
+
+  /** Load-quality flag: two of the last three driver captures were
+    * load-contaminated and only distinguishable by manual spread
+    * inspection, so the artifact now carries the verdict mechanically.
+    * Noisy ⟺ ≥ [[NoisySpreadCount]] queries spread wider than
+    * [[NoisySpreadRatio]] across their timed reps, OR the pinned CPU
+    * probe's median deviates more than [[NoisyCalibDev]] from the
+    * committed idle anchor (either direction — a "faster" calib is
+    * still a non-comparable environment). Pure arithmetic, spec-pinned. */
+  def isNoisy(spreads: Seq[(Double, Double)], calib: Double,
+      anchor: Double = CalibAnchor): Boolean = {
+    val wide = spreads.count { case (lo, hi) =>
+      lo > 0 && hi / lo > NoisySpreadRatio }
+    wide >= NoisySpreadCount ||
+      math.abs(calib - anchor) / anchor > NoisyCalibDev
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -102,8 +130,10 @@ object Bench {
     // it led the line — so the medians (`queries`, the actual signal)
     // go LAST, and the spread (diagnostic only) is the sacrificial
     // field ahead of them.
+    val noisy = isNoisy(
+      results.collect { case (_, _, lo, hi, true) => (lo, hi) }, calib)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"calib":$calib,"calib_scan":$calibScan,"sf":"$sfDir","failed":$failed,"spread":$spread,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"calib":$calib,"calib_scan":$calibScan,"noisy":$noisy,"sf":"$sfDir","failed":$failed,"spread":$spread,"queries":$qs}"""
     // Loss-proof artifact: ALWAYS write the full line to a fixed
     // in-repo path too, so no driver/capture configuration can lose it
     // (SPARK_GRAFT_BENCH_OUT overrides the destination if set).

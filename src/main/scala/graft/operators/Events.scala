@@ -460,16 +460,28 @@ object Events {
     * (1-row) corpus totals broadcast back and the cut applied in EXACT
     * integer arithmetic (`n · n_users · HeavyDen > n_total · HeavyNum`
     * — no float mean, no division at all until the reported share).
+    * The products ride WIDE integers (decimal(38,0) here, HUGEINT in
+    * the oracle): long·long·const overflows int64 under extreme skew
+    * (one user owning ~10¹² events among 10⁹ users), and under ANSI
+    * both engines would ABORT the query rather than emit rows — the
+    * wide types keep the comparison exact to ~10³⁸.
     * At 100 TB the per-user relation is user-cardinality — large, but
     * partitioned; nothing here is single-partition. */
-  def heavyHittersOn(events: DataFrame): DataFrame = {
-    val perUser = events.groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"))
+  def heavyHittersOn(events: DataFrame): DataFrame =
+    heavyCutOn(events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events")))
+
+  /** The cut over a precomputed (user_id, n_events) relation — split
+    * out so the wide-integer comparison is testable at the count
+    * magnitudes that overflow int64 (no fixture can carry 10¹² rows,
+    * but a counts relation can claim them). */
+  private[graft] def heavyCutOn(perUser: DataFrame): DataFrame = {
     val totals = perUser.agg(sum(col("n_events")).as("n_total"),
       count(lit(1)).as("n_users"))
     perUser.crossJoin(broadcast(totals)) // 1-row stats relation
-      .where(col("n_events") * col("n_users") * HeavyDen >
-        col("n_total") * HeavyNum)
+      .where(col("n_events").cast("decimal(38,0)") * col("n_users")
+          * HeavyDen >
+        col("n_total").cast("decimal(38,0)") * HeavyNum)
       .select(col("user_id"), col("n_events"), col("n_total"),
         col("n_users"),
         (col("n_events").cast("double") / col("n_total").cast("double"))
@@ -557,11 +569,20 @@ object Events {
       val w = (hi - lo) / RangeSegs
       val path = java.nio.file.Files
         .createTempDirectory("graft-ev-manifest-").toString
+      // releaseCaches() is the documented teardown; the hook covers a
+      // crashed or lifecycle-skipping driver so temp tables never leak
+      // past the JVM (deleteQuietly: no-op when already released)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
       graft.sources.ManifestStore.setZoneMapColumns(s, path, Seq("ts_us"))
       (0 until RangeSegs).foreach { i =>
         val sLo = lo + i * w
         val sHi = if (i == RangeSegs - 1) hi else sLo + w - 1
-        graft.sources.ManifestStore.store(
+        // a degenerate span (hi - lo < RangeSegs ⇒ w = 0 ⇒ sLo > sHi
+        // for every non-final slice) would commit empty segments whose
+        // missing stats defeat pruning — skip them arithmetically
+        if (sHi >= sLo) graft.sources.ManifestStore.store(
           ev.where(col("ts_us").between(sLo, sHi)), path, "events")
       }
       val built = (path, lo, hi)
@@ -645,7 +666,8 @@ object Events {
          |SELECT user_id, n_events, n_total, n_users,
          |  CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
          |FROM u, t
-         |WHERE n_events * n_users * $HeavyDen > n_total * $HeavyNum
+         |WHERE CAST(n_events AS HUGEINT) * n_users * $HeavyDen
+         |  > CAST(n_total AS HUGEINT) * $HeavyNum
          |ORDER BY n_events DESC, user_id""".stripMargin)(heavyHitters),
 
     QueryDef.sql("ev_hourly_windows",

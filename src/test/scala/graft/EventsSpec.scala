@@ -61,6 +61,21 @@ class EventsSpec extends SparkSpecBase {
     assert(rows.head.getAs[Double]("share") == 110.0 / 200.0)
   }
 
+  test("heavy hitters: the cut survives count magnitudes that " +
+      "overflow int64 (ANSI would abort the narrow product)") {
+    import spark.implicits._
+    // one bot owning 10^18 events: n_events · n_users · HeavyDen =
+    // 1.6·10^19 > Long.MaxValue ≈ 9.2·10^18 — the pre-fix narrow
+    // product aborts under ANSI; the decimal(38,0) path must not
+    val perUser = Seq(
+      (1L, 1000000000000000000L), // the bot
+      (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("user_id", "n_events")
+    val rows = Events.heavyCutOn(perUser).collect()
+    assert(rows.map(_.getAs[Long]("user_id")).toSeq == Seq(1L))
+    assert(rows.head.getAs[Long]("n_users") == 4L)
+  }
+
   test("anomaly: robust z-scores find planted outliers, constant " +
       "streams yield none (mad=0 never divides)") {
     import spark.implicits._
