@@ -216,8 +216,12 @@ object Multimodal {
     * The only corpus shuffles are the (band_idx, band_value) equi-join
     * and the two doc_id set-fetch joins — never all-pairs; payload
     * bytes never leave the scan (features are a scan-side decode). */
-  def mediaPhashNearDup(s: SparkSession, dir: String,
-      levels: Int = PhashLevels, maxL1: Double = PhashMaxL1): DataFrame = {
+  /** Per-doc pHash signature side: features f0..f7 plus the 4 banded
+    * quantized values b0..b3 — the shared projection under both the
+    * pair generator and the recall measurement. Pure scan-side decode;
+    * empty payloads are dropped (no features to compare). */
+  private def phashSig(s: SparkSession, dir: String,
+      levels: Int): DataFrame = {
     import s.implicits._
     val feats = mediaTable(s, dir).as[MediaRecord]
       .mapPartitions(_.flatMap { r =>
@@ -233,11 +237,27 @@ object Multimodal {
         (0 until FeatureDim).map(j => col(s"f$j")): _*)
     val qs = (0 until FeatureDim).map(j =>
       least(lit(levels - 1L), floor(col(s"f$j") * levels).cast("long")))
-    val bandCols = (0 until FeatureDim / 2).map(j =>
-      struct(lit(j).as("band_idx"),
-        (qs(2 * j) * levels + qs(2 * j + 1)).as("bv")))
-    val bands = feats
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+    feats.select(col("doc_id") +:
+      (0 until FeatureDim).map(j => col(s"f$j")) ++:
+      (0 until FeatureDim / 2).map(j =>
+        (qs(2 * j) * levels + qs(2 * j + 1)).as(s"b$j")): _*)
+  }
+
+  /** Sequential-fold L1 distance over the a-/b-prefixed feature pair
+    * — identical operand order in the DuckDB oracles. */
+  private def pairL1: org.apache.spark.sql.Column =
+    (0 until FeatureDim)
+      .map(j => abs(col(s"a$j") - col(s"b$j")))
+      .reduceLeft(_ + _)
+
+  def mediaPhashNearDup(s: SparkSession, dir: String,
+      levels: Int = PhashLevels, maxL1: Double = PhashMaxL1): DataFrame = {
+    val sig = phashSig(s, dir, levels)
+    val feats = sig.select(col("doc_id") +:
+      (0 until FeatureDim).map(j => col(s"f$j")): _*)
+    val bands = sig
+      .select(col("doc_id"), explode(array((0 until FeatureDim / 2).map(j =>
+        struct(lit(j).as("band_idx"), col(s"b$j").as("bv"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx").as("band_idx"),
         col("b.bv").as("bv"))
       .where(col("bv") > 0L)
@@ -249,14 +269,51 @@ object Multimodal {
       .distinct()
     val a = feats.toDF("doc_id_1" +: (0 until FeatureDim).map(j => s"a$j"): _*)
     val b = feats.toDF("doc_id_2" +: (0 until FeatureDim).map(j => s"b$j"): _*)
-    val l1 = (0 until FeatureDim)
-      .map(j => abs(col(s"a$j") - col(s"b$j")))
-      .reduceLeft(_ + _) // sequential fold — oracle-reproducible
     cand.join(a, "doc_id_1").join(b, "doc_id_2")
-      .select(col("doc_id_1"), col("doc_id_2"), l1.as("l1_dist"))
+      .select(col("doc_id_1"), col("doc_id_2"), pairL1.as("l1_dist"))
       .where(col("l1_dist") <= maxL1)
       .orderBy("doc_id_1", "doc_id_2")
   }
+
+  /** Recall of the BANDED pair generator against the UNBLOCKED exact
+    * L1 pair set — the index-quality measurement for
+    * [[mediaPhashNearDup]], the same discipline as the embedding LSH
+    * twin ([[Dedup.embeddingNearDupRecall]]): an approximate path
+    * ships its measured miss rate, never an assumed one. A pair is
+    * reachable iff the two docs agree on ≥1 NONZERO band (band_idx is
+    * positional, so "shares a band" is 4 scalar equality tests — no
+    * arrays, fully codegen). VERIFY-SCALE formulation: the ground
+    * truth is an all-pairs join (quadratic by definition — measuring
+    * recall requires the exact set); production recall checks run it
+    * over a sampled slice. */
+  def mediaPhashRecall(s: SparkSession, dir: String,
+      levels: Int = PhashLevels, maxL1: Double = PhashMaxL1): DataFrame = {
+    val sig = phashSig(s, dir, levels)
+    val cols = (0 until FeatureDim).map(j => s"f$j") ++
+      (0 until FeatureDim / 2).map(j => s"b$j")
+    val a = sig.toDF("doc_id_1" +: cols.map("a" + _): _*)
+    val b = sig.toDF("doc_id_2" +: cols.map("b" + _): _*)
+    val sharesBand = (0 until FeatureDim / 2)
+      .map(j => col(s"ab$j") === col(s"bb$j") && col(s"ab$j") > 0L)
+      .reduceLeft(_ || _)
+    a.join(b, col("doc_id_1") < col("doc_id_2"))
+      .where(pairL1Pref("af", "bf") <= maxL1)
+      .agg(count(lit(1)).as("n_exact"),
+        count(when(sharesBand, 1)).as("n_lsh"))
+      .select(col("n_exact"), col("n_lsh"),
+        when(col("n_exact") > 0,
+          col("n_lsh").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
+
+  /** [[pairL1]] with configurable column prefixes (the recall join
+    * carries both feature and band columns per side, so the sides are
+    * prefixed af0../ab0.. and bf0../bb0..). */
+  private def pairL1Pref(pa: String, pb: String)
+      : org.apache.spark.sql.Column =
+    (0 until FeatureDim)
+      .map(j => abs(col(s"$pa$j") - col(s"$pb$j")))
+      .reduceLeft(_ + _)
 
   /** Per-modality rollup over extracted features — decode feeding a
     * relational aggregate, the end-to-end pipeline shape. */
@@ -350,6 +407,45 @@ object Multimodal {
          |    +abs(a.fs[7]-b.fs[7])+abs(a.fs[8]-b.fs[8]) <= $PhashMaxL1
          |ORDER BY doc_id_1, doc_id_2""".stripMargin)(
       (s, dir) => mediaPhashNearDup(s, dir)),
+
+    QueryDef.sql("mm_phash_recall",
+      s"""WITH codes AS (
+         |  SELECT doc_id, $CodesSql AS cs FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, $FeatureDim), j ->
+         |      CASE WHEN len(cs) = 0 THEN 0.0E0 ELSE
+         |        CAST(len(list_filter(cs, c -> c // 32 = j)) AS DOUBLE)
+         |          / CAST(len(cs) AS DOUBLE) END) AS fs
+         |  FROM codes WHERE len(cs) > 0),
+         |q AS (
+         |  SELECT doc_id, fs, list_transform(fs, v ->
+         |    CAST(least(${PhashLevels - 1}, floor(v * ${PhashLevels}E0))
+         |      AS BIGINT)) AS qs
+         |  FROM f),
+         |s AS (
+         |  SELECT doc_id, fs,
+         |    qs[1] * $PhashLevels + qs[2] AS b0,
+         |    qs[3] * $PhashLevels + qs[4] AS b1,
+         |    qs[5] * $PhashLevels + qs[6] AS b2,
+         |    qs[7] * $PhashLevels + qs[8] AS b3
+         |  FROM q),
+         |p AS (
+         |  SELECT (a.b0 = b.b0 AND a.b0 > 0) OR (a.b1 = b.b1 AND a.b1 > 0)
+         |      OR (a.b2 = b.b2 AND a.b2 > 0) OR (a.b3 = b.b3 AND a.b3 > 0)
+         |      AS shares
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE abs(a.fs[1]-b.fs[1])+abs(a.fs[2]-b.fs[2])
+         |    +abs(a.fs[3]-b.fs[3])+abs(a.fs[4]-b.fs[4])
+         |    +abs(a.fs[5]-b.fs[5])+abs(a.fs[6]-b.fs[6])
+         |    +abs(a.fs[7]-b.fs[7])+abs(a.fs[8]-b.fs[8]) <= $PhashMaxL1)
+         |SELECT count(*) AS n_exact,
+         |  count(*) FILTER (shares) AS n_lsh,
+         |  CASE WHEN count(*) > 0
+         |    THEN CAST(count(*) FILTER (shares) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) END AS recall
+         |FROM p""".stripMargin)(
+      (s, dir) => mediaPhashRecall(s, dir)),
 
     QueryDef.sql("mm_features",
       s"""WITH codes AS (

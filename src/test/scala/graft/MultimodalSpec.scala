@@ -169,6 +169,23 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("phash recall: banded pairs are a subset of exact pairs and the " +
+      "measured recall is consistent") {
+    val r = Multimodal.mediaPhashRecall(spark, sf).collect()
+    assert(r.length == 1)
+    val (nExact, nLsh) =
+      (r.head.getAs[Long]("n_exact"), r.head.getAs[Long]("n_lsh"))
+    assert(nExact > 0, "fixture must contain exact L1 near-dups")
+    assert(nLsh <= nExact)
+    val recall = r.head.getAs[Double]("recall")
+    assert(recall == nLsh.toDouble / nExact && recall > 0.0)
+    // the banded generator must emit exactly the reachable subset:
+    // every emitted pair is within threshold (spec above), and the
+    // emitted count equals the reachable count measured here
+    val emitted = Multimodal.mediaPhashNearDup(spark, sf).count()
+    assert(emitted == nLsh)
+  }
+
   test("modality stats cover all documents") {
     val stats = Multimodal.modalityStats(spark, sf).collect()
     assert(stats.map(_.getAs[String]("media_type")).toSet ==
