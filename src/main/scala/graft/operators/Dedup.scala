@@ -152,15 +152,20 @@ object Dedup {
   /** The shingle/signature/bands projection, un-persisted — for inputs
     * that should NOT enter the session cache (e.g. the per-batch side of
     * [[incrementalNearDups]], where each batch has a fresh plan and
-    * memoizing would leak one persisted frame per batch). */
-  private def shingledPlan(documents: DataFrame): DataFrame =
+    * memoizing would leak one persisted frame per batch; or a STREAM,
+    * which cannot be persisted at all — every column here is a pure
+    * row projection, so the plan is stream-safe). `keep` carries extra
+    * input columns (e.g. the stream's event_time) through. */
+  private[graft] def shingledPlan(documents: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
     documents
-      .select(col("doc_id"), shingleHashes.as("shingle_hashes"))
+      .select(col("doc_id") +: keep.map(col) :+
+        shingleHashes.as("shingle_hashes"): _*)
       .where(size(col("shingle_hashes")) > 0)
       .withColumn("sigs", minhashSigs)
       .withColumn("bands", bandHashes)
 
-  private def shingled(documents: DataFrame): DataFrame = {
+  private[graft] def shingled(documents: DataFrame): DataFrame = {
     val key = (documents.sparkSession,
       documents.queryExecution.analyzed.canonicalized)
     shingleCache.computeIfAbsent(key, _ => shingledPlan(documents).persist())

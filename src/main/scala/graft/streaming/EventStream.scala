@@ -393,6 +393,53 @@ object EventStream {
       .shardCoords(curateDocumentsMixed(docs, quotas, minWords))
       .select(col("doc_id"), col("lang"), col("shard"), col("skey"))
 
+  /** Streaming NEAR-dup detection against the batch-built corpus index
+    * — the streaming face of
+    * [[graft.operators.Dedup.incrementalNearDups]], the check every
+    * continuously-ingesting pipeline runs per arriving document:
+    * "is this a near-duplicate of something already indexed?"
+    * Emits one (new_id, corpus_id, jaccard) row per verified hit.
+    *
+    * Same boundary as the mix quotas: the corpus index (shingle sets +
+    * MinHash band hashes, [[graft.operators.Dedup]]'s memoized
+    * persisted relation) is BATCH-owned — at 100 TB it is a prebuilt
+    * bucket-partitioned index, not something a stream can derive — and
+    * joins in stream-static. The stream side is all pure projections
+    * (the shingle/signature kernels), so the only state is the
+    * watermark-expiring (new_id, corpus_id) dedup that collapses
+    * multi-band collisions and at-least-once replays into exactly-once
+    * pair emission. Jaccard verification is row-local on the candidate
+    * (identical arithmetic to the batch operator, so replay ≡ batch is
+    * bitwise on the jaccard column — the spec pins it). */
+  def nearDupDocuments(docs: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val c = Dedup.shingled(corpus)
+    val cBands = c.select(col("doc_id").as("corpus_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cSets = c.select(col("doc_id").as("corpus_id"),
+      col("shingle_hashes").as("sh_c"))
+    val n = Dedup.shingledPlan(
+        docs.withColumn("event_time", timestamp_micros(col("ts_us"))),
+        keep = Seq("event_time"))
+      .withWatermark("event_time", "1 hour")
+    val cand = n
+      .select(col("doc_id").as("new_id"), col("event_time"),
+        col("shingle_hashes").as("sh_n"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .join(cBands, Seq("band_idx", "band_hash")) // stream-static
+      .select(col("new_id"), col("corpus_id"), col("event_time"),
+        col("sh_n"))
+      .dropDuplicatesWithinWatermark("new_id", "corpus_id")
+    val inter = size(array_intersect(col("sh_n"), col("sh_c"))).cast("long")
+    cand.join(cSets, Seq("corpus_id")) // stream-static set fetch
+      .select(col("new_id"), col("corpus_id"),
+        (inter.cast("double") /
+          (size(col("sh_n")) + size(col("sh_c")) - inter).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   // ------------------------------------------------------------------
   // Streaming ingest (the reference's async /store, made exactly-once)
   // ------------------------------------------------------------------

@@ -492,6 +492,49 @@ class EventStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming near-dup vs corpus index ≡ batch incrementalNearDups " +
+      "under RocksDB (bitwise jaccard, replays collapse)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000000L
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val corpus = all.where(col("doc_id") % 10 =!= 1)
+    val feedRows = all.where(col("doc_id") % 10 === 1).collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+      .map(r => EventStream.DocEvent(r.getAs[Long]("doc_id"),
+        t0 + r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text"))).toSeq
+    val want = Dedup.incrementalNearDups(corpus, feedRows.toDF()).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(want.nonEmpty, "fixture must contain cross-decile near-dups")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStream.DocEvent]
+    val q = EventStream.nearDupDocuments(input.toDF(), corpus)
+      .writeStream.format("memory").queryName("stream_neardup")
+      .outputMode("append").start()
+    try {
+      input.addData(feedRows)
+      input.addData(feedRows) // full at-least-once replay adds nothing
+      q.processAllAvailable()
+      val got = spark.table("stream_neardup").collect()
+        .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Double]("jaccard"))).toSet
+      assert(got == want)
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      Dedup.releaseCaches()
+    }
+  }
+
   test("transformWithState running KMV sketch converges to the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
