@@ -240,6 +240,30 @@ object Dedup {
   def minhashPairs(documents: DataFrame): DataFrame =
     pairsFrom(shingled(documents))
 
+  /** LSH band-bucket OBSERVABILITY — the one-row audit that tells an
+    * operator whether the banding is healthy BEFORE running the pair
+    * join (the [[MlIndex]] `ml_brp_buckets` discipline applied to the
+    * dedup bands): bucket count, hottest occupancy, and the exact
+    * candidate pair mass Σ occ·(occ−1)/2 the band self-join would
+    * generate. Candidate mass is quadratic in occupancy and bounded by
+    * NEAR-DUP DENSITY, not corpus size — so a boilerplate-heavy corpus
+    * announces itself here as a hot bucket (run exact/canonical dedup
+    * first; byte-identical mass is their job, not LSH's). One shuffle
+    * (the bucket aggregate, partial map-side); the 1-row doc count
+    * rides the stats-broadcast cross join. */
+  def minhashBandStats(documents: DataFrame): DataFrame = {
+    val sh = shingled(documents)
+    val occ = sh
+      .select(posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("c"))
+    sh.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(occ.agg(count(lit(1)).as("n_buckets"),
+        max(col("c")).as("hottest"),
+        sum(expr("(c * (c - 1)) div 2")).as("pair_mass")))
+      .select(col("n_docs"), col("n_buckets"), col("hottest"),
+        col("pair_mass"))
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the verified
     * LSH pair graph (jaccard >= 0.5), labeling every document with the
     * minimum doc_id of its component — the step that turns pairwise
@@ -841,6 +865,23 @@ object Dedup {
          |  bands[3] AS band2, bands[4] AS band3
          |FROM b ORDER BY doc_id""".stripMargin) {
       (s, dir) => minhashSignatures(Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("dedup_band_stats",
+      s"""WITH h AS (SELECT doc_id, $ShSql AS shingle_hashes FROM documents),
+         |h2 AS (SELECT * FROM h WHERE len(shingle_hashes) > 0),
+         |s AS (SELECT doc_id, shingle_hashes, $SigsSql AS sigs FROM h2),
+         |b AS (SELECT doc_id, shingle_hashes, $BandsSql AS bands FROM s),
+         |bl AS (SELECT doc_id, unnest(generate_series(0, ${Bands - 1})) AS band_idx,
+         |         unnest(bands) AS band_hash FROM b),
+         |occ AS (SELECT band_idx, band_hash, count(*) AS c
+         |  FROM bl GROUP BY 1, 2)
+         |SELECT (SELECT count(*) FROM h2) AS n_docs,
+         |  count(*) AS n_buckets,
+         |  max(c) AS hottest,
+         |  CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS pair_mass
+         |FROM occ""".stripMargin) {
+      (s, dir) => minhashBandStats(Tables(s, dir, "documents"))
     },
 
     QueryDef.sql("dedup_minhash_pairs",

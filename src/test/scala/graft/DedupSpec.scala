@@ -48,6 +48,22 @@ class DedupSpec extends SparkSpecBase {
     assert(viaHelper == viaWindow && viaHelper.nonEmpty)
   }
 
+  test("band stats: occupancy audit is consistent with the corpus") {
+    val r = Dedup.minhashBandStats(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nDocs, nBuckets, hottest, mass) = (row.getAs[Long]("n_docs"),
+      row.getAs[Long]("n_buckets"), row.getAs[Long]("hottest"),
+      row.getAs[Long]("pair_mass"))
+    assert(nDocs > 0 && nBuckets > 0)
+    assert(hottest >= 1 && hottest <= nDocs)
+    // mass bounds: at least the hottest bucket's pairs, at most
+    // every-band-one-bucket (Bands × C(nDocs, 2))
+    assert(mass >= hottest * (hottest - 1) / 2)
+    assert(mass <= Dedup.Bands.toLong * nDocs * (nDocs - 1) / 2)
+    Dedup.releaseCaches()
+  }
+
   test("df cap: a boilerplate shingle above the cap never reaches the self-join") {
     import spark.implicits._
     // One hot shingle (df = 6, i.e. every doc) + per-doc unique shingles.
