@@ -147,6 +147,7 @@ object Bench {
     graft.operators.Pipeline.releaseCaches()
     graft.operators.MlIndex.releaseCaches()
     graft.operators.Events.releaseCaches()
+    graft.operators.Multimodal.releaseCaches()
     spark.stop()
   }
 }

@@ -15,6 +15,7 @@ object DevExplain {
     graft.operators.Pipeline.releaseCaches()
     graft.operators.MlIndex.releaseCaches()
     graft.operators.Events.releaseCaches()
+    graft.operators.Multimodal.releaseCaches()
     spark.stop()
   }
 }

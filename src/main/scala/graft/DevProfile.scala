@@ -37,6 +37,7 @@ object DevProfile {
     graft.operators.Pipeline.releaseCaches()
     graft.operators.MlIndex.releaseCaches()
     graft.operators.Events.releaseCaches()
+    graft.operators.Multimodal.releaseCaches()
     spark.stop()
   }
 }

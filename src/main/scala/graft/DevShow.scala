@@ -15,6 +15,7 @@ object DevShow {
     graft.operators.Pipeline.releaseCaches()
     graft.operators.MlIndex.releaseCaches()
     graft.operators.Events.releaseCaches()
+    graft.operators.Multimodal.releaseCaches()
     spark.stop()
   }
 }

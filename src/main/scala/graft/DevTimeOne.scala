@@ -23,6 +23,7 @@ object DevTimeOne {
     graft.operators.Pipeline.releaseCaches()
     graft.operators.MlIndex.releaseCaches()
     graft.operators.Events.releaseCaches()
+    graft.operators.Multimodal.releaseCaches()
     spark.stop()
   }
 }

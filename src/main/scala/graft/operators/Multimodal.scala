@@ -216,11 +216,35 @@ object Multimodal {
     * The only corpus shuffles are the (band_idx, band_value) equi-join
     * and the two doc_id set-fetch joins — never all-pairs; payload
     * bytes never leave the scan (features are a scan-side decode). */
+  /** Memoized per-(session, dir, levels) signature relations — the
+    * [[Dedup]] shingle-cache discipline: the signature feeds BOTH sides
+    * of the band self-join plus both verify set-fetches (4 plan
+    * branches), and uncached Catalyst re-runs the full scan-side
+    * decode per branch — at 100 TB that is four corpus decodes for one
+    * query. Released via [[releaseCaches]]; snapshot semantics like
+    * every built index. */
+  private val sigCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+
+  /** Unpersist and forget the memoized signature relations (the
+    * explicit release half of the implicit index, mirroring
+    * [[Dedup.releaseCaches]]). */
+  def releaseCaches(): Unit = {
+    val it = sigCache.values().iterator()
+    while (it.hasNext) it.next().unpersist()
+    sigCache.clear()
+  }
+
   /** Per-doc pHash signature side: features f0..f7 plus the 4 banded
     * quantized values b0..b3 — the shared projection under both the
     * pair generator and the recall measurement. Pure scan-side decode;
     * empty payloads are dropped (no features to compare). */
   private def phashSig(s: SparkSession, dir: String,
+      levels: Int): DataFrame =
+    sigCache.computeIfAbsent((s, dir, levels), _ =>
+      phashSigPlan(s, dir, levels).persist())
+
+  private def phashSigPlan(s: SparkSession, dir: String,
       levels: Int): DataFrame = {
     import s.implicits._
     val feats = mediaTable(s, dir).as[MediaRecord]

@@ -140,6 +140,7 @@ class MultimodalSpec extends SparkSpecBase {
       assert(exactPairs.subsetOf(got),
         s"missing ${(exactPairs -- got).take(5)} of ${exactPairs.size}")
     } finally {
+      Multimodal.releaseCaches()
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(tmp))
     }
@@ -164,6 +165,7 @@ class MultimodalSpec extends SparkSpecBase {
         .toSet
       assert(got == Set((1L, 2L)))
     } finally {
+      Multimodal.releaseCaches()
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(tmp))
     }
@@ -184,6 +186,7 @@ class MultimodalSpec extends SparkSpecBase {
     // emitted count equals the reachable count measured here
     val emitted = Multimodal.mediaPhashNearDup(spark, sf).count()
     assert(emitted == nLsh)
+    Multimodal.releaseCaches()
   }
 
   test("modality stats cover all documents") {
