@@ -254,18 +254,23 @@ object Ann {
     * projection (no join, no shuffle), exactly like [[ivfAssign]].
     * Ties break to the LOWEST code id in both engines (strict-< scan
     * here, `ORDER BY dist, cent_id` in the oracle). */
-  def pqEncode(emb: DataFrame, cb: Seq[Array[Double]]): DataFrame = {
-    val base = emb.select(col("vec_id"), col("label"),
-      toDouble(col("embedding")).as("ve"))
-    (0 until PqM).foldLeft(base) { (df, m) =>
+  def pqEncode(emb: DataFrame, cb: Seq[Array[Double]]): DataFrame =
+    pqEncodeCol(emb.select(col("vec_id"), col("label"),
+      toDouble(col("embedding")).as("ve")), "ve", cb)
+
+  /** [[pqEncode]] over an arbitrary pre-computed DOUBLE[] column — the
+    * seam that lets the IVF-PQ path encode RESIDUALS through the exact
+    * same [[PqM]] argmin kernels. */
+  private def pqEncodeCol(df: DataFrame, vecCol: String,
+      cb: Seq[Array[Double]]): DataFrame =
+    (0 until PqM).foldLeft(df) { (d, m) =>
       val sub = cb.map(_.slice(m * PqSub, (m + 1) * PqSub))
       // cb.size, not PqKsub: a trained codebook may carry fewer centers
       // (k-means|| on a slice with < k distinct points)
-      df.withColumn(s"c$m",
-        V.nearestCentroid(slice(col("ve"), m * PqSub + 1, PqSub),
+      d.withColumn(s"c$m",
+        V.nearestCentroid(slice(col(vecCol), m * PqSub + 1, PqSub),
           Array.tabulate(cb.size)(_.toLong), sub.toArray))
     }
-  }
 
   /** Two-stage PQ search — asymmetric-distance shortlist, exact
     * re-rank (the standard serving shape: faiss IndexPQ + refine).
@@ -330,6 +335,113 @@ object Ann {
   def pqRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
     recallAtK(pqTopK(emb, k), emb, k)
 
+  // ---- IVF-PQ (residual product quantization — the faiss IVFADC layout) ----
+
+  /** Sample rows for the RESIDUAL codebook — a third deterministic
+    * vec_id stride, disjoint from the IVF (`_ * 31`) and flat-PQ
+    * (`_ * 13 + 1`) strides so no two indexes share a codebook, and
+    * present at every fixture scale (max id 31·7+3 = 220). */
+  val IvfPqSampleIds: Seq[Long] = (0 until PqKsub).map(i => i * 7L + 3L)
+
+  /** Residual PQ codebook: each sampled vector MINUS its assigned IVF
+    * centroid — the quantity IVF-PQ actually quantizes. Coarse cells
+    * absorb the vector's location; the residual distribution is far
+    * tighter than the raw one, so the same 80-bit budget spends its
+    * precision where the cell left uncertainty (the faiss IVFADC
+    * design). Driver-side index METADATA like the other codebooks
+    * ([[PqKsub]] rows collected once); assignment uses the identical
+    * sqrt-L2 fold + lowest-id tie break as the scan kernel, so the
+    * oracle's ROW_NUMBER argmin re-derives the same residuals. */
+  def ivfPqResidualCodebook(emb: DataFrame,
+      cb: Seq[(Long, Array[Double])]): Seq[Array[Double]] =
+    emb.where(col("vec_id").isin(IvfPqSampleIds: _*))
+      .select(col("vec_id"), toDouble(col("embedding")))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val c = cb.minBy { case (id, cv) => (l2Scalar(v, cv), id) }._2
+        Array.tabulate(Dim)(i => v(i) - c(i))
+      }.toSeq
+
+  /** IVF-PQ top-K — coarse cells prune the scan, residual codes prune
+    * the arithmetic: the full faiss IVFADC serving shape as one
+    * declarative plan.
+    *
+    * Plan: scan → cell assign (fused argmin projection) → probe filter
+    * (NProbe of NList cells — with `cent_id` as a partition column this
+    * is partition pruning, reading 1/4 of the data) → residual
+    * `v − c_cell` (`zip_with`, the cell centroid a when-chain literal
+    * over the NProbe probed ids) → [[PqM]] residual argmin kernels →
+    * ADC score `dot(q, c_cell) + Σ_m lut[m][code_m]` (inner product
+    * decomposes exactly: `q·(c + r̂)`; both terms are driver-side
+    * constants — a per-cell dot and the residual lookup tables — baked
+    * into the plan) → shuffle-free shortlist → exact re-rank of
+    * [[PqShortlist]] rows. Zero shuffles end to end.
+    *
+    * At 100 TB this is THE vector-serving layout: the first stage reads
+    * 10-byte codes from a quarter of the cells instead of 256-byte
+    * vectors from all of them — ~100× less I/O — and
+    * [[ivfPqRecallAtK]] measures what that pruning costs. */
+  def ivfPqTopK(emb: DataFrame, k: Int = K): DataFrame = {
+    val cb = codebook(emb)
+    val rcb = if (cb.isEmpty) Seq.empty[Array[Double]]
+      else ivfPqResidualCodebook(emb, cb)
+    // empty/degenerate table: no codebook rows exist — a defined empty
+    // result (the reference's panic class, SURVEY.md D5)
+    if (cb.isEmpty || rcb.isEmpty)
+      return emb.select(col("vec_id"), col("label"),
+          lit(0L).as("cent_id"), lit(0.0).as("pq_sim"),
+          lit(0.0).as("similarity"))
+        .where(lit(false))
+    val probeIds = cb.map { case (id, cv) => (l2Scalar(Query, cv), id) }
+      .sorted.take(NProbe).map(_._2)
+    val cbMap = cb.toMap
+    val cellVec = probeIds.tail.foldLeft(
+      when(col("cent_id") === probeIds.head, vecLit(cbMap(probeIds.head)))) {
+      (acc, id) => acc.when(col("cent_id") === id, vecLit(cbMap(id)))
+    }
+    val cellDot = probeIds.tail.foldLeft(
+      when(col("cent_id") === probeIds.head,
+        lit(dotScalar(QueryNorm, cbMap(probeIds.head))))) {
+      (acc, id) => acc.when(col("cent_id") === id,
+        lit(dotScalar(QueryNorm, cbMap(id))))
+    }
+    val lut: Array[Array[Double]] = Array.tabulate(PqM) { m =>
+      Array.tabulate(rcb.size) { c =>
+        var acc = 0.0
+        var j = 0
+        while (j < PqSub) {
+          acc = acc + QueryNorm(m * PqSub + j) * rcb(c)(m * PqSub + j)
+          j += 1
+        }
+        acc
+      }
+    }
+    val pruned = ivfAssign(emb, cb)
+      .where(col("cent_id").isin(probeIds: _*))
+      .withColumn("r", zip_with(col("v"), cellVec, (x, y) => x - y))
+    val subSum = (0 until PqM).map(m =>
+        element_at(vecLit(lut(m)), (col(s"c$m") + 1).cast("int")))
+      .reduce(_ + _) // left-assoc, ≡ oracle parens
+    pqEncodeCol(pruned, "r", rcb)
+      .select(col("vec_id"), col("label"), col("cent_id"), col("v"),
+        (cellDot + subSum).as("pq_sim"))
+      .orderBy(col("pq_sim").desc, col("vec_id"))
+      .limit(PqShortlist)
+      .select(col("vec_id"), col("label"), col("cent_id"), col("pq_sim"),
+        V.dot(vecLit(QueryNorm), col("v")).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Recall@k of the IVF-PQ search against the exact scan — the
+    * combined miss rate of cell pruning AND residual quantization (the
+    * two approximations compound; measuring them fused is what an index
+    * deployment actually monitors). */
+  def ivfPqRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
+    recallAtK(ivfPqTopK(emb, k), emb, k)
+
   // ------------------------------------------------------------------
   // Declared queries + DuckDB oracles
   // ------------------------------------------------------------------
@@ -338,8 +450,9 @@ object Ann {
   private val qNormSql = vecSql(QueryNorm)
   private val qRawSql = vecSql(Query)
 
-  /** DuckDB fragment: sequential-fold L2 distance (matches V.l2Dist). */
-  private def l2Sql(a: String, b: String): String =
+  /** DuckDB fragment: sequential-fold L2 distance (matches V.l2Dist;
+    * shared with Dedup's cluster-blocked semantic dedup oracle). */
+  private[operators] def l2Sql(a: String, b: String): String =
     s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}), " +
       s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (acc, x) -> acc + x))"
 
@@ -390,6 +503,82 @@ object Ann {
     (0 until PqM).map(m =>
       s"JOIN a$m USING (vec_id) JOIN pqcents k${m}v ON a$m.k$m = k${m}v.cent_id")
       .mkString("\n")
+
+  /** Shared oracle CTEs for the IVF-PQ queries: IVF centroids + probe
+    * set + cell assignment (≡ the `ann_ivf_topk` oracle), the probed
+    * rows with their residuals `p`, the residual codebook `rcb`
+    * re-derived from the sample stride (assign → subtract, same
+    * sqrt-L2 fold + lowest-id ties as [[ivfPqResidualCodebook]]), and
+    * the per-subspace residual code assignments ia0..ia15. */
+  private lazy val ivfPqCtes: String = {
+    val assigns = (0 until PqM).map { m =>
+      s"""ia$m AS (
+         |  SELECT vec_id, code AS k$m FROM (
+         |    SELECT p.vec_id, r.code, row_number() OVER (
+         |      PARTITION BY p.vec_id
+         |      ORDER BY ${l2SubSql("p.r", "r.r_vec", m * PqSub)}, r.code) AS rn
+         |    FROM p CROSS JOIN rcb r)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""cents AS (
+       |  SELECT vec_id AS cent_id, $embD AS c_vec
+       |  FROM embeddings WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+       |probe AS (
+       |  SELECT cent_id FROM (
+       |    SELECT cent_id, row_number() OVER (
+       |      ORDER BY ${l2Sql(qRawSql, "c_vec")}, cent_id) AS crn
+       |    FROM cents)
+       |  WHERE crn <= $NProbe),
+       |assigned AS (
+       |  SELECT vec_id, label, v, cent_id FROM (
+       |    SELECT e.vec_id, e.label, $embD AS v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2Sql(embD, "c_vec")}, c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |p AS (
+       |  SELECT a.vec_id, a.label, a.cent_id, a.v,
+       |    list_transform(range(1, ${Dim + 1}), i -> a.v[i] - c.c_vec[i]) AS r
+       |  FROM assigned a JOIN cents c USING (cent_id)
+       |  WHERE a.cent_id IN (SELECT cent_id FROM probe)),
+       |samp AS (
+       |  SELECT vec_id, $embD AS sv
+       |  FROM embeddings WHERE vec_id IN (${IvfPqSampleIds.mkString(", ")})),
+       |sa AS (
+       |  SELECT vec_id, sv, cent_id FROM (
+       |    SELECT s.vec_id, s.sv, c.cent_id, row_number() OVER (
+       |      PARTITION BY s.vec_id
+       |      ORDER BY ${l2Sql("s.sv", "c_vec")}, c.cent_id) AS rn
+       |    FROM samp s CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |rcb AS (
+       |  SELECT row_number() OVER (ORDER BY sa.vec_id) - 1 AS code,
+       |    list_transform(range(1, ${Dim + 1}), i -> sa.sv[i] - c.c_vec[i]) AS r_vec
+       |  FROM sa JOIN cents c USING (cent_id)),
+       |$assigns""".stripMargin
+  }
+
+  /** Oracle IVF-PQ score: the per-cell query·centroid dot plus the
+    * left-parenthesized sum of the PqM residual subspace dots —
+    * operand-for-operand the Spark plan's `cellDot + subSum`. */
+  private lazy val ivfPqScoreSql: String = {
+    val sub = (0 until PqM).map(m => dotSubSql("q.v", s"ik${m}v.r_vec", m * PqSub))
+      .reduce((a, b) => s"($a + $b)")
+    s"(${dotSeqSql("q.v", "c.c_vec", Dim)} + $sub)"
+  }
+
+  private lazy val ivfPqJoins: String =
+    (0 until PqM).map(m =>
+      s"JOIN ia$m USING (vec_id) JOIN rcb ik${m}v ON ia$m.k$m = ik${m}v.code")
+      .mkString("\n")
+
+  private lazy val ivfPqShortCte: String =
+    s"""short AS (
+       |  SELECT p.vec_id, p.label, p.cent_id, p.v, $ivfPqScoreSql AS pq_sim
+       |  FROM p JOIN cents c USING (cent_id)
+       |  $ivfPqJoins
+       |  CROSS JOIN q
+       |  ORDER BY pq_sim DESC, p.vec_id LIMIT $PqShortlist)""".stripMargin
 
   /** DuckDB fragment mirroring [[bucketCol]] over an arbitrary
     * DOUBLE[] expression (shared with Dedup's LSH-blocked near-dup). */
@@ -716,6 +905,34 @@ object Ann {
          |WHERE cent_id IN (SELECT cent_id FROM probe)
          |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
       (s, dir) => curatedSearch(s, dir)
+    },
+
+    QueryDef.sql("ann_ivfpq_topk",
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |$ivfPqCtes,
+         |$ivfPqShortCte
+         |SELECT vec_id, label, cent_id, pq_sim,
+         |  ${dotSeqSql("q.v", "short.v", Dim)} AS similarity
+         |FROM short, q
+         |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
+      (s, dir) => ivfPqTopK(Tables(s, dir, "embeddings"))
+    },
+
+    QueryDef.sql("ann_ivfpq_recall",
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |exact AS (
+         |  SELECT vec_id FROM embeddings, q
+         |  ORDER BY ${dotSeqSql("q.v", embD, Dim)} DESC, vec_id LIMIT $K),
+         |$ivfPqCtes,
+         |$ivfPqShortCte,
+         |approx AS (
+         |  SELECT vec_id FROM short, q
+         |  ORDER BY ${dotSeqSql("q.v", "short.v", Dim)} DESC, vec_id
+         |  LIMIT $K)
+         |SELECT $K AS k, count(*) AS n_common,
+         |  CAST(count(*) AS DOUBLE) / ${K}.0E0 AS recall
+         |FROM exact JOIN approx USING (vec_id)""".stripMargin) {
+      (s, dir) => ivfPqRecallAtK(Tables(s, dir, "embeddings"))
     }
   )
 }

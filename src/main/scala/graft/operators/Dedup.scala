@@ -818,6 +818,85 @@ object Dedup {
           .as("recall"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then within each cluster mark every
+    * vector that has a LOWER-id in-cluster neighbour with cosine ≥ τ as
+    * a duplicate — keep flags, one row per vector. The clusters are the
+    * ANN index's own IVF cells ([[Ann.codebook]] — the paper clusters
+    * with k-means for exactly this role), so the dedup pass reuses the
+    * index the corpus already maintains. "Earlier neighbour wins" is the
+    * paper's keep-one-per-duplicate-set rule made deterministic (no
+    * transitive closure — a vector close to a DROPPED earlier vector is
+    * still dropped, matching SemDeDup's per-point threshold test).
+    *
+    * Scale shape: assignment is a scan-side fused-argmin projection
+    * (zero joins), the pair generation is an equi-join on `cent_id` —
+    * bounded by the largest CELL, and cell count is a config knob
+    * (nlist), unlike label/domain blocking where one hot key is
+    * quadratic forever. The miss rate of cell blocking is MEASURED by
+    * [[semanticDedupRecall]], never assumed. The dropped-id set grows
+    * with the corpus → unhinted join per the broadcast invariant. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.25): DataFrame = {
+    val cb = Ann.codebook(embeddings)
+    // empty/degenerate table: no centroid rows — defined empty result
+    if (cb.isEmpty)
+      return embeddings.select(col("vec_id"), col("label"),
+          lit(0L).as("cent_id"), lit(true).as("keep"))
+        .where(lit(false))
+    val e = Ann.ivfAssign(embeddings, cb).withColumn("nrm", V.norm2(col("v")))
+    val dropped = e.as("a").join(e.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .where(pairCosine >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+      .withColumn("dup", lit(true))
+    e.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("cent_id"),
+        col("dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** Thresholds for the [[semanticDedupRecall]] curve: the default
+    * operating point plus two tighter cuts. */
+  val SemTaus: Seq[Double] = Seq(0.25, 0.4, 0.5)
+
+  /** Recall CURVE of the cell-blocked duplicate pairs against the
+    * UNBLOCKED exact pair set, per cosine threshold — the measured miss
+    * rate of [[semanticDedup]]'s IVF-cell blocking. One number would
+    * mislead here: at a loose τ most "pairs" are background similarity
+    * that cells rightly cut (low recall, harmless), while the
+    * truly-near pairs semantic dedup exists for concentrate in a shared
+    * nearest cell (recall → 1 as τ tightens; the fixture measures
+    * 0.17 / 0.19 / 1.0 at 0.25 / 0.4 / 0.5). This curve is the number
+    * SemDeDup's nlist knob trades against cost. Deliberately quadratic:
+    * it computes the ground truth, so it runs at verify scale or on a
+    * sample, never on the full corpus. */
+  def semanticDedupRecall(embeddings: DataFrame): DataFrame = {
+    val cb = Ann.codebook(embeddings)
+    if (cb.isEmpty)
+      return embeddings.select(lit(0.0).as("tau"),
+          lit(0L).as("n_exact"), lit(0L).as("n_sem"),
+          lit(null).cast("double").as("recall"))
+        .where(lit(false))
+    val e = Ann.ivfAssign(embeddings, cb).withColumn("nrm", V.norm2(col("v")))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select((col("a.cent_id") === col("b.cent_id")).as("same_cell"),
+        pairCosine.as("cos_sim"))
+      .where(col("cos_sim") >= SemTaus.min)
+      .select(col("same_cell"), col("cos_sim"),
+        explode(array(SemTaus.map(lit(_)): _*)).as("tau"))
+      .where(col("cos_sim") >= col("tau"))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_exact"),
+        count(when(col("same_cell"), lit(1))).as("n_sem"))
+      .select(col("tau"), col("n_exact"), col("n_sem"),
+        when(col("n_exact") > 0,
+          col("n_sem").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+      .orderBy("tau")
+  }
+
   // ------------------------------------------------------------------
   // oracles
   // ------------------------------------------------------------------
@@ -1052,7 +1131,40 @@ object Dedup {
          |    THEN CAST(count(*) FILTER (same_bucket) AS DOUBLE)
          |      / CAST(count(*) AS DOUBLE) END AS recall
          |FROM p""".stripMargin
-    }) { (s, dir) => embeddingNearDupRecall(Tables(s, dir, "embeddings")) }
+    }) { (s, dir) => embeddingNearDupRecall(Tables(s, dir, "embeddings")) },
+
+    QueryDef.sql("dedup_semantic", {
+      val cos = cosSql("a.v", "b.v")
+      s"""WITH $SemAssignedSql,
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |  WHERE $cos >= 0.25E0)
+         |SELECT asg.vec_id, asg.label, asg.cent_id,
+         |  d.vec_id IS NULL AS keep
+         |FROM asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
+         |ORDER BY asg.vec_id""".stripMargin
+    }) { (s, dir) => semanticDedup(Tables(s, dir, "embeddings")) },
+
+    QueryDef.sql("dedup_semantic_recall", {
+      val cos = cosSql("a.v", "b.v")
+      val tauList = SemTaus.map(graft.functions.VectorFunctions.doubleSql)
+        .mkString(", ")
+      s"""WITH $SemAssignedSql,
+         |p AS (
+         |  SELECT a.cent_id = b.cent_id AS same_cell, $cos AS cos_sim
+         |  FROM asg a JOIN asg b ON a.vec_id < b.vec_id
+         |  WHERE $cos >= ${graft.functions.VectorFunctions.doubleSql(SemTaus.min)}),
+         |t AS (SELECT unnest([$tauList]) AS tau)
+         |SELECT tau, count(*) AS n_exact,
+         |  count(*) FILTER (same_cell) AS n_sem,
+         |  CASE WHEN count(*) > 0
+         |    THEN CAST(count(*) FILTER (same_cell) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) END AS recall
+         |FROM p JOIN t ON p.cos_sim >= t.tau
+         |GROUP BY tau ORDER BY tau""".stripMargin
+    }) { (s, dir) => semanticDedupRecall(Tables(s, dir, "embeddings")) }
   )
 
   /** Shared oracle for BOTH cluster formulations (join-min and
@@ -1102,4 +1214,22 @@ object Dedup {
   /** DuckDB fragment: the sign-LSH bucket of the CTE-bound vector `v`
     * (identical arithmetic to [[Ann.bucketCol]]). */
   private def BucketSql: String = Ann.bucketSqlFor("v")
+
+  /** Shared oracle CTEs for the semantic-dedup queries: IVF centroids +
+    * per-vector cell assignment `asg` — the same ROW_NUMBER argmin (and
+    * the same sqrt-L2 fold + lowest-id tie break) as the `ann_ivf_topk`
+    * oracle, re-deriving [[graft.operators.Ann.ivfAssign]] in SQL. */
+  private lazy val SemAssignedSql: String =
+    s"""cents AS (
+       |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c_vec
+       |  FROM embeddings WHERE vec_id IN (${Ann.CentroidIds.mkString(", ")})),
+       |asg AS (
+       |  SELECT vec_id, label, v, cent_id FROM (
+       |    SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v,
+       |      c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${Ann.l2Sql("CAST(e.embedding AS DOUBLE[])", "c_vec")},
+       |          c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1)""".stripMargin
 }

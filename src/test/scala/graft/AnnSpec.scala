@@ -114,4 +114,45 @@ class AnnSpec extends SparkSpecBase {
     val recall = Ann.pqRecallAtK(emb).collect().head.getAs[Double]("recall")
     assert(recall >= 0.8, s"PQ recall@K degraded: $recall")
   }
+
+  test("IVF-PQ search: exact re-rank scores, probed cells only, " +
+      "fused recall bounded by IVF recall") {
+    val rows = Ann.ivfPqTopK(emb).collect()
+    assert(rows.length == VectorSearch.K)
+    // stage-2 similarities are EXACT (re-ranked on the raw vectors)
+    val exact = VectorSearch.topK(emb, emb.count().toInt).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("similarity")).toMap
+    rows.foreach { r =>
+      assert(exact(r.getAs[Long]("vec_id")) == r.getAs[Double]("similarity"))
+    }
+    // coarse pruning really prunes: only probed cells contribute
+    assert(rows.map(_.getAs[Long]("cent_id")).distinct.length <= Ann.NProbe)
+    // IVF-PQ candidates ⊆ the probed cells, so its recall can never
+    // exceed the IVF-only recall (residual codes only lose more)
+    val fused = Ann.ivfPqRecallAtK(emb).collect().head.getAs[Double]("recall")
+    val ivfOnly = Ann.ivfRecallAtK(emb).collect().head.getAs[Double]("recall")
+    assert(fused >= 0.0 && fused <= ivfOnly,
+      s"fused recall $fused exceeds IVF recall $ivfOnly")
+  }
+
+  test("IVF-PQ residual codebook: driver assignment ≡ scan-kernel assignment") {
+    val cb = Ann.codebook(emb)
+    val rcb = Ann.ivfPqResidualCodebook(emb, cb)
+    assert(rcb.length == Ann.PqKsub)
+    assert(rcb.forall(_.length == VectorSearch.Dim))
+    // the residual of each sample row must be sample − centroid for the
+    // cell the SCAN kernel assigns it to — the driver-side sqrt-L2 fold
+    // and NearestCentroidExpr must agree bitwise or the oracle drifts
+    val cbMap = cb.toMap
+    val asg = Ann.ivfAssign(
+        emb.where(col("vec_id").isin(Ann.IvfPqSampleIds: _*)), cb)
+      .select(col("vec_id"), col("cent_id"), col("v"))
+      .collect().sortBy(_.getAs[Long]("vec_id"))
+    assert(asg.length == rcb.length)
+    asg.zip(rcb).foreach { case (r, res) =>
+      val v = r.getSeq[Double](2).toArray
+      val c = cbMap(r.getAs[Long]("cent_id"))
+      v.indices.foreach(i => assert(res(i) == v(i) - c(i)))
+    }
+  }
 }

@@ -307,4 +307,55 @@ class DedupSpec extends SparkSpecBase {
     // the exact side of recall subsumes the label-blocked ground truth
     assert(nExact >= Dedup.embeddingNearDup(emb).count())
   }
+
+  test("semantic dedup: keep flags match the per-cell earlier-neighbour " +
+      "ground truth; recall curve is well-formed") {
+    import graft.operators.Ann
+    val emb = Tables(spark, sf, "embeddings")
+    val rows = Dedup.semanticDedup(emb).collect()
+    assert(rows.length == emb.count().toInt)
+    // recompute the ground truth locally with the kernels' own fold
+    // order: sequential dot, cos = dot/(na·nb), cell from ivfAssign
+    val asg = Ann.ivfAssign(emb, Ann.codebook(emb))
+      .select(col("vec_id"), col("cent_id"), col("v")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cent_id"),
+        r.getSeq[Double](2).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }
+      acc
+    }
+    val norm = asg.map { case (id, _, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val byCell = asg.groupBy(_._2)
+    val dropped = byCell.values.flatMap { cell =>
+      val sorted = cell.sortBy(_._1)
+      for {
+        i <- sorted.indices
+        j <- (i + 1) until sorted.length
+        (ida, _, va) = sorted(i)
+        (idb, _, vb) = sorted(j)
+        denom = norm(ida) * norm(idb)
+        if denom > 0.0 && dot(va, vb) / denom >= 0.25
+      } yield idb
+    }.toSet
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Boolean]("keep") == !dropped.contains(id),
+        s"keep flag mismatch for vec_id=$id")
+    }
+    // recall curve: ascending taus, counts shrink as tau tightens,
+    // blocked counts never exceed exact, ratios are in [0, 1]
+    val rec = Dedup.semanticDedupRecall(emb).collect()
+    assert(rec.nonEmpty && rec.length <= Dedup.SemTaus.length)
+    val taus = rec.map(_.getAs[Double]("tau"))
+    assert(taus.sameElements(taus.sorted))
+    val exacts = rec.map(_.getAs[Long]("n_exact"))
+    assert(exacts.zip(exacts.tail).forall { case (a, b) => a >= b })
+    rec.foreach { r =>
+      val (ne, ns) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_sem"))
+      assert(ns <= ne && ne > 0)
+      val rc = r.getAs[Double]("recall")
+      assert(rc >= 0.0 && rc <= 1.0)
+    }
+  }
 }

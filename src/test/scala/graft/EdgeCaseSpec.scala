@@ -22,6 +22,10 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(VectorSearch.perCollectionTopK(empty, 3).count() == 0)
     assert(VectorSearch.perCollectionTopKAgg(empty, 3).count() == 0)
     assert(Ann.lshTopK(empty).count() == 0)
+    // codebook-backed paths: no centroid rows exist → defined empty
+    assert(Ann.ivfPqTopK(empty).count() == 0)
+    assert(Dedup.semanticDedup(empty).count() == 0)
+    assert(Dedup.semanticDedupRecall(empty).count() == 0)
   }
 
   test("k = 0 and k > n are well-defined") {

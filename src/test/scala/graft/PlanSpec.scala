@@ -225,6 +225,22 @@ class PlanSpec extends SparkSpecBase {
     assert(nShuffles(df) == 0, p)
   }
 
+  test("IVF-PQ search: scan-side assign/encode/ADC, zero shuffles end to end") {
+    val df = Ann.ivfPqTopK(emb)
+    val p = plan(df)
+    // both stages are TakeOrdered heaps; the cell filter, residual,
+    // codes, and lookup-table score are all projections on the scan
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(nShuffles(df) == 0, p)
+  }
+
+  test("semantic dedup: cell-blocked equi-joins only, never a cross product") {
+    val p = plan(Dedup.semanticDedup(emb))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"semantic dedup pair generation must stay an equi-join:\n$p")
+  }
+
   test("curation funnel: single window shuffle on the content hash") {
     val df = operators.Pipeline.qualityFilter(spark, sf)
     val p = plan(df)
