@@ -387,6 +387,17 @@ object Ann {
     val cb = codebook(emb)
     val rcb = if (cb.isEmpty) Seq.empty[Array[Double]]
       else ivfPqResidualCodebook(emb, cb)
+    ivfPqTopKWith(emb, cb, rcb, k)
+  }
+
+  /** [[ivfPqTopK]] against caller-supplied coarse + residual codebooks —
+    * the seam that lets [[MlIndex.ivfPqKmeansTopK]] swap the sampled
+    * residual codebook for a per-subspace k-means-TRAINED one (the
+    * faiss IVFADC training shape) while sharing the whole
+    * assign + residual-encode + ADC + re-rank pipeline. */
+  private[graft] def ivfPqTopKWith(emb: DataFrame,
+      cb: Seq[(Long, Array[Double])], rcb: Seq[Array[Double]],
+      k: Int = K): DataFrame = {
     // empty/degenerate table: no codebook rows exist — a defined empty
     // result (the reference's panic class, SURVEY.md D5)
     if (cb.isEmpty || rcb.isEmpty)

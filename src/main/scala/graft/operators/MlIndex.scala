@@ -490,6 +490,73 @@ object MlIndex {
     Ann.recallAtK(pqKmeansTopK(s, dir, k), emb, k)
   }
 
+  /** Per-subspace k-means-TRAINED residual codebook for the IVF-PQ
+    * index — the faiss IVFADC training recipe: assign every vector to
+    * its coarse cell, subtract the centroid, and fit [[Ann.PqKsub]]
+    * centers on each [[Ann.PqSub]]-dim slice of the RESIDUAL
+    * distribution (tighter than the raw one — the cells absorbed the
+    * location, so the 80-bit budget spends its precision where the cell
+    * left uncertainty). Assignment and subtraction are the same fused
+    * scan-side kernels the search uses; the fit is MLlib k-means|| per
+    * subspace (distributed — at 100 TB this trains on a sample, like
+    * every faiss deployment). Memoized by session + canonicalized input
+    * plan, seeds offset from the flat-PQ fit so the two trainings stay
+    * independent. */
+  def ivfPqKmeansCodebook(emb: DataFrame): Seq[Array[Double]] = {
+    val key = (emb.sparkSession, emb.queryExecution.analyzed.canonicalized)
+    Option(ivfPqCbCache.get(key)).getOrElse {
+      val cb = Ann.codebook(emb)
+      val trained = if (cb.isEmpty) Seq.empty[Array[Double]] else {
+        val cellVec = cb.tail.foldLeft(
+          when(col("cent_id") === cb.head._1, vecLit(cb.head._2))) {
+          case (acc, (id, cv)) => acc.when(col("cent_id") === id, vecLit(cv))
+        }
+        val sliced = Ann.ivfAssign(emb, cb)
+          .withColumn("r", zip_with(col("v"), cellVec, (x, y) => x - y))
+          .select((0 until Ann.PqM).map(m => array_to_vector(
+            slice(col("r"), m * Ann.PqSub + 1, Ann.PqSub)).as(s"f$m")): _*)
+          .persist()
+        if (sliced.isEmpty) { sliced.unpersist(); Seq.empty[Array[Double]] }
+        else {
+          val centers: Array[Array[Array[Double]]] = (0 until Ann.PqM).map { m =>
+            new KMeans().setK(Ann.PqKsub).setSeed(Seed + 100 + m).setMaxIter(5)
+              .setFeaturesCol(s"f$m").setPredictionCol(s"p$m")
+              .fit(sliced).clusterCenters.map(_.toArray)
+          }.toArray
+          sliced.unpersist()
+          val kEff = centers.map(_.length).min
+          (0 until kEff).map { c =>
+            val full = new Array[Double](Ann.PqM * Ann.PqSub)
+            for (m <- 0 until Ann.PqM; j <- 0 until Ann.PqSub)
+              full(m * Ann.PqSub + j) = centers(m)(c)(j)
+            full
+          }
+        }
+      }
+      Option(ivfPqCbCache.putIfAbsent(key, trained)).getOrElse(trained)
+    }
+  }
+
+  /** IVF-PQ search over the TRAINED residual codebook — same coarse
+    * probe + residual encode + ADC shortlist + exact re-rank pipeline
+    * as `ann_ivfpq_topk`, different residual-codebook provenance.
+    * Rows-only verification (MLlib centers are library-internal);
+    * [[ivfPqKmeansRecall]] measures the quality. */
+  def ivfPqKmeansTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Ann.ivfPqTopKWith(emb, Ann.codebook(emb), ivfPqKmeansCodebook(emb), k)
+  }
+
+  /** Recall@k of [[ivfPqKmeansTopK]] against the exact scan. */
+  def ivfPqKmeansRecall(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Ann.recallAtK(ivfPqKmeansTopK(s, dir, k), emb, k)
+  }
+
+  private val ivfPqCbCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    Seq[Array[Double]]]()
+
   private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
     Seq[Array[Double]]]()
@@ -568,6 +635,7 @@ object MlIndex {
     }
     modelCache.clear()
     pqCbCache.clear() // driver-side arrays, no persisted frames
+    ivfPqCbCache.clear() // ditto
     val bKeys = bucketsCache.keySet().iterator()
     while (bKeys.hasNext) {
       val v = bucketsCache.remove(bKeys.next())
@@ -592,6 +660,9 @@ object MlIndex {
     QueryDef.rowsOnly("ml_brp_knn_recall")((s, dir) => brpKnnRecall(s, dir)),
     QueryDef.rowsOnly("ml_brp_buckets")((s, dir) => brpBucketStats(s, dir)),
     QueryDef.rowsOnly("ml_pq_kmeans")((s, dir) => pqKmeansTopK(s, dir)),
-    QueryDef.rowsOnly("ml_pq_kmeans_recall")((s, dir) => pqKmeansRecall(s, dir))
+    QueryDef.rowsOnly("ml_pq_kmeans_recall")((s, dir) => pqKmeansRecall(s, dir)),
+    QueryDef.rowsOnly("ml_ivfpq_kmeans")((s, dir) => ivfPqKmeansTopK(s, dir)),
+    QueryDef.rowsOnly("ml_ivfpq_kmeans_recall")(
+      (s, dir) => ivfPqKmeansRecall(s, dir))
   )
 }
