@@ -264,6 +264,71 @@ object Dedup {
         col("pair_mass"))
   }
 
+  /** Jaccard thresholds for the [[minhashRecall]] curve: spans the
+    * banding scheme's S-curve (b=4 bands of r=4 rows → P(candidate) =
+    * 1-(1-s^4)^4, ~0.23 at s=0.5 and ~0.99 at s=0.9), so the report
+    * shows both where banding is blind and where it is reliable. */
+  val MinhashRecallTaus: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9)
+
+  /** Recall CURVE of the banded-LSH candidate generator against the
+    * exact shingle-Jaccard pair set — the index-quality measurement for
+    * [[minhashPairs]]/[[minhashClusters]], completing the discipline
+    * that every approximate path ships its measured miss rate
+    * ([[embeddingNearDupRecall]], `mm_phash_recall`, `ann_*_recall`).
+    * One row per τ in [[MinhashRecallTaus]]: n_exact = pairs with true
+    * Jaccard ≥ τ, n_lsh = those the banding would surface (share ≥ 1
+    * band), recall = n_lsh / n_exact — directly comparable to the
+    * theoretical 1-(1-τ^r)^b so a broken hash family announces itself
+    * as a gap from theory, not just a low number.
+    *
+    * GROUND-TRUTH query, like [[embeddingNearDupRecall]]: the exact
+    * side is the full shingle inverted index (no df cap, no sampling —
+    * capping would bias the truth being measured), so it runs at
+    * verify/sample scale, never on the full corpus. Join mass is
+    * Σ_shingle df(s)² — on a sampled audit slice that is the honest
+    * price of a ground truth. The per-τ counts ride a 4-row τ-literal
+    * broadcast over the pair relation; candidates and truth share the
+    * one memoized [[shingled]] relation. */
+  def minhashRecall(documents: DataFrame): DataFrame = {
+    val sh = shingled(documents)
+    val ex = sh.select(col("doc_id"),
+      size(col("shingle_hashes")).as("n"),
+      explode(col("shingle_hashes")).as("h"))
+    val exact = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"),
+        col("b.doc_id").as("doc_id_2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        (col("c").cast("double") /
+          (col("n1") + col("n2") - col("c")).cast("double")).as("jaccard"))
+    val bands = sh.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+      .distinct()
+      .withColumn("in_lsh", lit(true))
+    exact.join(cand, Seq("doc_id_1", "doc_id_2"), "left")
+      .select(col("jaccard"),
+        coalesce(col("in_lsh"), lit(false)).as("in_lsh"))
+      .where(col("jaccard") >= MinhashRecallTaus.min)
+      .select(col("jaccard"), col("in_lsh"),
+        explode(array(MinhashRecallTaus.map(lit(_)): _*)).as("tau"))
+      .where(col("jaccard") >= col("tau"))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_exact"),
+        count(when(col("in_lsh"), lit(1))).as("n_lsh"))
+      .select(col("tau"), col("n_exact"), col("n_lsh"),
+        when(col("n_exact") > 0,
+          col("n_lsh").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+      .orderBy("tau")
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the verified
     * LSH pair graph (jaccard >= 0.5), labeling every document with the
     * minimum doc_id of its component — the step that turns pairwise
@@ -984,6 +1049,42 @@ object Dedup {
          |ORDER BY doc_id_1, doc_id_2""".stripMargin) {
       (s, dir) => minhashPairs(Tables(s, dir, "documents"))
     },
+
+    QueryDef.sql("dedup_minhash_recall", {
+      val tauList = MinhashRecallTaus
+        .map(graft.functions.VectorFunctions.doubleSql).mkString(", ")
+      s"""WITH h AS (SELECT doc_id, $ShSql AS shingle_hashes FROM documents),
+         |h2 AS (SELECT * FROM h WHERE len(shingle_hashes) > 0),
+         |s AS (SELECT doc_id, shingle_hashes, $SigsSql AS sigs FROM h2),
+         |b AS (SELECT doc_id, shingle_hashes, $BandsSql AS bands FROM s),
+         |bl AS (SELECT doc_id, unnest(generate_series(0, ${Bands - 1})) AS band_idx,
+         |         unnest(bands) AS band_hash FROM b),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
+         |  FROM bl x JOIN bl y ON x.band_idx = y.band_idx
+         |    AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |ex AS (SELECT doc_id, len(shingle_hashes) AS n,
+         |  unnest(shingle_hashes) AS h FROM h2),
+         |exact AS (
+         |  SELECT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2,
+         |    CAST(count(*) AS DOUBLE) /
+         |      CAST(a.n + b2.n - count(*) AS DOUBLE) AS jaccard
+         |  FROM ex a JOIN ex b2 ON a.h = b2.h AND a.doc_id < b2.doc_id
+         |  GROUP BY a.doc_id, b2.doc_id, a.n, b2.n),
+         |p AS (
+         |  SELECT exact.jaccard, cand.doc_id_1 IS NOT NULL AS in_lsh
+         |  FROM exact LEFT JOIN cand ON exact.doc_id_1 = cand.doc_id_1
+         |    AND exact.doc_id_2 = cand.doc_id_2
+         |  WHERE exact.jaccard >=
+         |    ${graft.functions.VectorFunctions.doubleSql(MinhashRecallTaus.min)}),
+         |t AS (SELECT unnest([$tauList]) AS tau)
+         |SELECT tau, count(*) AS n_exact,
+         |  count(*) FILTER (in_lsh) AS n_lsh,
+         |  CASE WHEN count(*) > 0
+         |    THEN CAST(count(*) FILTER (in_lsh) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) END AS recall
+         |FROM p JOIN t ON p.jaccard >= t.tau
+         |GROUP BY tau ORDER BY tau""".stripMargin
+    }) { (s, dir) => minhashRecall(Tables(s, dir, "documents")) },
 
     QueryDef.sql("dedup_decontaminate",
       s"""WITH h AS (SELECT doc_id, $ShSql AS shingle_hashes FROM documents),

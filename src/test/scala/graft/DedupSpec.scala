@@ -211,6 +211,29 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("minhash recall curve: counts consistent, exact duplicates never missed") {
+    val rows = Dedup.minhashRecall(docs).collect()
+    assert(rows.map(_.getAs[Double]("tau")).toSeq == Dedup.MinhashRecallTaus)
+    rows.foreach { r =>
+      val (e, l) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_lsh"))
+      assert(l >= 0 && l <= e)
+      assert(r.getAs[Double]("recall") == l.toDouble / e.toDouble)
+    }
+    // n_exact is non-increasing in tau (each tau's pair set nests the next)
+    val ex = rows.map(_.getAs[Long]("n_exact")).toSeq
+    assert(ex == ex.sorted.reverse)
+    // identical docs (J = 1) have identical signatures in EVERY band, so
+    // banding can never miss them: with a planted exact-dup pair the
+    // tau = 0.9 bucket has n_exact >= 1 and its recall stays defined
+    val planted = docs.select(col("doc_id"), col("text")).union(
+      docs.orderBy("doc_id").limit(1)
+        .select(col("doc_id") + 1000000L, col("text")))
+    val top = Dedup.minhashRecall(planted).collect()
+      .find(_.getAs[Double]("tau") == 0.9).get
+    assert(top.getAs[Long]("n_exact") >= 1L)
+    assert(top.getAs[Long]("n_lsh") >= 1L)
+  }
+
   test("clusters: edges stay within clusters, canonical is the min id") {
     val clusters = Dedup.minhashClusters(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
