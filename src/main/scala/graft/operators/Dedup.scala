@@ -675,6 +675,111 @@ object Dedup {
           .wordHashes(words(col("text")))).as("simhash"))
       .orderBy("doc_id")
 
+  /** [[simhashPairs]] banding: 4 bands of 16 bits over the packed
+    * 62-bit signature (the full 64-bit lane), and the Hamming radius
+    * the pigeonhole makes EXACT — a pair differing in ≤
+    * `SimhashMaxHamming` bits can touch at most 3 of the 4 bands, so
+    * at least one band key is identical and the equi-join surfaces
+    * the pair. */
+  val SimhashBands = 4
+  val SimhashBandBits = 16
+  val SimhashMaxHamming = 3
+
+  /** Remix constants for the second 31-bit hash family behind
+    * [[simhashPairs]]' wide signature: multiply-shift hashing
+    * (Knuth's multiplicative constant; take 31 well-mixed middle bits
+    * of the 61-bit product). Chosen over the minhash family's
+    * (a·x + b) mod P because every op here (×, >>, &) is
+    * non-nullable-preserving AND a strong bit mixer — ANSI `%` marks
+    * the lambda nullable, which would re-introduce the recomputed
+    * isnotnull scan filter [[simhashWide]] exists to avoid; and the
+    * signature needs per-BIT diversity, which an affine-mod map (bit j
+    * of 3x depends only on bits ≤ j) does not deliver. */
+  private val SimhashRemixMult = 2654435761L
+  private val SimhashRemixShift = 19
+  private val SimhashRemixMask = 0x7FFFFFFFL
+
+  /** Packed WIDE SimHash: two 31-bit signatures from independent
+    * word-hash families (the base poly-hash and its affine remix),
+    * concatenated as s1·2³¹ + s2 — 62 signature bits in one long.
+    * Width is the precision knob: on a homogeneous corpus Hamming ≤ 3
+    * of 32 bits admits a double-digit percentage of ALL pairs
+    * (measured: 13% on the fixture — word-frequency vectors from one
+    * domain agree on most coarse bits), while ≤ 3 of 62 is near-dup
+    * evidence (64-bit is what Manku et al. ran web-scale; 25× fewer
+    * pairs on the same fixture). */
+  private[graft] def simhashWide(documents: DataFrame): DataFrame =
+    documents
+      .where(size(words(col("text"))) > 0)
+      // coalesce keeps the whole signature chain NON-nullable: the
+      // band join would otherwise infer isnotnull(<signature expr>)
+      // into the scan filter and recompute both simhash folds per row
+      // just to null-check them (observed in the physical plan)
+      .select(col("doc_id"), graft.functions.TextHashExpressions
+        .wordHashes(words(coalesce(col("text"), lit("")))).as("ha"))
+      .select(col("doc_id"),
+        graft.functions.TextHashExpressions.simhash32(col("ha")).as("s1"),
+        graft.functions.TextHashExpressions.simhash32(
+          transform(col("ha"),
+            x => shiftright(x * SimhashRemixMult, SimhashRemixShift)
+              .bitwiseAND(lit(SimhashRemixMask)))).as("s2"))
+      .select(col("doc_id"),
+        (col("s1") * lit(1L << 31) + col("s2")).as("simhash"))
+
+  /** SimHash near-dup pairs via Hamming-distance banding (Manku,
+    * Jain & Sarma, WWW'07 — the web-dedup formulation Google ran at
+    * crawl scale): split each [[simhashWide]] signature into 4
+    * 16-bit bands; candidate pairs share ≥ 1 (band_idx, band_key);
+    * verify with the exact Hamming distance bit_count(x XOR y) ≤ 3.
+    *
+    * Unlike MinHash banding this is NOT approximate: Hamming ≤ 3 can
+    * flip bits in at most 3 bands, so one band is untouched and the
+    * pair is GUARANTEED to surface (pigeonhole) — recall 1.0 by
+    * construction, spec-asserted against the unblocked all-pairs set.
+    * Scale shape: the signature is a scan-side projection, the only
+    * shuffle is the (band_idx, band_key) equi-join; 16-bit bands give
+    * 65k buckets each, and widening the signature/bands further is
+    * the knob if a corpus runs hot — knob-beats-skew, the same
+    * discipline as [[embeddingNearDupLsh]]. Wordless docs (signature
+    * 0 by convention, no content evidence) are excluded — the same
+    * sentinel-bucket guard as the MinHash tier. */
+  /** Band key = bits {i : i mod 4 = b} of the signature, packed — an
+    * INTERLEAVED assignment instead of contiguous 16-bit slices.
+    * Signature bits carry corpus-level bias (bit b's sign follows the
+    * majority over common words, so a homogeneous corpus agrees on
+    * many bits); contiguous slices let the most-biased bits pile into
+    * one band whose buckets then hold the whole corpus (measured at
+    * sf0.1: hottest contiguous band key 2211 docs, 6.1M candidate
+    * mass), while interleaving spreads them evenly (915 hottest,
+    * 2.3M mass — 2.7× less join work, same pigeonhole exactness:
+    * bands stay disjoint and covering). */
+  private def simhashBandKey(b: Int): Column =
+    (0 until SimhashBandBits).map(j =>
+      shiftright(col("simhash"), SimhashBands * j + b)
+        .bitwiseAND(lit(1L)) * lit(1L << j)).reduce(_ + _)
+
+  def simhashPairs(documents: DataFrame,
+      maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    val sig = simhashWide(documents)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimhashBands).map(simhashBandKey): _*))
+        .as(Seq("band_idx", "band_key")))
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+      .cast("long")
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"),
+        col("b.doc_id").as("doc_id_2"), hamming.as("hamming"))
+      // verify BEFORE the distinct: hamming is functionally dependent
+      // on the pair, so filtering first is identical and the distinct's
+      // shuffle carries only matches, not every multi-band collision
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
   // ----------------------------------------------------------------
   // blocked pairwise similarity
   // ----------------------------------------------------------------
@@ -980,6 +1085,19 @@ object Dedup {
        |    list_slice(sigs, b*$RowsPerBand + 1, b*$RowsPerBand + $RowsPerBand)),
        |    (acc, v) -> (acc * $HashMult + v) % $P))""".stripMargin
 
+  /** 32-bit SimHash over a word-hash list column (the
+    * [[graft.functions.TextHashExpressions.simhash32]] contract). */
+  private def simhashExprSql(hashesCol: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(31, -1, -1), b ->
+      |      CASE WHEN list_reduce(list_prepend(0,
+      |          list_transform($hashesCol, h ->
+      |            CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)),
+      |          (a, x) -> a + x) > 0
+      |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |    (acc, x) -> acc * 2 + x)""".stripMargin
+  private val SimhashExprSql = simhashExprSql("whashes")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("dedup_exact",
       """SELECT doc_id, sha256(text) AS content_hash,
@@ -1147,17 +1265,34 @@ object Dedup {
     QueryDef.sql("dedup_simhash", {
       val wh = polyHashAllSql(wordsSql("text"))
       s"""WITH w AS (SELECT doc_id, $wh AS whashes FROM documents)
-         |SELECT doc_id,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(31, -1, -1), b ->
-         |      CASE WHEN list_reduce(list_prepend(0,
-         |          list_transform(whashes, h ->
-         |            CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)),
-         |          (a, x) -> a + x) > 0
-         |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-         |    (acc, x) -> acc * 2 + x) AS simhash
+         |SELECT doc_id, $SimhashExprSql AS simhash
          |FROM w ORDER BY doc_id""".stripMargin
     }) { (s, dir) => simhash(Tables(s, dir, "documents")) },
+
+    QueryDef.sql("dedup_simhash_pairs", {
+      val wh = polyHashAllSql(wordsSql("text"))
+      s"""WITH w AS (SELECT doc_id, $wh AS whashes FROM documents),
+         |w2 AS (SELECT doc_id, whashes,
+         |  list_transform(whashes, x ->
+         |    ((x * $SimhashRemixMult) >> $SimhashRemixShift) & $SimhashRemixMask) AS hb
+         |  FROM w WHERE len(whashes) > 0),
+         |s AS (SELECT doc_id,
+         |  ${simhashExprSql("whashes")} * CAST(2147483648 AS BIGINT) +
+         |    ${simhashExprSql("hb")} AS simhash FROM w2),
+         |bl AS (SELECT doc_id, simhash,
+         |  unnest(generate_series(0, ${SimhashBands - 1})) AS band_idx FROM s),
+         |b AS (SELECT doc_id, simhash, band_idx,
+         |  ${(0 until SimhashBandBits).map(j =>
+              s"((simhash >> ($SimhashBands * $j + band_idx)) & 1) * ${1L << j}")
+              .mkString(" + ")} AS band_key FROM bl),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2,
+         |    CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+         |  FROM b a JOIN b b2 ON a.band_idx = b2.band_idx
+         |    AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id)
+         |SELECT doc_id_1, doc_id_2, hamming FROM cand
+         |WHERE hamming <= $SimhashMaxHamming
+         |ORDER BY doc_id_1, doc_id_2""".stripMargin
+    }) { (s, dir) => simhashPairs(Tables(s, dir, "documents")) },
 
     QueryDef.sql("dedup_ngram_jaccard",
       s"""WITH d AS (

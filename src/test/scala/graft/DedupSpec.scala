@@ -287,6 +287,32 @@ class DedupSpec extends SparkSpecBase {
     Dedup.releaseCaches()
   }
 
+  test("simhash pairs: banding is EXACT at hamming <= 3 (pigeonhole), " +
+      "wordless docs excluded") {
+    val sig = Dedup.simhashWide(docs)
+    val exact = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= Dedup.SimhashMaxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == exact)
+    assert(exact.nonEmpty)
+    // identical texts -> identical signatures -> a hamming-0 pair;
+    // wordless docs carry no content evidence and never pair
+    val tiny = spark.sql(
+      """SELECT * FROM VALUES (1L,'alpha beta gamma delta'),
+        |(2L,'alpha beta gamma delta'), (3L,''), (4L,'')
+        |AS t(doc_id, text)""".stripMargin)
+    val pairs = Dedup.simhashPairs(tiny).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("doc_id_1") == 1L &&
+      pairs.head.getAs[Long]("doc_id_2") == 2L &&
+      pairs.head.getAs[Long]("hamming") == 0L)
+  }
+
   test("simhash: near-identical docs have close hamming distance") {
     val df = spark.sql(
       """SELECT * FROM VALUES
