@@ -102,6 +102,46 @@ object Events {
   }
 
   // ------------------------------------------------------------------
+  // O: event-type transition matrix (first-order Markov over user paths)
+  // ------------------------------------------------------------------
+
+  /** First-order Markov transition matrix over per-user event paths:
+    * for every ordered (from_type → to_type) step in a user's
+    * event sequence, the transition count and the row-normalized
+    * probability p = n_trans / n_from — the product-analytics
+    * "where do users go next" relation and the input to Markov churn /
+    * next-action models.
+    *
+    * Scale shape: ONE shuffle on user_id for the lead() window (the
+    * same partitioning sessionize uses), map-side partial aggregation
+    * into at most |types|² rows, then the row-normalizing window runs
+    * on that tiny aggregate — the normalization never touches the
+    * event-scale relation. Ordering within a user is (ts_us,
+    * event_id), the repo-wide total tiebreak. */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame =
+    transitionMatrixOn(load(s, dir))
+
+  def transitionMatrixOn(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val trans = ev
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    trans
+      .withColumn("n_from",
+        sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        col("n_from"),
+        (col("n_trans").cast("double") / col("n_from").cast("double"))
+          .as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  // ------------------------------------------------------------------
   // O: as-of join (nearest-earlier match) — absent from Spark's builtins
   // ------------------------------------------------------------------
 
@@ -769,6 +809,23 @@ object Events {
         |FROM sessions
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin)(sessionize),
+
+    QueryDef.sql("ev_transition_matrix",
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |t AS (SELECT event_type AS from_type, to_type,
+        |    count(*) AS n_trans
+        |  FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS n_from,
+        |  CAST(n_trans AS DOUBLE) /
+        |    CAST(CAST(SUM(n_trans) OVER (PARTITION BY from_type)
+        |      AS BIGINT) AS DOUBLE) AS p
+        |FROM t ORDER BY from_type, to_type""".stripMargin)(transitionMatrix),
 
     QueryDef.sql("ev_asof_click_purchase",
       """SELECT c.event_id AS click_id, c.user_id,

@@ -119,6 +119,23 @@ class EventsSpec extends SparkSpecBase {
     assert(total == Events.load(spark, sf).count())
   }
 
+  test("transition matrix: rows normalize, mass equals per-user path steps") {
+    val m = Events.transitionMatrix(spark, sf).collect()
+    // per-from_type: counts sum to the row total and p is the exact ratio
+    m.groupBy(_.getAs[String]("from_type")).foreach { case (_, rows) =>
+      val nFrom = rows.head.getAs[Long]("n_from")
+      assert(rows.map(_.getAs[Long]("n_trans")).sum == nFrom)
+      rows.foreach { r =>
+        assert(r.getAs[Double]("p") ==
+          r.getAs[Long]("n_trans").toDouble / nFrom.toDouble)
+      }
+    }
+    // total transition mass = sum over users of (events - 1)
+    val expected = Events.load(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).agg(sum(col("n") - 1)).collect()(0).getLong(0)
+    assert(m.map(_.getAs[Long]("n_trans")).sum == expected)
+  }
+
   test("as-of join: purchase is latest at-or-before the click") {
     val ev = Events.load(spark, sf)
       .where(col("event_type").isin("click", "purchase"))
