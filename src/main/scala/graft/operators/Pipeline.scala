@@ -566,6 +566,81 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------------
+  // temperature-flattened domain mixture (the mT5/XLM-R multilingual
+  // sampling recipe: target share ∝ (n_d)^τ, τ < 1 upweights the tail)
+  // ------------------------------------------------------------------
+
+  /** Temperature τ = 1/2: target shares ∝ n_d^(1/2) via `sqrt`, the
+    * one fractional power whose IEEE result is correctly rounded in
+    * BOTH engines (the established cosine/norm precedent) — so the
+    * flattened shares stay bitwise-deterministic without any float
+    * fold beyond the one ORDERED weight sum. */
+  val TempMixTauNote = 0.5
+
+  private def tempHist(documents: DataFrame): DataFrame =
+    documents
+      .select(coalesce(col("source"), lit(LangNullSentinel)).as("domain"),
+        mixHashBucket.as("hb"))
+      .groupBy("domain", "hb").agg(count(lit(1)).as("n"))
+
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureMixOn(Tables(s, dir, "documents"))
+
+  /** Temperature-flattened domain-mixture AUDIT over the `source`
+    * domains (one row per domain): raw share, flattened target share
+    * p_d = √n_d / Σ√n, the largest downsample-only integer quota
+    * hitting those targets (n* = min_d ⌊n_d/p_d⌋, quota_d =
+    * ⌊n*·p_d⌋), the realized kept count under the deterministic
+    * hash-bucket acceptance, and its output share. This is the
+    * sampling stage of the multilingual pre-training recipes (mT5
+    * α-sampling, XLM-R): raw corpus shares are power-law, training
+    * wants the tail upweighted — τ = 1/2 halves the log-scale spread.
+    *
+    * Determinism contract: Σ√n is the ONLY cross-domain float
+    * reduction and it runs as a sequential left fold over the
+    * domain-sorted weight array (window sums of doubles are
+    * partition-order-dependent; `text_bm25_multi` precedent); every
+    * other float op is a division or a product of already-agreed
+    * doubles. Scale shape: one corpus scan into the (domain, bucket)
+    * histogram — ≤ domains × [[MixBuckets]] rows shuffled regardless
+    * of corpus size; everything after runs on that tiny relation. */
+  def temperatureMixOn(documents: DataFrame): DataFrame = {
+    val hist = tempHist(documents)
+    val wAll = Window.partitionBy()
+    val dom = hist.groupBy("domain").agg(sum(col("n")).as("n_total"))
+      .withColumn("w", sqrt(col("n_total").cast("double")))
+    val withP = dom
+      .withColumn("ws",
+        array_sort(collect_list(struct(col("domain"), col("w"))).over(wAll)))
+      .withColumn("w_sum",
+        aggregate(col("ws"), lit(0.0), (a, x) => a + x.getField("w")))
+      .drop("ws")
+      .withColumn("n_corpus", sum(col("n_total")).over(wAll))
+      .withColumn("share_raw",
+        col("n_total").cast("double") / col("n_corpus").cast("double"))
+      .withColumn("share_target", col("w") / col("w_sum"))
+      .withColumn("cap",
+        floor(col("n_total").cast("double") / col("share_target"))
+          .cast("long"))
+      .withColumn("n_star", min(col("cap")).over(wAll))
+      .withColumn("quota",
+        floor(col("n_star").cast("double") * col("share_target"))
+          .cast("long"))
+    withP.join(hist, Seq("domain"))
+      .groupBy(col("domain"), col("n_total"), col("share_raw"),
+        col("share_target"), col("quota"))
+      .agg(sum(when(mixAccept, col("n")).otherwise(lit(0L))).as("n_kept"))
+      .withColumn("realized_share",
+        when(sum(col("n_kept")).over(wAll) > 0,
+          col("n_kept").cast("double") /
+            sum(col("n_kept")).over(wAll).cast("double")))
+      .select(unSentinel(col("domain")).as("domain"), col("n_total"),
+        col("share_raw"), col("share_target"), col("quota"),
+        col("n_kept"), col("realized_share"))
+      .orderBy("domain")
+  }
+
   def curationFunnel(s: SparkSession, dir: String): DataFrame =
     curationFunnelOn(Tables(s, dir, "documents"))
 
@@ -1008,6 +1083,45 @@ object Pipeline {
          |WHERE hb * n_total < quota * $MixBuckets
          |ORDER BY doc_id""".stripMargin)(
       (s, dir) => domainMixDocs(s, dir)),
+
+    QueryDef.sql("pl_temperature_mix",
+      s"""WITH h AS (
+         |  SELECT doc_id, coalesce(source, chr(0)) AS domain,
+         |    ((doc_id % $SampleMod) * $SampleMult + $SampleAdd) % $SampleMod
+         |      % $MixBuckets AS hb
+         |  FROM documents),
+         |hist AS (SELECT domain, hb, count(*) AS n FROM h GROUP BY domain, hb),
+         |d AS (SELECT domain, CAST(sum(n) AS BIGINT) AS n_total
+         |  FROM hist GROUP BY domain),
+         |d2 AS (SELECT *, sqrt(CAST(n_total AS DOUBLE)) AS w FROM d),
+         |ws AS (SELECT
+         |    list_reduce(list_prepend(0.0E0, list(w ORDER BY domain)),
+         |      (a, x) -> a + x) AS w_sum,
+         |    CAST(sum(n_total) AS BIGINT) AS n_corpus
+         |  FROM d2),
+         |p AS (SELECT d2.*, ws.w_sum, ws.n_corpus,
+         |    CAST(n_total AS DOUBLE) / CAST(n_corpus AS DOUBLE) AS share_raw,
+         |    w / w_sum AS share_target
+         |  FROM d2 CROSS JOIN ws),
+         |c AS (SELECT *, CAST(floor(CAST(n_total AS DOUBLE) / share_target)
+         |    AS BIGINT) AS cap FROM p),
+         |c2 AS (SELECT *, CAST(min(cap) OVER () AS BIGINT) AS n_star FROM c),
+         |q AS (SELECT *, CAST(floor(CAST(n_star AS DOUBLE) * share_target)
+         |    AS BIGINT) AS quota FROM c2),
+         |k AS (SELECT domain, n_total, share_raw, share_target, quota,
+         |    CAST(sum(CASE WHEN hb * n_total < quota * $MixBuckets
+         |      THEN n ELSE 0 END) AS BIGINT) AS n_kept
+         |  FROM hist JOIN q USING (domain)
+         |  GROUP BY domain, n_total, share_raw, share_target, quota)
+         |SELECT CASE WHEN domain = chr(0) THEN NULL ELSE domain END
+         |    AS domain,
+         |  n_total, share_raw, share_target, quota, n_kept,
+         |  CASE WHEN sum(n_kept) OVER () > 0 THEN
+         |    CAST(n_kept AS DOUBLE) /
+         |      CAST(CAST(sum(n_kept) OVER () AS BIGINT) AS DOUBLE)
+         |  END AS realized_share
+         |FROM k ORDER BY domain NULLS FIRST""".stripMargin)(
+      (s, dir) => temperatureMix(s, dir)),
 
     QueryDef.sql("pl_corpus_pipeline",
       s"""WITH ${TextAnalysis.repetitionRelationSql},

@@ -152,6 +152,42 @@ class PipelineSpec extends SparkSpecBase {
     assert(again == kept.map(_._1).sorted.toSeq)
   }
 
+  test("temperature mix: tau=1/2 flattens the power-law, quotas bounded, " +
+      "shares exact") {
+    import spark.implicits._
+    // skewed corpus: head domain 400 docs, mid 100, tail 25 — raw
+    // ratio 16:4:1, sqrt-flattened target ratio 4:2:1
+    val docs = ((1L to 400L).map((_, "head")) ++
+      (401L to 500L).map((_, "mid")) ++ (501L to 525L).map((_, "tail")))
+      .toDF("doc_id", "source")
+    val rows = Pipeline.temperatureMixOn(docs).collect()
+      .map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("n_total"), r.getAs[Double]("share_raw"),
+          r.getAs[Double]("share_target"), r.getAs[Long]("quota"),
+          r.getAs[Long]("n_kept"))).toMap
+    assert(rows.keySet == Set("head", "mid", "tail"))
+    // exact flattened shares: w = (20, 10, 5), W = 35
+    assert(rows("head")._3 == 20.0 / 35.0)
+    assert(rows("mid")._3 == 10.0 / 35.0)
+    assert(rows("tail")._3 == 5.0 / 35.0)
+    // flattening: the head/tail target ratio is the sqrt of the raw one
+    val rawRatio = rows("head")._2 / rows("tail")._2
+    val tgtRatio = rows("head")._3 / rows("tail")._3
+    assert(math.abs(tgtRatio - math.sqrt(rawRatio)) < 1e-9)
+    // downsample-only: quota and kept never exceed the population;
+    // n* = min(floor(n_d/p_d)) = floor(525/ (5/35)) sanity via head
+    rows.values.foreach { case (n, _, _, q, k) =>
+      assert(q <= n); assert(k <= n); assert(k >= 0)
+    }
+    // the binding domain (tail) keeps ~everything: quota = floor(n*·p)
+    assert(rows("tail")._4 >= rows("tail")._1 - 1)
+    // stable under repartitioning (pure row properties + ordered fold)
+    val again = Pipeline.temperatureMixOn(docs.repartition(17)).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Double]("share_target"),
+        r.getAs[Long]("n_kept"))).toSet
+    assert(again == rows.map { case (d, v) => (d, v._3, v._5) }.toSet)
+  }
+
   test("shuffle shards: assignment is a pure row property (stable " +
       "under repartition, mergeable), sizes balanced, order shuffled") {
     import spark.implicits._
