@@ -521,6 +521,9 @@ object Pipeline {
     val it = quotaCache.values().iterator()
     while (it.hasNext) { it.next().unpersist() }
     quotaCache.clear()
+    val tit = tempQuotaCache.values().iterator()
+    while (tit.hasNext) { tit.next().unpersist() }
+    tempQuotaCache.clear()
     val git = gatedCache.values().iterator()
     while (git.hasNext) { git.next().unpersist() }
     gatedCache.clear()
@@ -605,12 +608,12 @@ object Pipeline {
     * doubles. Scale shape: one corpus scan into the (domain, bucket)
     * histogram — ≤ domains × [[MixBuckets]] rows shuffled regardless
     * of corpus size; everything after runs on that tiny relation. */
-  def temperatureMixOn(documents: DataFrame): DataFrame = {
-    val hist = tempHist(documents)
+  /** The flattened-share/quota relation over a (domain, hb, n)
+    * histogram — shared by the audit and the row-level resample. */
+  private def tempQuotas(hist: DataFrame): DataFrame = {
     val wAll = Window.partitionBy()
-    val dom = hist.groupBy("domain").agg(sum(col("n")).as("n_total"))
+    hist.groupBy("domain").agg(sum(col("n")).as("n_total"))
       .withColumn("w", sqrt(col("n_total").cast("double")))
-    val withP = dom
       .withColumn("ws",
         array_sort(collect_list(struct(col("domain"), col("w"))).over(wAll)))
       .withColumn("w_sum",
@@ -627,7 +630,28 @@ object Pipeline {
       .withColumn("quota",
         floor(col("n_star").cast("double") * col("share_target"))
           .cast("long"))
-    withP.join(hist, Seq("domain"))
+  }
+
+  /** Memoized slim (domain, n_total, quota) relation — the
+    * [[mixQuotasFor]] discipline for the temperature mixture (own
+    * cache map: the same input corpus legitimately has BOTH a lang
+    * quota relation and a source-domain one). */
+  private val tempQuotaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame]()
+
+  def tempQuotasFor(documents: DataFrame): DataFrame = {
+    val key = (documents.sparkSession,
+      documents.queryExecution.analyzed.canonicalized)
+    tempQuotaCache.computeIfAbsent(key, _ =>
+      tempQuotas(tempHist(documents))
+        .select("domain", "n_total", "quota").persist())
+  }
+
+  def temperatureMixOn(documents: DataFrame): DataFrame = {
+    val hist = tempHist(documents)
+    val wAll = Window.partitionBy()
+    tempQuotas(hist).join(hist, Seq("domain"))
       .groupBy(col("domain"), col("n_total"), col("share_raw"),
         col("share_target"), col("quota"))
       .agg(sum(when(mixAccept, col("n")).otherwise(lit(0L))).as("n_kept"))
@@ -639,6 +663,28 @@ object Pipeline {
         col("share_raw"), col("share_target"), col("quota"),
         col("n_kept"), col("realized_share"))
       .orderBy("domain")
+  }
+
+  def temperatureMixDocs(s: SparkSession, dir: String): DataFrame =
+    temperatureMixDocsOn(Tables(s, dir, "documents"))
+
+  /** Row-level temperature resample: the documents the flattened
+    * mixture KEEPS — same structure as [[domainMixDocsOn]] (memoized
+    * quota relation, realized-cardinality broadcast gate, pure
+    * row-property acceptance), keyed on `source` domains. */
+  def temperatureMixDocsOn(documents: DataFrame): DataFrame = {
+    val quotas = tempQuotasFor(documents)
+    val quotasHinted =
+      if (quotas.count() <= MaxMixQuotaRows) broadcast(quotas) else quotas
+    documents
+      .select(col("doc_id"),
+        coalesce(col("source"), lit(LangNullSentinel)).as("domain"),
+        mixHashBucket.as("hb"))
+      .join(quotasHinted, Seq("domain"))
+      .where(mixAccept)
+      .select(col("doc_id"), unSentinel(col("domain")).as("domain"),
+        col("hb"))
+      .orderBy("doc_id")
   }
 
   def curationFunnel(s: SparkSession, dir: String): DataFrame =
@@ -1122,6 +1168,35 @@ object Pipeline {
          |  END AS realized_share
          |FROM k ORDER BY domain NULLS FIRST""".stripMargin)(
       (s, dir) => temperatureMix(s, dir)),
+
+    QueryDef.sql("pl_temperature_mix_docs",
+      s"""WITH h AS (
+         |  SELECT doc_id, coalesce(source, chr(0)) AS domain,
+         |    ((doc_id % $SampleMod) * $SampleMult + $SampleAdd) % $SampleMod
+         |      % $MixBuckets AS hb
+         |  FROM documents),
+         |hist AS (SELECT domain, hb, count(*) AS n FROM h GROUP BY domain, hb),
+         |d AS (SELECT domain, CAST(sum(n) AS BIGINT) AS n_total
+         |  FROM hist GROUP BY domain),
+         |d2 AS (SELECT *, sqrt(CAST(n_total AS DOUBLE)) AS w FROM d),
+         |ws AS (SELECT
+         |    list_reduce(list_prepend(0.0E0, list(w ORDER BY domain)),
+         |      (a, x) -> a + x) AS w_sum
+         |  FROM d2),
+         |p AS (SELECT d2.*, w / w_sum AS share_target
+         |  FROM d2 CROSS JOIN ws),
+         |c AS (SELECT *, CAST(floor(CAST(n_total AS DOUBLE) / share_target)
+         |    AS BIGINT) AS cap FROM p),
+         |c2 AS (SELECT *, CAST(min(cap) OVER () AS BIGINT) AS n_star FROM c),
+         |q AS (SELECT *, CAST(floor(CAST(n_star AS DOUBLE) * share_target)
+         |    AS BIGINT) AS quota FROM c2)
+         |SELECT doc_id,
+         |  CASE WHEN domain = chr(0) THEN NULL ELSE domain END AS domain,
+         |  hb
+         |FROM h JOIN q USING (domain)
+         |WHERE hb * n_total < quota * $MixBuckets
+         |ORDER BY doc_id""".stripMargin)(
+      (s, dir) => temperatureMixDocs(s, dir)),
 
     QueryDef.sql("pl_corpus_pipeline",
       s"""WITH ${TextAnalysis.repetitionRelationSql},

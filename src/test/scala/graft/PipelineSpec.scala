@@ -186,6 +186,11 @@ class PipelineSpec extends SparkSpecBase {
       .map(r => (r.getAs[String]("domain"), r.getAs[Double]("share_target"),
         r.getAs[Long]("n_kept"))).toSet
     assert(again == rows.map { case (d, v) => (d, v._3, v._5) }.toSet)
+    // the row-level resample agrees with the audit per domain
+    val kept = Pipeline.temperatureMixDocsOn(docs).collect()
+      .map(r => r.getAs[String]("domain"))
+    assert(kept.groupBy(identity).view.mapValues(_.length.toLong).toMap ==
+      rows.view.mapValues(_._5).filter(_._2 > 0).toMap)
   }
 
   test("shuffle shards: assignment is a pure row property (stable " +
