@@ -141,6 +141,28 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Top-K most common length-3 event-type paths (trigram user
+    * journeys) — the second-order companion to [[transitionMatrix]].
+    * Both lead() steps ride ONE user_id window (one shuffle, no
+    * self-joins — the naive formulation is two event-scale joins),
+    * the path counts partial-aggregate map-side, and the top-K is
+    * `TakeOrderedAndProject` over the ≤|types|³ aggregate with a full
+    * (n desc, path) tiebreak so the cut is deterministic. */
+  def pathTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    load(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type").as("t0"))
+      .withColumn("t1", lead(col("t0"), 1).over(w))
+      .withColumn("t2", lead(col("t0"), 2).over(w))
+      .where(col("t2").isNotNull)
+      .groupBy("t0", "t1", "t2")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t0"), col("t1"), col("t2"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------
   // O: as-of join (nearest-earlier match) — absent from Spark's builtins
   // ------------------------------------------------------------------
@@ -826,6 +848,20 @@ object Events {
         |    CAST(CAST(SUM(n_trans) OVER (PARTITION BY from_type)
         |      AS BIGINT) AS DOUBLE) AS p
         |FROM t ORDER BY from_type, to_type""".stripMargin)(transitionMatrix),
+
+    QueryDef.sql("ev_path_topk",
+      """WITH o AS (
+        |  SELECT user_id, event_type AS t0,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id))
+        |SELECT t0, t1, t2, count(*) AS n
+        |FROM o WHERE t2 IS NOT NULL
+        |GROUP BY t0, t1, t2
+        |ORDER BY n DESC, t0, t1, t2
+        |LIMIT 10""".stripMargin)((s, dir) => pathTopK(s, dir)),
 
     QueryDef.sql("ev_asof_click_purchase",
       """SELECT c.event_id AS click_id, c.user_id,

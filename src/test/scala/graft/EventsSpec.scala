@@ -136,6 +136,23 @@ class EventsSpec extends SparkSpecBase {
     assert(m.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("path top-k: descending counts, deterministic tiebreak, k rows") {
+    val rows = Events.pathTopK(spark, sf).collect()
+    assert(rows.length == 10)
+    val keys = rows.map(r => (r.getAs[Long]("n"), r.getAs[String]("t0"),
+      r.getAs[String]("t1"), r.getAs[String]("t2")))
+    // (n desc, path asc) total order holds
+    keys.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 > b._1 || (a._1 == b._1 &&
+        (a._2, a._3, a._4).toString < (b._2, b._3, b._4).toString))
+    }
+    // the top path's count is bounded by the total trigram mass
+    val total = Events.load(spark, sf).groupBy("user_id")
+      .agg(greatest(count(lit(1)) - 2, lit(0L)).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(keys.map(_._1).sum <= total)
+  }
+
   test("as-of join: purchase is latest at-or-before the click") {
     val ev = Events.load(spark, sf)
       .where(col("event_type").isin("click", "purchase"))
