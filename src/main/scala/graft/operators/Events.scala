@@ -121,15 +121,25 @@ object Events {
   def transitionMatrix(s: SparkSession, dir: String): DataFrame =
     transitionMatrixOn(load(s, dir))
 
-  def transitionMatrixOn(ev: DataFrame): DataFrame = {
+  /** The raw per-user transition relation (one row per consecutive
+    * event pair) — the batch face the streaming twin
+    * ([[graft.streaming.EventStream.transitions]]) replays against. */
+  private[graft] def transitionsOn(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    val trans = ev
+    ev
       .select(col("user_id"), col("ts_us"), col("event_id"),
         col("event_type"))
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("to_us", lead(col("ts_us"), 1).over(w))
       .where(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("to_type"), col("ts_us").as("from_us"), col("to_us"))
+  }
+
+  def transitionMatrixOn(ev: DataFrame): DataFrame = {
+    val trans = transitionsOn(ev)
+      .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_trans"))
     trans
       .withColumn("n_from",

@@ -154,6 +154,77 @@ object EventStream {
   }
 
   // ------------------------------------------------------------------
+  // Stateful transition extraction (streaming face of ev_transition_matrix)
+  // ------------------------------------------------------------------
+
+  /** An emitted (from → to) step of one user's event path. */
+  case class Transition(user_id: Long, from_type: String, to_type: String,
+      from_us: Long, to_us: Long)
+
+  /** Per-user transition state: the not-yet-sealed event buffer (event
+    * time ≥ the watermark as of the last seal — only rows the watermark
+    * still allows a predecessor to slip in front of) and the last
+    * SEALED event, which is the `from` side of the next transition.
+    * O(watermark-depth) buffer + O(1) tail per user. */
+  case class TransBuf(ts_us: Long, event_id: Long, event_type: String)
+  case class TransState(pending: Seq[TransBuf], last_ts: Long,
+      last_id: Long, last_type: String, has_last: Boolean)
+
+  /** Per-user event-path transitions over a live stream — the exact
+    * streaming face of `operators.Events.transitionsOn` (replay ≡
+    * batch, spec-pinned): downstream `groupBy(from_type, to_type)` is
+    * the live transition matrix.
+    *
+    * Correctness under disorder: an event `e` is SEALED — its
+    * (predecessor → e) transition emitted — only once the watermark
+    * passes e's event time, because until then an in-watermark
+    * straggler may still order between e and its predecessor and the
+    * emitted edge would be wrong. Arrivals beyond the watermark are
+    * dropped (the [[sessionize]] contract); buffered events are sorted
+    * by the batch face's (ts_us, event_id) total order at every seal,
+    * so micro-batch arrival order never shows. An event-time timeout
+    * armed past the newest buffered row flushes the buffer as the
+    * watermark advances; the sealed tail (one tiny row per user) stays
+    * resident as the `from` of the user's next transition. */
+  def transitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "30 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[TransState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.getOrElse(
+            TransState(Seq.empty, 0L, 0L, "", has_last = false))
+          val arrivals = batch.filter(_.ts_us >= wmUs)
+            .map(e => TransBuf(e.ts_us, e.event_id, e.event_type)).toSeq
+          val all = (prior.pending ++ arrivals)
+            .sortBy(e => (e.ts_us, e.event_id))
+          val (toSeal, keep) = all.partition(_.ts_us < wmUs)
+          val out = Seq.newBuilder[Transition]
+          var last = prior
+          toSeal.foreach { e =>
+            if (last.has_last)
+              out += Transition(userId, last.last_type, e.event_type,
+                last.last_ts, e.ts_us)
+            last = TransState(Seq.empty, e.ts_us, e.event_id,
+              e.event_type, has_last = true)
+          }
+          state.update(TransState(keep, last.last_ts, last.last_id,
+            last.last_type, last.has_last))
+          if (keep.nonEmpty)
+            // strictly past the newest buffered row's event time (and
+            // therefore past the current watermark, so arming is legal):
+            // fires once the watermark clears the whole buffer
+            state.setTimeoutTimestamp(keep.map(_.ts_us).max / 1000 + 1)
+          out.result().iterator
+      }
+  }
+
+  // ------------------------------------------------------------------
   // Stream-stream join with watermark-bounded state
   // ------------------------------------------------------------------
 

@@ -261,6 +261,78 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming transitions replay == batch transitionsOn (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents
+    val sentinelUser = 999999L
+    val maxTs = events.map(_.ts_us).max
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = EventStream.transitions(input.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      // shuffled arrival order: the seal-side sort must restore the
+      // batch (ts_us, event_id) total order
+      input.addData(new scala.util.Random(7).shuffle(events))
+      q.processAllAvailable()
+      // sentinel far in the future drives the watermark past every
+      // buffered event so the whole path flushes
+      input.addData(Event(-1L, maxTs + 100L * EventStream.GapUs,
+        sentinelUser, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("transitions").as[EventStream.Transition]
+        .collect().filter(_.user_id != sentinelUser)
+        .map(t => (t.user_id, t.from_type, t.to_type, t.from_us, t.to_us))
+        .sorted.toSeq
+      val want = graft.operators.Events
+        .transitionsOn(Events.load(spark, sf)).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("from_type"),
+          r.getAs[String]("to_type"), r.getAs[Long]("from_us"),
+          r.getAs[Long]("to_us")))
+        .sorted.toSeq
+      assert(got == want)
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("streaming transitions: beyond-watermark straggler is dropped, " +
+      "within-watermark disorder is re-ordered before sealing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.transitions(input.toDS())
+      .writeStream.format("memory").queryName("ooo_transitions")
+      .outputMode("append").start()
+    try {
+      val t0 = 5000000L * 1000000
+      // user 7's events arrive out of order, within the watermark
+      input.addData(Event(2L, t0 + 1000000L, 7L, "cart", 0.0))
+      input.addData(Event(1L, t0, 7L, "view", 0.0))
+      q.processAllAvailable()
+      // advance the watermark far past t0: seals (view -> cart)
+      input.addData(Event(-1L, t0 + 100L * EventStream.GapUs, 99L, "x", 0.0))
+      q.processAllAvailable()
+      // a straggler behind the watermark must NOT create an edge
+      input.addData(Event(3L, t0 - 50L * EventStream.GapUs, 7L, "click", 0.0))
+      input.addData(Event(-2L, t0 + 300L * EventStream.GapUs, 99L, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ooo_transitions")
+        .as[EventStream.Transition].collect().filter(_.user_id == 7L)
+        .map(t => (t.from_type, t.to_type)).toSeq
+      assert(got == Seq(("view", "cart")))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
