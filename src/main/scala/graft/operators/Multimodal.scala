@@ -330,6 +330,26 @@ object Multimodal {
           .as("recall"))
   }
 
+  /** Perceptual near-dup CLUSTERS: connected components over the
+    * verified pHash pair graph — the step that turns pairwise media
+    * hits into "keep one canonical rendition per cluster" (the media
+    * face of [[Dedup.minhashClustersStar]], sharing its O(log n)
+    * large-star/small-star solver and its localCheckpoint loop
+    * discipline). Nodes are every decodable payload (the memoized
+    * signature relation), so singleton media keep themselves. */
+  def mediaPhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val sig = phashSig(s, dir, PhashLevels)
+    val pairs = mediaPhashNearDup(s, dir)
+      .select(col("doc_id_1"), col("doc_id_2"))
+    val labels = Dedup.connectedComponentsStar(
+      sig.select(col("doc_id")), pairs)
+    val w = Window.partitionBy(col("cluster_id"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** [[pairL1]] with configurable column prefixes (the recall join
     * carries both feature and band columns per side, so the sides are
     * prefixed af0../ab0.. and bf0../bb0..). */
@@ -470,6 +490,52 @@ object Multimodal {
          |      / CAST(count(*) AS DOUBLE) END AS recall
          |FROM p""".stripMargin)(
       (s, dir) => mediaPhashRecall(s, dir)),
+
+    QueryDef.sql("mm_phash_clusters",
+      s"""WITH RECURSIVE codes AS (
+         |  SELECT doc_id, $CodesSql AS cs FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, $FeatureDim), j ->
+         |      CASE WHEN len(cs) = 0 THEN 0.0E0 ELSE
+         |        CAST(len(list_filter(cs, c -> c // 32 = j)) AS DOUBLE)
+         |          / CAST(len(cs) AS DOUBLE) END) AS fs
+         |  FROM codes WHERE len(cs) > 0),
+         |q AS (
+         |  SELECT doc_id, fs, list_transform(fs, v ->
+         |    CAST(least(${PhashLevels - 1}, floor(v * ${PhashLevels}E0))
+         |      AS BIGINT)) AS qs
+         |  FROM f),
+         |bands AS (
+         |  SELECT doc_id, j AS band_idx,
+         |    qs[2*j+1] * $PhashLevels + qs[2*j+2] AS bv
+         |  FROM q, unnest(range(0, ${FeatureDim / 2})) AS t(j)
+         |  WHERE qs[2*j+1] * $PhashLevels + qs[2*j+2] > 0),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
+         |  FROM bands x JOIN bands y ON x.band_idx = y.band_idx
+         |    AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |verified AS (
+         |  SELECT doc_id_1, doc_id_2 FROM cand
+         |  JOIN q a ON a.doc_id = cand.doc_id_1
+         |  JOIN q b ON b.doc_id = cand.doc_id_2
+         |  WHERE abs(a.fs[1]-b.fs[1])+abs(a.fs[2]-b.fs[2])
+         |    +abs(a.fs[3]-b.fs[3])+abs(a.fs[4]-b.fs[4])
+         |    +abs(a.fs[5]-b.fs[5])+abs(a.fs[6]-b.fs[6])
+         |    +abs(a.fs[7]-b.fs[7])+abs(a.fs[8]-b.fs[8]) <= $PhashMaxL1),
+         |edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM verified
+         |  UNION ALL SELECT doc_id_2, doc_id_1 FROM verified),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM f
+         |  UNION
+         |  SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.node),
+         |lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         |  FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  doc_id = cluster_id AS keep
+         |FROM lab ORDER BY doc_id""".stripMargin)(
+      (s, dir) => mediaPhashClusters(s, dir)),
 
     QueryDef.sql("mm_features",
       s"""WITH codes AS (

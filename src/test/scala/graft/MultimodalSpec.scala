@@ -146,6 +146,23 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("phash clusters: pair endpoints co-cluster, one keeper per " +
+      "cluster at the min id, singletons keep themselves") {
+    val labels = Multimodal.mediaPhashClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("keep"))).toMap
+    Multimodal.mediaPhashNearDup(spark, sf).collect().foreach { p =>
+      assert(labels(p.getAs[Long]("doc_id_1"))._1 ==
+        labels(p.getAs[Long]("doc_id_2"))._1)
+    }
+    labels.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      assert(members.count(_._2._3) == 1)
+      assert(members.values.map(_._2).toSet == Set(members.size.toLong))
+    }
+  }
+
   test("phash signature: zero bands are dropped before the self-join") {
     import spark.implicits._
     // two docs whose payloads produce DISJOINT non-zero histogram bins

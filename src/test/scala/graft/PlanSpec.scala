@@ -182,6 +182,39 @@ class PlanSpec extends SparkSpecBase {
     assert(hashEx <= 2, s"windows must share the user_id exchange:\n${plan(df)}")
   }
 
+  test("transition matrix: one user_id shuffle, partial agg before the " +
+      "tiny normalization window") {
+    val df = Events.transitionMatrix(spark, sf)
+    val p = plan(df)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"event-scale relation must shuffle once on user_id:\n$p")
+    // partial+final aggregation: the (from,to) counts combine map-side
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("path top-k: both leads share one user window, top-k is " +
+      "TakeOrderedAndProject") {
+    val df = Events.pathTopK(spark, sf)
+    val p = plan(df)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"both lead() steps must share the user_id exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("temperature resample: quota relation broadcast, corpus side " +
+      "never hash-shuffled") {
+    val df = Pipeline.temperatureMixDocsOn(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    try {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), p)
+      // the corpus branch is scan -> project -> broadcast join -> filter;
+      // hash exchanges may exist only inside the (tiny) quota sub-plan,
+      // which is persisted — so the live plan reads it as InMemory scan
+      assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p).hasNext, p)
+    } finally Pipeline.releaseCaches()
+  }
+
   test("full-outer hourly join: both sides pre-aggregate below the join") {
     val df = Events.hourlyClicksVsPurchases(spark, sf)
     val p = plan(df)
