@@ -94,10 +94,89 @@ case class KmvSketchAgg(
     copy(child = newChildren(0))
 }
 
+/** The raw KMV SAMPLE — the sorted (ascending) set of ≤ k smallest
+  * distinct hashes, i.e. the sketch's mergeable state itself — for
+  * sketch SET ALGEBRA: the union of two sets sketches as the bottom-k
+  * of the two samples' union, and the intersection estimate rides the
+  * merged sample's membership in both sides (the standard KMV
+  * union/intersection estimators). Same buffer, same [[SketchAggregate.push]]
+  * keep-k, same determinism contract as [[KmvSketchAgg]]. */
+case class KmvSampleAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 2, "kmv_sample needs k >= 2")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_sample"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) SketchAggregate.push(buf, v.asInstanceOf[Long], k)
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) SketchAggregate.push(buf, it.next(), k)
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 } // TreeSet iterates ascending
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var j = 0
+    while (j < n) { buf.add(in.readLong()); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSampleAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSampleAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSampleAgg =
+    copy(child = newChildren(0))
+}
+
 object SketchAggregate {
   /** Column: KMV distinct sketch of a long hash column. */
   def kmvSketch(hash: Column, k: Int): Column =
     ColumnShim.column(KmvSketchAgg(ColumnShim.expression(hash), k)
+      .toAggregateExpression())
+
+  /** Column: the sorted bottom-k KMV sample of a long hash column. */
+  def kmvSample(hash: Column, k: Int): Column =
+    ColumnShim.column(KmvSampleAgg(ColumnShim.expression(hash), k)
       .toAggregateExpression())
 
   // The sketch primitives, shared by the batch aggregate above and the

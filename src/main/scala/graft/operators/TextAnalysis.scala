@@ -458,6 +458,64 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** KMV sketch SET ALGEBRA: estimate the distinct-shingle overlap
+    * between two corpus slices (here doc_id parity; in production two
+    * crawl snapshots / dumps) from their mergeable bottom-k samples,
+    * next to the exact values — the dedup-planning question "how much
+    * of dump B is already in dump A" answered without a corpus-wide
+    * distinct. Standard KMV estimators: union = bottom-k of the two
+    * samples' union with est = (k−1)·P / kth; intersection = (share of
+    * the merged sample present in BOTH samples) × est_union; Jaccard =
+    * that share directly.
+    *
+    * Scale shape: the exact columns pay one distinct-hash shuffle
+    * (they exist to measure the sketch and live at verify/audit
+    * scale); the sketch path is two bounded-state aggregates whose
+    * shuffle is ≤ k longs per slice per partition, then 1-row array
+    * arithmetic — at 100 TB only the sketch path runs. All arithmetic
+    * is exact-operand integer/IEEE ops, so the estimates themselves
+    * hash-match the oracle. */
+  def sketchOverlap(documents: DataFrame, k: Int = 64): DataFrame = {
+    val sh = graft.functions.TextHashExpressions
+      .shingleHashes(words(col("text")), 3)
+    val hv = documents
+      .select((col("doc_id") % 2 === 0).as("in_a"), explode(sh).as("hv"))
+    val byHash = hv.groupBy("hv").agg(
+      max(when(col("in_a"), lit(1L)).otherwise(lit(0L))).as("a"),
+      max(when(!col("in_a"), lit(1L)).otherwise(lit(0L))).as("b"))
+    val exact = byHash.agg(
+      sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+      count(lit(1)).as("n_union"),
+      sum(col("a") * col("b")).as("n_inter"))
+    val sk = hv.groupBy("in_a")
+      .agg(graft.functions.SketchAggregate.kmvSample(col("hv"), k).as("s"))
+      .agg(max(when(col("in_a"), col("s"))).as("sa"),
+        max(when(!col("in_a"), col("s"))).as("sb"))
+    val num = (k - 1).toLong * graft.functions.TextFunctions.HashMod
+    exact.crossJoin(sk)
+      .withColumn("merged",
+        slice(array_sort(array_union(col("sa"), col("sb"))), 1, k))
+      .withColumn("kth",
+        when(size(col("merged")) >= k, element_at(col("merged"), k))
+          .otherwise(lit(-1L)))
+      .withColumn("est_union",
+        when(col("kth") > 0, lit(num.toDouble) / col("kth").cast("double"))
+          .otherwise(size(col("merged")).cast("double")))
+      .withColumn("n_both", size(filter(col("merged"),
+        h => array_contains(col("sa"), h) && array_contains(col("sb"), h)))
+        .cast("long"))
+      .withColumn("est_inter",
+        col("n_both").cast("double") / lit(k.toDouble) * col("est_union"))
+      .select(col("n_a"), col("n_b"), col("n_union"), col("n_inter"),
+        // null (not NaN) on an empty union: Spark's 0.0/0.0 is NaN but
+        // DuckDB's is NULL — guard in both engines
+        when(col("n_union") > 0,
+          col("n_inter").cast("double") / col("n_union").cast("double"))
+          .as("jaccard"),
+        col("kth"), col("est_union"), col("n_both"), col("est_inter"),
+        (col("n_both").cast("double") / lit(k.toDouble)).as("est_jaccard"))
+  }
+
   // ------------------------------------------------------------------
   // oracles
   // ------------------------------------------------------------------
@@ -687,6 +745,46 @@ object TextAnalysis {
          |  CAST(len($sh) AS BIGINT) AS n_shingles
          |FROM documents ORDER BY doc_id""".stripMargin
     }) { (s, dir) => fingerprint(Tables(s, dir, "documents")) },
+
+    QueryDef.sql("text_sketch_overlap", {
+      val hv = polyHashAllSql(shinglesSql(W, 3))
+      val k = 64
+      val num = (k - 1).toLong * graft.functions.TextFunctions.HashMod
+      s"""WITH t AS (
+         |  SELECT doc_id % 2 = 0 AS in_a, unnest($hv) AS hv FROM documents),
+         |g AS (SELECT hv, max(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+         |    max(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS b
+         |  FROM t GROUP BY hv),
+         |ex AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+         |    CAST(sum(b) AS BIGINT) AS n_b,
+         |    count(*) AS n_union, CAST(sum(a*b) AS BIGINT) AS n_inter
+         |  FROM g),
+         |ska AS (SELECT list_sort(list(DISTINCT hv))[1:$k] AS sa
+         |  FROM t WHERE in_a),
+         |skb AS (SELECT list_sort(list(DISTINCT hv))[1:$k] AS sb
+         |  FROM t WHERE NOT in_a),
+         |m AS (SELECT ex.*, sa, sb,
+         |    list_sort(list_distinct(sa || sb))[1:$k] AS merged
+         |  FROM ex CROSS JOIN ska CROSS JOIN skb),
+         |m2 AS (SELECT *,
+         |    CASE WHEN len(merged) >= $k THEN merged[$k]
+         |         ELSE CAST(-1 AS BIGINT) END AS kth
+         |  FROM m),
+         |m3 AS (SELECT *,
+         |    CASE WHEN kth > 0 THEN ${num}.0E0 / CAST(kth AS DOUBLE)
+         |         ELSE CAST(len(merged) AS DOUBLE) END AS est_union,
+         |    CAST(len(list_filter(merged, h ->
+         |      list_contains(sa, h) AND list_contains(sb, h)))
+         |      AS BIGINT) AS n_both
+         |  FROM m2)
+         |SELECT n_a, n_b, n_union, n_inter,
+         |  CASE WHEN n_union > 0 THEN
+         |    CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) END AS jaccard,
+         |  kth, est_union, n_both,
+         |  CAST(n_both AS DOUBLE) / $k.0E0 * est_union AS est_inter,
+         |  CAST(n_both AS DOUBLE) / $k.0E0 AS est_jaccard
+         |FROM m3""".stripMargin
+    }) { (s, dir) => sketchOverlap(Tables(s, dir, "documents")) },
 
     QueryDef.sql("text_distinct_sketch", {
       // (k-1)·P = 63 · 1000000007 — exact in both engines

@@ -188,4 +188,39 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(est(big.repartition(1)) == e)
     assert(est(big.repartition(17)) == e)
   }
+
+  test("KMV sample: sorted bottom-k, partition-invariant; overlap " +
+      "estimators well-formed and exact when the sample covers the set") {
+    import graft.functions.SketchAggregate.kmvSample
+    val big = spark.range(20000)
+      .select(((col("id") * 49979687L + 11L) % 1000000007L).as("hv"))
+    def sample(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(kmvSample(col("hv"), 128).as("s")).head.getSeq[Long](0)
+    val s = sample(big)
+    assert(s.length == 128 && s == s.sorted && s.distinct == s)
+    assert(sample(big.repartition(17)) == s)
+    // the sample IS the k smallest distinct hashes
+    val smallest = big.orderBy("hv").limit(128).collect().map(_.getLong(0)).toSeq
+    assert(s == smallest)
+
+    // overlap report on the fixture: bounds and internal consistency
+    val r = TextAnalysis.sketchOverlap(docs).head
+    assert(r.getAs[Long]("n_inter") <= math.min(r.getAs[Long]("n_a"),
+      r.getAs[Long]("n_b")))
+    assert(r.getAs[Long]("n_union") <=
+      r.getAs[Long]("n_a") + r.getAs[Long]("n_b"))
+    assert(r.getAs[Long]("n_both") <= 64L)
+    val ej = r.getAs[Double]("est_jaccard")
+    assert(ej >= 0.0 && ej <= 1.0)
+    assert(r.getAs[Double]("est_union") > 0.0)
+
+    // degenerate-exact case: identical tiny slices -> estimators exact
+    import spark.implicits._
+    val tiny = (0L until 40L).map(i => (i, s"alpha beta gamma delta w$i"))
+      .toDF("doc_id", "text")
+    val t = TextAnalysis.sketchOverlap(tiny).head
+    assert(t.getAs[Long]("kth") == -1L) // under k: sample covers the union
+    assert(t.getAs[Double]("est_union") ==
+      t.getAs[Long]("n_union").toDouble)
+  }
 }
