@@ -282,15 +282,17 @@ object Dedup {
     * as a gap from theory, not just a low number.
     *
     * GROUND-TRUTH query, like [[embeddingNearDupRecall]]: the exact
-    * side is the full shingle inverted index (no df cap, no sampling —
-    * capping would bias the truth being measured), so it runs at
-    * verify/sample scale, never on the full corpus. Join mass is
-    * Σ_shingle df(s)² — on a sampled audit slice that is the honest
-    * price of a ground truth. The per-τ counts ride a 4-row τ-literal
-    * broadcast over the pair relation; candidates and truth share the
-    * one memoized [[shingled]] relation. */
-  def minhashRecall(documents: DataFrame): DataFrame = {
-    val sh = shingled(documents)
+    * side is the full shingle inverted index (no df cap — capping
+    * would bias the truth being measured), so the operator RUNS ON AN
+    * AUDIT SLICE by construction (doc_id % `sampleMod` == 0, the
+    * [[ngramJaccardPairs]] discipline): recall is a corpus-level rate
+    * and a deterministic slice estimates it without paying Σ df(s)²
+    * over the whole corpus — pass sampleMod = 1 for the exhaustive
+    * measurement at verify scale. The per-τ counts ride an exploded
+    * 4-row τ literal; candidates and truth share one shingle
+    * projection of the slice. */
+  def minhashRecall(documents: DataFrame, sampleMod: Int = 2): DataFrame = {
+    val sh = shingled(documents.where(col("doc_id") % sampleMod === 0))
     val ex = sh.select(col("doc_id"),
       size(col("shingle_hashes")).as("n"),
       explode(col("shingle_hashes")).as("h"))
@@ -1171,7 +1173,8 @@ object Dedup {
     QueryDef.sql("dedup_minhash_recall", {
       val tauList = MinhashRecallTaus
         .map(graft.functions.VectorFunctions.doubleSql).mkString(", ")
-      s"""WITH h AS (SELECT doc_id, $ShSql AS shingle_hashes FROM documents),
+      s"""WITH h AS (SELECT doc_id, $ShSql AS shingle_hashes
+         |  FROM documents WHERE doc_id % 2 = 0),
          |h2 AS (SELECT * FROM h WHERE len(shingle_hashes) > 0),
          |s AS (SELECT doc_id, shingle_hashes, $SigsSql AS sigs FROM h2),
          |b AS (SELECT doc_id, shingle_hashes, $BandsSql AS bands FROM s),
