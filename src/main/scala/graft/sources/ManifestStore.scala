@@ -435,6 +435,41 @@ object ManifestStore {
     readSegs(spark, tablePath, c, r.liveSegs.toSeq.flatten)
   }
 
+  /** [[readAsOf]] with the segments' OWN (inferred, merged) schema —
+    * for generalized (e.g. time-series) manifest tables whose columns
+    * are not the chunk contract; the chunk-schema variant would
+    * project them away (or fail). Same resolvability contract. */
+  def readAsOfInferred(spark: SparkSession, tablePath: String, c: String,
+      asOfPtrSeq: Long): DataFrame = {
+    val fs = fsOf(spark, tablePath)
+    val r = resolveAt(fs, tablePath, c, asOfPtrSeq)
+    require(r.decidedSeq > 0L,
+      s"snapshot $asOfPtrSeq of collection '$c' is not resolvable")
+    val segs = r.liveSegs.toSeq.flatten
+    readSegsInferred(spark, tablePath, c, segs, segs)
+  }
+
+  /** [[readSince]] with the segments' OWN (inferred, merged) schema —
+    * the change feed for generalized manifest tables (incremental
+    * aggregate/index maintenance consumes THIS, not a full rescan).
+    * Same semantics and caveats as [[readSince]]. */
+  def readSinceInferred(spark: SparkSession, tablePath: String, c: String,
+      sincePtrSeq: Long): DataFrame = {
+    val fs = fsOf(spark, tablePath)
+    val now = resolve(fs, tablePath, c)
+    val base = if (sincePtrSeq == 0L) Set.empty[Long]
+    else {
+      val r = resolveAt(fs, tablePath, c, sincePtrSeq)
+      require(r.decidedSeq > 0L,
+        s"change-feed anchor $sincePtrSeq of collection '$c' is not " +
+          s"resolvable: oldest retained commit is ${r.minRetainedSeq}; " +
+          "re-bootstrap from a full read")
+      r.liveSegs.toSeq.flatten.toSet
+    }
+    val live = now.liveSegs.toSeq.flatten
+    readSegsInferred(spark, tablePath, c, live.filterNot(base), live)
+  }
+
   /** The live pointer sequence of a collection (0 = no valid commit) —
     * what a reproducible pipeline records next to its outputs so
     * [[readAsOf]]/[[readSince]] can anchor to today's state. */

@@ -119,6 +119,34 @@ class EventsSpec extends SparkSpecBase {
     assert(total == Events.load(spark, sf).count())
   }
 
+  test("incremental agg: base snapshot + change feed partition the log; " +
+      "merged result equals the full recompute") {
+    val full = Events.load(spark, sf)
+    val got = Events.incrementalAgg(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    val want = full.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("s"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("s"))).toMap
+    assert(got == want)
+    // the change feed is a strict subset: the delta rows plus the
+    // anchored snapshot partition the log (nothing dropped, nothing
+    // double-counted)
+    val (path, _, _) = Events.manifestEventsTable(spark, sf)
+    val versions = graft.sources.ManifestStore
+      .listVersions(spark, path, "events")
+    val anchor = versions(versions.size / 2 - 1).ptrSeq
+    val nBase = graft.sources.ManifestStore
+      .readAsOfInferred(spark, path, "events", anchor).count()
+    val nDelta = graft.sources.ManifestStore
+      .readSinceInferred(spark, path, "events", anchor).count()
+    assert(nBase > 0 && nDelta > 0)
+    assert(nBase + nDelta == full.count())
+  }
+
   test("transition matrix: rows normalize, mass equals per-user path steps") {
     val m = Events.transitionMatrix(spark, sf).collect()
     // per-from_type: counts sum to the row total and p is the exact ratio
