@@ -80,6 +80,42 @@ object VectorSearch {
       .orderBy(col("l2_dist"), col("vec_id"))
       .limit(k)
 
+  /** The late-interaction QUERY SET for [[maxSimSearch]] — 3 query
+    * vectors (a multi-token query's per-token embeddings), each a
+    * phase-shifted synthetic vector: plan constants in both engines,
+    * like [[Query]]. */
+  val MaxSimQueries: Seq[Array[Double]] =
+    (0 until 3).map(j =>
+      Array.tabulate(Dim)(i => math.sin(i + 1.0 + j * Dim)))
+
+  /** Late-interaction retrieval (the ColBERT MaxSim shape): a query is
+    * a SET of vectors (one per token), a document is its SET of chunk
+    * vectors (`label` groups the fixture's vectors as the reference's
+    * chunks-per-document model), and the document score is
+    * Σ_q max_chunk cos(q, chunk) — each query token matches its best
+    * chunk independently, which is what separates multi-aspect queries
+    * from single-vector retrieval.
+    *
+    * Scale shape: all |Q| cosines are scan-side codegen folds (the
+    * query set rides the plan as literals), the per-document maxes
+    * PARTIAL-AGGREGATE map-side (shuffle carries |Q| doubles per
+    * (doc, partition)), and the final top-k is a TakeOrdered heap —
+    * one label shuffle total, no joins, no per-query passes. */
+  def maxSimSearch(emb: DataFrame, k: Int = 5): DataFrame = {
+    val scored = emb.select(col("label") +:
+      MaxSimQueries.zipWithIndex.map { case (q, j) =>
+        V.cosine(vecLit(q), col("embedding")).as(s"c$j") }: _*)
+    val maxes = MaxSimQueries.indices.map(j => max(col(s"c$j")).as(s"m$j"))
+    scored.groupBy("label")
+      .agg(maxes.head, maxes.tail: _*)
+      .select(col("label") +:
+        MaxSimQueries.indices.map(j => col(s"m$j")) :+
+        MaxSimQueries.indices.map(j => col(s"m$j"))
+          .reduceLeft(_ + _).as("maxsim_score"): _*)
+      .orderBy(col("maxsim_score").desc, col("label"))
+      .limit(k)
+  }
+
   /** Multi-collection search (reference /multi_search, main.go:369-405):
     * per-collection top-K then global top-K over the union. Global top-K
     * over a pruned scan is semantically identical (each collection
@@ -329,6 +365,31 @@ object VectorSearch {
          |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
       (s, dir) => topK(Tables(s, dir, "embeddings"))
     },
+
+    QueryDef.sql("vs_maxsim_search", {
+      def cos(j: Int): String = {
+        val qv = s"q.v$j"
+        s"""CASE WHEN sqrt(${dotSeqSql(qv, qv, Dim)}) *
+           |     sqrt(${dotSeqSql(embD, embD, Dim)}) > 0.0
+           |  THEN ${dotSeqSql(qv, embD, Dim)} /
+           |    (sqrt(${dotSeqSql(qv, qv, Dim)}) *
+           |     sqrt(${dotSeqSql(embD, embD, Dim)})) END""".stripMargin
+      }
+      val qDefs = MaxSimQueries.zipWithIndex
+        .map { case (q, j) => s"${vecSql(q)} AS v$j" }.mkString(", ")
+      val cosCols = MaxSimQueries.indices
+        .map(j => s"${cos(j)} AS c$j").mkString(",\n")
+      val maxCols = MaxSimQueries.indices
+        .map(j => s"max(c$j) AS m$j").mkString(", ")
+      val sumExpr = MaxSimQueries.indices.map(j => s"m$j").mkString(" + ")
+      s"""WITH q AS (SELECT $qDefs),
+         |s AS (SELECT label,
+         |$cosCols
+         |  FROM embeddings, q),
+         |m AS (SELECT label, $maxCols FROM s GROUP BY label)
+         |SELECT label, m0, m1, m2, $sumExpr AS maxsim_score
+         |FROM m ORDER BY maxsim_score DESC, label LIMIT 5""".stripMargin
+    }) { (s, dir) => maxSimSearch(Tables(s, dir, "embeddings")) },
 
     QueryDef.sql("vs_topk_cosine",
       s"""WITH q AS (SELECT $qRawSql AS v)

@@ -59,6 +59,28 @@ class VectorSearchSpec extends SparkSpecBase {
     assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 4))
   }
 
+  test("maxsim: score decomposes into independent per-query maxima; " +
+      "dominates any single query's retrieval score") {
+    import graft.functions.VectorFunctions.vecLit
+    import graft.functions.{VectorExpressions => V}
+    val rows = VectorSearch.maxSimSearch(emb).collect()
+    assert(rows.length == 5)
+    // desc by score with label tiebreak
+    val scores = rows.map(_.getAs[Double]("maxsim_score"))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b })
+    rows.foreach { r =>
+      // the score IS the sum of the row's own per-query maxima
+      assert(r.getAs[Double]("maxsim_score") ==
+        r.getAs[Double]("m0") + r.getAs[Double]("m1") + r.getAs[Double]("m2"))
+      // each max is a genuine per-label cosine maximum
+      val lbl = r.getAs[Int]("label")
+      val m0 = emb.where(col("label") === lbl)
+        .agg(max(V.cosine(vecLit(VectorSearch.MaxSimQueries.head),
+          col("embedding")))).collect()(0).getDouble(0)
+      assert(r.getAs[Double]("m0") == m0)
+    }
+  }
+
   test("topK under-k: k larger than collection still sorted (D2 fix of Q2)") {
     val tiny = emb.where(col("vec_id") < 3)
     val rows = VectorSearch.topK(tiny, 10).collect()
