@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Observation, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, max, min}
+import org.apache.spark.sql.{Column, DataFrame, Observation, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max, min, shiftright, spark_partition_id, when}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Object-store-safe document store: immutable SEGMENT directories
@@ -1057,6 +1057,94 @@ object ManifestStore {
       }
       releaseClaim(fs, tablePath, c, seg)
     }
+  }
+
+  /** Bits per dimension in [[zorderCompact]]'s interleave: 4 bits =
+    * 16 quantile buckets per column — segment-level clustering needs
+    * far fewer distinctions than row-level sorting (a 16×16 z-grid
+    * already separates dozens of segments cleanly), and the bucket
+    * when-chain stays shallow in codegen. */
+  val ZOrderBits = 4
+
+  /** Z-ORDER re-clustering compaction (the Delta `OPTIMIZE ZORDER`
+    * analogue): rewrite a collection's live segments into `segments`
+    * NEW segments laid out along a Morton curve over `cols`, committed
+    * atomically by one pointer. The point is MULTI-column zone-map
+    * pruning: single-column clustering ([[compactCollection]]
+    * `cluster = true`) makes one column's per-segment ranges tight and
+    * smears every other's; interleaving quantile-bucket bits gives
+    * every z-order column ranges ~`2^ZOrderBits`-fold tighter than
+    * random layout, so `readRange`/`readRangeLong` prunes segments on
+    * ANY of them — at 100 TB that is directory-level pruning for both
+    * "by time" and "by user" queries out of one layout.
+    *
+    * Mechanics: per-column quantile cuts (one driver-side
+    * `approxQuantile` pass) → 4-bit buckets → bit-interleaved z value
+    * → `repartitionByRange(segments, z)` with an in-partition sort
+    * (rows also z-sorted inside each segment, so parquet row-group
+    * stats inherit the clustering one level down); each partition
+    * lands in its own claimed segment via one partition-pruned write
+    * over a persisted z-annotated frame. The commit replaces exactly
+    * the input segments; racing appends ride along; a lost rewrite
+    * race abandons (orphan segments age out under [[vacuum]]) — the
+    * [[compactCollection]] protocol, list-extended. NULLs bucket low
+    * (cluster together at the curve's origin). */
+  def zorderCompact(spark: SparkSession, tablePath: String, c: String,
+      cols: Seq[String], segments: Int): Unit = {
+    require(cols.nonEmpty && segments >= 1)
+    val fs = fsOf(spark, tablePath)
+    val r = resolve(fs, tablePath, c)
+    if (r.liveSegs.isEmpty) return
+    val live = r.liveSegs.toSeq.flatten
+    val rows = readSegsInferred(spark, tablePath, c, live, live)
+      .drop("collection")
+    cols.foreach(n => require(rows.columns.contains(n),
+      s"zorder column '$n' not in collection '$c' " +
+        s"(has: ${rows.columns.mkString(", ")})"))
+    val nBuckets = 1 << ZOrderBits
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // quantile cuts per column (numeric axes; string axes would bucket
+    // via their zone-map kind — out of scope until a table needs it)
+    val zCol = cols.zipWithIndex.map { case (n, ci) =>
+      val cuts = rows.stat.approxQuantile(n, probes, 0.001)
+      val bucket = cuts.map(cv =>
+        when(col(n) > cv, lit(1L)).otherwise(lit(0L)))
+        .reduceLeft[Column](_ + _)
+      (0 until ZOrderBits).map(j =>
+        shiftright(bucket, j).bitwiseAND(lit(1L)) *
+          lit(1L << (j * cols.length + ci))).reduceLeft(_ + _)
+    }.reduceLeft(_ + _)
+    val laid = rows.withColumn("__z", zCol)
+      .repartitionByRange(segments, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .withColumn("__part", spark_partition_id())
+      .persist()
+    try {
+      // only the non-empty range partitions become segments (an empty
+      // segment has no stats, so keepLong could never prune it)
+      val parts = laid.select(col("__part")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (parts.isEmpty) return
+      val inputSegs = live.toSet
+      var next = r.nextSeg
+      val newSegs = parts.toSeq.map { p =>
+        val seg = claimSeg(fs, tablePath, c, next)
+        next = seg + 1
+        writeSegment(laid.where(col("__part") === p)
+          .drop("__z", "__part"), fs, tablePath, c, seg)
+        seg
+      }
+      commitWithRetry(fs, tablePath, c, r) { rr =>
+        rr.liveSegs match {
+          case Some(nowLive) if inputSegs.subsetOf(nowLive.toSet) &&
+              !newSegs.exists(nowLive.contains) =>
+            Some(segsContent(
+              newSegs ++ nowLive.filterNot(inputSegs.contains)))
+          case _ => None
+        }
+      }
+      newSegs.foreach(releaseClaim(fs, tablePath, c, _))
+    } finally laid.unpersist()
   }
 
   /** Delete = publish a tombstone pointer (O11). Pure metadata — the

@@ -19,6 +19,50 @@ class DocumentStoreSpec extends SparkSpecBase {
       |  {"text":"c2","embedding":{"vector":[0.0,1.0]},"metadata":{"source":"cs2","name":"cn2"},"semantic_score":0.9}]}
       |]}""".stripMargin.replaceAll("\n", "")
 
+  test("z-order compaction: BOTH axes prune segments afterwards, data " +
+      "survives bit-for-bit, racing-append protocol unchanged") {
+    import spark.implicits._
+    val table = tmp() + "/table"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("x", "y"))
+    val n = 4096L
+    val rows = (0L until n).map(i => (i, (i * 2654435761L) % n))
+      .toDF("x", "y")
+    // ingest order follows x; y is decorrelated (multiplicative hash)
+    (0 until 8).foreach { s =>
+      ManifestStore.store(rows.where(col("x") >= s * 512L &&
+        col("x") < (s + 1) * 512L), table, "ev")
+    }
+    def kept(cn: String, lo: Long, hi: Long): (Int, Int) =
+      ManifestStore.rangeLongPlanned(spark, table, "ev", lo, hi, cn)
+    // before: x (the ingest axis) prunes hard, y keeps everything
+    assert(kept("x", 100L, 200L) == ((1, 8)))
+    assert(kept("y", 100L, 200L)._1 == 8)
+    ManifestStore.zorderCompact(spark, table, "ev", Seq("x", "y"), 8)
+    // after: BOTH axes prune — the z layout trades x's perfect
+    // single-axis clustering (1 of 8) for useful clustering on EVERY
+    // interleaved column: a narrow range on either axis fixes that
+    // axis' bucket bits and only the curve segments crossing those
+    // bits survive (y, holding the higher interleave bits, prunes
+    // harder; x keeps a majority pruned instead of its old perfection)
+    val (kx, tx) = kept("x", 100L, 200L)
+    val (ky, ty) = kept("y", 100L, 200L)
+    assert(tx == 8 && ty == 8)
+    assert(kx < 8, s"x kept $kx of $tx")
+    assert(ky <= 4, s"y kept $ky of $ty")
+    // the rewrite is lossless
+    val back = ManifestStore.readRangeLong(spark, table, "ev",
+      Long.MinValue, Long.MaxValue, "x")
+      .select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(back.sorted.toSeq == (0L until n).map(i =>
+      (i, (i * 2654435761L) % n)).sorted)
+    // and a range read returns exactly the matching rows
+    val got = ManifestStore.readRangeLong(spark, table, "ev",
+      100L, 200L, "y").select("y").collect().map(_.getLong(0))
+    assert(got.sorted.toSeq ==
+      (0L until n).map(i => (i * 2654435761L) % n)
+        .filter(y => y >= 100L && y <= 200L).sorted)
+  }
+
   test("JSON ingest -> flatten: 1-based chunk_idx, fields mapped (O3/O4, Q6)") {
     val dir = tmp()
     Files.writeString(java.nio.file.Paths.get(dir, "req.json"), storeJson)
