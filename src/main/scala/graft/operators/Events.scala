@@ -686,6 +686,28 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** METADATA-SERVED range count: events in the middle half of the
+    * log, counted by [[graft.sources.ManifestStore.countRangeLongPlanned]] —
+    * segments fully inside the range contribute their sidecar
+    * non-null counts WITHOUT being listed, planned, or read; only the
+    * two boundary segments are scanned (with the residual pushed into
+    * their parquet). At 100 TB this is the "events this week"
+    * dashboard query costing two boundary segments instead of the
+    * week. The one-row report also exposes the serving split
+    * (meta-served / scanned / pruned segment counts) so the
+    * optimization is observable — and spec-pinned. */
+  def rangeCount(s: SparkSession, dir: String): DataFrame = {
+    val (path, lo, hi) = manifestEventsTable(s, dir)
+    val w = (hi - lo) / RangeSegs
+    val (n, _, _, _) = graft.sources.ManifestStore
+      .countRangeLongPlanned(s, path, "events",
+        lo + 2 * w, lo + 6 * w, "ts_us")
+    import s.implicits._
+    // the serving split (meta/scanned/pruned) is layout, not data —
+    // EventsSpec pins it; the oracle checks the count
+    Seq(n).toDF("n_events")
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE over the manifest change feed:
     * a mergeable per-type aggregate (count / exact decimal sum /
     * min / max) held as of an earlier pointer version is brought
@@ -877,6 +899,16 @@ object Events {
         |FROM sessions
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin)(sessionize),
+
+    QueryDef.sql("ev_range_count",
+      s"""WITH b AS (
+         |  SELECT min(epoch_us(ts)) AS lo,
+         |    (max(epoch_us(ts)) - min(epoch_us(ts))) // $RangeSegs AS w
+         |  FROM events)
+         |SELECT count(*) AS n_events
+         |FROM events, b
+         |WHERE epoch_us(ts) BETWEEN b.lo + 2 * b.w AND b.lo + 6 * b.w""".stripMargin)(
+      (s, dir) => rangeCount(s, dir)),
 
     QueryDef.sql("ev_incremental_agg",
       """SELECT event_type, count(*) AS n_events,

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Observation, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, max, min, shiftright, spark_partition_id, when}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, shiftright, spark_partition_id, when}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Object-store-safe document store: immutable SEGMENT directories
@@ -638,12 +638,25 @@ object ManifestStore {
       val obs = Observation()
       val aggs = zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
         val base = if (k == 'l') col(n) else col(n).cast("string")
-        Seq(min(base).as(s"zm_lo_$i"), max(base).as(s"zm_hi_$i"))
+        // the NON-NULL count rides the same single Observation: it is
+        // the column's metadata-servable COUNT contribution (total row
+        // count would overcount rows the range predicate's null
+        // exclusion drops)
+        Seq(min(base).as(s"zm_lo_$i"), max(base).as(s"zm_hi_$i"),
+          count(base).as(s"zm_n_$i"))
       }
       df.observe(obs, aggs.head, aggs.tail: _*)
         .write.mode(SaveMode.Overwrite).parquet(dir)
       val m = obs.get
-      val entries = zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
+      // per-column non-null counts ride the sidecar as their own
+      // '='-less tokens (`cnt:<encName>:<n>`) — the zone-map parser
+      // skips them, so pre-count readers stay compatible; a
+      // fully-range-covered segment's COUNT can then be served from
+      // metadata alone ([[countRangeLongPlanned]])
+      val cntToks = zmCols.zipWithIndex.flatMap { case ((n, _), i) =>
+        m.get(s"zm_n_$i").collect { case v: Long => s"cnt:${zmEnc(n)}:$v" }
+      }
+      val entries = cntToks ++ zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
         (m.get(s"zm_lo_$i"), m.get(s"zm_hi_$i")) match {
           // empty segment or all-null column: no entry for this column
           case (Some(lo), Some(hi)) if lo != null && hi != null =>
@@ -689,6 +702,77 @@ object ManifestStore {
           }.toMap
       case _ => Map.empty
     }
+
+  /** The segment's recorded NON-NULL count for `column` (the
+    * sidecar's `cnt:<encName>:<n>` token), if the sidecar exists,
+    * parses, and carries one — pre-count sidecars yield None
+    * ("must scan"). */
+  private[sources] def readSegCount(fs: FileSystem, tablePath: String,
+      c: String, seg: Long, column: String): Option[Long] =
+    readPtr(fs, statsPath(tablePath, c, seg)) match {
+      case Some(s) if s.startsWith(ZmPrefix) && s.endsWith(SegsSuffix) =>
+        s.stripPrefix(ZmPrefix).stripSuffix(SegsSuffix)
+          .split(';').toSeq
+          .collectFirst {
+            case e if e.startsWith("cnt:") &&
+                (e.split(':') match {
+                  case Array(_, n, _) => zmDec(n) == column
+                  case _ => false
+                }) =>
+              e.split(':')(2).toLongOption
+          }.flatten
+      case _ => None
+    }
+
+  /** COUNT over a numeric range served from METADATA wherever
+    * possible: a segment whose recorded [min,max] for `column` lies
+    * fully inside [lo,hi] contributes its sidecar row count without
+    * being listed, planned, or read (at 100 TB a dashboard's "events
+    * this week" touches two boundary segments instead of the week);
+    * non-intersecting segments contribute zero; only boundary
+    * segments — plus any lacking stats or a count — are scanned, in
+    * ONE batched residual-filtered read. NULLs never count: the
+    * metadata path serves the sidecar's NON-NULL count for the
+    * column, matching the residual predicate's null exclusion
+    * exactly. Returns
+    * (total, metaServedSegs, scannedSegs, prunedSegs) so the serving
+    * split is observable and spec-pinned. */
+  def countRangeLongPlanned(spark: SparkSession, tablePath: String,
+      c: String, lo: Long, hi: Long, column: String): (Long, Int, Int, Int) = {
+    val fs = fsOf(spark, tablePath)
+    val segs = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
+    var meta = 0L
+    var nMeta = 0
+    var nPruned = 0
+    val toScan = Seq.newBuilder[Long]
+    segs.foreach { seg =>
+      val stats = readSegStats(fs, tablePath, c, seg)
+      stats.get(column) match {
+        case Some(('l', sLo, sHi)) =>
+          (sLo.toLongOption, sHi.toLongOption) match {
+            case (Some(l), Some(h)) if h < lo || l > hi => nPruned += 1
+            case (Some(l), Some(h)) if l >= lo && h <= hi =>
+              readSegCount(fs, tablePath, c, seg, column) match {
+                case Some(n) => meta += n; nMeta += 1
+                case None => toScan += seg
+              }
+            case _ => toScan += seg
+          }
+        case _ => toScan += seg
+      }
+    }
+    val scanSegs = toScan.result()
+    val scanned =
+      if (scanSegs.isEmpty) 0L
+      else readSegsInferred(spark, tablePath, c, scanSegs, scanSegs)
+        .where(col(column) >= lo && col(column) <= hi).count()
+    (meta + scanned, nMeta, scanSegs.size, nPruned)
+  }
+
+  /** [[countRangeLongPlanned]] without the observability tuple. */
+  def countRangeLong(spark: SparkSession, tablePath: String, c: String,
+      lo: Long, hi: Long, column: String): Long =
+    countRangeLongPlanned(spark, tablePath, c, lo, hi, column)._1
 
   /** ZONE-MAP-PRUNED range read: rows of `c` with `column` in
     * [lo, hi] (inclusive, string comparison — the column is cast to

@@ -119,6 +119,27 @@ class EventsSpec extends SparkSpecBase {
     assert(total == Events.load(spark, sf).count())
   }
 
+  test("range count: interior segments served from sidecar counts, only " +
+      "boundaries scanned, total exact") {
+    val (path, lo, hi) = Events.manifestEventsTable(spark, sf)
+    val w = (hi - lo) / 8
+    val (n, nMeta, nScan, nPruned) = graft.sources.ManifestStore
+      .countRangeLongPlanned(spark, path, "events",
+        lo + 2 * w, lo + 6 * w, "ts_us")
+    val exact = Events.load(spark, sf)
+      .where(col("ts_us") >= lo + 2 * w && col("ts_us") <= lo + 6 * w)
+      .count()
+    assert(n == exact)
+    // the interior segments never hit the scan path
+    assert(nMeta >= 3, s"meta $nMeta scan $nScan pruned $nPruned")
+    assert(nScan <= 2)
+    assert(nMeta + nScan + nPruned == 8)
+    // degenerate range: nothing intersects -> zero, zero scans
+    val (z, zm, zs, zp) = graft.sources.ManifestStore
+      .countRangeLongPlanned(spark, path, "events", hi + 10, hi + 20, "ts_us")
+    assert(z == 0L && zm == 0 && zs == 0 && zp == 8)
+  }
+
   test("incremental agg: base snapshot + change feed partition the log; " +
       "merged result equals the full recompute") {
     val full = Events.load(spark, sf)
