@@ -458,6 +458,37 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Corpus-LM FLUENCY proxy (the CCNet/KenLM quality-filter role in
+    * engine-portable arithmetic): score each document by the mean
+    * corpus DOCUMENT-FREQUENCY of its word bigrams — text whose word
+    * transitions the corpus has seen widely (fluent prose) scores
+    * high; gibberish, shuffled words, and code score low because
+    * their bigrams are rare. A true LM perplexity needs log-probs,
+    * whose float folds are engine-divergent; mean bigram-df is the
+    * same monotone fluency signal as EXACT integer arithmetic (one
+    * integer sum, one rational division — bit-reproducible).
+    *
+    * Scale shape: one shuffle builds the bigram df relation
+    * (vocabulary-cardinality, Heaps-sublinear), which joins back
+    * through the size-gated broadcast; the per-doc aggregate
+    * partial-combines map-side. Single-word docs have no bigrams and
+    * no row (no evidence either way — gate on [[qualityScore]]'s
+    * signals for those). */
+  def bigramFluency(documents: DataFrame): DataFrame = {
+    val bg = documents.select(col("doc_id"), explode(
+      graft.functions.TextHashExpressions
+        .shingleHashes(words(col("text")), 2)).as("h"))
+    val dfRel = bg.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    bg.join(VectorSearch.broadcastIfSmall(dfRel), Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("df")).as("sum_df"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_df"),
+        (col("sum_df").cast("double") / col("n_bigrams").cast("double"))
+          .as("fluency"))
+      .orderBy("doc_id")
+  }
+
   /** KMV sketch SET ALGEBRA: estimate the distinct-shingle overlap
     * between two corpus slices (here doc_id parity; in production two
     * crawl snapshots / dumps) from their mergeable bottom-k samples,
@@ -745,6 +776,18 @@ object TextAnalysis {
          |  CAST(len($sh) AS BIGINT) AS n_shingles
          |FROM documents ORDER BY doc_id""".stripMargin
     }) { (s, dir) => fingerprint(Tables(s, dir, "documents")) },
+
+    QueryDef.sql("text_bigram_fluency", {
+      val bgSql = polyHashAllSql(shinglesSql(W, 2))
+      s"""WITH t AS (SELECT doc_id, unnest($bgSql) AS h FROM documents),
+         |d AS (SELECT h, count(DISTINCT doc_id) AS df FROM t GROUP BY h)
+         |SELECT t.doc_id AS doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(d.df) AS BIGINT) AS sum_df,
+         |  CAST(CAST(sum(d.df) AS BIGINT) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE) AS fluency
+         |FROM t JOIN d USING (h)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) => bigramFluency(Tables(s, dir, "documents")) },
 
     QueryDef.sql("text_sketch_overlap", {
       val hv = polyHashAllSql(shinglesSql(W, 3))

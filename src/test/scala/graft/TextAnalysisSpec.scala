@@ -189,6 +189,28 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(est(big.repartition(17)) == e)
   }
 
+  test("bigram fluency: repeated prose outranks unique gibberish; " +
+      "counts exact; single-word docs carry no row") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown dog"),
+      (3L, "zq wx kj vb"), (4L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramFluency(tiny).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigrams"), x.getAs[Long]("sum_df"),
+          x.getAs[Double]("fluency"))).toMap
+    assert(!r.contains(4L)) // no bigrams, no evidence
+    // docs 1/2 share 'the quick'/'quick brown' (df 2) + a unique tail
+    assert(r(1L) == ((3L, 5L, 5.0 / 3.0)))
+    assert(r(2L) == ((3L, 5L, 5.0 / 3.0)))
+    // all-unique bigrams: fluency exactly 1
+    assert(r(3L) == ((3L, 3L, 1.0)))
+    // corpus-level: fluency is bounded below by 1 (a bigram's df
+    // counts at least its own document)
+    assert(TextAnalysis.bigramFluency(docs).collect()
+      .forall(_.getAs[Double]("fluency") >= 1.0))
+  }
+
   test("KMV sample: sorted bottom-k, partition-invariant; overlap " +
       "estimators well-formed and exact when the sample covers the set") {
     import graft.functions.SketchAggregate.kmvSample
