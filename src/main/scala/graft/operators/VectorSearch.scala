@@ -80,6 +80,75 @@ object VectorSearch {
       .orderBy(col("l2_dist"), col("vec_id"))
       .limit(k)
 
+  /** [[mmrRerank]] knobs: candidate pool (the first-stage retrieval
+    * depth), picks, and the relevance/diversity blend λ. */
+  val MmrPool = 20
+  val MmrK = 5
+  val MmrLambda = 0.5
+
+  /** Driver-side sequential dot fold — the exact arithmetic of
+    * `V.dotSeq`/`dotSeqSql` (ascending index, left fold), so the
+    * greedy loop's pair similarities are bitwise the oracle's. */
+  private def dotFold(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private def cosFold(a: Array[Double], b: Array[Double]): Double = {
+    val denom = math.sqrt(dotFold(a, a)) * math.sqrt(dotFold(b, b))
+    if (denom > 0.0) dotFold(a, b) / denom else 0.0
+  }
+
+  /** MAXIMAL MARGINAL RELEVANCE rerank (Carbonell & Goldstein '98 —
+    * the standard diversification pass production retrieval runs after
+    * first-stage ANN): greedily pick k results maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈picked} cos(c, s), so near-duplicate
+    * hits can't crowd the result page. First pick = pure relevance.
+    *
+    * Scale shape: ONE corpus pass (the shuffle-free top-[[MmrPool]]
+    * heap, exactly [[topKCosine]]'s plan) collects the bounded
+    * candidate shortlist; the greedy loop is driver-side arithmetic
+    * over pool·k pair-cosines of ALREADY-RETRIEVED rows — the same
+    * bounded-metadata class as the IVF/PQ codebook collects, never a
+    * corpus operation. Determinism: every fold matches the kernels'
+    * sequential order, argmax ties break on vec_id — the oracle
+    * replays the identical greedy UNROLLED (one CTE per pick), so
+    * the whole trajectory is hash-checked, not just the final set. */
+  def mmrRerank(emb: DataFrame, k: Int = MmrK, pool: Int = MmrPool,
+      lam: Double = MmrLambda): DataFrame = {
+    val s = emb.sparkSession
+    val cand = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      .withColumn("rel",
+        coalesce(V.cosine(vecLit(Query), col("v")), lit(0.0)))
+      .orderBy(col("rel").desc, col("vec_id")).limit(pool)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val chosen = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Double, Double)]
+    val chosenVecs = scala.collection.mutable.ArrayBuffer
+      .empty[Array[Double]]
+    var remaining = cand.toList
+    var step = 1
+    while (step <= k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, v, rel) =>
+        val mmr =
+          if (chosenVecs.isEmpty) rel
+          else lam * rel - (1 - lam) * chosenVecs.map(cosFold(v, _)).max
+        (id, v, rel, mmr)
+      }
+      val best = scored.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      chosen += ((step, best._1, best._3, best._4))
+      chosenVecs += best._2
+      remaining = remaining.filterNot(_._1 == best._1)
+      step += 1
+    }
+    import s.implicits._
+    chosen.toSeq.toDF("rank", "vec_id", "rel", "mmr").orderBy("rank")
+  }
+
   /** The late-interaction QUERY SET for [[maxSimSearch]] — 3 query
     * vectors (a multi-token query's per-token embeddings), each a
     * phase-shifted synthetic vector: plan constants in both engines,
@@ -365,6 +434,38 @@ object VectorSearch {
          |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
       (s, dir) => topK(Tables(s, dir, "embeddings"))
     },
+
+    QueryDef.sql("vs_mmr_rerank", {
+      def cosP(a: String, b: String): String =
+        s"""CASE WHEN sqrt(${dotSeqSql(a, a, Dim)}) *
+           |     sqrt(${dotSeqSql(b, b, Dim)}) > 0.0
+           |  THEN ${dotSeqSql(a, b, Dim)} /
+           |    (sqrt(${dotSeqSql(a, a, Dim)}) *
+           |     sqrt(${dotSeqSql(b, b, Dim)}))
+           |  ELSE 0.0E0 END""".stripMargin
+      val steps = (2 to MmrK).map { j =>
+        val prev = (1 until j).map(i => s"s$i").mkString(", ")
+        val notIn = (1 until j).map(i => s"s$i.vec_id").mkString(", ")
+        val sims = (1 until j).map(i => cosP("c.v", s"s$i.v")).mkString(",\n")
+        s"""s$j AS (SELECT c.vec_id, c.v, c.rel,
+           |    ${MmrLambda}E0 * c.rel - ${1 - MmrLambda}E0 *
+           |      GREATEST($sims) AS mmr
+           |  FROM cand c, $prev WHERE c.vec_id NOT IN ($notIn)
+           |  ORDER BY mmr DESC, c.vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to MmrK).map(j =>
+        s"SELECT $j AS rank, vec_id, rel, mmr FROM s$j").mkString("\nUNION ALL ")
+      s"""WITH q AS (SELECT $qRawSql AS v),
+         |cand AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    ${cosP("q.v", "CAST(embedding AS DOUBLE[])")} AS rel
+         |  FROM embeddings, q
+         |  ORDER BY rel DESC, vec_id LIMIT $MmrPool),
+         |s1 AS (SELECT vec_id, v, rel, rel AS mmr FROM cand
+         |  ORDER BY mmr DESC, vec_id LIMIT 1),
+         |$steps
+         |$out
+         |ORDER BY rank""".stripMargin
+    }) { (s, dir) => mmrRerank(Tables(s, dir, "embeddings")) },
 
     QueryDef.sql("vs_maxsim_search", {
       def cos(j: Int): String = {

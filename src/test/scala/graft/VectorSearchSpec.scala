@@ -59,6 +59,30 @@ class VectorSearchSpec extends SparkSpecBase {
     assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 4))
   }
 
+  test("mmr rerank: first pick is pure relevance, a duplicate of the " +
+      "top hit is demoted below a diverse lower-relevance hit") {
+    import spark.implicits._
+    val q = VectorSearch.Query
+    // v1 ~ query direction; v2 identical to v1 (cos 1); v3 diverse
+    // (orthogonal-ish) with lower relevance
+    val v1 = q.map(_ * 0.9f.toDouble).map(_.toFloat)
+    val v2 = v1.clone()
+    val v3 = Array.tabulate(VectorSearch.Dim)(i =>
+      (if (i % 2 == 0) q(i) else -q(i)).toFloat * 0.5f)
+    val emb = Seq((1L, v1.toSeq, 0), (2L, v2.toSeq, 0), (3L, v3.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorSearch.mmrRerank(emb, k = 3).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id")))
+    assert(got.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
+    // fixture sanity: k unique picks, rank 1 = the relevance top-1
+    val rows = VectorSearch.mmrRerank(emb0).collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    val top1 = VectorSearch.topKCosine(emb0, 1).collect()(0).getAs[Long]("vec_id")
+    assert(rows.head.getAs[Long]("vec_id") == top1)
+  }
+
+  private def emb0 = emb
+
   test("maxsim: score decomposes into independent per-query maxima; " +
       "dominates any single query's retrieval score") {
     import graft.functions.VectorFunctions.vecLit
