@@ -587,6 +587,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Composed DEDUP FUNNEL — the one-row yield report for the
+    * deduplication stack itself (the [[graft.operators.Pipeline]]
+    * curation-funnel discipline applied to dedup): raw corpus →
+    * canonical-key keepers → MinHash near-dup CLUSTER keepers, with
+    * each stage's yield against raw. Stage memberships are the dedup
+    * operators' OWN relations ([[canonicalKeepers]], the star CC
+    * solver), so the report can never drift from the dedup it
+    * describes. Near-stage survivors = cluster keepers plus the
+    * canonical survivors with no shingles (no near-dup evidence ⇒
+    * trivially kept). The three stage counts meet in 1-row
+    * cross-joined aggregates (the stats-broadcast shape). */
+  def dedupFunnel(documents: DataFrame): DataFrame = {
+    val keepers = canonicalKeepers(documents)
+    val survivors = documents.join(keepers, Seq("doc_id"))
+    val labels = minhashClustersStar(survivors)
+    val nRaw = documents.agg(count(lit(1)).as("n_raw"))
+    val nCanon = keepers.agg(count(lit(1)).as("n_canonical"))
+    val near = labels.agg(count(lit(1)).as("n_shingled"),
+      count(when(col("keep"), lit(1))).as("n_cluster_keep"))
+    val nNear = col("n_canonical") - col("n_shingled") + col("n_cluster_keep")
+    nRaw.crossJoin(nCanon).crossJoin(near)
+      .select(col("n_raw"), col("n_canonical"), nNear.as("n_near"),
+        when(col("n_raw") > 0, col("n_canonical").cast("double") /
+          col("n_raw").cast("double")).as("yield_canonical"),
+        when(col("n_raw") > 0,
+          nNear.cast("double") / col("n_raw").cast("double"))
+          .as("yield_near"))
+  }
+
   /** INCREMENTAL near-dup lookup: match a NEW batch of documents
     * against the existing corpus without recomputing the corpus side —
     * the shape every continuously-ingesting pipeline needs (at 100 TB
@@ -1119,6 +1148,54 @@ object Dedup {
         |  CAST(length(canon) AS BIGINT) AS canon_len
         |FROM c GROUP BY canon ORDER BY doc_id""".stripMargin) {
       (s, dir) => canonical(Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("dedup_funnel",
+      s"""WITH RECURSIVE c AS (
+         |  SELECT doc_id,
+         |    substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+         |      1, 128) AS canon
+         |  FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canon),
+         |surv AS (SELECT d.doc_id, d.text
+         |  FROM documents d JOIN keep USING (doc_id)),
+         |h AS (SELECT doc_id, $ShSql AS shingle_hashes FROM surv),
+         |h2 AS (SELECT * FROM h WHERE len(shingle_hashes) > 0),
+         |s AS (SELECT doc_id, shingle_hashes, $SigsSql AS sigs FROM h2),
+         |b AS (SELECT doc_id, shingle_hashes, $BandsSql AS bands FROM s),
+         |bl AS (SELECT doc_id, unnest(generate_series(0, ${Bands - 1})) AS band_idx,
+         |         unnest(bands) AS band_hash FROM b),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
+         |  FROM bl x JOIN bl y ON x.band_idx = y.band_idx
+         |    AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |verified AS (
+         |  SELECT doc_id_1, doc_id_2 FROM cand
+         |  JOIN h2 a ON a.doc_id = cand.doc_id_1
+         |  JOIN h2 b2 ON b2.doc_id = cand.doc_id_2
+         |  WHERE CAST(len(list_intersect(a.shingle_hashes, b2.shingle_hashes)) AS DOUBLE) /
+         |    CAST(len(a.shingle_hashes) + len(b2.shingle_hashes)
+         |      - len(list_intersect(a.shingle_hashes, b2.shingle_hashes)) AS DOUBLE)
+         |    >= 0.5E0),
+         |edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM verified
+         |  UNION ALL SELECT doc_id_2, doc_id_1 FROM verified),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM h2
+         |  UNION
+         |  SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.node),
+         |lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |st AS (SELECT count(*) AS n_shingled,
+         |  count(*) FILTER (doc_id = cluster_id) AS n_keep FROM lab)
+         |SELECT r.n_raw, k.n_canonical,
+         |  k.n_canonical - st.n_shingled + st.n_keep AS n_near,
+         |  CASE WHEN r.n_raw > 0 THEN CAST(k.n_canonical AS DOUBLE)
+         |    / CAST(r.n_raw AS DOUBLE) END AS yield_canonical,
+         |  CASE WHEN r.n_raw > 0 THEN
+         |    CAST(k.n_canonical - st.n_shingled + st.n_keep AS DOUBLE)
+         |    / CAST(r.n_raw AS DOUBLE) END AS yield_near
+         |FROM (SELECT count(*) AS n_raw FROM documents) r,
+         |  (SELECT count(*) AS n_canonical FROM keep) k, st""".stripMargin) {
+      (s, dir) => dedupFunnel(Tables(s, dir, "documents"))
     },
 
     QueryDef.sql("dedup_minhash_sig",

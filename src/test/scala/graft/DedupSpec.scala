@@ -211,6 +211,20 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("dedup funnel: stage counts match the stage relations, monotone, " +
+      "yields exact") {
+    val r = Dedup.dedupFunnel(docs).collect()(0)
+    val nRaw = r.getAs[Long]("n_raw")
+    val nCanon = r.getAs[Long]("n_canonical")
+    val nNear = r.getAs[Long]("n_near")
+    assert(nRaw == docs.count())
+    assert(nCanon == Dedup.canonicalKeepers(docs).count())
+    assert(nRaw >= nCanon && nCanon >= nNear && nNear > 0)
+    assert(r.getAs[Double]("yield_canonical") ==
+      nCanon.toDouble / nRaw.toDouble)
+    assert(r.getAs[Double]("yield_near") == nNear.toDouble / nRaw.toDouble)
+  }
+
   test("minhash recall curve: counts consistent, exact duplicates never missed") {
     val rows = Dedup.minhashRecall(docs).collect()
     assert(rows.map(_.getAs[Double]("tau")).toSeq == Dedup.MinhashRecallTaus)
