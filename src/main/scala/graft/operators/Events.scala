@@ -151,6 +151,42 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** [[transitionMatrix]] with SESSION-BOUNDED edges: a transition is
+    * counted only when both events fall in the same gap-based session
+    * (the analytics-correct formulation — a path across a 30-minute
+    * absence is two visits, not one journey). Everything rides the ONE
+    * user_id window: the session counter (the [[sessionizeOn]]
+    * running sum), the lead() pair, and the lead's session id — an
+    * edge survives iff the two session ids agree, so no second
+    * partitioning and no join is ever introduced. */
+  def sessionTransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val trans = load(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > GapUs, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_sess")).over(wRun))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("to_sess", lead(col("session_seq"), 1).over(w))
+      .where(col("to_type").isNotNull &&
+        col("to_sess") === col("session_seq"))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    trans
+      .withColumn("n_from",
+        sum(col("n_trans")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        col("n_from"),
+        (col("n_trans").cast("double") / col("n_from").cast("double"))
+          .as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Top-K most common length-3 event-type paths (trigram user
     * journeys) — the second-order companion to [[transitionMatrix]].
     * Both lead() steps ride ONE user_id window (one shuffle, no
@@ -933,6 +969,39 @@ object Events {
         |    CAST(CAST(SUM(n_trans) OVER (PARTITION BY from_type)
         |      AS BIGINT) AS DOUBLE) AS p
         |FROM t ORDER BY from_type, to_type""".stripMargin)(transitionMatrix),
+
+    QueryDef.sql("ev_session_transitions",
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |o1 AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM flagged),
+        |o AS (
+        |  SELECT user_id, event_type, session_seq,
+        |    lead(event_type) OVER w AS to_type,
+        |    lead(session_seq) OVER w AS to_sess
+        |  FROM o1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |t AS (SELECT event_type AS from_type, to_type, count(*) AS n_trans
+        |  FROM o WHERE to_type IS NOT NULL AND to_sess = session_seq
+        |  GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS n_from,
+        |  CAST(n_trans AS DOUBLE) /
+        |    CAST(CAST(SUM(n_trans) OVER (PARTITION BY from_type)
+        |      AS BIGINT) AS DOUBLE) AS p
+        |FROM t ORDER BY from_type, to_type""".stripMargin)(
+      (s, dir) => sessionTransitionMatrix(s, dir)),
 
     QueryDef.sql("ev_path_topk",
       """WITH o AS (

@@ -327,6 +327,20 @@ class DedupSpec extends SparkSpecBase {
       pairs.head.getAs[Long]("hamming") == 0L)
   }
 
+  test("simhash wide signature is word-order invariant (bag-of-words) " +
+      "and frequency-sensitive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "epsilon delta gamma beta alpha"),   // permutation: same bag
+      (3L, "alpha alpha beta gamma delta epsilon")) // extra copy: new bag
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashWide(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
   test("simhash: near-identical docs have close hamming distance") {
     val df = spark.sql(
       """SELECT * FROM VALUES

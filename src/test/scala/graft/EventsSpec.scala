@@ -185,6 +185,20 @@ class EventsSpec extends SparkSpecBase {
     assert(m.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("session transitions: mass equals per-session path steps, a " +
+      "strict subset of the unbounded matrix") {
+    val m = Events.sessionTransitionMatrix(spark, sf).collect()
+    val total = m.map(_.getAs[Long]("n_trans")).sum
+    // per-session steps: each session of n events contributes n-1 edges
+    val expected = Events.sessionize(spark, sf)
+      .agg(sum(col("n_events") - 1)).collect()(0).getLong(0)
+    assert(total == expected)
+    // bounded by the session-blind matrix (gap-crossing edges removed)
+    val unbounded = Events.transitionMatrix(spark, sf).collect()
+      .map(_.getAs[Long]("n_trans")).sum
+    assert(total <= unbounded)
+  }
+
   test("path top-k: descending counts, deterministic tiebreak, k rows") {
     val rows = Events.pathTopK(spark, sf).collect()
     assert(rows.length == 10)
