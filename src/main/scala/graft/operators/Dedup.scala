@@ -74,6 +74,28 @@ object Dedup {
       .groupBy("canon").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
+  /** Canonical dedup with the KEEP-LONGEST policy (C4's duplicate
+    * resolution: among normalization-equal variants keep the one with
+    * the most words — the fullest rendition — not the smallest id):
+    * keeper = argmax(n_words, tie → min doc_id) per canonical group.
+    * Same single uniform-key window shuffle as [[canonical]]; the
+    * policy is just the window's ORDER BY, which is the point — the
+    * keeper rule is pluggable without touching the plan shape. */
+  def keepBest(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("canon"))
+      .orderBy(col("n_words").desc, col("doc_id"))
+    documents
+      .select(col("doc_id"), canonicalKey.as("canon"),
+        graft.functions.TextHashExpressions
+          .wordStats(words(col("text")))
+          .getField("n_words").as("n_words"))
+      .select(col("doc_id"), col("n_words"),
+        count(lit(1)).over(Window.partitionBy(col("canon")))
+          .as("n_variants"),
+        (row_number().over(w) === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical-key dedup — exact dedup's normalization-tolerant twin:
     * group by the canonical key, keep the minimum doc_id. Same scale
     * shape as [[exact]] (one uniform hash shuffle on the key, partial
@@ -1197,6 +1219,21 @@ object Dedup {
          |  (SELECT count(*) AS n_canonical FROM keep) k, st""".stripMargin) {
       (s, dir) => dedupFunnel(Tables(s, dir, "documents"))
     },
+
+    QueryDef.sql("dedup_keep_best", {
+      val w = wordsSql("text")
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+         |      1, 128) AS canon,
+         |    CAST(len($w) AS BIGINT) AS n_words
+         |  FROM documents)
+         |SELECT doc_id, n_words,
+         |  count(*) OVER (PARTITION BY canon) AS n_variants,
+         |  row_number() OVER (PARTITION BY canon
+         |    ORDER BY n_words DESC, doc_id) = 1 AS keep
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (s, dir) => keepBest(Tables(s, dir, "documents")) },
 
     QueryDef.sql("dedup_minhash_sig",
       s"""WITH h AS (SELECT doc_id, $ShSql AS shingle_hashes FROM documents),

@@ -211,6 +211,27 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("keep-best: the longest variant wins its canonical group, one " +
+      "keeper per group, same groups as min-id canonical") {
+    import spark.implicits._
+    // two variants of one canonical text (same 128-char prefix after
+    // normalization; the longer must win), one standalone doc
+    val base = "alpha beta gamma " * 10 // 170 chars: prefix-identical
+    val df = Seq(
+      (1L, base), (2L, base + "delta epsilon zeta"), (3L, "unrelated text"))
+      .toDF("doc_id", "text")
+    val r = Dedup.keepBest(df).collect()
+      .map(x => x.getLong(0) -> (x.getAs[Long]("n_variants"),
+        x.getAs[Boolean]("keep"))).toMap
+    assert(r(1L) == ((2L, false)) && r(2L) == ((2L, true)))
+    assert(r(3L) == ((1L, true)))
+    // fixture: exactly one keeper per group; keeper count == canonical
+    // keeper count (same grouping, different policy)
+    val rows = Dedup.keepBest(docs).collect()
+    assert(rows.count(_.getAs[Boolean]("keep")) ==
+      Dedup.canonicalKeepers(docs).count())
+  }
+
   test("dedup funnel: stage counts match the stage relations, monotone, " +
       "yields exact") {
     val r = Dedup.dedupFunnel(docs).collect()(0)
