@@ -172,6 +172,49 @@ object Ann {
       .limit(k)
   }
 
+  /** FILTERED ANN — the metadata-predicate + approximate-index query
+    * that is a research problem for graph indexes (filtered HNSW) and
+    * a non-problem in the declarative formulation: the metadata
+    * semi-join (size-gated broadcast, [[VectorSearch.filteredTopK]]'s
+    * discipline) and the IVF cell probe are BOTH scan-side filters on
+    * one pass, composing conjunctively — no post-filtering a
+    * too-short result list, no index variant per predicate. The
+    * filtered miss rate is measured by [[filteredIvfRecall]] against
+    * the exact filtered answer (cell pruning can only lose cells, so
+    * the filtered recall question is the same cell question). */
+  def filteredIvfTopK(emb: DataFrame, docs: DataFrame,
+      lang: String = "en", minChars: Long = 200L, k: Int = K): DataFrame = {
+    val cb = codebook(emb)
+    val probeIds = cb
+      .map { case (id, cv) => (l2Scalar(Query, cv), id) }
+      .sorted.take(NProbe).map(_._2)
+    val keep = docs.where(col("lang") === lang && col("n_chars") >= minChars)
+      .select(col("doc_id"))
+    ivfAssign(emb, cb)
+      .join(VectorSearch.broadcastIfSmall(keep),
+        col("vec_id") === col("doc_id"), "left_semi")
+      .where(col("cent_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("label"), col("cent_id"),
+        V.dot(vecLit(QueryNorm), col("v")).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Recall of [[filteredIvfTopK]] against the EXACT filtered top-k —
+    * the filtered path's own miss-rate measurement (an unfiltered
+    * recall would grade the wrong query). */
+  def filteredIvfRecall(emb: DataFrame, docs: DataFrame,
+      lang: String = "en", minChars: Long = 200L, k: Int = K): DataFrame = {
+    val exact = VectorSearch.filteredTopK(emb, docs, lang, minChars, k)
+      .select(col("vec_id"))
+    val approx = filteredIvfTopK(emb, docs, lang, minChars, k)
+      .select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(lit(k).as("k"), col("n_common"),
+        (col("n_common").cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
   /** END-TO-END curated index search — the index-side composition that
     * closes the reference-replacement loop (the curation-side twin is
     * `pl_corpus_pipeline`): gate the corpus on the Gopher repetition
@@ -881,6 +924,71 @@ object Ann {
          |WHERE cent_id IN (SELECT cent_id FROM probe)
          |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
       (s, dir) => ivfTopK(Tables(s, dir, "embeddings"))
+    },
+
+    QueryDef.sql("ann_filtered_ivf",
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, $embD AS c_vec
+         |  FROM embeddings WHERE vec_id IN ($centroidList)),
+         |probe AS (
+         |  SELECT cent_id FROM (
+         |    SELECT cent_id, row_number() OVER (
+         |      ORDER BY ${l2Sql(qRawSql, "c_vec")}, cent_id) AS crn
+         |    FROM cents)
+         |  WHERE crn <= $NProbe),
+         |assigned AS (
+         |  SELECT vec_id, label, v, cent_id FROM (
+         |    SELECT e.vec_id, e.label, $embD AS v, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql(embD, "c_vec")}, c.cent_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1)
+         |SELECT vec_id, label, cent_id,
+         |  ${dotSeqSql(qNormSql, "v", Dim)} AS similarity
+         |FROM assigned
+         |WHERE cent_id IN (SELECT cent_id FROM probe)
+         |  AND vec_id IN (SELECT doc_id FROM documents
+         |    WHERE lang = 'en' AND n_chars >= 200)
+         |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
+      (s, dir) => filteredIvfTopK(Tables(s, dir, "embeddings"),
+        Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("ann_filtered_recall",
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |keep AS (SELECT doc_id FROM documents
+         |  WHERE lang = 'en' AND n_chars >= 200),
+         |exact AS (
+         |  SELECT vec_id FROM embeddings, q
+         |  WHERE vec_id IN (SELECT doc_id FROM keep)
+         |  ORDER BY ${dotSeqSql("q.v", embD, Dim)} DESC, vec_id LIMIT $K),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, $embD AS c_vec
+         |  FROM embeddings WHERE vec_id IN ($centroidList)),
+         |probe AS (
+         |  SELECT cent_id FROM (
+         |    SELECT cent_id, row_number() OVER (
+         |      ORDER BY ${l2Sql(qRawSql, "c_vec")}, cent_id) AS crn
+         |    FROM cents)
+         |  WHERE crn <= $NProbe),
+         |assigned AS (
+         |  SELECT vec_id, v, cent_id FROM (
+         |    SELECT e.vec_id, $embD AS v, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql(embD, "c_vec")}, c.cent_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |approx AS (
+         |  SELECT vec_id FROM assigned, q
+         |  WHERE cent_id IN (SELECT cent_id FROM probe)
+         |    AND vec_id IN (SELECT doc_id FROM keep)
+         |  ORDER BY ${dotSeqSql("q.v", "assigned.v", Dim)} DESC, vec_id
+         |  LIMIT $K)
+         |SELECT $K AS k, count(*) AS n_common,
+         |  CAST(count(*) AS DOUBLE) / ${K}.0E0 AS recall
+         |FROM exact JOIN approx USING (vec_id)""".stripMargin) {
+      (s, dir) => filteredIvfRecall(Tables(s, dir, "embeddings"),
+        Tables(s, dir, "documents"))
     },
 
     QueryDef.sql("ann_curated_search",

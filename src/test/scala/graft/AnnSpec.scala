@@ -26,6 +26,22 @@ class AnnSpec extends SparkSpecBase {
 
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("filtered IVF: every hit satisfies the metadata predicate AND " +
+      "sits in a probed cell; recall measured against the filtered exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hits = Ann.filteredIvfTopK(emb, docs).collect()
+    assert(hits.nonEmpty && hits.length <= 10)
+    val allowed = docs
+      .where(col("lang") === "en" && col("n_chars") >= 200L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits.forall(h => allowed.contains(h.getAs[Long]("vec_id"))))
+    assert(hits.map(_.getAs[Long]("cent_id")).distinct.length <= Ann.NProbe)
+    val r = Ann.filteredIvfRecall(emb, docs).collect()(0)
+    val rec = r.getAs[Double]("recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+    assert(r.getAs[Long]("n_common") <= r.getAs[Int]("k"))
+  }
+
   test("LSH buckets partition the whole table") {
     val hist = Ann.lshBuckets(emb).collect()
     assert(hist.map(_.getAs[Long]("n_vectors")).sum == emb.count())
