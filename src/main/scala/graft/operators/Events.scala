@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
@@ -622,7 +622,14 @@ object Events {
     * histogram ([[Relational.histogramMedian]]'s path) — the exact
     * formulation here is the oracle-checkable baseline. Division is
     * null-guarded (mad = 0 on a constant stream; ANSI throws on /0). */
-  def anomalyOn(events: DataFrame): DataFrame = {
+  /** The per-type (med, mad) relation on its own — the batch-derived
+    * STATE the streaming scorer
+    * ([[graft.streaming.EventStream.scoreAnomalies]]) consumes as a
+    * stream-static broadcast: rank statistics need the corpus, a
+    * one-pass stream cannot derive them — the same batch-owns-state
+    * boundary as the domain-mix quotas. Persisted + count-gated
+    * (type-cardinality). */
+  def anomalyStatsOn(events: DataFrame): DataFrame = {
     val med = events.groupBy("event_type")
       .agg(percentile(col("value"), lit(0.5)).as("med"))
       .persist()
@@ -635,11 +642,20 @@ object Events {
         percentile(col("adev"), lit(0.5)).as("mad"))
       .persist()
     retained.add(stats)
+    stats
+  }
+
+  /** The pure row-scoring predicate over (value, med, mad) — ONE
+    * definition shared by the batch and streaming anomaly faces. */
+  private[graft] def anomalyScore: Column =
+    when(col("mad") > 0.0, (col("value") - col("med")) / col("mad"))
+
+  def anomalyOn(events: DataFrame): DataFrame = {
+    val stats = anomalyStatsOn(events)
     val statsH =
       if (stats.count() <= MaxAnomalyStatsRows) broadcast(stats) else stats
     events.join(statsH, "event_type")
-      .withColumn("score",
-        when(col("mad") > 0.0, (col("value") - col("med")) / col("mad")))
+      .withColumn("score", anomalyScore)
       .where(abs(col("score")) > AnomalyThreshold)
       .select(col("event_id"), col("event_type"), col("value"),
         col("med"), col("mad"), col("score"))

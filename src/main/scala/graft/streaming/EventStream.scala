@@ -154,6 +154,31 @@ object EventStream {
   }
 
   // ------------------------------------------------------------------
+  // Streaming anomaly scoring (batch-derived robust stats)
+  // ------------------------------------------------------------------
+
+  /** Live robust-z anomaly flags over an event stream — the streaming
+    * face of `ev_anomaly`: the per-type (median, MAD) relation is
+    * BATCH-derived (`operators.Events.anomalyStatsOn` — rank
+    * statistics need the corpus; a one-pass stream cannot compute a
+    * median, the same batch-owns-state boundary as the domain-mix
+    * quotas) and joins stream-static; scoring is the batch face's OWN
+    * predicate (`Events.anomalyScore`), so the two can never drift.
+    * STATELESS: no watermark, no state store — each event scores on
+    * arrival, which is exactly what a monitoring alert wants. */
+  def scoreAnomalies(events: DataFrame, stats: DataFrame,
+      threshold: Double = graft.operators.Events.AnomalyThreshold): DataFrame = {
+    val statsH =
+      if (stats.count() <= graft.operators.Events.MaxAnomalyStatsRows)
+        broadcast(stats) else stats
+    events.join(statsH, "event_type")
+      .withColumn("score", graft.operators.Events.anomalyScore)
+      .where(abs(col("score")) > threshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), col("score"))
+  }
+
+  // ------------------------------------------------------------------
   // Stateful transition extraction (streaming face of ev_transition_matrix)
   // ------------------------------------------------------------------
 

@@ -261,6 +261,33 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming anomaly scoring replay == batch ev_anomaly flags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stats = Events.anomalyStatsOn(Events.load(spark, sf))
+    val input = MemoryStream[Event]
+    val q = EventStream.scoreAnomalies(input.toDF(), stats)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode("append").start()
+    try {
+      input.addData(fixtureEvents)
+      q.processAllAvailable()
+      val all = spark.table("anomalies")
+        .select("event_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val want = Events.anomaly(spark, sf)
+        .select("event_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      // the stream emits EVERY flag; the batch report is its top-50
+      // worst — the stream's top-50 must be exactly that set
+      val top50 = all.sortBy { case (id, s) => (-math.abs(s), id) }
+        .take(50).toSet
+      assert(top50 == want)
+      assert(want.subsetOf(all.toSet))
+      assert(all.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming transitions replay == batch transitionsOn (RocksDB)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -182,6 +182,26 @@ class PlanSpec extends SparkSpecBase {
     assert(hashEx <= 2, s"windows must share the user_id exchange:\n${plan(df)}")
   }
 
+  test("maxsim: all query cosines scan-side, per-doc maxima partial " +
+      "aggregate, top-k is TakeOrderedAndProject") {
+    val df = VectorSearch.maxSimSearch(emb)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // ONE label shuffle (the partial+final max aggregate) and no joins
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("filtered IVF: metadata side broadcast semi-join, probe stays a " +
+      "filter, vector side never hash-shuffled") {
+    val df = Ann.filteredIvfTopK(emb,
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!"Exchange hashpartitioning\\(vec_id".r.findAllIn(p).hasNext, p)
+  }
+
   test("transition matrix: one user_id shuffle, partial agg before the " +
       "tiny normalization window") {
     val df = Events.transitionMatrix(spark, sf)
