@@ -83,6 +83,59 @@ object ManifestStore {
   private val Tombstone = "tombstone"
   private val SegsPrefix = "segs:"
 
+  /** Copy-on-write MERGE (the lakehouse `MERGE INTO` analogue): apply
+    * a change batch to a collection as ONE atomic pointer commit —
+    * rows in `changes` REPLACE live rows with an equal `key` (upsert),
+    * unmatched change rows insert, and change rows flagged true in
+    * `deletedCol` (when the column is present) remove their key. The
+    * rewrite is (live ⟕̸ change-keys) ∪ upserts, written as a fresh
+    * segment replacing exactly the input segments; concurrent
+    * APPENDS ride along untouched (their keys were not visible to
+    * this merge — the same read-snapshot semantics as Delta's
+    * serializable-on-conflict-keys model, with the conflict surface
+    * being the pointer race: a lost race against another REWRITE
+    * abandons, orphans age out under [[vacuum]]). Readers never see a
+    * half-merged state (pointer atomicity), in-flight readers keep
+    * their snapshot, and [[readAsOfInferred]] still serves the
+    * pre-merge version — a merge is one more pointer in the history,
+    * not an overwrite. */
+  def mergeCollection(spark: SparkSession, tablePath: String, c: String,
+      changes: DataFrame, key: String = "doc_id",
+      deletedCol: String = "_deleted"): Unit = {
+    val fs = fsOf(spark, tablePath)
+    val r = resolve(fs, tablePath, c)
+    val hasDel = changes.columns.contains(deletedCol)
+    val upserts =
+      (if (hasDel) changes.where(!col(deletedCol)).drop(deletedCol)
+       else changes)
+    if (r.liveSegs.isEmpty) {
+      // absent or tombstoned collection: the merge is pure insert
+      if (!upserts.isEmpty) store(upserts, tablePath, c)
+      return
+    }
+    val live = r.liveSegs.toSeq.flatten
+    val rows = readSegsInferred(spark, tablePath, c, live, live)
+      .drop("collection")
+    require(rows.columns.contains(key),
+      s"merge key '$key' not in collection '$c' " +
+        s"(has: ${rows.columns.mkString(", ")})")
+    val touched = changes.select(col(key)).distinct()
+    val merged = rows.join(touched, Seq(key), "left_anti")
+      .unionByName(upserts.select(rows.columns.map(col): _*))
+    val inputSegs = live.toSet
+    val seg = claimSeg(fs, tablePath, c, r.nextSeg)
+    writeSegment(merged, fs, tablePath, c, seg)
+    commitWithRetry(fs, tablePath, c, r) { rr =>
+      rr.liveSegs match {
+        case Some(nowLive) if inputSegs.subsetOf(nowLive.toSet) &&
+            !nowLive.contains(seg) =>
+          Some(segsContent(seg +: nowLive.filterNot(inputSegs.contains)))
+        case _ => None
+      }
+    }
+    releaseClaim(fs, tablePath, c, seg)
+  }
+
   /** Bound on claim bumps and commit retries under writer contention:
     * each failed attempt means some OTHER writer made progress (its
     * claim or pointer landed), so hitting the bound requires this many

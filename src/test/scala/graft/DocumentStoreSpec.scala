@@ -19,6 +19,38 @@ class DocumentStoreSpec extends SparkSpecBase {
       |  {"text":"c2","embedding":{"vector":[0.0,1.0]},"metadata":{"source":"cs2","name":"cn2"},"semantic_score":0.9}]}
       |]}""".stripMargin.replaceAll("\n", "")
 
+  test("merge: upserts replace by key, inserts append, deletes remove — " +
+      "one atomic commit; time travel still serves the pre-merge state") {
+    import spark.implicits._
+    val table = tmp() + "/table"
+    ManifestStore.store(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "txt"),
+      table, "m")
+    val before = ManifestStore.currentPtrSeq(spark, table, "m")
+    val changes = Seq(
+      (2L, "B", false),  // upsert: replaces key 2
+      (4L, "d", false),  // insert: new key
+      (3L, "", true))    // delete: removes key 3
+      .toDF("doc_id", "txt", "_deleted")
+    ManifestStore.mergeCollection(spark, table, "m", changes)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "txt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // merged state
+    val now = ManifestStore.currentPtrSeq(spark, table, "m")
+    assert(now == before + 1) // ONE commit for the whole batch
+    assert(snap(ManifestStore.readSinceInferred(spark, table, "m", 0L)) ==
+      Set((1L, "a"), (2L, "B"), (4L, "d")))
+    // the pre-merge snapshot is still addressable
+    assert(snap(ManifestStore.readAsOfInferred(spark, table, "m", before)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // merging into an absent collection is pure insert
+    ManifestStore.mergeCollection(spark, table, "fresh",
+      Seq((9L, "z", false)).toDF("doc_id", "txt", "_deleted"))
+    assert(snap(ManifestStore.readSinceInferred(spark, table, "fresh", 0L)) ==
+      Set((9L, "z")))
+  }
+
   test("z-order compaction: BOTH axes prune segments afterwards, data " +
       "survives bit-for-bit, racing-append protocol unchanged") {
     import spark.implicits._
