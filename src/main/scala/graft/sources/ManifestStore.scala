@@ -523,6 +523,35 @@ object ManifestStore {
     readSegsInferred(spark, tablePath, c, live.filterNot(base), live)
   }
 
+  /** SNAPSHOT DIFF between two retained versions — the audit query the
+    * version log exists to answer ("what did that merge/compaction
+    * actually change?"): keys present only at `fromSeq` are `deleted`,
+    * only at `toSeq` `inserted`, present in both with any differing
+    * non-key column `updated`; unchanged keys are omitted. Pure
+    * full-outer join of the two snapshot reads (each zone-map-backed
+    * and segment-pruned like any read); comparison is null-safe via
+    * the eqNullSafe conjunction over the shared non-key columns. */
+  def diffVersions(spark: SparkSession, tablePath: String, c: String,
+      fromSeq: Long, toSeq: Long, key: String = "doc_id"): DataFrame = {
+    val a = readAsOfInferred(spark, tablePath, c, fromSeq).drop("collection")
+    val b = readAsOfInferred(spark, tablePath, c, toSeq).drop("collection")
+    val cols = a.columns.toSeq.intersect(b.columns.toSeq).filterNot(_ == key)
+    val af = a.select(col(key) +: cols.map(n => col(n).as(s"a_$n")): _*)
+      .withColumn("in_a", lit(true))
+    val bf = b.select(col(key) +: cols.map(n => col(n).as(s"b_$n")): _*)
+      .withColumn("in_b", lit(true))
+    val same = cols.map(n => col(s"a_$n") <=> col(s"b_$n"))
+      .foldLeft(lit(true))(_ && _)
+    af.join(bf, Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("in_a").isNull, lit("inserted"))
+          .when(col("in_b").isNull, lit("deleted"))
+          .when(!same, lit("updated")))
+      .where(col("change_type").isNotNull)
+      .select(col(key), col("change_type"))
+      .orderBy(key)
+  }
+
   /** The live pointer sequence of a collection (0 = no valid commit) —
     * what a reproducible pipeline records next to its outputs so
     * [[readAsOf]]/[[readSince]] can anchor to today's state. */

@@ -49,6 +49,11 @@ class DocumentStoreSpec extends SparkSpecBase {
       Seq((9L, "z", false)).toDF("doc_id", "txt", "_deleted"))
     assert(snap(ManifestStore.readSinceInferred(spark, table, "fresh", 0L)) ==
       Set((9L, "z")))
+    // the version log answers "what changed": snapshot diff across the
+    // merge commit classifies every key
+    val diff = ManifestStore.diffVersions(spark, table, "m", before, now)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff == Set((2L, "updated"), (3L, "deleted"), (4L, "inserted")))
   }
 
   test("z-order compaction: BOTH axes prune segments afterwards, data " +
