@@ -458,6 +458,41 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Winnowing window for [[winnow]] — guarantees any shared substring
+    * of ≥ (window + shingle − 1) words produces a shared fingerprint. */
+  val WinnowWindow = 4
+
+  /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): per document, the fingerprint
+    * set is the distinct minima of every `w`-window over the
+    * positional shingle-hash sequence. The guarantee that makes it the
+    * standard local fingerprinting scheme: any match of at least
+    * w + shingle − 1 consecutive words between two documents shares at
+    * least one selected fingerprint — so an index over ~2/(w+1) of the
+    * shingles still catches every sufficiently long overlap, which
+    * uniform sampling cannot promise. This audit reports the selection
+    * itself (counts + realized density vs the 2/(w+1) expectation);
+    * the selected hashes would feed the same inverted-index pair
+    * machinery as [[graft.operators.Dedup.ngramJaccardPairs]] at 1/3
+    * the postings. Pure scan-side array arithmetic — zero shuffles
+    * before the final sort. */
+  def winnow(documents: DataFrame, w: Int = WinnowWindow): DataFrame = {
+    val sh = graft.functions.TextHashExpressions
+      .shingleHashes(words(col("text")), 3)
+    documents
+      .select(col("doc_id"), sh.as("sh"))
+      .where(size(col("sh")) >= w)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        (size(col("sh")) - w + 1).cast("long").as("n_windows"),
+        size(array_distinct(transform(
+          sequence(lit(0), size(col("sh")) - w),
+          i => array_min(slice(col("sh"), i + 1, lit(w))))))
+          .cast("long").as("n_selected"))
+      .withColumn("density",
+        col("n_selected").cast("double") / col("n_windows").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-LM FLUENCY proxy (the CCNet/KenLM quality-filter role in
     * engine-portable arithmetic): score each document by the mean
     * corpus DOCUMENT-FREQUENCY of its word bigrams — text whose word
@@ -776,6 +811,24 @@ object TextAnalysis {
          |  CAST(len($sh) AS BIGINT) AS n_shingles
          |FROM documents ORDER BY doc_id""".stripMargin
     }) { (s, dir) => fingerprint(Tables(s, dir, "documents")) },
+
+    QueryDef.sql("text_winnow", {
+      val sh = polyHashAllSql(shinglesSql(W, 3))
+      val w = WinnowWindow
+      s"""WITH t AS (SELECT doc_id, $sh AS sh FROM documents),
+         |t2 AS (SELECT * FROM t WHERE len(sh) >= $w)
+         |SELECT doc_id,
+         |  CAST(len(sh) AS BIGINT) AS n_shingles,
+         |  CAST(len(sh) - $w + 1 AS BIGINT) AS n_windows,
+         |  CAST(len(list_distinct(list_transform(
+         |    range(0, len(sh) - $w + 1),
+         |    i -> list_min(sh[(i+1):(i+$w)])))) AS BIGINT) AS n_selected,
+         |  CAST(len(list_distinct(list_transform(
+         |    range(0, len(sh) - $w + 1),
+         |    i -> list_min(sh[(i+1):(i+$w)])))) AS DOUBLE) /
+         |    CAST(len(sh) - $w + 1 AS DOUBLE) AS density
+         |FROM t2 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) => winnow(Tables(s, dir, "documents")) },
 
     QueryDef.sql("text_bigram_fluency", {
       val bgSql = polyHashAllSql(shinglesSql(W, 2))

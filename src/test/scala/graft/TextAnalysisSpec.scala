@@ -189,6 +189,30 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(est(big.repartition(17)) == e)
   }
 
+  test("winnowing: selection bounded by windows, realized density near " +
+      "the 2/(w+1) theory, identical docs select identically") {
+    val rows = TextAnalysis.winnow(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, ns) = (r.getAs[Long]("n_windows"), r.getAs[Long]("n_selected"))
+      assert(ns >= 1 && ns <= nw)
+      assert(r.getAs[Double]("density") == ns.toDouble / nw.toDouble)
+    }
+    // E[density] = 2/(w+1) = 0.4 for w=4 on random-ish hashes; the
+    // corpus average should sit near it (loose band: selection is
+    // per-doc and docs are short)
+    val avg = rows.map(_.getAs[Double]("density")).sum / rows.length
+    assert(avg > 0.25 && avg < 0.6, s"avg density $avg")
+    // identical texts -> identical selection
+    import spark.implicits._
+    val twin = Seq((1L, "one two three four five six seven eight nine"),
+      (2L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val t = TextAnalysis.winnow(twin).collect()
+      .map(r => (r.getAs[Long]("n_windows"), r.getAs[Long]("n_selected")))
+    assert(t.length == 2 && t(0) == t(1))
+  }
+
   test("bigram fluency: repeated prose outranks unique gibberish; " +
       "counts exact; single-word docs carry no row") {
     import spark.implicits._

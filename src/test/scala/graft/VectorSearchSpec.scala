@@ -83,6 +83,14 @@ class VectorSearchSpec extends SparkSpecBase {
 
   private def emb0 = emb
 
+  test("mmr at lambda=1 degenerates to pure relevance ranking") {
+    val viaMmr = VectorSearch.mmrRerank(emb, lam = 1.0).collect()
+      .map(_.getAs[Long]("vec_id")).toSeq
+    val viaRel = VectorSearch.topKCosine(emb, 5).collect()
+      .map(_.getAs[Long]("vec_id")).toSeq
+    assert(viaMmr == viaRel)
+  }
+
   test("maxsim: score decomposes into independent per-query maxima; " +
       "dominates any single query's retrieval score") {
     import graft.functions.VectorFunctions.vecLit
