@@ -151,6 +151,34 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** DAU / WAU / stickiness — the canonical engagement report: per
+    * UTC day, distinct active users, the trailing-7-day distinct
+    * actives, and DAU/WAU. The event-scale work is ONE distinct over
+    * (day, user) — everything after runs on that collapsed relation:
+    * the trailing window is an interval join of the (bounded,
+    * calendar-sized — the hours×types-grid precedent) day grid
+    * against user-days, so no event row is ever touched twice and no
+    * distinct runs over a RANGE frame (which Spark can't do exactly).
+    * Integer day arithmetic (epoch-µs div), exact distinct counts,
+    * rational stickiness — bit-reproducible. */
+  def dauWau(s: SparkSession, dir: String): DataFrame = {
+    val ud = load(s, dir)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val days = ud.select("day").distinct()
+    val wau = days.as("d")
+      .join(ud.as("u"),
+        col("u.day") >= col("d.day") - 6 && col("u.day") <= col("d.day"))
+      .groupBy(col("d.day").as("day"))
+      .agg(count_distinct(col("u.user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
   /** [[transitionMatrix]] with SESSION-BOUNDED edges: a transition is
     * counted only when both events fall in the same gap-based session
     * (the analytics-correct formulation — a path across a 30-minute
@@ -985,6 +1013,22 @@ object Events {
         |    CAST(CAST(SUM(n_trans) OVER (PARTITION BY from_type)
         |      AS BIGINT) AS DOUBLE) AS p
         |FROM t ORDER BY from_type, to_type""".stripMargin)(transitionMatrix),
+
+    QueryDef.sql("ev_dau_wau",
+      """WITH ud AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |wau AS (
+        |  SELECT d.day, count(DISTINCT u.user_id) AS wau
+        |  FROM days d JOIN ud u
+        |    ON u.day >= d.day - 6 AND u.day <= d.day
+        |  GROUP BY d.day)
+        |SELECT day, dau, wau,
+        |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin)((s, dir) => dauWau(s, dir)),
 
     QueryDef.sql("ev_session_transitions",
       """WITH flagged AS (

@@ -185,6 +185,23 @@ class EventsSpec extends SparkSpecBase {
     assert(m.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("dau/wau: wau bounds dau, stickiness in (0,1], trailing window " +
+      "equals an independent check on one day") {
+    val rows = Events.dauWau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"))
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0)
+    }
+    // independent check of one day's trailing-7 distinct
+    val d = rows.last.getAs[Long]("day")
+    val want = Events.load(spark, sf)
+      .where(expr("ts_us div 86400000000").between(d - 6, d))
+      .select("user_id").distinct().count()
+    assert(rows.last.getAs[Long]("wau") == want)
+  }
+
   test("session transitions: mass equals per-session path steps, a " +
       "strict subset of the unbounded matrix") {
     val m = Events.sessionTransitionMatrix(spark, sf).collect()
