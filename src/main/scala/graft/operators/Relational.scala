@@ -418,6 +418,38 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** PARETO concentration audit — the revenue-skew report behind every
+    * "whales" analysis AND the join-skew early warning (a key set
+    * whose top decile owns most of the mass is the key set that needs
+    * salting): per-customer revenue (decimal-exact), the p90 revenue
+    * threshold, and the share of total revenue held by customers at
+    * or above it. All money stays DECIMAL until the final double cast
+    * (distributed double sums are order-dependent — banned); the only
+    * float op on the aggregation path is the percentile threshold,
+    * the engine-matched `percentile`/`quantile_cont` pair. The 1-row
+    * stats relation broadcasts back over the per-customer relation —
+    * nothing wider than customer-cardinality ever shuffles. */
+  def pareto(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
+      .withColumn("rev", col("rev_dec").cast("double"))
+    val stats = rev.agg(percentile(col("rev"), lit(0.9)).as("t"),
+      count(lit(1)).as("n_customers"),
+      sum(col("rev_dec")).as("total_dec"))
+    rev.crossJoin(broadcast(stats))
+      .where(col("rev") >= col("t"))
+      .agg(first(col("n_customers")).as("n_customers"),
+        count(lit(1)).as("n_top"),
+        first(col("total_dec")).as("total_dec"),
+        sum(col("rev_dec")).as("top_dec"))
+      .select(col("n_customers"), col("n_top"),
+        col("total_dec").cast("double").as("revenue_total"),
+        col("top_dec").cast("double").as("revenue_top"),
+        (col("top_dec").cast("double") / col("total_dec").cast("double"))
+          .as("top_share"))
+  }
+
   /** One-pass approximate median via a fixed-grid mergeable histogram,
     * next to the exact percentile it approximates. The exact version
     * ([[percentiles]]) buffers and sorts every group member — at 100 TB
@@ -939,6 +971,23 @@ object Relational {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)(percentiles),
+
+    QueryDef.sql("rel_pareto",
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1),
+        |r2 AS (SELECT o_custkey, rev_dec,
+        |  CAST(rev_dec AS DOUBLE) AS rev FROM rev),
+        |st AS (SELECT quantile_cont(rev, 0.9) AS t,
+        |  count(*) AS n_customers, SUM(rev_dec) AS total_dec FROM r2)
+        |SELECT st.n_customers, count(*) AS n_top,
+        |  CAST(st.total_dec AS DOUBLE) AS revenue_total,
+        |  CAST(SUM(r2.rev_dec) AS DOUBLE) AS revenue_top,
+        |  CAST(SUM(r2.rev_dec) AS DOUBLE) /
+        |    CAST(st.total_dec AS DOUBLE) AS top_share
+        |FROM r2, st WHERE r2.rev >= st.t
+        |GROUP BY st.n_customers, st.total_dec""".stripMargin)(pareto),
 
     QueryDef.sql("rel_null_ordering",
       // engines DISAGREE on default null placement (Spark: NULLS FIRST

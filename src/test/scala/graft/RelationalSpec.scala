@@ -8,6 +8,20 @@ import graft.operators.Relational
   * hash-match against DuckDB alone wouldn't localize on failure. */
 class RelationalSpec extends SparkSpecBase {
 
+  test("pareto: top decile is ~10% of customers holding a super-" +
+      "proportional revenue share, totals exact") {
+    val r = Relational.pareto(spark, sf).collect()(0)
+    val nc = r.getAs[Long]("n_customers")
+    val nt = r.getAs[Long]("n_top")
+    val share = r.getAs[Double]("top_share")
+    // the p90 cut admits ~10% (ties can widen it slightly)
+    assert(nt >= nc / 20 && nt <= nc / 5, s"n_top $nt of $nc")
+    // the top decile's share strictly exceeds its population share
+    assert(share > nt.toDouble / nc.toDouble)
+    assert(share < 1.0 && r.getAs[Double]("revenue_top") <=
+      r.getAs[Double]("revenue_total"))
+  }
+
   test("pricing summary groups are complete and sums exact") {
     val rows = Relational.pricingSummary(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 9) // <=3 flags x <=3 statuses
