@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Observation, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, shiftright, spark_partition_id, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, shiftright, spark_partition_id, when}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Object-store-safe document store: immutable SEGMENT directories
@@ -87,53 +87,207 @@ object ManifestStore {
     * a change batch to a collection as ONE atomic pointer commit —
     * rows in `changes` REPLACE live rows with an equal `key` (upsert),
     * unmatched change rows insert, and change rows flagged true in
-    * `deletedCol` (when the column is present) remove their key. The
-    * rewrite is (live ⟕̸ change-keys) ∪ upserts, written as a fresh
-    * segment replacing exactly the input segments; concurrent
-    * APPENDS ride along untouched (their keys were not visible to
-    * this merge — the same read-snapshot semantics as Delta's
-    * serializable-on-conflict-keys model, with the conflict surface
-    * being the pointer race: a lost race against another REWRITE
-    * abandons, orphans age out under [[vacuum]]). Readers never see a
-    * half-merged state (pointer atomicity), in-flight readers keep
-    * their snapshot, and [[readAsOfInferred]] still serves the
-    * pre-merge version — a merge is one more pointer in the history,
-    * not an overwrite. */
+    * `deletedCol` (when the column is present) remove their key; a
+    * NULL flag is an upsert (a null must never silently delete). The
+    * rewrite is ZONE-MAP PRUNED to the segments whose recorded key
+    * range intersects the change batch's [min,max] key bounds (the
+    * Delta MERGE file-pruning model): every other live segment is
+    * carried forward UNTOUCHED in the pointer commit, so merge cost
+    * scales with the touched key range, not the collection — a 1-key
+    * upsert of a 100 TB collection rewrites one segment, not 100 TB.
+    * Pruning needs the merge key in the table's zone-map column set
+    * ([[setZoneMapColumns]]) with matching stat kind; otherwise the
+    * merge falls back to the full rewrite, loudly (stderr warning).
+    * The bound-based prune is sound because every change key lies
+    * inside the batch bounds, so a non-intersecting segment cannot
+    * hold any touched key; segments lacking stats rewrite
+    * conservatively.
+    *
+    * The rewritten rows are re-CLUSTERED by the merge key into as many
+    * segments as were rewritten ([[writeClusteredSegments]] — fresh
+    * tight sidecars per output segment), so repeated merges do not
+    * collapse the collection into one unprunable segment; layout
+    * quality on OTHER z-order axes still degrades across the rewritten
+    * subset until the next [[zorderCompact]].
+    *
+    * Concurrency: concurrent APPENDS ride along untouched (their keys
+    * were not visible to this merge — Delta's read-snapshot
+    * semantics); a pointer race lost to another REWRITE of the input
+    * segments RETRIES the whole merge against the new snapshot
+    * (bounded attempts — silently dropping the batch would be data
+    * loss), abandoning the orphaned output. Returns true when the
+    * batch landed (including as a no-op: deletes of absent keys
+    * publish nothing); throws after [[MaxCommitAttempts]] lost
+    * rewrite races. Readers never see a half-merged state (pointer
+    * atomicity), in-flight readers keep their snapshot, and
+    * [[readAsOfInferred]] still serves the pre-merge version — a merge
+    * is one more pointer in the history, not an overwrite. */
   def mergeCollection(spark: SparkSession, tablePath: String, c: String,
       changes: DataFrame, key: String = "doc_id",
-      deletedCol: String = "_deleted"): Unit = {
+      deletedCol: String = "_deleted"): Boolean = {
     val fs = fsOf(spark, tablePath)
-    val r = resolve(fs, tablePath, c)
     val hasDel = changes.columns.contains(deletedCol)
     val upserts =
-      (if (hasDel) changes.where(!col(deletedCol)).drop(deletedCol)
+      (if (hasDel)
+        changes.where(!coalesce(col(deletedCol), lit(false)))
+          .drop(deletedCol)
        else changes)
-    if (r.liveSegs.isEmpty) {
-      // absent or tombstoned collection: the merge is pure insert
-      if (!upserts.isEmpty) store(upserts, tablePath, c)
-      return
-    }
-    val live = r.liveSegs.toSeq.flatten
-    val rows = readSegsInferred(spark, tablePath, c, live, live)
-      .drop("collection")
-    require(rows.columns.contains(key),
-      s"merge key '$key' not in collection '$c' " +
-        s"(has: ${rows.columns.mkString(", ")})")
     val touched = changes.select(col(key)).distinct()
-    val merged = rows.join(touched, Seq(key), "left_anti")
-      .unionByName(upserts.select(rows.columns.map(col): _*))
-    val inputSegs = live.toSet
-    val seg = claimSeg(fs, tablePath, c, r.nextSeg)
-    writeSegment(merged, fs, tablePath, c, seg)
-    commitWithRetry(fs, tablePath, c, r) { rr =>
-      rr.liveSegs match {
-        case Some(nowLive) if inputSegs.subsetOf(nowLive.toSet) &&
-            !nowLive.contains(seg) =>
-          Some(segsContent(seg +: nowLive.filterNot(inputSegs.contains)))
-        case _ => None
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val r = resolve(fs, tablePath, c)
+      if (r.liveSegs.isEmpty) {
+        // absent or tombstoned collection: the merge is pure insert
+        if (!upserts.isEmpty) store(upserts, tablePath, c)
+        return true
       }
+      val live = r.liveSegs.toSeq.flatten
+      // inferred schema of the FULL live set (footer metadata only —
+      // no data scan): the rewrite must preserve every column, and
+      // upserts project into it
+      val all = readSegsInferred(spark, tablePath, c, live, live)
+        .drop("collection")
+      require(all.columns.contains(key),
+        s"merge key '$key' not in collection '$c' " +
+          s"(has: ${all.columns.mkString(", ")})")
+      val keyKind = zmKindOf(all.schema(key).dataType)
+      val prunable = zoneMapColumnsOf(fs, tablePath).contains(key) &&
+        changes.columns.contains(key) &&
+        zmKindOf(changes.schema(key).dataType) == keyKind
+      val rewriteSegs: Seq[Long] =
+        if (!prunable) {
+          System.err.println(
+            s"graft.ManifestStore: merge on '$c' key '$key' is not " +
+              "zone-map-prunable (key unmapped, or stat kind differs " +
+              "between changes and collection) - falling back to a " +
+              "FULL collection rewrite; setZoneMapColumns to fix")
+          live
+        } else {
+          val kCol =
+            if (keyKind == 'l') col(key).cast("long")
+            else col(key).cast("string")
+          val b = touched
+            .agg(min(kCol).as("lo"), max(kCol).as("hi"),
+              count(kCol).as("n")).head
+          // a SMALL batch refines the prune from batch bounds to the
+          // exact key set (sorted, binary-searched per segment): two
+          // keys at opposite ends of the keyspace then rewrite two
+          // segments, not everything between them. Large batches keep
+          // the bounds test — the set's cost would grow with the batch.
+          val keySet: Option[Array[Any]] =
+            if (b.isNullAt(0) || b.getLong(2) > MergeKeySetCap) None
+            else Some {
+              val ks = touched.select(kCol.as("k"))
+                .where(col("k").isNotNull).distinct().collect()
+              if (keyKind == 'l') ks.map(_.getLong(0)).sorted
+                .map(_.asInstanceOf[Any])
+              else ks.map(_.getString(0))
+                .sortWith(utf8Cmp(_, _) < 0).map(_.asInstanceOf[Any])
+            }
+          // any touched key inside [sLo,sHi]? (sorted-array search)
+          def setHits(sLo: String, sHi: String): Boolean = keySet match {
+            case Some(ks) if keyKind == 'l' =>
+              (sLo.toLongOption, sHi.toLongOption) match {
+                case (Some(l), Some(h)) =>
+                  val i = lowerBound(ks, l, (a: Any, b0: Any) =>
+                    a.asInstanceOf[Long] < b0.asInstanceOf[Long])
+                  i < ks.length && ks(i).asInstanceOf[Long] <= h
+                case _ => true
+              }
+            case Some(ks) =>
+              val i = lowerBound(ks, sLo, (a: Any, b0: Any) =>
+                utf8Cmp(a.asInstanceOf[String], b0.asInstanceOf[String]) < 0)
+              i < ks.length &&
+                utf8Cmp(ks(i).asInstanceOf[String], sHi) <= 0
+            case None => true
+          }
+          if (b.isNullAt(0)) Seq.empty // only NULL keys: match nothing
+          else live.filter { seg =>
+            readSegStats(fs, tablePath, c, seg).get(key) match {
+              case Some((k, sLo, sHi)) if k == keyKind && keyKind == 'l' =>
+                (sLo.toLongOption, sHi.toLongOption) match {
+                  case (Some(l), Some(h)) =>
+                    !(h < b.getLong(0) || l > b.getLong(1)) &&
+                      setHits(sLo, sHi)
+                  case _ => true
+                }
+              case Some((k, sLo, sHi)) if k == keyKind =>
+                !(utf8Cmp(sHi, b.getString(0)) < 0 ||
+                  utf8Cmp(sLo, b.getString(1)) > 0) && setHits(sLo, sHi)
+              case _ => true // no stats / wrong kind: rewrite
+            }
+          }
+        }
+      val merged =
+        if (rewriteSegs.isEmpty)
+          // no live segment can hold a touched key: pure insert (and
+          // deletes of absent keys are no-ops)
+          upserts.select(all.columns.map(col): _*)
+        else
+          readSegsInferred(spark, tablePath, c, rewriteSegs, rewriteSegs)
+            .drop("collection")
+            .join(touched, Seq(key), "left_anti")
+            .unionByName(upserts.select(all.columns.map(col): _*))
+      if (rewriteSegs.isEmpty && merged.isEmpty) return true // no-op
+      val ord = if (keyKind == 'l') col(key) else col(key).cast("string")
+      val laid = merged
+        .repartitionByRange(math.max(rewriteSegs.size, 1), ord)
+        .sortWithinPartitions(ord)
+        .withColumn("__part", spark_partition_id())
+        .persist()
+      try {
+        val newSegs =
+          writeClusteredSegments(laid, fs, tablePath, c, r.nextSeg)
+        val inputSet = rewriteSegs.toSet
+        val landed = commitWithRetry(fs, tablePath, c, r) { rr =>
+          rr.liveSegs match {
+            case Some(nowLive) if inputSet.subsetOf(nowLive.toSet) &&
+                !newSegs.exists(nowLive.contains) =>
+              val out = newSegs ++ nowLive.filterNot(inputSet.contains)
+              // a merge that deleted the last row leaves a defined
+              // empty collection (an empty segment list is not a
+              // valid pointer body)
+              Some(if (out.isEmpty) Tombstone else segsContent(out))
+            case _ => None
+          }
+        }
+        if (landed) {
+          newSegs.foreach(releaseClaim(fs, tablePath, c, _))
+          return true
+        }
+        // lost to a concurrent REWRITE of our inputs (compaction or
+        // another merge): the snapshot we merged against is gone —
+        // drop the orphaned output and re-derive against the new one
+        newSegs.foreach { s =>
+          try {
+            fs.delete(segDir(tablePath, c, s), true)
+            fs.delete(statsPath(tablePath, c, s), false)
+          } catch { case _: java.io.IOException => () /* vacuum */ }
+          releaseClaim(fs, tablePath, c, s)
+        }
+      } finally laid.unpersist()
     }
-    releaseClaim(fs, tablePath, c, seg)
+    throw new IllegalStateException(
+      s"merge into '$c' lost $MaxCommitAttempts rewrite races " +
+        "(concurrent compaction/merge storm?)")
+  }
+
+  /** [[mergeCollection]]'s exact-key prune refinement collects the
+    * distinct touched keys to the driver; past this many, pruning
+    * falls back to the batch's [min,max] bounds only (the set's
+    * driver cost would otherwise grow with the batch). */
+  private val MergeKeySetCap = 8192L
+
+  /** First index `i` in sorted `xs` with `!(xs(i) < x)`. */
+  private def lowerBound(xs: Array[Any], x: Any,
+      lt: (Any, Any) => Boolean): Int = {
+    var lo = 0; var hi = xs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (lt(xs(mid), x)) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   /** Bound on claim bumps and commit retries under writer contention:
@@ -190,7 +344,8 @@ object ManifestStore {
   private[sources] final case class Resolved(
       liveSegs: Option[Seq[Long]], nextPtrSeq: Long, nextSeg: Long,
       decidedSeq: Long, seenTags: Set[String],
-      taggedSeqs: Set[Long] = Set.empty, minRetainedSeq: Long = 0L)
+      taggedSeqs: Set[Long] = Set.empty, minRetainedSeq: Long = 0L,
+      maxCommittedSeg: Long = 0L)
 
   /** Full small-file read, DISTINGUISHING transient failure from
     * content: Left = the store could not serve the object (IO error —
@@ -304,7 +459,7 @@ object ManifestStore {
       math.max(maxSeg, maxClaim) + 1,
       decided.map(_._1).getOrElse(0L), bodies.flatMap(_._2).toSet,
       parsed.collect { case (seq, _, Some((_, Some(_)))) => seq }.toSet,
-      valid.minOption.getOrElse(0L))
+      valid.minOption.getOrElse(0L), maxSeg)
   }
 
   /** Publish one commit: create-once, no overwrite — the atomicity
@@ -340,7 +495,20 @@ object ManifestStore {
     * An existing claim (concurrent or crashed writer) bumps to the
     * next number — segment numbering may skip, which is fine because
     * pointers name their segments explicitly. Claims are retired
-    * best-effort after commit and swept by [[vacuum]]. */
+    * best-effort after commit and swept by [[vacuum]].
+    *
+    * STALE-`from` GUARD: `from` comes from a [[resolve]] that may
+    * predate another writer's claim→write→commit→release of the very
+    * number we are about to take — once its claim file is deleted, the
+    * number's retirement is recorded ONLY in the pointer log, and
+    * re-claiming it would let this writer OVERWRITE a committed
+    * segment (then orphan or destroy it on its own commit/abandon).
+    * So a successful claim-create is verified against a FRESH resolve:
+    * every commit publishes its pointer BEFORE releasing its claim, so
+    * any committed `n` is guaranteed visible to a resolve that runs
+    * after our create succeeded (the create could only succeed after
+    * the release, which followed the publish). A claim at or below the
+    * committed max is released and re-targeted past it. */
   private def claimSeg(fs: FileSystem, tablePath: String, c: String,
       from: Long): Long = {
     val dir = manifestDir(tablePath, c)
@@ -354,10 +522,18 @@ object ManifestStore {
           try out.write('c'.toInt) finally out.close()
           true
         } catch { case _: java.io.IOException => false }
-      if (created) return n
-      // taken (or transient error — bumping past is safe either way:
-      // skipped numbers are never resurrected, see [[vacuum]])
-      n += 1
+      if (created) {
+        val committedMax = resolve(fs, tablePath, c).maxCommittedSeg
+        if (n > committedMax) return n
+        // the number was committed (and its claim released) between
+        // the caller's resolve and ours: give it back, jump past
+        releaseClaim(fs, tablePath, c, n)
+        n = committedMax + 1
+      } else {
+        // taken (or transient error — bumping past is safe either way:
+        // skipped numbers are never resurrected, see [[vacuum]])
+        n += 1
+      }
       attempts += 1
     }
     throw new IllegalStateException(
@@ -746,14 +922,106 @@ object ManifestStore {
           case _ => None
         }
       }
-      if (entries.nonEmpty)
-        try {
-          val out = fs.create(statsPath(tablePath, c, seg), true)
-          try out.write(
-            (ZmPrefix + entries.mkString(";") + SegsSuffix).getBytes("UTF-8"))
-          finally out.close()
-        } catch { case _: java.io.IOException => () /* advisory */ }
+      if (entries.nonEmpty) writeStatsFile(fs, tablePath, c, seg, entries)
     }
+  }
+
+  /** Serialize one segment's sidecar tokens (best-effort — sidecars
+    * are advisory metadata, a failed create just means the segment is
+    * never pruned). */
+  private def writeStatsFile(fs: FileSystem, tablePath: String, c: String,
+      seg: Long, entries: Seq[String]): Unit =
+    try {
+      val out = fs.create(statsPath(tablePath, c, seg), true)
+      try out.write(
+        (ZmPrefix + entries.mkString(";") + SegsSuffix).getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: java.io.IOException => () /* advisory */ }
+
+  /** Write a clustered multi-segment layout in O(data) total work,
+    * however many output segments: `laid` must carry an integer
+    * `__part` column ALIGNED with its physical partitioning (each
+    * partition holds exactly one `__part` value — the
+    * `repartitionByRange(...).withColumn("__part",
+    * spark_partition_id())` shape) and should be persisted by the
+    * caller, since exactly TWO jobs run over it:
+    *
+    *   1. one stats pass (`groupBy(__part)`) collecting every zone-map
+    *      column's [min,max] + non-null count per output segment — the
+    *      sidecars are then written DRIVER-side from the collected
+    *      rows, no per-segment data pass;
+    *   2. one partitioned write into a CLAIMED staging segment dir
+    *      (`partitionBy(__part)` — each task streams its single part
+    *      value to its own subdirectory), after which each `__part=<p>`
+    *      subdir is renamed into its own claimed segment dir.
+    *
+    * The staging dir is itself a claimed segment, so a crashed attempt
+    * looks to [[vacuum]] exactly like any in-flight writer's orphan:
+    * age-guarded, then swept with its claim. Renames happen before the
+    * pointer commit, so they need no atomicity — the segments are
+    * unreferenced until the caller publishes them. (The previous shape
+    * here — one `laid.where(__part === p)` write per segment — scanned
+    * the whole persisted frame once per output segment: O(N²) in
+    * segment count.)
+    *
+    * Returns the claimed segment numbers of the NON-EMPTY partitions in
+    * partition (= cluster) order; empty input returns Seq.empty with
+    * nothing claimed. The caller commits them (and releases the claims
+    * after its pointer lands) or deletes them on abandon. */
+  private def writeClusteredSegments(laid: DataFrame, fs: FileSystem,
+      tablePath: String, c: String, from: Long): Seq[Long] = {
+    val dataCols = laid.columns.filterNot(_ == "__part")
+    val zmCols = zoneMapColumnsOf(fs, tablePath)
+      .filter(dataCols.contains)
+      .map(n => (n, zmKindOf(laid.schema(n).dataType)))
+    val aggs = zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
+      val base = if (k == 'l') col(n) else col(n).cast("string")
+      Seq(min(base).as(s"zm_lo_$i"), max(base).as(s"zm_hi_$i"),
+        count(base).as(s"zm_n_$i"))
+    }
+    val statRows = laid.groupBy(col("__part"))
+      .agg(count(lit(1)).as("__n"), aggs: _*)
+      .collect()
+    val byPart = statRows.map(r => r.getAs[Int]("__part") -> r).toMap
+    val parts = byPart.keys.toSeq.sorted
+    if (parts.isEmpty) return Seq.empty
+    val staging = claimSeg(fs, tablePath, c, from)
+    var next = staging + 1
+    val segFor = parts.map { p =>
+      val s = claimSeg(fs, tablePath, c, next); next = s + 1; p -> s
+    }.toMap
+    val stagingDir = segDir(tablePath, c, staging)
+    laid.write.mode(SaveMode.Overwrite).partitionBy("__part")
+      .parquet(stagingDir.toString)
+    parts.foreach { p =>
+      val seg = segFor(p)
+      // a stale sidecar from a crashed attempt at this number describes
+      // bytes that never committed — same discipline as [[writeSegment]]
+      try fs.delete(statsPath(tablePath, c, seg), false)
+      catch { case _: java.io.IOException => () }
+      val dst = segDir(tablePath, c, seg)
+      try fs.delete(dst, true) catch { case _: java.io.IOException => () }
+      if (!fs.rename(new Path(stagingDir, s"__part=$p"), dst))
+        throw new java.io.IOException(
+          s"staging rename into ${dst} failed")
+      val r = byPart(p)
+      val cntToks = zmCols.zipWithIndex.flatMap { case ((n, _), i) =>
+        Option(r.getAs[Any](s"zm_n_$i"))
+          .collect { case v: Long => s"cnt:${zmEnc(n)}:$v" }
+      }
+      val entries = cntToks ++ zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
+        (Option(r.getAs[Any](s"zm_lo_$i")), Option(r.getAs[Any](s"zm_hi_$i"))) match {
+          case (Some(lo), Some(hi)) =>
+            Some(s"${zmEnc(n)}:$k=${zmEnc(lo.toString)},${zmEnc(hi.toString)}")
+          case _ => None
+        }
+      }
+      if (entries.nonEmpty) writeStatsFile(fs, tablePath, c, seg, entries)
+    }
+    try fs.delete(stagingDir, true)
+    catch { case _: java.io.IOException => () /* vacuum sweeps it */ }
+    releaseClaim(fs, tablePath, c, staging)
+    parts.map(segFor)
   }
 
   /** The segment's recorded zone map: column → (kind, min, max), empty
@@ -1248,13 +1516,15 @@ object ManifestStore {
     * `approxQuantile` pass) → 4-bit buckets → bit-interleaved z value
     * → `repartitionByRange(segments, z)` with an in-partition sort
     * (rows also z-sorted inside each segment, so parquet row-group
-    * stats inherit the clustering one level down); each partition
-    * lands in its own claimed segment via one partition-pruned write
-    * over a persisted z-annotated frame. The commit replaces exactly
-    * the input segments; racing appends ride along; a lost rewrite
-    * race abandons (orphan segments age out under [[vacuum]]) — the
-    * [[compactCollection]] protocol, list-extended. NULLs bucket low
-    * (cluster together at the curve's origin). */
+    * stats inherit the clustering one level down); the partitions land
+    * in their claimed segments via [[writeClusteredSegments]] — one
+    * stats job + one partitioned write job over the persisted
+    * z-annotated frame, O(data) regardless of segment count. The
+    * commit replaces exactly the input segments; racing appends ride
+    * along; a lost rewrite race abandons (orphan segments age out
+    * under [[vacuum]]) — the [[compactCollection]] protocol,
+    * list-extended. NULLs bucket low (cluster together at the curve's
+    * origin). */
   def zorderCompact(spark: SparkSession, tablePath: String, c: String,
       cols: Seq[String], segments: Int): Unit = {
     require(cols.nonEmpty && segments >= 1)
@@ -1284,22 +1554,14 @@ object ManifestStore {
       .repartitionByRange(segments, col("__z"))
       .sortWithinPartitions(col("__z"))
       .withColumn("__part", spark_partition_id())
+      .drop("__z")
       .persist()
     try {
       // only the non-empty range partitions become segments (an empty
       // segment has no stats, so keepLong could never prune it)
-      val parts = laid.select(col("__part")).distinct()
-        .collect().map(_.getInt(0)).sorted
-      if (parts.isEmpty) return
+      val newSegs = writeClusteredSegments(laid, fs, tablePath, c, r.nextSeg)
+      if (newSegs.isEmpty) return
       val inputSegs = live.toSet
-      var next = r.nextSeg
-      val newSegs = parts.toSeq.map { p =>
-        val seg = claimSeg(fs, tablePath, c, next)
-        next = seg + 1
-        writeSegment(laid.where(col("__part") === p)
-          .drop("__z", "__part"), fs, tablePath, c, seg)
-        seg
-      }
       commitWithRetry(fs, tablePath, c, r) { rr =>
         rr.liveSegs match {
           case Some(nowLive) if inputSegs.subsetOf(nowLive.toSet) &&

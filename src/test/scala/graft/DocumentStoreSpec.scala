@@ -56,6 +56,154 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(diff == Set((2L, "updated"), (3L, "deleted"), (4L, "inserted")))
   }
 
+  test("zone-map-pruned merge: a 1-key upsert rewrites ONLY the " +
+      "intersecting segment; untouched segment dirs stay byte-identical") {
+    import spark.implicits._
+    val table = tmp() + "/table"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    // three segments with disjoint numeric key ranges
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .select(col("id").as("doc_id"),
+        concat(lit("v"), col("id")).as("txt"))
+    ManifestStore.store(rows(100, 199), table, "m") // seg1
+    ManifestStore.store(rows(200, 299), table, "m") // seg2
+    ManifestStore.store(rows(300, 399), table, "m") // seg3
+    def segFiles(seg: String) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$table/collection=m/seg=$seg"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+    val seg1Before = segFiles("000001")
+    val seg3Before = segFiles("000003")
+    // a single-key upsert inside seg2's range
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((250L, "UPDATED", false)).toDF("doc_id", "txt", "_deleted")))
+    // segments 1 and 3 were NOT rewritten: same files, same bytes,
+    // same mtimes — the merge read and wrote only the intersecting one
+    assert(segFiles("000001") == seg1Before)
+    assert(segFiles("000003") == seg3Before)
+    val nowLive = ManifestStore.currentSegments(spark, table, "m").get
+    assert(nowLive.toSet.contains(1L) && nowLive.toSet.contains(3L))
+    assert(!nowLive.contains(2L))
+    // content is the merged state
+    val got = ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .where(col("doc_id") === 250L).select("txt").collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("UPDATED"))
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L).count() == 300)
+    // the rewritten segment carries a FRESH sidecar: key-range pruning
+    // still works post-merge (the #6 layout-preservation contract)
+    val pruned = ManifestStore.readRangeLong(spark, table, "m",
+      240L, 260L, "doc_id")
+    assert(pruned.count() == 21)
+    assert(pruned.inputFiles.nonEmpty &&
+      !pruned.inputFiles.exists(_.contains("seg=000001")) &&
+      !pruned.inputFiles.exists(_.contains("seg=000003")))
+    // a multi-segment-straddling batch rewrites exactly the two
+    // intersecting segments, RE-CLUSTERED into two key-ordered
+    // segments (not collapsed into one)
+    val live2 = ManifestStore.currentSegments(spark, table, "m").get
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((150L, "A", false), (350L, "", true))
+        .toDF("doc_id", "txt", "_deleted")))
+    val live3 = ManifestStore.currentSegments(spark, table, "m").get
+    // seg2's rewrite survived untouched this time
+    assert(live2.intersect(live3).nonEmpty)
+    assert(live3.size == live2.size) // 2 rewritten -> 2 out
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L).count() == 299)
+    // deletes of ABSENT keys are a pure no-op: no pointer bump
+    val seqBefore = ManifestStore.currentPtrSeq(spark, table, "m")
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((9999L, "", true)).toDF("doc_id", "txt", "_deleted")))
+    assert(ManifestStore.currentPtrSeq(spark, table, "m") == seqBefore)
+    // out-of-range INSERTS rewrite nothing: every live segment carried
+    val preIns = ManifestStore.currentSegments(spark, table, "m").get
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((9000L, "new", false)).toDF("doc_id", "txt", "_deleted")))
+    val postIns = ManifestStore.currentSegments(spark, table, "m").get
+    assert(preIns.forall(postIns.contains))
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L).count() == 300)
+  }
+
+  test("merge edge semantics: NULL _deleted upserts; merge-to-empty " +
+      "tombstones; unmapped key falls back to full rewrite") {
+    import spark.implicits._
+    val table = tmp() + "/table"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    ManifestStore.store(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "txt"), table, "m")
+    // a NULL flag is an UPSERT, never a silent delete
+    val nullFlag = Seq((1L, "A"), (3L, "c")).toDF("doc_id", "txt")
+      .withColumn("_deleted",
+        when(col("doc_id") < 0L, lit(true))) // always NULL
+    assert(ManifestStore.mergeCollection(spark, table, "m", nullFlag))
+    val snap = ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .select("doc_id", "txt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snap == Set((1L, "A"), (2L, "b"), (3L, "c")))
+    // deleting EVERY key leaves a defined empty collection (an empty
+    // segment list cannot be a pointer body - it tombstones)
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((1L, "", true), (2L, "", true), (3L, "", true))
+        .toDF("doc_id", "txt", "_deleted")))
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L).count() == 0)
+    // ... and a later merge re-creates it as pure insert
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((7L, "z", false)).toDF("doc_id", "txt", "_deleted")))
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L).count() == 1)
+    // an UNMAPPED merge key still merges correctly (full rewrite path)
+    val t2 = tmp() + "/table2" // no setZoneMapColumns for "k"
+    ManifestStore.store(Seq((1L, "a"), (2L, "b")).toDF("k", "txt"),
+      t2, "u")
+    assert(ManifestStore.mergeCollection(spark, t2, "u",
+      Seq((2L, "B", false), (3L, "c", false)).toDF("k", "txt", "_deleted"),
+      key = "k"))
+    assert(ManifestStore.readSinceInferred(spark, t2, "u", 0L)
+      .select("k", "txt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("merge racing a concurrent compaction: the change batch is " +
+      "never silently dropped (conflict-retry, not abandon)") {
+    import spark.implicits._
+    val table = tmp() + "/table"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .select(col("id").as("doc_id"), lit("x").as("txt"))
+    ManifestStore.store(rows(1, 100), table, "m")
+    ManifestStore.store(rows(101, 200), table, "m")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+    val changes = Seq((50L, "MERGED", false), (999L, "NEW", false))
+      .toDF("doc_id", "txt", "_deleted")
+    val tm = new Thread(() => {
+      barrier.await()
+      try results.put("merge",
+        ManifestStore.mergeCollection(spark, table, "m", changes))
+      catch { case e: Throwable => results.put("merge", e) }
+    })
+    val tc = new Thread(() => {
+      barrier.await()
+      try { ManifestStore.compactCollection(spark, table, "m")
+        results.put("compact", true) }
+      catch { case e: Throwable => results.put("compact", e) }
+    })
+    tm.start(); tc.start()
+    tm.join(180000); tc.join(180000)
+    // whichever rewrite lost the pointer race, the MERGE batch landed:
+    // a lost merge race retries against the winner's snapshot instead
+    // of abandoning (compaction may abandon - that is layout-only)
+    assert(results.get("merge") == true, results.get("merge"))
+    assert(results.get("compact") == true, results.get("compact"))
+    val got = ManifestStore.readSinceInferred(spark, table, "m", 0L)
+    assert(got.count() == 201)
+    assert(got.where(col("doc_id") === 50L).select("txt").collect()
+      .map(_.getString(0)).toSeq == Seq("MERGED"))
+    assert(got.where(col("doc_id") === 999L).count() == 1)
+  }
+
   test("z-order compaction: BOTH axes prune segments afterwards, data " +
       "survives bit-for-bit, racing-append protocol unchanged") {
     import spark.implicits._
