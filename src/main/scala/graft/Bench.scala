@@ -47,6 +47,74 @@ object Bench {
       math.abs(calib - anchor) / anchor > NoisyCalibDev
   }
 
+  /** The anchor rule flags when the common-query total exceeds the
+    * committed total by this fraction... */
+  val NoisyAnchorTotalDev = 0.15
+  /** ...or when [[NoisyAnchorQueryCount]] common queries each exceed
+    * their committed median by this ratio. */
+  val NoisyAnchorQueryRatio = 1.5
+  val NoisyAnchorQueryCount = 5
+
+  /** COMMITTED-ARTIFACT anchor rule — closes the uniform-slowdown
+    * blind spot: a machine loaded CONSISTENTLY across all reps
+    * produces tight-but-slow spreads (round 9's final capture: 95.5 s
+    * vs 74.9 s committed, only 3 wide queries, calib 6.6% off — the
+    * spread and calib rules both missed a 27% inflation). Comparing
+    * the run's medians against the last committed `bench_out.json`
+    * sees exactly that shape: noisy ⟺ the common-query total exceeds
+    * the committed total by more than [[NoisyAnchorTotalDev]], OR
+    * ≥ [[NoisyAnchorQueryCount]] common queries each exceed their
+    * committed median by more than [[NoisyAnchorQueryRatio]]×. Only
+    * slowdowns flag — a faster run is a better environment (or a real
+    * improvement), and committing its artifact moves the anchor. A
+    * flagged run means "not comparable to the committed anchor":
+    * either load contamination or a genuine regression — both need a
+    * look before trusting the number. */
+  def isNoisyVsCommitted(current: Map[String, Double],
+      committed: Map[String, Double]): Boolean = {
+    val common = current.keySet.intersect(committed.keySet)
+      .filter(k => current(k) > 0 && committed(k) > 0)
+    if (common.isEmpty) false
+    else {
+      val curTot = common.toSeq.map(current).sum
+      val comTot = common.toSeq.map(committed).sum
+      val slow = common.count(k =>
+        current(k) > NoisyAnchorQueryRatio * committed(k))
+      curTot > (1 + NoisyAnchorTotalDev) * comTot ||
+        slow >= NoisyAnchorQueryCount
+    }
+  }
+
+  /** Minimal parser for our OWN artifact line: the trailing
+    * `"queries":{...}` medians map (flat string→number, the map is
+    * deliberately the line's last field) plus the `"noisy"` flag.
+    * Anything malformed/truncated parses to None — the anchor rule
+    * then simply does not fire, same advisory posture as the zone-map
+    * sidecars. */
+  def parseArtifact(line: String): Option[(Boolean, Map[String, Double])] = {
+    val marker = "\"queries\":{"
+    val qIdx = line.lastIndexOf(marker)
+    if (qIdx < 0) None
+    else {
+      val body = line.substring(qIdx + marker.length)
+      val end = body.indexOf('}')
+      if (end < 0) None
+      else {
+        val entries = body.substring(0, end).split(',').toSeq
+          .filter(_.nonEmpty)
+          .flatMap { e =>
+            e.split(':') match {
+              case Array(k, v) => v.trim.toDoubleOption
+                .map(k.trim.stripPrefix("\"").stripSuffix("\"") -> _)
+              case _ => None
+            }
+          }
+        if (entries.isEmpty) None
+        else Some((line.contains("\"noisy\":true"), entries.toMap))
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -130,14 +198,29 @@ object Bench {
     // it led the line — so the medians (`queries`, the actual signal)
     // go LAST, and the spread (diagnostic only) is the sacrificial
     // field ahead of them.
-    val noisy = isNoisy(
+    // anchor comparison reads the COMMITTED artifact BEFORE this run
+    // overwrites it; a missing/unparseable/itself-noisy anchor simply
+    // does not fire the rule
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val medians = results.collect { case (k, v, _, _, true) => k -> v }.toMap
+    val anchorNoisy = (try {
+      val f = new java.io.File(outPath)
+      if (!f.isFile) None
+      else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try parseArtifact(src.getLines().mkString) finally src.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }) match {
+      case Some((false, committed)) => isNoisyVsCommitted(medians, committed)
+      case _ => false
+    }
+    val noisy = anchorNoisy || isNoisy(
       results.collect { case (_, _, lo, hi, true) => (lo, hi) }, calib)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"calib":$calib,"calib_scan":$calibScan,"noisy":$noisy,"sf":"$sfDir","failed":$failed,"spread":$spread,"queries":$qs}"""
     // Loss-proof artifact: ALWAYS write the full line to a fixed
     // in-repo path too, so no driver/capture configuration can lose it
     // (SPARK_GRAFT_BENCH_OUT overrides the destination if set).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val pw = new java.io.PrintWriter(outPath, "UTF-8")
     try pw.println(line) finally pw.close()
     println(line)

@@ -440,7 +440,7 @@ object Ann {
     * assign + residual-encode + ADC + re-rank pipeline. */
   private[graft] def ivfPqTopKWith(emb: DataFrame,
       cb: Seq[(Long, Array[Double])], rcb: Seq[Array[Double]],
-      k: Int = K): DataFrame = {
+      k: Int = K, keep: Option[DataFrame] = None): DataFrame = {
     // empty/degenerate table: no codebook rows exist — a defined empty
     // result (the reference's panic class, SURVEY.md D5)
     if (cb.isEmpty || rcb.isEmpty)
@@ -472,8 +472,16 @@ object Ann {
         acc
       }
     }
-    val pruned = ivfAssign(emb, cb)
+    val probed = ivfAssign(emb, cb)
       .where(col("cent_id").isin(probeIds: _*))
+    // the metadata predicate composes CONJUNCTIVELY with the cell
+    // probe, BEFORE the ADC shortlist — post-filtering the shortlist
+    // would shorten the final k ([[filteredIvfTopK]]'s discipline,
+    // size-gated broadcast semi-join)
+    val eligible = keep.fold(probed)(ks => probed.join(
+      VectorSearch.broadcastIfSmall(ks.select(col("doc_id"))),
+      col("vec_id") === col("doc_id"), "left_semi"))
+    val pruned = eligible
       .withColumn("r", zip_with(col("v"), cellVec, (x, y) => x - y))
     val subSum = (0 until PqM).map(m =>
         element_at(vecLit(lut(m)), (col(s"c$m") + 1).cast("int")))
@@ -495,6 +503,42 @@ object Ann {
     * deployment actually monitors). */
   def ivfPqRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
     recallAtK(ivfPqTopK(emb, k), emb, k)
+
+  /** FILTERED IVF-PQ — [[filteredIvfTopK]]'s metadata semi-join
+    * composed with the full IVFADC residual path: predicate ∧ cell
+    * probe ∧ ADC shortlist → exact re-rank, ONE pass, zero shuffles.
+    * The predicate lands BEFORE the shortlist, so the PqShortlist
+    * budget is spent entirely on eligible rows (post-filtering an
+    * unfiltered shortlist would return fewer than k). The composed
+    * miss rate — cell pruning AND residual quantization AND the
+    * filter's interaction with both — is what
+    * [[filteredIvfPqRecall]] measures against the exact FILTERED
+    * answer; the two stages' individual miss rates do not simply
+    * multiply, which is why the composition ships its own number. */
+  def filteredIvfPqTopK(emb: DataFrame, docs: DataFrame,
+      lang: String = "en", minChars: Long = 200L, k: Int = K): DataFrame = {
+    val cb = codebook(emb)
+    val rcb = if (cb.isEmpty) Seq.empty[Array[Double]]
+      else ivfPqResidualCodebook(emb, cb)
+    val keep = docs.where(col("lang") === lang && col("n_chars") >= minChars)
+      .select(col("doc_id"))
+    ivfPqTopKWith(emb, cb, rcb, k, keep = Some(keep))
+  }
+
+  /** Recall of [[filteredIvfPqTopK]] against the EXACT filtered top-k
+    * ([[VectorSearch.filteredTopK]]) — the composed filtered miss
+    * rate. */
+  def filteredIvfPqRecall(emb: DataFrame, docs: DataFrame,
+      lang: String = "en", minChars: Long = 200L, k: Int = K): DataFrame = {
+    val exact = VectorSearch.filteredTopK(emb, docs, lang, minChars, k)
+      .select(col("vec_id"))
+    val approx = filteredIvfPqTopK(emb, docs, lang, minChars, k)
+      .select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(lit(k).as("k"), col("n_common"),
+        (col("n_common").cast("double") / lit(k.toDouble)).as("recall"))
+  }
 
   // ------------------------------------------------------------------
   // Declared queries + DuckDB oracles
@@ -564,7 +608,12 @@ object Ann {
     * re-derived from the sample stride (assign → subtract, same
     * sqrt-L2 fold + lowest-id ties as [[ivfPqResidualCodebook]]), and
     * the per-subspace residual code assignments ia0..ia15. */
-  private lazy val ivfPqCtes: String = {
+  private lazy val ivfPqCtes: String = ivfPqCtesWith("")
+
+  /** [[ivfPqCtes]] with an extra conjunct on the probed-rows CTE `p` —
+    * the seam the FILTERED variant injects its metadata predicate
+    * through (before the shortlist, mirroring the Spark plan). */
+  private def ivfPqCtesWith(pFilter: String): String = {
     val assigns = (0 until PqM).map { m =>
       s"""ia$m AS (
          |  SELECT vec_id, code AS k$m FROM (
@@ -594,7 +643,7 @@ object Ann {
        |  SELECT a.vec_id, a.label, a.cent_id, a.v,
        |    list_transform(range(1, ${Dim + 1}), i -> a.v[i] - c.c_vec[i]) AS r
        |  FROM assigned a JOIN cents c USING (cent_id)
-       |  WHERE a.cent_id IN (SELECT cent_id FROM probe)),
+       |  WHERE a.cent_id IN (SELECT cent_id FROM probe)$pFilter),
        |samp AS (
        |  SELECT vec_id, $embD AS sv
        |  FROM embeddings WHERE vec_id IN (${IvfPqSampleIds.mkString(", ")})),
@@ -1052,6 +1101,43 @@ object Ann {
          |  CAST(count(*) AS DOUBLE) / ${K}.0E0 AS recall
          |FROM exact JOIN approx USING (vec_id)""".stripMargin) {
       (s, dir) => ivfPqRecallAtK(Tables(s, dir, "embeddings"))
+    },
+
+    QueryDef.sql("ann_filtered_ivfpq",
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |keep AS (SELECT doc_id FROM documents
+         |  WHERE lang = 'en' AND n_chars >= 200),
+         |${ivfPqCtesWith(
+           "\n    AND a.vec_id IN (SELECT doc_id FROM keep)")},
+         |$ivfPqShortCte
+         |SELECT vec_id, label, cent_id, pq_sim,
+         |  ${dotSeqSql("q.v", "short.v", Dim)} AS similarity
+         |FROM short, q
+         |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
+      (s, dir) => filteredIvfPqTopK(Tables(s, dir, "embeddings"),
+        Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("ann_filtered_ivfpq_recall",
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |keep AS (SELECT doc_id FROM documents
+         |  WHERE lang = 'en' AND n_chars >= 200),
+         |exact AS (
+         |  SELECT vec_id FROM embeddings, q
+         |  WHERE vec_id IN (SELECT doc_id FROM keep)
+         |  ORDER BY ${dotSeqSql("q.v", embD, Dim)} DESC, vec_id LIMIT $K),
+         |${ivfPqCtesWith(
+           "\n    AND a.vec_id IN (SELECT doc_id FROM keep)")},
+         |$ivfPqShortCte,
+         |approx AS (
+         |  SELECT vec_id FROM short, q
+         |  ORDER BY ${dotSeqSql("q.v", "short.v", Dim)} DESC, vec_id
+         |  LIMIT $K)
+         |SELECT $K AS k, count(*) AS n_common,
+         |  CAST(count(*) AS DOUBLE) / ${K}.0E0 AS recall
+         |FROM exact JOIN approx USING (vec_id)""".stripMargin) {
+      (s, dir) => filteredIvfPqRecall(Tables(s, dir, "embeddings"),
+        Tables(s, dir, "documents"))
     }
   )
 }

@@ -82,8 +82,12 @@ object Dedup {
     * policy is just the window's ORDER BY, which is the point — the
     * keeper rule is pluggable without touching the plan shape. */
   def keepBest(documents: DataFrame): DataFrame = {
+    // n_words is NULL for NULL text: placement is EXPLICIT in both
+    // engines (desc_nulls_last / DESC NULLS LAST) — relying on Spark's
+    // DESC default coinciding with DuckDB's is the rel_null_ordering
+    // trap
     val w = Window.partitionBy(col("canon"))
-      .orderBy(col("n_words").desc, col("doc_id"))
+      .orderBy(col("n_words").desc_nulls_last, col("doc_id"))
     documents
       .select(col("doc_id"), canonicalKey.as("canon"),
         graft.functions.TextHashExpressions
@@ -232,6 +236,15 @@ object Dedup {
     slimShingleCache.clear()
     var df = retainedCaches.poll()
     while (df != null) { df.unpersist(); df = retainedCaches.poll() }
+    val bit = refreshBaseCache.values().iterator()
+    while (bit.hasNext) { bit.next().unpersist(); }
+    refreshBaseCache.clear()
+    val mit = docsManifestCache.values().iterator()
+    while (mit.hasNext) {
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(mit.next()._1))
+    }
+    docsManifestCache.clear()
   }
 
   /** Candidate pairs + true jaccard over a prepared [[shingled]] frame. */
@@ -677,6 +690,109 @@ object Dedup {
       .orderBy("new_id", "corpus_id")
   }
 
+  // ----------------------------------------------------------------
+  // incremental corpus refresh: change feed → index lookup → merge
+  // ----------------------------------------------------------------
+
+  /** Memoized manifest-layout documents table backing the refresh
+    * path: the corpus slice (doc_id % 10 != 1, [[incrementalNearDups]]'
+    * oracle split) committed as the base segment, then the batch slice
+    * as the delta segment — `readAsOfInferred(anchor)` is the old
+    * corpus, `readSinceInferred(anchor)` exactly the new batch (the
+    * [[Events.incrementalAgg]] table discipline applied to documents).
+    * Returns (tablePath, anchorPtrSeq). */
+  private val docsManifestCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (String, Long)]()
+
+  private def manifestDocsTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Long) = {
+    val key = (s, dir)
+    Option(docsManifestCache.get(key)).getOrElse {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text", "lang")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-docs-manifest-").toString
+      // releaseCaches() is the documented teardown; the hook covers a
+      // crashed or lifecycle-skipping driver (deleteQuietly no-ops
+      // when already released)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
+      graft.sources.ManifestStore.setZoneMapColumns(s, path, Seq("doc_id"))
+      graft.sources.ManifestStore.store(
+        docs.where(col("doc_id") % 10 =!= 1), path, "docs")
+      val anchor =
+        graft.sources.ManifestStore.currentPtrSeq(s, path, "docs")
+      graft.sources.ManifestStore.store(
+        docs.where(col("doc_id") % 10 === 1), path, "docs")
+      val built = (path, anchor)
+      Option(docsManifestCache.putIfAbsent(key, built)).map { prev =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)); prev
+      }.getOrElse(built)
+    }
+  }
+
+  /** Mergeable per-language corpus partials: doc count + exact integer
+    * word total (count/sum recombine associatively — the
+    * [[Events.incrementalAgg]] mergeability contract; no floats, so
+    * base+delta ≡ full recompute bit-for-bit). */
+  private def refreshPartial(docs: DataFrame): DataFrame =
+    docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextHashExpressions
+          .wordStats(words(col("text"))).getField("n_words"))
+          .as("n_words"))
+
+  /** Memoized BASE partials of the anchored corpus snapshot — the
+    * stored nightly state: at production scale these partials are what
+    * persists between refreshes, so the refresh never re-aggregates
+    * the old corpus (built once here, per session, from the anchored
+    * snapshot). */
+  private val refreshBaseCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  private def refreshBase(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    refreshBaseCache.computeIfAbsent((s, dir), _ => {
+      val (path, anchor) = manifestDocsTable(s, dir)
+      refreshPartial(graft.sources.ManifestStore
+        .readAsOfInferred(s, path, "docs", anchor)
+        .select("doc_id", "text", "lang")).persist()
+    })
+
+  /** INCREMENTAL CORPUS REFRESH — the production nightly composed
+    * end-to-end from the change-feed pieces: the manifest change feed
+    * (`readSinceInferred`, exactly the segments appended since the
+    * anchor) supplies the new batch; [[incrementalNearDups]] gates it
+    * against the OLD corpus through the memoized banded shingle index
+    * (batch-vs-corpus only — no corpus rescan); the accepted rows'
+    * per-language partials then merge with the stored base partials
+    * ([[refreshBase]]) into the refreshed corpus stats. The old corpus
+    * enters ONLY via two memoized relations — the shingle index and
+    * the base partials — so refresh cost scales with the batch, never
+    * the corpus (CI-asserted: the plan's file scans touch only the
+    * delta segment). The oracle recomputes the refreshed state FROM
+    * SCRATCH over the raw table and must match bit-for-bit — the
+    * mergeability proof. */
+  def corpusRefresh(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (path, anchor) = manifestDocsTable(s, dir)
+    val corpus = graft.sources.ManifestStore
+      .readAsOfInferred(s, path, "docs", anchor)
+      .select("doc_id", "text", "lang")
+    val batch = graft.sources.ManifestStore
+      .readSinceInferred(s, path, "docs", anchor)
+      .select("doc_id", "text", "lang")
+    val dupIds = incrementalNearDups(corpus, batch)
+      .select(col("new_id").as("doc_id")).distinct()
+    val accepted = batch.join(dupIds, Seq("doc_id"), "left_anti")
+    refreshBase(s, dir).unionByName(refreshPartial(accepted))
+      .groupBy("lang")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_words")).as("n_words"))
+      .orderBy("lang")
+  }
+
   /** Benchmark DECONTAMINATION: flag every training document sharing
     * at least `minShared` word-shingles with a held-out evaluation set
     * (here doc_id % `benchMod` == 0 — in production, the benchmark
@@ -1093,16 +1209,26 @@ object Dedup {
     * nearest cell (recall → 1 as τ tightens; the fixture measures
     * 0.17 / 0.19 / 1.0 at 0.25 / 0.4 / 0.5). This curve is the number
     * SemDeDup's nlist knob trades against cost. Deliberately quadratic:
-    * it computes the ground truth, so it runs at verify scale or on a
-    * sample, never on the full corpus. */
-  def semanticDedupRecall(embeddings: DataFrame): DataFrame = {
+    * it computes the ground truth, so at production scale it RUNS ON AN
+    * AUDIT SLICE by construction (`vec_id % sampleMod == 0`, the
+    * [[minhashRecall]] discipline — recall is a corpus-level rate and a
+    * deterministic slice estimates it without paying n² over the whole
+    * corpus); the default sampleMod = 1 is the exhaustive measurement
+    * at verify scale. The codebook stays the FULL corpus's (it is the
+    * production index being audited); only the measured vectors are
+    * sliced. */
+  def semanticDedupRecall(embeddings: DataFrame,
+      sampleMod: Int = 1): DataFrame = {
     val cb = Ann.codebook(embeddings)
     if (cb.isEmpty)
       return embeddings.select(lit(0.0).as("tau"),
           lit(0L).as("n_exact"), lit(0L).as("n_sem"),
           lit(null).cast("double").as("recall"))
         .where(lit(false))
-    val e = Ann.ivfAssign(embeddings, cb).withColumn("nrm", V.norm2(col("v")))
+    val sliced =
+      if (sampleMod == 1) embeddings
+      else embeddings.where(col("vec_id") % sampleMod === 0)
+    val e = Ann.ivfAssign(sliced, cb).withColumn("nrm", V.norm2(col("v")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select((col("a.cent_id") === col("b.cent_id")).as("same_cell"),
         pairCosine.as("cos_sim"))
@@ -1231,7 +1357,7 @@ object Dedup {
          |SELECT doc_id, n_words,
          |  count(*) OVER (PARTITION BY canon) AS n_variants,
          |  row_number() OVER (PARTITION BY canon
-         |    ORDER BY n_words DESC, doc_id) = 1 AS keep
+         |    ORDER BY n_words DESC NULLS LAST, doc_id) = 1 AS keep
          |FROM c ORDER BY doc_id""".stripMargin
     }) { (s, dir) => keepBest(Tables(s, dir, "documents")) },
 
@@ -1378,6 +1504,34 @@ object Dedup {
         docs.where(col("doc_id") % 10 =!= 1),
         docs.where(col("doc_id") % 10 === 1))
     },
+
+    QueryDef.sql("dedup_refresh", {
+      val w = wordsSql("text")
+      s"""WITH h AS (SELECT doc_id, $ShSql AS shingle_hashes FROM documents),
+         |h2 AS (SELECT * FROM h WHERE len(shingle_hashes) > 0),
+         |s AS (SELECT doc_id, shingle_hashes, $SigsSql AS sigs FROM h2),
+         |b AS (SELECT doc_id, shingle_hashes, $BandsSql AS bands FROM s),
+         |bl AS (SELECT doc_id, unnest(generate_series(0, ${Bands - 1})) AS band_idx,
+         |         unnest(bands) AS band_hash FROM b),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id
+         |  FROM bl n JOIN bl o ON n.band_idx = o.band_idx
+         |    AND n.band_hash = o.band_hash
+         |  WHERE n.doc_id % 10 = 1 AND o.doc_id % 10 <> 1),
+         |dup AS (SELECT DISTINCT new_id FROM cand
+         |  JOIN h2 a ON a.doc_id = cand.new_id
+         |  JOIN h2 c ON c.doc_id = cand.corpus_id
+         |  WHERE CAST(len(list_intersect(a.shingle_hashes, c.shingle_hashes)) AS DOUBLE) /
+         |      CAST(len(a.shingle_hashes) + len(c.shingle_hashes)
+         |        - len(list_intersect(a.shingle_hashes, c.shingle_hashes)) AS DOUBLE)
+         |      >= 0.5E0),
+         |kept AS (SELECT * FROM documents
+         |  WHERE doc_id % 10 <> 1
+         |     OR doc_id NOT IN (SELECT new_id FROM dup))
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(SUM(CAST(len($w) AS BIGINT)) AS BIGINT) AS n_words
+         |FROM kept GROUP BY lang
+         |ORDER BY lang ASC NULLS FIRST""".stripMargin
+    }) { (s, dir) => corpusRefresh(s, dir) },
 
     QueryDef.sql("dedup_simhash", {
       val wh = polyHashAllSql(wordsSql("text"))

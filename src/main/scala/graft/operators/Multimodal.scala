@@ -306,13 +306,22 @@ object Multimodal {
     * ships its measured miss rate, never an assumed one. A pair is
     * reachable iff the two docs agree on ≥1 NONZERO band (band_idx is
     * positional, so "shares a band" is 4 scalar equality tests — no
-    * arrays, fully codegen). VERIFY-SCALE formulation: the ground
-    * truth is an all-pairs join (quadratic by definition — measuring
-    * recall requires the exact set); production recall checks run it
-    * over a sampled slice. */
+    * arrays, fully codegen). The ground truth is an all-pairs join
+    * (quadratic by definition — measuring recall requires the exact
+    * set), so at production scale it RUNS ON AN AUDIT SLICE by
+    * construction (`doc_id % sampleMod == 0`, the
+    * [[Dedup.minhashRecall]] discipline — recall is a corpus-level
+    * rate and a deterministic slice estimates it at 1/sampleMod² the
+    * cost); the default sampleMod = 1 is the exhaustive measurement at
+    * verify scale. The memoized signature relation is untouched — only
+    * the measured pairs are sliced. */
   def mediaPhashRecall(s: SparkSession, dir: String,
-      levels: Int = PhashLevels, maxL1: Double = PhashMaxL1): DataFrame = {
-    val sig = phashSig(s, dir, levels)
+      levels: Int = PhashLevels, maxL1: Double = PhashMaxL1,
+      sampleMod: Int = 1): DataFrame = {
+    val sigAll = phashSig(s, dir, levels)
+    val sig =
+      if (sampleMod == 1) sigAll
+      else sigAll.where(col("doc_id") % sampleMod === 0)
     val cols = (0 until FeatureDim).map(j => s"f$j") ++
       (0 until FeatureDim / 2).map(j => s"b$j")
     val a = sig.toDF("doc_id_1" +: cols.map("a" + _): _*)

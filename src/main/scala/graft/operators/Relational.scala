@@ -973,6 +973,11 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin)(percentiles),
 
     QueryDef.sql("rel_pareto",
+      // the final SELECT mirrors the Spark plan's SHAPE (one global
+      // aggregate over the filtered cross join, st values via first()),
+      // not a GROUP BY over st's columns: grouped, an EMPTY orders
+      // table would return zero rows while Spark's global agg returns
+      // one — the dedup_funnel empty-input discipline
       """WITH rev AS (
         |  SELECT o_custkey,
         |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
@@ -980,14 +985,17 @@ object Relational {
         |r2 AS (SELECT o_custkey, rev_dec,
         |  CAST(rev_dec AS DOUBLE) AS rev FROM rev),
         |st AS (SELECT quantile_cont(rev, 0.9) AS t,
-        |  count(*) AS n_customers, SUM(rev_dec) AS total_dec FROM r2)
-        |SELECT st.n_customers, count(*) AS n_top,
-        |  CAST(st.total_dec AS DOUBLE) AS revenue_total,
-        |  CAST(SUM(r2.rev_dec) AS DOUBLE) AS revenue_top,
-        |  CAST(SUM(r2.rev_dec) AS DOUBLE) /
-        |    CAST(st.total_dec AS DOUBLE) AS top_share
-        |FROM r2, st WHERE r2.rev >= st.t
-        |GROUP BY st.n_customers, st.total_dec""".stripMargin)(pareto),
+        |  count(*) AS n_customers, SUM(rev_dec) AS total_dec FROM r2),
+        |top AS (SELECT first(st.n_customers) AS n_customers,
+        |  count(*) AS n_top, first(st.total_dec) AS total_dec,
+        |  SUM(r2.rev_dec) AS top_dec
+        |FROM r2, st WHERE r2.rev >= st.t)
+        |SELECT n_customers, n_top,
+        |  CAST(total_dec AS DOUBLE) AS revenue_total,
+        |  CAST(top_dec AS DOUBLE) AS revenue_top,
+        |  CAST(top_dec AS DOUBLE) /
+        |    CAST(total_dec AS DOUBLE) AS top_share
+        |FROM top""".stripMargin)(pareto),
 
     QueryDef.sql("rel_null_ordering",
       // engines DISAGREE on default null placement (Spark: NULLS FIRST

@@ -42,6 +42,34 @@ class AnnSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_common") <= r.getAs[Int]("k"))
   }
 
+  test("filtered IVF-PQ: predicate ∧ probe ∧ ADC compose; exact re-rank " +
+      "scores; composed recall bounded by the filtered-IVF recall") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hits = Ann.filteredIvfPqTopK(emb, docs).collect()
+    assert(hits.nonEmpty && hits.length <= 10)
+    val allowed = docs
+      .where(col("lang") === "en" && col("n_chars") >= 200L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits.forall(h => allowed.contains(h.getAs[Long]("vec_id"))))
+    assert(hits.map(_.getAs[Long]("cent_id")).distinct.length <= Ann.NProbe)
+    // stage-2 similarities are EXACT (re-ranked on the raw vectors)
+    val exact = VectorSearch.topK(emb, emb.count().toInt).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("similarity"))
+      .toMap
+    hits.foreach { h =>
+      assert(exact(h.getAs[Long]("vec_id")) == h.getAs[Double]("similarity"))
+    }
+    // the residual codes only lose candidates the cell filter kept, so
+    // the composed recall can never exceed the filtered-IVF recall
+    val fused = Ann.filteredIvfPqRecall(emb, docs).collect()(0)
+    val fr = fused.getAs[Double]("recall")
+    val ivfOnly = Ann.filteredIvfRecall(emb, docs)
+      .collect()(0).getAs[Double]("recall")
+    assert(fr >= 0.0 && fr <= ivfOnly,
+      s"composed recall $fr exceeds filtered-IVF recall $ivfOnly")
+    assert(fused.getAs[Long]("n_common") <= fused.getAs[Int]("k"))
+  }
+
   test("LSH buckets partition the whole table") {
     val hist = Ann.lshBuckets(emb).collect()
     assert(hist.map(_.getAs[Long]("n_vectors")).sum == emb.count())

@@ -38,4 +38,73 @@ class BenchSpec extends AnyFunSuite {
     val zeros = Seq.fill(Bench.NoisySpreadCount + 1)((0.0, 1.0))
     assert(!Bench.isNoisy(zeros, Bench.CalibAnchor))
   }
+
+  private val committed = (1 to 20).map(i => s"q$i" -> 0.5).toMap
+
+  test("anchor rule: uniform slowdown past 15% of the committed total " +
+      "flags; a matching or faster run does not") {
+    assert(Bench.isNoisyVsCommitted(
+      committed.view.mapValues(_ * 1.16).toMap, committed))
+    assert(!Bench.isNoisyVsCommitted(
+      committed.view.mapValues(_ * 1.14).toMap, committed))
+    assert(!Bench.isNoisyVsCommitted(committed, committed))
+    // only slowdowns flag — a faster run moves the anchor when committed
+    assert(!Bench.isNoisyVsCommitted(
+      committed.view.mapValues(_ * 0.5).toMap, committed))
+  }
+
+  test("anchor rule: NoisyAnchorQueryCount queries past 1.5x flag even " +
+      "when the total stays inside 15%") {
+    def spiked(n: Int) = committed.map { case (k, v) =>
+      k -> (if (k.stripPrefix("q").toInt <= n) v * 1.6 else v * 0.9)
+    }
+    assert(Bench.isNoisyVsCommitted(spiked(Bench.NoisyAnchorQueryCount),
+      committed))
+    assert(!Bench.isNoisyVsCommitted(
+      spiked(Bench.NoisyAnchorQueryCount - 1), committed))
+  }
+
+  test("anchor rule: only COMMON positive queries compare; failed (-1) " +
+      "and new queries are ignored") {
+    val cur = committed ++ Map("brand_new" -> 99.0, "q1" -> -1.0)
+    assert(!Bench.isNoisyVsCommitted(cur, committed))
+    assert(!Bench.isNoisyVsCommitted(Map("other" -> 1.0), committed))
+    assert(!Bench.isNoisyVsCommitted(Map.empty, committed))
+  }
+
+  test("artifact parser round-trips the bench line shape; truncation " +
+      "and noisy anchors are inert") {
+    val line = """{"metric":"total","value":1.5,"unit":"sec","reps":3,""" +
+      """"calib":0.6,"noisy":false,"failed":[],""" +
+      """"spread":{"a":[0.1,0.2],"b":[0.4,0.5]},""" +
+      """"queries":{"a":0.15,"b":0.45}}"""
+    assert(Bench.parseArtifact(line) ==
+      Some((false, Map("a" -> 0.15, "b" -> 0.45))))
+    assert(Bench.parseArtifact(line.replace("\"noisy\":false",
+      "\"noisy\":true")).exists(_._1))
+    // a truncated capture (the driver keeps a bounded tail) parses to
+    // None rather than to a wrong-but-plausible map
+    assert(Bench.parseArtifact(line.dropRight(10)).isEmpty)
+    assert(Bench.parseArtifact("{}").isEmpty)
+  }
+
+  test("regression fixture: round 9's contaminated final capture " +
+      "(95.5s vs 74.9s committed, tight spreads, calib near anchor) " +
+      "now triggers the flag via the anchor rule") {
+    // the committed repo artifact is the anchor the rule reads at run
+    // time; the contamination was a uniform ~1.275x inflation that the
+    // spread (3 wide < 5) and calib (6.6% < 25%) rules both missed
+    val src = scala.io.Source.fromFile("bench_out.json", "UTF-8")
+    val line = try src.getLines().mkString finally src.close()
+    val parsed = Bench.parseArtifact(line)
+    assert(parsed.nonEmpty, "committed bench_out.json must parse")
+    val Some((anchorNoisy, anchor)) = parsed
+    assert(!anchorNoisy, "the committed anchor itself must be clean")
+    assert(anchor.size > 100)
+    val contaminated = anchor.view.mapValues(_ * (95.5 / 74.9)).toMap
+    assert(Bench.isNoisyVsCommitted(contaminated, anchor))
+    // while the clean judge-rerun deltas (within 2%) stay quiet
+    assert(!Bench.isNoisyVsCommitted(
+      anchor.view.mapValues(_ * 1.02).toMap, anchor))
+  }
 }

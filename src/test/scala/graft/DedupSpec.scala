@@ -456,4 +456,27 @@ class DedupSpec extends SparkSpecBase {
       assert(rc >= 0.0 && rc <= 1.0)
     }
   }
+
+  test("semantic recall audit slice: sampleMod measures exactly the " +
+      "slice's pairs against the FULL corpus's codebook") {
+    val emb = Tables(spark, sf, "embeddings")
+    val full = Dedup.semanticDedupRecall(emb).collect()
+      .map(r => r.getAs[Double]("tau") -> r.getAs[Long]("n_exact")).toMap
+    val sliced = Dedup.semanticDedupRecall(emb, sampleMod = 2).collect()
+    assert(sliced.nonEmpty)
+    // the exact side is blocking-independent, so the sliced counts must
+    // equal the recall of the pre-filtered input (≈ quarter the pairs),
+    // proving the quadratic ground truth touched ONLY the slice
+    val prefiltered = Dedup.semanticDedupRecall(
+        emb.where(col("vec_id") % 2 === 0)).collect()
+      .map(r => r.getAs[Double]("tau") -> r.getAs[Long]("n_exact")).toMap
+    sliced.foreach { r =>
+      val tau = r.getAs[Double]("tau")
+      val ne = r.getAs[Long]("n_exact")
+      assert(ne == prefiltered(tau), s"tau=$tau")
+      assert(ne < full(tau), s"tau=$tau: slice must shrink the truth")
+      val ns = r.getAs[Long]("n_sem")
+      assert(ns <= ne)
+    }
+  }
 }

@@ -203,6 +203,18 @@ class MultimodalSpec extends SparkSpecBase {
     // emitted count equals the reachable count measured here
     val emitted = Multimodal.mediaPhashNearDup(spark, sf).count()
     assert(emitted == nLsh)
+    // AUDIT SLICE: sampleMod=2 measures only even-doc_id pairs — its
+    // reachable count equals the unsliced generator's even-even pairs
+    // (the banded emitter is exactly the reachable set, per above), and
+    // the sliced truth is a strict subset of the full truth
+    val sl = Multimodal.mediaPhashRecall(spark, sf, sampleMod = 2).head
+    val (sExact, sLsh) =
+      (sl.getAs[Long]("n_exact"), sl.getAs[Long]("n_lsh"))
+    val evenEven = Multimodal.mediaPhashNearDup(spark, sf)
+      .where(col("doc_id_1") % 2 === 0 && col("doc_id_2") % 2 === 0)
+      .count()
+    assert(sLsh == evenEven)
+    assert(sExact <= nExact && sLsh <= sExact)
     Multimodal.releaseCaches()
   }
 

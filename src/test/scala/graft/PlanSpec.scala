@@ -287,6 +287,17 @@ class PlanSpec extends SparkSpecBase {
     assert(nShuffles(df) == 0, p)
   }
 
+  test("filtered IVF-PQ: the metadata semi-join broadcasts and the " +
+      "composed pipeline still has zero shuffles end to end") {
+    val df = Ann.filteredIvfPqTopK(emb,
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftSemi"), p)
+    assert(nShuffles(df) == 0, p)
+  }
+
   test("semantic dedup: cell-blocked equi-joins only, never a cross product") {
     val p = plan(Dedup.semanticDedup(emb))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
@@ -637,5 +648,23 @@ class PlanSpec extends SparkSpecBase {
     // the single hash shuffle belongs to the ranking window (on the
     // joined, already-scored rows) — the join itself shuffles nothing
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("incremental corpus refresh: file scans touch ONLY the delta " +
+      "segment; the old corpus enters via memoized relations") {
+    // first call builds the manifest table, the corpus shingle index,
+    // and the stored base partials
+    Dedup.corpusRefresh(spark, sf).collect()
+    // ... after which the refresh plan's ONLY file scans are the
+    // change feed's delta segment: the corpus side is the memoized
+    // index + partials, so refresh cost scales with the batch
+    val df = Dedup.corpusRefresh(spark, sf)
+    val files = df.inputFiles
+    assert(files.nonEmpty, "expected delta-segment scans")
+    assert(files.forall(_.contains("seg=000002")), files.mkString("\n"))
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the memoized corpus relations in:\n$p")
+    Dedup.releaseCaches()
   }
 }
