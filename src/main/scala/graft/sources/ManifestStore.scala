@@ -122,9 +122,53 @@ object ManifestStore {
     * atomicity), in-flight readers keep their snapshot, and
     * [[readAsOfInferred]] still serves the pre-merge version — a merge
     * is one more pointer in the history, not an overwrite. */
+  /** `mergeSchema = true` additionally WIDENS the table by any new
+    * change-batch columns (the Delta `autoMerge` analogue): rewritten
+    * rows carry NULL for columns they never had, carried-forward
+    * segments stay untouched and serve NULLs through the inferred
+    * read's `mergeSchema` union — schema evolution is metadata-free
+    * here because the reader already unifies footers. Strict mode
+    * (default) keeps today's contract: extra change columns are
+    * projected away, missing ones fail loud. In BOTH modes an upsert
+    * REPLACES its row in full — with `mergeSchema` a change row
+    * missing a table column nulls it (the row is the new truth), so
+    * partial-row updates must be pre-joined by the caller. */
   def mergeCollection(spark: SparkSession, tablePath: String, c: String,
       changes: DataFrame, key: String = "doc_id",
-      deletedCol: String = "_deleted"): Boolean = {
+      deletedCol: String = "_deleted",
+      mergeSchema: Boolean = false): Boolean =
+    mergeImpl(spark, tablePath, c, changes, key, deletedCol, None,
+      mergeSchema)
+
+  /** IDEMPOTENT merge — the exactly-once CDC-apply primitive: like
+    * [[mergeCollection]], but the commit carries a provenance `tag`,
+    * and a tag already in the retained pointer log makes the call a
+    * no-op returning false ([[storeBatch]]'s at-least-once-to-
+    * exactly-once discipline applied to MERGE, the `foreachBatch` +
+    * `MERGE INTO` change-capture pattern: a crashed stream redelivers
+    * its last change batch, and the redelivery must not re-apply
+    * upserts over rows a LATER batch already advanced). Concurrent
+    * replays of the same tag race on the pointer; exactly one applies.
+    * Two caveats, both inherent to the format: a merge whose net
+    * effect is empty (deletes of absent keys) publishes no pointer,
+    * so its tag is never recorded — redelivering it recomputes the
+    * same no-op; and a merge that deletes the LAST row publishes an
+    * untagged tombstone — redelivery deletes against an empty
+    * collection, also a no-op. Returns true iff THIS call applied the
+    * batch. */
+  def mergeBatch(spark: SparkSession, tablePath: String, c: String,
+      changes: DataFrame, tag: String, key: String = "doc_id",
+      deletedCol: String = "_deleted",
+      mergeSchema: Boolean = false): Boolean = {
+    require(tag.nonEmpty && !tag.contains(';'),
+      s"mergeBatch tag must be non-empty and ';'-free, got '$tag'")
+    mergeImpl(spark, tablePath, c, changes, key, deletedCol, Some(tag),
+      mergeSchema)
+  }
+
+  private def mergeImpl(spark: SparkSession, tablePath: String, c: String,
+      changes: DataFrame, key: String, deletedCol: String,
+      srcTag: Option[String], mergeSchema: Boolean = false): Boolean = {
     val fs = fsOf(spark, tablePath)
     val hasDel = changes.columns.contains(deletedCol)
     val upserts =
@@ -137,10 +181,15 @@ object ManifestStore {
     while (attempt < MaxCommitAttempts) {
       attempt += 1
       val r = resolve(fs, tablePath, c)
+      if (srcTag.exists(r.seenTags.contains)) return false // replayed
       if (r.liveSegs.isEmpty) {
         // absent or tombstoned collection: the merge is pure insert
-        if (!upserts.isEmpty) store(upserts, tablePath, c)
-        return true
+        // (tagged through storeBatch so the replay window still holds)
+        if (upserts.isEmpty) return true
+        return srcTag match {
+          case Some(t) => storeBatch(upserts, tablePath, c, t)
+          case None => store(upserts, tablePath, c); true
+        }
       }
       val live = r.liveSegs.toSeq.flatten
       // inferred schema of the FULL live set (footer metadata only —
@@ -223,12 +272,18 @@ object ManifestStore {
         if (rewriteSegs.isEmpty)
           // no live segment can hold a touched key: pure insert (and
           // deletes of absent keys are no-ops)
-          upserts.select(all.columns.map(col): _*)
-        else
-          readSegsInferred(spark, tablePath, c, rewriteSegs, rewriteSegs)
-            .drop("collection")
-            .join(touched, Seq(key), "left_anti")
-            .unionByName(upserts.select(all.columns.map(col): _*))
+          (if (mergeSchema) upserts
+           else upserts.select(all.columns.map(col): _*))
+        else {
+          val survivors =
+            readSegsInferred(spark, tablePath, c, rewriteSegs, rewriteSegs)
+              .drop("collection")
+              .join(touched, Seq(key), "left_anti")
+          if (mergeSchema)
+            survivors.unionByName(upserts, allowMissingColumns = true)
+          else
+            survivors.unionByName(upserts.select(all.columns.map(col): _*))
+        }
       if (rewriteSegs.isEmpty && merged.isEmpty) return true // no-op
       val ord = if (keyKind == 'l') col(key) else col(key).cast("string")
       val laid = merged
@@ -242,13 +297,16 @@ object ManifestStore {
         val inputSet = rewriteSegs.toSet
         val landed = commitWithRetry(fs, tablePath, c, r) { rr =>
           rr.liveSegs match {
+            // the tag landing via ANOTHER writer (concurrent replay of
+            // the same change batch) abandons this commit
+            case _ if srcTag.exists(rr.seenTags.contains) => None
             case Some(nowLive) if inputSet.subsetOf(nowLive.toSet) &&
                 !newSegs.exists(nowLive.contains) =>
               val out = newSegs ++ nowLive.filterNot(inputSet.contains)
               // a merge that deleted the last row leaves a defined
               // empty collection (an empty segment list is not a
-              // valid pointer body)
-              Some(if (out.isEmpty) Tombstone else segsContent(out))
+              // valid pointer body; a tombstone cannot carry a tag)
+              Some(if (out.isEmpty) Tombstone else segsContent(out, srcTag))
             case _ => None
           }
         }
@@ -256,9 +314,7 @@ object ManifestStore {
           newSegs.foreach(releaseClaim(fs, tablePath, c, _))
           return true
         }
-        // lost to a concurrent REWRITE of our inputs (compaction or
-        // another merge): the snapshot we merged against is gone —
-        // drop the orphaned output and re-derive against the new one
+        // abandoned: drop the orphaned output either way
         newSegs.foreach { s =>
           try {
             fs.delete(segDir(tablePath, c, s), true)
@@ -266,6 +322,12 @@ object ManifestStore {
           } catch { case _: java.io.IOException => () /* vacuum */ }
           releaseClaim(fs, tablePath, c, s)
         }
+        // the tag having landed via a concurrent replay is a RESOLVED
+        // outcome (the batch is applied — by the other writer);
+        // anything else is a lost rewrite race: the snapshot we merged
+        // against is gone — re-derive against the new one and retry
+        if (srcTag.exists(resolve(fs, tablePath, c).seenTags.contains))
+          return false
       } finally laid.unpersist()
     }
     throw new IllegalStateException(

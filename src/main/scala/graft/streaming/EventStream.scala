@@ -34,6 +34,12 @@ object EventStream {
   /** A live document-feed row for [[curateDocuments]]. */
   case class DocEvent(doc_id: Long, ts_us: Long, lang: String, text: String)
 
+  /** Typed CDC change row for [[applyChanges]]: `seq` is the change
+    * sequence (source LSN / commit timestamp), `_deleted` the delete
+    * flag. */
+  case class Change(doc_id: Long, txt: String, seq: Long,
+      _deleted: Boolean)
+
   case class SessionState(start_us: Long, end_us: Long, n_events: Long)
 
   case class Session(user_id: Long, start_us: Long, end_us: Long,
@@ -621,6 +627,58 @@ object EventStream {
               s"$ingestId-$batchId")
           }
         } finally batch.unpersist()
+      }
+      .start()
+  }
+
+  /** Reduce a CDC change batch to the LATEST change per key — the
+    * rank-and-take-latest step every change-capture apply needs before
+    * merging (a batch may carry several versions of one key; applying
+    * them all would upsert duplicates). Latest = max `seqCol`, ties
+    * broken deletes-last-wins (a delete and an upsert sharing a
+    * sequence resolve to the delete — the conservative reading of an
+    * ambiguous feed), then the row itself is deterministic as long as
+    * (key, seq, deleted) is unique in the feed. */
+  def latestChangePerKey(batch: DataFrame, key: String, seqCol: String,
+      deletedCol: String = "_deleted"): DataFrame = {
+    val ord =
+      if (batch.columns.contains(deletedCol))
+        Seq(col(seqCol).desc_nulls_last,
+          coalesce(col(deletedCol), lit(false)).desc)
+      else Seq(col(seqCol).desc_nulls_last)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(ord: _*)
+    batch.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn", seqCol)
+  }
+
+  /** STREAMING CDC APPLY — the continuous `MERGE INTO` every
+    * change-capture pipeline ends in: a stream of change rows (key,
+    * payload, `seqCol` change sequence, optional `deletedCol` flag) is
+    * applied to a manifest collection one atomic merge per
+    * micro-batch. Each batch is first reduced to its latest change per
+    * key ([[latestChangePerKey]]), then applied through
+    * [[graft.sources.ManifestStore.mergeBatch]] under the
+    * checkpoint-scoped tag `<ingest-id>-<batchId>` — an at-least-once
+    * foreachBatch redelivery finds its tag in the pointer log and
+    * skips, so the apply is effectively exactly-once; the zone-map
+    * pruning inside the merge keeps each micro-batch's cost
+    * proportional to its touched key range, not the table (the
+    * 100 TB continuously-updated-corpus shape). */
+  def applyChanges(changes: DataFrame, tablePath: String, c: String,
+      checkpoint: String, key: String = "doc_id",
+      seqCol: String = "seq", deletedCol: String = "_deleted",
+      mergeSchema: Boolean = false): StreamingQuery = {
+    import graft.sources.ManifestStore
+    val spark = changes.sparkSession
+    val ingestId = ingestIdentity(spark, checkpoint)
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val latest = latestChangePerKey(batch, key, seqCol, deletedCol)
+        ManifestStore.mergeBatch(latest.sparkSession, tablePath, c,
+          latest, s"$ingestId-$batchId", key, deletedCol,
+          mergeSchema): Unit
       }
       .start()
   }

@@ -165,6 +165,80 @@ class DocumentStoreSpec extends SparkSpecBase {
       Set((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("mergeBatch: tagged merges are replay-idempotent — the " +
+      "exactly-once CDC apply (a redelivered batch never rolls back " +
+      "later batches)") {
+    import spark.implicits._
+    val table = tmp() + "/table"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    def snap() = ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .select("doc_id", "txt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // first delivery of batch 0: a pure tagged insert (absent
+    // collection goes through storeBatch, keeping the replay window)
+    val b0 = Seq((1L, "a", false), (2L, "b", false))
+      .toDF("doc_id", "txt", "_deleted")
+    assert(ManifestStore.mergeBatch(spark, table, "m", b0, "cdc-0"))
+    assert(!ManifestStore.mergeBatch(spark, table, "m", b0, "cdc-0"))
+    assert(snap() == Set((1L, "a"), (2L, "b")))
+    // batches 1 and 2 advance the state ...
+    val b1 = Seq((2L, "B", false), (3L, "c", false))
+      .toDF("doc_id", "txt", "_deleted")
+    assert(ManifestStore.mergeBatch(spark, table, "m", b1, "cdc-1"))
+    assert(ManifestStore.mergeBatch(spark, table, "m",
+      Seq((2L, "", true)).toDF("doc_id", "txt", "_deleted"), "cdc-2"))
+    assert(snap() == Set((1L, "a"), (3L, "c")))
+    // ... and the crashed stream's REDELIVERY of batch 1 must neither
+    // resurrect the deleted key 2 nor duplicate key 3
+    assert(!ManifestStore.mergeBatch(spark, table, "m", b1, "cdc-1"))
+    assert(snap() == Set((1L, "a"), (3L, "c")))
+    // an untagged merge still applies on top
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((4L, "d", false)).toDF("doc_id", "txt", "_deleted")))
+    assert(snap() == Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // a hostile tag is refused before touching anything
+    intercept[IllegalArgumentException] {
+      ManifestStore.mergeBatch(spark, table, "m", b1, "bad;end")
+    }
+  }
+
+  test("mergeSchema widens the table: new change columns appear, " +
+      "untouched segments serve NULLs through the inferred read, " +
+      "strict mode keeps the old contract") {
+    import spark.implicits._
+    val table = tmp() + "/table"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .select(col("id").as("doc_id"), lit("t").as("txt"))
+    ManifestStore.store(rows(1, 100), table, "m")   // seg1
+    ManifestStore.store(rows(101, 200), table, "m") // seg2
+    val widened = Seq((150L, "S", 0.9, false))
+      .toDF("doc_id", "txt", "score", "_deleted")
+    // STRICT (default): the unknown column is projected away
+    assert(ManifestStore.mergeCollection(spark, table, "m", widened))
+    assert(!ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .columns.contains("score"))
+    // WIDENING: the column lands; only seg2 (the touched range) is
+    // rewritten, and seg1's rows serve NULL score via mergeSchema
+    assert(ManifestStore.mergeCollection(spark, table, "m", widened,
+      mergeSchema = true))
+    val got = ManifestStore.readSinceInferred(spark, table, "m", 0L)
+    assert(got.columns.contains("score"))
+    assert(got.where(col("doc_id") === 150L).select("score")
+      .collect().map(_.getDouble(0)).toSeq == Seq(0.9))
+    assert(got.where(col("score").isNull).count() == 199)
+    assert(ManifestStore.currentSegments(spark, table, "m")
+      .exists(_.contains(1L))) // seg1 carried forward, not rewritten
+    // a widened UPSERT of an old-schema row nulls the columns it does
+    // not carry — the row is the new truth (documented semantics)
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((150L, "S2", false)).toDF("doc_id", "txt", "_deleted"),
+      mergeSchema = true))
+    val r150 = ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .where(col("doc_id") === 150L).select("txt", "score").head
+    assert(r150.getString(0) == "S2" && r150.isNullAt(1))
+  }
+
   test("merge racing a concurrent compaction: the change batch is " +
       "never silently dropped (conflict-retry, not abandon)") {
     import spark.implicits._
@@ -246,6 +320,28 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(got.sorted.toSeq ==
       (0L until n).map(i => (i * 2654435761L) % n)
         .filter(y => y >= 100L && y <= 200L).sorted)
+    // MERGE vs the z layout: a wide merge re-clusters its rewritten
+    // segments by the MERGE KEY, so the key axis keeps pruning, while
+    // the OTHER interleaved axis degrades across the rewritten subset
+    // (the documented trade) — and a zorderCompact restores it
+    import spark.implicits._
+    assert(ManifestStore.mergeCollection(spark, table, "ev",
+      Seq((100L, 4200L), (3000L, 4201L)).toDF("x", "y"), key = "x"))
+    assert(ManifestStore.readRangeLong(spark, table, "ev",
+      Long.MinValue, Long.MaxValue, "x").count() == n)
+    val (kx2, tx2) = kept("x", 100L, 200L)
+    assert(kx2 < tx2, s"merge broke x pruning: kept $kx2 of $tx2")
+    ManifestStore.zorderCompact(spark, table, "ev", Seq("x", "y"), 8)
+    val (ky2, ty2) = kept("y", 100L, 200L)
+    assert(ty2 == 8 && ky2 <= 4,
+      s"post-merge compaction must restore y pruning: kept $ky2 of $ty2")
+    // correctness through merge + recompaction: the upserted rows'
+    // old y values (2340, 568) were outside [100, 200], so the range
+    // answer is unchanged
+    assert(ManifestStore.readRangeLong(spark, table, "ev",
+      100L, 200L, "y").count() ==
+      (0L until n).map(i => (i * 2654435761L) % n)
+        .count(y => y >= 100L && y <= 200L))
   }
 
   test("JSON ingest -> flatten: 1-based chunk_idx, fields mapped (O3/O4, Q6)") {

@@ -799,4 +799,49 @@ class EventStreamSpec extends SparkSpecBase {
     assert(ManifestStore.storeBatch(chunks, table, "s1", "other-lineage-0"))
     assert(ManifestStore.read(spark, table).count() == 4)
   }
+
+  test("streaming CDC apply: per-batch latest-change merge, " +
+      "exactly-once under the checkpoint-scoped tags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.ManifestStore
+    val table = Files.createTempDirectory("graft_cdc").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    def snap() = ManifestStore.readSinceInferred(spark, table, "docs", 0L)
+      .select("doc_id", "txt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val input = MemoryStream[EventStream.Change]
+    val q = EventStream.applyChanges(input.toDF(), table, "docs", ckpt)
+    try {
+      // one micro-batch carrying TWO versions of key 2: the apply must
+      // rank-and-take-latest before merging, never upsert both
+      input.addData(Seq(
+        EventStream.Change(1L, "a", 1L, _deleted = false),
+        EventStream.Change(2L, "b0", 1L, _deleted = false),
+        EventStream.Change(2L, "b1", 2L, _deleted = false)))
+      q.processAllAvailable()
+      assert(snap() == Set((1L, "a"), (2L, "b1")))
+      // next batch: upsert, delete, insert
+      input.addData(Seq(
+        EventStream.Change(1L, "A", 3L, _deleted = false),
+        EventStream.Change(2L, "x", 3L, _deleted = true),
+        EventStream.Change(3L, "c", 3L, _deleted = false)))
+      q.processAllAvailable()
+      assert(snap() == Set((1L, "A"), (3L, "c")))
+    } finally q.stop()
+    // the foreachBatch replay path: redelivering under a recorded
+    // lineage tag is a manifest no-op — the deleted key stays deleted
+    val id = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$ckpt/graft-ingest-id")), "UTF-8").trim
+    assert(!ManifestStore.mergeBatch(spark, table, "docs",
+      Seq((2L, "zombie", false)).toDF("doc_id", "txt", "_deleted"),
+      s"$id-1"))
+    assert(snap() == Set((1L, "A"), (3L, "c")))
+    // a fresh lineage applies normally
+    assert(ManifestStore.mergeBatch(spark, table, "docs",
+      Seq((4L, "d", false)).toDF("doc_id", "txt", "_deleted"),
+      "other-lineage-0"))
+    assert(snap() == Set((1L, "A"), (3L, "c"), (4L, "d")))
+  }
 }
