@@ -380,7 +380,8 @@ object Dedup {
     * against the same oracle). The driver loop carries only a
     * converged? count per round, never data. */
   def minhashClusters(documents: DataFrame, threshold: Double = 0.5,
-      maxIters: Int = 32): DataFrame = {
+      maxIters: Int = 32,
+      smallGraphCap: Long = SmallGraphEdgeCap): DataFrame = {
     val spark = documents.sparkSession
     // one shared shingle/signature relation feeds pairs AND the node set
     val sigs = shingled(documents)
@@ -414,6 +415,26 @@ object Dedup {
       nodes.agg(coalesce(sum("doc_id"), lit(0L)).as("s"))).head
     val nEdges = st.getLong(0)
     dbg("edges-counted")
+    // SMALL-GRAPH FAST PATH (see [[SmallGraphEdgeCap]]): the stats job
+    // above materialized the persisted edge set, so the collect is a
+    // cache read; union-find reproduces the min-label fixpoint exactly
+    if (nEdges > 0L && nEdges <= smallGraphCap) {
+      val collected = edges.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val lbl = nodes.join(
+          VectorSearch.broadcastIfSmall(unionFindLabels(spark, collected))
+            .withColumnRenamed("doc_id", "src"),
+          nodes("doc_id") === col("src"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val w0 = Window.partitionBy(col("cluster_id"))
+      dbg("small-graph-labeled")
+      return lbl
+        .withColumn("cluster_size", count(lit(1)).over(w0))
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.min(sessionParts.toLong, nEdges / 1000000L + 1L).toInt
     var labels = nodes.withColumn("cluster_id", col("doc_id")).persist()
@@ -494,8 +515,50 @@ object Dedup {
     * sum-of-pmod-2^31 formulation).
     *
     * Returns (doc_id, cluster_id = min doc_id of the component). */
+  /** Edge-count gate for the driver-side union-find fast path shared
+    * by both component solvers: at or below this many measured edge
+    * rows the component structure is index-metadata-sized (≤ a few MB
+    * — the bounded-shortlist class the codebooks and the MMR pool live
+    * in) and the distributed loops' cost is pure per-round job
+    * latency, so the labels are computed in one collect + one
+    * broadcast join instead of O(rounds) tiny shuffles. Above the gate
+    * the distributed solvers run unchanged — at corpus scale the gate
+    * never fires. Both solvers' fixpoint is cluster_id = min doc_id of
+    * the component, which union-by-min-root reproduces exactly, so the
+    * fast path is bit-identical to the loops (same oracles). */
+  private val SmallGraphEdgeCap = 1L << 17
+
+  /** Union-find (path compression + union-by-min-root) over a
+    * collected edge list → (doc_id, cluster_id) rows for every TOUCHED
+    * node; untouched nodes label themselves via the caller's
+    * left-outer join. Union always points the larger root at the
+    * smaller, so every final root is its component's minimum id. */
+  private def unionFindLabels(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val touched = new java.util.TreeSet[java.lang.Long]()
+    edges.foreach { case (a, b) => touched.add(a); touched.add(b) }
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    touched.asScala.iterator.map(id => (id.toLong, find(id)))
+      .toSeq.toDF("doc_id", "cluster_id")
+  }
+
   private[graft] def connectedComponentsStar(nodes: DataFrame,
-      undirected: DataFrame, maxIters: Int = 64): DataFrame = {
+      undirected: DataFrame, maxIters: Int = 64,
+      smallGraphCap: Long = SmallGraphEdgeCap): DataFrame = {
     def signature(df: DataFrame): (Long, Long) = {
       // full-64-bit XOR, not a truncated sum: the edge sets are
       // distinct()ed, so XOR of per-edge hashes identifies the SET
@@ -541,6 +604,20 @@ object Dedup {
     var e = canon(undirected.select(col("doc_id_1").as("src"),
       col("doc_id_2").as("dst"))).distinct().localCheckpoint()
     var sig = signature(e)
+    // SMALL-GRAPH FAST PATH (see [[SmallGraphEdgeCap]]): the edge set
+    // is already materialized by the signature job — one collect
+    // replaces the whole star loop, bit-identically
+    if (sig._1 > 0L && sig._1 <= smallGraphCap) {
+      val collected = e.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val labels = unionFindLabels(nodes.sparkSession, collected)
+      e.unpersist()
+      return nodes.join(VectorSearch.broadcastIfSmall(labels)
+          .withColumnRenamed("doc_id", "src"),
+          nodes("doc_id") === col("src"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }
     var iter = 0
     var converged = sig._1 == 0L
     // Same scheduling-tax control as [[minhashClusters]]: the loop's

@@ -291,28 +291,41 @@ class DedupSpec extends SparkSpecBase {
       .count())
   }
 
-  test("star solver clusters == join-min clusters on the fixture") {
-    val viaStar = Dedup.minhashClustersStar(docs).collect()
+  test("star solver clusters == join-min clusters on the fixture, and " +
+      "the small-graph fast path == the forced distributed loop") {
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
         r.getAs[Long]("cluster_size"), r.getAs[Boolean]("keep"))).toSeq
-    val viaJoinMin = Dedup.minhashClusters(docs).collect()
-      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
-        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("keep"))).toSeq
+    val viaStar = shape(Dedup.minhashClustersStar(docs).collect())
+    val viaJoinMin = shape(Dedup.minhashClusters(docs).collect())
     assert(viaStar == viaJoinMin)
+    // the fixture's edge set is under the gate, so the calls above took
+    // the union-find fast path; forcing the distributed join-min loop
+    // (cap 0) must produce the identical labels — the bit-identity the
+    // gate's contract rests on
+    val viaLoop = shape(
+      Dedup.minhashClusters(docs, smallGraphCap = 0L).collect())
+    assert(viaLoop == viaJoinMin)
   }
 
   test("star solver handles an adversarial long chain (diameter >> rounds)") {
     import spark.implicits._
     // a 300-node path: join-min needs ~300 rounds (past its cap); the
-    // star alternation must collapse it in O(log n)
+    // star alternation must collapse it in O(log n). Cap 0 forces the
+    // DISTRIBUTED loop (the gate would otherwise route this tiny graph
+    // through union-find and leave the loop untested).
     val n = 300
     val nodes = spark.range(n).select(col("id").as("doc_id"))
     val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
       .toDF("doc_id_1", "doc_id_2")
-    val labels = Dedup.connectedComponentsStar(nodes, edges, maxIters = 16)
-      .collect()
+    val labels = Dedup.connectedComponentsStar(nodes, edges,
+      maxIters = 16, smallGraphCap = 0L).collect()
     assert(labels.length == n)
     assert(labels.forall(_.getAs[Long]("cluster_id") == 0L))
+    // the gated fast path labels the same chain identically
+    val viaUf = Dedup.connectedComponentsStar(nodes, edges).collect()
+    assert(viaUf.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      labels.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
     // and disjoint singletons stay themselves
     val lone = Dedup.connectedComponentsStar(
       spark.range(5).select(col("id").as("doc_id")),
