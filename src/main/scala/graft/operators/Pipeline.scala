@@ -775,6 +775,93 @@ object Pipeline {
     shuffleShardsOn(domainMixDocsOn(deduped))
   }
 
+  // ----------------------------------------------------------------
+  // data-quality constraints (the Deequ/Delta-constraints ingest gate)
+  // ----------------------------------------------------------------
+
+  /** Declared language set for the [[dataQuality]] expectations — a
+    * CHECK constraint is a declaration about the data, so the declared
+    * set deliberately EXCLUDES one fixture language (zh): a constraint
+    * suite in which every rule trivially passes pins only the no-op
+    * path, and "the crawl grew a language the pipeline never declared"
+    * is exactly the drift this gate exists to surface. */
+  val DeclaredLangs: Seq[String] = Seq("en", "de", "fr", "es")
+
+  /** Minimum declared document length (chars) for the same reason. */
+  val MinDeclaredChars = 100L
+
+  /** ONE-PASS data-quality CONSTRAINT CHECK — the validation gate every
+    * ingest runs before data enters the corpus (Deequ's Check /
+    * Delta's table constraints, as a declarative report): one row per
+    * rule with its violation count and pass flag. ALL rules evaluate
+    * in a SINGLE aggregate over one scan (conditional counts + one
+    * distinct-count riding the same Expand, the [[Relational
+    * .profileCustomer]] discipline) — never a scan per rule, which at
+    * 100 TB is the difference between one pass and N. Row-level
+    * violators are extracted (not just counted) by [[quarantine]]. */
+  def dataQuality(s: SparkSession, dir: String): DataFrame =
+    dataQualityOn(Tables(s, dir, "documents"))
+
+  /** [[dataQuality]] over any (doc_id, text, lang, n_chars) frame —
+    * the spec surface (planted-dirty fixtures). */
+  def dataQualityOn(t: DataFrame): DataFrame = {
+    val wide = t.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_key_not_null"),
+      (sum(when(col("doc_id").isNotNull, 1L).otherwise(0L)) -
+        countDistinct(col("doc_id"))).as("v_key_unique"),
+      sum(when(col("text").isNull || length(trim(col("text"))) === 0,
+        1L).otherwise(0L)).as("v_text_not_empty"),
+      sum(when(!(col("n_chars") <=> length(col("text"))), 1L)
+        .otherwise(0L)).as("v_chars_consistent"),
+      sum(when(col("lang").isNull ||
+        !col("lang").isin(DeclaredLangs: _*), 1L).otherwise(0L))
+        .as("v_lang_declared"),
+      sum(when(col("n_chars") < MinDeclaredChars, 1L).otherwise(0L))
+        .as("v_text_min_chars"))
+    val rules = Seq("key_not_null", "key_unique", "text_not_empty",
+      "chars_consistent", "lang_declared", "text_min_chars")
+    val stackArgs = rules.map(r => s"'$r', v_$r").mkString(", ")
+    wide.selectExpr("n_rows",
+        s"stack(${rules.length}, $stackArgs) AS (rule, n_violations)")
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy("rule")
+  }
+
+  /** QUARANTINE split — the row-level half of [[dataQuality]]: every
+    * document violating at least one row-level rule, with the sorted
+    * list of violated rules as its quarantine reason (the
+    * dead-letter relation an ingest pipeline writes aside instead of
+    * silently dropping). Duplicate keys quarantine EVERY copy (the
+    * pipeline cannot know which is authoritative). Plan shape: all
+    * rules except duplication are scan-side predicates; duplication is
+    * one window count over the uniform key — a single shuffle, same
+    * class as exact dedup. */
+  def quarantine(s: SparkSession, dir: String): DataFrame =
+    quarantineOn(Tables(s, dir, "documents"))
+
+  /** [[quarantine]]'s frame-level surface. */
+  def quarantineOn(t: DataFrame): DataFrame = {
+    val dupCnt = count(lit(1))
+      .over(Window.partitionBy(col("doc_id")))
+    val reasons = array_sort(filter(array(
+      when(col("doc_id").isNull, lit("key_not_null")),
+      when(dupCnt > 1, lit("key_duplicate")),
+      when(col("text").isNull || length(trim(col("text"))) === 0,
+        lit("text_not_empty")),
+      when(!(col("n_chars") <=> length(col("text"))),
+        lit("chars_consistent")),
+      when(col("lang").isNull || !col("lang").isin(DeclaredLangs: _*),
+        lit("lang_declared")),
+      when(col("n_chars") < MinDeclaredChars, lit("text_min_chars"))),
+      x => x.isNotNull))
+    t.select(col("doc_id"), col("lang"), col("n_chars"),
+        reasons.as("reasons"))
+      .where(size(col("reasons")) > 0)
+      .orderBy("doc_id")
+  }
+
   /** PII patterns — deliberately restricted to constructs with
     * IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB):
     * explicit ASCII classes, bounded quantifiers, `\b`/`\d` (ASCII in
@@ -1260,6 +1347,65 @@ object Pipeline {
          |    AS yield_mixed
          |FROM c""".stripMargin)(
       (s, dir) => curationFunnel(s, dir)),
+
+    QueryDef.sql("pl_data_quality", {
+      val langs = DeclaredLangs.map(l => s"'$l'").mkString(", ")
+      s"""WITH agg AS (
+         |  SELECT count(*) AS n_rows,
+         |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+         |      AS v_key_not_null,
+         |    sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      - count(DISTINCT doc_id) AS v_key_unique,
+         |    sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+         |      THEN 1 ELSE 0 END) AS v_text_not_empty,
+         |    sum(CASE WHEN n_chars IS DISTINCT FROM length(text)
+         |      THEN 1 ELSE 0 END) AS v_chars_consistent,
+         |    sum(CASE WHEN lang IS NULL OR lang NOT IN ($langs)
+         |      THEN 1 ELSE 0 END) AS v_lang_declared,
+         |    sum(CASE WHEN n_chars < $MinDeclaredChars THEN 1 ELSE 0 END)
+         |      AS v_text_min_chars
+         |  FROM documents)
+         |SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+         |  n_violations = 0 AS pass
+         |FROM (
+         |  SELECT 'key_not_null' AS rule, n_rows,
+         |    v_key_not_null AS n_violations FROM agg
+         |  UNION ALL SELECT 'key_unique', n_rows, v_key_unique FROM agg
+         |  UNION ALL SELECT 'text_not_empty', n_rows, v_text_not_empty
+         |    FROM agg
+         |  UNION ALL SELECT 'chars_consistent', n_rows, v_chars_consistent
+         |    FROM agg
+         |  UNION ALL SELECT 'lang_declared', n_rows, v_lang_declared
+         |    FROM agg
+         |  UNION ALL SELECT 'text_min_chars', n_rows, v_text_min_chars
+         |    FROM agg)
+         |ORDER BY rule""".stripMargin
+    }) { (s, dir) => dataQuality(s, dir) },
+
+    QueryDef.sql("pl_quarantine", {
+      val langs = DeclaredLangs.map(l => s"'$l'").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, n_chars, text,
+         |    count(*) OVER (PARTITION BY doc_id) AS dup_cnt
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    list_sort(list_filter([
+         |      CASE WHEN doc_id IS NULL THEN 'key_not_null' END,
+         |      CASE WHEN dup_cnt > 1 THEN 'key_duplicate' END,
+         |      CASE WHEN text IS NULL OR length(trim(text)) = 0
+         |        THEN 'text_not_empty' END,
+         |      CASE WHEN n_chars IS DISTINCT FROM length(text)
+         |        THEN 'chars_consistent' END,
+         |      CASE WHEN lang IS NULL OR lang NOT IN ($langs)
+         |        THEN 'lang_declared' END,
+         |      CASE WHEN n_chars < $MinDeclaredChars
+         |        THEN 'text_min_chars' END
+         |    ], x -> x IS NOT NULL)) AS reasons
+         |  FROM d)
+         |SELECT doc_id, lang, n_chars, reasons FROM r
+         |WHERE len(reasons) > 0 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) => quarantine(s, dir) },
 
     QueryDef.sql("pl_pii_scrub",
       s"""WITH a AS (

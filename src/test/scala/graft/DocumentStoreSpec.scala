@@ -165,6 +165,48 @@ class DocumentStoreSpec extends SparkSpecBase {
       Set((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("merge lifecycle is FS-agnostic (graftfs scheme): pruned " +
+      "rewrite, time travel, vacuum reclaiming replaced segments") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val table = s"graftfs://${tmp()}/mtable"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .select(col("id").as("doc_id"), lit("v").as("txt"))
+    ManifestStore.store(rows(1, 100), table, "m")   // seg1
+    ManifestStore.store(rows(101, 200), table, "m") // seg2
+    val preMerge = ManifestStore.currentPtrSeq(spark, table, "m")
+    // the staged partitionBy write + renames must go through the
+    // FileSystem API only — proven by the non-default scheme
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((150L, "U", false), (999L, "new", false))
+        .toDF("doc_id", "txt", "_deleted")))
+    val live = ManifestStore.currentSegments(spark, table, "m").get
+    assert(live.contains(1L) && !live.contains(2L)) // pruned rewrite
+    def snapCount() = ManifestStore
+      .readSinceInferred(spark, table, "m", 0L).count()
+    assert(snapCount() == 201)
+    // pre-merge snapshot still addressable ...
+    assert(ManifestStore.readAsOfInferred(spark, table, "m", preMerge)
+      .count() == 200)
+    // ... until vacuum reclaims the replaced segment and prunes history
+    val removed = ManifestStore.vacuum(spark, table, 0L, 0L)
+    assert(removed.exists(_.contains("seg=000002")), removed)
+    assert(snapCount() == 201)
+    intercept[IllegalArgumentException] {
+      ManifestStore.readAsOfInferred(spark, table, "m", preMerge)
+    }
+    // post-vacuum the pruned merge still engages (sidecars survived)
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((150L, "U2", false)).toDF("doc_id", "txt", "_deleted")))
+    assert(ManifestStore.currentSegments(spark, table, "m").get
+      .contains(1L))
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .where(col("doc_id") === 150L).select("txt").collect()
+      .map(_.getString(0)).toSeq == Seq("U2"))
+  }
+
   test("mergeBatch: tagged merges are replay-idempotent — the " +
       "exactly-once CDC apply (a redelivered batch never rolls back " +
       "later batches)") {

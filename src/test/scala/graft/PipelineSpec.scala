@@ -675,4 +675,51 @@ class PipelineSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_vecs") > 0)
     }
   }
+
+  test("data quality: every rule fires on a planted-dirty frame, " +
+      "quarantine extracts exactly the violators with their reasons, " +
+      "and a clean frame passes everything") {
+    import spark.implicits._
+    def mk(rows: Seq[(java.lang.Long, String, String, java.lang.Long)]) =
+      rows.toDF("doc_id", "text", "lang", "n_chars")
+    val longTxt = "x" * 150
+    val dirty = mk(Seq(
+      (1L, longTxt, "en", 150L),           // clean
+      (2L, longTxt, "en", 150L),           // dup pair ...
+      (2L, longTxt, "en", 150L),           // ... both copies quarantine
+      (null, longTxt, "en", 150L),         // null key
+      (5L, "   ", "en", 3L),               // empty text
+      (6L, longTxt, "xx", 150L),           // undeclared lang
+      (7L, longTxt, "en", 99L),            // inconsistent + short
+      (8L, "y" * 50, "en", 50L)))          // short only
+    val q = Pipeline.dataQualityOn(dirty).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(q("key_not_null") == ((1L, false)))
+    assert(q("key_unique") == ((1L, false)))   // 7 non-null keys, 6 distinct
+    assert(q("text_not_empty") == ((1L, false)))
+    assert(q("chars_consistent") == ((1L, false))) // doc 7 (99 vs 150)
+    assert(q("lang_declared") == ((1L, false)))
+    assert(q("text_min_chars") == ((3L, false))) // docs 5, 7, 8
+    val quar = Pipeline.quarantineOn(dirty).collect()
+      .map(r => Option(r.getAs[java.lang.Long]("doc_id"))
+        .map(_.toLong) -> r.getSeq[String](3).toList)
+    // both copies of the dup key quarantine; reasons are sorted lists
+    assert(quar.count(_._1.contains(2L)) == 2)
+    assert(quar.filter(_._1.contains(2L))
+      .forall(_._2 == List("key_duplicate")))
+    assert(quar.find(_._1.isEmpty).map(_._2).contains(List("key_not_null")))
+    assert(quar.find(_._1.contains(5L)).map(_._2)
+      .contains(List("text_min_chars", "text_not_empty")))
+    assert(quar.find(_._1.contains(7L)).map(_._2)
+      .contains(List("chars_consistent", "text_min_chars")))
+    assert(quar.find(_._1.contains(6L)).map(_._2)
+      .contains(List("lang_declared")))
+    assert(!quar.exists(_._1.contains(1L))) // the clean row stays out
+    // a clean frame: every rule passes, quarantine is empty
+    val clean = mk(Seq((1L, longTxt, "en", 150L), (2L, longTxt, "de", 150L)))
+    assert(Pipeline.dataQualityOn(clean).collect()
+      .forall(_.getAs[Boolean]("pass")))
+    assert(Pipeline.quarantineOn(clean).isEmpty)
+  }
 }
