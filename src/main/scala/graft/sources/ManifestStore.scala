@@ -1555,6 +1555,122 @@ object ManifestStore {
     }
   }
 
+  /** One live segment's operational metadata ([[segmentInfo]]):
+    * bytes/files from the directory listing, key bounds from the
+    * zone-map sidecar (None when the sidecar is missing or lacks the
+    * column — such segments sort last in the plan's key order). */
+  final case class SegmentInfo(seg: Long, bytes: Long, files: Int,
+      keyLo: Option[String], keyHi: Option[String])
+
+  /** Metadata-only segment inventory: every live segment with its byte
+    * size, file count, and recorded bounds for `column` — the input to
+    * compaction policy, at pointer + listing cost (no data read, no
+    * Spark job). */
+  def segmentInfo(spark: SparkSession, tablePath: String, c: String,
+      column: String = ZoneMapColumn): Seq[SegmentInfo] = {
+    val fs = fsOf(spark, tablePath)
+    resolve(fs, tablePath, c).liveSegs.toSeq.flatten.map { seg =>
+      val (bytes, files) =
+        try {
+          val sts = fs.listStatus(segDir(tablePath, c, seg))
+            .filter(st => !st.isDirectory &&
+              !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+          (sts.map(_.getLen).sum, sts.length)
+        } catch { case _: java.io.IOException => (0L, 0) }
+      val bounds = readSegStats(fs, tablePath, c, seg).get(column)
+      SegmentInfo(seg, bytes, files,
+        bounds.map(_._2), bounds.map(_._3))
+    }
+  }
+
+  /** Small-file compaction PLAN (the `OPTIMIZE` advisor): group live
+    * segments smaller than `smallBytes` into key-adjacent groups of at
+    * most `targetBytes` each — the bounded work-list that makes
+    * compaction INCREMENTAL. At 100 TB a collection is never compacted
+    * whole: ingest continuously produces small segments at the head,
+    * and the maintenance job compacts exactly the groups this plan
+    * proposes ([[compactSegments]]), leaving every healthy segment
+    * untouched. Key adjacency (sidecar lower bounds; stat-less
+    * segments sort last) keeps the rewritten segments' ranges tight so
+    * zone-map pruning survives the rewrite. Pure metadata: no data is
+    * read and no job runs. Groups of one are dropped — compacting a
+    * single segment is a no-op layout-wise. */
+  def compactionPlan(spark: SparkSession, tablePath: String, c: String,
+      targetBytes: Long, smallBytes: Long): Seq[Seq[Long]] = {
+    require(smallBytes <= targetBytes,
+      s"smallBytes ($smallBytes) must not exceed targetBytes ($targetBytes)")
+    val small = segmentInfo(spark, tablePath, c)
+      .filter(_.bytes < smallBytes)
+      .sortWith { (a, b) =>
+        (a.keyLo, b.keyLo) match {
+          case (Some(x), Some(y)) =>
+            val d = utf8Cmp(x, y); if (d != 0) d < 0 else a.seg < b.seg
+          case (Some(_), None) => true
+          case (None, Some(_)) => false
+          case (None, None) => a.seg < b.seg
+        }
+      }
+    val groups = Seq.newBuilder[Seq[Long]]
+    var cur = Seq.newBuilder[Long]
+    var curBytes = 0L
+    var curN = 0
+    small.foreach { si =>
+      if (curN > 0 && curBytes + si.bytes > targetBytes) {
+        if (curN >= 2) groups += cur.result()
+        cur = Seq.newBuilder[Long]; curBytes = 0L; curN = 0
+      }
+      cur += si.seg; curBytes += si.bytes; curN += 1
+    }
+    if (curN >= 2) groups += cur.result()
+    groups.result()
+  }
+
+  /** INCREMENTAL compaction — rewrite ONLY `segs` (one
+    * [[compactionPlan]] group) into a single clustered segment,
+    * committed atomically replacing exactly those inputs; every other
+    * live segment is untouched — not read, not listed, byte-identical
+    * after the commit. Clusters by the table's first zone-map column
+    * when the subset carries it (fresh tight sidecar via
+    * [[writeSegment]]); layout-only, so a lost rewrite race abandons
+    * (the [[compactCollection]] contract) — returns true iff this
+    * rewrite committed. Full-collection `compactCollection` /
+    * [[zorderCompact]] remain the deep-maintenance paths; this is the
+    * continuous one. */
+  def compactSegments(spark: SparkSession, tablePath: String, c: String,
+      segs: Seq[Long]): Boolean = {
+    require(segs.nonEmpty, "compactSegments needs a non-empty group")
+    val fs = fsOf(spark, tablePath)
+    val r = resolve(fs, tablePath, c)
+    val live = r.liveSegs.toSeq.flatten.toSet
+    require(segs.toSet.subsetOf(live),
+      s"group ${segs.mkString(",")} not all live in '$c' " +
+        s"(live: ${live.toSeq.sorted.mkString(",")}) - re-plan")
+    val rows = readSegsInferred(spark, tablePath, c, segs, segs)
+      .drop("collection")
+    val zmCol = zoneMapColumnsOf(fs, tablePath)
+      .find(rows.columns.contains)
+    val laid = zmCol match {
+      case Some(k) => rows
+        .repartitionByRange(1, col(k).cast("string"))
+        .sortWithinPartitions(col(k).cast("string"))
+      case None => rows.repartition(1)
+    }
+    val inputSet = segs.toSet
+    val seg = claimSeg(fs, tablePath, c, r.nextSeg)
+    writeSegment(laid, fs, tablePath, c, seg)
+    val won = commitWithRetry(fs, tablePath, c, r) { rr =>
+      rr.liveSegs match {
+        case Some(nowLive) if inputSet.subsetOf(nowLive.toSet) &&
+            !nowLive.contains(seg) =>
+          Some(segsContent(seg +: nowLive.filterNot(inputSet.contains)))
+        case _ => None // layout-only: abandon, orphan ages out
+      }
+    }
+    releaseClaim(fs, tablePath, c, seg)
+    won
+  }
+
   /** Bits per dimension in [[zorderCompact]]'s interleave: 4 bits =
     * 16 quantile buckets per column — segment-level clustering needs
     * far fewer distinctions than row-level sorting (a 16×16 z-grid

@@ -165,6 +165,63 @@ class DocumentStoreSpec extends SparkSpecBase {
       Set((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("incremental compaction: the metadata plan groups small " +
+      "key-adjacent segments; compactSegments rewrites ONLY its group") {
+    import spark.implicits._
+    val table = tmp() + "/table"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .select(format_string("%06d", col("id")).as("doc_id"),
+        lit("v").as("txt"))
+    // four SMALL segments + one big one (10x the rows); small ones
+    // deliberately stored out of key order to prove key-adjacency
+    ManifestStore.store(rows(300, 320), table, "m") // seg1 small
+    ManifestStore.store(rows(100, 120), table, "m") // seg2 small
+    ManifestStore.store(rows(1000, 1300), table, "m") // seg3 BIG
+    ManifestStore.store(rows(200, 220), table, "m") // seg4 small
+    ManifestStore.store(rows(400, 420), table, "m") // seg5 small
+    val info = ManifestStore.segmentInfo(spark, table, "m")
+    assert(info.map(_.seg).sorted == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(info.forall(si => si.bytes > 0 && si.files > 0))
+    val big = info.find(_.seg == 3L).get.bytes
+    val smallMax = info.filter(_.seg != 3L).map(_.bytes).max
+    assert(big > smallMax)
+    // plan with the threshold between small and big: one group of the
+    // four small segments, ordered by their key lower bounds
+    val plan = ManifestStore.compactionPlan(spark, table, "m",
+      targetBytes = big * 10, smallBytes = big)
+    assert(plan == Seq(Seq(2L, 4L, 1L, 5L)), plan)
+    // a tight target splits the group; singletons are dropped
+    val tight = ManifestStore.compactionPlan(spark, table, "m",
+      targetBytes = smallMax * 2, smallBytes = big)
+    assert(tight.nonEmpty && tight.forall(_.size == 2), tight)
+    // compact the full small group: the big segment's DIRECTORY is
+    // byte-identical (never read or rewritten)
+    def segFiles(seg: String) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$table/collection=m/seg=$seg"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+    val bigBefore = segFiles("000003")
+    assert(ManifestStore.compactSegments(spark, table, "m", plan.head))
+    assert(segFiles("000003") == bigBefore)
+    val live = ManifestStore.currentSegments(spark, table, "m").get
+    assert(live.contains(3L) && live.size == 2, live)
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .count() == 4 * 21 + 301)
+    // the rewritten segment carries fresh bounds: key pruning works
+    val pruned = ManifestStore.readRange(spark, table, "m",
+      "000105", "000110")
+    assert(pruned.count() == 6)
+    assert(pruned.inputFiles.nonEmpty &&
+      !pruned.inputFiles.exists(_.contains("seg=000003")))
+    // a stale plan (inputs already rewritten) fails loud at the gate
+    intercept[IllegalArgumentException] {
+      ManifestStore.compactSegments(spark, table, "m", Seq(2L, 4L))
+    }
+  }
+
   test("merge lifecycle is FS-agnostic (graftfs scheme): pruned " +
       "rewrite, time travel, vacuum reclaiming replaced segments") {
     import spark.implicits._
