@@ -841,21 +841,30 @@ object Pipeline {
   def quarantine(s: SparkSession, dir: String): DataFrame =
     quarantineOn(Tables(s, dir, "documents"))
 
+  /** The sorted violated-rule list for one row: every row-local rule,
+    * plus `key_duplicate` when a duplication signal is supplied (a
+    * window count in batch; a STREAM has no retrospective count — its
+    * duplicate handling is the stateful dedup stage, so the streaming
+    * face passes None). */
+  private[graft] def rowQualityReasons(dupCnt: Option[Column]): Column =
+    array_sort(filter(array(
+      (Seq(
+        when(col("doc_id").isNull, lit("key_not_null"))) ++
+        dupCnt.map(c => when(c > 1, lit("key_duplicate"))).toSeq ++ Seq(
+        when(col("text").isNull || length(trim(col("text"))) === 0,
+          lit("text_not_empty")),
+        when(!(col("n_chars") <=> length(col("text"))),
+          lit("chars_consistent")),
+        when(col("lang").isNull || !col("lang").isin(DeclaredLangs: _*),
+          lit("lang_declared")),
+        when(col("n_chars") < MinDeclaredChars,
+          lit("text_min_chars")))): _*),
+      x => x.isNotNull))
+
   /** [[quarantine]]'s frame-level surface. */
   def quarantineOn(t: DataFrame): DataFrame = {
-    val dupCnt = count(lit(1))
-      .over(Window.partitionBy(col("doc_id")))
-    val reasons = array_sort(filter(array(
-      when(col("doc_id").isNull, lit("key_not_null")),
-      when(dupCnt > 1, lit("key_duplicate")),
-      when(col("text").isNull || length(trim(col("text"))) === 0,
-        lit("text_not_empty")),
-      when(!(col("n_chars") <=> length(col("text"))),
-        lit("chars_consistent")),
-      when(col("lang").isNull || !col("lang").isin(DeclaredLangs: _*),
-        lit("lang_declared")),
-      when(col("n_chars") < MinDeclaredChars, lit("text_min_chars"))),
-      x => x.isNotNull))
+    val reasons = rowQualityReasons(
+      Some(count(lit(1)).over(Window.partitionBy(col("doc_id")))))
     t.select(col("doc_id"), col("lang"), col("n_chars"),
         reasons.as("reasons"))
       .where(size(col("reasons")) > 0)

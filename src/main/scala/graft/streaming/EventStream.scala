@@ -631,6 +631,23 @@ object EventStream {
       .start()
   }
 
+  /** Streaming DEAD-LETTER split of the data-quality gate
+    * ([[graft.operators.Pipeline.quarantineOn]]'s stream face): every
+    * arriving document violating a ROW-LOCAL rule is emitted with its
+    * sorted reason list — the quarantine stream an ingest pipeline
+    * writes aside instead of silently dropping. All rules here are
+    * pure row projections (stateless, stream-safe, zero state-store
+    * cost; replay ≡ batch trivially); the one batch rule that needs
+    * retrospection — `key_duplicate` — is deliberately absent, because
+    * duplicate handling on a stream is the stateful dedup stage
+    * (`curateDocuments`), not a quality predicate. */
+  def quarantineDocuments(docs: DataFrame): DataFrame = {
+    val reasons = graft.operators.Pipeline.rowQualityReasons(None)
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        reasons.as("reasons"))
+      .where(size(col("reasons")) > 0)
+  }
+
   /** Reduce a CDC change batch to the LATEST change per key — the
     * rank-and-take-latest step every change-capture apply needs before
     * merging (a batch may carry several versions of one key; applying

@@ -844,4 +844,37 @@ class EventStreamSpec extends SparkSpecBase {
       "other-lineage-0"))
     assert(snap() == Set((1L, "A"), (3L, "c"), (4L, "d")))
   }
+
+  test("streaming quarantine (dead-letter split) == batch row-local " +
+      "quarantine over the fixture corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "n_chars")
+    val rows = docsDf.collect().map(r => QDoc(
+      Option(r.getAs[java.lang.Long]("doc_id")).map(_.toLong),
+      r.getAs[String]("text"), r.getAs[String]("lang"),
+      r.getAs[Long]("n_chars"))).toSeq
+    val input = MemoryStream[QDoc]
+    val q = EventStream.quarantineDocuments(input.toDF())
+      .writeStream.format("memory").queryName("quar")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    def shape(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getLong(0), r.getSeq[String](3).toList)).toSet
+    val got = shape(spark.table("quar").collect())
+    // fixture keys are unique, so the batch face's key_duplicate rule
+    // never fires and the two faces must agree exactly
+    val want = shape(graft.operators.Pipeline.quarantineOn(docsDf)
+      .collect())
+    assert(got == want)
+    assert(got.nonEmpty) // the declared expectations catch real drift
+  }
 }
+
+/** Typed quarantine-stream row (Option key: NULL keys must flow). */
+case class QDoc(doc_id: Option[Long], text: String, lang: String,
+    n_chars: Long)
