@@ -244,6 +244,32 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** RUNNING DISTINCT COUNT over a window — an aggregate Spark refuses
+    * natively (`COUNT(DISTINCT x) OVER (...)` is unsupported), written
+    * the Spark-idiomatic way: `size(collect_set(x))` over the running
+    * frame. ONE hash exchange for the whole query (the window's
+    * partition key, CI-asserted); per-row state is the value set,
+    * bounded here by the 5 order priorities — for high-cardinality
+    * values use the two-window first-occurrence-flag idiom (a second
+    * exchange) or the KMV sketch aggregate instead. DuckDB supports
+    * the DISTINCT window natively, so the oracle pins the Spark idiom
+    * against the real semantics. Here: for each customer in order-date
+    * order, how many DISTINCT order priorities they have used so far
+    * (the "breadth of behavior so far" engagement signal). */
+  def runningDistinct(s: SparkSession, dir: String): DataFrame = {
+    val wRun = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_date"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_orderpriority"))
+      .withColumn("n_distinct_priorities",
+        size(collect_set(col("o_orderpriority")).over(wRun))
+          .cast("long"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
   // ------------------------------------------------------------------
   // O: set operations — INTERSECT / EXCEPT / UNION ALL
   // ------------------------------------------------------------------
@@ -831,6 +857,19 @@ object Relational {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE(c_mktsegment, n_name)
         |ORDER BY segment, nation""".stripMargin)(cubeSegmentNation),
+
+    QueryDef.sql("rel_running_distinct",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+        |  CAST(count(DISTINCT o_orderpriority) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_distinct_priorities
+        |FROM orders
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin) {
+      (s, dir) => runningDistinct(s, dir)
+    },
 
     QueryDef.sql("rel_customer_running_orders",
       s"""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,

@@ -650,6 +650,13 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("running distinct window: ONE hash exchange (the window key), " +
+      "nothing else shuffles before the output sort") {
+    val df = Relational.runningDistinct(spark, sf)
+    val p = plan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("incremental corpus refresh: file scans touch ONLY the delta " +
       "segment; the old corpus enters via memoized relations") {
     // first call builds the manifest table, the corpus shingle index,
