@@ -338,6 +338,56 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(r150.getString(0) == "S2" && r150.isNullAt(1))
   }
 
+  test("property: pruned merge == driver-side model across random " +
+      "overlapping segments and mixed change batches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 2).foreach { scenario =>
+      val table = tmp() + s"/t$scenario"
+      ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+      // 4 segments with RANDOM, deliberately overlapping key ranges
+      var model = Map.empty[Long, String]
+      (0 until 4).foreach { s =>
+        val lo = rnd.nextInt(400).toLong
+        val hi = lo + 20 + rnd.nextInt(80)
+        val rows = (lo to hi).map(k => (k, s"s$s-$k"))
+        // later segments SHADOW earlier keys? No - append semantics:
+        // the store holds duplicates across segments; seed the model
+        // only with keys not yet present, and pre-dedup the batch so
+        // the table state stays a map (merge semantics assume keyed
+        // rows; ingest dedup is the pipeline's job)
+        val fresh = rows.filterNot { case (k, _) => model.contains(k) }
+        if (fresh.nonEmpty) {
+          ManifestStore.store(fresh.toDF("doc_id", "txt"), table, "m")
+          model ++= fresh
+        }
+      }
+      (0 until 3).foreach { m =>
+        // random change batch: upserts, inserts, deletes (some absent),
+        // and an occasional NULL flag (= upsert)
+        val changes = (0 until 30).map { _ =>
+          val k = rnd.nextInt(600).toLong
+          val op = rnd.nextInt(4)
+          (k, s"m$m-$k",
+            if (op == 3) null
+            else java.lang.Boolean.valueOf(op == 0))
+        }.groupBy(_._1).map(_._2.head).toSeq // one change per key
+        val df = changes.toDF("doc_id", "txt", "_deleted")
+        assert(ManifestStore.mergeCollection(spark, table, "m", df))
+        changes.foreach { case (k, v, del) =>
+          if (del != null && del.booleanValue()) model -= k
+          else model += (k -> v)
+        }
+        val rows = ManifestStore.readSinceInferred(spark, table, "m", 0L)
+          .select("doc_id", "txt").collect()
+        assert(rows.length == model.size,
+          s"scenario $scenario merge $m: duplicate or lost keys")
+        val got = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == model, s"scenario $scenario merge $m diverged")
+      }
+    }
+  }
+
   test("merge racing a concurrent compaction: the change batch is " +
       "never silently dropped (conflict-retry, not abandon)") {
     import spark.implicits._
