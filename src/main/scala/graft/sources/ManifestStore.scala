@@ -201,9 +201,16 @@ object ManifestStore {
         s"merge key '$key' not in collection '$c' " +
           s"(has: ${all.columns.mkString(", ")})")
       val keyKind = zmKindOf(all.schema(key).dataType)
+      // prunability needs the CHANGES' key to produce bounds in the
+      // same order as the sidecar stats: any integral type casts
+      // losslessly to long ('l'), but string-kind stats are
+      // CAST-TO-STRING bounds whose format is type-specific ("1.5"
+      // double vs "1.50" decimal) — there, only the exact same type is
+      // comparable; anything else falls back to the full rewrite
       val prunable = zoneMapColumnsOf(fs, tablePath).contains(key) &&
         changes.columns.contains(key) &&
-        zmKindOf(changes.schema(key).dataType) == keyKind
+        (if (keyKind == 'l') zmKindOf(changes.schema(key).dataType) == 'l'
+         else changes.schema(key).dataType == all.schema(key).dataType)
       val rewriteSegs: Seq[Long] =
         if (!prunable) {
           System.err.println(
