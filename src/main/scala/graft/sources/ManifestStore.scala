@@ -577,8 +577,11 @@ object ManifestStore {
     * any committed `n` is guaranteed visible to a resolve that runs
     * after our create succeeded (the create could only succeed after
     * the release, which followed the publish). A claim at or below the
-    * committed max is released and re-targeted past it. */
-  private def claimSeg(fs: FileSystem, tablePath: String, c: String,
+    * committed max is released and re-targeted past it.
+    * (`private[graft]` so the spec can drive the stale-`from`
+    * interleaving deterministically — the race window is internal to
+    * one public call, between its resolve and its claim.) */
+  private[graft] def claimSeg(fs: FileSystem, tablePath: String, c: String,
       from: Long): Long = {
     val dir = manifestDir(tablePath, c)
     fs.mkdirs(dir)

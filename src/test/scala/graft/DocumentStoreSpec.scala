@@ -338,6 +338,31 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(r150.getString(0) == "S2" && r150.isNullAt(1))
   }
 
+  test("claimSeg stale-from guard: a number committed and released " +
+      "between a writer's resolve and its claim is never re-claimed") {
+    val table = tmp() + "/mtable"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a slow writer resolves an EMPTY collection: its nextSeg is 1
+    val staleFrom = 1L
+    // meanwhile a fast writer claims 1, writes, commits, and RELEASES
+    // its claim (the full store() lifecycle)
+    ManifestStore.store(tenRows("c1"), table, "c1")
+    assert(ManifestStore.currentSegments(spark, table, "c1")
+      .contains(Seq(1L)))
+    // the slow writer now claims with its stale from=1: without the
+    // post-create verify it would re-take 1 (claim file gone) and
+    // OVERWRITE the committed segment — the guard must re-target past
+    // the committed max
+    val got = ManifestStore.claimSeg(fs, table, "c1", staleFrom)
+    assert(got >= 2L, s"re-claimed committed segment $got")
+    // the committed data is untouched and the claim is usable: a
+    // subsequent append lands beside it
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 10)
+    ManifestStore.store(tenRows("c1"), table, "c1")
+    assert(ManifestStore.read(spark, table, Some("c1")).count() == 20)
+  }
+
   test("property: pruned merge == driver-side model across random " +
       "overlapping segments and mixed change batches") {
     import spark.implicits._
