@@ -391,6 +391,39 @@ object Pipeline {
     * lossless for any real corpus. */
   val LangNullSentinel = "\u0000"
 
+  /** PACKING-EFFICIENCY AUDIT — the number a training pipeline watches
+    * after [[sequencePack]]: per language, how full the packed
+    * sequences actually are (padding waste is paid GPU time).
+    * Composed over the packer's OWN relation, so the report can never
+    * drift from the packing it describes. utilization =
+    * total_tokens / (n_packs x budget) — the only float op is one
+    * final division of exact longs, bitwise-deterministic;
+    * n_overflow counts packs whose assigned tokens exceed the budget
+    * (the documented streaming-first-fit trade: a document may
+    * straddle its pack boundary by at most itself). Aggregation is
+    * packs-cardinality after one (lang, pack_id) reduction — nothing
+    * wider than the corpus shuffles beyond what the packer already
+    * paid. */
+  def packStats(s: SparkSession, dir: String,
+      budgetTokens: Long = 2048L): DataFrame = {
+    val perPack = sequencePack(s, dir, budgetTokens)
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("pack_tokens"))
+    perPack.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_packs"),
+        sum(col("pack_tokens")).as("total_tokens"),
+        max(col("pack_tokens")).as("max_pack_tokens"),
+        count(when(col("pack_tokens") > budgetTokens, 1)).as("n_overflow"))
+      .select(col("lang"), col("n_docs"), col("n_packs"),
+        col("total_tokens"), col("max_pack_tokens"), col("n_overflow"),
+        (col("total_tokens").cast("double") /
+          (col("n_packs") * budgetTokens).cast("double"))
+          .as("utilization"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
   /** Domain-mixture knobs: acceptance granularity (hash buckets per
     * domain) and the target weights — English 8/20 = 40% of the output
     * mixture, every other language 3/20 each (weights renormalize over
@@ -1113,6 +1146,39 @@ object Pipeline {
          |  CAST(cum_before % 2048 AS BIGINT) AS pack_offset
          |FROM p ORDER BY doc_id""".stripMargin
     })((s, dir) => sequencePack(s, dir)),
+
+    QueryDef.sql("pl_pack_stats", {
+      val bpe = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform($W, w ->
+        |      CAST(floor((length(w) + 3) / 4.0E0) AS BIGINT))),
+        |    (a, x) -> a + x)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $bpe AS tokens FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, tokens,
+         |    CAST(coalesce(SUM(tokens) OVER (PARTITION BY lang
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM t),
+         |packed AS (
+         |  SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+         |    tokens FROM p),
+         |per_pack AS (
+         |  SELECT lang, pack_id, count(*) AS n_docs,
+         |    CAST(sum(tokens) AS BIGINT) AS pack_tokens
+         |  FROM packed GROUP BY lang, pack_id)
+         |SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  count(*) AS n_packs,
+         |  CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+         |  max(pack_tokens) AS max_pack_tokens,
+         |  CAST(sum(CASE WHEN pack_tokens > 2048 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_overflow,
+         |  CAST(sum(pack_tokens) AS DOUBLE) /
+         |    CAST(count(*) * 2048 AS DOUBLE) AS utilization
+         |FROM per_pack GROUP BY lang
+         |ORDER BY lang ASC NULLS FIRST""".stripMargin
+    })((s, dir) => packStats(s, dir)),
 
     QueryDef.sql("pl_gopher_filter",
       s"""WITH ${TextAnalysis.repetitionRelationSql}
