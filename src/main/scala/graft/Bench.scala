@@ -51,9 +51,16 @@ object Bench {
     * committed total by this fraction... */
   val NoisyAnchorTotalDev = 0.15
   /** ...or when [[NoisyAnchorQueryCount]] common queries each exceed
-    * their committed median by this ratio. */
+    * their committed median by this ratio... */
   val NoisyAnchorQueryRatio = 1.5
-  val NoisyAnchorQueryCount = 5
+  val NoisyAnchorQueryCount = 3
+  /** ...or when ANY single common query exceeds its committed median
+    * by this ratio. The round-10 builder capture is the fixture this
+    * rule exists for: dedup_semantic at 4.6× its idle median with only
+    * FOUR queries >1.5× and total +4.5% slipped past the old
+    * (count ≥ 5, total > 15%) thresholds and got stamped
+    * `noisy:false`. A lone 2.5× phantom is already "not comparable". */
+  val NoisyAnchorSingleRatio = 2.5
 
   /** COMMITTED-ARTIFACT anchor rule — closes the uniform-slowdown
     * blind spot: a machine loaded CONSISTENTLY across all reps
@@ -64,7 +71,10 @@ object Bench {
     * sees exactly that shape: noisy ⟺ the common-query total exceeds
     * the committed total by more than [[NoisyAnchorTotalDev]], OR
     * ≥ [[NoisyAnchorQueryCount]] common queries each exceed their
-    * committed median by more than [[NoisyAnchorQueryRatio]]×. Only
+    * committed median by more than [[NoisyAnchorQueryRatio]]×, OR any
+    * single common query exceeds [[NoisyAnchorSingleRatio]]× — load
+    * contamination is often a few phantom multi-× queries, not a
+    * uniform drift (the round-10 capture shape). Only
     * slowdowns flag — a faster run is a better environment (or a real
     * improvement), and committing its artifact moves the anchor. A
     * flagged run means "not comparable to the committed anchor":
@@ -80,8 +90,10 @@ object Bench {
       val comTot = common.toSeq.map(committed).sum
       val slow = common.count(k =>
         current(k) > NoisyAnchorQueryRatio * committed(k))
+      val spike = common.exists(k =>
+        current(k) > NoisyAnchorSingleRatio * committed(k))
       curTot > (1 + NoisyAnchorTotalDev) * comTot ||
-        slow >= NoisyAnchorQueryCount
+        slow >= NoisyAnchorQueryCount || spike
     }
   }
 

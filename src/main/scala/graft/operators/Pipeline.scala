@@ -894,14 +894,22 @@ object Pipeline {
           lit("text_min_chars")))): _*),
       x => x.isNotNull))
 
-  /** [[quarantine]]'s frame-level surface. */
+  /** [[quarantine]]'s frame-level surface. The reason list is emitted
+    * PIPE-JOINED (`a|b`), not as an array: declared outputs keep every
+    * column scalar so any downstream comparator can sort/hash cells
+    * (the [[graft.operators.Dedup.minhashSignatures]] band-flattening
+    * discipline). NULL keys sort FIRST on both engines by explicit
+    * request — the key_not_null violators this operator exists to
+    * surface must not depend on engine default null placement. */
   def quarantineOn(t: DataFrame): DataFrame = {
     val reasons = rowQualityReasons(
       Some(count(lit(1)).over(Window.partitionBy(col("doc_id")))))
     t.select(col("doc_id"), col("lang"), col("n_chars"),
-        reasons.as("reasons"))
-      .where(size(col("reasons")) > 0)
-      .orderBy("doc_id")
+        reasons.as("reason_list"))
+      .where(size(col("reason_list")) > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_join(col("reason_list"), "|").as("reasons"))
+      .orderBy(asc_nulls_first("doc_id"))
   }
 
   /** PII patterns — deliberately restricted to constructs with
@@ -1476,10 +1484,12 @@ object Pipeline {
          |        THEN 'lang_declared' END,
          |      CASE WHEN n_chars < $MinDeclaredChars
          |        THEN 'text_min_chars' END
-         |    ], x -> x IS NOT NULL)) AS reasons
+         |    ], x -> x IS NOT NULL)) AS reason_list
          |  FROM d)
-         |SELECT doc_id, lang, n_chars, reasons FROM r
-         |WHERE len(reasons) > 0 ORDER BY doc_id""".stripMargin
+         |SELECT doc_id, lang, n_chars,
+         |  array_to_string(reason_list, '|') AS reasons FROM r
+         |WHERE len(reason_list) > 0
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
     }) { (s, dir) => quarantine(s, dir) },
 
     QueryDef.sql("pl_pii_scrub",

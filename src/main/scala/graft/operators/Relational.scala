@@ -455,8 +455,19 @@ object Relational {
     * the engine-matched `percentile`/`quantile_cont` pair. The 1-row
     * stats relation broadcasts back over the per-customer relation —
     * nothing wider than customer-cardinality ever shuffles. */
-  def pareto(s: SparkSession, dir: String): DataFrame = {
-    val rev = Tables(s, dir, "orders")
+  def pareto(s: SparkSession, dir: String): DataFrame =
+    paretoOn(Tables(s, dir, "orders"))
+
+  /** [[pareto]] over any (o_custkey, o_totalprice) frame — the spec
+    * surface. The EMPTY-INPUT shape is part of the contract: the final
+    * global aggregate returns exactly ONE row (n_customers/revenue
+    * NULL, n_top 0) on an empty orders frame, and the oracle mirrors
+    * it with the same global-aggregate-over-join shape rather than a
+    * GROUP BY (which would return zero rows — the engine divergence
+    * the dedup_funnel scalar-subquery discipline exists to prevent).
+    * Pinned by RelationalSpec's empty-orders case. */
+  def paretoOn(orders: DataFrame): DataFrame = {
+    val rev = orders
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
       .withColumn("rev", col("rev_dec").cast("double"))

@@ -289,7 +289,18 @@ object ManifestStore {
           if (mergeSchema)
             survivors.unionByName(upserts, allowMissingColumns = true)
           else
-            survivors.unionByName(upserts.select(all.columns.map(col): _*))
+            // the survivors' inferred schema covers only the PRUNED
+            // rewrite subset: on a table widened by a prior
+            // mergeSchema merge, a strict merge whose rewrite set holds
+            // only old-schema segments would fail the union (survivors
+            // lack the widened column even though the change batch
+            // carries it). Union with missing columns allowed, then
+            // re-project to the full live schema — absent survivor
+            // columns become NULL, matching the inferred-read
+            // semantics of the untouched segments.
+            survivors.unionByName(upserts.select(all.columns.map(col): _*),
+                allowMissingColumns = true)
+              .select(all.columns.map(col): _*)
         }
       if (rewriteSegs.isEmpty && merged.isEmpty) return true // no-op
       val ord = if (keyKind == 'l') col(key) else col(key).cast("string")

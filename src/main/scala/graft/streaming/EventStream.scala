@@ -634,7 +634,8 @@ object EventStream {
   /** Streaming DEAD-LETTER split of the data-quality gate
     * ([[graft.operators.Pipeline.quarantineOn]]'s stream face): every
     * arriving document violating a ROW-LOCAL rule is emitted with its
-    * sorted reason list — the quarantine stream an ingest pipeline
+    * sorted pipe-joined reason string (the batch face's scalar output
+    * shape) — the quarantine stream an ingest pipeline
     * writes aside instead of silently dropping. All rules here are
     * pure row projections (stateless, stream-safe, zero state-store
     * cost; replay ≡ batch trivially); the one batch rule that needs
@@ -644,8 +645,10 @@ object EventStream {
   def quarantineDocuments(docs: DataFrame): DataFrame = {
     val reasons = graft.operators.Pipeline.rowQualityReasons(None)
     docs.select(col("doc_id"), col("lang"), col("n_chars"),
-        reasons.as("reasons"))
-      .where(size(col("reasons")) > 0)
+        reasons.as("reason_list"))
+      .where(size(col("reason_list")) > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_join(col("reason_list"), "|").as("reasons"))
   }
 
   /** Reduce a CDC change batch to the LATEST change per key — the

@@ -72,6 +72,37 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.isNoisyVsCommitted(Map.empty, committed))
   }
 
+  test("anchor rule: a single query past 2.5x flags on its own; a " +
+      "2.4x lone spike does not") {
+    assert(Bench.isNoisyVsCommitted(
+      committed + ("q1" -> 0.5 * 2.6), committed))
+    assert(!Bench.isNoisyVsCommitted(
+      committed + ("q1" -> 0.5 * 2.4), committed))
+  }
+
+  test("regression fixture: round 10's contaminated final capture " +
+      "(4 queries >1.5x incl. dedup_semantic at 4.6x, total only +4.5%) " +
+      "now triggers the flag; the clean judge rerun stays quiet") {
+    // the actual r10 medians the old (count>=5, total>15%) thresholds
+    // missed: exactly FOUR inflated queries, one a 4.6x phantom
+    val committed10 = Map(
+      "dedup_semantic" -> 0.43, "dedup_semantic_recall" -> 1.22,
+      "dedup_minhash_recall" -> 0.78, "ev_gap_filled_hourly" -> 0.32) ++
+      (1 to 150).map(i => s"q$i" -> 0.47).toMap
+    val contaminated10 = committed10 ++ Map(
+      "dedup_semantic" -> 2.00, "dedup_semantic_recall" -> 1.95,
+      "dedup_minhash_recall" -> 1.25, "ev_gap_filled_hourly" -> 0.63)
+    // shape sanity: the fixture reproduces the miss conditions
+    val inflTot = contaminated10.values.sum / committed10.values.sum
+    assert(inflTot < 1 + Bench.NoisyAnchorTotalDev)
+    assert(contaminated10.count { case (k, v) =>
+      v > Bench.NoisyAnchorQueryRatio * committed10(k) } == 4)
+    assert(Bench.isNoisyVsCommitted(contaminated10, committed10))
+    // the judge's idle rerun (uniform ~0.96x of committed) is clean
+    assert(!Bench.isNoisyVsCommitted(
+      committed10.view.mapValues(_ * 0.96).toMap, committed10))
+  }
+
   test("artifact parser round-trips the bench line shape; truncation " +
       "and noisy anchors are inert") {
     val line = """{"metric":"total","value":1.5,"unit":"sec","reps":3,""" +

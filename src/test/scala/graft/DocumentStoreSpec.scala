@@ -338,6 +338,39 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(r150.getString(0) == "S2" && r150.isNullAt(1))
   }
 
+  test("strict merge after a widening merge: a pruned rewrite set of " +
+      "only OLD-schema segments still unions (survivor's missing " +
+      "widened column reads as NULL, not AnalysisException)") {
+    import spark.implicits._
+    val table = tmp() + "/table"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .select(col("id").as("doc_id"), lit("t").as("txt"))
+    ManifestStore.store(rows(1, 100), table, "m")   // seg1 (old schema)
+    ManifestStore.store(rows(101, 200), table, "m") // seg2
+    // widen ONLY seg2's key range: seg1 stays on the old schema
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((150L, "S", 0.9, false))
+        .toDF("doc_id", "txt", "score", "_deleted"),
+      mergeSchema = true))
+    // STRICT merge carrying the FULL table schema but touching only
+    // seg1: zone-map pruning selects just the old-schema segment, whose
+    // inferred survivors lack `score` — the union must widen them with
+    // NULLs (the inferred-read semantics), not crash
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((50L, "T", 0.5, false))
+        .toDF("doc_id", "txt", "score", "_deleted")))
+    val got = ManifestStore.readSinceInferred(spark, table, "m", 0L)
+    val r50 = got.where(col("doc_id") === 50L)
+      .select("txt", "score").head
+    assert(r50.getString(0) == "T" && r50.getDouble(1) == 0.5)
+    // untouched old-schema survivors in the rewritten segment read NULL
+    val r49 = got.where(col("doc_id") === 49L)
+      .select("txt", "score").head
+    assert(r49.getString(0) == "t" && r49.isNullAt(1))
+    assert(got.count() == 200)
+  }
+
   test("claimSeg stale-from guard: a number committed and released " +
       "between a writer's resolve and its claim is never re-claimed") {
     val table = tmp() + "/mtable"

@@ -864,7 +864,7 @@ class EventStreamSpec extends SparkSpecBase {
       q.processAllAvailable()
     } finally q.stop()
     def shape(rs: Array[org.apache.spark.sql.Row]) = rs
-      .map(r => (r.getLong(0), r.getSeq[String](3).toList)).toSet
+      .map(r => (r.getLong(0), r.getString(3))).toSet
     val got = shape(spark.table("quar").collect())
     // fixture keys are unique, so the batch face's key_duplicate rule
     // never fires and the two faces must agree exactly

@@ -703,18 +703,21 @@ class PipelineSpec extends SparkSpecBase {
     assert(q("text_min_chars") == ((3L, false))) // docs 5, 7, 8
     val quar = Pipeline.quarantineOn(dirty).collect()
       .map(r => Option(r.getAs[java.lang.Long]("doc_id"))
-        .map(_.toLong) -> r.getSeq[String](3).toList)
-    // both copies of the dup key quarantine; reasons are sorted lists
+        .map(_.toLong) -> r.getString(3))
+    // both copies of the dup key quarantine; reasons are sorted and
+    // pipe-joined to a scalar (the declared-output discipline); the
+    // NULL-key row sorts FIRST (explicit asc_nulls_first)
+    assert(quar.head._1.isEmpty)
     assert(quar.count(_._1.contains(2L)) == 2)
     assert(quar.filter(_._1.contains(2L))
-      .forall(_._2 == List("key_duplicate")))
-    assert(quar.find(_._1.isEmpty).map(_._2).contains(List("key_not_null")))
+      .forall(_._2 == "key_duplicate"))
+    assert(quar.find(_._1.isEmpty).map(_._2).contains("key_not_null"))
     assert(quar.find(_._1.contains(5L)).map(_._2)
-      .contains(List("text_min_chars", "text_not_empty")))
+      .contains("text_min_chars|text_not_empty"))
     assert(quar.find(_._1.contains(7L)).map(_._2)
-      .contains(List("chars_consistent", "text_min_chars")))
+      .contains("chars_consistent|text_min_chars"))
     assert(quar.find(_._1.contains(6L)).map(_._2)
-      .contains(List("lang_declared")))
+      .contains("lang_declared"))
     assert(!quar.exists(_._1.contains(1L))) // the clean row stays out
     // a clean frame: every rule passes, quarantine is empty
     val clean = mk(Seq((1L, longTxt, "en", 150L), (2L, longTxt, "de", 150L)))

@@ -193,4 +193,29 @@ class RelationalSpec extends SparkSpecBase {
       assert(r.getAs[String]("key_padded").length == 8)
     }
   }
+
+  test("pareto on an EMPTY orders frame returns exactly one row " +
+      "(n_top 0, everything else NULL) — the global-aggregate shape " +
+      "the oracle mirrors so both engines agree on empty input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double)]
+      .toDF("o_custkey", "o_totalprice")
+    val rows = Relational.paretoOn(empty).collect()
+    // DuckDB's oracle (global agg over the r2 x st join, no GROUP BY)
+    // returns (NULL, 0, NULL, NULL, NULL) on an empty orders table —
+    // verified directly; a grouped final SELECT would return 0 rows
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.isNullAt(r.fieldIndex("n_customers")))
+    assert(r.getAs[Long]("n_top") == 0L)
+    assert(r.isNullAt(r.fieldIndex("revenue_total")))
+    assert(r.isNullAt(r.fieldIndex("revenue_top")))
+    assert(r.isNullAt(r.fieldIndex("top_share")))
+    // and the populated path still matches shape: one row, non-null
+    val some = Seq((1L, 10.0), (2L, 20.0), (3L, 300.0))
+      .toDF("o_custkey", "o_totalprice")
+    val full = Relational.paretoOn(some).collect()
+    assert(full.length == 1 &&
+      full.head.getAs[Long]("n_customers") == 3L)
+  }
 }
