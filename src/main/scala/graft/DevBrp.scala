@@ -23,6 +23,14 @@ object DevBrp {
         MlIndex.BrpNumTables, MlIndex.BrpMaxOccupancy).count())
       t("full")(MlIndex.brpKnnJoinOf(emb).count())
     }
+    if (args.contains("--explain")) {
+      val plan = MlIndex.brpKnnJoinOf(emb).queryExecution.executedPlan
+      println("EXCHANGES " + plan.toString.linesIterator
+        .count(_.contains("Exchange")))
+      println(plan.toString.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("HashAggregate"))
+        .mkString("\n"))
+    }
     // knob sweep note (measured 2026-08-13 at sf0.1): tightening
     // bucketLength / adding tables barely cuts candidate mass (3.6M ->
     // 3.0M pairs at bl=0.06 nt=10) while recall falls 0.95 -> 0.87 —

@@ -172,6 +172,34 @@ object Ann {
       .limit(k)
   }
 
+  /** [[ivfTopK]] over a MATERIALIZED cell-partitioned store — the
+    * 100 TB layout this module's scaladoc promises: [[buildIvfIndex]]
+    * wrote `cent_id` as the parquet partition column, so the probe's
+    * cell filter is DIRECTORY-level partition pruning (the scan lists
+    * and reads only the NProbe probed `cent_id=` directories; every
+    * other cell costs nothing, not even a footer read). The codebook
+    * is re-read from the store's own centroid rows (nlist rows — index
+    * metadata, the [[codebook]] collect against the stored relation);
+    * scoring then runs on the stored pre-decoded `v`. Results are
+    * bitwise the compute-on-scan [[ivfTopK]]'s (AnnPartitionSpec pins
+    * both the equality and the PartitionFilters). */
+  def ivfTopKStored(store: DataFrame, k: Int = K): DataFrame = {
+    val cb = store.where(col("vec_id").isin(CentroidIds: _*))
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+    val probeIds = cb
+      .map { case (id, cv) => (l2Scalar(Query, cv), id) }
+      .sorted.take(NProbe).map(_._2)
+    store.where(col("cent_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("label"),
+        col("cent_id").cast("long").as("cent_id"),
+        V.dot(vecLit(QueryNorm), col("v")).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** FILTERED ANN — the metadata-predicate + approximate-index query
     * that is a research problem for graph indexes (filtered HNSW) and
     * a non-problem in the declarative formulation: the metadata

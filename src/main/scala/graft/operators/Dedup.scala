@@ -1259,7 +1259,23 @@ object Dedup {
       return embeddings.select(col("vec_id"), col("label"),
           lit(0L).as("cent_id"), lit(true).as("keep"))
         .where(lit(false))
-    val e = Ann.ivfAssign(embeddings, cb).withColumn("nrm", V.norm2(col("v")))
+    semanticDedupAssigned(Ann.ivfAssign(embeddings, cb), threshold)
+  }
+
+  /** [[semanticDedup]] over an ALREADY-ASSIGNED
+    * (vec_id, label, cent_id, v) relation — the materialized-layout
+    * face: a corpus stored cell-partitioned ([[Ann.buildIvfIndex]],
+    * `cent_id` as the parquet partition column) skips the assignment
+    * projection entirely, and a per-cell maintenance pass
+    * (`store.where(cent_id === c)`) is directory-level partition
+    * pruning — the shape a 100 TB incremental dedup job runs cell by
+    * cell. Results are identical to the compute-on-scan face
+    * (AnnPartitionSpec pins equality and the pruned scan). */
+  def semanticDedupAssigned(assigned: DataFrame,
+      threshold: Double = 0.25): DataFrame = {
+    val e = assigned.select(col("vec_id"), col("label"),
+        col("cent_id").cast("long").as("cent_id"), col("v"))
+      .withColumn("nrm", V.norm2(col("v")))
     val dropped = e.as("a").join(e.as("b"),
         col("a.cent_id") === col("b.cent_id") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -346,7 +346,18 @@ object MlIndex {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"),
         col("b.vec_id").as("neighbor_id"))
-      .distinct() // OR-amplification: one candidate per pair, any table
+      // OR-amplification dedup (one candidate per pair, any table)
+      // rides the CONSUMER'S partitioning instead of adding its own
+      // pair-keyed exchange: hash-partition by query_id — the key the
+      // downstream vector-fetch join and per-query top-k window need
+      // anyway — and the pair aggregate's clustering requirement
+      // ((query_id, neighbor_id) ⊇ query_id) is already satisfied, so
+      // dropDuplicates plans with NO additional shuffle. The previous
+      // `.distinct()` exchanged the pair mass once on (query_id,
+      // neighbor_id) and then AGAIN on query_id for the join — one
+      // full pair-mass exchange saved.
+      .repartition(col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
   }
 
   /** Per-table occupancy statistics of the BRP LSH cells — the

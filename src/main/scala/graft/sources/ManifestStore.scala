@@ -593,34 +593,63 @@ object ManifestStore {
     * interleaving deterministically — the race window is internal to
     * one public call, between its resolve and its claim.) */
   private[graft] def claimSeg(fs: FileSystem, tablePath: String, c: String,
-      from: Long): Long = {
+      from: Long): Long =
+    claimSegs(fs, tablePath, c, from, 1).head
+
+  /** Batch [[claimSeg]]: claim `count` distinct numbers >= `from`
+    * (ascending), paying the stale-`from` guard's full pointer-log
+    * resolve ONCE per batch rather than once per number — an
+    * N-segment clustered write resolves once, not N+1 times (on an
+    * object store with a long pointer log between vacuums the
+    * per-claim resolve dominated commit latency). Soundness is
+    * unchanged: the verify resolve runs AFTER every claim-create in
+    * the batch succeeded, and every commit publishes its pointer
+    * BEFORE releasing its claim, so any number committed-and-released
+    * before one of our creates is visible to that resolve. Numbers at
+    * or below the committed max are released and replaced past it;
+    * replacements created after the resolve get their own verify on
+    * the next loop pass (the uncontended case returns on the first). */
+  private[graft] def claimSegs(fs: FileSystem, tablePath: String, c: String,
+      from: Long, count: Int): Seq[Long] = {
+    require(count > 0, s"claimSegs needs a positive count, got $count")
     val dir = manifestDir(tablePath, c)
     fs.mkdirs(dir)
+    def create(n: Long): Boolean =
+      try {
+        val out = fs.create(new Path(dir, f"$ClaimPrefix$n%06d"), false)
+        try out.write('c'.toInt) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    val held = scala.collection.mutable.ArrayBuffer.empty[Long]
     var n = from
     var attempts = 0
-    while (attempts < MaxCommitAttempts) {
-      val created =
-        try {
-          val out = fs.create(new Path(dir, f"$ClaimPrefix$n%06d"), false)
-          try out.write('c'.toInt) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
-      if (created) {
-        val committedMax = resolve(fs, tablePath, c).maxCommittedSeg
-        if (n > committedMax) return n
-        // the number was committed (and its claim released) between
-        // the caller's resolve and ours: give it back, jump past
-        releaseClaim(fs, tablePath, c, n)
-        n = committedMax + 1
-      } else {
-        // taken (or transient error — bumping past is safe either way:
-        // skipped numbers are never resurrected, see [[vacuum]])
+    var rounds = 0
+    while (rounds < MaxCommitAttempts) {
+      rounds += 1
+      while (held.size < count && attempts < MaxCommitAttempts) {
+        // a failed create means taken (or transient error — bumping
+        // past is safe either way: skipped numbers are never
+        // resurrected, see [[vacuum]])
+        if (create(n)) held += n else attempts += 1
         n += 1
       }
-      attempts += 1
+      if (held.size == count) {
+        // ONE resolve verifies the whole batch. A held number at or
+        // below the committed max is given back and replaced past the
+        // max (conservative: a commit of a HIGHER number also retires
+        // lower held claims — wasting a number is always safe because
+        // pointers name their segments explicitly).
+        val committedMax = resolve(fs, tablePath, c).maxCommittedSeg
+        val (stale, fresh) = held.partition(_ <= committedMax)
+        if (stale.isEmpty) return held.toSeq
+        stale.foreach(releaseClaim(fs, tablePath, c, _))
+        held.clear(); held ++= fresh
+        n = math.max(n, committedMax + 1)
+      }
     }
+    held.foreach(releaseClaim(fs, tablePath, c, _))
     throw new IllegalStateException(
-      s"could not claim a segment number for '$c' after " +
+      s"could not claim $count segment number(s) for '$c' after " +
         s"$MaxCommitAttempts attempts (extreme writer contention?)")
   }
 
@@ -1068,11 +1097,12 @@ object ManifestStore {
     val byPart = statRows.map(r => r.getAs[Int]("__part") -> r).toMap
     val parts = byPart.keys.toSeq.sorted
     if (parts.isEmpty) return Seq.empty
-    val staging = claimSeg(fs, tablePath, c, from)
-    var next = staging + 1
-    val segFor = parts.map { p =>
-      val s = claimSeg(fs, tablePath, c, next); next = s + 1; p -> s
-    }.toMap
+    // one batch claim (staging + one number per non-empty partition):
+    // the stale-from guard's pointer-log resolve is paid once per
+    // write, not once per segment
+    val claimed = claimSegs(fs, tablePath, c, from, parts.size + 1)
+    val staging = claimed.head
+    val segFor = parts.zip(claimed.tail).toMap
     val stagingDir = segDir(tablePath, c, staging)
     laid.write.mode(SaveMode.Overwrite).partitionBy("__part")
       .parquet(stagingDir.toString)
@@ -1621,7 +1651,14 @@ object ManifestStore {
       targetBytes: Long, smallBytes: Long): Seq[Seq[Long]] = {
     require(smallBytes <= targetBytes,
       s"smallBytes ($smallBytes) must not exceed targetBytes ($targetBytes)")
-    val small = segmentInfo(spark, tablePath, c)
+    // key adjacency must read bounds for the TABLE'S configured
+    // zone-map key (the column compactSegments clusters on), not the
+    // global default — with a reconfigured key the default column has
+    // no sidecar stats and adjacency would silently degrade to
+    // segment-number order, loosening the rewritten ranges
+    val planCol = zoneMapColumnsOf(fsOf(spark, tablePath), tablePath)
+      .headOption.getOrElse(ZoneMapColumn)
+    val small = segmentInfo(spark, tablePath, c, planCol)
       .filter(_.bytes < smallBytes)
       .sortWith { (a, b) =>
         (a.keyLo, b.keyLo) match {

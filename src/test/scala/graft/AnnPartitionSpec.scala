@@ -59,4 +59,60 @@ class AnnPartitionSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters:") &&
       plan.contains("cent_id"), s"expected cent_id partition filter:\n$plan")
   }
+
+  test("ivfTopKStored: the FULL search over the materialized store is " +
+      "partition pruning (nProbe of nList dirs read) and bitwise equal " +
+      "to the compute-on-scan ivfTopK") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft_ivf_search").toString
+    Ann.buildIvfIndex(emb, dir)
+    val store = spark.read.parquet(dir)
+    val stored = Ann.ivfTopKStored(store)
+    val plan = stored.queryExecution.executedPlan.toString()
+    // the scan carries the probe set as a PARTITION filter (directory
+    // pruning: "Pruning directories with: cent_id IN (...)" at
+    // execution), not a data filter over all cells
+    assert(plan.contains("PartitionFilters:") && plan.contains("cent_id"),
+      s"stored probe must prune on cent_id:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*cent_id[^\\]]*IN".r
+      .findFirstIn(plan).nonEmpty,
+      s"probe set must be an IN partition filter:\n$plan")
+    val got = stored.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cent_id"),
+        r.getAs[Double]("similarity"))).toSeq
+    val expect = Ann.ivfTopK(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cent_id"),
+        r.getAs[Double]("similarity"))).toSeq
+    assert(got == expect)
+  }
+
+  test("semanticDedupAssigned over the cell-partitioned store equals " +
+      "the compute-on-scan semanticDedup; a per-cell maintenance pass " +
+      "prunes to one directory") {
+    import graft.operators.Dedup
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft_ivf_dedup").toString
+    Ann.buildIvfIndex(emb, dir)
+    val store = spark.read.parquet(dir)
+    val got = Dedup.semanticDedupAssigned(store).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cent_id"),
+        r.getAs[Boolean]("keep"))).toSeq
+    val expect = Dedup.semanticDedup(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cent_id"),
+        r.getAs[Boolean]("keep"))).toSeq
+    assert(got == expect)
+    // the incremental shape: one cell's dedup pass reads ONE directory
+    val c0 = expect.head._2
+    val oneCell = Dedup.semanticDedupAssigned(
+      store.where(col("cent_id") === c0))
+    val plan = oneCell.queryExecution.executedPlan.toString()
+    // every scan in the pass (both self-join sides and the keep join)
+    // carries the single-cell equality as a PARTITION filter — one
+    // directory listed and read per scan
+    val scanFilters = "PartitionFilters: \\[[^\\]]+\\]".r
+      .findAllIn(plan).toSeq
+    assert(scanFilters.nonEmpty &&
+      scanFilters.forall(f => f.contains("cent_id") && f.contains(s"= $c0")),
+      s"per-cell pass must prune every scan to cent_id=$c0:\n$plan")
+  }
 }

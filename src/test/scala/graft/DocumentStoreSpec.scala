@@ -396,6 +396,27 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 20)
   }
 
+  test("claimSegs batch: N ascending distinct numbers, one guard " +
+      "resolve; a stale batch re-targets every number past the " +
+      "committed max") {
+    val table = tmp() + "/btable"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stale from=1 after another writer committed segment 1 (the
+    // claimSeg fixture, batched): EVERY number in the batch must land
+    // past the committed max, ascending and distinct
+    ManifestStore.store(tenRows("c1"), table, "c1")
+    val got = ManifestStore.claimSegs(fs, table, "c1", 1L, 4)
+    assert(got.size == 4 && got.distinct.size == 4)
+    assert(got == got.sorted, s"not ascending: $got")
+    assert(got.forall(_ >= 2L), s"re-claimed committed number in $got")
+    // the claims are real: a concurrent claimer cannot take them
+    got.foreach { s =>
+      val other = ManifestStore.claimSegs(fs, table, "c1", s, 1)
+      assert(other.head != s, s"double-claimed $s")
+    }
+  }
+
   test("property: pruned merge == driver-side model across random " +
       "overlapping segments and mixed change batches") {
     import spark.implicits._
