@@ -840,6 +840,50 @@ object ManifestStore {
       .orderBy(key)
   }
 
+  /** RESTORE — rollback-as-a-new-commit (Delta's `RESTORE TABLE ...
+    * VERSION AS OF`): republish the segment list the collection had
+    * just after pointer `toPtrSeq` as a NEW commit at the head of the
+    * log. Nothing is deleted and history is preserved — the
+    * rolled-back commits stay addressable via [[readAsOf]] until
+    * [[vacuum]]'s retention prunes them — which is what makes restore
+    * safe under concurrent readers: the live pointer moves to an older
+    * list, in-flight snapshot reads keep their pins. Restoring a
+    * tombstoned version republishes the tombstone (restore-to-deleted
+    * IS a delete); restoring the current version publishes an explicit
+    * restore point (a deliberate audit marker, not a no-op).
+    *
+    * Concurrency: the commit rides the standard optimistic pointer
+    * race ([[commitWithRetry]]) and, losing, retries with the SAME old
+    * list — restore is a point-in-time assertion, not a merge; the log
+    * stays last-writer-wins and every racer's commit remains in
+    * history. Restored segments are protected from [[vacuum]] by
+    * construction the moment the pointer lands (vacuum only reclaims
+    * segments unreferenced by retained pointers, and the new head
+    * references them). Same resolvability contract as [[readAsOf]]:
+    * throws when `toPtrSeq` predates the retained log. Returns the
+    * published pointer sequence. */
+  def restoreVersion(spark: SparkSession, tablePath: String, c: String,
+      toPtrSeq: Long): Long = {
+    val fs = fsOf(spark, tablePath)
+    val snap = resolveAt(fs, tablePath, c, toPtrSeq)
+    require(snap.decidedSeq > 0L,
+      s"restore target $toPtrSeq of collection '$c' is not resolvable: " +
+        (if (snap.minRetainedSeq > 0L)
+          s"oldest retained commit is ${snap.minRetainedSeq} (earlier " +
+            "history was vacuumed or never existed)"
+        else "the collection has no committed history"))
+    val content = snap.liveSegs match {
+      case Some(segs) if segs.nonEmpty => segsContent(segs)
+      case _ => Tombstone
+    }
+    var published = 0L
+    commitWithRetry(fs, tablePath, c, resolve(fs, tablePath, c)) { rr =>
+      published = rr.nextPtrSeq
+      Some(content)
+    }
+    published
+  }
+
   /** The live pointer sequence of a collection (0 = no valid commit) —
     * what a reproducible pipeline records next to its outputs so
     * [[readAsOf]]/[[readSince]] can anchor to today's state. */

@@ -1046,6 +1046,57 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 40)
   }
 
+  test("restoreVersion: rollback publishes the OLD list as a NEW " +
+      "commit — history preserved, tombstone restorable, restored " +
+      "segments survive vacuum") {
+    import spark.implicits._
+    val table = tmp() + "/rtable"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .select(col("id").as("doc_id"), lit("t").as("txt"))
+    ManifestStore.store(batch(1, 10), table, "m")   // ptr1 -> [1]
+    ManifestStore.store(batch(11, 20), table, "m")  // ptr2 -> [1,2]
+    // a merge rewrites rows — the "bad deploy" restore undoes
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((5L, "BAD", false)).toDF("doc_id", "txt", "_deleted")))
+    def txtOf(k: Long) = ManifestStore
+      .readSinceInferred(spark, table, "m", 0L)
+      .where(col("doc_id") === k).select("txt").head.getString(0)
+    assert(txtOf(5L) == "BAD")
+    // restore to ptr2: live reads roll back ...
+    val restoredSeq = ManifestStore.restoreVersion(spark, table, "m", 2L)
+    assert(restoredSeq == 4L)
+    assert(txtOf(5L) == "t")
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .count() == 20)
+    // ... the restored commit references EXACTLY ptr2's list, and the
+    // rolled-back merge stays addressable as history
+    val vs = ManifestStore.listVersions(spark, table, "m")
+    assert(vs.map(_.ptrSeq) == Seq(1L, 2L, 3L, 4L))
+    assert(vs(3).segs == vs(1).segs)
+    assert(ManifestStore.readAsOfInferred(spark, table, "m", 3L)
+      .where(col("doc_id") === 5L).select("txt").head.getString(0) == "BAD")
+    // restoring a tombstoned version IS a delete; restoring forward
+    // from it brings the data back — both as plain commits
+    ManifestStore.deleteCollection(spark, table, "m") // ptr5 tombstone
+    ManifestStore.store(batch(21, 30), table, "m")    // ptr6
+    assert(ManifestStore.restoreVersion(spark, table, "m", 5L) == 7L)
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L).isEmpty)
+    assert(ManifestStore.restoreVersion(spark, table, "m", 4L) == 8L)
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .count() == 20)
+    // vacuum with zero retention keeps every segment the restored head
+    // references (they are referenced by a retained pointer again)
+    ManifestStore.vacuum(spark, table, 0L, 0L)
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .count() == 20)
+    assert(txtOf(5L) == "t")
+    // an unresolvable target (pre-history or vacuumed) throws
+    intercept[IllegalArgumentException] {
+      ManifestStore.restoreVersion(spark, table, "m", 0L)
+    }
+  }
+
   test("manifest snapshot reads: version history, as-of, change feed, vacuum horizon") {
     val table = tmp() + "/mtable"
     ManifestStore.store(tenRows("c1"), table, "c1") // ptr1 -> [seg1]
