@@ -1055,6 +1055,64 @@ object Pipeline {
   }
 
   // ------------------------------------------------------------------
+  // hashed-feature linear quality classifier (model inference)
+  // ------------------------------------------------------------------
+
+  /** Feature-space size of the hashing-trick classifier — a power of
+    * two so bucketing is a bit mask (no `%`: ANSI `%` inside a HOF
+    * lambda marks elements nullable, the repo's join-key invariant). */
+  val QmBuckets = 256
+
+  /** Acceptance threshold on the mean per-word weight ("logit"). */
+  val QmThreshold = 0.0
+
+  /** Weight of one word-hash under the stand-in model: bucket =
+    * `h & 255`, weight = `((bucket*37 + 11) & 255) - 128` — an affine
+    * permutation of the bucket space into [-128, 127]. Integer-exact
+    * in both engines; the real-model seam is exactly here (see
+    * [[qualityModelOn]]). */
+  private def qmWeight(h: Column): Column =
+    (h.bitwiseAND(lit(255L)) * lit(37L) + lit(11L))
+      .bitwiseAND(lit(255L)) - lit(128L)
+
+  /** MODEL-INFERENCE stage — the fasttext-style hashed-bag-of-words
+    * linear quality classifier every modern curation pipeline runs
+    * (DCLM's fasttext filter, FineWeb-Edu's quality scorer), expressed
+    * as pure scan-side arithmetic: per-word polynomial hashes (the
+    * fused codegen kernel) → hash-bucket features (bit mask) → weight
+    * lookup → sequential integer fold; the "logit" is the mean
+    * per-word weight (ONE final double division, null-guarded), and
+    * the gate is a row predicate on it. Zero shuffles except the
+    * output sort; at 100 TB this runs inside the ingest scan like the
+    * Gopher gate.
+    *
+    * The weights here are a deterministic affine stand-in
+    * ([[qmWeight]]) so the oracle stays integer-exact — a TRAINED
+    * model drops in at that seam unchanged: real fasttext/logistic
+    * weights are model METADATA (64 KiB for 2^16 buckets — the
+    * [[Ann.codebook]] plan-constant class), baked in as a literal
+    * array lookup (`element_at(lit(weights), bucket + 1)`) with the
+    * identical hash → bucket → fold plumbing and plan shape. */
+  def qualityModel(s: SparkSession, dir: String): DataFrame =
+    qualityModelOn(Tables(s, dir, "documents"))
+
+  /** [[qualityModel]]'s frame-level surface. */
+  def qualityModelOn(t: DataFrame): DataFrame = {
+    import graft.functions.TextHashExpressions
+    t.select(col("doc_id"), col("lang"),
+        TextHashExpressions.wordHashes(words(col("text"))).as("hs"))
+      .select(col("doc_id"), col("lang"),
+        size(col("hs")).cast("long").as("n_words"),
+        aggregate(col("hs"), lit(0L), (acc, h) => acc + qmWeight(h))
+          .as("score_raw"))
+      .withColumn("logit", when(col("n_words") > 0,
+        col("score_raw").cast("double") / col("n_words").cast("double")))
+      .withColumn("pass",
+        coalesce(col("logit") >= lit(QmThreshold), lit(false)))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
   // oracles
   // ------------------------------------------------------------------
 
@@ -1531,6 +1589,30 @@ object Pipeline {
          |FROM k
          |WHERE n_words >= 30 AND stop_ratio >= 0.05E0 AND keeper
          |ORDER BY doc_id""".stripMargin
-    })((s, dir) => qualityFilter(s, dir))
+    })((s, dir) => qualityFilter(s, dir)),
+
+    QueryDef.sql("pl_quality_model",
+      // the same hash -> bucket -> affine weight -> sequential fold,
+      // all bigint bit/arithmetic ops (exact both engines); ONE double
+      // division at the end, null-guarded (ANSI /0)
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, ${polyHashAllSql(W)} AS hs
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang, CAST(len(hs) AS BIGINT) AS n_words,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+         |      (acc, h) -> acc + ((((h & 255) * 37 + 11) & 255) - 128))
+         |      AS score_raw
+         |  FROM w),
+         |g AS (
+         |  SELECT doc_id, lang, n_words, score_raw,
+         |    CASE WHEN n_words > 0 THEN
+         |      CAST(score_raw AS DOUBLE) / CAST(n_words AS DOUBLE) END
+         |      AS logit
+         |  FROM s)
+         |SELECT doc_id, lang, n_words, score_raw, logit,
+         |  coalesce(logit >= 0.0E0, false) AS pass
+         |FROM g ORDER BY doc_id""".stripMargin)(
+      (s, dir) => qualityModel(s, dir))
   )
 }

@@ -676,6 +676,43 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("quality model: score equals the driver-side reimplementation " +
+      "(hash -> bucket -> affine weight -> fold); empty text scores " +
+      "NULL logit and fails the gate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "a b c", "en"),
+      (3L, "", "en"),
+      (4L, "einzelwort", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = Pipeline.qualityModelOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def hash(w: String): Long =
+      w.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    def weight(h: Long): Long = (((h & 255L) * 37L + 11L) & 255L) - 128L
+    def score(text: String): (Long, Long) = {
+      val ws = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" ").filter(_.nonEmpty)
+      (ws.length.toLong, ws.map(w => weight(hash(w))).sum)
+    }
+    Seq(1L, 2L, 4L).foreach { id =>
+      val text = docs.where(col("doc_id") === id)
+        .select("text").head.getString(0)
+      val (n, s) = score(text)
+      assert(got(id).getAs[Long]("n_words") == n, s"doc $id n_words")
+      assert(got(id).getAs[Long]("score_raw") == s, s"doc $id score")
+      assert(got(id).getAs[Double]("logit") == s.toDouble / n)
+      assert(got(id).getAs[Boolean]("pass") == (s.toDouble / n >= 0.0))
+    }
+    // zero words: no division, NULL logit, gate fails closed
+    val empty = got(3L)
+    assert(empty.getAs[Long]("n_words") == 0L)
+    assert(empty.getAs[Long]("score_raw") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("logit")))
+    assert(!empty.getAs[Boolean]("pass"))
+  }
+
   test("data quality: every rule fires on a planted-dirty frame, " +
       "quarantine extracts exactly the violators with their reasons, " +
       "and a clean frame passes everything") {
