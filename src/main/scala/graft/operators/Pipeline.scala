@@ -1097,13 +1097,33 @@ object Pipeline {
     qualityModelOn(Tables(s, dir, "documents"))
 
   /** [[qualityModel]]'s frame-level surface. */
-  def qualityModelOn(t: DataFrame): DataFrame = {
+  def qualityModelOn(t: DataFrame): DataFrame =
+    qualityModelScored(t, qmWeight)
+
+  /** [[qualityModelOn]] with EXPLICIT per-bucket weights — the
+    * trained-model seam made concrete: `weights` (length
+    * [[QmBuckets]]) is model metadata baked into the plan as one
+    * literal array (the [[Ann.codebook]] plan-constant discipline),
+    * and each word's bucket indexes it with `element_at` — identical
+    * hash → bucket → fold plumbing and plan shape as the stand-in
+    * (PipelineSpec pins the equivalence when `weights` IS the affine
+    * table). Swap in real fasttext/logistic weights here. */
+  def qualityModelWeightedOn(t: DataFrame, weights: Seq[Long]): DataFrame = {
+    require(weights.size == QmBuckets,
+      s"need $QmBuckets per-bucket weights, got ${weights.size}")
+    val wlit = typedLit(weights)
+    qualityModelScored(t, h => element_at(wlit,
+      (h.bitwiseAND(lit((QmBuckets - 1).toLong)) + lit(1L)).cast("int")))
+  }
+
+  private def qualityModelScored(t: DataFrame,
+      weightOf: Column => Column): DataFrame = {
     import graft.functions.TextHashExpressions
     t.select(col("doc_id"), col("lang"),
         TextHashExpressions.wordHashes(words(col("text"))).as("hs"))
       .select(col("doc_id"), col("lang"),
         size(col("hs")).cast("long").as("n_words"),
-        aggregate(col("hs"), lit(0L), (acc, h) => acc + qmWeight(h))
+        aggregate(col("hs"), lit(0L), (acc, h) => acc + weightOf(h))
           .as("score_raw"))
       .withColumn("logit", when(col("n_words") > 0,
         col("score_raw").cast("double") / col("n_words").cast("double")))

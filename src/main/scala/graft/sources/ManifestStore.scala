@@ -558,9 +558,41 @@ object ManifestStore {
     val dir = manifestDir(tablePath, c)
     fs.mkdirs(dir)
     val p = new Path(dir, f"$PtrPrefix$seq%06d")
-    val out = fs.create(p, false)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
+    createExclusive(fs, p, content.getBytes("UTF-8"))
   }
+
+  /** The protocol's create-no-overwrite primitive, made ATOMIC on the
+    * local scheme: Hadoop's RawLocalFileSystem implements
+    * `create(overwrite = false)` as a non-atomic exists-then-open, so
+    * two racers could BOTH win the claim/pointer race the whole commit
+    * protocol keys on (caught by the raced `claimSegs` spec) — route
+    * `file://` through java.nio `createFile` (O_EXCL, atomic on
+    * POSIX). Every other scheme keeps the FileSystem call (HDFS create
+    * is atomic-exclusive; S3A needs conditional create, see the
+    * [[publish]] contract note). Content lands in a separate write
+    * after the exclusive create — the visibility window where the file
+    * exists empty is identical to `fs.create`'s (the file is visible
+    * from create() onward), and an empty/partial pointer is already a
+    * defined crash artifact (invalid → previous commit stays live).
+    * Throws FileAlreadyExistsException (an IOException) when the path
+    * exists — same contract as `fs.create(p, false)`. */
+  private def createExclusive(fs: FileSystem, p: Path,
+      content: Array[Byte]): Unit =
+    if (fs.getUri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createFile(local) // O_EXCL
+      try java.nio.file.Files.write(local, content)
+      catch {
+        case e: java.io.IOException =>
+          // a claim/pointer we could not fill must not stay claimed
+          try java.nio.file.Files.deleteIfExists(local)
+          catch { case _: java.io.IOException => () }
+          throw e
+      }
+    } else {
+      val out = fs.create(p, false)
+      try out.write(content) finally out.close()
+    }
 
   private def segsContent(segs: Seq[Long], srcTag: Option[String] = None): String =
     segs.map(s => f"$s%06d")
@@ -616,8 +648,8 @@ object ManifestStore {
     fs.mkdirs(dir)
     def create(n: Long): Boolean =
       try {
-        val out = fs.create(new Path(dir, f"$ClaimPrefix$n%06d"), false)
-        try out.write('c'.toInt) finally out.close()
+        createExclusive(fs, new Path(dir, f"$ClaimPrefix$n%06d"),
+          Array('c'.toByte))
         true
       } catch { case _: java.io.IOException => false }
     val held = scala.collection.mutable.ArrayBuffer.empty[Long]

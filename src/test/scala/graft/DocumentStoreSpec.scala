@@ -1453,6 +1453,41 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(ManifestStore.read(spark, table, Some("c1")).count() == 20)
   }
 
+  test("claimSegs raced: concurrent batch claimers get DISJOINT number " +
+      "sets from the same stale start") {
+    val table = tmp() + "/ctable"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // seed a committed segment so the stale-from guard is live too
+    ManifestStore.store(tenRows("c1"), table, "c1")
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val out = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+    def claimer(name: String): Thread = {
+      val t = new Thread(() => {
+        barrier.await()
+        try out.put(name, ManifestStore.claimSegs(fs, table, "c1", 1L, 5))
+        catch { case e: Throwable => out.put(name, e) }
+      })
+      t.start(); t
+    }
+    val ts = Seq("a", "b", "c", "d").map(claimer)
+    ts.foreach(_.join(120000))
+    val sets = Seq("a", "b", "c", "d").map { n =>
+      out.get(n) match {
+        case s: Seq[_] => s.asInstanceOf[Seq[Long]]
+        case e: Throwable => fail(s"claimer $n threw: $e")
+      }
+    }
+    sets.foreach { s =>
+      assert(s.size == 5 && s == s.sorted && s.distinct.size == 5, s)
+      assert(s.forall(_ >= 2L), s"re-claimed committed number in $s")
+    }
+    // the four batches are pairwise disjoint: no number claimed twice
+    val all = sets.flatten
+    assert(all.distinct.size == all.size,
+      s"overlapping claims: ${all.groupBy(identity).filter(_._2.size > 1)}")
+  }
+
   test("traversal names ('.', '..', '') cannot escape the manifest tree") {
     // collection names come from arbitrary ingest JSON; escapePathName
     // passes '.' through, so without special encoding a collection

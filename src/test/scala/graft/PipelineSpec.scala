@@ -711,6 +711,26 @@ class PipelineSpec extends SparkSpecBase {
     assert(empty.getAs[Long]("score_raw") == 0L)
     assert(empty.isNullAt(empty.fieldIndex("logit")))
     assert(!empty.getAs[Boolean]("pass"))
+    // the trained-model seam: an explicit weight TABLE equal to the
+    // affine stand-in reproduces the stand-in bitwise ...
+    val affine = (0 until Pipeline.QmBuckets)
+      .map(b => ((b * 37L + 11L) & 255L) - 128L)
+    val viaTable = Pipeline.qualityModelWeightedOn(docs, affine).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_raw")))
+    val viaAffine = Pipeline.qualityModelOn(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_raw")))
+    assert(viaTable.toSeq == viaAffine.toSeq)
+    // ... and a genuinely different model changes scores per the same
+    // driver-side recompute
+    val other = (0 until Pipeline.QmBuckets).map(b => (b % 7).toLong - 3L)
+    val gotOther = Pipeline.qualityModelWeightedOn(docs, other).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_raw")).toMap
+    def scoreWith(text: String): Long = text.toLowerCase
+      .replaceAll("[^a-z0-9 ]", " ").split(" ").filter(_.nonEmpty)
+      .map(w => other((hash(w) & 255L).toInt)).sum
+    assert(gotOther(1L) ==
+      scoreWith("the quick brown fox jumps over the lazy dog"))
+    assert(gotOther(4L) == scoreWith("einzelwort"))
   }
 
   test("data quality: every rule fires on a planted-dirty frame, " +
