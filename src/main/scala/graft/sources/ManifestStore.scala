@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Observation, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, shiftright, spark_partition_id, when}
+import org.apache.spark.sql.functions.{coalesce, col, collect_set, count, lit, max, min, shiftright, spark_partition_id, when, xxhash64}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Object-store-safe document store: immutable SEGMENT directories
@@ -258,6 +258,29 @@ object ManifestStore {
                 utf8Cmp(ks(i).asInstanceOf[String], sHi) <= 0
             case None => true
           }
+          // BLOOM refinement on top of the key-set prune (small
+          // batches, long keys): a segment whose range and sorted-set
+          // tests pass can still be skipped when its bloom sidecar
+          // says every touched key in range is definitely absent —
+          // the discriminator for overlapping post-append key ranges
+          // zone maps cannot separate. Advisory: no sidecar → no
+          // refinement; false positives only cost an extra rewrite.
+          def bloomHits(seg: Long, sLo: String, sHi: String): Boolean =
+            (keySet, keyKind) match {
+              case (Some(ks), 'l') =>
+                readSegBlooms(fs, tablePath, c, seg).get(key) match {
+                  case Some((m, bytes)) =>
+                    (sLo.toLongOption, sHi.toLongOption) match {
+                      case (Some(l), Some(h)) =>
+                        ks.iterator.map(_.asInstanceOf[Long])
+                          .filter(k0 => k0 >= l && k0 <= h)
+                          .exists(k0 => bloomMayContain(m, bytes, k0))
+                      case _ => true
+                    }
+                  case None => true
+                }
+              case _ => true
+            }
           if (b.isNullAt(0)) Seq.empty // only NULL keys: match nothing
           else live.filter { seg =>
             readSegStats(fs, tablePath, c, seg).get(key) match {
@@ -265,7 +288,7 @@ object ManifestStore {
                 (sLo.toLongOption, sHi.toLongOption) match {
                   case (Some(l), Some(h)) =>
                     !(h < b.getLong(0) || l > b.getLong(1)) &&
-                      setHits(sLo, sHi)
+                      setHits(sLo, sHi) && bloomHits(seg, sLo, sHi)
                   case _ => true
                 }
               case Some((k, sLo, sHi)) if k == keyKind =>
@@ -1015,6 +1038,171 @@ object ManifestStore {
       case _ => Seq(ZoneMapColumn)
     }
 
+  // ------------------------------------------------------------------
+  // bloom-filter sidecars (the Delta bloom-index analogue)
+  // ------------------------------------------------------------------
+
+  private def bfColsPath(tablePath: String): Path =
+    new Path(s"$tablePath/_manifest/.bf-cols")
+  private val BfColsPrefix = "bfcols:"
+  /** Default filter size in BITS (power of two — position = hash &
+    * mask, no ANSI `%`). 2^17 bits = 16 KiB per column per segment:
+    * ~0.5% false positives at 10k distinct keys, saturating (all-ones,
+    * prunes nothing, never wrong) as segments grow past ~30k keys —
+    * size it to the table's segment cardinality. */
+  val DefaultBloomBits: Int = 1 << 17
+  /** Probe count (k). */
+  val BloomHashes = 4
+
+  /** Configure per-segment BLOOM sidecars for `cols` (INTEGRAL columns
+    * only — the id/timestamp point-lookup and merge-key axis; bloom
+    * bits for other types are skipped at write). Zone maps answer
+    * RANGE questions; blooms answer the point question ranges cannot:
+    * "could key k be in this segment at all?" — the discriminator when
+    * segment key ranges overlap (post-append interleaving, pre-
+    * compaction). Like zone maps the bits are ADVISORY (a segment
+    * without them is read conservatively) and apply to segments
+    * written after the call. `bits` must be a power of two. */
+  def setBloomColumns(spark: SparkSession, tablePath: String,
+      cols: Seq[String], bits: Int = DefaultBloomBits): Unit = {
+    require(cols.nonEmpty, "bloom column set must be non-empty")
+    require(bits > 0 && (bits & (bits - 1)) == 0,
+      s"bloom bits must be a positive power of two, got $bits")
+    val fs = fsOf(spark, tablePath)
+    assertNotFlatLayout(fs, tablePath, "bf-config")
+    fs.mkdirs(new Path(s"$tablePath/_manifest"))
+    val out = fs.create(bfColsPath(tablePath), true) // config update
+    try out.write(
+      (BfColsPrefix + bits + ":" + cols.map(zmEnc).mkString(",") +
+        SegsSuffix).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The table's configured bloom columns and filter size; empty when
+    * unset (blooms are opt-in, unlike zone maps). */
+  private[sources] def bloomColumnsOf(fs: FileSystem,
+      tablePath: String): (Seq[String], Int) =
+    readPtr(fs, bfColsPath(tablePath)) match {
+      case Some(s) if s.startsWith(BfColsPrefix) && s.endsWith(SegsSuffix) =>
+        s.stripPrefix(BfColsPrefix).stripSuffix(SegsSuffix)
+          .split(':') match {
+          case Array(bits, colsCsv) =>
+            (bits.toIntOption, colsCsv.split(',').toSeq
+              .filter(_.nonEmpty).map(zmDec)) match {
+              case (Some(m), cols)
+                  if cols.nonEmpty && m > 0 && (m & (m - 1)) == 0 =>
+                (cols, m)
+              case _ => (Seq.empty, DefaultBloomBits)
+            }
+          case _ => (Seq.empty, DefaultBloomBits)
+        }
+      case _ => (Seq.empty, DefaultBloomBits)
+    }
+
+  /** The k collect_set aggregates building one column's bloom
+    * positions during the segment write (probe j's position =
+    * `xxhash64(j, value) & (bits-1)`, tagged by j in the alias). The
+    * value is cast to LONG so the driver-side probe
+    * ([[bloomProbe]]) reproduces the hash with `XXH64.hashLong`
+    * regardless of the column's integral width. Each set is bounded by
+    * `bits` distinct positions — segment-write metadata, not data. */
+  private def bloomAggs(n: String, bits: Int, tag: String): Seq[Column] =
+    (0 until BloomHashes).map { j =>
+      collect_set(
+        xxhash64(lit(j.toLong), col(n).cast("long"))
+          .bitwiseAND(lit((bits - 1).toLong)).cast("int"))
+        .as(s"bf_${tag}_$j")
+    }
+
+  /** Driver-side twin of [[bloomAggs]]'s position arithmetic:
+    * Spark's multi-arg `xxhash64` left-folds the seed through its
+    * children, so probe j's position for long value v is
+    * `hashLong(v, hashLong(j, 42)) & (bits-1)`. */
+  private def bloomProbe(v: Long, j: Int, bits: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (XXH64.hashLong(v, XXH64.hashLong(j.toLong, 42L)) &
+      (bits - 1).toLong).toInt
+  }
+
+  /** Pack per-probe position sets into the sidecar token
+    * `bf:<encName>:<bits>:<urlsafe-b64 bitset>` (padding-free alphabet
+    * — never collides with the `;,=` framing). */
+  private def bloomToken(n: String, bits: Int,
+      posSets: Seq[Seq[Int]]): String = {
+    val bytes = new Array[Byte](bits / 8)
+    posSets.foreach(_.foreach { p =>
+      bytes(p >>> 3) = (bytes(p >>> 3) | (1 << (p & 7))).toByte
+    })
+    s"bf:${zmEnc(n)}:$bits:" +
+      java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
+  }
+
+  /** The segment's bloom bitsets by column: (bits, bitset). Missing /
+    * torn sidecars parse to empty ("no bloom — read conservatively"),
+    * the zone-map discipline. */
+  private[graft] def readSegBlooms(fs: FileSystem, tablePath: String,
+      c: String, seg: Long): Map[String, (Int, Array[Byte])] =
+    readPtr(fs, statsPath(tablePath, c, seg)) match {
+      case Some(s) if s.startsWith(ZmPrefix) && s.endsWith(SegsSuffix) =>
+        s.stripPrefix(ZmPrefix).stripSuffix(SegsSuffix)
+          .split(';').toSeq.filter(_.startsWith("bf:"))
+          .flatMap { e =>
+            e.split(':') match {
+              case Array(_, n, bits, b64) =>
+                (bits.toIntOption, scala.util.Try(
+                  java.util.Base64.getUrlDecoder.decode(b64)).toOption) match {
+                  case (Some(m), Some(bytes))
+                      if m > 0 && (m & (m - 1)) == 0 &&
+                        bytes.length == m / 8 =>
+                    Some(zmDec(n) -> (m, bytes))
+                  case _ => None
+                }
+              case _ => None
+            }
+          }.toMap
+      case _ => Map.empty
+    }
+
+  /** May this bitset contain long value `v`? False only when at least
+    * one probe position is unset — definitive absence. */
+  private[graft] def bloomMayContain(bits: Int, bytes: Array[Byte],
+      v: Long): Boolean =
+    (0 until BloomHashes).forall { j =>
+      val p = bloomProbe(v, j, bits)
+      (bytes(p >>> 3) & (1 << (p & 7))) != 0
+    }
+
+  /** POINT LOOKUP pruned by zone maps AND bloom sidecars: segments
+    * whose recorded key range excludes `v` OR whose bloom says
+    * "definitely absent" are never listed or planned — on an
+    * interleaved-key table (post-append, pre-compaction) the blooms
+    * are what keeps a needle lookup from scanning every
+    * range-overlapping segment. Residual `column = v` still applies
+    * (pruning is an optimization, never the filter), so it also pushes
+    * into the surviving parquet scans' row-group stats. */
+  def readPointLong(spark: SparkSession, tablePath: String, c: String,
+      v: Long, column: String = ZoneMapColumn): DataFrame = {
+    val fs = fsOf(spark, tablePath)
+    val segs = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
+    val kept = segs.filter { s =>
+      val inRange = readSegStats(fs, tablePath, c, s).get(column) match {
+        case Some(('l', sLo, sHi)) =>
+          (sLo.toLongOption, sHi.toLongOption) match {
+            case (Some(l), Some(h)) => l <= v && v <= h
+            case _ => true
+          }
+        case _ => true
+      }
+      inRange && (readSegBlooms(fs, tablePath, c, s).get(column) match {
+        case Some((m, bytes)) => bloomMayContain(m, bytes, v)
+        case None => true
+      })
+    }
+    rangeResidual(
+      readSegsInferred(spark, tablePath, c, kept, segs), column,
+      col(column) === lit(v))
+  }
+
   /** Stat kind for a column type: 'l' = integral (numeric-ordered
     * bounds), 's' = everything else via cast-to-string (UTF-8-ordered
     * bounds — the order Spark's string min/max collects under). */
@@ -1075,12 +1263,15 @@ object ManifestStore {
     val zmCols = zoneMapColumnsOf(fs, tablePath)
       .filter(df.columns.contains)
       .map(n => (n, zmKindOf(df.schema(n).dataType)))
-    if (zmCols.isEmpty) {
+    val (bfColsCfg, bfBits) = bloomColumnsOf(fs, tablePath)
+    val bfCols = bfColsCfg.filter(df.columns.contains)
+      .filter(n => zmKindOf(df.schema(n).dataType) == 'l')
+    if (zmCols.isEmpty && bfCols.isEmpty) {
       df.write.mode(SaveMode.Overwrite).parquet(dir)
     } else {
-      // every configured column's [min,max] rides ONE Observation on
-      // the segment write itself — zero extra passes however many
-      // columns are mapped
+      // every configured column's [min,max] — and bloom position
+      // sets — ride ONE Observation on the segment write itself: zero
+      // extra passes however many columns are mapped
       val obs = Observation()
       val aggs = zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
         val base = if (k == 'l') col(n) else col(n).cast("string")
@@ -1090,6 +1281,8 @@ object ManifestStore {
         // exclusion drops)
         Seq(min(base).as(s"zm_lo_$i"), max(base).as(s"zm_hi_$i"),
           count(base).as(s"zm_n_$i"))
+      } ++ bfCols.zipWithIndex.flatMap { case (n, i) =>
+        bloomAggs(n, bfBits, i.toString)
       }
       df.observe(obs, aggs.head, aggs.tail: _*)
         .write.mode(SaveMode.Overwrite).parquet(dir)
@@ -1102,14 +1295,24 @@ object ManifestStore {
       val cntToks = zmCols.zipWithIndex.flatMap { case ((n, _), i) =>
         m.get(s"zm_n_$i").collect { case v: Long => s"cnt:${zmEnc(n)}:$v" }
       }
-      val entries = cntToks ++ zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
-        (m.get(s"zm_lo_$i"), m.get(s"zm_hi_$i")) match {
-          // empty segment or all-null column: no entry for this column
-          case (Some(lo), Some(hi)) if lo != null && hi != null =>
-            Some(s"${zmEnc(n)}:$k=${zmEnc(lo.toString)},${zmEnc(hi.toString)}")
-          case _ => None
-        }
+      val bfToks = bfCols.zipWithIndex.map { case (n, i) =>
+        bloomToken(n, bfBits, (0 until BloomHashes).map { j =>
+          m.get(s"bf_${i}_$j") match {
+            case Some(a: scala.collection.Seq[_]) =>
+              a.map(_.asInstanceOf[Int]).toSeq
+            case _ => Seq.empty[Int]
+          }
+        })
       }
+      val entries = cntToks ++ bfToks ++
+        zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
+          (m.get(s"zm_lo_$i"), m.get(s"zm_hi_$i")) match {
+            // empty segment or all-null column: no entry for this column
+            case (Some(lo), Some(hi)) if lo != null && hi != null =>
+              Some(s"${zmEnc(n)}:$k=${zmEnc(lo.toString)},${zmEnc(hi.toString)}")
+            case _ => None
+          }
+        }
       if (entries.nonEmpty) writeStatsFile(fs, tablePath, c, seg, entries)
     }
   }
@@ -1162,10 +1365,15 @@ object ManifestStore {
     val zmCols = zoneMapColumnsOf(fs, tablePath)
       .filter(dataCols.contains)
       .map(n => (n, zmKindOf(laid.schema(n).dataType)))
+    val (bfColsCfg, bfBits) = bloomColumnsOf(fs, tablePath)
+    val bfCols = bfColsCfg.filter(dataCols.contains)
+      .filter(n => zmKindOf(laid.schema(n).dataType) == 'l')
     val aggs = zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
       val base = if (k == 'l') col(n) else col(n).cast("string")
       Seq(min(base).as(s"zm_lo_$i"), max(base).as(s"zm_hi_$i"),
         count(base).as(s"zm_n_$i"))
+    } ++ bfCols.zipWithIndex.flatMap { case (n, i) =>
+      bloomAggs(n, bfBits, i.toString)
     }
     val statRows = laid.groupBy(col("__part"))
       .agg(count(lit(1)).as("__n"), aggs: _*)
@@ -1198,13 +1406,24 @@ object ManifestStore {
         Option(r.getAs[Any](s"zm_n_$i"))
           .collect { case v: Long => s"cnt:${zmEnc(n)}:$v" }
       }
-      val entries = cntToks ++ zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
-        (Option(r.getAs[Any](s"zm_lo_$i")), Option(r.getAs[Any](s"zm_hi_$i"))) match {
-          case (Some(lo), Some(hi)) =>
-            Some(s"${zmEnc(n)}:$k=${zmEnc(lo.toString)},${zmEnc(hi.toString)}")
-          case _ => None
-        }
+      val bfToks = bfCols.zipWithIndex.map { case (n, i) =>
+        bloomToken(n, bfBits, (0 until BloomHashes).map { j =>
+          Option(r.getAs[Any](s"bf_${i}_$j")) match {
+            case Some(a: scala.collection.Seq[_]) =>
+              a.map(_.asInstanceOf[Int]).toSeq
+            case _ => Seq.empty[Int]
+          }
+        })
       }
+      val entries = cntToks ++ bfToks ++
+        zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
+          (Option(r.getAs[Any](s"zm_lo_$i")),
+            Option(r.getAs[Any](s"zm_hi_$i"))) match {
+            case (Some(lo), Some(hi)) =>
+              Some(s"${zmEnc(n)}:$k=${zmEnc(lo.toString)},${zmEnc(hi.toString)}")
+            case _ => None
+          }
+        }
       if (entries.nonEmpty) writeStatsFile(fs, tablePath, c, seg, entries)
     }
     try fs.delete(stagingDir, true)

@@ -371,6 +371,54 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(got.count() == 200)
   }
 
+  test("bloom sidecars: point lookups and small-batch merges prune " +
+      "range-OVERLAPPING segments that zone maps cannot separate") {
+    import spark.implicits._
+    val table = tmp() + "/btable"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    ManifestStore.setBloomColumns(spark, table, Seq("doc_id"), 1024)
+    // two segments with INTERLEAVED keys: ranges overlap end to end,
+    // so zone maps prune nothing between them
+    def rows(ks: Seq[Long]) = ks.toDF("doc_id")
+      .select(col("doc_id"), concat(lit("v"), col("doc_id")).as("txt"))
+    ManifestStore.store(rows((0L until 100L).map(_ * 10L)), table, "m")
+    ManifestStore.store(rows((0L until 100L).map(_ * 10L + 5L)), table, "m")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // both segments carry a bloom for the key
+    Seq(1L, 2L).foreach { s =>
+      assert(ManifestStore.readSegBlooms(fs, table, "m", s)
+        .contains("doc_id"), s"segment $s missing bloom")
+    }
+    // a key only in seg1: the lookup reads seg1 alone (bloom prunes
+    // the range-overlapping seg2); result exact
+    val hit = ManifestStore.readPointLong(spark, table, "m", 420L)
+    assert(hit.inputFiles.nonEmpty &&
+      hit.inputFiles.forall(_.contains("seg=000001")), hit.inputFiles.toSeq)
+    assert(hit.select("txt").collect().map(_.getString(0)).toSeq ==
+      Seq("v420"))
+    // a key in NEITHER (inside both ranges): both blooms say absent —
+    // nothing is read at all
+    val miss = ManifestStore.readPointLong(spark, table, "m", 123L)
+    assert(miss.inputFiles.isEmpty, miss.inputFiles.toSeq)
+    assert(miss.isEmpty)
+    // small-batch merge touching only seg1 keys: the bloom refinement
+    // keeps seg2 out of the rewrite even though its RANGE overlaps
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((420L, "NEW", false)).toDF("doc_id", "txt", "_deleted")))
+    val live = ManifestStore.currentSegments(spark, table, "m").get
+    assert(live.contains(2L), s"seg2 was rewritten: $live")
+    assert(!live.contains(1L), s"seg1 not rewritten: $live")
+    val all = ManifestStore.readSinceInferred(spark, table, "m", 0L)
+    assert(all.count() == 200)
+    assert(all.where(col("doc_id") === 420L).select("txt")
+      .head.getString(0) == "NEW")
+    // rewritten segments carry fresh blooms (the clustered-write path)
+    val newSeg = live.filterNot(Seq(1L, 2L).contains).head
+    assert(ManifestStore.readSegBlooms(fs, table, "m", newSeg)
+      .contains("doc_id"))
+  }
+
   test("claimSeg stale-from guard: a number committed and released " +
       "between a writer's resolve and its claim is never re-claimed") {
     val table = tmp() + "/mtable"
