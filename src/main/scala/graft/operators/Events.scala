@@ -625,6 +625,75 @@ object Events {
       .orderBy(col("n_events").desc, col("user_id"))
   }
 
+  // ------------------------------------------------------------------
+  // count-min sketch — mergeable bounded-state frequency estimation
+  // ------------------------------------------------------------------
+
+  /** Grid geometry: [[CmsDepth]] rows × [[CmsWidth]] counters (power of
+    * two — position is a bit mask, no ANSI `%` on the hot path beyond
+    * the portable modular hash). */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+  /** Per-depth multipliers (odd, < 2^32): with the operand reduced mod
+    * [[graft.functions.TextFunctions.HashMod]] first, every product
+    * stays under ~2^62 — the pmod-before-multiply discipline that keeps
+    * ANSI long arithmetic from aborting in either engine. */
+  val CmsMult: Seq[Long] =
+    Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  /** Candidate-set size for the estimate-vs-exact report. */
+  val CmsTopK = 10
+
+  /** Depth-j counter position of a key — pure portable integer
+    * arithmetic (identical in DuckDB), so the whole sketch is
+    * DETERMINISTIC and oracle-able, unlike arrival-order-dependent
+    * summaries (SpaceSaving/Misra-Gries). */
+  private def cmsPos(u: Column, j: Int): Column =
+    (((u % graft.functions.TextFunctions.HashMod) * CmsMult(j) +
+      lit(j * 97L + 13L)) % graft.functions.TextFunctions.HashMod)
+      .bitwiseAND(lit((CmsWidth - 1).toLong))
+
+  def cmsTopK(s: SparkSession, dir: String): DataFrame =
+    cmsTopKOn(load(s, dir))
+
+  /** COUNT-MIN frequency estimation next to its ground truth — the
+    * bounded-state alternative to [[heavyHittersOn]]'s exact per-key
+    * aggregate: the sketch is a fixed d×w grid of counters (d·w longs
+    * TOTAL, whatever the key cardinality), each event incrementing one
+    * cell per depth, and a key's estimate is the MIN of its d cells —
+    * always ≥ the exact count (cells only ever over-count via
+    * collisions), within ε·N of it with high probability (ε ≈ e/w).
+    * At 100 TB this is the frequency summary that actually fits:
+    * partial aggregation map-side combines every task's events into
+    * ≤ d·w cells before the ONE tiny shuffle, the grid is fixed-size
+    * plan metadata on the probe side (unconditional broadcast — the
+    * codebook class, NOT corpus-dependent), and grids from disjoint
+    * corpus slices MERGE by cell-wise addition (the count-min algebra —
+    * same mergeability contract as [[graft.functions.KmvSketchAgg]]).
+    * The declared query reports the top-[[CmsTopK]] exact keys with
+    * their estimates and overcounts, so the sketch's error is OBSERVED
+    * next to the truth it approximates (the measured-miss-rate
+    * discipline every approximate path here follows). */
+  def cmsTopKOn(events: DataFrame): DataFrame = {
+    val depths = 0 until CmsDepth
+    def posArray(u: Column) = array(depths.map(j => cmsPos(u, j)): _*)
+    val cells = events
+      .select(posexplode(posArray(col("user_id"))).as(Seq("depth", "pos")))
+      .groupBy("depth", "pos").agg(count(lit(1)).as("n"))
+    val cand = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+      .limit(CmsTopK)
+    cand
+      .select(col("user_id"), col("n_exact"),
+        posexplode(posArray(col("user_id"))).as(Seq("depth", "pos")))
+      .join(broadcast(cells), Seq("depth", "pos"))
+      .groupBy("user_id", "n_exact")
+      .agg(min(col("n")).as("n_cms"))
+      .select(col("user_id"), col("n_exact"), col("n_cms"),
+        (col("n_cms") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
   /** Score threshold and stats-relation broadcast ceiling for
     * [[anomaly]]. */
   val AnomalyThreshold = 3.5
@@ -879,6 +948,31 @@ object Events {
          |WHERE CAST(n_events AS HUGEINT) * n_users * $HeavyDen
          |  > CAST(n_total AS HUGEINT) * $HeavyNum
          |ORDER BY n_events DESC, user_id""".stripMargin)(heavyHitters),
+
+    QueryDef.sql("ev_cms_topk", {
+      val P = graft.functions.TextFunctions.HashMod
+      val mults = CmsMult.zipWithIndex
+        .map { case (m, j) => s"WHEN $j THEN $m" }.mkString(" ")
+      val posSql = (u: String) =>
+        s"((((($u) % $P) * (CASE d.j $mults END) + d.j * 97 + 13) % $P) " +
+          s"& ${CmsWidth - 1})"
+      s"""WITH d AS (SELECT unnest(range(0, $CmsDepth)) AS j),
+         |ev AS (
+         |  SELECT d.j, ${posSql("e.user_id")} AS pos
+         |  FROM events e CROSS JOIN d),
+         |cells AS (SELECT j, pos, count(*) AS n FROM ev GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
+         |  ORDER BY n_exact DESC, user_id LIMIT $CmsTopK),
+         |probe AS (
+         |  SELECT c.user_id, c.n_exact, d.j, ${posSql("c.user_id")} AS pos
+         |  FROM cand c CROSS JOIN d)
+         |SELECT p.user_id, p.n_exact, min(cl.n) AS n_cms,
+         |  min(cl.n) - p.n_exact AS overcount
+         |FROM probe p JOIN cells cl ON p.j = cl.j AND p.pos = cl.pos
+         |GROUP BY p.user_id, p.n_exact
+         |ORDER BY n_exact DESC, user_id""".stripMargin
+    })(cmsTopK),
 
     QueryDef.sql("ev_hourly_windows",
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us,

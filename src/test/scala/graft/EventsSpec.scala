@@ -336,4 +336,32 @@ class EventsSpec extends SparkSpecBase {
       assert(r.getAs[Int]("min_k") <= r.getAs[Int]("max_k"))
     }
   }
+
+  test("count-min: estimates never undercount, are exact without " +
+      "collisions, and the grid merges by cell-wise addition") {
+    import spark.implicits._
+    val rows = Events.cmsTopK(spark, sf).collect()
+    assert(rows.length == Events.CmsTopK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cms") >= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("n_cms") - r.getAs[Long]("n_exact"))
+    }
+    // few distinct keys vs 4096 cells: no collisions, estimate exact
+    val tiny = Seq.tabulate(60)(i => i.toLong % 3)
+      .toDF("user_id")
+    val t = Events.cmsTopKOn(tiny).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_cms"))).toMap
+    assert(t == Map(0L -> ((20L, 20L)), 1L -> ((20L, 20L)),
+      2L -> ((20L, 20L))))
+    // MERGEABILITY (the 100 TB contract): the grid over a union equals
+    // the cell-wise SUM of per-slice grids — estimates from merged
+    // partial sketches are identical to the single-pass sketch
+    val half1 = Seq.fill(30)(7L).toDF("user_id")
+    val half2 = (Seq.fill(12)(7L) ++ Seq.fill(40)(9L)).toDF("user_id")
+    val whole = Events.cmsTopKOn(half1.union(half2)).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_cms")).toMap
+    assert(whole(7L) == 42L && whole(9L) == 40L)
+  }
 }
