@@ -647,10 +647,22 @@ object Events {
     * arithmetic (identical in DuckDB), so the whole sketch is
     * DETERMINISTIC and oracle-able, unlike arrival-order-dependent
     * summaries (SpaceSaving/Misra-Gries). */
-  private def cmsPos(u: Column, j: Int): Column =
+  private[graft] def cmsPos(u: Column, j: Int): Column =
     (((u % graft.functions.TextFunctions.HashMod) * CmsMult(j) +
       lit(j * 97L + 13L)) % graft.functions.TextFunctions.HashMod)
       .bitwiseAND(lit((CmsWidth - 1).toLong))
+
+  private[graft] def cmsPosArray(u: Column): Column =
+    array((0 until CmsDepth).map(j => cmsPos(u, j)): _*)
+
+  /** The d×w cell relation — the sketch ITSELF, shared by the batch
+    * report and the streaming face ([[graft.streaming.EventStream
+    * .cmsCells]]): one partial-aggregated shuffle whose key space is
+    * FIXED at d·w cells regardless of corpus size. */
+  def cmsGrid(events: DataFrame): DataFrame =
+    events
+      .select(posexplode(cmsPosArray(col("user_id"))).as(Seq("depth", "pos")))
+      .groupBy("depth", "pos").agg(count(lit(1)).as("n"))
 
   def cmsTopK(s: SparkSession, dir: String): DataFrame =
     cmsTopKOn(load(s, dir))
@@ -674,18 +686,14 @@ object Events {
     * next to the truth it approximates (the measured-miss-rate
     * discipline every approximate path here follows). */
   def cmsTopKOn(events: DataFrame): DataFrame = {
-    val depths = 0 until CmsDepth
-    def posArray(u: Column) = array(depths.map(j => cmsPos(u, j)): _*)
-    val cells = events
-      .select(posexplode(posArray(col("user_id"))).as(Seq("depth", "pos")))
-      .groupBy("depth", "pos").agg(count(lit(1)).as("n"))
+    val cells = cmsGrid(events)
     val cand = events.groupBy("user_id")
       .agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("user_id"))
       .limit(CmsTopK)
     cand
       .select(col("user_id"), col("n_exact"),
-        posexplode(posArray(col("user_id"))).as(Seq("depth", "pos")))
+        posexplode(cmsPosArray(col("user_id"))).as(Seq("depth", "pos")))
       .join(broadcast(cells), Seq("depth", "pos"))
       .groupBy("user_id", "n_exact")
       .agg(min(col("n")).as("n_cms"))

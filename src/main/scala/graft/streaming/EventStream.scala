@@ -391,6 +391,21 @@ object EventStream {
         OutputMode.Update())
   }
 
+  /** LIVE count-min grid — the streaming face of
+    * [[graft.operators.Events.cmsGrid]], and the degenerate-best case
+    * of streaming-aggregate state: the aggregation key space is the
+    * sketch's FIXED d×w cell grid, so the state store holds at most
+    * d·w rows forever — no watermark, no TTL, no growth with the key
+    * universe (the reason to sketch in the first place). Update-mode
+    * emissions carry the current cell counts; a consumer estimates any
+    * key as the min of its d cells, and because cells are
+    * monotonically increasing counts, the max-n row per cell IS the
+    * latest state regardless of sink order. Replay ≡ batch grid is
+    * spec-pinned (cell-wise — the count-min merge algebra makes the
+    * micro-batch cut invisible). */
+  def cmsCells(events: DataFrame): DataFrame =
+    graft.operators.Events.cmsGrid(events)
+
   // ------------------------------------------------------------------
   // Streaming deduplication
   // ------------------------------------------------------------------

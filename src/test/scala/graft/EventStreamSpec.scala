@@ -845,6 +845,33 @@ class EventStreamSpec extends SparkSpecBase {
     assert(snap() == Set((1L, "A"), (3L, "c"), (4L, "d")))
   }
 
+  test("streaming count-min grid across micro-batches == batch grid " +
+      "cell-for-cell (bounded d*w state, no watermark)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq.tabulate(40)(i => CmsEv(i.toLong % 7))
+    val b2 = Seq.tabulate(25)(i => CmsEv(i.toLong % 3 + 100L))
+    val input = MemoryStream[CmsEv]
+    val q = EventStream.cmsCells(input.toDF())
+      .writeStream.format("memory").queryName("cms_grid")
+      .outputMode("update").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    // cells are monotone counters: latest state = max n per cell
+    val got = spark.table("cms_grid").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    val want = graft.operators.Events.cmsGrid((b1 ++ b2).toDF()).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(want.nonEmpty && want.keySet.size <=
+      graft.operators.Events.CmsDepth * graft.operators.Events.CmsWidth)
+  }
+
   test("streaming quarantine (dead-letter split) == batch row-local " +
       "quarantine over the fixture corpus") {
     import spark.implicits._
@@ -878,3 +905,6 @@ class EventStreamSpec extends SparkSpecBase {
 /** Typed quarantine-stream row (Option key: NULL keys must flow). */
 case class QDoc(doc_id: Option[Long], text: String, lang: String,
     n_chars: Long)
+
+/** Minimal typed row for the streaming count-min grid spec. */
+case class CmsEv(user_id: Long)
