@@ -41,6 +41,35 @@ trait ArrayKernelExpr extends UnaryExpression {
     if (nullable) s"${ev.isNull} = $nf;" else ""
 }
 
+/** IDENTITY pass-through flagged NONDETERMINISTIC — an optimizer
+  * barrier with zero runtime cost (codegen emits the child's code
+  * verbatim). Aliasing an expensive computed column through this stops
+  * `PushPredicateThroughNonJoin` from SUBSTITUTING the computation into
+  * a consumer's filter (where CASE WHEN-guarded terms are excluded
+  * from codegen subexpression elimination — measured 4-6 kernel
+  * re-evaluations per row on the Gopher gate) and stops
+  * `CollapseProject` from inlining it into a wider projection. The
+  * filter then evaluates on the projected ATTRIBUTE in the same
+  * whole-stage-codegen pipeline: identical scan I/O — a predicate over
+  * computed text signals never reached parquet anyway — one kernel
+  * pass per row. Values are pure functions of the input row; only the
+  * planner flag is false. */
+case class OptimizerBarrierExpr(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "opt_barrier"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Polynomial hashes of every n-word shingle (words joined by a single
   * space): out[i] = polyHash(words[i] + " " + ... + words[i+n-1]).
   * With n=1 this is exactly polyHash of each word. Fewer than n words
@@ -565,6 +594,107 @@ case class WordStatsExpr(child: Expression)
     copy(child = c)
 }
 
+/** Fused repetition signals: ONE pass over the word array computes
+  * (top_word_count, n_bigrams, n_distinct_bigrams) — replacing an
+  * interpreted struct-state `aggregate(array_sort(ws))` fold (top word
+  * via sorted-run counting; HOFs are CodegenFallback) plus a
+  * `shingleStrings(ws, 2)` materialization and TWO traversals of it
+  * (`size`, `size(array_distinct)`). Semantics are bitwise those of
+  * the composed form: top_word_count = max word multiplicity (the
+  * longest sorted run IS the top count), n_bigrams = max(n-1, 0),
+  * n_distinct_bigrams counts distinct space-joined adjacent pairs
+  * (words never contain spaces — `words()` splits on them — so joined
+  * equality is pair equality). */
+case class RepetitionSignalsExpr(child: Expression)
+    extends UnaryExpression with ArrayKernelExpr {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_word_count", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("n_distinct_bigrams", LongType, nullable = false)))
+  override def prettyName: String = "repetition_signals"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val counts = new java.util.HashMap[String, Integer]()
+    val pairs = new java.util.HashSet[String]()
+    var top = 0L
+    var nbg = 0L
+    var prev: String = null
+    var i = 0
+    while (i < m) {
+      if (arr.isNullAt(i)) return null
+      val w = arr.getUTF8String(i).toString
+      val c = counts.get(w)
+      val nc = if (c == null) 1 else c.intValue() + 1
+      counts.put(w, Integer.valueOf(nc))
+      if (nc > top) top = nc.toLong
+      if (prev != null) {
+        nbg += 1
+        pairs.add(prev + " " + w)
+      }
+      prev = w
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](top, nbg, pairs.size.toLong))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val nf = ctx.freshName("hasNull")
+      val m = ctx.freshName("m")
+      val counts = ctx.freshName("counts")
+      val pairs = ctx.freshName("pairs")
+      val top = ctx.freshName("top")
+      val nbg = ctx.freshName("nbg")
+      val prev = ctx.freshName("prev")
+      val i = ctx.freshName("i")
+      val w = ctx.freshName("w")
+      val c = ctx.freshName("c")
+      val nc = ctx.freshName("nc")
+      s"""
+         |boolean $nf = false;
+         |final int $m = $a.numElements();
+         |final java.util.HashMap<String, Integer> $counts =
+         |  new java.util.HashMap<String, Integer>();
+         |final java.util.HashSet<String> $pairs =
+         |  new java.util.HashSet<String>();
+         |long $top = 0L;
+         |long $nbg = 0L;
+         |String $prev = null;
+         |for (int $i = 0; $i < $m && !$nf; $i++) {
+         |  if ($a.isNullAt($i)) { $nf = true; break; }
+         |  final String $w = $a.getUTF8String($i).toString();
+         |  final Integer $c = (Integer) $counts.get($w);
+         |  final int $nc = ($c == null) ? 1 : $c.intValue() + 1;
+         |  $counts.put($w, Integer.valueOf($nc));
+         |  if ($nc > $top) $top = (long) $nc;
+         |  if ($prev != null) {
+         |    $nbg++;
+         |    $pairs.add($prev + " " + $w);
+         |  }
+         |  $prev = $w;
+         |}
+         |if (!$nf) {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[]{$top, $nbg, (long) $pairs.size()});
+         |}
+         |${propagateNull(ev, nf)}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Fused character-class counts over a STRING: one pass over the UTF-8
   * bytes computes (n_alpha = code points in [a-z], n_spaces = ' '
   * count) — replacing two whole-text `regexp_replace` calls that each
@@ -652,6 +782,14 @@ object TextHashExpressions {
   /** fused (n_words, n_distinct_words, sum_word_len, bpe_tokens) struct. */
   def wordStats(words: Column): Column =
     ColumnShim.column(WordStatsExpr(ColumnShim.expression(words)))
+
+  /** fused (top_word_count, n_bigrams, n_distinct_bigrams) struct. */
+  def repetitionSignals(words: Column): Column =
+    ColumnShim.column(RepetitionSignalsExpr(ColumnShim.expression(words)))
+
+  /** zero-cost optimizer barrier (see [[OptimizerBarrierExpr]]). */
+  def optBarrier(c: Column): Column =
+    ColumnShim.column(OptimizerBarrierExpr(ColumnShim.expression(c)))
 
   /** codegen'd count of words in a fixed marker set. */
   def markerCount(words: Column, markers: Seq[String]): Column =

@@ -178,38 +178,42 @@ object TextAnalysis {
       keep: Seq[String]): DataFrame = {
     val ws = words(col("text"))
     val st = graft.functions.TextHashExpressions.wordStats(ws)
-    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    // ONE fused codegen pass computes all three repetition signals
+    // (top-word multiplicity, bigram count, distinct bigram count) —
+    // the previous composed form paid an interpreted struct-fold over
+    // the sorted words (HOFs are CodegenFallback) plus a materialized
+    // bigram-string array traversed twice. Semantics bitwise identical
+    // (kernel scaladoc); NULL text still yields the oracle's
+    // LEFT JOIN + coalesce shape: top_word_count coalesces to 0, the
+    // bigram columns and fractions stay NULL.
+    val rep = graft.functions.TextHashExpressions.repetitionSignals(col("ws"))
+    // every computed signal is aliased through the zero-cost
+    // nondeterministic barrier: a consumer's gate predicate then
+    // evaluates these as ATTRIBUTES of this projection instead of
+    // being substituted below it, where the CASE WHEN-guarded terms
+    // are exempt from codegen subexpression elimination and the text
+    // kernels re-ran 4-6x per row (measured on the gopher gate; the
+    // predicate never reached the parquet scan anyway — computed
+    // columns prune nothing). doc_id and pass-through columns stay
+    // plain so their predicates still push to the scan.
+    val b = graft.functions.TextHashExpressions.optBarrier _
     documents
       .select(col("doc_id") +: keep.map(col) :+ ws.as("ws") :+
         st.getField("n_words").as("n_words") :+
         st.getField("n_distinct_words").as("n_distinct_words"): _*)
-      // equal words are adjacent after the sort, so the longest run IS
-      // the top word's count ("" never collides: words() drops empties).
-      // coalesce: a NULL text gives a NULL word array and a NULL fold —
-      // the oracle's LEFT JOIN + coalesce path yields 0 for that row,
-      // and both engines must agree bitwise
-      .withColumn("top_word_count",
-        coalesce(aggregate(array_sort(col("ws")), zero,
-          (s, w) => {
-            val run = when(w === s.getField("prev"), s.getField("run") + 1L)
-              .otherwise(lit(1L))
-            struct(w.as("prev"), run.as("run"),
-              greatest(s.getField("best"), run).as("best"))
-          },
-          s => s.getField("best")), lit(0L)))
-      .withColumn("bg",
-        graft.functions.TextHashExpressions.shingleStrings(col("ws"), 2))
-      .select(col("doc_id") +: keep.map(col) :+ col("n_words") :+
-        col("n_distinct_words") :+
-        col("top_word_count") :+
-        when(col("n_words") > 0, col("top_word_count").cast("double") /
-          col("n_words").cast("double")).as("top_word_share") :+
-        size(col("bg")).cast("long").as("n_bigrams") :+
-        size(array_distinct(col("bg"))).cast("long")
-          .as("n_distinct_bigrams") :+
-        when(size(col("bg")) > 0,
-          (size(col("bg")) - size(array_distinct(col("bg")))).cast("double")
-            / size(col("bg")).cast("double")).as("dup_bigram_frac"): _*)
+      .withColumn("rep", rep)
+      .select(col("doc_id") +: keep.map(col) :+ b(col("n_words")).as("n_words") :+
+        b(col("n_distinct_words")).as("n_distinct_words") :+
+        b(coalesce(col("rep.top_word_count"), lit(0L))).as("top_word_count") :+
+        b(when(col("n_words") > 0,
+          coalesce(col("rep.top_word_count"), lit(0L)).cast("double") /
+            col("n_words").cast("double"))).as("top_word_share") :+
+        b(col("rep.n_bigrams")).as("n_bigrams") :+
+        b(col("rep.n_distinct_bigrams")).as("n_distinct_bigrams") :+
+        b(when(col("rep.n_bigrams") > 0,
+          (col("rep.n_bigrams") - col("rep.n_distinct_bigrams"))
+            .cast("double") / col("rep.n_bigrams").cast("double")))
+          .as("dup_bigram_frac"): _*)
   }
 
   /** Term-frequency / document-frequency table: top-3 terms per document

@@ -7,6 +7,40 @@ import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpecBase {
 
+  test("fused repetition-signals kernel == composed HOF formulation " +
+      "(bitwise, incl. empty / single-word / null-text edges)") {
+    import graft.functions.TextHashExpressions
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, ""), (9002L, "solo"),
+        (9003L, "a a a b b a"), (9004L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val ws = words(col("text"))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"))
+    val hofTop = aggregate(array_sort(ws), zero,
+      (s, w) => {
+        val run = when(w === s.getField("prev"), s.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+    val bg = TextHashExpressions.shingleStrings(ws, 2)
+    val rep = TextHashExpressions.repetitionSignals(ws)
+    val diff = docs.select(
+        hofTop.as("a_top"), size(bg).cast("long").as("a_nbg"),
+        size(array_distinct(bg)).cast("long").as("a_ndbg"),
+        rep.getField("top_word_count").as("b_top"),
+        rep.getField("n_bigrams").as("b_nbg"),
+        rep.getField("n_distinct_bigrams").as("b_ndbg"))
+      .where(!(col("a_top") <=> col("b_top")) ||
+        !(col("a_nbg") <=> col("b_nbg")) ||
+        !(col("a_ndbg") <=> col("b_ndbg")))
+    assert(diff.count() == 0)
+  }
+
   test("oov rate: gibberish scores high against the corpus vocabulary, " +
       "clean text scores zero") {
     import spark.implicits._
