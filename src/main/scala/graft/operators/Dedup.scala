@@ -185,11 +185,22 @@ object Dedup {
   private[graft] def shingledPlan(documents: DataFrame,
       keep: Seq[String] = Nil): DataFrame =
     documents
+      // barrier alias: the size gate otherwise SUBSTITUTES the kernel
+      // into its own filter and every consumer pays the shingle pass
+      // twice per row (graft.functions.TextHashExpressions
+      // .OptimizerBarrierExpr — zero runtime cost)
       .select(col("doc_id") +: keep.map(col) :+
-        shingleHashes.as("shingle_hashes"): _*)
+        graft.functions.TextHashExpressions.optBarrier(shingleHashes)
+          .as("shingle_hashes"): _*)
       .where(size(col("shingle_hashes")) > 0)
-      .withColumn("sigs", minhashSigs)
-      .withColumn("bands", bandHashes)
+      // sigs/bands behind the same barrier: downstream band joins
+      // infer isnotnull + size guards on the band column, and without
+      // the barrier the whole minhash+banding chain is substituted
+      // into that filter and computed twice per row
+      .withColumn("sigs",
+        graft.functions.TextHashExpressions.optBarrier(minhashSigs))
+      .withColumn("bands",
+        graft.functions.TextHashExpressions.optBarrier(bandHashes))
 
   private[graft] def shingled(documents: DataFrame): DataFrame = {
     val key = (documents.sparkSession,
@@ -212,7 +223,9 @@ object Dedup {
       documents.queryExecution.analyzed.canonicalized)
     slimShingleCache.computeIfAbsent(key, _ =>
       documents
-        .select(col("doc_id"), shingleHashes.as("shingle_hashes"))
+        .select(col("doc_id"),
+          graft.functions.TextHashExpressions.optBarrier(shingleHashes)
+            .as("shingle_hashes"))
         .where(size(col("shingle_hashes")) > 0)
         .persist())
   }
@@ -1080,7 +1093,9 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame,
       cap: Int = ShingleDfCap): DataFrame = {
     val d = documents.where(col("doc_id") % 3 === 0)
-      .select(col("doc_id"), col("lang"), shingleHashes.as("sh"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextHashExpressions.optBarrier(shingleHashes)
+          .as("sh"))
       .where(size(col("sh")) > 0)
     val ex = cappedPostings(d, cap)
     ex.as("a").join(ex.as("b"),
@@ -1125,7 +1140,9 @@ object Dedup {
       threshold: Double = 0.5,
       cap: Int = ShingleDfCap): DataFrame = {
     val d = documents
-      .select(col("doc_id"), col("lang"), shingleHashes.as("sh"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextHashExpressions.optBarrier(shingleHashes)
+          .as("sh"))
       .where(size(col("sh")) > 0)
     val ex = cappedPostings(d, cap)
     ex.as("a").join(ex.as("b"),

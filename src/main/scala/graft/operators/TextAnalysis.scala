@@ -484,7 +484,8 @@ object TextAnalysis {
     val sh = graft.functions.TextHashExpressions
       .shingleHashes(words(col("text")), 3)
     documents
-      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"),
+        graft.functions.TextHashExpressions.optBarrier(sh).as("sh"))
       .where(size(col("sh")) >= w)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         (size(col("sh")) - w + 1).cast("long").as("n_windows"),
