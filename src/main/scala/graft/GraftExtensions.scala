@@ -86,6 +86,10 @@ object GraftExtensions {
       args => KmvSketchAgg(args(0),
         literal("kmv_sketch", args(1), "k").asInstanceOf[Number].intValue())
         .toAggregateExpression()
+    },
+    fn("repetition_signals",
+      "repetition_signals(words) - (top_word_count, n_bigrams, n_distinct_bigrams)", 1) {
+      args => RepetitionSignalsExpr(args(0))
     }
   )
 

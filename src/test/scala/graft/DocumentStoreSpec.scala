@@ -419,6 +419,30 @@ class DocumentStoreSpec extends SparkSpecBase {
       .contains("doc_id"))
   }
 
+  test("property: blooms NEVER false-negative — every stored key " +
+      "passes mayContain across random segments and sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val table = tmp() + "/pbt"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    ManifestStore.setBloomColumns(spark, table, Seq("doc_id"), 512)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1 to 3).foreach { segi =>
+      // random keys incl. negatives, zero, and wide magnitudes —
+      // the long-hash path must cover the full domain
+      val ks = Seq.fill(50 + rnd.nextInt(200))(
+        rnd.nextLong() >> rnd.nextInt(40))
+      ManifestStore.store(ks.toDF("doc_id"), table, "p")
+      val (m, bits) =
+        ManifestStore.readSegBlooms(fs, table, "p", segi.toLong)("doc_id")
+      ks.foreach { k =>
+        assert(ManifestStore.bloomMayContain(m, bits, k),
+          s"false negative for $k in segment $segi")
+      }
+    }
+  }
+
   test("claimSeg stale-from guard: a number committed and released " +
       "between a writer's resolve and its claim is never re-claimed") {
     val table = tmp() + "/mtable"

@@ -73,6 +73,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(1) == viaColumns)
   }
 
+  test("repetition_signals from SQL == kernel semantics") {
+    val st = spark.sql(
+      """SELECT repetition_signals(
+        |  array('a', 'a', 'b', 'a', 'b')) AS r""".stripMargin)
+      .head.getStruct(0)
+    // multiplicities: a=3, b=2 -> top 3; bigrams (a a)(a b)(b a)(a b)
+    // -> 4 total, 3 distinct
+    assert(st.getLong(0) == 3L && st.getLong(1) == 4L && st.getLong(2) == 3L)
+  }
+
   test("non-literal n/k arguments are rejected at plan time, not NPE") {
     Seq(
       "SELECT shingle_hashes(array('a','b'), CAST(id AS INT)) FROM range(3)",
