@@ -537,14 +537,17 @@ case class WordStatsExpr(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val m = arr.numElements()
-    val seen = new java.util.HashSet[String]()
+    // UTF8String keys (value-based equals/hashCode, no UTF-16 decode);
+    // clone() pins the key off the shared row buffer
+    val seen =
+      new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
     var sumLen = 0L
     var bpe = 0L
     var i = 0
     while (i < m) {
       if (arr.isNullAt(i)) return null
       val u = arr.getUTF8String(i)
-      seen.add(u.toString)
+      seen.add(u.clone())
       // numChars = Unicode code points — matches Spark length() and the
       // DuckDB oracle (String.length would count UTF-16 units)
       val len = u.numChars()
@@ -569,14 +572,15 @@ case class WordStatsExpr(child: Expression)
       s"""
          |boolean $nf = false;
          |final int $m = $a.numElements();
-         |final java.util.HashSet<String> $seen = new java.util.HashSet<String>();
+         |final java.util.HashSet<org.apache.spark.unsafe.types.UTF8String> $seen =
+         |  new java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>();
          |long $sumLen = 0L;
          |long $bpe = 0L;
          |for (int $i = 0; $i < $m && !$nf; $i++) {
          |  if ($a.isNullAt($i)) { $nf = true; break; }
          |  final org.apache.spark.unsafe.types.UTF8String $s =
          |    $a.getUTF8String($i);
-         |  $seen.add($s.toString());
+         |  $seen.add($s.clone());
          |  final long $len = $s.numChars();
          |  $sumLen += $len;
          |  $bpe += ($len + 3) / 4;
@@ -620,24 +624,30 @@ case class RepetitionSignalsExpr(child: Expression)
   }
 
   override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
     val arr = input.asInstanceOf[ArrayData]
     val m = arr.numElements()
-    val counts = new java.util.HashMap[String, Integer]()
-    val pairs = new java.util.HashSet[String]()
+    // UTF8String keys: value-based equals/hashCode over the raw bytes,
+    // no UTF-16 decode per word (the toString path dominated the
+    // kernel); clone() pins each key to its own buffer — getUTF8String
+    // may return views into a shared row buffer
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    val pairs = new java.util.HashSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
     var top = 0L
     var nbg = 0L
-    var prev: String = null
+    var prev: UTF8String = null
     var i = 0
     while (i < m) {
       if (arr.isNullAt(i)) return null
-      val w = arr.getUTF8String(i).toString
+      val w = arr.getUTF8String(i).clone()
       val c = counts.get(w)
       val nc = if (c == null) 1 else c.intValue() + 1
       counts.put(w, Integer.valueOf(nc))
       if (nc > top) top = nc.toLong
       if (prev != null) {
         nbg += 1
-        pairs.add(prev + " " + w)
+        pairs.add(UTF8String.concat(prev, space, w))
       }
       prev = w
       i += 1
@@ -662,23 +672,26 @@ case class RepetitionSignalsExpr(child: Expression)
       s"""
          |boolean $nf = false;
          |final int $m = $a.numElements();
-         |final java.util.HashMap<String, Integer> $counts =
-         |  new java.util.HashMap<String, Integer>();
-         |final java.util.HashSet<String> $pairs =
-         |  new java.util.HashSet<String>();
+         |final java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Integer> $counts =
+         |  new java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Integer>();
+         |final java.util.HashSet<org.apache.spark.unsafe.types.UTF8String> $pairs =
+         |  new java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>();
          |long $top = 0L;
          |long $nbg = 0L;
-         |String $prev = null;
+         |org.apache.spark.unsafe.types.UTF8String $prev = null;
          |for (int $i = 0; $i < $m && !$nf; $i++) {
          |  if ($a.isNullAt($i)) { $nf = true; break; }
-         |  final String $w = $a.getUTF8String($i).toString();
+         |  final org.apache.spark.unsafe.types.UTF8String $w =
+         |    $a.getUTF8String($i).clone();
          |  final Integer $c = (Integer) $counts.get($w);
          |  final int $nc = ($c == null) ? 1 : $c.intValue() + 1;
          |  $counts.put($w, Integer.valueOf($nc));
          |  if ($nc > $top) $top = (long) $nc;
          |  if ($prev != null) {
          |    $nbg++;
-         |    $pairs.add($prev + " " + $w);
+         |    $pairs.add(org.apache.spark.unsafe.types.UTF8String.concat(
+         |      $prev, org.apache.spark.unsafe.types.UTF8String
+         |        .fromString(" "), $w));
          |  }
          |  $prev = $w;
          |}
