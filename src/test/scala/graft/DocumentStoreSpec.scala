@@ -490,12 +490,19 @@ class DocumentStoreSpec extends SparkSpecBase {
   }
 
   test("property: pruned merge == driver-side model across random " +
-      "overlapping segments and mixed change batches") {
+      "overlapping segments and mixed change batches (scenario 1 adds " +
+      "BLOOM refinement: the tighter prune must never lose a change)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
     (0 until 2).foreach { scenario =>
       val table = tmp() + s"/t$scenario"
       ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+      // scenario 1 exercises the bloom-refined merge prune on the
+      // same randomized workload — segment ranges deliberately
+      // overlap, so blooms actually discriminate; a small filter
+      // (256 bits) raises the collision rate the model must survive
+      if (scenario == 1)
+        ManifestStore.setBloomColumns(spark, table, Seq("doc_id"), 256)
       // 4 segments with RANDOM, deliberately overlapping key ranges
       var model = Map.empty[Long, String]
       (0 until 4).foreach { s =>
