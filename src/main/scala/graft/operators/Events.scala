@@ -805,6 +805,10 @@ object Events {
         org.apache.commons.io.FileUtils
           .deleteQuietly(new java.io.File(path)): Unit))
       graft.sources.ManifestStore.setZoneMapColumns(s, path, Seq("ts_us"))
+      // blooms on the id axis: the time-sliced layout's zone maps
+      // answer ts-range questions; event_id POINT lookups need the
+      // per-segment "could this id be here at all" bit
+      graft.sources.ManifestStore.setBloomColumns(s, path, Seq("event_id"))
       (0 until RangeSegs).foreach { i =>
         val sLo = lo + i * w
         val sHi = if (i == RangeSegs - 1) hi else sLo + w - 1
@@ -863,6 +867,32 @@ object Events {
     // the serving split (meta/scanned/pruned) is layout, not data —
     // EventsSpec pins it; the oracle checks the count
     Seq(n).toDF("n_events")
+  }
+
+  /** NEEDLE-IN-THE-LOG point lookups over the manifest store, pruned
+    * by the event_id BLOOM sidecars ([[graft.sources.ManifestStore
+    * .readPointLong]]): four probes — the log's first and last event
+    * ids, the (usually absent) arithmetic midpoint, and a definitely-
+    * absent key — each consulting per-segment blooms so only segments
+    * that may hold the id are listed or planned (an absent id reads
+    * NOTHING: every bloom answers "definitely not here"). At 100 TB
+    * this is the audit/debug query ("show me event X") costing one
+    * segment instead of the log. The probe ids are 1-row aggregate
+    * metadata (the codebook-class collect); the oracle re-derives them
+    * as scalar subqueries. */
+  def pointLookup(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, _) = manifestEventsTable(s, dir)
+    val b = load(s, dir)
+      .agg(min("event_id").as("lo"), max("event_id").as("hi")).head
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val probes = Seq(lo, hi, lo + (hi - lo) / 2, -1L).distinct
+    probes.map { k =>
+      graft.sources.ManifestStore
+        .readPointLong(s, path, "events", k, "event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us"))
+    }.reduce(_.union(_))
+      .orderBy("event_id")
   }
 
   /** INCREMENTAL AGGREGATE MAINTENANCE over the manifest change feed:
@@ -943,6 +973,14 @@ object Events {
          |WHERE epoch_us(ts) BETWEEN b.lo + 3 * b.w AND b.lo + 5 * b.w
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin)(rangeScan),
+
+    QueryDef.sql("ev_point_lookup",
+      """WITH b AS (
+        |  SELECT min(event_id) AS lo, max(event_id) AS hi FROM events)
+        |SELECT e.event_id, e.user_id, e.event_type, epoch_us(e.ts) AS ts_us
+        |FROM events e, b
+        |WHERE e.event_id IN (b.lo, b.hi, b.lo + (b.hi - b.lo) // 2, -1)
+        |ORDER BY event_id""".stripMargin)(pointLookup),
 
     QueryDef.sql("ev_heavy_hitters",
       s"""WITH u AS (

@@ -49,6 +49,40 @@ class EventsSpec extends SparkSpecBase {
     Events.releaseCaches()
   }
 
+  test("point lookup: an absent id's blooms prune EVERY segment " +
+      "(nothing listed or planned); present probes read a strict " +
+      "subset and match the raw filter") {
+    val (path, _, _) = Events.manifestEventsTable(spark, sf)
+    val ids = Events.load(spark, sf)
+      .agg(min("event_id"), max("event_id")).head
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    // definitely-absent key: every segment's bloom answers "not here"
+    val absent = graft.sources.ManifestStore
+      .readPointLong(spark, path, "events", -1L, "event_id")
+    assert(absent.inputFiles.isEmpty,
+      s"absent-key lookup planned files: ${absent.inputFiles.toSeq}")
+    assert(absent.isEmpty)
+    // a present key reads fewer segments than the log holds (the
+    // fixture's ids correlate with time, so blooms discriminate)
+    val seg = (f: Array[String]) =>
+      f.flatMap(_.split('/').find(_.startsWith("seg="))).distinct
+    val first = graft.sources.ManifestStore
+      .readPointLong(spark, path, "events", lo, "event_id")
+    assert(seg(first.inputFiles).length < Events.RangeSegs)
+    assert(first.select("event_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(lo))
+    // end-to-end vs the raw table
+    val got = Events.pointLookup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val mid = lo + (hi - lo) / 2
+    val want = Events.load(spark, sf)
+      .where(col("event_id").isin(lo, hi, mid, -1L))
+      .select(col("event_id"), col("user_id")).orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    Events.releaseCaches()
+  }
+
   test("heavy hitters: exact relative cut at 1.25x the mean") {
     import spark.implicits._
     // users 1..9 at 10 events, user 10 at 110: mean 20, cut at 25
