@@ -1176,6 +1176,35 @@ class DocumentStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("restore vs tag idempotency: a rolled-back tagged merge stays " +
+      "replay-refused (tags are history, not state); a fresh tag " +
+      "re-applies the corrected batch") {
+    import spark.implicits._
+    val table = tmp() + "/rt"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    ManifestStore.store(Seq((1L, "a")).toDF("doc_id", "txt"), table, "m")
+    val preSeq = ManifestStore.currentPtrSeq(spark, table, "m")
+    // a bad CDC batch lands under tag cdc-7 ...
+    val bad = Seq((1L, "CORRUPT", false)).toDF("doc_id", "txt", "_deleted")
+    assert(ManifestStore.mergeBatch(spark, table, "m", bad, "cdc-7"))
+    // ... and is rolled back
+    ManifestStore.restoreVersion(spark, table, "m", preSeq)
+    def txt1 = ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .where(col("doc_id") === 1L).select("txt").head.getString(0)
+    assert(txt1 == "a")
+    // the tag is recorded in the RETAINED log, so a redelivery of the
+    // bad batch is refused — restore undoes data, never idempotency
+    // (an at-least-once source replaying the batch must not
+    // resurrect it)
+    assert(!ManifestStore.mergeBatch(spark, table, "m", bad, "cdc-7"))
+    assert(txt1 == "a")
+    // the corrected batch applies under its own tag
+    assert(ManifestStore.mergeBatch(spark, table, "m",
+      Seq((1L, "fixed", false)).toDF("doc_id", "txt", "_deleted"),
+      "cdc-7-corrected"))
+    assert(txt1 == "fixed")
+  }
+
   test("manifest snapshot reads: version history, as-of, change feed, vacuum horizon") {
     val table = tmp() + "/mtable"
     ManifestStore.store(tenRows("c1"), table, "c1") // ptr1 -> [seg1]
