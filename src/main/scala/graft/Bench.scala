@@ -243,6 +243,7 @@ object Bench {
     graft.operators.MlIndex.releaseCaches()
     graft.operators.Events.releaseCaches()
     graft.operators.Multimodal.releaseCaches()
+    graft.operators.Ann.releaseCaches()
     spark.stop()
   }
 }

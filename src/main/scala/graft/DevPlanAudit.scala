@@ -46,6 +46,7 @@ object DevPlanAudit {
     graft.operators.MlIndex.releaseCaches()
     graft.operators.Events.releaseCaches()
     graft.operators.Multimodal.releaseCaches()
+    graft.operators.Ann.releaseCaches()
     spark.stop()
   }
 }

@@ -38,6 +38,7 @@ object DevProfile {
     graft.operators.MlIndex.releaseCaches()
     graft.operators.Events.releaseCaches()
     graft.operators.Multimodal.releaseCaches()
+    graft.operators.Ann.releaseCaches()
     spark.stop()
   }
 }

@@ -27,6 +27,7 @@ object DevShowFilter {
       case _ =>
     }
     graft.operators.Dedup.releaseCaches()
+    graft.operators.Ann.releaseCaches()
     spark.stop()
   }
 }

@@ -47,6 +47,7 @@ object Verify {
     graft.operators.MlIndex.releaseCaches()
     graft.operators.Events.releaseCaches()
     graft.operators.Multimodal.releaseCaches()
+    graft.operators.Ann.releaseCaches()
     spark.stop()
   }
 }

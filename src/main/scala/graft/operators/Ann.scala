@@ -100,6 +100,41 @@ object Ann {
     ivfAssign(emb)
       .write.mode("overwrite").partitionBy("cent_id").parquet(path)
 
+  /** Memoized materialized IVF store for a fixture dir — the implicit
+    * index behind the `ann_ivf_stored` declared query (built once per
+    * (session, dir) into a temp path, the [[graft.operators.Events
+    * .manifestEventsTable]] lifecycle; torn down by
+    * [[releaseCaches]], with a shutdown hook covering lifecycle-
+    * skipping drivers). */
+  private val ivfStores = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private[graft] def ivfStoreFor(s: SparkSession, dir: String): String = {
+    val key = (s, dir)
+    Option(ivfStores.get(key)).getOrElse {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivf-store-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
+      buildIvfIndex(Tables(s, dir, "embeddings"), path)
+      Option(ivfStores.putIfAbsent(key, path)).map { prev =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)); prev // racing builder
+      }.getOrElse(path)
+    }
+  }
+
+  /** Drop every memoized materialized IVF store (the explicit release
+    * half of the implicit index; every main calls this on shutdown). */
+  def releaseCaches(): Unit = {
+    val it = ivfStores.values().iterator()
+    while (it.hasNext)
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(it.next()))
+    ivfStores.clear()
+  }
+
   /** Bucket occupancy histogram — the "index statistics" view. */
   def lshBuckets(emb: DataFrame): DataFrame =
     emb.withColumn("bucket", bucketCol(col("embedding")))
@@ -825,6 +860,32 @@ object Ann {
        |      x -> x * scale / 127.0E0) AS dq
        |  FROM s)""".stripMargin
 
+  /** Shared oracle for [[ivfTopK]] and its stored-layout twin: the two
+    * faces are bitwise interchangeable by construction, so one SQL
+    * verifies both. */
+  private lazy val ivfTopKOracleSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, $embD AS c_vec
+       |  FROM embeddings WHERE vec_id IN ($centroidList)),
+       |probe AS (
+       |  SELECT cent_id FROM (
+       |    SELECT cent_id, row_number() OVER (
+       |      ORDER BY ${l2Sql(qRawSql, "c_vec")}, cent_id) AS crn
+       |    FROM cents)
+       |  WHERE crn <= $NProbe),
+       |assigned AS (
+       |  SELECT vec_id, label, v, cent_id FROM (
+       |    SELECT e.vec_id, e.label, $embD AS v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2Sql(embD, "c_vec")}, c.cent_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1)
+       |SELECT vec_id, label, cent_id,
+       |  ${dotSeqSql(qNormSql, "v", Dim)} AS similarity
+       |FROM assigned
+       |WHERE cent_id IN (SELECT cent_id FROM probe)
+       |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("ann_pq_topk",
       s"""WITH q AS (SELECT $qNormSql AS v),
@@ -978,29 +1039,17 @@ object Ann {
       (s, dir) => lshBuckets(Tables(s, dir, "embeddings"))
     },
 
-    QueryDef.sql("ann_ivf_topk",
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, $embD AS c_vec
-         |  FROM embeddings WHERE vec_id IN ($centroidList)),
-         |probe AS (
-         |  SELECT cent_id FROM (
-         |    SELECT cent_id, row_number() OVER (
-         |      ORDER BY ${l2Sql(qRawSql, "c_vec")}, cent_id) AS crn
-         |    FROM cents)
-         |  WHERE crn <= $NProbe),
-         |assigned AS (
-         |  SELECT vec_id, label, v, cent_id FROM (
-         |    SELECT e.vec_id, e.label, $embD AS v, c.cent_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${l2Sql(embD, "c_vec")}, c.cent_id) AS rn
-         |    FROM embeddings e CROSS JOIN cents c)
-         |  WHERE rn = 1)
-         |SELECT vec_id, label, cent_id,
-         |  ${dotSeqSql(qNormSql, "v", Dim)} AS similarity
-         |FROM assigned
-         |WHERE cent_id IN (SELECT cent_id FROM probe)
-         |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
+    QueryDef.sql("ann_ivf_topk", ivfTopKOracleSql) {
       (s, dir) => ivfTopK(Tables(s, dir, "embeddings"))
+    },
+
+    // the SAME oracle verifies the search over the MATERIALIZED
+    // cell-partitioned layout: compute-on-scan and stored-probe faces
+    // must be bitwise interchangeable, and the driver's gate now pins
+    // the partition-pruning path too (AnnPartitionSpec pins the
+    // PartitionFilters plan shape)
+    QueryDef.sql("ann_ivf_stored", ivfTopKOracleSql) {
+      (s, dir) => ivfTopKStored(s.read.parquet(ivfStoreFor(s, dir)))
     },
 
     QueryDef.sql("ann_filtered_ivf",

@@ -916,7 +916,12 @@ object ManifestStore {
     * segments unreferenced by retained pointers, and the new head
     * references them). Same resolvability contract as [[readAsOf]]:
     * throws when `toPtrSeq` predates the retained log. Returns the
-    * published pointer sequence. */
+    * published pointer sequence. Idempotency tags are HISTORY, not
+    * state: a tag recorded by a rolled-back merge stays in the
+    * retained log, so restore undoes data but never re-opens the
+    * replay window — an at-least-once source redelivering the bad
+    * batch cannot resurrect it; apply the corrected batch under a
+    * fresh tag (spec-pinned). */
   def restoreVersion(spark: SparkSession, tablePath: String, c: String,
       toPtrSeq: Long): Long = {
     val fs = fsOf(spark, tablePath)
