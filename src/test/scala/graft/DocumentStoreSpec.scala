@@ -1176,6 +1176,52 @@ class DocumentStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("crash mid-clustered-write: claimed orphan segments never " +
+      "surface in reads; vacuum sweeps their dirs and claims; the " +
+      "store keeps working") {
+    import spark.implicits._
+    val table = tmp() + "/cw"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .select(col("id").as("doc_id"), lit("t").as("txt"))
+    ManifestStore.store(rows(1, 10), table, "m") // seg1 committed
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a clustered writer batch-claims staging + two outputs, writes
+    // bytes into the output dirs, then CRASHES before its pointer
+    val claimed = ManifestStore.claimSegs(fs, table, "m", 2L, 3)
+    def orphanDir(n: Long) =
+      new org.apache.hadoop.fs.Path(
+        s"$table/collection=m/" + f"seg=$n%06d")
+    claimed.foreach { n =>
+      fs.mkdirs(orphanDir(n))
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(orphanDir(n), "junk.parquet"), true)
+      try out.write(Array.fill(16)('x'.toByte)) finally out.close()
+    }
+    // unreferenced orphans never surface in a read
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .count() == 10)
+    // aged past the guard, vacuum sweeps the orphan dirs AND the
+    // crashed writer's claims together (sleep rides out coarse local
+    // mtime granularity; the cutoff is the store-observed clock)
+    Thread.sleep(1200)
+    val removed = ManifestStore.vacuum(spark, table, 0L, 0L)
+    claimed.foreach { n =>
+      assert(!fs.exists(orphanDir(n)),
+        s"orphan seg $n survived vacuum: $removed")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$table/_manifest/m/claim-" + f"$n%06d")),
+        s"stale claim $n survived vacuum")
+    }
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .count() == 10)
+    // the store keeps working after the sweep
+    ManifestStore.store(rows(11, 20), table, "m")
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .count() == 20)
+  }
+
   test("restore vs tag idempotency: a rolled-back tagged merge stays " +
       "replay-refused (tags are history, not state); a fresh tag " +
       "re-applies the corrected batch") {
