@@ -2206,9 +2206,23 @@ object ManifestStore {
     *     EFFECTIVE data-retention floor is the tag floor — lower
     *     `tagMinAgeMs` (keeping it above the replay horizon) to
     *     reclaim sooner. */
+  /** [[vacuum]] DRY RUN — the `VACUUM ... DRY RUN` advisor: the exact
+    * selection logic (same age guards, same retained-log analysis)
+    * with every delete suppressed; returns what a real pass would
+    * remove right now. Cascaded effects that depend on earlier
+    * deletions within the same pass (a tombstoned collection's
+    * manifest retirement requires its data dir to be ALREADY gone)
+    * are reported by the pass that would perform them — identical to
+    * real vacuum's multi-pass behavior. */
+  def vacuumPlan(spark: SparkSession, tablePath: String,
+      minAgeMs: Long = DefaultVacuumMinAgeMs,
+      tagMinAgeMs: Long = DefaultTagRetentionMs): Seq[String] =
+    vacuum(spark, tablePath, minAgeMs, tagMinAgeMs, dryRun = true)
+
   def vacuum(spark: SparkSession, tablePath: String,
       minAgeMs: Long = DefaultVacuumMinAgeMs,
-      tagMinAgeMs: Long = DefaultTagRetentionMs): Seq[String] = {
+      tagMinAgeMs: Long = DefaultTagRetentionMs,
+      dryRun: Boolean = false): Seq[String] = {
     val fs = fsOf(spark, tablePath)
     val base = new Path(tablePath)
     if (!fs.exists(base)) return Seq.empty
@@ -2258,7 +2272,7 @@ object ManifestStore {
             st.getModificationTime < floor
         }
       deletable.foreach { case (_, st, _) =>
-        fs.delete(st.getPath, false)
+        if (!dryRun) fs.delete(st.getPath, false)
         removed += st.getPath.toString
       }
       // every version still in the log keeps its segments readable
@@ -2271,14 +2285,14 @@ object ManifestStore {
             !keepSegs.contains(p.getName) &&
             newestMtime(fs, p) < cutoff)
           .foreach { p =>
-            fs.delete(p, true)
+            if (!dryRun) fs.delete(p, true)
             removed += p.toString
           }
         // a tombstoned collection with every segment swept leaves an
         // empty dir — drop it so the store listing stays clean
         if (keepSegs.isEmpty && fs.exists(cdir) &&
             fs.listStatus(cdir).isEmpty) {
-          fs.delete(cdir, true)
+          if (!dryRun) fs.delete(cdir, true)
           removed += cdir.toString
         }
       }
@@ -2297,7 +2311,7 @@ object ManifestStore {
             st.getModificationTime < cutoff
           }
           .foreach { st =>
-            fs.delete(st.getPath, false)
+            if (!dryRun) fs.delete(st.getPath, false)
             removed += st.getPath.toString
           }
       }
@@ -2320,7 +2334,7 @@ object ManifestStore {
             }
           }
           .foreach { st =>
-            fs.delete(st.getPath, false)
+            if (!dryRun) fs.delete(st.getPath, false)
             removed += st.getPath.toString
           }
       }
@@ -2351,10 +2365,12 @@ object ManifestStore {
         // the window, the rmdir fails on non-empty and retirement
         // simply waits for the next pass.
         try {
-          fs.listStatus(mdir)
-            .filterNot(_.getPath.getName.startsWith(ClaimPrefix))
-            .foreach(st => fs.delete(st.getPath, false))
-          fs.delete(mdir, false)
+          if (!dryRun) {
+            fs.listStatus(mdir)
+              .filterNot(_.getPath.getName.startsWith(ClaimPrefix))
+              .foreach(st => fs.delete(st.getPath, false))
+            fs.delete(mdir, false)
+          }
           removed += mdir.toString
         } catch { case _: java.io.IOException => () /* next pass */ }
       }

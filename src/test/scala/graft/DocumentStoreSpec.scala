@@ -1206,7 +1206,19 @@ class DocumentStoreSpec extends SparkSpecBase {
     // crashed writer's claims together (sleep rides out coarse local
     // mtime granularity; the cutoff is the store-observed clock)
     Thread.sleep(1200)
+    // the DRY RUN reports exactly the pass's deletions, touching
+    // nothing: same selection logic, deletes suppressed
+    val planned = ManifestStore.vacuumPlan(spark, table, 0L, 0L)
+    claimed.foreach { n =>
+      assert(fs.exists(orphanDir(n)), s"dry run deleted seg $n")
+      assert(planned.exists(_.endsWith(f"seg=$n%06d")),
+        s"dry run missed seg $n: $planned")
+    }
+    assert(ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .count() == 10)
     val removed = ManifestStore.vacuum(spark, table, 0L, 0L)
+    assert(removed.toSet == planned.toSet,
+      s"plan/apply diverged:\nplan=$planned\nreal=$removed")
     claimed.foreach { n =>
       assert(!fs.exists(orphanDir(n)),
         s"orphan seg $n survived vacuum: $removed")
