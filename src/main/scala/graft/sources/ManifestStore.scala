@@ -801,6 +801,61 @@ object ManifestStore {
       }
   }
 
+  /** DESCRIBE HISTORY — the retained pointer log as a queryable
+    * DataFrame (Delta's `DESCRIBE HISTORY` analogue), oldest first.
+    * The log records STATE (each commit's full live segment list),
+    * not operations, so `op` is derived from consecutive state
+    * deltas — an honest classification, not a recorded intent:
+    *   - `create`    first retained commit of the collection
+    *   - `append`    segments only added
+    *   - `rewrite`   segments added AND removed (merge / compaction /
+    *                 z-order — indistinguishable from state alone)
+    *   - `shrink`    segments only removed (merge-to-fewer, tag-only
+    *                 no-op merges also land here when the list shrank)
+    *   - `restore`   exact republish of an EARLIER retained list
+    *                 ([[restoreVersion]]); a restore of the current
+    *                 version (the explicit audit marker) classifies
+    *                 here too via its predecessor match
+    *   - `tombstone` the delete marker
+    * `commit_ts_ms` is the pointer file's filesystem mtime —
+    * observability metadata (wall-clock, not part of the commit
+    * protocol; never used for correctness, same caveat as vacuum's
+    * age guards). Driver-side by design: the pointer log is retained
+    * metadata, bounded by vacuum's retention, and is already read
+    * driver-side by every [[resolve]]. */
+  def history(spark: SparkSession, tablePath: String,
+      c: String): DataFrame = {
+    val fs = fsOf(spark, tablePath)
+    val dir = manifestDir(tablePath, c)
+    val mtimes: Map[Long, Long] =
+      if (!fs.exists(dir)) Map.empty
+      else fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.startsWith(PtrPrefix))
+        .flatMap(st => st.getPath.getName.stripPrefix(PtrPrefix)
+          .toLongOption.map(_ -> st.getModificationTime))
+        .toMap
+    val versions = listVersions(spark, tablePath, c)
+    val seen = scala.collection.mutable.Set.empty[Seq[Long]]
+    val rows = versions.zipWithIndex.map { case (v, i) =>
+      val prev = if (i == 0) None else Some(versions(i - 1))
+      val prevSegs = prev.map(_.segs.toSet).getOrElse(Set.empty[Long])
+      val added = v.segs.filterNot(prevSegs)
+      val removed = prevSegs.toSeq.filterNot(v.segs.toSet).sorted
+      val op =
+        if (v.tombstone) "tombstone"
+        else if (prev.isEmpty) "create"
+        else if (seen.contains(v.segs)) "restore"
+        else if (added.nonEmpty && removed.nonEmpty) "rewrite"
+        else if (added.nonEmpty) "append"
+        else "shrink"
+      if (!v.tombstone) seen += v.segs
+      (v.ptrSeq, op, v.segs.size, added, removed,
+        v.srcTag.orNull, mtimes.getOrElse(v.ptrSeq, 0L))
+    }
+    spark.createDataFrame(rows).toDF("ptr_seq", "op", "n_live",
+      "added_segs", "removed_segs", "src_tag", "commit_ts_ms")
+  }
+
   /** SNAPSHOT READ: the collection as it stood just after pointer
     * `asOfPtrSeq` — the newest valid commit at-or-below that sequence
     * decides (so an interrupted commit at exactly `asOfPtrSeq`

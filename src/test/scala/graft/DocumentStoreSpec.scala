@@ -1726,6 +1726,47 @@ class DocumentStoreSpec extends SparkSpecBase {
     // flat data is intact and still readable through its own layout
     assert(DocumentStore.read(spark, ft).count() == 10)
   }
+
+  test("history: the pointer log reads back as a DataFrame with " +
+      "state-derived op classification") {
+    import spark.implicits._
+    val table = tmp() + "/table"
+    ManifestStore.store(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "txt"), table, "m")
+    ManifestStore.store(
+      Seq((3L, "c")).toDF("doc_id", "txt"), table, "m")
+    val beforeMerge = ManifestStore.currentPtrSeq(spark, table, "m")
+    // upsert of an existing key = rewrite (adds the new segment,
+    // removes the intersecting one)
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((2L, "B", false)).toDF("doc_id", "txt", "_deleted")))
+    ManifestStore.restoreVersion(spark, table, "m", beforeMerge)
+    // merge deleting every key publishes the tombstone
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((1L, "", true), (2L, "", true), (3L, "", true))
+        .toDF("doc_id", "txt", "_deleted")))
+    val h = ManifestStore.history(spark, table, "m")
+      .orderBy("ptr_seq").collect()
+    assert(h.map(_.getString(1)).toSeq ==
+      Seq("create", "append", "rewrite", "restore", "tombstone"), h.toSeq)
+    // per-row invariants: seqs dense from 1, mtimes stamped, and the
+    // added/removed deltas replay to each version's full list
+    assert(h.map(_.getLong(0)).toSeq == (1L to 5L), h.toSeq)
+    assert(h.forall(_.getLong(6) > 0L))
+    val versions = ManifestStore.listVersions(spark, table, "m")
+    var live = Set.empty[Long]
+    h.zip(versions).foreach { case (r, v) =>
+      live = live ++ r.getSeq[Long](3) -- r.getSeq[Long](4)
+      assert(live == v.segs.toSet, s"delta replay diverged at $r")
+      assert(r.getInt(2) == v.segs.size)
+    }
+    // the restore row republishes beforeMerge's list: nothing added
+    // that wasn't retained, and the merge's segment removed
+    assert(h(3).getSeq[Long](3).toSet ==
+      versions(1).segs.toSet -- versions(2).segs.toSet)
+    // empty history for an absent collection is a defined empty frame
+    assert(ManifestStore.history(spark, table, "absent").count() == 0)
+  }
 }
 
 /** A local filesystem surfaced under a NON-default URI scheme
