@@ -931,8 +931,86 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** VERSION-DIFF fixture (implicit index, built once per (session,
+    * sf dir)): a dedicated manifest collection whose pointer log is a
+    * deterministic three-commit CDC story derived arithmetically from
+    * the event fixture — so [[graft.sources.ManifestStore.diffVersions]]
+    * and [[graft.sources.ManifestStore.restoreVersion]] sit under the
+    * driver's DuckDB oracle gate, not just unit specs:
+    *   v1  the first half of the log by time (plain store)
+    *   v2  one MERGE: second half inserted, `event_id % 7 == 0` rows
+    *       upserted (event_type → 'UPD'), `% 11` (and not `% 7`) rows
+    *       deleted — disjoint predicates, so every key has one fate
+    *   v3  restoreVersion(v1) — rollback-as-a-new-commit
+    * The oracle re-derives each diff classification from the raw
+    * parquet with the same integer arithmetic (`//` floor division,
+    * positive operands). The modulus predicates sit in FILTERS over a
+    * non-null id (never under a join key — the ANSI-% nullability
+    * trap is a lambda/join-key concern). Returns
+    * (tablePath, v1, v2, v3). */
+  private[graft] def diffScenarioTable(s: SparkSession,
+      dir: String): (String, Long, Long, Long) = {
+    val key = (s, dir)
+    Option(diffTables.get(key)).getOrElse {
+      val ev = load(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_us")
+      val r = ev.agg(min("ts_us"), max("ts_us")).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val mid = lo + (hi - lo) / 2
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ev-diff-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
+      val first = ev.where(col("ts_us") <= mid)
+      graft.sources.ManifestStore.store(first, path, "diff")
+      val v1 = graft.sources.ManifestStore.currentPtrSeq(s, path, "diff")
+      val changes = ev.where(col("ts_us") > mid)
+          .withColumn("_deleted", lit(false))
+        .unionByName(first.where(col("event_id") % 7 === 0)
+          .withColumn("event_type", lit("UPD"))
+          .withColumn("_deleted", lit(false)))
+        .unionByName(first
+          .where(col("event_id") % 11 === 0 && col("event_id") % 7 =!= 0)
+          .withColumn("_deleted", lit(true)))
+      graft.sources.ManifestStore.mergeCollection(s, path, "diff",
+        changes, key = "event_id")
+      val v2 = graft.sources.ManifestStore.currentPtrSeq(s, path, "diff")
+      graft.sources.ManifestStore.restoreVersion(s, path, "diff", v1)
+      val v3 = graft.sources.ManifestStore.currentPtrSeq(s, path, "diff")
+      val built = (path, v1, v2, v3)
+      Option(diffTables.putIfAbsent(key, built)).map { prev =>
+        deleteTable(s, path); prev // racing builder lost: drop the dup
+      }.getOrElse(built)
+    }
+  }
+
+  /** AUDIT DIFF across the merge commit: every key the CDC batch
+    * touched, classified. At 100 TB the cost is the two snapshot
+    * reads' full-outer join (each zone-map-backed and segment-pruned);
+    * the change-batch derivation here is fixture scaffolding — a real
+    * log's versions already exist. */
+  def versionDiff(s: SparkSession, dir: String): DataFrame = {
+    val (path, v1, v2, _) = diffScenarioTable(s, dir)
+    graft.sources.ManifestStore.diffVersions(s, path, "diff", v1, v2,
+      key = "event_id")
+  }
+
+  /** The same audit across the RESTORE commit — the rollback reads as
+    * the merge's exact inverse (inserted↔deleted, updates revert to
+    * `updated`), which is the auditor's proof the restore undid the
+    * batch and nothing else. */
+  def restoreDiff(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, v2, v3) = diffScenarioTable(s, dir)
+    graft.sources.ManifestStore.diffVersions(s, path, "diff", v2, v3,
+      key = "event_id")
+  }
+
   private val manifestTables = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, Long, Long)]()
+
+  private val diffTables = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long, Long, Long)]()
 
   private def deleteTable(s: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -952,6 +1030,12 @@ object Events {
     while (keys.hasNext) {
       val k = keys.next()
       val v = manifestTables.remove(k)
+      if (v != null) deleteTable(k._1, v._1)
+    }
+    val dkeys = diffTables.keySet().iterator()
+    while (dkeys.hasNext) {
+      val k = dkeys.next()
+      val v = diffTables.remove(k)
       if (v != null) deleteTable(k._1, v._1)
     }
   }
@@ -1136,6 +1220,28 @@ object Events {
         |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin)((s, dir) => incrementalAgg(s, dir)),
+
+    QueryDef.sql("ev_version_diff",
+      """WITH f AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+        |b AS (SELECT min(t) + (max(t) - min(t)) // 2 AS mid FROM f)
+        |SELECT event_id,
+        |  CASE WHEN t > mid THEN 'inserted'
+        |       WHEN event_id % 7 = 0 THEN 'updated'
+        |       ELSE 'deleted' END AS change_type
+        |FROM f, b
+        |WHERE t > mid OR event_id % 7 = 0 OR event_id % 11 = 0
+        |ORDER BY event_id""".stripMargin)((s, dir) => versionDiff(s, dir)),
+
+    QueryDef.sql("ev_restore_diff",
+      """WITH f AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+        |b AS (SELECT min(t) + (max(t) - min(t)) // 2 AS mid FROM f)
+        |SELECT event_id,
+        |  CASE WHEN t > mid THEN 'deleted'
+        |       WHEN event_id % 7 = 0 THEN 'updated'
+        |       ELSE 'inserted' END AS change_type
+        |FROM f, b
+        |WHERE t > mid OR event_id % 7 = 0 OR event_id % 11 = 0
+        |ORDER BY event_id""".stripMargin)((s, dir) => restoreDiff(s, dir)),
 
     QueryDef.sql("ev_transition_matrix",
       """WITH o AS (
