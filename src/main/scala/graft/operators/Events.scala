@@ -847,6 +847,28 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** [[rangeScan]] through the `format("graft")` connector: the SAME
+    * middle-quarter aggregate, but the segment skipping comes from the
+    * Catalyst data filter reaching [[graft.sources.GraftFileIndex]] at
+    * planning time — the declarative face (what a `USING graft` SQL
+    * view serves) proven identical to the imperative
+    * `readRangeLong` call, under the same oracle. The scan itself is
+    * Spark's native vectorized parquet reader, so the residual
+    * predicate still pushes into the surviving files' row groups. */
+  def connectorRangeScan(s: SparkSession, dir: String): DataFrame = {
+    val (path, lo, hi) = manifestEventsTable(s, dir)
+    val w = (hi - lo) / RangeSegs
+    s.read.format("graft").option("path", path)
+      .option("collection", "events").load()
+      .where(col("ts_us").between(lo + 3 * w, lo + 5 * w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"),
+        min("ts_us").as("min_ts_us"), max("ts_us").as("max_ts_us"))
+      .orderBy("event_type")
+  }
+
   /** METADATA-SERVED range count: events in the middle half of the
     * log, counted by [[graft.sources.ManifestStore.countRangeLongPlanned]] —
     * segments fully inside the range contribute their sidecar
@@ -1220,6 +1242,20 @@ object Events {
         |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin)((s, dir) => incrementalAgg(s, dir)),
+
+    QueryDef.sql("ev_connector_range",
+      s"""WITH b AS (
+         |  SELECT min(epoch_us(ts)) AS lo,
+         |    (max(epoch_us(ts)) - min(epoch_us(ts))) // $RangeSegs AS w
+         |  FROM events)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+         |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+         |FROM events, b
+         |WHERE epoch_us(ts) BETWEEN b.lo + 3 * b.w AND b.lo + 5 * b.w
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)(
+      (s, dir) => connectorRangeScan(s, dir)),
 
     QueryDef.sql("ev_version_diff",
       """WITH f AS (SELECT event_id, epoch_us(ts) AS t FROM events),

@@ -1,0 +1,263 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst-integrated [[FileIndex]] over one manifest collection —
+  * the Delta-`TahoeFileIndex` pattern: the OPTIMIZER's own data
+  * filters drive segment skipping at planning time, and Spark's
+  * native vectorized parquet reader (whole-stage codegen, row-group
+  * pushdown) does every byte of IO. This is the query-side face of
+  * the same metadata the imperative API serves
+  * ([[ManifestStore.readRange]]/[[ManifestStore.readPointLong]]):
+  * a plain `df.where(col("ts_us").between(a, b))` — or the SQL a BI
+  * tool emits against a `USING graft` view — prunes segments by
+  * zone-map sidecars, equality probes additionally consult the bloom
+  * sidecars, and the surviving files still carry the full residual
+  * predicate (pruning is a strict optimization, never the filter).
+  *
+  * Snapshot semantics: the live segment list is PINNED at
+  * construction (the manifest's immutable-snapshot discipline — a
+  * query plans and executes against one version even while writers
+  * commit); [[refresh]] re-pins. Schema is the segments' own merged
+  * (inferred) schema, like the `*Inferred` reads — the chunk-schema
+  * contract does not apply here — WITHOUT the synthetic `collection`
+  * literal column those reads append.
+  *
+  * Pruning is proof-based and conservative, the sidecar discipline:
+  * a segment is dropped only when a filter PROVES no row can match —
+  * missing/torn sidecars, non-literal comparisons, casts, and
+  * unrecognized shapes prove nothing and keep the segment. `And`
+  * needs one excluding conjunct, `Or` needs both branches excluding.
+  * Kind discipline as in [[ManifestStore.readRange]]: 'l' bounds
+  * serve integral literals numerically, 's' bounds serve string
+  * literals in UTF-8 byte order ([[ManifestStore.utf8Cmp]]), and a
+  * recorded non-null count of ZERO excludes every null-rejecting
+  * predicate on that column. At 100 TB the sidecars are one small
+  * object per segment, read driver-side and memoized per index
+  * instance — the same planning cost Delta/Iceberg pay for their
+  * stats, with no executor involvement. */
+final class GraftFileIndex(spark: SparkSession, tablePath: String,
+    collection: String) extends FileIndex {
+
+  private val fs: FileSystem = ManifestStore.fsOf(spark, tablePath)
+
+  @volatile private var segs: Seq[Long] =
+    ManifestStore.resolve(fs, tablePath, collection)
+      .liveSegs.toSeq.flatten
+
+  // sidecar memos — per index instance, invalidated by refresh()
+  private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
+    Long, Map[String, (Char, String, String)]]()
+  private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
+    Long, Map[String, (Int, Array[Byte])]]()
+  private val countMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Long, String), Option[Long]]()
+
+  private def statsOf(seg: Long): Map[String, (Char, String, String)] =
+    statsMemo.computeIfAbsent(seg,
+      s => ManifestStore.readSegStats(fs, tablePath, collection, s))
+
+  private def bloomsOf(seg: Long): Map[String, (Int, Array[Byte])] =
+    bloomMemo.computeIfAbsent(seg,
+      s => ManifestStore.readSegBlooms(fs, tablePath, collection, s))
+
+  private def nonNullCount(seg: Long, column: String): Option[Long] =
+    countMemo.computeIfAbsent((seg, column), k =>
+      ManifestStore.readSegCount(fs, tablePath, collection, k._1, k._2))
+
+  override val rootPaths: Seq[Path] = Seq(new Path(tablePath))
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  private def segFiles(seg: Long): Seq[FileStatus] = {
+    val dir = ManifestStore.segDir(tablePath, collection, seg)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = segs.filterNot(s => dataFilters.exists(excludes(s, _)))
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.flatMap(segFiles).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    segs.flatMap(segFiles).map(_.getPath.toString).toArray
+
+  override def sizeInBytes: Long = segs.flatMap(segFiles).map(_.getLen).sum
+
+  override def refresh(): Unit = {
+    segs = ManifestStore.resolve(fs, tablePath, collection)
+      .liveSegs.toSeq.flatten
+    statsMemo.clear(); bloomMemo.clear(); countMemo.clear()
+  }
+
+  /** The segments' own merged schema, computed once at construction
+    * (parquet footers, driver-side). Throws on an absent or
+    * tombstoned collection — a schemaless relation is a user error,
+    * not an empty frame. */
+  val dataSchema: StructType = {
+    require(segs.nonEmpty,
+      s"collection '$collection' at $tablePath has no live segments " +
+        "(absent or tombstoned) - the connector cannot infer a schema")
+    spark.read.option("mergeSchema", "true")
+      .parquet(segs.map(s =>
+        ManifestStore.segDir(tablePath, collection, s).toString): _*)
+      .schema
+  }
+
+  // ---- proof-based exclusion ----------------------------------------
+
+  private def litLong(l: Literal): Option[Long] = l.value match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case j: java.lang.Long => Some(j.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case b: java.lang.Byte => Some(b.longValue)
+    case _ => None
+  }
+
+  private def litUtf8(l: Literal): Option[UTF8String] = l.value match {
+    case u: UTF8String => Some(u)
+    case _ => None
+  }
+
+  private def longBounds(seg: Long, name: String): Option[(Long, Long)] =
+    statsOf(seg).get(name) match {
+      case Some(('l', lo, hi)) =>
+        (lo.toLongOption, hi.toLongOption) match {
+          case (Some(l), Some(h)) => Some((l, h))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def strBounds(seg: Long, name: String): Option[(String, String)] =
+    statsOf(seg).get(name) match {
+      case Some(('s', lo, hi)) => Some((lo, hi))
+      case _ => None
+    }
+
+  /** True iff the recorded non-null count proves a null-REJECTING
+    * predicate on `name` matches nothing in this segment. */
+  private def allNull(seg: Long, name: String): Boolean =
+    nonNullCount(seg, name).contains(0L)
+
+  private sealed trait Cmp
+  private case object Eq extends Cmp
+  private case object Gt extends Cmp
+  private case object Ge extends Cmp
+  private case object Lt extends Cmp
+  private case object Le extends Cmp
+
+  /** Does `col <cmp> lit` provably match no row of `seg`? */
+  private def cmpExcludes(seg: Long, a: Attribute, cmp: Cmp,
+      l: Literal): Boolean = {
+    if (allNull(seg, a.name)) return true
+    litLong(l).map { v =>
+      longBounds(seg, a.name).exists { case (lo, hi) =>
+        cmp match {
+          case Eq =>
+            v < lo || v > hi || (bloomsOf(seg).get(a.name) match {
+              case Some((m, bytes)) =>
+                !ManifestStore.bloomMayContain(m, bytes, v)
+              case None => false
+            })
+          case Gt => hi <= v
+          case Ge => hi < v
+          case Lt => lo >= v
+          case Le => lo > v
+        }
+      }
+    }.orElse(litUtf8(l).map { u =>
+      strBounds(seg, a.name).exists { case (lo, hi) =>
+        val v = u.toString
+        cmp match {
+          case Eq => ManifestStore.utf8Cmp(v, lo) < 0 ||
+            ManifestStore.utf8Cmp(v, hi) > 0
+          case Gt => ManifestStore.utf8Cmp(hi, v) <= 0
+          case Ge => ManifestStore.utf8Cmp(hi, v) < 0
+          case Lt => ManifestStore.utf8Cmp(lo, v) >= 0
+          case Le => ManifestStore.utf8Cmp(lo, v) > 0
+        }
+      }
+    }).getOrElse(false)
+  }
+
+  private def flip(c: Cmp): Cmp = c match {
+    case Gt => Lt; case Ge => Le; case Lt => Gt; case Le => Ge
+    case Eq => Eq
+  }
+
+  private def excludes(seg: Long, e: Expression): Boolean = e match {
+    case And(l, r) => excludes(seg, l) || excludes(seg, r)
+    case Or(l, r) => excludes(seg, l) && excludes(seg, r)
+    case EqualTo(a: Attribute, l: Literal) => cmpExcludes(seg, a, Eq, l)
+    case EqualTo(l: Literal, a: Attribute) => cmpExcludes(seg, a, Eq, l)
+    // null-safe equality against a non-null literal rejects nulls too
+    case EqualNullSafe(a: Attribute, l: Literal) if l.value != null =>
+      cmpExcludes(seg, a, Eq, l)
+    case EqualNullSafe(l: Literal, a: Attribute) if l.value != null =>
+      cmpExcludes(seg, a, Eq, l)
+    case GreaterThan(a: Attribute, l: Literal) => cmpExcludes(seg, a, Gt, l)
+    case GreaterThan(l: Literal, a: Attribute) =>
+      cmpExcludes(seg, a, flip(Gt), l)
+    case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+      cmpExcludes(seg, a, Ge, l)
+    case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+      cmpExcludes(seg, a, flip(Ge), l)
+    case LessThan(a: Attribute, l: Literal) => cmpExcludes(seg, a, Lt, l)
+    case LessThan(l: Literal, a: Attribute) =>
+      cmpExcludes(seg, a, flip(Lt), l)
+    case LessThanOrEqual(a: Attribute, l: Literal) =>
+      cmpExcludes(seg, a, Le, l)
+    case LessThanOrEqual(l: Literal, a: Attribute) =>
+      cmpExcludes(seg, a, flip(Le), l)
+    case In(a: Attribute, vs) if vs.nonEmpty &&
+        vs.forall(_.isInstanceOf[Literal]) =>
+      vs.forall(v => cmpExcludes(seg, a, Eq, v.asInstanceOf[Literal]))
+    case IsNotNull(a: Attribute) => allNull(seg, a.name)
+    case _ => false
+  }
+}
+
+/** `spark.read.format("graft")` — the DataFrame/SQL face of the
+  * manifest store, READ-ONLY by design (every write goes through
+  * [[ManifestStore]]'s commit protocol; a path-based writer could not
+  * hold the claim/pointer invariants). Registered under short name
+  * `graft` (META-INF/services), so both
+  * `spark.read.format("graft").option("path", t).option("collection", c).load()`
+  * and `CREATE TEMPORARY VIEW v USING graft OPTIONS (path '...',
+  * collection '...')` resolve. Returns a [[HadoopFsRelation]] over a
+  * [[GraftFileIndex]], which is what routes the scan through
+  * `FileSourceScanExec` — native vectorized parquet, whole-stage
+  * codegen, parquet row-group pushdown AND planning-time segment
+  * skipping from the same query filters. */
+final class GraftSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path", throw new
+        IllegalArgumentException("graft source requires a 'path' option"))
+    val collection = parameters.getOrElse("collection", throw new
+        IllegalArgumentException(
+          "graft source requires a 'collection' option"))
+    val index = new GraftFileIndex(spark, path, collection)
+    HadoopFsRelation(index, StructType(Nil), index.dataSchema, None,
+      new ParquetFileFormat, Map.empty)(spark)
+  }
+}

@@ -416,7 +416,7 @@ object ManifestStore {
     * `tagMinAgeMs` explicitly. */
   val DefaultTagRetentionMs: Long = 7L * 24 * 3600 * 1000
 
-  private def fsOf(spark: SparkSession, tablePath: String): FileSystem =
+  private[sources] def fsOf(spark: SparkSession, tablePath: String): FileSystem =
     new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   // Shared name⇄segment codec ([[PathNames]]): partition-value escape
@@ -433,7 +433,7 @@ object ManifestStore {
 
   private def segName(seg: Long): String = f"seg=$seg%06d"
 
-  private def segDir(tablePath: String, c: String, seg: Long): Path =
+  private[sources] def segDir(tablePath: String, c: String, seg: Long): Path =
     new Path(collectionDir(tablePath, c), segName(seg))
 
   /** Pointer-resolution snapshot: the live segment list (None = absent
@@ -1275,7 +1275,7 @@ object ManifestStore {
       case _ => 's'
     }
 
-  private def statsPath(tablePath: String, c: String, seg: Long): Path =
+  private[sources] def statsPath(tablePath: String, c: String, seg: Long): Path =
     new Path(manifestDir(tablePath, c), f"$StatsPrefix$seg%06d")
 
   // zone-map values are arbitrary user strings: URL-encode so the
@@ -1290,7 +1290,7 @@ object ManifestStore {
   /** Unsigned UTF-8 byte comparison — the ordering `UTF8String` gives
     * Spark's string min/max, which Java's UTF-16 `compareTo` does NOT
     * match for supplementary-plane code points. */
-  private def utf8Cmp(a: String, b: String): Int = {
+  private[sources] def utf8Cmp(a: String, b: String): Int = {
     val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
     var i = 0
     val n = math.min(x.length, y.length)

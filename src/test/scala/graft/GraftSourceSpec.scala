@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestStore
+
+/** The `format("graft")` connector: planning-time segment skipping
+  * driven by the QUERY's own filters (zone maps + blooms + non-null
+  * counts), Spark's native parquet scan doing the IO, snapshot
+  * pinning, and the SQL `USING graft` surface. */
+class GraftSourceSpec extends SparkSpecBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_src").toString
+
+  /** Files actually scanned by the (already executed) frame — the
+    * FileSourceScanExec's numFiles metric. Filter-only queries stay
+    * un-wrapped by AQE, so the scan is directly collectible. */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  /** Three one-file segments with disjoint long key ranges + a string
+    * column, zone maps on both, blooms on the long key. */
+  private def buildTable(): String = {
+    import spark.implicits._
+    val table = tmp() + "/t"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("k", "name"))
+    ManifestStore.setBloomColumns(spark, table, Seq("k"))
+    Seq(0L until 10L, 100L until 110L, 200L until 210L).foreach { r =>
+      ManifestStore.store(
+        r.map(i => (i, s"n$i", i * 2.0)).toDF("k", "name", "v")
+          .repartition(1),
+        table, "m")
+    }
+    table
+  }
+
+  private def readSrc(table: String): DataFrame =
+    spark.read.format("graft")
+      .option("path", table).option("collection", "m").load()
+
+  test("connector read matches the inferred manifest read; filters " +
+      "prune segments at planning time") {
+    val table = buildTable()
+    val src = readSrc(table)
+    // content parity with the API read (minus its collection literal)
+    val api = ManifestStore.readSinceInferred(spark, table, "m", 0L)
+      .drop("collection")
+    assert(src.orderBy("k").collect().toSeq ==
+      api.select(src.columns.map(col): _*).orderBy("k").collect().toSeq)
+    // no filter: all three segment files scanned
+    assert(scannedFiles(readSrc(table)) == 3L)
+    // long-kind zone maps: a range query plans only the middle segment
+    assert(scannedFiles(
+      readSrc(table).where(col("k") >= 100L && col("k") <= 109L)) == 1L)
+    // literal-on-the-left flips the comparison, same proof
+    assert(scannedFiles(
+      readSrc(table).where(lit(199L) < col("k"))) == 1L)
+    // a disjunction prunes only segments BOTH branches exclude
+    assert(scannedFiles(readSrc(table)
+      .where(col("k") === 5L || col("k") === 205L)) == 2L)
+    // string-kind zone maps prune in UTF-8 byte order: "n105" falls
+    // inside BOTH ["n0","n9"] and ["n100","n109"] byte-wise (the
+    // lexicographic overlap short keys create), so exactly the third
+    // segment ["n200","n209"] is proven out
+    assert(scannedFiles(
+      readSrc(table).where(col("name") === "n105")) == 2L)
+    // ...while a probe below every range prunes all three
+    assert(scannedFiles(
+      readSrc(table).where(col("name") === "a")) == 0L)
+    // the residual still filters INSIDE the surviving segment
+    assert(readSrc(table).where(col("k") >= 100L && col("k") <= 104L)
+      .count() == 5L)
+  }
+
+  test("bloom sidecars exclude point probes zone maps cannot; " +
+      "unprovable shapes scan conservatively") {
+    val table = buildTable()
+    // k = 50 is inside no segment's range: zone maps alone exclude all
+    assert(scannedFiles(readSrc(table).where(col("k") === 50L)) == 0L)
+    // k = 105 range-intersects the middle segment only; its bloom
+    // keeps it (present), the others' ranges exclude
+    assert(scannedFiles(readSrc(table).where(col("k") === 105L)) == 1L)
+    // IN-list: every value must be provably absent to drop a segment
+    assert(scannedFiles(readSrc(table)
+      .where(col("k").isin(5L, 50L))) == 1L)
+    // a non-literal comparison proves nothing — full scan
+    assert(scannedFiles(readSrc(table)
+      .where(col("k") === col("v").cast("long"))) == 3L)
+  }
+
+  test("a recorded non-null count of zero excludes null-rejecting " +
+      "predicates on that column") {
+    import spark.implicits._
+    val table = tmp() + "/t"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("k"))
+    ManifestStore.store(
+      Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "txt")
+        .repartition(1), table, "m")
+    ManifestStore.store(
+      Seq((Option.empty[Long], "c"), (Option.empty[Long], "d"))
+        .toDF("k", "txt").repartition(1), table, "m")
+    assert(scannedFiles(readSrc(table)) == 2L)
+    assert(scannedFiles(readSrc(table).where(col("k").isNotNull)) == 1L)
+    assert(scannedFiles(readSrc(table).where(col("k") > 0L)) == 1L)
+    // null-SAFE equality to NULL is null-ACCEPTING: no proof, no prune
+    assert(scannedFiles(readSrc(table).where(col("k") <=> lit(null))) == 2L)
+  }
+
+  test("SQL surface (USING graft) and snapshot pinning") {
+    import spark.implicits._
+    val table = buildTable()
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_src_v
+         |USING graft OPTIONS (path '$table', collection 'm')""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_src_v")
+      .head.getLong(0) == 30L)
+    assert(spark.sql(
+      "SELECT sum(k) AS s FROM graft_src_v WHERE k >= 200")
+      .head.getLong(0) == (200L until 210L).sum)
+    // a frame loaded BEFORE an append keeps its pinned snapshot...
+    val pinned = readSrc(table)
+    assert(pinned.count() == 30L)
+    ManifestStore.store(
+      Seq((300L, "n300", 600.0)).toDF("k", "name", "v").repartition(1),
+      table, "m")
+    assert(pinned.count() == 30L)
+    // ...a fresh load sees the new commit
+    assert(readSrc(table).count() == 31L)
+    spark.sql("DROP VIEW graft_src_v")
+  }
+
+  test("absent collection and missing options fail loud") {
+    val table = buildTable()
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("path", table).option("collection", "nope").load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("path", table).load()
+    }
+  }
+}
