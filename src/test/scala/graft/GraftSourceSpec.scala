@@ -140,6 +140,51 @@ class GraftSourceSpec extends SparkSpecBase {
     spark.sql("DROP VIEW graft_src_v")
   }
 
+  test("on the time-sliced event log the connector plans exactly the " +
+      "middle-quarter segments, residual pushed into their parquet") {
+    val (path, lo, hi) = graft.operators.Events
+      .manifestEventsTable(spark, sf)
+    val w = (hi - lo) / graft.operators.Events.RangeSegs
+    val src = spark.read.format("graft")
+      .option("path", path).option("collection", "events").load()
+      .where(col("ts_us") >= lo + 3 * w && col("ts_us") <= lo + 5 * w)
+    // expected = files of exactly the segments whose TRUE ts_us
+    // bounds intersect the range (the sidecars record actual min/max,
+    // tighter than the slice arithmetic: a boundary slice with no
+    // event at its first microsecond prunes too) — no false prunes,
+    // no conservative over-reads
+    val segDirs = new java.io.File(s"$path/collection=events")
+      .listFiles.filter(_.getName.startsWith("seg=")).sortBy(_.getName)
+    val surviving = segDirs.filter { d =>
+      val mm = spark.read.parquet(d.toString)
+        .agg(min("ts_us"), max("ts_us")).head
+      mm.getLong(0) <= lo + 5 * w && mm.getLong(1) >= lo + 3 * w
+    }
+    assert(surviving.length < segDirs.length, "fixture degenerate: " +
+      "every segment intersects the middle quarter")
+    val expected = surviving.map(_.listFiles.count { f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
+    }).sum
+    assert(scannedFiles(src) == expected.toLong)
+    // the residual predicate reaches the parquet scan of survivors
+    val scan = src.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PushedFilters").contains("ts_us"),
+      scan.metadata("PushedFilters"))
+    // and the declarative face answers exactly what the imperative
+    // readRangeLong face answers
+    // exact aggregates only — a double sum's add order may differ
+    // between the two reads' partition layouts
+    assert(src.agg(count(lit(1)), sum("ts_us"), sum("event_id"))
+        .collect().toSeq ==
+      ManifestStore.readRangeLong(spark, path, "events",
+        lo + 3 * w, lo + 5 * w, "ts_us")
+        .agg(count(lit(1)), sum("ts_us"), sum("event_id"))
+        .collect().toSeq)
+    graft.operators.Events.releaseCaches()
+  }
+
   test("absent collection and missing options fail loud") {
     val table = buildTable()
     intercept[IllegalArgumentException] {
