@@ -984,6 +984,11 @@ object Events {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils
           .deleteQuietly(new java.io.File(path)): Unit))
+      // zone-map the merge key so the CDC merge is a pruned rewrite,
+      // not a full-collection one (the 100 TB posture; one segment
+      // here either way)
+      graft.sources.ManifestStore.setZoneMapColumns(s, path,
+        Seq("event_id"))
       val first = ev.where(col("ts_us") <= mid)
       graft.sources.ManifestStore.store(first, path, "diff")
       val v1 = graft.sources.ManifestStore.currentPtrSeq(s, path, "diff")
