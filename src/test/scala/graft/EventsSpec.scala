@@ -398,4 +398,27 @@ class EventsSpec extends SparkSpecBase {
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_cms")).toMap
     assert(whole(7L) == 42L && whole(9L) == 40L)
   }
+
+  test("version-diff scenario: the pointer log reads back as " +
+      "create/rewrite/restore, and the two diffs are exact inverses") {
+    val (path, v1, v2, v3) = Events.diffScenarioTable(spark, sf)
+    val ops = graft.sources.ManifestStore.history(spark, path, "diff")
+      .orderBy("ptr_seq").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(ops.toSeq == Seq(v1 -> "create", v2 -> "rewrite",
+      v3 -> "restore"), ops.toSeq)
+    val d12 = Events.versionDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val d23 = Events.restoreDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d12.keySet == d23.keySet)
+    val inverse = Map("inserted" -> "deleted", "deleted" -> "inserted",
+      "updated" -> "updated")
+    assert(d12.forall { case (k, ct) => d23(k) == inverse(ct) })
+    // and the restore leaves the live state bit-equal to v1
+    val now = graft.sources.ManifestStore
+      .readSinceInferred(spark, path, "diff", 0L).drop("collection")
+    val at1 = graft.sources.ManifestStore
+      .readAsOfInferred(spark, path, "diff", v1).drop("collection")
+    assert(now.exceptAll(at1).isEmpty && at1.exceptAll(now).isEmpty)
+  }
 }

@@ -185,6 +185,26 @@ class GraftSourceSpec extends SparkSpecBase {
     graft.operators.Events.releaseCaches()
   }
 
+  test("a schema-widened table reads through the connector with the " +
+      "merged schema, old segments serving NULL for the new column") {
+    import spark.implicits._
+    val table = tmp() + "/t"
+    ManifestStore.store(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "txt").repartition(1),
+      table, "m")
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((3L, "c", 0.9, false)).toDF("doc_id", "txt", "score", "_deleted"),
+      mergeSchema = true))
+    val src = spark.read.format("graft")
+      .option("path", table).option("collection", "m").load()
+    assert(src.columns.toSet == Set("doc_id", "txt", "score"))
+    val rows = src.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getAs[Any]("score")))).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(0.9))))
+  }
+
   test("absent collection and missing options fail loud") {
     val table = buildTable()
     intercept[IllegalArgumentException] {
