@@ -205,6 +205,25 @@ class GraftSourceSpec extends SparkSpecBase {
       (3L, "c", Some(0.9))))
   }
 
+  test("the connector is FS-agnostic (graftfs scheme): pruning and " +
+      "parquet IO both flow through the FileSystem API") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val table = s"graftfs://${tmp()}/t"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("k"))
+    Seq(0L until 10L, 100L until 110L).foreach { r =>
+      ManifestStore.store(
+        r.map(i => (i, s"n$i")).toDF("k", "txt").repartition(1),
+        table, "m")
+    }
+    val src = spark.read.format("graft")
+      .option("path", table).option("collection", "m").load()
+    assert(src.count() == 20L)
+    assert(scannedFiles(src.where(col("k") >= 100L)) == 1L)
+    assert(src.where(col("k") >= 100L).count() == 10L)
+  }
+
   test("absent collection and missing options fail loud") {
     val table = buildTable()
     intercept[IllegalArgumentException] {
