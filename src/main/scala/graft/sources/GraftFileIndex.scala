@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
@@ -228,6 +228,19 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
         vs.forall(_.isInstanceOf[Literal]) =>
       vs.forall(v => cmpExcludes(seg, a, Eq, v.asInstanceOf[Literal]))
     case IsNotNull(a: Attribute) => allNull(seg, a.name)
+    // prefix probe (the reference's key-prefix listing shape): every
+    // string with prefix p sorts in [p, next-prefix); a segment is out
+    // when its hi < p, or its lo > p WITHOUT carrying the prefix — a
+    // p-prefixed string shares p's bytes, so it sorts below any
+    // greater string that first diverges inside the prefix
+    case StartsWith(a: Attribute, l: Literal) =>
+      allNull(seg, a.name) || litUtf8(l).exists { u =>
+        strBounds(seg, a.name).exists { case (lo, hi) =>
+          val p = u.toString
+          ManifestStore.utf8Cmp(hi, p) < 0 ||
+            (ManifestStore.utf8Cmp(lo, p) > 0 && !lo.startsWith(p))
+        }
+      }
     case _ => false
   }
 }

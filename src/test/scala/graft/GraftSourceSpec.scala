@@ -99,6 +99,26 @@ class GraftSourceSpec extends SparkSpecBase {
       .where(col("k") === col("v").cast("long"))) == 3L)
   }
 
+  test("prefix probes prune on string zone maps: hi below the prefix " +
+      "or lo past it without carrying it proves the segment out") {
+    val table = buildTable()
+    // "n1" keeps seg1 (n100..n109, all prefixed) AND seg0 (its range
+    // ["n0","n9"] straddles the prefix — "n1" itself is inside);
+    // seg2's lo "n200" > "n1" without the prefix → proven out
+    assert(scannedFiles(readSrc(table)
+      .where(col("name").startsWith("n1"))) == 2L)
+    // "n15": seg1's hi "n109" < "n15" excludes it; only seg0's broad
+    // single-digit range cannot prove absence
+    assert(scannedFiles(readSrc(table)
+      .where(col("name").startsWith("n15"))) == 1L)
+    // a prefix above every range prunes all three
+    assert(scannedFiles(readSrc(table)
+      .where(col("name").startsWith("z"))) == 0L)
+    // ...and the residual still answers exactly
+    assert(readSrc(table).where(col("name").startsWith("n1")).count()
+      == 11L)
+  }
+
   test("a recorded non-null count of zero excludes null-rejecting " +
       "predicates on that column") {
     import spark.implicits._
