@@ -891,6 +891,28 @@ object Events {
     Seq(n).toDF("n_events")
   }
 
+  /** METADATA-SERVED table audit: the bare COUNT(*) answered entirely
+    * from the per-segment `rows:` sidecar tokens
+    * ([[graft.sources.ManifestStore.countRowsPlanned]] — zero segments
+    * listed, planned, or read), next to a NULL audit through the
+    * `format("graft")` connector: `ts_us IS NULL` over segments whose
+    * sidecars prove rows == non-null count plans ZERO files — the
+    * IsNull proof arm, the same metadata one `cnt:` token already
+    * funds. At 100 TB these are the "how big is this table / is the
+    * ingest clean" dashboard probes costing sidecar reads instead of
+    * the table. GraftSourceSpec pins the serving split (all
+    * meta-served, zero files scanned); the oracle checks the values. */
+  def metaCount(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, _) = manifestEventsTable(s, dir)
+    val (n, _, _) = graft.sources.ManifestStore
+      .countRowsPlanned(s, path, "events")
+    val nNullTs = s.read.format("graft").option("path", path)
+      .option("collection", "events").load()
+      .where(col("ts_us").isNull).count()
+    import s.implicits._
+    Seq((n, nNullTs)).toDF("n_events", "n_null_ts")
+  }
+
   /** NEEDLE-IN-THE-LOG point lookups over the manifest store, pruned
     * by the event_id BLOOM sidecars ([[graft.sources.ManifestStore
     * .readPointLong]]): four probes — the log's first and last event
@@ -1240,6 +1262,11 @@ object Events {
          |FROM events, b
          |WHERE epoch_us(ts) BETWEEN b.lo + 2 * b.w AND b.lo + 6 * b.w""".stripMargin)(
       (s, dir) => rangeCount(s, dir)),
+
+    QueryDef.sql("ev_meta_count",
+      """SELECT count(*) AS n_events,
+        |  count(*) FILTER (WHERE ts IS NULL) AS n_null_ts
+        |FROM events""".stripMargin)((s, dir) => metaCount(s, dir)),
 
     QueryDef.sql("ev_incremental_agg",
       """SELECT event_type, count(*) AS n_events,

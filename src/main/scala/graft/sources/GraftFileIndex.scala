@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
@@ -53,13 +53,18 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
     ManifestStore.resolve(fs, tablePath, collection)
       .liveSegs.toSeq.flatten
 
-  // sidecar memos — per index instance, invalidated by refresh()
+  // sidecar + listing memos — per index instance, invalidated by
+  // refresh()
   private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
     Long, Map[String, (Char, String, String)]]()
   private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
     Long, Map[String, (Int, Array[Byte])]]()
   private val countMemo = new java.util.concurrent.ConcurrentHashMap[
     (Long, String), Option[Long]]()
+  private val rowsMemo = new java.util.concurrent.ConcurrentHashMap[
+    Long, Option[Long]]()
+  private val filesMemo = new java.util.concurrent.ConcurrentHashMap[
+    Long, Seq[FileStatus]]()
 
   private def statsOf(seg: Long): Map[String, (Char, String, String)] =
     statsMemo.computeIfAbsent(seg,
@@ -73,18 +78,35 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
     countMemo.computeIfAbsent((seg, column), k =>
       ManifestStore.readSegCount(fs, tablePath, collection, k._1, k._2))
 
+  private def rowsOf(seg: Long): Option[Long] =
+    rowsMemo.computeIfAbsent(seg,
+      s => ManifestStore.readSegRows(fs, tablePath, collection, s))
+
   override val rootPaths: Seq[Path] = Seq(new Path(tablePath))
 
   override def partitionSchema: StructType = StructType(Nil)
 
-  private def segFiles(seg: Long): Seq[FileStatus] = {
-    val dir = ManifestStore.segDir(tablePath, collection, seg)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
-  }
+  /** One FileStatus listing per segment per index instance (memoized
+    * like the sidecars — repeated planner calls to
+    * `listFiles`/`inputFiles`/`sizeInBytes` must not re-pay
+    * O(segments) driver RPCs on an object store). A segment PINNED in
+    * this snapshot whose directory is gone fails LOUD, matching the
+    * imperative readers (`spark.read.parquet` on a missing dir
+    * throws): a frame raced by an over-eager vacuum must error, never
+    * silently drop that segment's rows. */
+  private def segFiles(seg: Long): Seq[FileStatus] =
+    filesMemo.computeIfAbsent(seg, { s =>
+      val dir = ManifestStore.segDir(tablePath, collection, s)
+      if (!fs.exists(dir))
+        throw new java.io.FileNotFoundException(
+          s"segment $s of collection '$collection' at $tablePath is " +
+            "pinned in this snapshot but its directory is missing " +
+            "(vacuumed under a live reader?)")
+      fs.listStatus(dir).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    })
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -102,6 +124,7 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
     segs = ManifestStore.resolve(fs, tablePath, collection)
       .liveSegs.toSeq.flatten
     statsMemo.clear(); bloomMemo.clear(); countMemo.clear()
+    rowsMemo.clear(); filesMemo.clear()
   }
 
   /** The segments' own merged schema, computed once at construction
@@ -154,6 +177,13 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
   private def allNull(seg: Long, name: String): Boolean =
     nonNullCount(seg, name).contains(0L)
 
+  /** True iff the sidecar PROVES the segment holds no null in `name`:
+    * total rows == the column's non-null count (both tokens present).
+    * An `IS NULL` predicate then matches nothing here. Either token
+    * missing proves nothing — keep the segment. */
+  private def noNulls(seg: Long, name: String): Boolean =
+    rowsOf(seg).exists(r => nonNullCount(seg, name).contains(r))
+
   private sealed trait Cmp
   private case object Eq extends Cmp
   private case object Gt extends Cmp
@@ -166,20 +196,25 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
       l: Literal): Boolean = {
     if (allNull(seg, a.name)) return true
     litLong(l).map { v =>
-      longBounds(seg, a.name).exists { case (lo, hi) =>
+      val boundsExcl = longBounds(seg, a.name).exists { case (lo, hi) =>
         cmp match {
-          case Eq =>
-            v < lo || v > hi || (bloomsOf(seg).get(a.name) match {
-              case Some((m, bytes)) =>
-                !ManifestStore.bloomMayContain(m, bytes, v)
-              case None => false
-            })
+          case Eq => v < lo || v > hi
           case Gt => hi <= v
           case Ge => hi < v
           case Lt => lo >= v
           case Le => lo > v
         }
       }
+      // bloom probes answer point absence INDEPENDENTLY of zone-map
+      // coverage (a column configured with blooms but not zone-mapped
+      // — the event_id shape — still prunes equality), mirroring
+      // readPointLong's independent checks
+      def bloomExcl = cmp == Eq && (bloomsOf(seg).get(a.name) match {
+        case Some((m, bytes)) =>
+          !ManifestStore.bloomMayContain(m, bytes, v)
+        case None => false
+      })
+      boundsExcl || bloomExcl
     }.orElse(litUtf8(l).map { u =>
       strBounds(seg, a.name).exists { case (lo, hi) =>
         val v = u.toString
@@ -228,6 +263,13 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
         vs.forall(_.isInstanceOf[Literal]) =>
       vs.forall(v => cmpExcludes(seg, a, Eq, v.asInstanceOf[Literal]))
     case IsNotNull(a: Attribute) => allNull(seg, a.name)
+    // IS NULL excludes a segment the sidecar PROVES null-free
+    // (rows == non-null count); `a <=> null` is the same predicate
+    case IsNull(a: Attribute) => noNulls(seg, a.name)
+    case EqualNullSafe(a: Attribute, l: Literal) if l.value == null =>
+      noNulls(seg, a.name)
+    case EqualNullSafe(l: Literal, a: Attribute) if l.value == null =>
+      noNulls(seg, a.name)
     // prefix probe (the reference's key-prefix listing shape): every
     // string with prefix p sorts in [p, next-prefix); a segment is out
     // when its hi < p, or its lo > p WITHOUT carrying the prefix — a
@@ -245,32 +287,86 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
   }
 }
 
-/** `spark.read.format("graft")` — the DataFrame/SQL face of the
-  * manifest store, READ-ONLY by design (every write goes through
-  * [[ManifestStore]]'s commit protocol; a path-based writer could not
-  * hold the claim/pointer invariants). Registered under short name
-  * `graft` (META-INF/services), so both
-  * `spark.read.format("graft").option("path", t).option("collection", c).load()`
-  * and `CREATE TEMPORARY VIEW v USING graft OPTIONS (path '...',
-  * collection '...')` resolve. Returns a [[HadoopFsRelation]] over a
-  * [[GraftFileIndex]], which is what routes the scan through
-  * `FileSourceScanExec` — native vectorized parquet, whole-stage
-  * codegen, parquet row-group pushdown AND planning-time segment
-  * skipping from the same query filters. */
-final class GraftSource extends RelationProvider with DataSourceRegister {
+/** `spark.read.format("graft")` / `df.write.format("graft")` — the
+  * DataFrame/SQL face of the manifest store. Registered under short
+  * name `graft` (META-INF/services), so
+  * `spark.read.format("graft").option("path", t).option("collection", c).load()`,
+  * `CREATE TEMPORARY VIEW v USING graft OPTIONS (path '...',
+  * collection '...')`, and `df.write.format("graft")` all resolve.
+  *
+  * READS return a [[HadoopFsRelation]] over a [[GraftFileIndex]],
+  * which is what routes the scan through `FileSourceScanExec` —
+  * native vectorized parquet, whole-stage codegen, parquet row-group
+  * pushdown AND planning-time segment skipping from the same query
+  * filters.
+  *
+  * WRITES delegate to [[ManifestStore]]'s commit protocol — the
+  * connector adds NO atomicity primitive of its own; the
+  * claim/pointer invariants stay inside the store:
+  *   - `mode("append")` → [[ManifestStore.store]], or the idempotent
+  *     [[ManifestStore.storeBatch]] when a `tag` option carries the
+  *     batch's provenance key (same-tag replays commit nothing);
+  *   - `ErrorIfExists` (the writer default) creates the collection,
+  *     failing if it already has a live version; `Ignore` is its
+  *     silent-skip twin;
+  *   - `Overwrite` is REJECTED: destructive replacement must go
+  *     through [[ManifestStore.mergeCollection]] /
+  *     [[ManifestStore.restoreVersion]], whose pointer history keeps
+  *     the old version restorable — a path-style truncate-and-load
+  *     would silently discard it. */
+final class GraftSource extends RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  private def required(parameters: Map[String, String],
+      key: String): String =
+    parameters.getOrElse(key, throw new IllegalArgumentException(
+      s"graft source requires a '$key' option"))
 
   override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val path = parameters.getOrElse("path", throw new
-        IllegalArgumentException("graft source requires a 'path' option"))
-    val collection = parameters.getOrElse("collection", throw new
-        IllegalArgumentException(
-          "graft source requires a 'collection' option"))
+    val path = required(parameters, "path")
+    val collection = required(parameters, "collection")
     val index = new GraftFileIndex(spark, path, collection)
     HadoopFsRelation(index, StructType(Nil), index.dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
+  }
+
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = sqlContext.sparkSession
+    val path = required(parameters, "path")
+    val collection = required(parameters, "collection")
+    def append(): Unit = parameters.get("tag") match {
+      case Some(tag) =>
+        ManifestStore.storeBatch(data, path, collection, tag): Unit
+      case None => ManifestStore.store(data, path, collection)
+    }
+    def exists(): Boolean = ManifestStore
+      .resolve(ManifestStore.fsOf(spark, path), path, collection)
+      .liveSegs.nonEmpty
+    mode match {
+      case SaveMode.Append => append()
+      case SaveMode.ErrorIfExists =>
+        if (exists()) throw new IllegalStateException(
+          s"collection '$collection' at $path already exists " +
+            "(mode=ErrorIfExists); use mode('append') to add a segment")
+        append()
+      case SaveMode.Ignore => if (!exists()) append()
+      case SaveMode.Overwrite => throw new UnsupportedOperationException(
+        "graft does not support mode=Overwrite: replace content with " +
+          "ManifestStore.mergeCollection (restorable pointer history) " +
+          "or roll back with ManifestStore.restoreVersion")
+    }
+    // the post-write relation re-resolves: a read through it sees the
+    // commit this write just published (or the pre-existing snapshot
+    // for an Ignore'd write)
+    createRelation(sqlContext, parameters)
   }
 }

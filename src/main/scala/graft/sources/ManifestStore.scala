@@ -1330,8 +1330,9 @@ object ManifestStore {
       df.write.mode(SaveMode.Overwrite).parquet(dir)
     } else {
       // every configured column's [min,max] — and bloom position
-      // sets — ride ONE Observation on the segment write itself: zero
-      // extra passes however many columns are mapped
+      // sets, and the segment's TOTAL row count — ride ONE Observation
+      // on the segment write itself: zero extra passes however many
+      // columns are mapped
       val obs = Observation()
       val aggs = zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
         val base = if (k == 'l') col(n) else col(n).cast("string")
@@ -1343,7 +1344,7 @@ object ManifestStore {
           count(base).as(s"zm_n_$i"))
       } ++ bfCols.zipWithIndex.flatMap { case (n, i) =>
         bloomAggs(n, bfBits, i.toString)
-      }
+      } :+ count(lit(1)).as("zm_rows")
       df.observe(obs, aggs.head, aggs.tail: _*)
         .write.mode(SaveMode.Overwrite).parquet(dir)
       val m = obs.get
@@ -1355,6 +1356,12 @@ object ManifestStore {
       val cntToks = zmCols.zipWithIndex.flatMap { case ((n, _), i) =>
         m.get(s"zm_n_$i").collect { case v: Long => s"cnt:${zmEnc(n)}:$v" }
       }
+      // the segment's TOTAL row count (`rows:<n>`): serves bare
+      // COUNT(*) from metadata ([[countRowsPlanned]]) and, paired with
+      // a column's non-null count, PROVES a no-nulls segment for
+      // IsNull pruning (rows == non-null ⇒ IS NULL matches nothing)
+      val rowToks = m.get("zm_rows")
+        .collect { case v: Long => s"rows:$v" }.toSeq
       val bfToks = bfCols.zipWithIndex.map { case (n, i) =>
         bloomToken(n, bfBits, (0 until BloomHashes).map { j =>
           m.get(s"bf_${i}_$j") match {
@@ -1364,7 +1371,7 @@ object ManifestStore {
           }
         })
       }
-      val entries = cntToks ++ bfToks ++
+      val entries = rowToks ++ cntToks ++ bfToks ++
         zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
           (m.get(s"zm_lo_$i"), m.get(s"zm_hi_$i")) match {
             // empty segment or all-null column: no entry for this column
@@ -1462,6 +1469,10 @@ object ManifestStore {
         throw new java.io.IOException(
           s"staging rename into ${dst} failed")
       val r = byPart(p)
+      // total row count is the stats pass's `__n` — same token as
+      // [[writeSegment]]'s Observation-collected one
+      val rowToks = Option(r.getAs[Any]("__n"))
+        .collect { case v: Long => s"rows:$v" }.toSeq
       val cntToks = zmCols.zipWithIndex.flatMap { case ((n, _), i) =>
         Option(r.getAs[Any](s"zm_n_$i"))
           .collect { case v: Long => s"cnt:${zmEnc(n)}:$v" }
@@ -1475,7 +1486,7 @@ object ManifestStore {
           }
         })
       }
-      val entries = cntToks ++ bfToks ++
+      val entries = rowToks ++ cntToks ++ bfToks ++
         zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
           (Option(r.getAs[Any](s"zm_lo_$i")),
             Option(r.getAs[Any](s"zm_hi_$i"))) match {
@@ -1541,6 +1552,52 @@ object ManifestStore {
           }.flatten
       case _ => None
     }
+
+  /** The segment's recorded TOTAL row count (the sidecar's `rows:<n>`
+    * token), if the sidecar exists, parses, and carries one —
+    * pre-rows sidecars yield None ("must scan"). */
+  private[sources] def readSegRows(fs: FileSystem, tablePath: String,
+      c: String, seg: Long): Option[Long] =
+    readPtr(fs, statsPath(tablePath, c, seg)) match {
+      case Some(s) if s.startsWith(ZmPrefix) && s.endsWith(SegsSuffix) =>
+        s.stripPrefix(ZmPrefix).stripSuffix(SegsSuffix)
+          .split(';').toSeq
+          .collectFirst { case e if e.startsWith("rows:") =>
+            e.stripPrefix("rows:").toLongOption
+          }.flatten
+      case _ => None
+    }
+
+  /** Bare COUNT(*) served from METADATA wherever possible: every
+    * segment carrying a `rows:` token contributes it without being
+    * listed, planned, or read; only pre-token segments fall back to
+    * ONE batched scan. At 100 TB "how many rows is this table" costs
+    * one sidecar read per segment instead of opening the table.
+    * Returns (total, metaServedSegs, scannedSegs) so the serving
+    * split is observable and spec-pinned. */
+  def countRowsPlanned(spark: SparkSession, tablePath: String,
+      c: String): (Long, Int, Int) = {
+    val fs = fsOf(spark, tablePath)
+    val segs = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
+    var meta = 0L
+    var nMeta = 0
+    val toScan = Seq.newBuilder[Long]
+    segs.foreach { seg =>
+      readSegRows(fs, tablePath, c, seg) match {
+        case Some(n) => meta += n; nMeta += 1
+        case None => toScan += seg
+      }
+    }
+    val scanSegs = toScan.result()
+    val scanned =
+      if (scanSegs.isEmpty) 0L
+      else readSegsInferred(spark, tablePath, c, scanSegs, scanSegs).count()
+    (meta + scanned, nMeta, scanSegs.size)
+  }
+
+  /** [[countRowsPlanned]] without the observability tuple. */
+  def countRows(spark: SparkSession, tablePath: String, c: String): Long =
+    countRowsPlanned(spark, tablePath, c)._1
 
   /** COUNT over a numeric range served from METADATA wherever
     * possible: a segment whose recorded [min,max] for `column` lies

@@ -133,8 +133,57 @@ class GraftSourceSpec extends SparkSpecBase {
     assert(scannedFiles(readSrc(table)) == 2L)
     assert(scannedFiles(readSrc(table).where(col("k").isNotNull)) == 1L)
     assert(scannedFiles(readSrc(table).where(col("k") > 0L)) == 1L)
-    // null-SAFE equality to NULL is null-ACCEPTING: no proof, no prune
-    assert(scannedFiles(readSrc(table).where(col("k") <=> lit(null))) == 2L)
+    // the INVERSE proof: IS NULL (and its `<=> null` spelling) drops
+    // the segment whose sidecar proves rows == non-null, keeps the
+    // all-null one
+    assert(scannedFiles(readSrc(table).where(col("k").isNull)) == 1L)
+    assert(scannedFiles(readSrc(table).where(col("k") <=> lit(null))) == 1L)
+    assert(readSrc(table).where(col("k").isNull).count() == 2L)
+    // a column with NO cnt/rows coverage proves nothing — full scan
+    assert(scannedFiles(readSrc(table).where(col("txt").isNull)) == 2L)
+  }
+
+  test("rows tokens serve bare COUNT(*) from metadata; segments " +
+      "without them fall back to one batched scan") {
+    import spark.implicits._
+    val table = buildTable()
+    // all three segments carry rows: tokens — zero scanned
+    assert(ManifestStore.countRowsPlanned(spark, table, "m")
+      == ((30L, 3, 0)))
+    // a table configured with NO sidecar columns writes no sidecars:
+    // every segment falls back to the scan path, same total
+    val bare = tmp() + "/t"
+    ManifestStore.store(
+      (0L until 7L).map(i => (i, s"n$i")).toDF("k", "txt")
+        .repartition(1), bare, "m")
+    ManifestStore.store(
+      (7L until 10L).map(i => (i, s"n$i")).toDF("k", "txt")
+        .repartition(1), bare, "m")
+    assert(ManifestStore.countRowsPlanned(spark, bare, "m")
+      == ((10L, 0, 2)))
+  }
+
+  test("bloom probes prune point lookups independently of zone-map " +
+      "coverage (blooms-only column, the event_id shape)") {
+    import spark.implicits._
+    val table = tmp() + "/t"
+    // blooms on k, NO zone maps at all: before the independent probe,
+    // point lookups through the connector scanned everything here
+    ManifestStore.setBloomColumns(spark, table, Seq("k"))
+    Seq(0L until 10L, 100L until 110L).foreach { r =>
+      ManifestStore.store(
+        r.map(i => (i, s"n$i")).toDF("k", "txt").repartition(1),
+        table, "m")
+    }
+    // absent key: every bloom answers "definitely not here"
+    assert(scannedFiles(readSrc(table).where(col("k") === 50L)) == 0L)
+    // present key: its segment's bloom keeps it; the other segment may
+    // only survive as a bloom false positive (deterministic hashes —
+    // pin the exact count)
+    assert(scannedFiles(readSrc(table).where(col("k") === 105L)) == 1L)
+    assert(readSrc(table).where(col("k") === 105L).count() == 1L)
+    // range predicates have no bounds to consult here — conservative
+    assert(scannedFiles(readSrc(table).where(col("k") > 150L)) == 2L)
   }
 
   test("SQL surface (USING graft) and snapshot pinning") {
@@ -254,4 +303,134 @@ class GraftSourceSpec extends SparkSpecBase {
       spark.read.format("graft").option("path", table).load()
     }
   }
+
+  test("segment listings are memoized per index instance: repeated " +
+      "planner calls pay zero extra driver RPCs; refresh() re-lists") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcnt.impl", classOf[GraftCountingFs].getName)
+    val table = s"graftcnt://${tmp()}/t"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("k"))
+    Seq(0L until 10L, 100L until 110L).foreach { r =>
+      ManifestStore.store(
+        r.map(i => (i, s"n$i")).toDF("k", "txt").repartition(1),
+        table, "m")
+    }
+    val idx = new graft.sources.GraftFileIndex(spark, table, "m")
+    idx.sizeInBytes; idx.inputFiles; idx.listFiles(Nil, Nil)
+    val afterFirst = GraftCountingFs.segListings.get()
+    // every further planner call is served from the memo
+    idx.sizeInBytes; idx.inputFiles; idx.listFiles(Nil, Nil)
+    idx.listFiles(Nil, Nil)
+    assert(GraftCountingFs.segListings.get() == afterFirst)
+    // refresh() invalidates: the next call re-lists
+    idx.refresh()
+    idx.sizeInBytes
+    assert(GraftCountingFs.segListings.get() > afterFirst)
+  }
+
+  test("a pinned segment whose directory is gone fails LOUD, not as " +
+      "silently dropped rows") {
+    import spark.implicits._
+    val table = tmp() + "/t"
+    Seq(0L until 10L, 100L until 110L).foreach { r =>
+      ManifestStore.store(
+        r.map(i => (i, s"n$i")).toDF("k", "txt").repartition(1),
+        table, "m")
+    }
+    val pinned = readSrc(table)
+    // vacuum racing the snapshot: remove a live segment dir under it
+    val segDir = new java.io.File(s"$table/collection=m")
+      .listFiles.filter(_.getName.startsWith("seg=")).head
+    org.apache.commons.io.FileUtils.deleteDirectory(segDir)
+    val e = intercept[Exception] { pinned.count() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("pinned in this snapshot")),
+      e.toString)
+  }
+
+  test("write face: append routes through the commit protocol, tagged " +
+      "appends are idempotent, Overwrite is rejected") {
+    import spark.implicits._
+    val table = tmp() + "/t"
+    // default mode (ErrorIfExists) creates the collection...
+    Seq((1L, "a"), (2L, "b")).toDF("k", "txt")
+      .write.format("graft")
+      .option("path", table).option("collection", "m").save()
+    assert(readSrc(table).count() == 2L)
+    // ...and refuses a second create
+    intercept[IllegalStateException] {
+      Seq((9L, "z")).toDF("k", "txt").write.format("graft")
+        .option("path", table).option("collection", "m").save()
+    }
+    // Ignore silently skips an existing collection
+    Seq((9L, "z")).toDF("k", "txt").write.format("graft")
+      .mode("ignore")
+      .option("path", table).option("collection", "m").save()
+    assert(readSrc(table).count() == 2L)
+    // append lands a new pointer-gated segment
+    Seq((3L, "c")).toDF("k", "txt").write.format("graft")
+      .mode("append")
+      .option("path", table).option("collection", "m").save()
+    assert(readSrc(table).orderBy("k").select("k").as[Long].collect()
+      .toSeq == Seq(1L, 2L, 3L))
+    // a TAGGED append is idempotent: the replay commits nothing
+    def tagged(): Unit = Seq((4L, "d")).toDF("k", "txt")
+      .write.format("graft").mode("append")
+      .option("path", table).option("collection", "m")
+      .option("tag", "batch-4").save()
+    tagged(); tagged()
+    assert(readSrc(table).where(col("k") === 4L).count() == 1L)
+    // Overwrite must go through mergeCollection/restoreVersion
+    intercept[UnsupportedOperationException] {
+      Seq((5L, "e")).toDF("k", "txt").write.format("graft")
+        .mode("overwrite")
+        .option("path", table).option("collection", "m").save()
+    }
+    assert(readSrc(table).count() == 4L)
+  }
+
+  test("write face: racing tagged writers commit exactly one copy") {
+    import spark.implicits._
+    val table = tmp() + "/t"
+    Seq((0L, "seed")).toDF("k", "txt").write.format("graft")
+      .mode("append")
+      .option("path", table).option("collection", "m").save()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val races = (1 to 4).map { i =>
+      scala.concurrent.Future {
+        Seq((100L + i, s"w$i")).toDF("k", "txt")
+          .write.format("graft").mode("append")
+          .option("path", table).option("collection", "m")
+          .option("tag", "same-batch").save()
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(races),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    // exactly ONE of the same-tag racers published; the rest were
+    // replay no-ops (their orphan segments are unreferenced)
+    assert(readSrc(table).where(col("k") >= 100L).count() == 1L)
+  }
+}
+
+/** [[GraftTestFs]] plus a static counter of `seg=` DIRECTORY listings
+  * — the driver-RPC fan-out the index memoizes away. */
+class GraftCountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftcnt:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    if (p.getName.startsWith("seg="))
+      GraftCountingFs.segListings.incrementAndGet(): Unit
+    super.listStatus(p)
+  }
+}
+
+object GraftCountingFs {
+  val segListings = new java.util.concurrent.atomic.AtomicLong(0L)
 }
