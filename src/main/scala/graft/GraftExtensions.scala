@@ -8,10 +8,14 @@ import graft.functions._
 
 /** SQL-surface registration for the engine's codegen expressions — the
   * extension mechanism the reference entirely lacks (SURVEY.md §2.2,
-  * "UDF/UDAF/UDTF extension surface: none"). Zero custom planner rules
-  * or strategies are injected (none are needed, SURVEY.md §4): the
-  * engine's only custom code is expression-level, and this makes that
-  * same code reachable from `spark.sql(...)`:
+  * "UDF/UDAF/UDTF extension surface: none"). Reference parity needs
+  * zero planner rules (SURVEY.md §4 — the engine's reference-derived
+  * custom code is all expression-level); ONE deliberate
+  * extension-surface rule is injected on top:
+  * [[graft.plans.MetadataCountRule]], which answers a bare
+  * `SELECT count(*)` over a `format("graft")` relation from the
+  * manifest's `rows:` sidecar tokens without scheduling a task. This
+  * class makes both reachable from `spark.sql(...)`:
   *
   * {{{
   * val spark = SparkSession.builder()
@@ -93,6 +97,8 @@ object GraftExtensions {
     }
   )
 
-  def install(ext: SparkSessionExtensions): Unit =
+  def install(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.MetadataCountRule)
+  }
 }

@@ -82,6 +82,16 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
     rowsMemo.computeIfAbsent(seg,
       s => ManifestStore.readSegRows(fs, tablePath, collection, s))
 
+  /** The snapshot's TOTAL row count served purely from `rows:` sidecar
+    * tokens — Some only when EVERY pinned segment carries one (a single
+    * pre-token segment means "must scan", None). What
+    * [[graft.plans.MetadataCountRule]] answers a bare COUNT(*) from
+    * without scheduling a task. */
+  def metadataRowCount: Option[Long] = {
+    val counts = segs.map(rowsOf)
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
   override val rootPaths: Seq[Path] = Seq(new Path(tablePath))
 
   override def partitionSchema: StructType = StructType(Nil)

@@ -304,6 +304,61 @@ class GraftSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("a bare COUNT(*) over a graft relation is answered from rows: " +
+      "tokens as a LocalRelation — zero tasks; null-sensitive, " +
+      "filtered, and token-less shapes still scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import spark.implicits._
+    def metaServed(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val opt = df.queryExecution.optimizedPlan
+      opt.collect { case l: LocalRelation => l }.nonEmpty &&
+        opt.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+        }.isEmpty
+    }
+    val table = buildTable()
+    spark.experimental.extraOptimizations ++=
+      Seq(graft.plans.MetadataCountRule)
+    try {
+      val df = readSrc(table).groupBy().count()
+      assert(metaServed(df))
+      assert(df.head.getLong(0) == 30L)
+      // the SQL face a BI tool hits
+      spark.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW meta_cnt_v
+           |USING graft OPTIONS (path '$table', collection 'm')"""
+          .stripMargin)
+      val sq = spark.sql(
+        "SELECT count(*) AS n, count(1) AS n1 FROM meta_cnt_v")
+      assert(metaServed(sq))
+      assert(sq.head.getLong(0) == 30L && sq.head.getLong(1) == 30L)
+      spark.sql("DROP VIEW meta_cnt_v")
+      // count(col) is null-sensitive — never rewritten
+      val cntCol = readSrc(table).agg(count(col("k")).as("n"))
+      assert(!metaServed(cntCol))
+      assert(cntCol.head.getLong(0) == 30L)
+      // a filter disqualifies (even one pruning could prove total)
+      val filt = readSrc(table).where(col("k") >= 100L).groupBy().count()
+      assert(!metaServed(filt))
+      assert(filt.head.getLong(0) == 20L)
+      // grouped counts keep their scan
+      val grouped = readSrc(table).groupBy("name").count()
+      assert(!metaServed(grouped))
+      // a table whose segments carry no rows: tokens is left alone
+      val bare = tmp() + "/t"
+      ManifestStore.store(
+        (0L until 10L).map(i => (i, s"n$i")).toDF("k", "txt")
+          .repartition(1), bare, "m")
+      val noTok = readSrc(bare).groupBy().count()
+      assert(!metaServed(noTok))
+      assert(noTok.head.getLong(0) == 10L)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.MetadataCountRule)
+    }
+  }
+
   test("segment listings are memoized per index instance: repeated " +
       "planner calls pay zero extra driver RPCs; refresh() re-lists") {
     import spark.implicits._
