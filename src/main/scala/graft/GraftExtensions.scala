@@ -12,7 +12,7 @@ import graft.functions._
   * zero planner rules (SURVEY.md §4 — the engine's reference-derived
   * custom code is all expression-level); ONE deliberate
   * extension-surface rule is injected on top:
-  * [[graft.plans.MetadataCountRule]], which answers a bare
+  * [[graft.plans.MetadataAggRule]], which answers a bare
   * `SELECT count(*)` over a `format("graft")` relation from the
   * manifest's `rows:` sidecar tokens without scheduling a task. This
   * class makes both reachable from `spark.sql(...)`:
@@ -99,6 +99,6 @@ object GraftExtensions {
 
   def install(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
-    ext.injectOptimizerRule(_ => graft.plans.MetadataCountRule)
+    ext.injectOptimizerRule(_ => graft.plans.MetadataAggRule)
   }
 }

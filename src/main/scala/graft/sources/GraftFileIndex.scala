@@ -85,11 +85,62 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
   /** The snapshot's TOTAL row count served purely from `rows:` sidecar
     * tokens — Some only when EVERY pinned segment carries one (a single
     * pre-token segment means "must scan", None). What
-    * [[graft.plans.MetadataCountRule]] answers a bare COUNT(*) from
+    * [[graft.plans.MetadataAggRule]] answers a bare COUNT(*) from
     * without scheduling a task. */
   def metadataRowCount: Option[Long] = {
     val counts = segs.map(rowsOf)
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
+  /** Per-segment bound contribution for a metadata-served MIN/MAX:
+    * Some(Some(lo, hi)) = recorded bounds of the matching kind;
+    * Some(None) = the segment PROVABLY contributes nothing (its
+    * non-null count for the column is recorded zero — min/max ignore
+    * nulls); None = cannot prove (missing/wrong-kind entry without a
+    * zero count), which disqualifies the whole rewrite. */
+  private def segBounds(seg: Long, column: String,
+      kind: Char): Option[Option[(String, String)]] =
+    statsOf(seg).get(column) match {
+      case Some((k, lo, hi)) if k == kind => Some(Some((lo, hi)))
+      case _ =>
+        if (nonNullCount(seg, column).contains(0L)) Some(None) else None
+    }
+
+  /** Snapshot-wide [min, max] of an INTEGRAL column from 'l'-kind
+    * zone-map bounds (exact: recorded un-cast, numeric order).
+    * Some(None) = provably no non-null value in any segment (the
+    * served result is NULL); None = at least one segment is
+    * unprovable — must scan. */
+  def metadataLongBounds(column: String): Option[Option[(Long, Long)]] = {
+    val per = segs.map(segBounds(_, column, 'l'))
+    if (per.exists(_.isEmpty)) None
+    else {
+      val bounds = per.flatten.flatten.map { case (lo, hi) =>
+        (lo.toLongOption, hi.toLongOption)
+      }
+      if (bounds.exists(b => b._1.isEmpty || b._2.isEmpty)) None
+      else if (bounds.isEmpty) Some(None)
+      else Some(Some((bounds.map(_._1.get).min, bounds.map(_._2.get).max)))
+    }
+  }
+
+  /** Snapshot-wide [min, max] of a genuine STRING column from 's'-kind
+    * bounds (exact: the cast is identity and the recorded UTF-8 byte
+    * order IS Spark's string ordering). Same tri-state as
+    * [[metadataLongBounds]]. */
+  def metadataStringBounds(
+      column: String): Option[Option[(String, String)]] = {
+    val per = segs.map(segBounds(_, column, 's'))
+    if (per.exists(_.isEmpty)) None
+    else {
+      val bounds = per.flatten.flatten
+      if (bounds.isEmpty) Some(None)
+      else Some(Some((
+        bounds.map(_._1).reduce((a, b) =>
+          if (ManifestStore.utf8Cmp(a, b) <= 0) a else b),
+        bounds.map(_._2).reduce((a, b) =>
+          if (ManifestStore.utf8Cmp(a, b) >= 0) a else b))))
+    }
   }
 
   override val rootPaths: Seq[Path] = Seq(new Path(tablePath))

@@ -318,7 +318,7 @@ class GraftSourceSpec extends SparkSpecBase {
     }
     val table = buildTable()
     spark.experimental.extraOptimizations ++=
-      Seq(graft.plans.MetadataCountRule)
+      Seq(graft.plans.MetadataAggRule)
     try {
       val df = readSrc(table).groupBy().count()
       assert(metaServed(df))
@@ -352,10 +352,48 @@ class GraftSourceSpec extends SparkSpecBase {
       val noTok = readSrc(bare).groupBy().count()
       assert(!metaServed(noTok))
       assert(noTok.head.getLong(0) == 10L)
+      // MIN/MAX serve from matching-kind zone-map bounds: numeric for
+      // the long column, UTF-8 order for the genuine string column,
+      // mixed freely with count(*)
+      val mm = readSrc(table).agg(min(col("k")).as("lo"),
+        max(col("k")).as("hi"), min(col("name")).as("slo"),
+        max(col("name")).as("shi"), count(lit(1)).as("n"))
+      assert(metaServed(mm))
+      val r = mm.head
+      assert(r.getLong(0) == 0L && r.getLong(1) == 209L &&
+        r.getString(2) == "n0" && r.getString(3) == "n9" &&
+        r.getLong(4) == 30L)
+      // a DOUBLE column's 's' bounds are string order, not value
+      // order — never served
+      val dbl = readSrc(table).agg(min(col("v")).as("lo"))
+      assert(!metaServed(dbl))
+      assert(dbl.head.getDouble(0) == 0.0)
+      // an all-null segment provably contributes nothing (cnt == 0);
+      // an all-null COLUMN serves NULL, matching the scan
+      val nulls = tmp() + "/t"
+      ManifestStore.setZoneMapColumns(spark, nulls, Seq("k"))
+      ManifestStore.store(
+        Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "txt")
+          .repartition(1), nulls, "m")
+      ManifestStore.store(
+        Seq((Option.empty[Long], "c"), (Option.empty[Long], "d"))
+          .toDF("k", "txt").repartition(1), nulls, "m")
+      val nm = readSrc(nulls).agg(min(col("k")).as("lo"),
+        max(col("k")).as("hi"))
+      assert(metaServed(nm))
+      assert(nm.head.getLong(0) == 1L && nm.head.getLong(1) == 2L)
+      val allNull = tmp() + "/t"
+      ManifestStore.setZoneMapColumns(spark, allNull, Seq("k"))
+      ManifestStore.store(
+        Seq((Option.empty[Long], "c"), (Option.empty[Long], "d"))
+          .toDF("k", "txt").repartition(1), allNull, "m")
+      val an = readSrc(allNull).agg(min(col("k")).as("lo"))
+      assert(metaServed(an))
+      assert(an.head.isNullAt(0))
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations
-          .filterNot(_ eq graft.plans.MetadataCountRule)
+          .filterNot(_ eq graft.plans.MetadataAggRule)
     }
   }
 
