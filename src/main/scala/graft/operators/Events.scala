@@ -913,6 +913,49 @@ object Events {
     Seq((n, nNullTs)).toDF("n_events", "n_null_ts")
   }
 
+  /** METADATA-SERVED table bounds: the dashboard freshness probe —
+    * `min(ts_us), max(ts_us), count(*)` — answered entirely from the
+    * snapshot's sidecars through [[graft.sources.GraftFileIndex]]'s
+    * metadata faces (`rows:` tokens + 'l'-kind zone-map bounds): zero
+    * segments listed, planned, or read. The same trio a SQL user gets
+    * from [[graft.plans.MetadataAggRule]] as a plan-time
+    * LocalRelation; here the imperative faces sit under the DuckDB
+    * oracle. Fails LOUD if the fixture's sidecars ever stop proving
+    * the answer (every segment carries tokens by construction). */
+  def metaBounds(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, _) = manifestEventsTable(s, dir)
+    val idx = new graft.sources.GraftFileIndex(s, path, "events")
+    val n = idx.metadataRowCount.getOrElse(
+      sys.error("events fixture segments must carry rows: tokens"))
+    val (lo, hi) = idx.metadataLongBounds("ts_us").flatten.getOrElse(
+      sys.error("events fixture segments must carry ts_us 'l' bounds"))
+    import s.implicits._
+    Seq((lo, hi, n)).toDF("min_ts_us", "max_ts_us", "n_events")
+  }
+
+  /** [[pointLookup]] THROUGH the `format("graft")` connector: the same
+    * four id probes as one declarative `IN`-list — planning-time
+    * pruning now comes from the Catalyst `In` filter consulting the
+    * event_id BLOOM sidecars independently of zone-map coverage
+    * (event_id is bloom-configured but NOT zone-mapped, so before the
+    * independent probe this shape scanned every segment). The absent
+    * ids exclude every segment; the present ids keep only segments
+    * whose blooms answer "maybe here". Same oracle as the imperative
+    * face. */
+  def connectorPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, _) = manifestEventsTable(s, dir)
+    val b = load(s, dir)
+      .agg(min("event_id").as("lo"), max("event_id").as("hi")).head
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val probes = Seq(lo, hi, lo + (hi - lo) / 2, -1L).distinct
+    s.read.format("graft").option("path", path)
+      .option("collection", "events").load()
+      .where(col("event_id").isin(probes: _*))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"))
+      .orderBy("event_id")
+  }
+
   /** NEEDLE-IN-THE-LOG point lookups over the manifest store, pruned
     * by the event_id BLOOM sidecars ([[graft.sources.ManifestStore
     * .readPointLong]]): four probes — the log's first and last event
@@ -1262,6 +1305,21 @@ object Events {
          |FROM events, b
          |WHERE epoch_us(ts) BETWEEN b.lo + 2 * b.w AND b.lo + 6 * b.w""".stripMargin)(
       (s, dir) => rangeCount(s, dir)),
+
+    QueryDef.sql("ev_meta_bounds",
+      """SELECT min(epoch_us(ts)) AS min_ts_us,
+        |  max(epoch_us(ts)) AS max_ts_us,
+        |  count(*) AS n_events
+        |FROM events""".stripMargin)((s, dir) => metaBounds(s, dir)),
+
+    QueryDef.sql("ev_connector_point",
+      """WITH b AS (
+        |  SELECT min(event_id) AS lo, max(event_id) AS hi FROM events)
+        |SELECT e.event_id, e.user_id, e.event_type, epoch_us(e.ts) AS ts_us
+        |FROM events e, b
+        |WHERE e.event_id IN (b.lo, b.hi, b.lo + (b.hi - b.lo) // 2, -1)
+        |ORDER BY event_id""".stripMargin)(
+      (s, dir) => connectorPointLookup(s, dir)),
 
     QueryDef.sql("ev_meta_count",
       """SELECT count(*) AS n_events,

@@ -560,6 +560,9 @@ object Pipeline {
     val git = gatedCache.values().iterator()
     while (git.hasNext) { git.next().unpersist() }
     gatedCache.clear()
+    val hit = tokenHistCache.values().iterator()
+    while (hit.hasNext) { hit.next().unpersist() }
+    tokenHistCache.clear()
   }
 
   /** The slim (lang_key, n_total, quota) relation for an explicit
@@ -718,6 +721,149 @@ object Pipeline {
       .select(col("doc_id"), unSentinel(col("domain")).as("domain"),
         col("hb"))
       .orderBy("doc_id")
+  }
+
+  /** TOKEN-budgeted mixture knobs: mixtures in practice are defined
+    * over TOKENS, not document counts (a lang of long documents at a
+    * 40% doc share can be 70% of the tokens). Same downsample-only
+    * largest-feasible derivation as [[mixQuotas]], in token units. */
+  val TokenMixBuckets = MixBuckets
+
+  /** TOKEN-BUDGETED domain mixture audit: per language — total
+    * tokens, target weight, the exact-integer token quota, and what a
+    * hash-bucket-prefix acceptance realizes against it.
+    *
+    * Derivation (exact integers, [[mixQuotas]]' shape in token
+    * units): t_star = min_l ⌊tok_l · w_total / w_l⌋ is the largest
+    * downsample-only total token budget hitting every target share;
+    * quota_l = ⌊t_star · w_l / w_total⌋. Acceptance is STREAMING by
+    * hash bucket: buckets are taken in hb order while the lang's
+    * cumulative token count BEFORE the bucket stays under quota — so
+    * the realized take overflows by at most one bucket's tokens
+    * (the sequencePack streaming-accept trade, at bucket
+    * granularity), and membership is a pure (lang, hb) property,
+    * reproducible under any partitioning.
+    *
+    * Scale shape: ONE corpus scan (tokenize riding the scan) into a
+    * partial+final aggregate keyed (lang, hash-bucket) — the shuffle
+    * carries ≤ domains × [[TokenMixBuckets]] rows whatever the corpus
+    * size; every window after it runs on that tiny relation. */
+  def tokenMix(s: SparkSession, dir: String): DataFrame =
+    tokenMixOn(Tables(s, dir, "documents"))
+
+  /** (lang_key, hb) → (token sum, doc count) histogram — the only
+    * corpus-sized pass of the token mixture. MEMOIZED by canonicalized
+    * input plan and PERSISTED (the [[tempQuotaCache]] discipline,
+    * released via [[releaseCaches]]): two branches of [[tokenMixOn]]
+    * consume it, and uncached Catalyst would re-run the corpus scan —
+    * and the word-stats KERNEL — once per branch. */
+  private val tokenHistCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame]()
+
+  private def tokenHist(documents: DataFrame): DataFrame = {
+    val key = (documents.sparkSession,
+      documents.queryExecution.analyzed.canonicalized)
+    tokenHistCache.computeIfAbsent(key, _ =>
+      documents
+        .select(coalesce(col("lang"), lit(LangNullSentinel)).as("lang_key"),
+          mixHashBucket.as("hb"),
+          graft.functions.TextHashExpressions.wordStats(
+            graft.functions.TextFunctions.words(col("text")))
+            .getField("bpe_tokens").as("tokens"))
+        .groupBy("lang_key", "hb")
+        .agg(sum(col("tokens")).as("tok"), count(lit(1)).as("n"))
+        .persist())
+  }
+
+  def tokenMixOn(documents: DataFrame): DataFrame = {
+    val hist = tokenHist(documents)
+    val wAll = Window.partitionBy()
+    val quotas = hist.groupBy("lang_key")
+      .agg(sum(col("tok")).as("tok_total"))
+      .withColumn("weight", mixWeight(col("lang_key")))
+      .withColumn("w_total", sum(col("weight")).over(wAll))
+      .withColumn("t_star",
+        min(call_function("div", col("tok_total") * col("w_total"),
+          col("weight"))).over(wAll))
+      .withColumn("quota_tok",
+        call_function("div", col("t_star") * col("weight"), col("w_total")))
+      .select("lang_key", "tok_total", "weight", "quota_tok")
+    // exclusive per-lang running token count in hb order — the
+    // bucket-prefix acceptance cursor (tiny relation, fine windows)
+    val wCum = Window.partitionBy(col("lang_key")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.withColumn("cum_before", coalesce(sum(col("tok")).over(wCum),
+        lit(0L)))
+      .join(quotas, Seq("lang_key"))
+      .groupBy(col("lang_key"), col("tok_total"), col("weight"),
+        col("quota_tok"))
+      .agg(
+        sum(when(col("cum_before") < col("quota_tok"), col("n"))
+          .otherwise(lit(0L))).as("n_kept"),
+        sum(when(col("cum_before") < col("quota_tok"), col("tok"))
+          .otherwise(lit(0L))).as("kept_tokens"))
+      .withColumn("realized_share",
+        when(sum(col("kept_tokens")).over(wAll) > 0,
+          col("kept_tokens").cast("double") /
+            sum(col("kept_tokens")).over(wAll).cast("double")))
+      .select(unSentinel(col("lang_key")).as("lang"), col("tok_total"),
+        col("weight"), col("quota_tok"), col("n_kept"),
+        col("kept_tokens"), col("realized_share"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  /** Contrastive NEGATIVE sampling knobs: negatives per anchor, the
+    * in-stratum hash-bucket count, and the anchor sample residue. */
+  val NegK = 3
+  val NegBuckets = 8L
+  val NegAnchorMod = 5L
+
+  /** IN-STRATUM negative pairs for contrastive training: every
+    * anchor document (deterministic `doc_id % [[NegAnchorMod]] == 0`
+    * sample) gets up to [[NegK]] negatives drawn from its OWN
+    * language stratum — hash-bucket peers, cyclically the next
+    * ranks in an independent second hash order, so the picks are
+    * "random but reproducible" and never the anchor itself
+    * (j ≤ cnt−1 keeps partners distinct and excludes the self-wrap).
+    *
+    * Scale shape: both window ranks and the partner self-join are
+    * keyed (lang, hash-bucket) — [[NegBuckets]] buckets per lang
+    * bound every partition at n_lang/[[NegBuckets]] and spread each
+    * stratum over that many tasks (raise buckets with the corpus);
+    * join mass is ≤ [[NegK]] rows per anchor. Two corpus scans
+    * (rank relation + its partner side), cheap integer projections
+    * only. */
+  def negativePairs(s: SparkSession, dir: String): DataFrame =
+    negativePairsOn(Tables(s, dir, "documents"))
+
+  def negativePairsOn(documents: DataFrame): DataFrame = {
+    // bucket by the SAMPLING hash, order inside by the independent
+    // SHUFFLE hash — so "who is my neighbor" is uncorrelated with
+    // "which bucket am I in"
+    def ranked = {
+      val w = Window.partitionBy(col("lang_key"), col("hb"))
+      documents.select(col("doc_id"),
+          coalesce(col("lang"), lit(LangNullSentinel)).as("lang_key"),
+          (sampleHash % NegBuckets).as("hb"), shuffleKey.as("skey"))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("skey"), col("doc_id"))) - 1)
+        .withColumn("cnt", count(lit(1)).over(w))
+    }
+    val anchors = ranked
+      .where(col("doc_id") % NegAnchorMod === 0 && col("cnt") > 1)
+      .select(col("doc_id"), col("lang_key"), col("hb"), col("rn"),
+        col("cnt"))
+      .withColumn("j", explode(sequence(lit(1), least(lit(NegK),
+        (col("cnt") - 1).cast("int")))))
+      .withColumn("nrn", (col("rn") + col("j")) % col("cnt"))
+    val partners = ranked
+      .select(col("lang_key"), col("hb"), col("rn").as("nrn"),
+        col("doc_id").as("neg_doc_id"))
+    anchors.join(partners, Seq("lang_key", "hb", "nrn"))
+      .select(col("doc_id"), unSentinel(col("lang_key")).as("lang"),
+        col("j"), col("neg_doc_id"))
+      .orderBy("doc_id", "j")
   }
 
   def curationFunnel(s: SparkSession, dir: String): DataFrame =
@@ -1445,6 +1591,88 @@ object Pipeline {
          |WHERE hb * n_total < quota * $MixBuckets
          |ORDER BY doc_id""".stripMargin)(
       (s, dir) => temperatureMixDocs(s, dir)),
+
+    QueryDef.sql("pl_token_mix", {
+      val bpe = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform($W, w ->
+        |      CAST(floor((length(w) + 3) / 4.0E0) AS BIGINT))),
+        |    (a, x) -> a + x)""".stripMargin
+      s"""WITH h AS (
+         |  SELECT coalesce(lang, chr(0)) AS lang_key,
+         |    ((doc_id % $SampleMod) * $SampleMult + $SampleAdd)
+         |      % $SampleMod % $TokenMixBuckets AS hb,
+         |    $bpe AS tokens
+         |  FROM documents),
+         |hist AS (
+         |  SELECT lang_key, hb, CAST(sum(tokens) AS BIGINT) AS tok,
+         |    count(*) AS n
+         |  FROM h GROUP BY lang_key, hb),
+         |d AS (
+         |  SELECT lang_key, CAST(sum(tok) AS BIGINT) AS tok_total,
+         |    CAST(CASE WHEN lang_key = 'en' THEN $MixEnWeight
+         |              ELSE $MixOtherWeight END AS BIGINT) AS weight
+         |  FROM hist GROUP BY lang_key),
+         |q1 AS (SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS w_total
+         |  FROM d),
+         |q2 AS (SELECT *,
+         |    CAST(min(tok_total * w_total // weight) OVER () AS BIGINT)
+         |      AS t_star
+         |  FROM q1),
+         |q AS (SELECT lang_key, tok_total, weight,
+         |    CAST(t_star * weight // w_total AS BIGINT) AS quota_tok
+         |  FROM q2),
+         |c AS (SELECT lang_key, hb, tok, n,
+         |    CAST(coalesce(SUM(tok) OVER (PARTITION BY lang_key
+         |      ORDER BY hb
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM hist),
+         |k AS (SELECT q.lang_key, q.tok_total, q.weight, q.quota_tok,
+         |    CAST(sum(CASE WHEN cum_before < quota_tok THEN n ELSE 0 END)
+         |      AS BIGINT) AS n_kept,
+         |    CAST(sum(CASE WHEN cum_before < quota_tok THEN tok ELSE 0 END)
+         |      AS BIGINT) AS kept_tokens
+         |  FROM c JOIN q USING (lang_key)
+         |  GROUP BY q.lang_key, q.tok_total, q.weight, q.quota_tok)
+         |SELECT CASE WHEN lang_key = chr(0) THEN NULL ELSE lang_key END
+         |    AS lang,
+         |  tok_total, weight, quota_tok, n_kept, kept_tokens,
+         |  CASE WHEN sum(kept_tokens) OVER () > 0 THEN
+         |    CAST(kept_tokens AS DOUBLE) /
+         |      CAST(sum(kept_tokens) OVER () AS DOUBLE)
+         |  END AS realized_share
+         |FROM k ORDER BY lang NULLS FIRST""".stripMargin
+    })((s, dir) => tokenMix(s, dir)),
+
+    QueryDef.sql("pl_negative_pairs",
+      s"""WITH r AS (
+         |  SELECT doc_id, coalesce(lang, chr(0)) AS lang_key,
+         |    ((doc_id % $SampleMod) * $SampleMult + $SampleAdd)
+         |      % $SampleMod % $NegBuckets AS hb,
+         |    ((doc_id % $SampleMod) * $ShuffleMult + $ShuffleAdd)
+         |      % $SampleMod AS skey
+         |  FROM documents),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang_key, hb
+         |      ORDER BY skey, doc_id) - 1 AS rn,
+         |    count(*) OVER (PARTITION BY lang_key, hb) AS cnt
+         |  FROM r),
+         |a AS (
+         |  SELECT doc_id, lang_key, hb, rn, cnt,
+         |    unnest(range(1, $NegK + 1)) AS j
+         |  FROM rk WHERE doc_id % $NegAnchorMod = 0 AND cnt > 1),
+         |p AS (
+         |  SELECT doc_id, lang_key, hb, CAST(j AS INT) AS j,
+         |    (rn + j) % cnt AS nrn
+         |  FROM a WHERE j <= least($NegK, cnt - 1))
+         |SELECT p.doc_id,
+         |  CASE WHEN p.lang_key = chr(0) THEN NULL ELSE p.lang_key END
+         |    AS lang,
+         |  p.j, rk.doc_id AS neg_doc_id
+         |FROM p JOIN rk ON p.lang_key = rk.lang_key AND p.hb = rk.hb
+         |  AND p.nrn = rk.rn
+         |ORDER BY p.doc_id, p.j""".stripMargin)(
+      (s, dir) => negativePairs(s, dir)),
 
     QueryDef.sql("pl_corpus_pipeline",
       s"""WITH ${TextAnalysis.repetitionRelationSql},

