@@ -813,6 +813,57 @@ object Pipeline {
       .orderBy(asc_nulls_first("lang"))
   }
 
+  def tokenMixDocs(s: SparkSession, dir: String): DataFrame =
+    tokenMixDocsOn(Tables(s, dir, "documents"))
+
+  /** Row-level TOKEN-mixture resample: the documents the token budget
+    * KEEPS — acceptance is membership of the doc's (lang, hash-bucket)
+    * in the bucket-PREFIX set `cum_before < quota_tok` derived in
+    * [[tokenMixOn]], so the kept rows are exactly the audit's
+    * `n_kept`/`kept_tokens` rollup (spec-pinned).
+    *
+    * Scale shape: the accepted-bucket relation is derived from the
+    * memoized persisted [[tokenHist]] (≤ langs × [[TokenMixBuckets]]
+    * rows — it grows with DISTINCT LANGS, not the corpus), so the
+    * realized-cardinality broadcast gate ([[MaxMixQuotaRows]] ×
+    * buckets would be the true bound; the same [[domainMixDocsOn]]
+    * discipline applies) decides hash-join vs broadcast; acceptance
+    * itself needs no second corpus aggregate. */
+  def tokenMixDocsOn(documents: DataFrame): DataFrame = {
+    val hist = tokenHist(documents)
+    val wAll = Window.partitionBy()
+    val quotas = hist.groupBy("lang_key")
+      .agg(sum(col("tok")).as("tok_total"))
+      .withColumn("weight", mixWeight(col("lang_key")))
+      .withColumn("w_total", sum(col("weight")).over(wAll))
+      .withColumn("t_star",
+        min(call_function("div", col("tok_total") * col("w_total"),
+          col("weight"))).over(wAll))
+      .withColumn("quota_tok",
+        call_function("div", col("t_star") * col("weight"), col("w_total")))
+      .select("lang_key", "quota_tok")
+    val wCum = Window.partitionBy(col("lang_key")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val accepted = hist
+      .withColumn("cum_before", coalesce(sum(col("tok")).over(wCum),
+        lit(0L)))
+      .join(quotas, Seq("lang_key"))
+      .where(col("cum_before") < col("quota_tok"))
+      .select("lang_key", "hb")
+    val acceptedHinted =
+      if (accepted.count() <= MaxMixQuotaRows * TokenMixBuckets)
+        broadcast(accepted)
+      else accepted
+    documents
+      .select(col("doc_id"),
+        coalesce(col("lang"), lit(LangNullSentinel)).as("lang_key"),
+        mixHashBucket.as("hb"))
+      .join(acceptedHinted, Seq("lang_key", "hb"))
+      .select(col("doc_id"), unSentinel(col("lang_key")).as("lang"),
+        col("hb"))
+      .orderBy("doc_id")
+  }
+
   /** Contrastive NEGATIVE sampling knobs: negatives per anchor, the
     * in-stratum hash-bucket count, and the anchor sample residue. */
   val NegK = 3
@@ -1643,6 +1694,51 @@ object Pipeline {
          |  END AS realized_share
          |FROM k ORDER BY lang NULLS FIRST""".stripMargin
     })((s, dir) => tokenMix(s, dir)),
+
+    QueryDef.sql("pl_token_mix_docs", {
+      val bpe = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform($W, w ->
+        |      CAST(floor((length(w) + 3) / 4.0E0) AS BIGINT))),
+        |    (a, x) -> a + x)""".stripMargin
+      s"""WITH h AS (
+         |  SELECT doc_id, coalesce(lang, chr(0)) AS lang_key,
+         |    ((doc_id % $SampleMod) * $SampleMult + $SampleAdd)
+         |      % $SampleMod % $TokenMixBuckets AS hb,
+         |    $bpe AS tokens
+         |  FROM documents),
+         |hist AS (
+         |  SELECT lang_key, hb, CAST(sum(tokens) AS BIGINT) AS tok
+         |  FROM h GROUP BY lang_key, hb),
+         |d AS (
+         |  SELECT lang_key, CAST(sum(tok) AS BIGINT) AS tok_total,
+         |    CAST(CASE WHEN lang_key = 'en' THEN $MixEnWeight
+         |              ELSE $MixOtherWeight END AS BIGINT) AS weight
+         |  FROM hist GROUP BY lang_key),
+         |q1 AS (SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS w_total
+         |  FROM d),
+         |q2 AS (SELECT *,
+         |    CAST(min(tok_total * w_total // weight) OVER () AS BIGINT)
+         |      AS t_star
+         |  FROM q1),
+         |q AS (SELECT lang_key,
+         |    CAST(t_star * weight // w_total AS BIGINT) AS quota_tok
+         |  FROM q2),
+         |acc AS (
+         |  SELECT lang_key, hb
+         |  FROM (SELECT lang_key, hb,
+         |      CAST(coalesce(SUM(tok) OVER (PARTITION BY lang_key
+         |        ORDER BY hb
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS cum_before
+         |    FROM hist) c JOIN q USING (lang_key)
+         |  WHERE cum_before < quota_tok)
+         |SELECT h.doc_id,
+         |  CASE WHEN h.lang_key = chr(0) THEN NULL ELSE h.lang_key END
+         |    AS lang,
+         |  h.hb
+         |FROM h JOIN acc ON h.lang_key = acc.lang_key AND h.hb = acc.hb
+         |ORDER BY doc_id""".stripMargin
+    })((s, dir) => tokenMixDocs(s, dir)),
 
     QueryDef.sql("pl_negative_pairs",
       s"""WITH r AS (

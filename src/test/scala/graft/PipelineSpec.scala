@@ -816,6 +816,22 @@ class PipelineSpec extends SparkSpecBase {
     Pipeline.releaseCaches()
   }
 
+  test("token mix docs: kept rows roll up exactly to the audit's " +
+      "n_kept per lang") {
+    val audit = Pipeline.tokenMix(spark, sf).collect()
+      .map(r => Option(r.getAs[String]("lang")) ->
+        r.getAs[Long]("n_kept")).toMap
+    val perLang = Pipeline.tokenMixDocs(spark, sf).collect()
+      .groupBy(r => Option(r.getAs[String]("lang")))
+      .view.mapValues(_.length.toLong).toMap
+    audit.foreach { case (lang, kept) =>
+      assert(perLang.getOrElse(lang, 0L) == kept,
+        s"lang=$lang audit=$kept docs=${perLang.getOrElse(lang, 0L)}")
+    }
+    assert(perLang.keySet.subsetOf(audit.keySet))
+    Pipeline.releaseCaches()
+  }
+
   test("negative pairs: in-stratum, never self, <= K distinct " +
       "partners per anchor, deterministic") {
     val docs = Tables(spark, sf, "documents")
