@@ -913,6 +913,229 @@ object Events {
     Seq((n, nNullTs)).toDF("n_events", "n_null_ts")
   }
 
+  /** Exact-quantile knobs: percentile targets, histogram width, and
+    * the row cap under which a bucket goes to direct selection. */
+  val QuantilePcts = Seq(50, 90, 99)
+  val QuantileBuckets = 4096L
+  val QuantileSelectCap = 1L << 20
+
+  /** EXACT distributed order statistics — p50/p90/p99 of `ts_us` —
+    * WITHOUT a global sort: iterative histogram narrowing (the
+    * classic distributed selection algorithm, BLMPRT-style
+    * median-finding re-expressed declaratively).
+    *
+    * Each round is ONE column-pruned scan: every still-unresolved
+    * percentile target tags its rows with a bucket index over its
+    * current [lo, hi] candidate interval (integer width =
+    * (hi−lo)/B + 1, so indexes stay in [0, B)), and a partial+final
+    * aggregate ships ≤ targets × [[QuantileBuckets]] rows to the
+    * driver — bounded metadata, the codebook-class collect. The
+    * driver walks the cumulative histogram to the bucket holding the
+    * k-th value, rebases k inside it, and narrows the interval; a
+    * width-1 interval IS the answer, and a bucket under
+    * [[QuantileSelectCap]] rows resolves in one final selection scan
+    * (row_number over the ≤cap-row bucket, value at the rebased rank
+    * — order-statistic semantics make tie order irrelevant).
+    *
+    * Scale shape: intervals shrink ×B per round — 10^12 rows resolve
+    * in two histogram scans + one selection scan, and every scan's
+    * interval predicate is range-pushed to the parquet scan (row-group
+    * stats skip cold ranges). All arithmetic is integer, so the
+    * result hash-matches DuckDB's rank-arithmetic oracle bitwise. */
+  def exactQuantiles(s: SparkSession, dir: String): DataFrame =
+    exactQuantilesOn(load(s, dir).select(col("ts_us"))
+      .where(col("ts_us").isNotNull), "ts_us")
+
+  /** `selectCap`/`buckets` default to the scale knobs; specs force the
+    * histogram-narrowing loop with tiny values (the fixtures are all
+    * under the production cap) and assert loop ≡ direct selection —
+    * the CC solvers' fast-path discipline. */
+  def exactQuantilesOn(values: DataFrame, c: String,
+      selectCap: Long = QuantileSelectCap,
+      buckets: Long = QuantileBuckets): DataFrame = {
+    val s = values.sparkSession
+    import s.implicits._
+    val head = values
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
+        count(lit(1)).as("n")).head
+    if (head.isNullAt(2) || head.getLong(2) == 0L)
+      return Seq.empty[(Int, Long, Long)].toDF("pct", "k", c)
+    val n = head.getLong(2)
+    // (pct, rank-within-interval, interval) per target; k-th smallest
+    // overall = ceil(n·p/100)-th, then rebased as intervals narrow
+    var open = QuantilePcts.map(p =>
+      (p, (n * p + 99L) / 100L, head.getLong(0), head.getLong(1)))
+    var done = Seq.empty[(Int, Long, Long)] // (pct, original k, value)
+    val origK = open.map(t => t._1 -> t._2).toMap
+    var rounds = 0
+    while (open.nonEmpty && rounds < 12) {
+      rounds += 1
+      // resolved-by-pinch: a single-value interval is the answer
+      val (pinched, active) = open.partition(t => t._3 == t._4)
+      done = done ++ pinched.map(t => (t._1, origK(t._1), t._3))
+      // small-bucket targets go to one shared selection scan
+      val counts =
+        if (active.isEmpty) Map.empty[Int, Long]
+        else {
+          val tagged = active.zipWithIndex.map { case ((_, _, lo, hi), i) =>
+            when(col(c).between(lo, hi), lit(i)) }
+          values
+            .where(col(c).between(active.map(_._3).min, active.map(_._4).max))
+            .select(explode(array_compact(array(tagged: _*))).as("tid"))
+            .groupBy("tid").agg(count(lit(1)).as("cnt"))
+            .collect().map(r => active(r.getAs[Int]("tid"))._1 ->
+              r.getAs[Long]("cnt")).toMap
+        }
+      val (small, big) = active.partition(t =>
+        counts.getOrElse(t._1, 0L) <= selectCap)
+      if (small.nonEmpty) {
+        val sel = small.zipWithIndex.map { case ((_, k, lo, hi), i) =>
+          (i, k, lo, hi) }
+        val tagged = sel.map { case (i, _, lo, hi) =>
+          when(col(c).between(lo, hi), lit(i)) }
+        val w = Window.partitionBy(col("tid")).orderBy(col(c))
+        val kOf = typedLit(sel.map(t => t._1 -> t._2).toMap)
+        val picked = values
+          .where(col(c).between(small.map(_._3).min, small.map(_._4).max))
+          .select(col(c), explode(array_compact(array(tagged: _*))).as("tid"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === element_at(kOf, col("tid")))
+          .select("tid", c).collect()
+          .map(r => (small(r.getAs[Int]("tid"))._1,
+            origK(small(r.getAs[Int]("tid"))._1), r.getAs[Long](c)))
+        done = done ++ picked
+      }
+      // histogram round for the rest: walk to the k-th value's bucket
+      open = if (big.isEmpty) Nil else {
+        val tagged = big.zipWithIndex.map { case ((_, _, lo, hi), i) =>
+          val width = (hi - lo) / buckets + 1L
+          when(col(c).between(lo, hi),
+            struct(lit(i).as("tid"),
+              call_function("div", col(c) - lit(lo), lit(width)).as("b"))) }
+        val hist = values
+          .where(col(c).between(big.map(_._3).min, big.map(_._4).max))
+          .select(explode(array_compact(array(tagged: _*))).as("tb"))
+          .groupBy(col("tb.tid").as("tid"), col("tb.b").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect().groupBy(_.getAs[Int]("tid"))
+        big.zipWithIndex.map { case ((p, k, lo, hi), i) =>
+          val width = (hi - lo) / buckets + 1L
+          val cells = hist(i).map(r =>
+            r.getAs[Long]("b") -> r.getAs[Long]("cnt")).sortBy(_._1)
+          // inclusive-cumulative walk to the bucket holding the k-th
+          val cums = cells.scanLeft((0L, 0L, 0L)) {
+            case ((_, _, cum), (b, cnt)) => (b, cnt, cum + cnt) }.drop(1)
+          val (b, cnt, cumIncl) = cums.find(_._3 >= k).get
+          val before = cumIncl - cnt
+          (p, k - before, lo + b * width, math.min(hi, lo + (b + 1) * width - 1L))
+        }
+      }
+    }
+    require(open.isEmpty, s"quantile narrowing did not converge: $open")
+    done.toDF("pct", "k", c).orderBy("pct")
+  }
+
+  /** Histogram width for the GROUPED narrowing: smaller than the
+    * scalar knob because the driver collect is targets × B cells and
+    * targets grows with group cardinality. */
+  val GroupQuantileBuckets = 512L
+
+  /** GROUPED exact order statistics — per-`event_type` p50/p90/p99 of
+    * `ts_us` — the same histogram-narrowing protocol as
+    * [[exactQuantilesOn]] but with every group's still-open targets
+    * resolved in the SAME scan per round, and the per-round target
+    * state carried as a size-gated broadcast relation
+    * ([[VectorSearch.broadcastIfSmall]]) instead of a `when`-chain, so
+    * group cardinality widens a join, never the projection.
+    *
+    * Per round: values ⋈ targets on group equality (+ interval range
+    * as the probe-side residual) → groupBy(target, bucket) partial+
+    * final aggregate → ≤ targets × [[GroupQuantileBuckets]] cells to
+    * the driver. The histogram doubles as the interval row count, so
+    * a target whose interval has dropped under [[QuantileSelectCap]]
+    * rows resolves in the shared per-round selection scan
+    * (row_number over its ≤cap rows at the rebased rank); width-1
+    * intervals are answers outright. All-identical groups pinch in
+    * round one (lo == hi).
+    *
+    * Scale shape: one scan per round TOTAL across all groups (not per
+    * group — the failure mode of per-group percentile_exact), join
+    * mass only the rows still inside some open interval, intervals
+    * shrink ×B per round. Integer arithmetic throughout ⇒ bitwise
+    * equal to DuckDB's per-group rank walk. */
+  def groupQuantiles(s: SparkSession, dir: String): DataFrame =
+    groupQuantilesOn(
+      load(s, dir).select(col("event_type"), col("ts_us"))
+        .where(col("ts_us").isNotNull && col("event_type").isNotNull),
+      "event_type", "ts_us")
+
+  def groupQuantilesOn(values: DataFrame, g: String, c: String,
+      selectCap: Long = QuantileSelectCap,
+      buckets: Long = GroupQuantileBuckets): DataFrame = {
+    val s = values.sparkSession
+    import s.implicits._
+    // one scan: per-group bounds + counts seed the target state
+    var open = values.groupBy(col(g))
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"), count(lit(1)).as("n"))
+      .collect().toSeq.flatMap { r =>
+        val (gv, lo, hi, n) =
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        QuantilePcts.map(p => (gv, p, (n * p + 99L) / 100L, lo, hi, n))
+      }
+    val origK = open.map(t => (t._1, t._2) -> t._3).toMap
+    var done = Seq.empty[(String, Int, Long, Long)] // (gv, pct, k, value)
+    var rounds = 0
+    while (open.nonEmpty && rounds < 12) {
+      rounds += 1
+      val (pinched, unpinched) = open.partition(t => t._4 == t._5)
+      done = done ++ pinched.map(t => (t._1, t._2, origK((t._1, t._2)), t._4))
+      // interval under the cap (count carried from last round's
+      // histogram, or the seed scan) → this round's selection scan
+      val (small, big) = unpinched.partition(_._6 <= selectCap)
+      if (small.nonEmpty) {
+        val sel = small.zipWithIndex.map { case ((gv, _, k, lo, hi, _), i) =>
+          (i, gv, k, lo, hi) }
+          .toDF("tid", "gv", "k", "lo", "hi")
+        val w = Window.partitionBy(col("tid")).orderBy(col(c))
+        val picked = values
+          .join(VectorSearch.broadcastIfSmall(sel),
+            col(g) === col("gv") && col(c).between(col("lo"), col("hi")))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === col("k"))
+          .select(col("tid"), col(c)).collect()
+          .map { r =>
+            val t = small(r.getAs[Int]("tid"))
+            (t._1, t._2, origK((t._1, t._2)), r.getAs[Long](c)) }
+        done = done ++ picked
+      }
+      // histogram round for the rest: one scan for ALL open targets
+      open = if (big.isEmpty) Nil else {
+        val tgt = big.zipWithIndex.map { case ((gv, _, _, lo, hi, _), i) =>
+          (i, gv, lo, hi, (hi - lo) / buckets + 1L) }
+          .toDF("tid", "gv", "lo", "hi", "width")
+        val hist = values
+          .join(VectorSearch.broadcastIfSmall(tgt),
+            col(g) === col("gv") && col(c).between(col("lo"), col("hi")))
+          .groupBy(col("tid"),
+            call_function("div", col(c) - col("lo"), col("width")).as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect().groupBy(_.getAs[Int]("tid"))
+        big.zipWithIndex.map { case ((gv, p, k, lo, hi, _), i) =>
+          val width = (hi - lo) / buckets + 1L
+          val cells = hist(i).map(r =>
+            r.getAs[Long]("b") -> r.getAs[Long]("cnt")).sortBy(_._1)
+          val cums = cells.scanLeft((0L, 0L, 0L)) {
+            case ((_, _, cum), (b, cnt)) => (b, cnt, cum + cnt) }.drop(1)
+          val (b, cnt, cumIncl) = cums.find(_._3 >= k).get
+          (gv, p, k - (cumIncl - cnt), lo + b * width,
+            math.min(hi, lo + (b + 1) * width - 1L), cnt)
+        }
+      }
+    }
+    require(open.isEmpty, s"grouped quantile narrowing did not converge: $open")
+    done.toDF(g, "pct", "k", c).orderBy(g, "pct")
+  }
+
   /** METADATA-SERVED table bounds: the dashboard freshness probe —
     * `min(ts_us), max(ts_us), count(*)` — answered entirely from the
     * snapshot's sidecars through [[graft.sources.GraftFileIndex]]'s
@@ -1311,6 +1534,31 @@ object Events {
         |  max(epoch_us(ts)) AS max_ts_us,
         |  count(*) AS n_events
         |FROM events""".stripMargin)((s, dir) => metaBounds(s, dir)),
+
+    QueryDef.sql("ev_exact_quantiles",
+      """WITH v AS (
+        |  SELECT epoch_us(ts) AS ts_us FROM events WHERE ts IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT ts_us, row_number() OVER (ORDER BY ts_us) AS rn FROM v),
+        |t AS (SELECT p, (n.n * p + 99) // 100 AS k
+        |  FROM (VALUES (50), (90), (99)) AS q(p), n)
+        |SELECT t.p AS pct, t.k AS k, r.ts_us
+        |FROM t JOIN r ON r.rn = t.k ORDER BY pct""".stripMargin)(
+      (s, dir) => exactQuantiles(s, dir)),
+
+    QueryDef.sql("ev_group_quantiles",
+      """WITH v AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+        |r AS (SELECT event_type, ts_us, row_number()
+        |    OVER (PARTITION BY event_type ORDER BY ts_us) AS rn FROM v),
+        |t AS (SELECT n.event_type, p, (n.n * p + 99) // 100 AS k
+        |  FROM (VALUES (50), (90), (99)) AS q(p), n)
+        |SELECT t.event_type, t.p AS pct, t.k AS k, r.ts_us
+        |FROM t JOIN r ON r.event_type = t.event_type AND r.rn = t.k
+        |ORDER BY t.event_type, pct""".stripMargin)(
+      (s, dir) => groupQuantiles(s, dir)),
 
     QueryDef.sql("ev_connector_point",
       """WITH b AS (

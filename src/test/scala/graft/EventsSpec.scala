@@ -421,4 +421,60 @@ class EventsSpec extends SparkSpecBase {
       .readAsOfInferred(spark, path, "diff", v1).drop("collection")
     assert(now.exceptAll(at1).isEmpty && at1.exceptAll(now).isEmpty)
   }
+
+  test("exact quantiles: histogram-narrowing loop forced by a tiny " +
+      "selection cap is bit-identical to the direct-selection fast path") {
+    import spark.implicits._
+    val vals = Events.load(spark, sf)
+      .select(col("ts_us")).where(col("ts_us").isNotNull)
+    val fast = Events.exactQuantilesOn(vals, "ts_us").collect().toSeq
+    // cap=1 and a narrow histogram make EVERY resolution go through
+    // repeated interval narrowing (the fixtures are all under the
+    // production cap, so nothing else exercises the loop)
+    val loop = Events.exactQuantilesOn(vals, "ts_us",
+      selectCap = 1L, buckets = 16L).collect().toSeq
+    assert(fast == loop)
+    assert(fast.size == Events.QuantilePcts.size)
+    // sanity of the order-statistic contract: exactly k-1 values below
+    // the answer is not required (ties), but AT LEAST n-k at-or-above
+    // and k at-or-below always hold
+    val n = vals.count()
+    fast.foreach { r =>
+      val (k, v) = (r.getLong(1), r.getLong(2))
+      assert(vals.where(col("ts_us") <= v).count() >= k)
+      assert(vals.where(col("ts_us") < v).count() < k)
+    }
+  }
+
+  test("grouped exact quantiles: loop ≡ fast path, all-identical " +
+      "groups pinch, and duplicate-heavy data resolves") {
+    import spark.implicits._
+    val df = Seq.tabulate(500)(i => ("a", (i % 7).toLong)) // heavy ties
+      .++(Seq.fill(40)(("b", 42L)))                        // constant group
+      .++(Seq.tabulate(100)(i => ("c", i.toLong * 1000001L))) // wide range
+      .toDF("g", "v")
+    val fast = Events.groupQuantilesOn(df, "g", "v").collect().toSeq
+    val loop = Events.groupQuantilesOn(df, "g", "v",
+      selectCap = 1L, buckets = 4L).collect().toSeq
+    assert(fast == loop)
+    // group b: every pct answers 42 via the pinch arm
+    assert(fast.filter(_.getString(0) == "b").forall(_.getLong(3) == 42L))
+    // group a: p50 of 500 values cycling 0..6 → k=250 → value 3
+    val a50 = fast.find(r => r.getString(0) == "a" && r.getInt(1) == 50).get
+    assert(a50.getLong(3) == 3L)
+    // the real-fixture grouped face agrees with per-group scalar runs
+    val ev = Events.load(spark, sf)
+      .select(col("event_type"), col("ts_us"))
+      .where(col("ts_us").isNotNull && col("event_type").isNotNull)
+    val grouped = Events.groupQuantilesOn(ev, "event_type", "ts_us")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val types = ev.select("event_type").distinct().as[String].collect()
+    types.foreach { t =>
+      val one = Events.exactQuantilesOn(
+        ev.where(col("event_type") === t).select("ts_us"), "ts_us")
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      Events.QuantilePcts.foreach { p =>
+        assert(grouped((t, p)) == one(p), s"group $t p$p") }
+    }
+  }
 }
