@@ -250,6 +250,7 @@ object Bench {
     graft.operators.Events.releaseCaches()
     graft.operators.Multimodal.releaseCaches()
     graft.operators.Ann.releaseCaches()
+    graft.operators.TextAnalysis.releaseCaches()
     spark.stop()
   }
 }

@@ -16,6 +16,8 @@ object DevExplain {
     graft.operators.MlIndex.releaseCaches()
     graft.operators.Events.releaseCaches()
     graft.operators.Multimodal.releaseCaches()
+    graft.operators.Ann.releaseCaches()
+    graft.operators.TextAnalysis.releaseCaches()
     spark.stop()
   }
 }

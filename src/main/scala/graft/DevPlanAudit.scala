@@ -59,6 +59,7 @@ object DevPlanAudit {
     graft.operators.Events.releaseCaches()
     graft.operators.Multimodal.releaseCaches()
     graft.operators.Ann.releaseCaches()
+    graft.operators.TextAnalysis.releaseCaches()
     spark.stop()
   }
 }

@@ -39,6 +39,7 @@ object DevProfile {
     graft.operators.Events.releaseCaches()
     graft.operators.Multimodal.releaseCaches()
     graft.operators.Ann.releaseCaches()
+    graft.operators.TextAnalysis.releaseCaches()
     spark.stop()
   }
 }

@@ -28,6 +28,7 @@ object DevShowFilter {
     }
     graft.operators.Dedup.releaseCaches()
     graft.operators.Ann.releaseCaches()
+    graft.operators.TextAnalysis.releaseCaches()
     spark.stop()
   }
 }

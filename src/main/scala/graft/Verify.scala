@@ -48,6 +48,7 @@ object Verify {
     graft.operators.Events.releaseCaches()
     graft.operators.Multimodal.releaseCaches()
     graft.operators.Ann.releaseCaches()
+    graft.operators.TextAnalysis.releaseCaches()
     spark.stop()
   }
 }

@@ -50,6 +50,21 @@ object TextFunctions {
     * cross-checking. */
   def polyHash(s: Column): Column = PolyHashExpr.polyHashNative(s)
 
+  /** Driver-side twin of [[polyHash]] (same fold as
+    * [[PolyHashExpr.nullSafeEval]]) — lets planning code compute the
+    * same bucket a stored layout was partitioned by (probe selection
+    * over [[graft.operators.TextAnalysis.buildTextIndex]]'s postings)
+    * without a one-row Spark job. */
+  def polyHashLocal(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * HashMult + s.charAt(i)) % HashMod
+      i += 1
+    }
+    h
+  }
+
   /** HOF reference implementation of [[polyHash]] (interpreted, O(len^2)
     * — each substr rescans the string; test/spec use only).
     * Empty string -> 0 (guarded: Spark's sequence(1,0) counts DOWN,

@@ -303,4 +303,48 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(t.getAs[Double]("est_union") ==
       t.getAs[Long]("n_union").toDouble)
   }
+
+  test("stored inverted index: probe is bkt partition pruning, result " +
+      "bitwise equals the compute-on-scan bm25Multi, bucket holds " +
+      "whole posting lists") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = Files.createTempDirectory("graft_text_index").toString
+    TextAnalysis.buildTextIndex(docs, dir)
+
+    // the probe's scan prunes directories on bkt (IN partition filter)
+    val stored = TextAnalysis.bm25StoredTopK(spark, dir,
+      TextAnalysis.Bm25QuerySuite, TextAnalysis.Bm25TopK)
+    val plan = stored.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters:") && plan.contains("bkt"),
+      s"stored probe must prune on bkt:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*bkt[^\\]]*IN".r
+      .findFirstIn(plan).nonEmpty,
+      s"probe set must be an IN partition filter:\n$plan")
+
+    // bitwise equality with the scan face (same bm25Rank tail)
+    val got = stored.collect().map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+      r.getAs[Double]("score"), r.getAs[Int]("rnk"))).toSeq
+    val expect = TextAnalysis.bm25Multi(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("dl"), r.getAs[Double]("score"),
+        r.getAs[Int]("rnk"))).toSeq
+    assert(got == expect)
+
+    // the df-window invariant: every word's postings live in exactly
+    // one bucket directory (partitioned by polyHash(word) % B)
+    val spread = spark.read.parquet(dir + "/postings")
+      .groupBy("word").agg(countDistinct(col("bkt")).as("nb"))
+      .where(col("nb") > 1).count()
+    assert(spread == 0L)
+
+    // driver-side bucket twin agrees with the stored layout
+    val bkts = spark.read.parquet(dir + "/postings")
+      .select("word", "bkt").distinct().collect()
+    bkts.foreach { r =>
+      assert(polyHashLocal(r.getString(0)) % TextAnalysis.TextIndexBuckets
+        == r.getAs[Int]("bkt").toLong, r.getString(0)) }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
