@@ -45,13 +45,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * instance — the same planning cost Delta/Iceberg pay for their
   * stats, with no executor involvement. */
 final class GraftFileIndex(spark: SparkSession, tablePath: String,
-    collection: String) extends FileIndex {
+    collection: String, asOfSeq: Long = Long.MaxValue) extends FileIndex {
 
   private val fs: FileSystem = ManifestStore.fsOf(spark, tablePath)
 
-  @volatile private var segs: Seq[Long] =
-    ManifestStore.resolve(fs, tablePath, collection)
-      .liveSegs.toSeq.flatten
+  /** Time travel: a non-default `asOfSeq` pins the snapshot to the
+    * state just after that commit ([[ManifestStore.resolveAt]]'s
+    * ceiling — the `versionAsOf` reader option), with [[readAsOf]]'s
+    * resolvability contract: an unretained (vacuumed) or never-
+    * committed version is an ERROR, never an empty frame. */
+  private def resolveSegs(): Seq[Long] = {
+    val r = ManifestStore.resolveAt(fs, tablePath, collection, asOfSeq)
+    if (asOfSeq != Long.MaxValue)
+      require(r.decidedSeq > 0L,
+        s"snapshot $asOfSeq of collection '$collection' is not " +
+          "resolvable: " + (if (r.minRetainedSeq > 0L)
+            s"oldest retained commit is ${r.minRetainedSeq} (earlier " +
+              "history was vacuumed or never existed)"
+          else "the collection has no committed history"))
+    r.liveSegs.toSeq.flatten
+  }
+
+  @volatile private var segs: Seq[Long] = resolveSegs()
 
   // sidecar + listing memos — per index instance, invalidated by
   // refresh()
@@ -182,8 +197,9 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
   override def sizeInBytes: Long = segs.flatMap(segFiles).map(_.getLen).sum
 
   override def refresh(): Unit = {
-    segs = ManifestStore.resolve(fs, tablePath, collection)
-      .liveSegs.toSeq.flatten
+    // a version-pinned index re-resolves at the SAME ceiling: the pin
+    // is part of the relation's identity, refresh only re-lists
+    segs = resolveSegs()
     statsMemo.clear(); bloomMemo.clear(); countMemo.clear()
     rowsMemo.clear(); filesMemo.clear()
   }
@@ -391,7 +407,14 @@ final class GraftSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val path = required(parameters, "path")
     val collection = required(parameters, "collection")
-    val index = new GraftFileIndex(spark, path, collection)
+    // time travel: .option("versionAsOf", <ptr_seq>) pins the snapshot
+    // to that commit (the DESCRIBE-HISTORY `ptr_seq` /
+    // `diffVersions` coordinate); absent = latest
+    val asOf = parameters.get("versionAsOf").map { v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft option 'versionAsOf' must be a commit sequence, got '$v'"))
+    }.getOrElse(Long.MaxValue)
+    val index = new GraftFileIndex(spark, path, collection, asOf)
     HadoopFsRelation(index, StructType(Nil), index.dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
   }

@@ -516,6 +516,47 @@ class GraftSourceSpec extends SparkSpecBase {
     // replay no-ops (their orphan segments are unreferenced)
     assert(readSrc(table).where(col("k") >= 100L).count() == 1L)
   }
+
+  test("time travel: versionAsOf pins the connector to a commit, " +
+      "agrees with readAsOfInferred, unresolvable versions fail loud") {
+    import spark.implicits._
+    val table = buildTable() // three commits: seqs 1, 2, 3
+    def atv(v: Long): DataFrame = spark.read.format("graft")
+      .option("path", table).option("collection", "m")
+      .option("versionAsOf", v.toString).load()
+    // commit 1 = first 10 keys; commit 2 adds the 100s; 3 the 200s
+    assert(atv(1L).count() == 10L && atv(2L).count() == 20L)
+    Seq(1L, 2L, 3L).foreach { v =>
+      val via = ManifestStore.readAsOfInferred(spark, table, "m", v)
+        .drop("collection")
+      val got = atv(v)
+      assert(got.exceptAll(via).isEmpty && via.exceptAll(got).isEmpty, s"v$v")
+    }
+    // pinned snapshot: filters still prune within the old version
+    val plan1 = atv(1L).where(col("k") >= 200L)
+    assert(plan1.count() == 0L) // keys 200.. don't exist at v1
+    // a later append does not leak into a version-pinned frame
+    val pinned = atv(2L)
+    ManifestStore.store(Seq((400L, "n400", 800.0)).toDF("k", "name", "v")
+      .repartition(1), table, "m")
+    assert(pinned.count() == 20L)
+    assert(readSrc(table).count() == 31L)
+    // ceiling semantics, readAsOf parity: "as of commit 999" = the
+    // state after the newest commit <= 999, i.e. latest
+    assert(atv(999L).count() == 31L)
+    // a vacuumed-away version is an ERROR, never an empty frame
+    val pruned = ManifestStore.vacuum(spark, table,
+      minAgeMs = -1000L, tagMinAgeMs = -1000L)
+    assert(pruned.nonEmpty, "vacuum should prune superseded pointers")
+    intercept[Exception] { atv(2L).count() }
+    assert(readSrc(table).count() == 31L) // latest unaffected
+    // non-numeric versions are errors too
+    intercept[Exception] {
+      spark.read.format("graft").option("path", table)
+        .option("collection", "m").option("versionAsOf", "abc")
+        .load().count()
+    }
+  }
 }
 
 /** [[GraftTestFs]] plus a static counter of `seg=` DIRECTORY listings
