@@ -457,6 +457,47 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** DuckDB oracle for the fixed-terms BM25 ([[bm25On]]) — used by
+    * `text_bm25` and composed by `vs_rrf_fusion`'s oracle (the lexical
+    * ranking half of reciprocal-rank fusion). */
+  private[operators] def bm25OracleSql(terms: Seq[String],
+      k: Int): String = {
+    val termSql = terms.map { t =>
+      s"""(((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5E0)
+         |    / (CAST(df_$t AS DOUBLE) + 0.5E0))
+         |  * (CAST(tf_$t AS DOUBLE) * 2.2E0))
+         |/ (CAST(tf_$t AS DOUBLE) + 1.2E0 *
+         |   (0.25E0 + 0.75E0 * (CAST(dl AS DOUBLE)
+         |     / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
+        .stripMargin
+    }.mkString("(", ")\n + (", ")")
+    val dfSql = terms.map(t =>
+      s"""CAST(sum(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS df_$t""".stripMargin).mkString(",\n")
+    val tfSql = terms.map(t =>
+      s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT doc_id, $W AS ws FROM documents),
+       |b AS (
+       |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
+       |  FROM d WHERE len(ws) > 0),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |$dfSql
+       |  FROM b),
+       |sc AS (
+       |  SELECT doc_id, dl,
+       |$tfSql,
+       |    n_docs, sum_dl, ${terms.map(t => s"df_$t").mkString(", ")}
+       |  FROM b CROSS JOIN st)
+       |SELECT doc_id, dl, ${terms.map(t => s"tf_$t").mkString(", ")},
+       |  $termSql AS score
+       |FROM sc
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** DuckDB oracle shared by `text_bm25_multi` AND `text_index_search`
     * — the stored face must reproduce the scan face exactly, so they
     * are checked against the SAME rank-retrieval SQL. */
@@ -851,42 +892,8 @@ object TextAnalysis {
       (s, dir) => repetitionStats(Tables(s, dir, "documents"))
     },
 
-    QueryDef.sql("text_bm25", {
-      val termSql = Bm25Terms.map { t =>
-        s"""(((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5E0)
-           |    / (CAST(df_$t AS DOUBLE) + 0.5E0))
-           |  * (CAST(tf_$t AS DOUBLE) * 2.2E0))
-           |/ (CAST(tf_$t AS DOUBLE) + 1.2E0 *
-           |   (0.25E0 + 0.75E0 * (CAST(dl AS DOUBLE)
-           |     / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
-          .stripMargin
-      }.mkString("(", ")\n + (", ")")
-      val dfSql = Bm25Terms.map(t =>
-        s"""CAST(sum(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END)
-           |      AS BIGINT) AS df_$t""".stripMargin).mkString(",\n")
-      val tfSql = Bm25Terms.map(t =>
-        s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf_$t")
-        .mkString(",\n")
-      s"""WITH d AS (
-         |  SELECT doc_id, $W AS ws FROM documents),
-         |b AS (
-         |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
-         |  FROM d WHERE len(ws) > 0),
-         |st AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(dl) AS BIGINT) AS sum_dl,
-         |$dfSql
-         |  FROM b),
-         |sc AS (
-         |  SELECT doc_id, dl,
-         |$tfSql,
-         |    n_docs, sum_dl, ${Bm25Terms.map(t => s"df_$t").mkString(", ")}
-         |  FROM b CROSS JOIN st)
-         |SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
-         |  $termSql AS score
-         |FROM sc
-         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
-    })((s, dir) => bm25(s, dir)),
+    QueryDef.sql("text_bm25", bm25OracleSql(Bm25Terms, Bm25TopK))(
+      (s, dir) => bm25(s, dir)),
 
     QueryDef.sql("text_bm25_multi", bm25MultiOracleSql)(
       (s, dir) => bm25Multi(s, dir)),

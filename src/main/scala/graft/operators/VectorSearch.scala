@@ -375,6 +375,44 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** RRF knobs: the canonical smoothing constant (Cormack et al.'s
+    * k=60) and the per-modality retrieval depth. */
+  val RrfC = 60
+  val RrfPool = 20
+
+  /** RECIPROCAL-RANK FUSION — the other canonical hybrid
+    * ([[hybridSearch]] blends SCORES; RRF fuses RANKS, immune to the
+    * score-scale mismatch between BM25 and cosine): each modality
+    * retrieves its top-`n` independently (lexical =
+    * [[TextAnalysis.bm25On]] over the fixed terms, dense =
+    * [[topKCosine]]), a document's fused score is
+    * Σ 1/(C + rank_modality) over the modalities that retrieved it,
+    * missing modalities contribute 0.
+    *
+    * Scale shape: each retrieval is the modality's own optimal plan
+    * (scan-speed shuffle-free top-n); everything AFTER runs on two
+    * n-row relations — the rank windows are single-partition over n
+    * rows and the full-outer fusion join moves 2n rows, constants
+    * regardless of corpus size. Fused floats are one division and one
+    * addition per term in fixed order — bitwise across engines. */
+  def rrfFusion(emb: DataFrame, docs: DataFrame, n: Int = RrfPool,
+      k: Int = K): DataFrame = {
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = TextAnalysis.bm25On(docs, TextAnalysis.Bm25Terms, n)
+      .select(col("doc_id"), row_number().over(wLex).as("rnk_lex"))
+    val wDense = Window.orderBy(col("cos_sim").desc, col("vec_id"))
+    val dense = topKCosine(emb, n)
+      .select(col("vec_id"), row_number().over(wDense).as("rnk_dense"))
+    def term(rnk: Column): Column = coalesce(
+      lit(1.0) / (lit(RrfC.toDouble) + rnk.cast("double")), lit(0.0))
+    lex.join(dense, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        col("rnk_lex"), col("rnk_dense"),
+        (term(col("rnk_lex")) + term(col("rnk_dense"))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-label norm profile of the embedding table — the index-health
     * scan run before building an ANN index (zero-norm or wildly-scaled
     * vectors break cosine assumptions). Norms are per-row sequential
@@ -414,6 +452,43 @@ object VectorSearch {
          |ORDER BY hybrid_score DESC, vec_id LIMIT $K""".stripMargin
     }) { (s, dir) =>
       hybridSearch(Tables(s, dir, "embeddings"), Tables(s, dir, "documents"))
+    },
+
+    QueryDef.sql("vs_rrf_fusion", {
+      val lexSql = TextAnalysis
+        .bm25OracleSql(TextAnalysis.Bm25Terms, RrfPool)
+      s"""WITH lexr AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         |      AS rnk_lex
+         |  FROM ($lexSql)),
+         |q AS (SELECT $qRawSql AS v),
+         |dtop AS (
+         |  SELECT vec_id,
+         |    CASE WHEN sqrt(${dotSeqSql("q.v", "q.v", Dim)}) *
+         |       sqrt(${dotSeqSql(embD, embD, Dim)}) > 0.0
+         |    THEN ${dotSeqSql("q.v", embD, Dim)} /
+         |      (sqrt(${dotSeqSql("q.v", "q.v", Dim)}) *
+         |       sqrt(${dotSeqSql(embD, embD, Dim)})) END AS cos_sim
+         |  FROM embeddings, q
+         |  ORDER BY cos_sim DESC, vec_id LIMIT $RrfPool),
+         |dnsr AS (
+         |  SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INT)
+         |      AS rnk_dense
+         |  FROM dtop),
+         |f AS (
+         |  SELECT coalesce(l.doc_id, d.vec_id) AS doc_id,
+         |    rnk_lex, rnk_dense,
+         |    coalesce(1.0E0 / (${RrfC.toDouble}E0 + CAST(rnk_lex AS DOUBLE)),
+         |      0.0E0)
+         |    + coalesce(1.0E0 / (${RrfC.toDouble}E0 + CAST(rnk_dense AS DOUBLE)),
+         |      0.0E0) AS rrf_score
+         |  FROM lexr l FULL OUTER JOIN dnsr d ON l.doc_id = d.vec_id)
+         |SELECT doc_id, rnk_lex, rnk_dense, rrf_score
+         |FROM f ORDER BY rrf_score DESC, doc_id LIMIT $K""".stripMargin
+    }) { (s, dir) =>
+      rrfFusion(Tables(s, dir, "embeddings"), Tables(s, dir, "documents"))
     },
 
     QueryDef.sql("vs_norm_stats",
