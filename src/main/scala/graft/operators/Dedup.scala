@@ -794,7 +794,7 @@ object Dedup {
   private val docsManifestCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), (String, Long)]()
 
-  private def manifestDocsTable(s: org.apache.spark.sql.SparkSession,
+  private[operators] def manifestDocsTable(s: org.apache.spark.sql.SparkSession,
       dir: String): (String, Long) = {
     val key = (s, dir)
     Option(docsManifestCache.get(key)).getOrElse {

@@ -347,4 +347,42 @@ class TextAnalysisSpec extends SparkSpecBase {
         == r.getAs[Int]("bkt").toLong, r.getString(0)) }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("incremental index refresh: delta-only append (base files " +
+      "untouched), merged stats exact, answers bitwise like a " +
+      "full-corpus build") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.where(col("doc_id") % 10 =!= 1)
+    val batch = docs.where(col("doc_id") % 10 === 1)
+    val dir = Files.createTempDirectory("graft_text_refresh").toString
+    TextAnalysis.buildTextIndex(corpus, dir)
+    def postingFiles() = spark.read.parquet(dir + "/postings")
+      .inputFiles.toSet
+    val before = postingFiles()
+    TextAnalysis.refreshTextIndex(batch, dir)
+    val after = postingFiles()
+    // append-only maintenance: every base file survives, new files add
+    assert(before.subsetOf(after) && after.size > before.size)
+    // merged stats equal a from-scratch aggregate
+    val st = spark.read.parquet(dir + "/stats").head
+    val full = docs
+      .select(size(words(col("text"))).cast("long").as("dl"))
+      .where(col("dl") > 0)
+      .agg(count(lit(1)), sum(col("dl"))).head
+    assert(st.getLong(0) == full.getLong(0) &&
+      st.getLong(1) == full.getLong(1))
+    // refreshed index answers bitwise like the full build
+    val fullDir = Files.createTempDirectory("graft_text_full").toString
+    TextAnalysis.buildTextIndex(docs, fullDir)
+    def ask(d: String) = TextAnalysis.bm25StoredTopK(spark, d,
+      TextAnalysis.Bm25QuerySuite, TextAnalysis.Bm25TopK).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rnk"))).toSeq
+    assert(ask(dir) == ask(fullDir))
+    Seq(dir, fullDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
 }
