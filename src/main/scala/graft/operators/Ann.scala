@@ -100,6 +100,56 @@ object Ann {
     ivfAssign(emb)
       .write.mode("overwrite").partitionBy("cent_id").parquet(path)
 
+  /** INCREMENTAL index maintenance — faiss's train-then-add applied to
+    * the materialized layout: new vectors are assigned with the
+    * STORE'S OWN codebook (the centroid rows it already holds — fixed
+    * at build time, exactly like a trained faiss index) and appended
+    * into their cells' existing `cent_id=` directories. Refresh cost
+    * scales with the batch (one scan-side assignment projection + an
+    * append write), never the store; probes over the refreshed store
+    * are bitwise a full rebuild's because assignment arithmetic and
+    * codebook are identical. The codebook rows themselves must be part
+    * of the initial build — they ARE the trained index. */
+  def refreshIvfIndex(batch: DataFrame, path: String): Unit = {
+    val s = batch.sparkSession
+    val cb = s.read.parquet(path)
+      .where(col("vec_id").isin(CentroidIds: _*))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+    ivfAssign(batch, cb)
+      .write.mode("append").partitionBy("cent_id").parquet(path)
+  }
+
+  /** Memoized REFRESHED IVF store behind `ann_ivf_refresh`: base build
+    * over everything but the held-out batch slice (centroids always in
+    * the base — the train set), then [[refreshIvfIndex]] appends the
+    * batch. Searches must answer bitwise like the full-corpus store —
+    * the driver's oracle recomputes assignment from scratch. */
+  private val ivfRefreshed = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private[graft] def refreshedIvfStoreFor(s: SparkSession,
+      dir: String): String = {
+    val key = (s, dir)
+    Option(ivfRefreshed.get(key)).getOrElse {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivf-refresh-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
+      val emb = Tables(s, dir, "embeddings")
+      val batchPred = col("vec_id") % 10 === 1 &&
+        !col("vec_id").isin(CentroidIds: _*)
+      buildIvfIndex(emb.where(!batchPred), path)
+      refreshIvfIndex(emb.where(batchPred), path)
+      Option(ivfRefreshed.putIfAbsent(key, path)).map { prev =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)); prev // racing builder
+      }.getOrElse(path)
+    }
+  }
+
   /** Memoized materialized IVF store for a fixture dir — the implicit
     * index behind the `ann_ivf_stored` declared query (built once per
     * (session, dir) into a temp path, the [[graft.operators.Events
@@ -128,11 +178,13 @@ object Ann {
   /** Drop every memoized materialized IVF store (the explicit release
     * half of the implicit index; every main calls this on shutdown). */
   def releaseCaches(): Unit = {
-    val it = ivfStores.values().iterator()
-    while (it.hasNext)
-      org.apache.commons.io.FileUtils
-        .deleteQuietly(new java.io.File(it.next()))
-    ivfStores.clear()
+    Seq(ivfStores, ivfRefreshed).foreach { m =>
+      val it = m.values().iterator()
+      while (it.hasNext)
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(it.next()))
+      m.clear()
+    }
   }
 
   /** Bucket occupancy histogram — the "index statistics" view. */
@@ -1050,6 +1102,14 @@ object Ann {
     // PartitionFilters plan shape)
     QueryDef.sql("ann_ivf_stored", ivfTopKOracleSql) {
       (s, dir) => ivfTopKStored(s.read.parquet(ivfStoreFor(s, dir)))
+    },
+
+    // the INCREMENTALLY refreshed store (base build + batch append
+    // assigned by the store's own codebook) answers the same oracle:
+    // refresh must be indistinguishable from a rebuild
+    QueryDef.sql("ann_ivf_refresh", ivfTopKOracleSql) {
+      (s, dir) =>
+        ivfTopKStored(s.read.parquet(refreshedIvfStoreFor(s, dir)))
     },
 
     QueryDef.sql("ann_filtered_ivf",

@@ -115,4 +115,37 @@ class AnnPartitionSpec extends SparkSpecBase {
       scanFilters.forall(f => f.contains("cent_id") && f.contains(s"= $c0")),
       s"per-cell pass must prune every scan to cent_id=$c0:\n$plan")
   }
+
+  test("refreshIvfIndex: batch appends into existing cells with the " +
+      "store's own codebook — base files untouched, probes bitwise a " +
+      "full rebuild's") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft_ivf_refresh").toString
+    val batchPred = col("vec_id") % 10 === 1 &&
+      !col("vec_id").isin(Ann.CentroidIds: _*)
+    Ann.buildIvfIndex(emb.where(!batchPred), dir)
+    def files() = spark.read.parquet(dir).inputFiles.toSet
+    val before = files()
+    Ann.refreshIvfIndex(emb.where(batchPred), dir)
+    val after = files()
+    // append-only maintenance: every base file survives, new files add
+    assert(before.subsetOf(after) && after.size > before.size)
+    // no new cells invented: assignments stay within the codebook grid
+    assert(spark.read.parquet(dir).select("cent_id").distinct().count()
+      <= Ann.NList)
+    // refreshed store content equals a full rebuild's assignment
+    val fullDir = Files.createTempDirectory("graft_ivf_full").toString
+    Ann.buildIvfIndex(emb, fullDir)
+    def rows(d: String) = spark.read.parquet(d)
+      .select(col("vec_id"), col("cent_id").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(dir) == rows(fullDir))
+    // and the probe answers bitwise like the full store
+    def ask(d: String) = Ann.ivfTopKStored(spark.read.parquet(d)).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cent_id"),
+        r.getAs[Double]("similarity"))).toSeq
+    assert(ask(dir) == ask(fullDir))
+    Seq(dir, fullDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
 }
