@@ -640,6 +640,128 @@ object TextAnalysis {
       .write.mode("append").partitionBy("bkt").parquet(path + "/postings")
   }
 
+  // ----------------------------------------------------------------
+  // manifest-backed index — exactly-once maintenance, pruned probes
+  // ----------------------------------------------------------------
+
+  /** The manifest collection name holding a versioned text index. */
+  val TextIndexCollection = "tindex"
+
+  /** One batch's index contribution as ONE relation, so maintenance is
+    * ONE tagged pointer commit (atomic + replay-idempotent — the
+    * [[graft.streaming.EventStream.ingestStoreRequestsManifest]]
+    * exactly-once discipline applied to index maintenance). Row
+    * shapes, discriminated by `kind`:
+    *   - `'p'` posting: (doc_id, dl, word, tf, bkt) — bkt =
+    *     polyHash(word) % [[TextIndexBuckets]], the probe axis;
+    *   - `'s'` stats contribution: doc_id := the batch's doc count,
+    *     dl := its Σdl, word/tf/bkt NULL — corpus stats are ADDITIVE,
+    *     so the total is a sum over stats rows and never needs
+    *     read-modify-write (the parquet-store refresh's one
+    *     non-commutative step, gone).
+    * Keeping both kinds in one commit means a crash can never publish
+    * postings without their stats contribution or vice versa. */
+  def indexRows(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+      .where(col("dl") > 0)
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("word"))
+      .groupBy("doc_id", "dl", "word")
+      .agg(count(lit(1)).as("tf"))
+      .select(lit("p").as("kind"), col("doc_id"), col("dl"), col("word"),
+        col("tf"),
+        (graft.functions.TextFunctions.polyHash(col("word"))
+          % lit(TextIndexBuckets)).as("bkt"))
+    val stats = base
+      .agg(count(lit(1)).as("doc_id"), sum(col("dl")).as("dl"))
+      .select(lit("s").as("kind"), col("doc_id"), col("dl"),
+        lit(null).cast("string").as("word"), lit(null).cast("long").as("tf"),
+        lit(null).cast("long").as("bkt"))
+    postings.unionByName(stats)
+  }
+
+  /** Table config for a manifest text index: zone maps on the probe
+    * axis (effective once segments are bkt-clustered — see
+    * [[compactManifestTextIndex]]) plus blooms for point probes on
+    * post-append interleaved segments. Call once before the first
+    * commit. */
+  def initManifestTextIndex(s: SparkSession, tablePath: String): Unit = {
+    graft.sources.ManifestStore.setZoneMapColumns(s, tablePath, Seq("bkt"))
+    graft.sources.ManifestStore.setBloomColumns(s, tablePath, Seq("bkt"))
+  }
+
+  /** Apply one document batch to the versioned index — one tagged
+    * commit; a replayed tag is a no-op (returns false). Cost scales
+    * with the batch, never the index. */
+  def refreshManifestTextIndex(docs: DataFrame, tablePath: String,
+      tag: String): Boolean =
+    graft.sources.ManifestStore.storeBatch(
+      indexRows(docs), tablePath, TextIndexCollection, tag)
+
+  /** Restore probe pruning after streaming appends: every batch
+    * segment spans most buckets, so bkt zone maps exclude little until
+    * a clustered rewrite lays the postings out in bkt ranges (one
+    * atomic pointer commit; probes then skip whole segments). */
+  def compactManifestTextIndex(s: SparkSession, tablePath: String,
+      segments: Int = 4): Unit =
+    graft.sources.ManifestStore.zorderCompact(
+      s, tablePath, TextIndexCollection, Seq("bkt"), segments)
+
+  /** BM25 over the VERSIONED index through the declarative connector:
+    * probe buckets resolve driver-side as usual, and the `bkt IN (…)`
+    * filter prunes SEGMENTS via the zone-map/bloom sidecars (after
+    * [[compactManifestTextIndex]], whole bkt ranges skip at planning
+    * time). Stats are the SUM over the additive `'s'` rows. Same
+    * [[bm25Rank]] tail — bitwise the scan face's answers, same
+    * oracle. */
+  def bm25ManifestTopK(s: SparkSession, tablePath: String,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    import s.implicits._
+    val probeBkts = queries.map(_._2).distinct
+      .map(t => graft.functions.TextFunctions.polyHashLocal(t)
+        % TextIndexBuckets).distinct
+    val rel = s.read.format("graft").option("path", tablePath)
+      .option("collection", TextIndexCollection).load()
+    val stats = rel.where(col("kind") === "s")
+      .agg(sum(col("doc_id")).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = rel
+      .where(col("kind") === "p" && col("bkt").isin(probeBkts: _*))
+      .select("doc_id", "dl", "word", "tf")
+    bm25Rank(tf, queries.toDF("query_id", "term"), stats, k)
+  }
+
+  /** Memoized manifest-backed index behind `text_index_manifest`:
+    * initial commit from the corpus slice, one maintenance commit from
+    * the batch slice, then the clustered rewrite — the full lifecycle
+    * (init → refresh → compact) the streaming face drives, queried
+    * through the connector against the from-scratch oracle. */
+  private val manifestIndexes = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private[graft] def manifestTextIndexFor(s: SparkSession,
+      dir: String): String = {
+    val key = (s, dir)
+    Option(manifestIndexes.get(key)).getOrElse {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-text-mindex-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      initManifestTextIndex(s, path)
+      refreshManifestTextIndex(
+        docs.where(col("doc_id") % 10 =!= 1), path, "base")
+      refreshManifestTextIndex(
+        docs.where(col("doc_id") % 10 === 1), path, "delta-1")
+      compactManifestTextIndex(s, path)
+      Option(manifestIndexes.putIfAbsent(key, path)).map { prev =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)); prev // racing builder
+      }.getOrElse(path)
+    }
+  }
+
   /** Memoized REFRESHED index behind `text_index_refresh`: base build
     * from the anchored manifest snapshot (the stored nightly state),
     * then [[refreshTextIndex]] applies exactly the segments appended
@@ -699,7 +821,7 @@ object TextAnalysis {
   /** Drop every memoized materialized text index (every main calls
     * this on shutdown). */
   def releaseCaches(): Unit = {
-    Seq(textIndexes, refreshedIndexes).foreach { m =>
+    Seq(textIndexes, refreshedIndexes, manifestIndexes).foreach { m =>
       val it = m.values().iterator()
       while (it.hasNext)
         org.apache.commons.io.FileUtils
@@ -983,6 +1105,13 @@ object TextAnalysis {
     // the oracle recomputes from scratch — the mergeability proof
     QueryDef.sql("text_index_refresh", bm25MultiOracleSql)((s, dir) =>
       bm25StoredTopK(s, refreshedTextIndexFor(s, dir),
+        Bm25QuerySuite, Bm25TopK)),
+
+    // the VERSIONED (manifest-backed) index through the declarative
+    // connector: init -> tagged refresh -> clustered compaction, same
+    // from-scratch oracle
+    QueryDef.sql("text_index_manifest", bm25MultiOracleSql)((s, dir) =>
+      bm25ManifestTopK(s, manifestTextIndexFor(s, dir),
         Bm25QuerySuite, Bm25TopK)),
 
     QueryDef.sql("text_word_freq",

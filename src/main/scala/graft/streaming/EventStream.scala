@@ -646,6 +646,38 @@ object EventStream {
       .start()
   }
 
+  /** Streaming maintenance of the VERSIONED text index — documents
+    * dropped as JSON become one tagged index commit per micro-batch
+    * ([[graft.operators.TextAnalysis.refreshManifestTextIndex]]):
+    * postings + the batch's additive stats row land atomically, and an
+    * at-least-once redelivery finds its `<ingest-id>-<batchId>` tag
+    * already in the pointer log and no-ops — the
+    * [[ingestStoreRequestsManifest]] exactly-once contract applied to
+    * index maintenance. Searches ([[graft.operators.TextAnalysis
+    * .bm25ManifestTopK]]) run against committed versions only; run
+    * [[graft.operators.TextAnalysis.compactManifestTextIndex]] on a
+    * maintenance cadence to restore bkt-clustered probe pruning over
+    * the appended batch segments. */
+  def maintainTextIndex(spark: SparkSession, dropDir: String,
+      tablePath: String, checkpoint: String): StreamingQuery = {
+    val ingestId = ingestIdentity(spark, checkpoint)
+    graft.operators.TextAnalysis.initManifestTextIndex(spark, tablePath)
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .json(dropDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextAnalysis.refreshManifestTextIndex(
+          batch, tablePath, s"$ingestId-$batchId"): Unit
+      }
+      .start()
+  }
+
   /** Streaming DEAD-LETTER split of the data-quality gate
     * ([[graft.operators.Pipeline.quarantineOn]]'s stream face): every
     * arriving document violating a ROW-LOCAL rule is emitted with its

@@ -900,11 +900,57 @@ class EventStreamSpec extends SparkSpecBase {
     assert(got == want)
     assert(got.nonEmpty) // the declared expectations catch real drift
   }
+
+  test("streaming text-index maintenance: per-batch tagged commits, " +
+      "replay no-op, search equals the batch-built ranking") {
+    import graft.operators.TextAnalysis
+    val drop = Files.createTempDirectory("graft_tidx_drop").toString
+    val table = Files.createTempDirectory("graft_tidx_str").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_tidx_ckpt").toString
+    def dropDocs(name: String, docs: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$drop/$name"),
+        docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n"))
+    dropDocs("b1.json", Seq(
+      1L -> "spark join merge engines", 2L -> "the quick brown fox",
+      3L -> "spark spark spark"))
+    val q = EventStream.maintainTextIndex(spark, drop, table, ckpt)
+    try {
+      q.processAllAvailable()
+      dropDocs("b2.json", Seq(
+        4L -> "merge strategies and join order", 5L -> "nothing relevant"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val suite = Seq(1L -> "spark", 1L -> "join", 2L -> "merge")
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rnk"))).toSeq
+    val streamed = asTuples(
+      TextAnalysis.bm25ManifestTopK(spark, table, suite, 5))
+    // equals a from-scratch batch index over the union of both drops
+    import spark.implicits._
+    val all = Seq(
+      1L -> "spark join merge engines", 2L -> "the quick brown fox",
+      3L -> "spark spark spark", 4L -> "merge strategies and join order",
+      5L -> "nothing relevant").toDF("doc_id", "text")
+    val expect = asTuples(TextAnalysis.bm25MultiOn(
+      all, suite.toDF("query_id", "term"), 5))
+    assert(streamed == expect)
+    // replay of a committed (ingest-id, batch) tag is a no-op
+    val id = {
+      val p = java.nio.file.Paths.get(s"$ckpt/graft-ingest-id")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    }
+    assert(!TextAnalysis.refreshManifestTextIndex(
+      all.where(col("doc_id") <= 3), table, s"$id-0"))
+    assert(asTuples(TextAnalysis.bm25ManifestTopK(
+      spark, table, suite, 5)) == expect)
+  }
 }
 
 /** Typed quarantine-stream row (Option key: NULL keys must flow). */
 case class QDoc(doc_id: Option[Long], text: String, lang: String,
     n_chars: Long)
-
 /** Minimal typed row for the streaming count-min grid spec. */
 case class CmsEv(user_id: Long)

@@ -385,4 +385,55 @@ class TextAnalysisSpec extends SparkSpecBase {
     Seq(dir, fullDir).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }
+
+  test("manifest-backed index: one tagged commit per batch (replay " +
+      "no-op), clustered compaction restores probe pruning, connector " +
+      "search bitwise equals the scan face") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val table = Files.createTempDirectory("graft_text_mfst").toString + "/t"
+    TextAnalysis.initManifestTextIndex(spark, table)
+    assert(TextAnalysis.refreshManifestTextIndex(
+      docs.where(col("doc_id") % 10 =!= 1), table, "base"))
+    assert(TextAnalysis.refreshManifestTextIndex(
+      docs.where(col("doc_id") % 10 === 1), table, "delta-1"))
+    // exactly-once: a replayed tag is a no-op and changes nothing
+    def ask() = TextAnalysis.bm25ManifestTopK(spark, table,
+      TextAnalysis.Bm25QuerySuite, TextAnalysis.Bm25TopK).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rnk"))).toSeq
+    val before = ask()
+    assert(!TextAnalysis.refreshManifestTextIndex(
+      docs.where(col("doc_id") % 10 === 1), table, "delta-1"))
+    assert(ask() == before)
+    // bitwise the scan face's ranking
+    val expect = TextAnalysis.bm25Multi(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rnk"))).toSeq
+    assert(before == expect)
+    // clustered compaction restores bkt pruning: a one-term probe
+    // reads fewer files than the post-append layout scanned
+    // the postings probe only — the stats scan legitimately reads all
+    // segments (one tiny additive row each) and would mask the prune
+    def probeFiles(): Long = {
+      val bkt = polyHashLocal("spark") % TextAnalysis.TextIndexBuckets
+      val one = spark.read.format("graft").option("path", table)
+        .option("collection", TextAnalysis.TextIndexCollection).load()
+        .where(col("kind") === "p" && col("bkt") === bkt)
+      one.collect()
+      one.queryExecution.executedPlan.collect {
+        case sc: FileSourceScanExec => sc.metrics("numFiles").value
+      }.sum
+    }
+    val loose = probeFiles()
+    TextAnalysis.compactManifestTextIndex(spark, table, segments = 8)
+    val clustered = probeFiles()
+    assert(clustered < loose,
+      s"clustered probe should scan fewer files ($clustered vs $loose)")
+    assert(ask() == expect) // compaction is layout-only
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(table).getParentFile)
+  }
 }
