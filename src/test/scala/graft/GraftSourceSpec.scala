@@ -557,6 +557,33 @@ class GraftSourceSpec extends SparkSpecBase {
         .load().count()
     }
   }
+
+  test("exact quantiles compose with the connector: answers equal the " +
+      "parquet face, and a narrowed interval predicate prunes segments") {
+    import graft.operators.Events
+    val (path, lo, hi) = Events.manifestEventsTable(spark, sf)
+    val src = spark.read.format("graft")
+      .option("path", path).option("collection", "events").load()
+      .select(col("ts_us")).where(col("ts_us").isNotNull)
+    val viaConnector = Events.exactQuantilesOn(src, "ts_us")
+      .collect().toSeq
+    val viaParquet = Events.exactQuantilesOn(
+      Events.load(spark, sf).select(col("ts_us"))
+        .where(col("ts_us").isNotNull), "ts_us").collect().toSeq
+    assert(viaConnector == viaParquet && viaConnector.nonEmpty)
+    // the narrowing protocol's interval predicates are plain between()
+    // filters on the input frame, so on a graft relation every
+    // histogram/selection round after the first plans only the
+    // segments its interval intersects — demonstrated with a
+    // round-2-shaped window around the median
+    val med = viaConnector.find(_.getInt(0) == 50).get.getLong(2)
+    val w = (hi - lo) / graft.operators.Events.RangeSegs
+    val all = scannedFiles(src)
+    val narrowed = scannedFiles(
+      src.where(col("ts_us").between(med - w / 8, med + w / 8)))
+    assert(narrowed < all,
+      s"narrowed interval should prune segments ($narrowed vs $all)")
+  }
 }
 
 /** [[GraftTestFs]] plus a static counter of `seg=` DIRECTORY listings
