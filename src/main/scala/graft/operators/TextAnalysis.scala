@@ -552,6 +552,21 @@ object TextAnalysis {
     * listing cost and per-probe read fraction tiny). */
   val TextIndexBuckets = 64L
 
+  /** Postings store schema incl. the `bkt` partition column (explicit
+    * on read: an empty index has nothing to infer from). */
+  val PostingsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dl",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bkt",
+        org.apache.spark.sql.types.IntegerType)))
+
   /** Materialize the inverted index: per-(doc, word) term frequencies
     * partitioned by the word's hash bucket, plus the 1-row corpus
     * stats (N, Σdl) the BM25 arithmetic needs. The build is the ONE
@@ -566,7 +581,10 @@ object TextAnalysis {
       .select(col("doc_id"), words(col("text")).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
       .where(col("dl") > 0)
-    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // coalesce: an empty corpus writes (0, 0), not (0, NULL) — the
+    // merge arithmetic and the rank tail both read longs
+    base.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
     base.select(col("doc_id"), col("dl"), explode(col("ws")).as("word"))
       .groupBy("doc_id", "dl", "word")
@@ -595,7 +613,9 @@ object TextAnalysis {
     val probeBkts = queries.map(_._2).distinct
       .map(t => (graft.functions.TextFunctions.polyHashLocal(t)
         % TextIndexBuckets).toInt).distinct
-    val tf = s.read.parquet(path + "/postings")
+    // explicit schema: an empty index has no part files to infer from,
+    // and a probe against it must answer empty, not fail
+    val tf = s.read.schema(PostingsSchema).parquet(path + "/postings")
       .where(col("bkt").isin(probeBkts: _*))
       .select("doc_id", "dl", "word", "tf")
     bm25Rank(tf, queries.toDF("query_id", "term"),
@@ -627,7 +647,7 @@ object TextAnalysis {
       .where(col("dl") > 0)
     val old = s.read.parquet(path + "/stats").head
     val d = base.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl")).head
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head
     Seq((old.getLong(0) + d.getLong(0), old.getLong(1) + d.getLong(1)))
       .toDF("n_docs", "sum_dl")
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
@@ -674,7 +694,8 @@ object TextAnalysis {
         (graft.functions.TextFunctions.polyHash(col("word"))
           % lit(TextIndexBuckets)).as("bkt"))
     val stats = base
-      .agg(count(lit(1)).as("doc_id"), sum(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("doc_id"),
+        coalesce(sum(col("dl")), lit(0L)).as("dl"))
       .select(lit("s").as("kind"), col("doc_id"), col("dl"),
         lit(null).cast("string").as("word"), lit(null).cast("long").as("tf"),
         lit(null).cast("long").as("bkt"))

@@ -231,6 +231,42 @@ class EdgeCaseSpec extends SparkSpecBase {
       "double division should be inexact here — exactness fix is load-bearing")
   }
 
+  test("round-12 operators are defined on empty/degenerate input") {
+    import spark.implicits._
+    import graft.operators.{Events, TextAnalysis, VectorSearch}
+    // exact quantiles: empty -> empty frame with the declared schema
+    val noVals = Seq.empty[Long].toDF("v")
+    assert(Events.exactQuantilesOn(noVals, "v").collect().isEmpty)
+    assert(Events.groupQuantilesOn(
+      Seq.empty[(String, Long)].toDF("g", "v"), "g", "v")
+      .collect().isEmpty)
+    // single value: every percentile pinches to it in round one
+    val one = Events.exactQuantilesOn(Seq(42L).toDF("v"), "v").collect()
+    assert(one.length == Events.QuantilePcts.size &&
+      one.forall(_.getLong(2) == 42L))
+    // all-identical group + negative values (integer bucket arithmetic
+    // must not assume non-negative lows)
+    val gq = Events.groupQuantilesOn(
+      (Seq.fill(10)("a" -> -5L) ++ Seq.tabulate(9)(i => "b" -> (i - 4L)))
+        .toDF("g", "v"), "g", "v",
+      selectCap = 1L, buckets = 4L).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(gq(("a", 50)) == -5L && gq(("a", 99)) == -5L)
+    assert(gq(("b", 50)) == 0L) // k=5 of -4..4
+    // RRF over an empty corpus: both rankings empty, fused empty
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noEmb = spark.read.parquet(s"$sf/embeddings.parquet").limit(0)
+    assert(VectorSearch.rrfFusion(noEmb, noDocs).collect().isEmpty)
+    // stored index over an empty corpus: stats row exists (zeros),
+    // probes return empty rather than failing
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_edge_tidx").toString
+    TextAnalysis.buildTextIndex(noDocs, dir)
+    assert(TextAnalysis.bm25StoredTopK(spark, dir,
+      TextAnalysis.Bm25QuerySuite, 5).collect().isEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("session_window of a single event is a gap-length session") {
     import spark.implicits._
     val one = Seq((7L, 1000000L)).toDF("user_id", "ts_us")
