@@ -946,6 +946,19 @@ object Events {
     exactQuantilesOn(load(s, dir).select(col("ts_us"))
       .where(col("ts_us").isNotNull), "ts_us")
 
+
+  /** Narrowing-round bound derived from the knobs: every histogram
+    * round shrinks an interval's width from w to ≤ w/B + 1, so
+    * log_B(2^64) + slack rounds always suffice — 12-ish at the
+    * production B=4096, ~70 at a spec-forced B=2. A fixed constant
+    * here was a real bug: tiny spec knobs legitimately need more
+    * rounds (caught by the random-multiset property). */
+  private def quantileMaxRounds(buckets: Long): Int = {
+    val log2B = math.max(1,
+      63 - java.lang.Long.numberOfLeadingZeros(math.max(2L, buckets)))
+    4 + 64 / log2B
+  }
+
   /** `selectCap`/`buckets` default to the scale knobs; specs force the
     * histogram-narrowing loop with tiny values (the fixtures are all
     * under the production cap) and assert loop ≡ direct selection —
@@ -968,7 +981,8 @@ object Events {
     var done = Seq.empty[(Int, Long, Long)] // (pct, original k, value)
     val origK = open.map(t => t._1 -> t._2).toMap
     var rounds = 0
-    while (open.nonEmpty && rounds < 12) {
+    val maxRounds = quantileMaxRounds(buckets)
+    while (open.nonEmpty && rounds < maxRounds) {
       rounds += 1
       // resolved-by-pinch: a single-value interval is the answer
       val (pinched, active) = open.partition(t => t._3 == t._4)
@@ -1085,7 +1099,8 @@ object Events {
     val origK = open.map(t => (t._1, t._2) -> t._3).toMap
     var done = Seq.empty[(String, Int, Long, Long)] // (gv, pct, k, value)
     var rounds = 0
-    while (open.nonEmpty && rounds < 12) {
+    val maxRounds = quantileMaxRounds(buckets)
+    while (open.nonEmpty && rounds < maxRounds) {
       rounds += 1
       val (pinched, unpinched) = open.partition(t => t._4 == t._5)
       done = done ++ pinched.map(t => (t._1, t._2, origK((t._1, t._2)), t._4))

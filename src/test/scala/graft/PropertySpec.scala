@@ -240,4 +240,67 @@ class PropertySpec extends SparkSpecBase {
       assert(s.getLong(3) == ws.map(w => (w.length + 3) / 4).sum.toLong)
     }
   }
+
+  test("exact quantiles == sorted-rank selection on random multisets, " +
+      "across pinch/histogram/selection paths") {
+    import spark.implicits._
+    import graft.operators.Events
+    // heavy ties, wide ranges, negatives, and tiny sets — and knob
+    // grids that force every resolution path
+    val genVals: Gen[Seq[Long]] = for {
+      n <- Gen.chooseNum(1, 400)
+      mode <- Gen.oneOf(0, 1, 2)
+      vs <- Gen.listOfN(n, mode match {
+        case 0 => Gen.chooseNum(-5L, 5L)               // heavy ties
+        case 1 => Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4)
+        case 2 => Gen.chooseNum(-1000000L, 1000000L)
+      })
+    } yield vs.toSeq
+    samples(genVals, 12).zipWithIndex.foreach { case (vs, i) =>
+      val df = vs.toDF("v")
+      val sorted = vs.sorted
+      val expect = Events.QuantilePcts.map { p =>
+        val k = (vs.length.toLong * p + 99L) / 100L
+        (p, k, sorted((k - 1).toInt))
+      }
+      Seq((Events.QuantileSelectCap, Events.QuantileBuckets), // fast path
+          (1L, 4L), (8L, 2L), (0L, 16L))                      // forced loops
+        .foreach { case (cap, b) =>
+          val got = Events.exactQuantilesOn(df, "v", cap, b).collect()
+            .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+          assert(got == expect, s"case $i cap=$cap b=$b")
+        }
+    }
+  }
+
+  test("grouped exact quantiles == per-group sorted-rank selection on " +
+      "random grouped multisets") {
+    import spark.implicits._
+    import graft.operators.Events
+    val genGrouped: Gen[Seq[(String, Long)]] = for {
+      nGroups <- Gen.chooseNum(1, 6)
+      rows <- Gen.listOfN(300, for {
+        g <- Gen.chooseNum(0, nGroups - 1).map(i => s"g$i")
+        v <- Gen.oneOf(Gen.chooseNum(-9L, 9L),
+          Gen.chooseNum(-1000000000L, 1000000000L))
+      } yield (g, v))
+    } yield rows.toSeq
+    samples(genGrouped, 8).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("g", "v")
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val sorted = rs.map(_._2).sorted
+        Events.QuantilePcts.map { p =>
+          val k = (rs.length.toLong * p + 99L) / 100L
+          (g, p, k, sorted((k - 1).toInt))
+        }
+      }.sortBy(t => (t._1, t._2))
+      Seq((Events.QuantileSelectCap, Events.GroupQuantileBuckets),
+          (1L, 4L), (2L, 2L)).foreach { case (cap, b) =>
+        val got = Events.groupQuantilesOn(df, "g", "v", cap, b).collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+            r.getLong(3))).toSeq
+        assert(got == expect, s"case $i cap=$cap b=$b")
+      }
+    }
+  }
 }
