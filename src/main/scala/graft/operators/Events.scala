@@ -1049,6 +1049,106 @@ object Events {
     done.toDF("pct", "k", c).orderBy("pct")
   }
 
+  /** WEIGHTED exact quantiles — the value v* at which the cumulative
+    * WEIGHT first reaches p% of the total (ties share their cumulative
+    * per SQL RANGE-frame semantics, so v* = min v with cum(w) ≥ k —
+    * deterministic, engine-portable). Same narrowing protocol as
+    * [[exactQuantilesOn]] with `sum(w)` everywhere `count` was: one
+    * range-pushed scan per round, ≤ `buckets` cells to the driver,
+    * selection once an interval's WEIGHT is under the cap (weights are
+    * required ≥ 1, so weight bounds rows). Integer weights keep every
+    * cumulative exact — the caller guarantees Σw < 2^63 (ANSI throws
+    * on overflow rather than wrapping). The canonical use is
+    * token-weighted corpus statistics: "the document length below
+    * which half the TOKENS live" (`pl_token_weighted_len`), which
+    * doc-count quantiles misstate badly on long-tailed corpora. */
+  def weightedQuantilesOn(values: DataFrame, c: String, w: String,
+      selectCap: Long = QuantileSelectCap,
+      buckets: Long = QuantileBuckets): DataFrame = {
+    val s = values.sparkSession
+    import s.implicits._
+    val vals = values.where(col(w) >= 1L)
+    val head = vals
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
+        coalesce(sum(col(w)), lit(0L)).as("tw")).head
+    if (head.isNullAt(0) || head.getLong(2) == 0L)
+      return Seq.empty[(Int, Long, Long)].toDF("pct", "k", c)
+    val tw = head.getLong(2)
+    var open = QuantilePcts.map(p =>
+      (p, (tw * p + 99L) / 100L, head.getLong(0), head.getLong(1)))
+    val origK = open.map(t => t._1 -> t._2).toMap
+    var done = Seq.empty[(Int, Long, Long)]
+    var rounds = 0
+    val maxRounds = quantileMaxRounds(buckets)
+    while (open.nonEmpty && rounds < maxRounds) {
+      rounds += 1
+      val (pinched, active) = open.partition(t => t._3 == t._4)
+      done = done ++ pinched.map(t => (t._1, origK(t._1), t._3))
+      // per-target interval WEIGHT decides selection vs histogram
+      val weights =
+        if (active.isEmpty) Map.empty[Int, Long]
+        else {
+          val tagged = active.zipWithIndex.map { case ((_, _, lo, hi), i) =>
+            when(col(c).between(lo, hi),
+              struct(lit(i).as("tid"), col(w).as("wt"))) }
+          vals
+            .where(col(c).between(active.map(_._3).min, active.map(_._4).max))
+            .select(explode(array_compact(array(tagged: _*))).as("tw"))
+            .groupBy(col("tw.tid").as("tid"))
+            .agg(sum(col("tw.wt")).as("iw"))
+            .collect().map(r => active(r.getAs[Int]("tid"))._1 ->
+              r.getAs[Long]("iw")).toMap
+        }
+      val (small, big) = active.partition(t =>
+        weights.getOrElse(t._1, 0L) <= selectCap)
+      if (small.nonEmpty) {
+        val sel = small.zipWithIndex.map { case ((_, k, lo, hi), i) =>
+          (i, k, lo, hi) }.toDF("tid", "k", "slo", "shi")
+        val wCum = Window.partitionBy(col("tid")).orderBy(col(c))
+        val picked = vals
+          .join(VectorSearch.broadcastIfSmall(sel),
+            col(c).between(col("slo"), col("shi")))
+          // RANGE default frame: tied values share their cumulative,
+          // matching the oracle's windowed running sum exactly
+          .withColumn("cw", sum(col(w)).over(wCum))
+          .where(col("cw") >= col("k"))
+          .groupBy(col("tid")).agg(min(col(c)).as("v"))
+          .collect()
+          .map { r =>
+            val t = small(r.getAs[Int]("tid"))
+            (t._1, origK(t._1), r.getAs[Long]("v")) }
+        done = done ++ picked
+      }
+      open = if (big.isEmpty) Nil else {
+        val tagged = big.zipWithIndex.map { case ((_, _, lo, hi), i) =>
+          val width = (hi - lo) / buckets + 1L
+          when(col(c).between(lo, hi),
+            struct(lit(i).as("tid"),
+              call_function("div", col(c) - lit(lo), lit(width)).as("b"),
+              col(w).as("wt"))) }
+        val hist = vals
+          .where(col(c).between(big.map(_._3).min, big.map(_._4).max))
+          .select(explode(array_compact(array(tagged: _*))).as("tb"))
+          .groupBy(col("tb.tid").as("tid"), col("tb.b").as("b"))
+          .agg(sum(col("tb.wt")).as("bw"))
+          .collect().groupBy(_.getAs[Int]("tid"))
+        big.zipWithIndex.map { case ((p, k, lo, hi), i) =>
+          val width = (hi - lo) / buckets + 1L
+          val cells = hist(i).map(r =>
+            r.getAs[Long]("b") -> r.getAs[Long]("bw")).sortBy(_._1)
+          val cums = cells.scanLeft((0L, 0L, 0L)) {
+            case ((_, _, cum), (b, bw)) => (b, bw, cum + bw) }.drop(1)
+          val (b, bw, cumIncl) = cums.find(_._3 >= k).get
+          (p, k - (cumIncl - bw), lo + b * width,
+            math.min(hi, lo + (b + 1) * width - 1L))
+        }
+      }
+    }
+    require(open.isEmpty,
+      s"weighted quantile narrowing did not converge: $open")
+    done.toDF("pct", "k", c).orderBy("pct")
+  }
+
   /** Histogram width for the GROUPED narrowing: smaller than the
     * scalar knob because the driver collect is targets × B cells and
     * targets grows with group cardinality. */

@@ -1388,7 +1388,34 @@ object Pipeline {
        |      AS BIGINT) AS n_copies
        |  FROM w)""".stripMargin
 
+  /** TOKEN-weighted document-length percentiles — "the length below
+    * which half the TOKENS live", the statistic that sizes packing
+    * budgets and truncation cutoffs (doc-COUNT percentiles misstate it
+    * badly on long-tailed corpora: most documents are short, most
+    * tokens live in long ones). Value = weight = the word count, via
+    * [[Events.weightedQuantilesOn]]'s integer narrowing protocol. */
+  def tokenWeightedLengths(s: SparkSession, dir: String): DataFrame =
+    Events.weightedQuantilesOn(
+      Tables(s, dir, "documents")
+        .select(size(words(col("text"))).cast("long").as("n_words"))
+        .where(col("n_words") > 0),
+      "n_words", "n_words")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("pl_token_weighted_len",
+      s"""WITH v AS (
+         |  SELECT CAST(len($W) AS BIGINT) AS n_words FROM documents
+         |  WHERE len($W) > 0),
+         |t AS (SELECT sum(n_words) AS tw FROM v),
+         |k AS (SELECT p, (t.tw * p + 99) // 100 AS k
+         |  FROM (VALUES (50), (90), (99)) AS q(p), t),
+         |c AS (SELECT n_words,
+         |  sum(n_words) OVER (ORDER BY n_words) AS cw FROM v)
+         |SELECT k.p AS pct, k.k AS k, min(c.n_words) AS n_words
+         |FROM k JOIN c ON c.cw >= k.k
+         |GROUP BY k.p, k.k ORDER BY pct""".stripMargin)(
+      (s, dir) => tokenWeightedLengths(s, dir)),
+
     QueryDef.sql("pl_train_test_split",
       """WITH s AS (
         |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,

@@ -303,4 +303,36 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("weighted exact quantiles == cumulative-weight walk on random " +
+      "weighted multisets, across paths") {
+    import spark.implicits._
+    import graft.operators.Events
+    val genRows: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.chooseNum(1, 300)
+      rows <- Gen.listOfN(n, for {
+        v <- Gen.oneOf(Gen.chooseNum(-7L, 7L),
+          Gen.chooseNum(-1000000000L, 1000000000L))
+        w <- Gen.chooseNum(1L, 50L)
+      } yield (v, w))
+    } yield rows.toSeq
+    samples(genRows, 10).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("v", "w")
+      val tw = rows.map(_._2).sum
+      val sorted = rows.sortBy(_._1)
+      val expect = Events.QuantilePcts.map { p =>
+        val k = (tw * p + 99L) / 100L
+        var cum = 0L
+        val v = sorted.find { case (_, w) => cum += w; cum >= k }.get._1
+        (p, k, v)
+      }
+      Seq((Events.QuantileSelectCap, Events.QuantileBuckets),
+          (1L, 4L), (16L, 2L)).foreach { case (cap, b) =>
+        val got = Events.weightedQuantilesOn(df, "v", "w", cap, b)
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got == expect, s"case $i cap=$cap b=$b")
+      }
+    }
+  }
 }
