@@ -674,4 +674,21 @@ class PlanSpec extends SparkSpecBase {
       s"expected the memoized corpus relations in:\n$p")
     Dedup.releaseCaches()
   }
+
+  test("RRF fusion: each modality retrieves via TakeOrderedAndProject; " +
+      "the fusion join moves only the two n-row rankings") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = VectorSearch.rrfFusion(emb, docs)
+    val p = plan(df)
+    // two shuffle-free top-n retrievals (one per modality) + the
+    // fused top-k — nothing else is ever globally ordered
+    assert("TakeOrderedAndProject\\(limit=20".r.findAllIn(p).size == 2, p)
+    assert("TakeOrderedAndProject\\(limit=10".r.findAllIn(p).size == 1, p)
+    // the fusion join's BOTH inputs are the n-row rankings (full outer
+    // plans as a sort-merge join, but of 2×n rows, never the corpus):
+    // every join in the plan sits ABOVE the limit=20 retrievals
+    val smjIdx = p.indexOf("SortMergeJoin")
+    val firstRetrieval = p.indexOf("TakeOrderedAndProject(limit=20")
+    assert(smjIdx < 0 || smjIdx < firstRetrieval, p)
+  }
 }
