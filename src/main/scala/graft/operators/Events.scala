@@ -1154,6 +1154,12 @@ object Events {
     * targets grows with group cardinality. */
   val GroupQuantileBuckets = 512L
 
+  /** Driver budget for one grouped-histogram collect, in cells
+    * (target × bucket longs): rounds split into waves of
+    * budget/buckets targets, so a million-group table costs more
+    * scans, never a driver OOM. */
+  val QuantileDriverCellBudget = 1L << 22
+
   /** GROUPED exact order statistics — per-`event_type` p50/p90/p99 of
     * `ts_us` — the same histogram-narrowing protocol as
     * [[exactQuantilesOn]] but with every group's still-open targets
@@ -1185,7 +1191,8 @@ object Events {
 
   def groupQuantilesOn(values: DataFrame, g: String, c: String,
       selectCap: Long = QuantileSelectCap,
-      buckets: Long = GroupQuantileBuckets): DataFrame = {
+      buckets: Long = GroupQuantileBuckets,
+      cellBudget: Long = QuantileDriverCellBudget): DataFrame = {
     val s = values.sparkSession
     import s.implicits._
     // one scan: per-group bounds + counts seed the target state
@@ -1223,9 +1230,15 @@ object Events {
             (t._1, t._2, origK((t._1, t._2)), r.getAs[Long](c)) }
         done = done ++ picked
       }
-      // histogram round for the rest: one scan for ALL open targets
-      open = if (big.isEmpty) Nil else {
-        val tgt = big.zipWithIndex.map { case ((gv, _, _, lo, hi, _), i) =>
+      // histogram round for the rest — in WAVES bounded by the driver
+      // cell budget: the collect is targets × buckets cells, and a
+      // million-group table must not turn it into a driver OOM. Each
+      // wave is still one scan for all of ITS targets; waves only
+      // bound per-collect driver memory, never the narrowing rate.
+      val waveTargets = math.max(1, (cellBudget / buckets).toInt)
+      open = if (big.isEmpty) Nil
+      else big.grouped(waveTargets).toSeq.flatMap { wave =>
+        val tgt = wave.zipWithIndex.map { case ((gv, _, _, lo, hi, _), i) =>
           (i, gv, lo, hi, (hi - lo) / buckets + 1L) }
           .toDF("tid", "gv", "lo", "hi", "width")
         val hist = values
@@ -1235,7 +1248,7 @@ object Events {
             call_function("div", col(c) - col("lo"), col("width")).as("b"))
           .agg(count(lit(1)).as("cnt"))
           .collect().groupBy(_.getAs[Int]("tid"))
-        big.zipWithIndex.map { case ((gv, p, k, lo, hi, _), i) =>
+        wave.zipWithIndex.map { case ((gv, p, k, lo, hi, _), i) =>
           val width = (hi - lo) / buckets + 1L
           val cells = hist(i).map(r =>
             r.getAs[Long]("b") -> r.getAs[Long]("cnt")).sortBy(_._1)

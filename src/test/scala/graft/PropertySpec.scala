@@ -294,12 +294,17 @@ class PropertySpec extends SparkSpecBase {
           (g, p, k, sorted((k - 1).toInt))
         }
       }.sortBy(t => (t._1, t._2))
-      Seq((Events.QuantileSelectCap, Events.GroupQuantileBuckets),
-          (1L, 4L), (2L, 2L)).foreach { case (cap, b) =>
-        val got = Events.groupQuantilesOn(df, "g", "v", cap, b).collect()
+      // budget=1 forces one-target histogram waves — wave splitting
+      // must never change answers, only bound per-collect memory
+      Seq((Events.QuantileSelectCap, Events.GroupQuantileBuckets,
+            Events.QuantileDriverCellBudget),
+          (1L, 4L, Events.QuantileDriverCellBudget),
+          (2L, 2L, 1L)).foreach { case (cap, b, budget) =>
+        val got = Events.groupQuantilesOn(df, "g", "v", cap, b, budget)
+          .collect()
           .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
             r.getLong(3))).toSeq
-        assert(got == expect, s"case $i cap=$cap b=$b")
+        assert(got == expect, s"case $i cap=$cap b=$b budget=$budget")
       }
     }
   }
