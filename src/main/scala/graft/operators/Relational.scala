@@ -120,6 +120,43 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q8 shape — national MARKET SHARE by order year: the share
+    * of ASIA-region supplier revenue delivered by CHINA's suppliers.
+    * Same dim discipline as [[revenueByNation]]: nation/region are
+    * broadcast unconditionally (true fixed dims), the enriched
+    * supplier relation is fact-class and carries NO hint (stats + AQE
+    * decide — forced broadcast OOMs at scale). Exactness: both
+    * numerator and denominator are DECIMAL sums (order-independent ⇒
+    * re-plannable) cast to double only at the END, then ONE guarded
+    * division — the engines agree bitwise because IEEE division of
+    * two identically-derived doubles is correctly rounded. A year
+    * with no CHINA rows contributes 0 to the numerator (conditional
+    * sum's NULL coalesced), never a NULL share. */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+    val sup = Tables(s, dir, "supplier")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    val supDim = sup
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .select(col("s_suppkey"), col("n_name"))
+    val rev = money(col("l_extendedprice")) * rate1(col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(supDim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        coalesce(sum(when(col("n_name") === "CHINA", rev)), lit(0))
+          .cast("double").as("china_rev"),
+        sum(rev).cast("double").as("all_rev"),
+        count(lit(1)).as("n_items"))
+      .withColumn("mkt_share",
+        when(col("all_rev") > 0.0, col("china_rev") / col("all_rev")))
+      .orderBy("o_year")
+  }
+
   // ------------------------------------------------------------------
   // O: grouped top-N via ranking window over a join
   // ------------------------------------------------------------------
@@ -810,6 +847,28 @@ object Relational {
          |  AND r_name = 'ASIA'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin)(revenueByNation),
+
+    QueryDef.sql("rel_market_share", {
+      val rev =
+        s"${moneySql("l_extendedprice")} * CAST(1.0-l_discount AS DECIMAL(8,4))"
+      s"""WITH sup AS (
+         |  SELECT s_suppkey, n_name FROM supplier, nation, region
+         |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |    AND r_name = 'ASIA'),
+         |g AS (
+         |  SELECT year(o_orderdate) AS o_year,
+         |    CAST(COALESCE(SUM(CASE WHEN n_name = 'CHINA' THEN $rev END),
+         |      0) AS DOUBLE) AS china_rev,
+         |    CAST(SUM($rev) AS DOUBLE) AS all_rev,
+         |    count(*) AS n_items
+         |  FROM lineitem, orders, sup
+         |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         |  GROUP BY 1)
+         |SELECT o_year, china_rev, all_rev, n_items,
+         |  CASE WHEN all_rev > 0.0E0 THEN china_rev / all_rev END
+         |    AS mkt_share
+         |FROM g ORDER BY o_year""".stripMargin
+    })(marketShare),
 
     QueryDef.sql("rel_top_customers_by_segment",
       s"""WITH spend AS (
