@@ -1192,12 +1192,37 @@ object Events {
   def groupQuantilesOn(values: DataFrame, g: String, c: String,
       selectCap: Long = QuantileSelectCap,
       buckets: Long = GroupQuantileBuckets,
-      cellBudget: Long = QuantileDriverCellBudget): DataFrame = {
+      cellBudget: Long = QuantileDriverCellBudget): DataFrame =
+    groupQuantilesCore(values, g, c, lit(1L), selectCap, buckets,
+      cellBudget)
+
+  /** GROUPED + WEIGHTED exact order statistics — the
+    * [[weightedQuantilesOn]] semantics per group, all groups per scan:
+    * per-language token-weighted corpus statistics in one protocol run
+    * (`pl_token_weighted_by_lang`). Weights must be ≥ 1 (the weight
+    * cap then bounds selection rows); the caller pre-filters. */
+  def groupWeightedQuantilesOn(values: DataFrame, g: String, c: String,
+      w: String, selectCap: Long = QuantileSelectCap,
+      buckets: Long = GroupQuantileBuckets,
+      cellBudget: Long = QuantileDriverCellBudget): DataFrame =
+    groupQuantilesCore(values.where(col(w) >= 1L), g, c, col(w),
+      selectCap, buckets, cellBudget)
+
+  /** Shared grouped core: `wt` = lit(1) gives count semantics (the
+    * k-th order statistic), a weight column gives cumulative-weight
+    * quantiles — selection is uniformly "min v whose RANGE-frame
+    * cumulative weight reaches k", which with unit weights IS the
+    * k-th value, so one mechanism serves both (property-pinned both
+    * ways). */
+  private def groupQuantilesCore(values: DataFrame, g: String, c: String,
+      wt: Column, selectCap: Long, buckets: Long,
+      cellBudget: Long): DataFrame = {
     val s = values.sparkSession
     import s.implicits._
-    // one scan: per-group bounds + counts seed the target state
+    // one scan: per-group bounds + total weight seed the target state
     var open = values.groupBy(col(g))
-      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"), count(lit(1)).as("n"))
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
+        coalesce(sum(wt), lit(0L)).as("n"))
       .collect().toSeq.flatMap { r =>
         val (gv, lo, hi, n) =
           (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
@@ -1211,23 +1236,26 @@ object Events {
       rounds += 1
       val (pinched, unpinched) = open.partition(t => t._4 == t._5)
       done = done ++ pinched.map(t => (t._1, t._2, origK((t._1, t._2)), t._4))
-      // interval under the cap (count carried from last round's
+      // interval under the cap (weight carried from last round's
       // histogram, or the seed scan) → this round's selection scan
       val (small, big) = unpinched.partition(_._6 <= selectCap)
       if (small.nonEmpty) {
         val sel = small.zipWithIndex.map { case ((gv, _, k, lo, hi, _), i) =>
           (i, gv, k, lo, hi) }
-          .toDF("tid", "gv", "k", "lo", "hi")
-        val w = Window.partitionBy(col("tid")).orderBy(col(c))
+          .toDF("tid", "gv", "k", "slo", "shi")
+        val wCum = Window.partitionBy(col("tid")).orderBy(col(c))
         val picked = values
           .join(VectorSearch.broadcastIfSmall(sel),
-            col(g) === col("gv") && col(c).between(col("lo"), col("hi")))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === col("k"))
-          .select(col("tid"), col(c)).collect()
+            col(g) === col("gv") && col(c).between(col("slo"), col("shi")))
+          // RANGE default frame: ties share their cumulative — with
+          // unit weights "cw ≥ k, min v" is exactly the k-th value
+          .withColumn("cw", sum(wt).over(wCum))
+          .where(col("cw") >= col("k"))
+          .groupBy(col("tid")).agg(min(col(c)).as("v"))
+          .collect()
           .map { r =>
             val t = small(r.getAs[Int]("tid"))
-            (t._1, t._2, origK((t._1, t._2)), r.getAs[Long](c)) }
+            (t._1, t._2, origK((t._1, t._2)), r.getAs[Long]("v")) }
         done = done ++ picked
       }
       // histogram round for the rest — in WAVES bounded by the driver
@@ -1246,7 +1274,7 @@ object Events {
             col(g) === col("gv") && col(c).between(col("lo"), col("hi")))
           .groupBy(col("tid"),
             call_function("div", col(c) - col("lo"), col("width")).as("b"))
-          .agg(count(lit(1)).as("cnt"))
+          .agg(sum(wt).as("cnt"))
           .collect().groupBy(_.getAs[Int]("tid"))
         wave.zipWithIndex.map { case ((gv, p, k, lo, hi, _), i) =>
           val width = (hi - lo) / buckets + 1L

@@ -1401,7 +1401,33 @@ object Pipeline {
         .where(col("n_words") > 0),
       "n_words", "n_words")
 
+  /** [[tokenWeightedLengths]] PER LANGUAGE — the mixture-design view
+    * (every language's token-mass length profile from the same
+    * protocol run; all languages share each round's scan). */
+  def tokenWeightedLengthsByLang(s: SparkSession, dir: String): DataFrame =
+    Events.groupWeightedQuantilesOn(
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          size(words(col("text"))).cast("long").as("n_words"))
+        .where(col("n_words") > 0 && col("lang").isNotNull),
+      "lang", "n_words", "n_words")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("pl_token_weighted_by_lang",
+      s"""WITH v AS (
+         |  SELECT lang, CAST(len($W) AS BIGINT) AS n_words FROM documents
+         |  WHERE len($W) > 0 AND lang IS NOT NULL),
+         |t AS (SELECT lang, sum(n_words) AS tw FROM v GROUP BY lang),
+         |k AS (SELECT t.lang, p, (t.tw * p + 99) // 100 AS k
+         |  FROM (VALUES (50), (90), (99)) AS q(p), t),
+         |c AS (SELECT lang, n_words,
+         |  sum(n_words) OVER (PARTITION BY lang ORDER BY n_words) AS cw
+         |  FROM v)
+         |SELECT k.lang, k.p AS pct, k.k AS k, min(c.n_words) AS n_words
+         |FROM k JOIN c ON c.lang = k.lang AND c.cw >= k.k
+         |GROUP BY k.lang, k.p, k.k ORDER BY k.lang, pct""".stripMargin)(
+      (s, dir) => tokenWeightedLengthsByLang(s, dir)),
+
     QueryDef.sql("pl_token_weighted_len",
       s"""WITH v AS (
          |  SELECT CAST(len($W) AS BIGINT) AS n_words FROM documents

@@ -340,4 +340,42 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("grouped weighted quantiles == per-group cumulative-weight walk " +
+      "on random grouped weighted multisets") {
+    import spark.implicits._
+    import graft.operators.Events
+    val genRows: Gen[Seq[(String, Long, Long)]] = for {
+      nGroups <- Gen.chooseNum(1, 5)
+      rows <- Gen.listOfN(250, for {
+        g <- Gen.chooseNum(0, nGroups - 1).map(i => s"g$i")
+        v <- Gen.oneOf(Gen.chooseNum(-6L, 6L),
+          Gen.chooseNum(-100000000L, 100000000L))
+        w <- Gen.chooseNum(1L, 30L)
+      } yield (g, v, w))
+    } yield rows.toSeq
+    samples(genRows, 6).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("g", "v", "w")
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val sorted = rs.map(r => (r._2, r._3)).sortBy(_._1)
+        val tw = rs.map(_._3).sum
+        Events.QuantilePcts.map { p =>
+          val k = (tw * p + 99L) / 100L
+          var cum = 0L
+          val v = sorted.find { case (_, w) => cum += w; cum >= k }.get._1
+          (g, p, k, v)
+        }
+      }.sortBy(t => (t._1, t._2))
+      Seq((Events.QuantileSelectCap, Events.GroupQuantileBuckets,
+            Events.QuantileDriverCellBudget),
+          (1L, 4L, Events.QuantileDriverCellBudget),
+          (8L, 2L, 1L)).foreach { case (cap, b, budget) =>
+        val got = Events.groupWeightedQuantilesOn(df, "g", "v", "w",
+          cap, b, budget).collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+            r.getLong(3))).toSeq
+        assert(got == expect, s"case $i cap=$cap b=$b budget=$budget")
+      }
+    }
+  }
 }
