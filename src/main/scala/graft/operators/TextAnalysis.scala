@@ -816,6 +816,23 @@ object TextAnalysis {
     }
   }
 
+  /** Index OBSERVABILITY — per-bucket occupancy of the materialized
+    * postings store ([[Ann.lshBuckets]]'s discipline applied to text):
+    * distinct words, posting rows, and token mass per bucket. Read
+    * from the store itself and oracled against a from-scratch
+    * recomputation over the raw corpus — a standing integrity check
+    * that the persisted index IS the corpus's inverted index. Skew
+    * here (a stopword-heavy bucket) is what a stop-list or
+    * impact-ordering decision is made from. */
+  def textIndexStats(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(PostingsSchema)
+      .parquet(textIndexFor(s, dir) + "/postings")
+      .groupBy(col("bkt").cast("int").as("bkt"))
+      .agg(count_distinct(col("word")).as("n_words"),
+        count(lit(1)).as("n_postings"),
+        sum(col("tf")).as("n_tokens"))
+      .orderBy("bkt")
+
   /** Memoized materialized text index per (session, fixture dir) —
     * the implicit index behind the `text_index_search` declared query;
     * lifecycle mirrors [[Ann.ivfStoreFor]] (torn down by
@@ -1127,6 +1144,22 @@ object TextAnalysis {
     QueryDef.sql("text_index_refresh", bm25MultiOracleSql)((s, dir) =>
       bm25StoredTopK(s, refreshedTextIndexFor(s, dir),
         Bm25QuerySuite, Bm25TopK)),
+
+    // the stored index's contents recomputed from the raw corpus —
+    // the standing integrity oracle for the persisted layout
+    QueryDef.sql("text_index_stats",
+      s"""WITH d AS (SELECT doc_id, $W AS ws FROM documents),
+         |b AS (SELECT doc_id, ws FROM d WHERE len(ws) > 0),
+         |terms AS (SELECT doc_id, unnest(ws) AS word FROM b),
+         |tf AS (SELECT doc_id, word, count(*) AS tf
+         |  FROM terms GROUP BY doc_id, word),
+         |bk AS (SELECT word, tf,
+         |  CAST(${polyHashSql("word")} % $TextIndexBuckets AS INT) AS bkt
+         |  FROM tf)
+         |SELECT bkt, count(DISTINCT word) AS n_words,
+         |  count(*) AS n_postings, CAST(sum(tf) AS BIGINT) AS n_tokens
+         |FROM bk GROUP BY bkt ORDER BY bkt""".stripMargin)(
+      (s, dir) => textIndexStats(s, dir)),
 
     // the VERSIONED (manifest-backed) index through the declarative
     // connector: init -> tagged refresh -> clustered compaction, same
