@@ -157,6 +157,36 @@ object Relational {
       .orderBy("o_year")
   }
 
+  /** TPC-H Q18 shape — LARGE-VOLUME customers: orders whose total
+    * line quantity clears a threshold, with their customers, ranked by
+    * order value. The HAVING-filtered order set is tiny relative to
+    * the fact tables, so it drives the joins through the size gate
+    * ([[VectorSearch.broadcastIfSmall]]): one lineitem aggregate
+    * shuffle, then orders and customer are probed by broadcast —
+    * neither fact table shuffles. Quantities are decimal sums (whole-
+    * valued in the fixture) cast to double at the end — integer-exact
+    * in both engines. */
+  val BigOrderQty = 150
+
+  def largeVolumeCustomers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"), 14, 2)).as("qd"))
+      .where(col("qd") > BigOrderQty)
+      .select(col("l_orderkey"), col("qd").cast("double").as("sum_qty"))
+    o.join(VectorSearch.broadcastIfSmall(big),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), money(col("o_totalprice"))
+          .cast("double").as("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+        col("o_orderkey"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------------
   // O: grouped top-N via ranking window over a join
   // ------------------------------------------------------------------
@@ -847,6 +877,19 @@ object Relational {
          |  AND r_name = 'ASIA'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin)(revenueByNation),
+
+    QueryDef.sql("rel_large_volume_customers",
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |    CAST(SUM(CAST(l_quantity AS $decSql)) AS DOUBLE) AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING SUM(CAST(l_quantity AS $decSql)) > $BigOrderQty)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+         |  ${moneySql("o_totalprice")}::DOUBLE AS o_totalprice, sum_qty
+         |FROM orders, big, customer
+         |WHERE o_orderkey = l_orderkey AND o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+         |LIMIT 20""".stripMargin)(largeVolumeCustomers),
 
     QueryDef.sql("rel_market_share", {
       val rev =
