@@ -893,22 +893,29 @@ object Events {
 
   /** METADATA-SERVED table audit: the bare COUNT(*) answered entirely
     * from the per-segment `rows:` sidecar tokens
-    * ([[graft.sources.ManifestStore.countRowsPlanned]] — zero segments
-    * listed, planned, or read), next to a NULL audit through the
-    * `format("graft")` connector: `ts_us IS NULL` over segments whose
-    * sidecars prove rows == non-null count plans ZERO files — the
-    * IsNull proof arm, the same metadata one `cnt:` token already
+    * ([[graft.sources.GraftFileIndex.metadataRowCount]] — zero
+    * segments listed, planned, or read), next to a NULL audit through
+    * the `format("graft")` connector: `ts_us IS NULL` over segments
+    * whose sidecars prove rows == non-null count plans ZERO files —
+    * the IsNull proof arm, the same metadata one `cnt:` token already
     * funds. At 100 TB these are the "how big is this table / is the
     * ingest clean" dashboard probes costing sidecar reads instead of
-    * the table. GraftSourceSpec pins the serving split (all
-    * meta-served, zero files scanned); the oracle checks the values. */
+    * the table. Both numbers come from ONE pinned snapshot (the
+    * version is resolved once and passed as the `versionAsOf`
+    * ceiling) — a commit landing between the two reads must not pair
+    * an n_events with an n_null_ts from different versions. The
+    * oracle checks the values. */
   def metaCount(s: SparkSession, dir: String): DataFrame = {
     val (path, _, _) = manifestEventsTable(s, dir)
-    val (n, _, _) = graft.sources.ManifestStore
-      .countRowsPlanned(s, path, "events")
-    val nNullTs = s.read.format("graft").option("path", path)
-      .option("collection", "events").load()
-      .where(col("ts_us").isNull).count()
+    val seq = graft.sources.ManifestStore.currentPtrSeq(s, path, "events")
+    val idx = new graft.sources.GraftFileIndex(s, path, "events", seq)
+    val pinned = s.read.format("graft").option("path", path)
+      .option("collection", "events")
+      .option("versionAsOf", seq.toString).load()
+    // sidecar-served when every pinned segment carries a rows: token;
+    // the fallback scan reads the SAME pinned segment list
+    val n = idx.metadataRowCount.getOrElse(pinned.count())
+    val nNullTs = pinned.where(col("ts_us").isNull).count()
     import s.implicits._
     Seq((n, nNullTs)).toDF("n_events", "n_null_ts")
   }
@@ -947,6 +954,20 @@ object Events {
       .where(col("ts_us").isNotNull), "ts_us")
 
 
+  /** Rank of the p-th percentile target: ceil(total·p/100) in exact
+    * long arithmetic. This is DRIVER-side JVM math — no ANSI overflow
+    * guard applies — so a total (row count or Σweight) above
+    * Long.MaxValue/100 would silently wrap `total * 99` and yield a
+    * wrong k with no error. Fail loud instead; ~9.2e16 rows/tokens is
+    * two orders of magnitude past the 100 TB design point, and a
+    * caller that big must pre-scale its weights. */
+  private def quantileRank(total: Long, p: Int): Long = {
+    require(total <= Long.MaxValue / 100L,
+      s"quantile rank arithmetic would overflow: total $total > " +
+        s"Long.MaxValue/100 (${Long.MaxValue / 100L}); pre-scale weights")
+    (total * p + 99L) / 100L
+  }
+
   /** Narrowing-round bound derived from the knobs: every histogram
     * round shrinks an interval's width from w to ≤ w/B + 1, so
     * log_B(2^64) + slack rounds always suffice — 12-ish at the
@@ -977,7 +998,7 @@ object Events {
     // (pct, rank-within-interval, interval) per target; k-th smallest
     // overall = ceil(n·p/100)-th, then rebased as intervals narrow
     var open = QuantilePcts.map(p =>
-      (p, (n * p + 99L) / 100L, head.getLong(0), head.getLong(1)))
+      (p, quantileRank(n, p), head.getLong(0), head.getLong(1)))
     var done = Seq.empty[(Int, Long, Long)] // (pct, original k, value)
     val origK = open.map(t => t._1 -> t._2).toMap
     var rounds = 0
@@ -1075,7 +1096,7 @@ object Events {
       return Seq.empty[(Int, Long, Long)].toDF("pct", "k", c)
     val tw = head.getLong(2)
     var open = QuantilePcts.map(p =>
-      (p, (tw * p + 99L) / 100L, head.getLong(0), head.getLong(1)))
+      (p, quantileRank(tw, p), head.getLong(0), head.getLong(1)))
     val origK = open.map(t => t._1 -> t._2).toMap
     var done = Seq.empty[(Int, Long, Long)]
     var rounds = 0
@@ -1219,6 +1240,14 @@ object Events {
       cellBudget: Long): DataFrame = {
     val s = values.sparkSession
     import s.implicits._
+    // the driver-side target state carries the group value as String
+    // (and toDF re-types the output column) — a non-string group would
+    // ClassCastException deep in the collect, so reject it at the door
+    require(values.schema(g).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"grouped quantiles require a StringType group column; '$g' is " +
+        values.schema(g).dataType.simpleString +
+        " — cast it (or map it through a string key) first")
     // one scan: per-group bounds + total weight seed the target state
     var open = values.groupBy(col(g))
       .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
@@ -1226,7 +1255,7 @@ object Events {
       .collect().toSeq.flatMap { r =>
         val (gv, lo, hi, n) =
           (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
-        QuantilePcts.map(p => (gv, p, (n * p + 99L) / 100L, lo, hi, n))
+        QuantilePcts.map(p => (gv, p, quantileRank(n, p), lo, hi, n))
       }
     val origK = open.map(t => (t._1, t._2) -> t._3).toMap
     var done = Seq.empty[(String, Int, Long, Long)] // (gv, pct, k, value)

@@ -1417,8 +1417,10 @@ object Pipeline {
       s"""WITH v AS (
          |  SELECT lang, CAST(len($W) AS BIGINT) AS n_words FROM documents
          |  WHERE len($W) > 0 AND lang IS NOT NULL),
-         |t AS (SELECT lang, sum(n_words) AS tw FROM v GROUP BY lang),
-         |k AS (SELECT t.lang, p, (t.tw * p + 99) // 100 AS k
+         |t AS (SELECT lang, CAST(sum(n_words) AS BIGINT) AS tw
+         |  FROM v GROUP BY lang),
+         |k AS (SELECT t.lang, p,
+         |  CAST((t.tw * p + 99) // 100 AS BIGINT) AS k
          |  FROM (VALUES (50), (90), (99)) AS q(p), t),
          |c AS (SELECT lang, n_words,
          |  sum(n_words) OVER (PARTITION BY lang ORDER BY n_words) AS cw
@@ -1432,8 +1434,8 @@ object Pipeline {
       s"""WITH v AS (
          |  SELECT CAST(len($W) AS BIGINT) AS n_words FROM documents
          |  WHERE len($W) > 0),
-         |t AS (SELECT sum(n_words) AS tw FROM v),
-         |k AS (SELECT p, (t.tw * p + 99) // 100 AS k
+         |t AS (SELECT CAST(sum(n_words) AS BIGINT) AS tw FROM v),
+         |k AS (SELECT p, CAST((t.tw * p + 99) // 100 AS BIGINT) AS k
          |  FROM (VALUES (50), (90), (99)) AS q(p), t),
          |c AS (SELECT n_words,
          |  sum(n_words) OVER (ORDER BY n_words) AS cw FROM v)
