@@ -500,11 +500,21 @@ object TextAnalysis {
 
   /** DuckDB oracle shared by `text_bm25_multi` AND `text_index_search`
     * — the stored face must reproduce the scan face exactly, so they
-    * are checked against the SAME rank-retrieval SQL. */
-  private def bm25MultiOracleSql: String = {
+    * are checked against the SAME rank-retrieval SQL. A positive
+    * `dfCap` mirrors the capped-index build: words whose corpus df
+    * exceeds the cap contribute no hits (their posting lists were
+    * never stored), while surviving words' dfs and scores are the
+    * full-corpus values — `text_index_capped`'s contract. */
+  private def bm25MultiOracleSql: String = bm25MultiOracleSqlCapped(0L)
+
+  private def bm25MultiOracleSqlCapped(dfCapPct: Long): String = {
     val qvals = Bm25QuerySuite
       .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
       .mkString(", ")
+    // the same floored cap the build resolved: n_docs · pct // 100
+    val capFilter =
+      if (dfCapPct <= 0L) ""
+      else s" WHERE h.df <= (SELECT n_docs FROM st) * $dfCapPct // 100"
     s"""WITH q(query_id, term) AS (VALUES $qvals),
        |d AS (SELECT doc_id, $W AS ws FROM documents),
        |b AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
@@ -518,7 +528,7 @@ object TextAnalysis {
        |    CAST(count(*) OVER (PARTITION BY word) AS BIGINT) AS df
        |  FROM tf WHERE word IN (SELECT term FROM q)),
        |hits AS (SELECT q.query_id, h.doc_id, h.dl, h.word, h.tf, h.df
-       |  FROM hits0 h JOIN q ON h.word = q.term),
+       |  FROM hits0 h JOIN q ON h.word = q.term$capFilter),
        |g AS (SELECT query_id, doc_id, dl,
        |    list_sort(list({'word': word, 'tf': tf, 'df': df})) AS tl
        |  FROM hits GROUP BY query_id, doc_id, dl),
@@ -543,14 +553,41 @@ object TextAnalysis {
   // persisted inverted index — the stored-BM25 face
   // ----------------------------------------------------------------
 
-  /** Postings-store bucket count. Each posting row lands in the
-    * partition directory `bkt = polyHash(word) % TextIndexBuckets`,
-    * so ALL postings of a word share one directory — the invariant
-    * [[bm25Rank]]'s df window relies on — and a query probes exactly
-    * its terms' buckets. At 100 TB the knob trades directory fan-out
-    * against probe selectivity (buckets ≈ a few thousand keeps both
-    * listing cost and per-probe read fraction tiny). */
+  /** Postings-store bucket count DEFAULT for new builds. Each posting
+    * row lands in the partition directory `bkt = polyHash(word) %
+    * n_buckets`, so ALL postings of a word share one directory — the
+    * invariant [[bm25Rank]]'s df window relies on — and a query probes
+    * exactly its terms' buckets. At 100 TB the knob trades directory
+    * fan-out against probe selectivity (buckets ≈ a few thousand keeps
+    * both listing cost and per-probe read fraction tiny).
+    *
+    * The knob is ONLY a build-time default: the count an index was
+    * actually built with is part of the index's identity and is
+    * PERSISTED with it (stats row / `'b'` config row), and every probe
+    * reads it back — a stored index built under yesterday's knob keeps
+    * answering correctly after the constant changes, instead of being
+    * probed in the wrong directories and silently returning empty
+    * posting lists. */
   val TextIndexBuckets = 64L
+
+  /** Build-time df-cap for the capped-index face
+    * ([[cappedTextIndexFor]]), as a PERCENTAGE of the corpus: words
+    * appearing in more than `n_docs · pct / 100` documents (floored,
+    * both engines' integer division) are excluded from the postings
+    * store at build time. Stopword-class terms carry corpus-sized
+    * posting lists (SCALING.md's one documented IO-bound for the
+    * index); capping them bounds the hottest bucket's mass while
+    * keeping every SURVIVING word's posting list — and therefore its
+    * df and its BM25 scores — bitwise exact. A fraction (not an
+    * absolute) because "stopword" is a corpus-relative notion — the
+    * same knob serves every scale. The RESOLVED absolute cap is
+    * persisted in the stats row; a capped index refuses incremental
+    * refresh (exact incremental capping would need stored per-word
+    * dfs — a batch can push a surviving word over the cap; rebuild
+    * instead). 78 is tuned to the synthetic fixture's deliberately
+    * narrow template vocabulary (all terms live at 75-81% df, so the
+    * cap splits them); a natural-language corpus would sit at 10-50. */
+  val TextIndexDfCapPct = 78L
 
   /** Postings store schema incl. the `bkt` partition column (explicit
     * on read: an empty index has nothing to infer from). */
@@ -576,23 +613,59 @@ object TextAnalysis {
     * vector-only, main.go:171-214; this is the lexical half of a
     * hybrid retrieval stack, stored in the same
     * partition-as-index layout as [[Ann.buildIvfIndex]].) */
-  def buildTextIndex(documents: DataFrame, path: String): Unit = {
+  def buildTextIndex(documents: DataFrame, path: String,
+      nBuckets: Long = TextIndexBuckets, dfCap: Long = 0L): Unit = {
+    require(nBuckets > 0, s"text index needs nBuckets > 0, got $nBuckets")
     val base = documents
       .select(col("doc_id"), words(col("text")).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
       .where(col("dl") > 0)
     // coalesce: an empty corpus writes (0, 0), not (0, NULL) — the
-    // merge arithmetic and the rank tail both read longs
+    // merge arithmetic and the rank tail both read longs. n_buckets
+    // and df_cap travel WITH the index: probes must never recompute
+    // the layout from a constant that may have changed since build.
+    // Corpus stats stay FULL-corpus even under a df-cap: BM25's
+    // N/avgdl normalization describes the corpus, not the index.
     base.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .select(col("n_docs"), col("sum_dl"),
+        lit(nBuckets).as("n_buckets"), lit(dfCap).as("df_cap"))
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
-    base.select(col("doc_id"), col("dl"), explode(col("ws")).as("word"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("word"))
       .groupBy("doc_id", "dl", "word")
       .agg(count(lit(1)).as("tf"))
+    // df-cap: drop WHOLE posting lists of over-cap words (tf rows are
+    // distinct (doc, word) pairs, so the per-word row count IS the
+    // corpus df). Surviving words keep their complete lists — their
+    // df window and scores stay bitwise exact. Only pay the extra
+    // word-partitioned window when a cap is actually set.
+    val kept =
+      if (dfCap <= 0L) tf
+      else tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("word"))))
+        .where(col("df") <= dfCap).drop("df")
+    kept
       .withColumn("bkt",
         graft.functions.TextFunctions.polyHash(col("word"))
-          % lit(TextIndexBuckets))
+          % lit(nBuckets))
       .write.mode("overwrite").partitionBy("bkt").parquet(path + "/postings")
+  }
+
+  /** The layout identity a stored index carries: (n_buckets, df_cap)
+    * read back from the stats row. Fails LOUD on a stats row without
+    * the layout columns — an index persisted before bucket-count
+    * versioning cannot be probed safely (the then-current constant is
+    * unknowable) and must be rebuilt. */
+  private def storedIndexLayout(s: SparkSession,
+      path: String): (Long, Long) = {
+    val stats = s.read.parquet(path + "/stats")
+    require(stats.columns.contains("n_buckets"),
+      s"text index at $path has no persisted n_buckets — it was built " +
+        "before bucket-count versioning and its layout is unknowable; " +
+        "rebuild it with buildTextIndex")
+    val r = stats.select(col("n_buckets"), col("df_cap")).head
+    (r.getLong(0), r.getLong(1))
   }
 
   /** BM25 over the MATERIALIZED index: probe buckets are computed
@@ -607,19 +680,23 @@ object TextAnalysis {
   def bm25StoredTopK(s: SparkSession, path: String,
       queries: Seq[(Long, String)], k: Int): DataFrame = {
     import s.implicits._
+    // probe buckets are computed with the index's OWN stored bucket
+    // count — never the build-time constant, which may have changed
+    // since this index was written
+    val (nBuckets, _) = storedIndexLayout(s, path)
     // Int literals: the read-back partition column infers as int, and
     // long literals would wrap it in a cast that defeats directory
     // pruning (the partition filter must compare the raw column)
     val probeBkts = queries.map(_._2).distinct
       .map(t => (graft.functions.TextFunctions.polyHashLocal(t)
-        % TextIndexBuckets).toInt).distinct
+        % nBuckets).toInt).distinct
     // explicit schema: an empty index has no part files to infer from,
     // and a probe against it must answer empty, not fail
     val tf = s.read.schema(PostingsSchema).parquet(path + "/postings")
       .where(col("bkt").isin(probeBkts: _*))
       .select("doc_id", "dl", "word", "tf")
     bm25Rank(tf, queries.toDF("query_id", "term"),
-      s.read.parquet(path + "/stats"), k)
+      s.read.parquet(path + "/stats").select("n_docs", "sum_dl"), k)
   }
 
   /** INCREMENTAL index maintenance — apply an appended document batch
@@ -641,22 +718,33 @@ object TextAnalysis {
   def refreshTextIndex(batch: DataFrame, path: String): Unit = {
     val s = batch.sparkSession
     import s.implicits._
+    // the batch is bucketed by the STORE'S OWN layout (the ann_ivf_
+    // refresh discipline): a knob change between build and refresh
+    // must not split a word's posting list across two buckets
+    val (nBuckets, dfCap) = storedIndexLayout(s, path)
+    require(dfCap == 0L,
+      s"text index at $path was built with df_cap=$dfCap — exact " +
+        "incremental capping would need stored per-word dfs (a batch " +
+        "can push a surviving word over the cap); rebuild instead")
     val base = batch
       .select(col("doc_id"), words(col("text")).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
       .where(col("dl") > 0)
-    val old = s.read.parquet(path + "/stats").head
+    val old = s.read.parquet(path + "/stats")
+      .select("n_docs", "sum_dl").head
     val d = base.agg(count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head
     Seq((old.getLong(0) + d.getLong(0), old.getLong(1) + d.getLong(1)))
       .toDF("n_docs", "sum_dl")
+      .select(col("n_docs"), col("sum_dl"),
+        lit(nBuckets).as("n_buckets"), lit(dfCap).as("df_cap"))
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
     base.select(col("doc_id"), col("dl"), explode(col("ws")).as("word"))
       .groupBy("doc_id", "dl", "word")
       .agg(count(lit(1)).as("tf"))
       .withColumn("bkt",
         graft.functions.TextFunctions.polyHash(col("word"))
-          % lit(TextIndexBuckets))
+          % lit(nBuckets))
       .write.mode("append").partitionBy("bkt").parquet(path + "/postings")
   }
 
@@ -673,15 +761,22 @@ object TextAnalysis {
     * exactly-once discipline applied to index maintenance). Row
     * shapes, discriminated by `kind`:
     *   - `'p'` posting: (doc_id, dl, word, tf, bkt) — bkt =
-    *     polyHash(word) % [[TextIndexBuckets]], the probe axis;
+    *     polyHash(word) % n_buckets, the probe axis;
     *   - `'s'` stats contribution: doc_id := the batch's doc count,
     *     dl := its Σdl, word/tf/bkt NULL — corpus stats are ADDITIVE,
     *     so the total is a sum over stats rows and never needs
     *     read-modify-write (the parquet-store refresh's one
-    *     non-commutative step, gone).
-    * Keeping both kinds in one commit means a crash can never publish
-    * postings without their stats contribution or vice versa. */
-  def indexRows(docs: DataFrame): DataFrame = {
+    *     non-commutative step, gone);
+    *   - `'b'` layout identity: dl := the bucket count this batch was
+    *     hashed with, everything else NULL/0. Every commit carries one,
+    *     so probe time can verify the WHOLE index shares one layout —
+    *     a knob change between commits is a loud error, never a
+    *     silently-empty posting list.
+    * Keeping all kinds in one commit means a crash can never publish
+    * postings without their stats/layout contribution or vice versa. */
+  def indexRows(docs: DataFrame,
+      nBuckets: Long = TextIndexBuckets): DataFrame = {
+    require(nBuckets > 0, s"text index needs nBuckets > 0, got $nBuckets")
     val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
       .where(col("dl") > 0)
@@ -692,14 +787,40 @@ object TextAnalysis {
       .select(lit("p").as("kind"), col("doc_id"), col("dl"), col("word"),
         col("tf"),
         (graft.functions.TextFunctions.polyHash(col("word"))
-          % lit(TextIndexBuckets)).as("bkt"))
+          % lit(nBuckets)).as("bkt"))
     val stats = base
       .agg(count(lit(1)).as("doc_id"),
         coalesce(sum(col("dl")), lit(0L)).as("dl"))
       .select(lit("s").as("kind"), col("doc_id"), col("dl"),
         lit(null).cast("string").as("word"), lit(null).cast("long").as("tf"),
         lit(null).cast("long").as("bkt"))
-    postings.unionByName(stats)
+    val layout = docs.sparkSession.range(1)
+      .select(lit("b").as("kind"), lit(0L).as("doc_id"),
+        lit(nBuckets).as("dl"), lit(null).cast("string").as("word"),
+        lit(null).cast("long").as("tf"), lit(null).cast("long").as("bkt"))
+    postings.unionByName(stats).unionByName(layout)
+  }
+
+  /** The bucket count a VERSIONED index was built with, from its `'b'`
+    * layout rows. Exactly one distinct value must exist: zero means the
+    * index predates layout versioning (its geometry is unknowable —
+    * rebuild), more than one means commits were hashed under different
+    * layouts (a corrupted index — posting lists are split across
+    * buckets and every df is suspect). */
+  def manifestIndexBuckets(s: SparkSession, tablePath: String): Long = {
+    val nbs = s.read.format("graft").option("path", tablePath)
+      .option("collection", TextIndexCollection).load()
+      .where(col("kind") === "b").select(col("dl")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(nbs.length == 1,
+      if (nbs.isEmpty)
+        s"text index at $tablePath carries no 'b' layout row — it " +
+          "predates bucket-count versioning; rebuild it"
+      else
+        s"text index at $tablePath was committed under MULTIPLE bucket " +
+          s"counts ${nbs.mkString("[", ", ", "]")} — posting lists are " +
+          "split across layouts; rebuild it")
+    nbs.head
   }
 
   /** Table config for a manifest text index: zone maps on the probe
@@ -714,11 +835,20 @@ object TextAnalysis {
 
   /** Apply one document batch to the versioned index — one tagged
     * commit; a replayed tag is a no-op (returns false). Cost scales
-    * with the batch, never the index. */
+    * with the batch, never the index. The FIRST commit establishes the
+    * bucket count (from `nBuckets`); every later batch is hashed with
+    * the STORED layout — the parameter is ignored once the index
+    * exists, so a constant change can never split posting lists. */
   def refreshManifestTextIndex(docs: DataFrame, tablePath: String,
-      tag: String): Boolean =
+      tag: String, nBuckets: Long = TextIndexBuckets): Boolean = {
+    val s = docs.sparkSession
+    val live = graft.sources.ManifestStore
+      .currentSegments(s, tablePath, TextIndexCollection)
+      .toSeq.flatten
+    val nb = if (live.isEmpty) nBuckets else manifestIndexBuckets(s, tablePath)
     graft.sources.ManifestStore.storeBatch(
-      indexRows(docs), tablePath, TextIndexCollection, tag)
+      indexRows(docs, nb), tablePath, TextIndexCollection, tag)
+  }
 
   /** Restore probe pruning after streaming appends: every batch
     * segment spans most buckets, so bkt zone maps exclude little until
@@ -739,9 +869,12 @@ object TextAnalysis {
   def bm25ManifestTopK(s: SparkSession, tablePath: String,
       queries: Seq[(Long, String)], k: Int): DataFrame = {
     import s.implicits._
+    // probe with the index's OWN committed layout (verified single-
+    // valued across commits), never the build-time constant
+    val nBuckets = manifestIndexBuckets(s, tablePath)
     val probeBkts = queries.map(_._2).distinct
       .map(t => graft.functions.TextFunctions.polyHashLocal(t)
-        % TextIndexBuckets).distinct
+        % nBuckets).distinct
     val rel = s.read.format("graft").option("path", tablePath)
       .option("collection", TextIndexCollection).load()
     val stats = rel.where(col("kind") === "s")
@@ -856,10 +989,39 @@ object TextAnalysis {
     }
   }
 
+  /** Memoized DF-CAPPED index behind `text_index_capped`: the same
+    * corpus, built with the [[TextIndexDfCapPct]] cap resolved against
+    * its own size — stopword-class posting lists never stored,
+    * surviving terms' answers bitwise the uncapped index's (the oracle
+    * mirrors the floored cap arithmetic in SQL). */
+  private val cappedTextIndexes = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private[graft] def cappedTextIndexFor(s: SparkSession,
+      dir: String): String = {
+    val key = (s, dir)
+    Option(cappedTextIndexes.get(key)).getOrElse {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-text-capped-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
+      val docs = Tables(s, dir, "documents")
+      val nDocs = docs
+        .where(size(words(col("text"))) > 0).count()
+      buildTextIndex(docs, path, dfCap = nDocs * TextIndexDfCapPct / 100L)
+      Option(cappedTextIndexes.putIfAbsent(key, path)).map { prev =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)); prev // racing builder
+      }.getOrElse(path)
+    }
+  }
+
   /** Drop every memoized materialized text index (every main calls
     * this on shutdown). */
   def releaseCaches(): Unit = {
-    Seq(textIndexes, refreshedIndexes, manifestIndexes).foreach { m =>
+    Seq(textIndexes, cappedTextIndexes, refreshedIndexes,
+        manifestIndexes).foreach { m =>
       val it = m.values().iterator()
       while (it.hasNext)
         org.apache.commons.io.FileUtils
@@ -1143,6 +1305,16 @@ object TextAnalysis {
     // the oracle recomputes from scratch — the mergeability proof
     QueryDef.sql("text_index_refresh", bm25MultiOracleSql)((s, dir) =>
       bm25StoredTopK(s, refreshedTextIndexFor(s, dir),
+        Bm25QuerySuite, Bm25TopK)),
+
+    // DF-CAPPED index: stopword-class posting lists (df > cap) are
+    // never stored — the hottest buckets shed their corpus-sized
+    // lists — while every SURVIVING term answers bitwise like the
+    // uncapped store (whole lists kept, df window exact); the oracle
+    // recomputes from the raw corpus with the cap mirrored in SQL
+    QueryDef.sql("text_index_capped",
+      bm25MultiOracleSqlCapped(TextIndexDfCapPct))((s, dir) =>
+      bm25StoredTopK(s, cappedTextIndexFor(s, dir),
         Bm25QuerySuite, Bm25TopK)),
 
     // the stored index's contents recomputed from the raw corpus —

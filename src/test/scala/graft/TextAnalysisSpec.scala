@@ -436,4 +436,148 @@ class TextAnalysisSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(table).getParentFile)
   }
+
+  test("bucket count is a property of the STORED index: a non-default " +
+      "build probes correctly, refresh inherits the stored layout, a " +
+      "pre-versioned index fails loud") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    def ask(d: String) = TextAnalysis.bm25StoredTopK(spark, d,
+      TextAnalysis.Bm25QuerySuite, TextAnalysis.Bm25TopK).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rnk"))).toSeq
+    // built at 2× the constant: the probe must use the STORED count —
+    // probing with the constant would look in the wrong directories
+    // and silently answer empty
+    val wide = Files.createTempDirectory("graft_text_b128").toString
+    TextAnalysis.buildTextIndex(docs, wide,
+      nBuckets = TextAnalysis.TextIndexBuckets * 2)
+    val expect = TextAnalysis.bm25Multi(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rnk"))).toSeq
+    assert(ask(wide) == expect)
+    assert(spark.read.parquet(wide + "/stats").head
+      .getAs[Long]("n_buckets") == TextAnalysis.TextIndexBuckets * 2)
+    // refresh buckets the BATCH with the stored layout, not the
+    // constant: every word still lives in exactly one bucket dir
+    val dir = Files.createTempDirectory("graft_text_b16").toString
+    TextAnalysis.buildTextIndex(
+      docs.where(col("doc_id") % 10 =!= 1), dir, nBuckets = 16L)
+    TextAnalysis.refreshTextIndex(
+      docs.where(col("doc_id") % 10 === 1), dir)
+    val postings = spark.read.parquet(dir + "/postings")
+    assert(postings.groupBy("word")
+      .agg(countDistinct(col("bkt")).as("nb"))
+      .where(col("nb") > 1).count() == 0L)
+    assert(postings.agg(max(col("bkt"))).head.getInt(0) < 16)
+    assert(ask(dir) == expect)
+    // an index with no persisted layout (pre-versioning) is refused
+    val bare = Files.createTempDirectory("graft_text_bare").toString
+    import spark.implicits._
+    spark.read.parquet(dir + "/postings").select("doc_id", "dl", "word",
+      "tf", "bkt").write.partitionBy("bkt").parquet(bare + "/postings")
+    Seq((1L, 1L)).toDF("n_docs", "sum_dl")
+      .write.parquet(bare + "/stats")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25StoredTopK(spark, bare,
+        TextAnalysis.Bm25QuerySuite, TextAnalysis.Bm25TopK)
+    }
+    assert(e.getMessage.contains("no persisted n_buckets"), e.getMessage)
+    Seq(wide, dir, bare).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
+  test("df-capped index: over-cap posting lists are never stored, " +
+      "surviving terms answer bitwise like the uncapped store, the " +
+      "hottest bucket sheds mass, refresh is refused") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // crafted corpus: 'the' in every doc (df 40 > cap), content words
+    // in a few docs each; cap at 50% = 20 docs
+    val docs = (0L until 40L).map { i =>
+      val extra = if (i % 8 == 0) " spark join" else ""
+      (i, s"the quick w$i doc number x${i % 4}$extra")
+    }.toDF("doc_id", "text")
+    val full = Files.createTempDirectory("graft_text_uncapped").toString
+    val capped = Files.createTempDirectory("graft_text_capped").toString
+    TextAnalysis.buildTextIndex(docs, full)
+    TextAnalysis.buildTextIndex(docs, capped, dfCap = 20L)
+    val cw = spark.read.parquet(capped + "/postings")
+      .select("word").distinct().collect().map(_.getString(0)).toSet
+    // df('the') = df('quick') = df('doc') = 40 > 20: never stored
+    assert(!cw.contains("the") && !cw.contains("quick"), cw.toString)
+    // df('spark') = 5, df('x0') = 10: whole lists survive
+    assert(cw.contains("spark") && cw.contains("x0"), cw.toString)
+    // surviving-term probes are bitwise the uncapped store's
+    val suite = Seq(1L -> "spark", 1L -> "join", 2L -> "x0")
+    def ask(d: String) = TextAnalysis.bm25StoredTopK(spark, d, suite, 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Int]("rnk"))).toSeq
+    assert(ask(capped) == ask(full) && ask(capped).nonEmpty)
+    // an over-cap term finds nothing (list never stored) — not a fault
+    assert(TextAnalysis.bm25StoredTopK(spark, capped,
+      Seq(9L -> "the"), 5).count() == 0L)
+    // the hottest bucket sheds posting mass
+    def hottest(d: String): Long = spark.read.parquet(d + "/postings")
+      .groupBy("bkt").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    assert(hottest(capped) < hottest(full))
+    // corpus stats stay FULL-corpus (BM25 normalization is about the
+    // corpus, not the index)
+    val (sf_, sc_) = (spark.read.parquet(full + "/stats").head,
+      spark.read.parquet(capped + "/stats").head)
+    assert(sf_.getAs[Long]("n_docs") == sc_.getAs[Long]("n_docs") &&
+      sf_.getAs[Long]("sum_dl") == sc_.getAs[Long]("sum_dl"))
+    assert(sc_.getAs[Long]("df_cap") == 20L)
+    // incremental refresh of a capped index is refused loud
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.refreshTextIndex(
+        Seq((99L, "fresh words")).toDF("doc_id", "text"), capped)
+    }
+    assert(e.getMessage.contains("df_cap"), e.getMessage)
+    Seq(full, capped).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
+  test("manifest index layout: the first commit establishes the bucket " +
+      "count, later batches inherit it, a foreign-layout commit fails " +
+      "the probe loud") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val table = Files.createTempDirectory("graft_text_mlay").toString + "/t"
+    TextAnalysis.initManifestTextIndex(spark, table)
+    // first commit at a NON-default count
+    assert(TextAnalysis.refreshManifestTextIndex(
+      docs.where(col("doc_id") % 10 =!= 1), table, "base", nBuckets = 32L))
+    // the second batch ASKS for the default but inherits the stored 32
+    assert(TextAnalysis.refreshManifestTextIndex(
+      docs.where(col("doc_id") % 10 === 1), table, "delta-1"))
+    assert(TextAnalysis.manifestIndexBuckets(spark, table) == 32L)
+    // probes resolve against the stored layout and match the scan face
+    val got = TextAnalysis.bm25ManifestTopK(spark, table,
+      TextAnalysis.Bm25QuerySuite, TextAnalysis.Bm25TopK).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rnk"))).toSeq
+    val expect = TextAnalysis.bm25Multi(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rnk"))).toSeq
+    assert(got == expect)
+    // a commit hashed under a DIFFERENT layout (bypassing the refresh
+    // face) corrupts the geometry — the probe must refuse, not return
+    // silently wrong posting lists
+    graft.sources.ManifestStore.storeBatch(
+      TextAnalysis.indexRows(
+        docs.where(col("doc_id") % 10 === 2), nBuckets = 16L),
+      table, TextAnalysis.TextIndexCollection, "foreign")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25ManifestTopK(spark, table,
+        TextAnalysis.Bm25QuerySuite, TextAnalysis.Bm25TopK)
+    }
+    assert(e.getMessage.contains("MULTIPLE bucket counts"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(table).getParentFile)
+  }
 }
