@@ -432,17 +432,33 @@ final class GraftSource extends RelationProvider
         ManifestStore.storeBatch(data, path, collection, tag): Unit
       case None => ManifestStore.store(data, path, collection)
     }
-    def exists(): Boolean = ManifestStore
-      .resolve(ManifestStore.fsOf(spark, path), path, collection)
-      .liveSegs.nonEmpty
+    val fs = ManifestStore.fsOf(spark, path)
+    // "exists" for the create-once modes = ANY valid commit, INCLUDING
+    // a tombstone: a merged-to-empty collection was deliberately
+    // emptied, and a create-once write must not silently resurrect it
+    // (restoreVersion is the explicit path back)
+    def exists(): Boolean =
+      ManifestStore.resolve(fs, path, collection).decidedSeq > 0L
+    // Create-once is decided ATOMICALLY by the `created` marker
+    // (ManifestStore.claimCreateOnce — the O_EXCL pointer primitive):
+    // two racing ErrorIfExists writers cannot both pass an exists()
+    // probe and both append; exactly one wins the marker. The
+    // existence check still runs first to give collections created
+    // through the imperative faces (which carry no marker) the right
+    // answer. A create that crashed after winning the marker leaves it
+    // behind — the retry path is mode('append'), as documented on
+    // claimCreateOnce.
     mode match {
       case SaveMode.Append => append()
       case SaveMode.ErrorIfExists =>
-        if (exists()) throw new IllegalStateException(
-          s"collection '$collection' at $path already exists " +
-            "(mode=ErrorIfExists); use mode('append') to add a segment")
+        if (exists() || !ManifestStore.claimCreateOnce(fs, path, collection))
+          throw new IllegalStateException(
+            s"collection '$collection' at $path already exists " +
+              "(mode=ErrorIfExists); use mode('append') to add a segment")
         append()
-      case SaveMode.Ignore => if (!exists()) append()
+      case SaveMode.Ignore =>
+        if (!exists() && ManifestStore.claimCreateOnce(fs, path, collection))
+          append()
       case SaveMode.Overwrite => throw new UnsupportedOperationException(
         "graft does not support mode=Overwrite: replace content with " +
           "ManifestStore.mergeCollection (restorable pointer history) " +
@@ -450,7 +466,18 @@ final class GraftSource extends RelationProvider
     }
     // the post-write relation re-resolves: a read through it sees the
     // commit this write just published (or the pre-existing snapshot
-    // for an Ignore'd write)
-    createRelation(sqlContext, parameters)
+    // for an Ignore'd write). A write that landed nothing against a
+    // collection with no live segments (an Ignore no-op racing the
+    // creator, or a create-once mode meeting a tombstone) has no
+    // snapshot to infer a schema from — hand back the written frame's
+    // schema without binding an index
+    val ctx = sqlContext
+    if (ManifestStore.resolve(fs, path, collection)
+        .liveSegs.exists(_.nonEmpty))
+      createRelation(ctx, parameters)
+    else new BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
   }
 }

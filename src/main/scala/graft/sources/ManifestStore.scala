@@ -621,6 +621,29 @@ object ManifestStore {
     segs.map(s => f"$s%06d")
       .mkString(SegsPrefix, ",", srcTag.fold("")(t => s";src=$t") + SegsSuffix)
 
+  /** Atomic create-once INTENT marker for the SQL write face's
+    * `ErrorIfExists`/`Ignore` modes — the same create-no-overwrite
+    * primitive as pointer commits ([[createExclusive]]), applied to a
+    * per-collection `created` file so "who creates this collection" is
+    * decided by the filesystem, not by an exists-then-append window two
+    * racers can both pass. Returns true iff THIS caller won; false on
+    * an existing marker (a racing or earlier creator won). The marker
+    * records INTENT and is never deleted — a create that crashed after
+    * winning leaves it behind, and a retry must use mode=append (the
+    * documented recovery, same as a half-finished claim). Collections
+    * created through the imperative faces ([[store]]/[[storeBatch]])
+    * carry no marker; the write face's prior existence check covers
+    * them. */
+  private[sources] def claimCreateOnce(fs: FileSystem, tablePath: String,
+      c: String): Boolean = {
+    val dir = manifestDir(tablePath, c)
+    fs.mkdirs(dir)
+    try {
+      createExclusive(fs, new Path(dir, "created"), Array('c'.toByte))
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
   /** Atomically CLAIM a segment number >= `from` before writing any
     * data into it: create-no-overwrite on `claim-<n>` — the same FS
     * primitive as the pointer lock, applied one step earlier. Without

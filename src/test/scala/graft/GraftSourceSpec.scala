@@ -517,6 +517,77 @@ class GraftSourceSpec extends SparkSpecBase {
     assert(readSrc(table).where(col("k") >= 100L).count() == 1L)
   }
 
+  test("write face: racing ErrorIfExists creators — exactly one wins " +
+      "the atomic create-once marker; Ignore racers append exactly once") {
+    import spark.implicits._
+    val table = tmp() + "/t"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def awaitAll[T](fs: Seq[scala.concurrent.Future[T]]): Seq[T] =
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration(120, "s"))
+    // ErrorIfExists race on a FRESH collection: the exists() probe is
+    // not the decider (both racers can pass it) — the O_EXCL `created`
+    // marker is, so exactly one create succeeds and one commit lands
+    val outcomes = awaitAll((1 to 4).map { i =>
+      scala.concurrent.Future {
+        try {
+          Seq((i.toLong, s"w$i")).toDF("k", "txt")
+            .write.format("graft")
+            .option("path", table).option("collection", "race").save()
+          true
+        } catch { case _: IllegalStateException => false }
+      }
+    })
+    assert(outcomes.count(identity) == 1, outcomes.toString)
+    assert(spark.read.format("graft").option("path", table)
+      .option("collection", "race").load().count() == 1L)
+    // Ignore race on a fresh collection: every racer completes, but
+    // only the marker winner appends
+    awaitAll((1 to 4).map { i =>
+      scala.concurrent.Future {
+        Seq((100L + i, s"g$i")).toDF("k", "txt")
+          .write.format("graft").mode("ignore")
+          .option("path", table).option("collection", "race2").save()
+      }
+    })
+    pool.shutdown()
+    assert(spark.read.format("graft").option("path", table)
+      .option("collection", "race2").load().count() == 1L)
+  }
+
+  test("write face: a tombstoned collection counts as EXISTING for the " +
+      "create-once modes — no silent resurrection of a deliberate delete") {
+    import spark.implicits._
+    val table = tmp() + "/t"
+    Seq((1L, "a")).toDF("k", "txt").write.format("graft")
+      .mode("append")
+      .option("path", table).option("collection", "m").save()
+    ManifestStore.deleteCollection(spark, table, "m")
+    // tombstone state: no live segments, but committed history exists
+    assert(ManifestStore.currentSegments(spark, table, "m").isEmpty)
+    val seqAfterDelete = ManifestStore.currentPtrSeq(spark, table, "m")
+    assert(seqAfterDelete > 0L)
+    // ErrorIfExists refuses: the collection was deliberately emptied
+    intercept[IllegalStateException] {
+      Seq((2L, "b")).toDF("k", "txt").write.format("graft")
+        .option("path", table).option("collection", "m").save()
+    }
+    // Ignore no-ops: the tombstone stays the live state (no new commit)
+    Seq((3L, "c")).toDF("k", "txt").write.format("graft")
+      .mode("ignore")
+      .option("path", table).option("collection", "m").save()
+    assert(ManifestStore.currentSegments(spark, table, "m").isEmpty)
+    assert(ManifestStore.currentPtrSeq(spark, table, "m") == seqAfterDelete)
+    // the explicit paths back still work: append, or restoreVersion
+    Seq((4L, "d")).toDF("k", "txt").write.format("graft")
+      .mode("append")
+      .option("path", table).option("collection", "m").save()
+    assert(readSrc(table).select("k").as[Long].collect().toSeq == Seq(4L))
+  }
+
   test("time travel: versionAsOf pins the connector to a commit, " +
       "agrees with readAsOfInferred, unresolvable versions fail loud") {
     import spark.implicits._
