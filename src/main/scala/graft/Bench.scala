@@ -28,10 +28,11 @@ object Bench {
     * made the calib guard a coin flip on a genuinely idle machine. The
     * value tracks the newest committed idle artifact's calib; it moves
     * ONLY together with a committed clean `bench_out.json`. Round 13:
-    * 0.467 → 0.517 with the committed 88.9 s idle capture (same
-    * machine-regime drift the round-12 re-base tracked — the r12 idle
-    * reruns measured 0.467-0.500). */
-  val CalibAnchor = 0.517
+    * 0.467 → 0.598 with the committed 92.8 s/194-query idle capture —
+    * the machine regime drifted 0.46-0.66 WITHIN this round's
+    * captures (same fleet drift the round-12 re-base tracked), so the
+    * anchor tracks the newest committed artifact per policy. */
+  val CalibAnchor = 0.598
   /** A query is "wide" when its timed reps spread beyond this
     * max/min ratio. */
   val NoisySpreadRatio = 3.0

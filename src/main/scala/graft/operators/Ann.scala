@@ -871,6 +871,77 @@ object Ann {
   def quantizedRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
     recallAtK(quantizedTopK(emb, k), emb, k)
 
+  /** Shortlist width for the binary-sign rerank — how many Hamming
+    * nearest survive to the exact-cosine pass. */
+  val BinaryShortlist = 50
+
+  /** Sign bit-pack of a [[graft.operators.VectorSearch.Dim]]=64-dim
+    * vector into ONE long: bit j set ⟺ v_j > 0. The bits are disjoint
+    * so the pack is a pure bitwise-OR fold — no addition, no overflow
+    * semantics, identical in every engine (bit 63's literal is
+    * Long.MinValue, which an arithmetic sum would trip ANSI checks
+    * on). Scan-side projection, whole-stage codegen. */
+  private def packedSig(ve: Column): Column =
+    (0 until Dim).map(j =>
+      when(element_at(ve, j + 1) > 0.0, lit(1L << j)).otherwise(lit(0L)))
+      .reduceLeft((a, b) => a.bitwiseOR(b))
+
+  /** Driver-side twin of [[packedSig]] — the query's signature is a
+    * plan CONSTANT, like every other query-derived probe here. */
+  private def packedSigLocal(v: Array[Double]): Long = {
+    var s = 0L
+    var j = 0
+    while (j < v.length) { if (v(j) > 0.0) s |= (1L << j); j += 1 }
+    s
+  }
+
+  /** SQL twin of [[packedSig]]: the same disjoint-bit OR chain (each
+    * bit literal pre-computed in Scala so both engines parse the
+    * identical BIGINT constants). */
+  private def packedSigSql(v: String): String =
+    (0 until Dim).map(j =>
+      s"(CASE WHEN $v[${j + 1}] > 0.0E0 THEN CAST(${1L << j} AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END)")
+      .mkString("(", " | ", ")")
+
+  /** BINARY-sign quantized search — the 64×-compression tier every
+    * current vector store ships below int8/PQ: each vector is ONE long
+    * (its sign pattern), candidate scoring is one XOR + popcount
+    * against the query's signature, and the [[BinaryShortlist]]
+    * Hamming-nearest survivors are reranked by exact cosine. For
+    * L2-normalized-ish embeddings, angular proximity concentrates sign
+    * agreement (the [[lshTopK]] hyperplane argument with the standard
+    * basis as planes), so Hamming distance is a cheap monotone proxy —
+    * and the rerank restores exact top-k order among survivors.
+    *
+    * Scale shape: the signature projection and XOR/popcount ride the
+    * scan (zero shuffles, whole-stage codegen), the Hamming shortlist
+    * is a TakeOrderedAndProject heap, and the exact dot runs on
+    * [[BinaryShortlist]] rows only. At 100 TB the signatures are the
+    * resident index — 8 bytes/vector, 64× under the raw doubles, the
+    * RAM-vs-recall trade [[binaryRecallAtK]] measures (never
+    * assumes). Ties (equal Hamming / equal cosine) break on vec_id in
+    * both engines. */
+  def binaryTopK(emb: DataFrame, k: Int = K): DataFrame = {
+    val qSig = packedSigLocal(Query)
+    emb
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("hamming",
+        bit_count(packedSig(col("v")).bitwiseXOR(lit(qSig))))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(BinaryShortlist)
+      .select(col("vec_id"), col("label"), col("hamming"),
+        V.dot(vecLit(QueryNorm), col("v")).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Recall@k of the binary-sign tier against the exact scan — the
+    * measured price of 64× compression (same pattern as the int8, LSH,
+    * IVF, and PQ tiers: every approximate path ships its miss rate). */
+  def binaryRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
+    recallAtK(binaryTopK(emb, k), emb, k)
+
   /** Recall@k of the LSH probe against the exact scan — the index
     * quality measurement every ANN deployment monitors. Both top-k sets
     * are tiny (k rows), so the join is driver-trivial; the expensive
@@ -1001,6 +1072,47 @@ object Ann {
          |FROM exact JOIN approx USING (vec_id)""".stripMargin) {
       (s, dir) => quantizedRecallAtK(Tables(s, dir, "embeddings"))
     },
+
+    QueryDef.sql("ann_binary_topk", {
+      val qSig = packedSigLocal(Query)
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |e AS (SELECT vec_id, label, $embD AS ve FROM embeddings),
+         |b AS (SELECT vec_id, label, ve,
+         |    CAST(bit_count(xor(${packedSigSql("ve")},
+         |      CAST($qSig AS BIGINT))) AS INT) AS hamming
+         |  FROM e),
+         |short AS (SELECT vec_id, label, ve, hamming FROM (
+         |    SELECT vec_id, label, ve, hamming,
+         |      row_number() OVER (ORDER BY hamming, vec_id) AS rn FROM b)
+         |  WHERE rn <= $BinaryShortlist)
+         |SELECT vec_id, label, hamming,
+         |  ${dotSeqSql("q.v", "ve", Dim)} AS similarity
+         |FROM short, q
+         |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin
+    }) { (s, dir) => binaryTopK(Tables(s, dir, "embeddings")) },
+
+    QueryDef.sql("ann_binary_recall", {
+      val qSig = packedSigLocal(Query)
+      s"""WITH q AS (SELECT $qNormSql AS v),
+         |exact AS (
+         |  SELECT vec_id FROM embeddings, q
+         |  ORDER BY ${dotSeqSql("q.v", embD, Dim)} DESC, vec_id LIMIT $K),
+         |e AS (SELECT vec_id, $embD AS ve FROM embeddings),
+         |b AS (SELECT vec_id, ve,
+         |    CAST(bit_count(xor(${packedSigSql("ve")},
+         |      CAST($qSig AS BIGINT))) AS INT) AS hamming
+         |  FROM e),
+         |short AS (SELECT vec_id, ve FROM (
+         |    SELECT vec_id, ve,
+         |      row_number() OVER (ORDER BY hamming, vec_id) AS rn FROM b)
+         |  WHERE rn <= $BinaryShortlist),
+         |approx AS (
+         |  SELECT vec_id FROM short, q
+         |  ORDER BY ${dotSeqSql("q.v", "ve", Dim)} DESC, vec_id LIMIT $K)
+         |SELECT $K AS k, count(*) AS n_common,
+         |  CAST(count(*) AS DOUBLE) / ${K}.0E0 AS recall
+         |FROM exact JOIN approx USING (vec_id)""".stripMargin
+    }) { (s, dir) => binaryRecallAtK(Tables(s, dir, "embeddings")) },
 
     QueryDef.sql("ann_quantize_int8",
       s"""WITH v AS (

@@ -410,6 +410,39 @@ object Events {
       .orderBy("hr_us")
   }
 
+  /** EWMA (α = 1/2) of the per-type hourly event-rate series — the
+    * smoothed "current rate" an alerting/monitoring pipeline keeps per
+    * stream, next to the raw series length and last bucket. Zero-
+    * seeded: s_0 = 0, s_t = s_{t−1}·½ + c_t·½ over the hour-ordered
+    * counts — a SEQUENTIAL left fold (the repo's float-determinism
+    * rule) with α exactly representable, so both engines produce the
+    * identical IEEE double.
+    *
+    * Scale shape: one partial-aggregated (type, hour) count shuffle —
+    * the same relation every hourly dashboard already builds — then a
+    * per-type fold over a months-of-hours array (720 entries/month;
+    * bounded by the retention window, not the event count). No global
+    * window, no per-row state. */
+  def hourlyEwma(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    load(s, dir)
+      .where(col("ts_us").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        (col("ts_us") - col("ts_us") % hourUs).as("hr_us"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        max(col("hr_us")).as("last_hr_us"),
+        sort_array(collect_list(struct(col("hr_us"), col("cnt"))))
+          .as("series"))
+      .select(col("event_type"), col("n_hours"), col("last_hr_us"),
+        // lambda reads only its parameters — no captured expressions
+        aggregate(col("series"), lit(0.0), (acc, x) =>
+          acc * lit(0.5) + x.getField("cnt").cast("double") * lit(0.5))
+          .as("ewma"))
+      .orderBy("event_type")
+  }
+
   /** One week of microseconds — the funnel conversion window and the
     * retention cohort bucket. Weeks are epoch-aligned integer division
     * of epoch-µs (no calendar/timezone arithmetic), so both engines
@@ -986,7 +1019,10 @@ object Events {
     * the CC solvers' fast-path discipline. */
   def exactQuantilesOn(values: DataFrame, c: String,
       selectCap: Long = QuantileSelectCap,
-      buckets: Long = QuantileBuckets): DataFrame = {
+      buckets: Long = QuantileBuckets,
+      pcts: Seq[Int] = QuantilePcts): DataFrame = {
+    require(pcts.nonEmpty && pcts.distinct == pcts,
+      s"percentile targets must be distinct and non-empty: $pcts")
     val s = values.sparkSession
     import s.implicits._
     val head = values
@@ -997,7 +1033,7 @@ object Events {
     val n = head.getLong(2)
     // (pct, rank-within-interval, interval) per target; k-th smallest
     // overall = ceil(n·p/100)-th, then rebased as intervals narrow
-    var open = QuantilePcts.map(p =>
+    var open = pcts.map(p =>
       (p, quantileRank(n, p), head.getLong(0), head.getLong(1)))
     var done = Seq.empty[(Int, Long, Long)] // (pct, original k, value)
     val origK = open.map(t => t._1 -> t._2).toMap
@@ -1719,6 +1755,23 @@ object Events {
         |  max(epoch_us(ts)) AS max_ts_us,
         |  count(*) AS n_events
         |FROM events""".stripMargin)((s, dir) => metaBounds(s, dir)),
+
+    QueryDef.sql("ev_ewma",
+      """WITH h AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hr_us,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |  max(hr_us) AS last_hr_us,
+        |  list_reduce(list_prepend(0.0E0,
+        |    list_transform(list(cnt ORDER BY hr_us),
+        |      c -> CAST(c AS DOUBLE))),
+        |    (a, x) -> a * 0.5E0 + x * 0.5E0) AS ewma
+        |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin)(
+      (s, dir) => hourlyEwma(s, dir)),
 
     QueryDef.sql("ev_exact_quantiles",
       """WITH v AS (

@@ -1388,6 +1388,46 @@ object Pipeline {
        |      AS BIGINT) AS n_copies
        |  FROM w)""".stripMargin
 
+  /** Curriculum phase boundaries: quartile targets over the document
+    * word-count distribution. */
+  val CurriculumPcts: Seq[Int] = Seq(25, 50, 75)
+
+  /** CURRICULUM split audit — the shortest-first length curriculum
+    * (train on short documents first, lengthen over phases): every
+    * document gets a phase 1-4 from its word count against the corpus
+    * quartiles, reported as per-phase counts and length ranges.
+    *
+    * Scale shape: the naive formulation is ntile() over a GLOBAL sort
+    * — a single-partition window that dies at corpus scale. Here the
+    * boundaries are EXACT order statistics from the distributed
+    * histogram-narrowing selection ([[Events.exactQuantilesOn]], no
+    * global sort, ≤ buckets cells to the driver per round), and phase
+    * membership is then a pure row predicate: 1 + #(thresholds
+    * strictly below the doc's count). Docs AT a boundary value stay in
+    * the lower phase — membership is a function of the VALUE, so the
+    * split is deterministic under any row order and any partitioning
+    * (ntile's remainder handling is not). Duplicate threshold values
+    * (a narrow distribution) simply leave middle phases empty, in both
+    * engines. */
+  def curriculumPhases(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_words"))
+      .where(col("n_words") > 0)
+    val thresholds = Events.exactQuantilesOn(v.select(col("n_words")),
+        "n_words", pcts = CurriculumPcts)
+      .collect().map(_.getAs[Long]("n_words")).sorted
+    val phase = thresholds.foldLeft(lit(1)) { (acc, t) =>
+      acc + when(col("n_words") > t, 1).otherwise(0) }
+    v.select(col("doc_id"), col("n_words"), phase.cast("int").as("phase"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_words")).as("min_words"),
+        max(col("n_words")).as("max_words"),
+        sum(col("n_words")).as("sum_words"))
+      .orderBy("phase")
+  }
+
   /** TOKEN-weighted document-length percentiles — "the length below
     * which half the TOKENS live", the statistic that sizes packing
     * budgets and truncation cutoffs (doc-COUNT percentiles misstate it
@@ -1443,6 +1483,27 @@ object Pipeline {
          |FROM k JOIN c ON c.cw >= k.k
          |GROUP BY k.p, k.k ORDER BY pct""".stripMargin)(
       (s, dir) => tokenWeightedLengths(s, dir)),
+
+    QueryDef.sql("pl_curriculum", {
+      val pvals = CurriculumPcts.map(p => s"($p)").mkString(", ")
+      s"""WITH v AS (
+         |  SELECT doc_id, CAST(len($W) AS BIGINT) AS n_words
+         |  FROM documents WHERE len($W) > 0),
+         |n AS (SELECT count(*) AS n FROM v),
+         |r AS (SELECT n_words, row_number() OVER (ORDER BY n_words) AS rn
+         |  FROM v),
+         |t AS (SELECT p, (n.n * p + 99) // 100 AS k
+         |  FROM (VALUES $pvals) AS q(p), n),
+         |thr AS (SELECT t.p, r.n_words AS tv FROM t JOIN r ON r.rn = t.k),
+         |ph AS (SELECT v.doc_id, v.n_words,
+         |    CAST(1 + (SELECT count(*) FROM thr WHERE v.n_words > thr.tv)
+         |      AS INT) AS phase
+         |  FROM v)
+         |SELECT phase, count(*) AS n_docs, min(n_words) AS min_words,
+         |  max(n_words) AS max_words, CAST(sum(n_words) AS BIGINT)
+         |    AS sum_words
+         |FROM ph GROUP BY phase ORDER BY phase""".stripMargin
+    }) { (s, dir) => curriculumPhases(s, dir) },
 
     QueryDef.sql("pl_train_test_split",
       """WITH s AS (

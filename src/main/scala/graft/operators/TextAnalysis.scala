@@ -507,6 +507,24 @@ object TextAnalysis {
     * full-corpus values — `text_index_capped`'s contract. */
   private def bm25MultiOracleSql: String = bm25MultiOracleSqlCapped(0L)
 
+  /** DuckDB oracle shared by `text_phrase_search` AND
+    * `text_index_phrase` — the stored positional face must reproduce
+    * the scan face exactly. Adjacency counted over word indexes
+    * (1-based in both engines), exact integer arithmetic. */
+  private lazy val phraseOracleSql: String = {
+    val (w1, w2) = PhraseTerms
+    s"""WITH d AS (SELECT doc_id, $W AS ws FROM documents),
+       |b AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
+       |  FROM d WHERE len(ws) > 0),
+       |c AS (SELECT doc_id, dl,
+       |    CAST(len(list_filter(range(1, len(ws)),
+       |      i -> ws[i] = '$w1' AND ws[i+1] = '$w2')) AS BIGINT)
+       |      AS phrase_tf
+       |  FROM b)
+       |SELECT doc_id, dl, phrase_tf FROM c WHERE phrase_tf > 0
+       |ORDER BY phrase_tf DESC, doc_id LIMIT $PhraseTopK""".stripMargin
+  }
+
   private def bm25MultiOracleSqlCapped(dfCapPct: Long): String = {
     val qvals = Bm25QuerySuite
       .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
@@ -590,7 +608,11 @@ object TextAnalysis {
   val TextIndexDfCapPct = 78L
 
   /** Postings store schema incl. the `bkt` partition column (explicit
-    * on read: an empty index has nothing to infer from). */
+    * on read: an empty index has nothing to infer from). `ps` is the
+    * sorted 1-based POSITION list of the word's occurrences in the
+    * document — what makes the store a positional index
+    * ([[phraseStoredTopK]]); BM25 probes simply don't read it
+    * (column-pruned at the scan). */
   val PostingsSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -601,6 +623,9 @@ object TextAnalysis {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("tf",
         org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ps",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)),
       org.apache.spark.sql.types.StructField("bkt",
         org.apache.spark.sql.types.IntegerType)))
 
@@ -631,10 +656,14 @@ object TextAnalysis {
       .select(col("n_docs"), col("sum_dl"),
         lit(nBuckets).as("n_buckets"), lit(dfCap).as("df_cap"))
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+    // positional postings: tf + the sorted 1-based occurrence list —
+    // one posexplode, same (doc, word) shuffle as a tf-only build
     val tf = base
-      .select(col("doc_id"), col("dl"), explode(col("ws")).as("word"))
+      .select(col("doc_id"), col("dl"),
+        posexplode(col("ws")).as(Seq("p", "word")))
       .groupBy("doc_id", "dl", "word")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p") + 1)).as("ps"))
     // df-cap: drop WHOLE posting lists of over-cap words (tf rows are
     // distinct (doc, word) pairs, so the per-word row count IS the
     // corpus df). Surviving words keep their complete lists — their
@@ -699,6 +728,74 @@ object TextAnalysis {
       s.read.parquet(path + "/stats").select("n_docs", "sum_dl"), k)
   }
 
+  /** Demo phrase for the declared phrase-search queries — two common
+    * template words, adjacent somewhere at every fixture scale. */
+  val PhraseTerms: (String, String) = ("merge", "group")
+  val PhraseTopK = 10
+
+  /** Per-document occurrence count of the two-word phrase `w1 w2`:
+    * adjacent pairs via `zip_with(ws, shift-by-one(ws))`. Every HOF
+    * argument (ws, the slice, size) evaluates ONCE per row — the
+    * lambdas read only their parameters, so the captured-expression
+    * re-evaluation pitfall does not apply; the shorter shifted side is
+    * null-padded and `null === w2` is null, which filter drops. */
+  private def phraseTf(ws: Column, w1: String, w2: String): Column =
+    size(filter(
+      zip_with(ws, slice(ws, lit(2), size(ws)),
+        (a, b) => a === lit(w1) && b === lit(w2)),
+      x => x)).cast("long")
+
+  /** PHRASE search, compute-on-scan face: documents containing the
+    * exact consecutive phrase, ranked by occurrence count. Pure
+    * scan-side array arithmetic into a shuffle-free top-k — the
+    * ranked-grep a decontamination/quote-detection pass runs when the
+    * probe must match ORDER, which bag-of-words BM25 cannot express.
+    * Both computed columns pass through the optimizer barrier so the
+    * `phrase_tf > 0` gate filters on the ATTRIBUTE instead of
+    * re-tokenizing inside the Filter (the kernel-in-filter audit
+    * discipline). */
+  def phraseTopK(documents: DataFrame, w1: String, w2: String,
+      k: Int): DataFrame = {
+    val b = graft.functions.TextHashExpressions.optBarrier _
+    documents
+      .select(col("doc_id"), b(words(col("text"))).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        b(phraseTf(col("ws"), w1, w2)).as("phrase_tf"))
+      .where(col("phrase_tf") > 0)
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** PHRASE search over the MATERIALIZED positional index: probe the
+    * two terms' buckets (directory pruning, like [[bm25StoredTopK]]),
+    * join the two posting lists on doc_id, and count adjacency as
+    * `|{p+1 : p ∈ ps(w1)} ∩ ps(w2)|` — positions are distinct, so the
+    * intersect size IS the phrase tf. This is the classic positional-
+    * index plan: the corpus is never touched, the join mass is the two
+    * posting lists, and at 100 TB the probe reads two bucket
+    * directories of an index built once. Bitwise the scan face's
+    * answers (same integer arithmetic), same oracle. */
+  def phraseStoredTopK(s: SparkSession, path: String, w1: String,
+      w2: String, k: Int): DataFrame = {
+    val (nBuckets, _) = storedIndexLayout(s, path)
+    val bkts = Seq(w1, w2)
+      .map(t => (graft.functions.TextFunctions.polyHashLocal(t)
+        % nBuckets).toInt).distinct
+    val post = s.read.schema(PostingsSchema).parquet(path + "/postings")
+      .where(col("bkt").isin(bkts: _*))
+    val p1 = post.where(col("word") === w1)
+      .select(col("doc_id"), col("dl"), col("ps").as("ps1"))
+    val p2 = post.where(col("word") === w2)
+      .select(col("doc_id"), col("ps").as("ps2"))
+    p1.join(p2, Seq("doc_id"))
+      .select(col("doc_id"), col("dl"),
+        size(array_intersect(transform(col("ps1"), x => x + 1),
+          col("ps2"))).cast("long").as("phrase_tf"))
+      .where(col("phrase_tf") > 0)
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** INCREMENTAL index maintenance — apply an appended document batch
     * to an existing index WITHOUT touching the base corpus: postings
     * are per-(doc, word) rows, so an append-only batch (fresh doc_ids)
@@ -739,9 +836,11 @@ object TextAnalysis {
       .select(col("n_docs"), col("sum_dl"),
         lit(nBuckets).as("n_buckets"), lit(dfCap).as("df_cap"))
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
-    base.select(col("doc_id"), col("dl"), explode(col("ws")).as("word"))
+    base.select(col("doc_id"), col("dl"),
+        posexplode(col("ws")).as(Seq("p", "word")))
       .groupBy("doc_id", "dl", "word")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p") + 1)).as("ps"))
       .withColumn("bkt",
         graft.functions.TextFunctions.polyHash(col("word"))
           % lit(nBuckets))
@@ -773,7 +872,9 @@ object TextAnalysis {
     *     a knob change between commits is a loud error, never a
     *     silently-empty posting list.
     * Keeping all kinds in one commit means a crash can never publish
-    * postings without their stats/layout contribution or vice versa. */
+    * postings without their stats/layout contribution or vice versa.
+    * (The manifest face is tf-only — it serves BM25; the PARQUET face
+    * additionally stores positions for [[phraseStoredTopK]].) */
   def indexRows(docs: DataFrame,
       nBuckets: Long = TextIndexBuckets): DataFrame = {
     require(nBuckets > 0, s"text index needs nBuckets > 0, got $nBuckets")
@@ -1316,6 +1417,20 @@ object TextAnalysis {
       bm25MultiOracleSqlCapped(TextIndexDfCapPct))((s, dir) =>
       bm25StoredTopK(s, cappedTextIndexFor(s, dir),
         Bm25QuerySuite, Bm25TopK)),
+
+    // exact-phrase retrieval, scan face: adjacency over the token
+    // array, shuffle-free top-k — order-sensitive matching BM25's
+    // bag-of-words cannot express
+    QueryDef.sql("text_phrase_search", phraseOracleSql)((s, dir) =>
+      phraseTopK(Tables(s, dir, "documents"),
+        PhraseTerms._1, PhraseTerms._2, PhraseTopK)),
+
+    // the same phrase served from the POSITIONAL stored index: two
+    // bucket probes + a posting-list join, corpus never touched —
+    // must answer bitwise like the scan face, same oracle
+    QueryDef.sql("text_index_phrase", phraseOracleSql)((s, dir) =>
+      phraseStoredTopK(s, textIndexFor(s, dir),
+        PhraseTerms._1, PhraseTerms._2, PhraseTopK)),
 
     // the stored index's contents recomputed from the raw corpus —
     // the standing integrity oracle for the persisted layout

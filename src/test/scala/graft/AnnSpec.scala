@@ -199,4 +199,38 @@ class AnnSpec extends SparkSpecBase {
       v.indices.foreach(i => assert(res(i) == v(i) - c(i)))
     }
   }
+
+  test("binary-sign search: engine result equals a driver-side " +
+      "reimplementation (sig pack, Hamming shortlist, exact rerank); " +
+      "recall measured") {
+    val rows = Ann.binaryTopK(emb).collect()
+    assert(rows.length == VectorSearch.K)
+    // independent driver-side recomputation of the whole pipeline
+    val all = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      .collect().map(r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray))
+    def sig(v: Array[Double]): Long = {
+      var s = 0L; var j = 0
+      while (j < v.length) { if (v(j) > 0.0) s |= (1L << j); j += 1 }; s
+    }
+    val qSig = sig(VectorSearch.Query)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }; acc
+    }
+    val shortlist = all
+      .map { case (id, v) =>
+        (java.lang.Long.bitCount(sig(v) ^ qSig), id, v) }
+      .sortBy(t => (t._1, t._2)).take(Ann.BinaryShortlist)
+    val expect = shortlist
+      .map { case (h, id, v) => (id, h, dot(VectorSearch.QueryNorm, v)) }
+      .sortBy(t => (-t._3, t._1)).take(VectorSearch.K).toSeq
+    val got = rows.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Int]("hamming"), r.getAs[Double]("similarity"))).toSeq
+    assert(got == expect)
+    // the quality story ships with its measurement
+    val rec = Ann.binaryRecallAtK(emb).collect()(0).getAs[Double]("recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+  }
 }

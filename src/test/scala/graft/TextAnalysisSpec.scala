@@ -437,6 +437,39 @@ class TextAnalysisSpec extends SparkSpecBase {
       new java.io.File(table).getParentFile)
   }
 
+  test("phrase search: scan face == positional-index face == hand " +
+      "count, incl. repeats, overlap, same-word phrases, and misses") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha merge group beta merge group"),     // tf 2
+      (2L, "merge merge group"),                      // tf 1 (at pos 2)
+      (3L, "group merge"),                            // reversed: miss
+      (4L, "merge group"),                            // tf 1, shortest
+      (5L, "nothing here"),                           // miss
+      (6L, "merge")                                   // single word: miss
+    ).toDF("doc_id", "text")
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+        r.getAs[Long]("phrase_tf"))).toSeq
+    val scan = asTuples(TextAnalysis.phraseTopK(docs, "merge", "group", 10))
+    assert(scan == Seq((1L, 6L, 2L), (2L, 3L, 1L), (4L, 2L, 1L)))
+    // the stored positional face answers identically
+    val dir = Files.createTempDirectory("graft_text_pos").toString
+    TextAnalysis.buildTextIndex(docs, dir)
+    assert(asTuples(TextAnalysis.phraseStoredTopK(
+      spark, dir, "merge", "group", 10)) == scan)
+    // same-word phrase: adjacency within one posting list
+    assert(asTuples(TextAnalysis.phraseStoredTopK(
+      spark, dir, "merge", "merge", 10)) == Seq((2L, 3L, 1L)))
+    assert(asTuples(TextAnalysis.phraseTopK(
+      docs, "merge", "merge", 10)) == Seq((2L, 3L, 1L)))
+    // a term the index never stored: empty, not a fault
+    assert(TextAnalysis.phraseStoredTopK(
+      spark, dir, "zz", "merge", 10).count() == 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("bucket count is a property of the STORED index: a non-default " +
       "build probes correctly, refresh inherits the stored layout, a " +
       "pre-versioned index fails loud") {
