@@ -121,6 +121,151 @@ object Ann {
       .write.mode("append").partitionBy("cent_id").parquet(path)
   }
 
+  // ----------------------------------------------------------------
+  // manifest-backed IVF index — versioned, exactly-once maintenance
+  // ----------------------------------------------------------------
+
+  /** The manifest collection name holding a versioned IVF index. */
+  val IvfIndexCollection = "vindex"
+
+  /** Assigned-vector rows of one batch, kind `'v'`: (vec_id, label, v,
+    * cent_id) hashed by the GIVEN codebook. */
+  private def ivfVectorRows(emb: DataFrame,
+      cb: Seq[(Long, Array[Double])]): DataFrame =
+    // label widened to long so every commit (incl. the codebook's
+    // typed NULLs) shares ONE segment schema; the probe narrows back
+    ivfAssign(emb, cb).select(lit("v").as("kind"), col("vec_id"),
+      col("label").cast("long").as("label"), col("v"),
+      col("cent_id").cast("long").as("cent_id"))
+
+  /** Codebook rows, kind `'c'`: the trained centroids ARE the index's
+    * layout identity and travel WITH it (the text index's `'b'` row
+    * discipline) — a probe or a later batch must never re-derive them
+    * from the [[CentroidIds]] constant, which may have changed since
+    * the index was built. */
+  private def ivfCodebookRows(s: SparkSession,
+      cb: Seq[(Long, Array[Double])]): DataFrame = {
+    import s.implicits._
+    cb.toDF("cent_id", "v").select(lit("c").as("kind"),
+      lit(null).cast("long").as("vec_id"),
+      lit(null).cast("long").as("label"),
+      col("v"), col("cent_id"))
+  }
+
+  /** Table config for a manifest IVF index: zone maps on the probe
+    * axis (effective once [[compactManifestIvfIndex]] clusters the
+    * segments). Call once before the first commit. */
+  def initManifestIvfIndex(s: SparkSession, tablePath: String): Unit =
+    graft.sources.ManifestStore.setZoneMapColumns(s, tablePath,
+      Seq("cent_id"))
+
+  /** The versioned index's codebook read back from its `'c'` rows —
+    * fails LOUD on an index without one (predates versioning /
+    * different store) or with conflicting codebook commits. */
+  def manifestCodebook(s: SparkSession,
+      tablePath: String): Seq[(Long, Array[Double])] = {
+    val rows = s.read.format("graft").option("path", tablePath)
+      .option("collection", IvfIndexCollection).load()
+      .where(col("kind") === "c").select(col("cent_id"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+    require(rows.nonEmpty,
+      s"IVF index at $tablePath carries no codebook rows — it predates " +
+        "codebook versioning or is not an IVF index; rebuild it")
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"IVF index at $tablePath has CONFLICTING codebook commits " +
+        "(duplicate cent_ids) — assignments are split across " +
+        "codebooks; rebuild it")
+    rows
+  }
+
+  /** Apply one vector batch to the versioned index — ONE tagged
+    * pointer commit (atomic, replay-idempotent: a redelivered tag
+    * no-ops). The FIRST commit trains: its codebook rows and its
+    * assigned vectors land together, so a crash can never publish an
+    * index without its layout. Every later batch is assigned by the
+    * STORED codebook (faiss's train-then-add — never retrain, never
+    * rebuild); cost scales with the batch. */
+  def refreshManifestIvfIndex(emb: DataFrame, tablePath: String,
+      tag: String): Boolean = {
+    val s = emb.sparkSession
+    val live = graft.sources.ManifestStore
+      .currentSegments(s, tablePath, IvfIndexCollection).toSeq.flatten
+    val rows = if (live.isEmpty) {
+      val cb = codebook(emb)
+      require(cb.nonEmpty, "the training batch holds no centroid rows")
+      ivfCodebookRows(s, cb).unionByName(ivfVectorRows(emb, cb))
+    } else ivfVectorRows(emb, manifestCodebook(s, tablePath))
+    graft.sources.ManifestStore.storeBatch(
+      rows, tablePath, IvfIndexCollection, tag)
+  }
+
+  /** Restore probe pruning after appends: cluster the vector rows into
+    * cent_id ranges (one atomic pointer commit) so a probe's
+    * `cent_id IN (…)` drops whole segments via the zone-map sidecars. */
+  def compactManifestIvfIndex(s: SparkSession, tablePath: String,
+      segments: Int = 4): Unit =
+    graft.sources.ManifestStore.zorderCompact(
+      s, tablePath, IvfIndexCollection, Seq("cent_id"), segments)
+
+  /** IVF top-K over the VERSIONED index through the declarative
+    * connector: probe cells are chosen driver-side from the STORED
+    * codebook, the `cent_id IN (…)` filter prunes segments via the
+    * sidecars (whole cell ranges skip at planning time after
+    * [[compactManifestIvfIndex]]), and scoring is the shared
+    * sequential-fold dot kernel — bitwise [[ivfTopK]]'s answers, same
+    * oracle. */
+  def ivfManifestTopK(s: SparkSession, tablePath: String,
+      k: Int = K): DataFrame = {
+    val cb = manifestCodebook(s, tablePath)
+    val probeIds = cb
+      .map { case (id, cv) => (l2Scalar(Query, cv), id) }
+      .sorted.take(NProbe).map(_._2)
+    s.read.format("graft").option("path", tablePath)
+      .option("collection", IvfIndexCollection).load()
+      .where(col("kind") === "v" && col("cent_id").isin(probeIds: _*))
+      // label narrows back to the embeddings table's int — the output
+      // schema (and the driver's type-sensitive hash) must match the
+      // scan face's
+      .select(col("vec_id"), col("label").cast("int").as("label"),
+        col("cent_id"),
+        V.dot(vecLit(QueryNorm), col("v")).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Memoized manifest IVF index behind `ann_ivf_manifest`: init →
+    * training commit (everything but the batch slice, centroids always
+    * in the train set) → delta commit assigned by the STORED codebook →
+    * clustered compaction — the full lifecycle, queried through the
+    * connector against the same from-scratch oracle as [[ivfTopK]]. */
+  private val manifestIvfIndexes = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private[graft] def manifestIvfIndexFor(s: SparkSession,
+      dir: String): String = {
+    val key = (s, dir)
+    Option(manifestIvfIndexes.get(key)).getOrElse {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivf-mindex-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
+      val emb = Tables(s, dir, "embeddings")
+      val batchPred = col("vec_id") % 10 === 1 &&
+        !col("vec_id").isin(CentroidIds: _*)
+      initManifestIvfIndex(s, path)
+      refreshManifestIvfIndex(emb.where(!batchPred), path, "base")
+      refreshManifestIvfIndex(emb.where(batchPred), path, "delta-1")
+      compactManifestIvfIndex(s, path)
+      Option(manifestIvfIndexes.putIfAbsent(key, path)).map { prev =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)); prev // racing builder
+      }.getOrElse(path)
+    }
+  }
+
   /** Memoized REFRESHED IVF store behind `ann_ivf_refresh`: base build
     * over everything but the held-out batch slice (centroids always in
     * the base — the train set), then [[refreshIvfIndex]] appends the
@@ -178,7 +323,7 @@ object Ann {
   /** Drop every memoized materialized IVF store (the explicit release
     * half of the implicit index; every main calls this on shutdown). */
   def releaseCaches(): Unit = {
-    Seq(ivfStores, ivfRefreshed).foreach { m =>
+    Seq(ivfStores, ivfRefreshed, manifestIvfIndexes).foreach { m =>
       val it = m.values().iterator()
       while (it.hasNext)
         org.apache.commons.io.FileUtils
@@ -1222,6 +1367,14 @@ object Ann {
     QueryDef.sql("ann_ivf_refresh", ivfTopKOracleSql) {
       (s, dir) =>
         ivfTopKStored(s.read.parquet(refreshedIvfStoreFor(s, dir)))
+    },
+
+    // the VERSIONED (manifest-backed) index through the declarative
+    // connector: training commit + stored-codebook delta commit +
+    // clustered compaction, same from-scratch oracle — maintenance is
+    // exactly-once tagged commits, probes prune segments via sidecars
+    QueryDef.sql("ann_ivf_manifest", ivfTopKOracleSql) {
+      (s, dir) => ivfManifestTopK(s, manifestIvfIndexFor(s, dir))
     },
 
     QueryDef.sql("ann_filtered_ivf",

@@ -287,6 +287,20 @@ object Events {
       .orderBy("click_id")
   }
 
+  /** Exact p50/p90/p99 of the click→purchase attribution lag — the
+    * conversion-latency numbers an SLO dashboard quotes — by composing
+    * the as-of join's gap relation with the histogram-narrowing
+    * selection ([[exactQuantilesOn]]): order statistics of a DERIVED
+    * (joined) column with no global sort; each narrowing round
+    * re-evaluates the one-shuffle as-of plan with the interval
+    * predicate applied on top. Matched clicks only (an unmatched
+    * click has no lag, not an infinite one). */
+  def lagQuantiles(s: SparkSession, dir: String): DataFrame =
+    exactQuantilesOn(
+      asofClickPurchase(s, dir).where(col("gap_us").isNotNull)
+        .select(col("gap_us")),
+      "gap_us")
+
   /** SLIDING-window rates: hourly windows every 15 minutes, so each
     * event lands in 4 overlapping windows — the smoothing shape
     * tumbling windows can't express. Spark plans one Expand (×4) before
@@ -1755,6 +1769,22 @@ object Events {
         |  max(epoch_us(ts)) AS max_ts_us,
         |  count(*) AS n_events
         |FROM events""".stripMargin)((s, dir) => metaBounds(s, dir)),
+
+    QueryDef.sql("ev_lag_quantiles",
+      """WITH a AS (
+        |  SELECT epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |  ASOF JOIN (SELECT user_id, ts FROM events
+        |    WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |n AS (SELECT count(*) AS n FROM a),
+        |r AS (SELECT gap_us, row_number() OVER (ORDER BY gap_us) AS rn
+        |  FROM a),
+        |t AS (SELECT p, (n.n * p + 99) // 100 AS k
+        |  FROM (VALUES (50), (90), (99)) AS q(p), n)
+        |SELECT t.p AS pct, t.k AS k, r.gap_us
+        |FROM t JOIN r ON r.rn = t.k ORDER BY pct""".stripMargin)(
+      (s, dir) => lagQuantiles(s, dir)),
 
     QueryDef.sql("ev_ewma",
       """WITH h AS (

@@ -259,6 +259,45 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Recency cutoff for [[salesOpportunity]] — the last seven months of
+    * the fixture's 1995-2001 order range. */
+  val SalesOppCutoff = "2001-01-01"
+
+  /** TPC-H Q22 shape ("global sales opportunity") adapted to the
+    * fixture's density: POSITIVE-balance customers richer than the
+    * positive-balance average who have placed NO order since
+    * [[SalesOppCutoff]] — the lapsed-high-value segment an outreach
+    * campaign targets, by nation. (Classic Q22 keys on "never
+    * ordered", which this fixture's order density makes empty — the
+    * recency-lapse variant is the same anti-join-under-a-global-
+    * threshold plan shape with a non-degenerate answer.)
+    *
+    * Determinism: the above-average test is dec(c_acctbal) · n >
+    * Σdec(c_acctbal) — exact integer-scaled decimal arithmetic, no
+    * division, no float average (a double avg is fold-order-
+    * dependent). Scale shape: the 1-row stats aggregate rides a
+    * broadcast; NOT EXISTS is a LEFT ANTI join against orders
+    * PRE-FILTERED to the recency window (the date predicate pushes to
+    * the orders scan — the anti side carries months of orders, not
+    * years); nation broadcasts unconditionally (25 rows). */
+  def salesOpportunity(s: SparkSession, dir: String): DataFrame = {
+    val pos = Tables(s, dir, "customer").where(col("c_acctbal") > 0.0)
+    val stats = pos.agg(count(lit(1)).as("n_pos"),
+      sum(money(col("c_acctbal"))).as("sum_pos"))
+    pos.crossJoin(broadcast(stats)) // exactly one row by construction
+      .where(money(col("c_acctbal")) * col("n_pos") > col("sum_pos"))
+      .join(Tables(s, dir, "orders")
+          .where(col("o_orderdate") >=
+            lit(SalesOppCutoff).cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(money(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      .orderBy("n_name")
+  }
+
   // ------------------------------------------------------------------
   // O: grouping sets — ROLLUP and CUBE
   // ------------------------------------------------------------------
@@ -953,6 +992,21 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin)(customersWithoutOrders),
+
+    QueryDef.sql("rel_sales_opportunity",
+      s"""WITH pos AS (SELECT * FROM customer WHERE c_acctbal > 0.0E0),
+         |st AS (SELECT count(*) AS n_pos,
+         |  sum(${moneySql("c_acctbal")}) AS sum_pos FROM pos),
+         |elig AS (SELECT p.* FROM pos p, st
+         |  WHERE ${moneySql("p.c_acctbal")} * st.n_pos > st.sum_pos
+         |    AND NOT EXISTS (SELECT 1 FROM orders o
+         |      WHERE o.o_custkey = p.c_custkey
+         |        AND o.o_orderdate >=
+         |          TIMESTAMP '$SalesOppCutoff 00:00:00'))
+         |SELECT n_name, count(*) AS n_customers,
+         |  CAST(sum(${moneySql("c_acctbal")}) AS DOUBLE) AS total_acctbal
+         |FROM elig JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin)(salesOpportunity),
 
     QueryDef.sql("rel_rollup_status",
       s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -200,6 +200,61 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("manifest IVF index: training commit carries the codebook, " +
+      "deltas assign with the STORED codebook, replay no-ops, " +
+      "compaction restores pruning, answers bitwise the scan face") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val table = Files.createTempDirectory("graft_ivf_mfst").toString + "/t"
+    Ann.initManifestIvfIndex(spark, table)
+    val batchPred = col("vec_id") % 10 === 1 &&
+      !col("vec_id").isin(Ann.CentroidIds: _*)
+    assert(Ann.refreshManifestIvfIndex(emb.where(!batchPred), table, "base"))
+    assert(Ann.refreshManifestIvfIndex(emb.where(batchPred), table, "d1"))
+    def ask() = Ann.ivfManifestTopK(spark, table).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cent_id"),
+        r.getAs[Double]("similarity"))).toSeq
+    val before = ask()
+    // exactly-once: the replayed tag commits nothing
+    assert(!Ann.refreshManifestIvfIndex(emb.where(batchPred), table, "d1"))
+    assert(ask() == before)
+    // the stored codebook equals the full corpus's (centroids trained
+    // in the base commit), so answers are bitwise the scan face's
+    val expect = Ann.ivfTopK(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cent_id"),
+        r.getAs[Double]("similarity"))).toSeq
+    assert(before == expect)
+    // clustered compaction: a one-cell probe scans fewer files
+    def probeFiles(): Long = {
+      val one = spark.read.format("graft").option("path", table)
+        .option("collection", Ann.IvfIndexCollection).load()
+        .where(col("kind") === "v" &&
+          col("cent_id") === Ann.CentroidIds.head)
+      one.collect()
+      one.queryExecution.executedPlan.collect {
+        case sc: FileSourceScanExec => sc.metrics("numFiles").value
+      }.sum
+    }
+    val loose = probeFiles()
+    Ann.compactManifestIvfIndex(spark, table, segments = 8)
+    assert(probeFiles() < loose)
+    assert(ask() == expect) // compaction is layout-only
+    // an index without codebook rows is refused loud
+    val bare = Files.createTempDirectory("graft_ivf_bare").toString + "/t"
+    graft.sources.ManifestStore.storeBatch(
+      emb.limit(5).select(lit("v").as("kind"), col("vec_id"),
+        col("label"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"),
+        lit(0L).as("cent_id")),
+      bare, Ann.IvfIndexCollection, "b0")
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfManifestTopK(spark, bare)
+    }
+    assert(e.getMessage.contains("codebook"), e.getMessage)
+    Seq(table, bare).foreach(t => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(t).getParentFile))
+  }
+
   test("binary-sign search: engine result equals a driver-side " +
       "reimplementation (sig pack, Hamming shortlist, exact rerank); " +
       "recall measured") {

@@ -691,4 +691,18 @@ class PlanSpec extends SparkSpecBase {
     val firstRetrieval = p.indexOf("TakeOrderedAndProject(limit=20")
     assert(smjIdx < 0 || smjIdx < firstRetrieval, p)
   }
+
+  test("sales opportunity (Q22 shape): recency filter pushed into the " +
+      "orders scan under the anti join, 1-row stats broadcast, nation " +
+      "broadcast") {
+    val p = plan(Relational.salesOpportunity(spark, sf))
+    // NOT EXISTS plans as a LEFT ANTI join whose orders side scans the
+    // recency window only — the date predicate reaches the parquet scan
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate"), p)
+    // the global-average threshold rides a 1-row broadcast, and the
+    // nation dim broadcasts — two BroadcastExchanges minimum
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+  }
 }
