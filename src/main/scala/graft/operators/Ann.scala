@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -1087,6 +1088,52 @@ object Ann {
   def binaryRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
     recallAtK(binaryTopK(emb, k), emb, k)
 
+  /** Per-query Hamming shortlist width for [[binaryKnnJoin]]. */
+  val BinaryJoinShortlist = 30
+
+  /** The binary tier in the KNN-JOIN regime
+    * ([[VectorSearch.knnJoinAgg]]'s shape under 64× compression): for
+    * each query, the candidate pass scores ONE xor+popcount of two
+    * longs per pair — the corpus side materializes only its 8-byte
+    * signature, never the doubles — and per-query bounded heaps
+    * ([[graft.functions.TopKAggregate]], score = −hamming so the heap
+    * order IS (hamming asc, cand_id asc)) cut to a
+    * [[BinaryJoinShortlist]]-row shortlist map-side. Only the
+    * shortlist joins back for its vectors (size-gated broadcast — it
+    * grows with queries · C, never the corpus) and reranks by exact
+    * dot. At 100 TB the full-precision vectors are read twice per
+    * SHORTLISTED pair, and the Q·N pass is bit arithmetic. */
+  def binaryKnnJoin(emb: DataFrame, queryIds: Seq[Int],
+      k: Int = K): DataFrame = {
+    val ve = toDouble(col("embedding"))
+    val queries = emb.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), packedSig(ve).as("q_sig"))
+    val shortlist = emb
+      .select(col("vec_id").as("cand_id"), packedSig(ve).as("c_sig"))
+      .join(broadcast(queries), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        bit_count(col("c_sig").bitwiseXOR(col("q_sig"))).as("hamming"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregate.topK(
+        -col("hamming").cast("double"), col("cand_id"),
+        BinaryJoinShortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("cand_id"),
+        (-col("t.score")).cast("int").as("hamming"))
+    val qVecs = emb.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), ve.as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("cand_id"))
+    emb.select(col("vec_id").as("cand_id"), ve.as("c_vec"))
+      .join(VectorSearch.broadcastIfSmall(shortlist), Seq("cand_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"), col("hamming"),
+        V.dot(col("q_vec"), col("c_vec")).as("similarity"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Recall@k of the LSH probe against the exact scan — the index
     * quality measurement every ANN deployment monitors. Both top-k sets
     * are tiny (k rows), so the join is driver-trivial; the expensive
@@ -1258,6 +1305,31 @@ object Ann {
          |  CAST(count(*) AS DOUBLE) / ${K}.0E0 AS recall
          |FROM exact JOIN approx USING (vec_id)""".stripMargin
     }) { (s, dir) => binaryRecallAtK(Tables(s, dir, "embeddings")) },
+
+    QueryDef.sql("ann_binary_join", {
+      val ids = (0 until 8).mkString(", ")
+      s"""WITH e AS (SELECT vec_id, $embD AS ve FROM embeddings),
+         |s AS (SELECT vec_id, ve, ${packedSigSql("ve")} AS sig FROM e),
+         |q AS (SELECT vec_id AS query_id, ve AS q_vec, sig AS q_sig
+         |  FROM s WHERE vec_id IN ($ids)),
+         |h AS (SELECT q.query_id, s.vec_id AS cand_id, s.ve AS c_vec,
+         |    q.q_vec,
+         |    CAST(bit_count(xor(s.sig, q.q_sig)) AS INT) AS hamming,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      CAST(bit_count(xor(s.sig, q.q_sig)) AS INT), s.vec_id)
+         |      AS hrn
+         |  FROM s JOIN q ON s.vec_id <> q.query_id),
+         |r AS (SELECT query_id, cand_id, hamming,
+         |    ${dotSeqSql("q_vec", "c_vec", Dim)} AS similarity
+         |  FROM h WHERE hrn <= $BinaryJoinShortlist)
+         |SELECT query_id, cand_id, hamming, similarity,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY similarity DESC, cand_id) AS INT) AS rnk
+         |FROM r QUALIFY rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    }) { (s, dir) =>
+      binaryKnnJoin(Tables(s, dir, "embeddings"), 0 until 8, 5)
+    },
 
     QueryDef.sql("ann_quantize_int8",
       s"""WITH v AS (

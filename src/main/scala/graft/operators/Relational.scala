@@ -259,6 +259,30 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** MULTIPLICITY-preserving set ops — `INTERSECT ALL` / `EXCEPT ALL`
+    * (bag semantics: per key, min(m₁, m₂) and m₁ − min(m₁, m₂) copies)
+    * over the customer-nation vs supplier-nation multisets, rolled up
+    * to per-(tag, nation) counts. The distinct-set variants are
+    * `rel_nation_setops`; these are the other half of the SQL set-op
+    * surface, and the copies arithmetic is exactly what Spark's
+    * `intersectAll`/`exceptAll` plan as one aggregate + generate —
+    * no join explosion. */
+  def nationSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(Tables(s, dir, "nation"))
+    val custN = Tables(s, dir, "customer")
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    val suppN = Tables(s, dir, "supplier")
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    custN.intersectAll(suppN).select(lit("both").as("tag"), col("n_name"))
+      .unionByName(custN.exceptAll(suppN)
+        .select(lit("cust_extra").as("tag"), col("n_name")))
+      .groupBy("tag", "n_name")
+      .agg(count(lit(1)).as("n_copies"))
+      .orderBy("tag", "n_name")
+  }
+
   /** Recency cutoff for [[salesOpportunity]] — the last seven months of
     * the fixture's 1995-2001 order range. */
   val SalesOppCutoff = "2001-01-01"
@@ -1069,6 +1093,21 @@ object Relational {
         |SELECT 'supp_only' AS tag, n_name
         |  FROM (SELECT * FROM suppN EXCEPT SELECT * FROM custN)
         |ORDER BY tag, n_name""".stripMargin)(nationSetOps),
+
+    QueryDef.sql("rel_setops_all",
+      """WITH custN AS (SELECT n_name FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey),
+        |  suppN AS (SELECT n_name FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey),
+        |  u AS (
+        |    SELECT 'both' AS tag, n_name
+        |      FROM (SELECT * FROM custN INTERSECT ALL SELECT * FROM suppN)
+        |    UNION ALL
+        |    SELECT 'cust_extra' AS tag, n_name
+        |      FROM (SELECT * FROM custN EXCEPT ALL SELECT * FROM suppN))
+        |SELECT tag, n_name, count(*) AS n_copies
+        |FROM u GROUP BY tag, n_name
+        |ORDER BY tag, n_name""".stripMargin)(nationSetOpsAll),
 
     QueryDef.sql("rel_string_funcs",
       """SELECT p_partkey,

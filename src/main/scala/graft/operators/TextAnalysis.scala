@@ -1220,6 +1220,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Collocation knobs: minimum pair support and report size. */
+  val MinCollocCount = 5L
+  val CollocTopK = 20
+
+  /** COLLOCATION mining — adjacent word pairs that co-occur far more
+    * than their positional marginals predict, ranked by LIFT:
+    * (n_ab · N) / (n_a· · n_·b) over bigram events (n_a· = bigrams
+    * starting with a, n_·b = ending with b, N = all bigram tokens).
+    * This is PMI's argument without the log — log is monotone, so the
+    * RANKING is PMI's, while the arithmetic stays two exact-operand
+    * double multiplies and one division (the repo's no-`ln` rule; a
+    * log's libm rounding is engine-divergent). The standard phrase/
+    * tokenizer-merge candidate generator (word2vec's phrase pass).
+    *
+    * Scale shape: one corpus shuffle builds the bigram counts
+    * (vocabulary²-bounded, Heaps-sublinear in practice); the
+    * positional marginals are aggregates OF that relation (no second
+    * corpus pass) joined back through the size-gated broadcast; the
+    * support floor prunes the long tail before the join. */
+  def collocations(documents: DataFrame, k: Int = CollocTopK,
+      minCount: Long = MinCollocCount): DataFrame = {
+    val b = graft.functions.TextHashExpressions.optBarrier _
+    val pairs = documents
+      .select(b(words(col("text"))).as("ws"))
+      .select(explode(filter(
+        zip_with(col("ws"), slice(col("ws"), lit(2), size(col("ws"))),
+          (a, w) => struct(a.as("w1"), w.as("w2"))),
+        x => x.getField("w2").isNotNull)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val na = counts.groupBy("w1").agg(sum(col("n_ab")).as("n_a"))
+    val nb = counts.groupBy("w2").agg(sum(col("n_ab")).as("n_b"))
+    val tot = counts.agg(sum(col("n_ab")).as("n_tot"))
+    counts
+      .where(col("n_ab") >= minCount)
+      .join(VectorSearch.broadcastIfSmall(na), Seq("w1"))
+      .join(VectorSearch.broadcastIfSmall(nb), Seq("w2"))
+      .crossJoin(broadcast(tot)) // exactly one row by construction
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast("double") * col("n_tot").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** KMV sketch SET ALGEBRA: estimate the distinct-shingle overlap
     * between two corpus slices (here doc_id parity; in production two
     * crawl snapshots / dumps) from their mergeable bottom-k samples,
@@ -1417,6 +1463,25 @@ object TextAnalysis {
       bm25MultiOracleSqlCapped(TextIndexDfCapPct))((s, dir) =>
       bm25StoredTopK(s, cappedTextIndexFor(s, dir),
         Bm25QuerySuite, Bm25TopK)),
+
+    QueryDef.sql("text_collocations",
+      s"""WITH d AS (SELECT doc_id, $W AS ws FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+         |    i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p FROM d),
+         |c AS (SELECT p.w1 AS w1, p.w2 AS w2,
+         |    CAST(count(*) AS BIGINT) AS n_ab FROM bg GROUP BY 1, 2),
+         |na AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a
+         |  FROM c GROUP BY w1),
+         |nb AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_b
+         |  FROM c GROUP BY w2),
+         |t AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_tot FROM c)
+         |SELECT c.w1, c.w2, c.n_ab, na.n_a, nb.n_b,
+         |  (CAST(c.n_ab AS DOUBLE) * CAST(t.n_tot AS DOUBLE)) /
+         |  (CAST(na.n_a AS DOUBLE) * CAST(nb.n_b AS DOUBLE)) AS lift
+         |FROM c JOIN na USING (w1) JOIN nb USING (w2), t
+         |WHERE c.n_ab >= $MinCollocCount
+         |ORDER BY lift DESC, w1, w2 LIMIT $CollocTopK""".stripMargin)(
+      (s, dir) => collocations(Tables(s, dir, "documents"))),
 
     // exact-phrase retrieval, scan face: adjacency over the token
     // array, shuffle-free top-k — order-sensitive matching BM25's

@@ -947,6 +947,44 @@ class EventStreamSpec extends SparkSpecBase {
     assert(asTuples(TextAnalysis.bm25ManifestTopK(
       spark, table, suite, 5)) == expect)
   }
+
+  test("streaming IVF-index maintenance: the first batch trains, " +
+      "deltas assign with the stored codebook, replay no-op, search " +
+      "equals the scan face") {
+    import graft.operators.Ann
+    val drop = Files.createTempDirectory("graft_vidx_drop").toString
+    val table = Files.createTempDirectory("graft_vidx_str").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_vidx_ckpt").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val batchPred = col("vec_id") % 10 === 1 &&
+      !col("vec_id").isin(Ann.CentroidIds: _*)
+    // JSON float round-trip is exact: Jackson emits the shortest
+    // representation that parses back to the identical float
+    def dropJson(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$drop/$name"),
+        df.toJSON.collect().mkString("\n")): Unit
+    dropJson("b1.json", emb.where(!batchPred)) // training set: centroids
+    val q = EventStream.maintainIvfIndex(spark, drop, table, ckpt)
+    try {
+      q.processAllAvailable()
+      dropJson("b2.json", emb.where(batchPred))
+      q.processAllAvailable()
+    } finally q.stop()
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cent_id"),
+        r.getAs[Double]("similarity"))).toSeq
+    val streamed = asTuples(Ann.ivfManifestTopK(spark, table))
+    assert(streamed == asTuples(Ann.ivfTopK(emb)))
+    // replay of a committed (ingest-id, batch) tag is a no-op
+    val id = {
+      val p = java.nio.file.Paths.get(s"$ckpt/graft-ingest-id")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    }
+    assert(!Ann.refreshManifestIvfIndex(
+      emb.where(!batchPred), table, s"$id-0"))
+    assert(asTuples(Ann.ivfManifestTopK(spark, table)) == streamed)
+  }
 }
 
 /** Typed quarantine-stream row (Option key: NULL keys must flow). */
