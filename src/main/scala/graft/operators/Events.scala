@@ -295,11 +295,17 @@ object Events {
     * re-evaluates the one-shuffle as-of plan with the interval
     * predicate applied on top. Matched clicks only (an unmatched
     * click has no lag, not an infinite one). */
-  def lagQuantiles(s: SparkSession, dir: String): DataFrame =
-    exactQuantilesOn(
-      asofClickPurchase(s, dir).where(col("gap_us").isNotNull)
-        .select(col("gap_us")),
-      "gap_us")
+  def lagQuantiles(s: SparkSession, dir: String): DataFrame = {
+    // the narrowing protocol scans its input once per round — for a
+    // DERIVED input (the as-of window) cache the gap relation for the
+    // protocol's duration. Scoped: the protocol's result is a LOCAL
+    // relation (fully materialized before return), so the unpersist
+    // can never force a recompute of the answer.
+    val gaps = asofClickPurchase(s, dir).where(col("gap_us").isNotNull)
+      .select(col("gap_us")).persist()
+    try exactQuantilesOn(gaps, "gap_us")
+    finally { gaps.unpersist(); () }
+  }
 
   /** SLIDING-window rates: hourly windows every 15 minutes, so each
     * event lands in 4 overlapping windows — the smoothing shape

@@ -1410,13 +1410,19 @@ object Pipeline {
     * (a narrow distribution) simply leave middle phases empty, in both
     * engines. */
   def curriculumPhases(s: SparkSession, dir: String): DataFrame = {
+    // tokenized counts cached across the protocol's rounds AND the
+    // final per-phase aggregate; released once the thresholds (a
+    // 3-row local relation) are in hand — the final aggregate then
+    // re-tokenizes once, which is the floor for any formulation
     val v = Tables(s, dir, "documents")
       .select(col("doc_id"),
         size(words(col("text"))).cast("long").as("n_words"))
-      .where(col("n_words") > 0)
-    val thresholds = Events.exactQuantilesOn(v.select(col("n_words")),
-        "n_words", pcts = CurriculumPcts)
-      .collect().map(_.getAs[Long]("n_words")).sorted
+      .where(col("n_words") > 0).persist()
+    val thresholds =
+      try Events.exactQuantilesOn(v.select(col("n_words")),
+          "n_words", pcts = CurriculumPcts)
+        .collect().map(_.getAs[Long]("n_words")).sorted
+      finally { v.unpersist(); () }
     val phase = thresholds.foldLeft(lit(1)) { (acc, t) =>
       acc + when(col("n_words") > t, 1).otherwise(0) }
     v.select(col("doc_id"), col("n_words"), phase.cast("int").as("phase"))
@@ -1434,23 +1440,28 @@ object Pipeline {
     * badly on long-tailed corpora: most documents are short, most
     * tokens live in long ones). Value = weight = the word count, via
     * [[Events.weightedQuantilesOn]]'s integer narrowing protocol. */
-  def tokenWeightedLengths(s: SparkSession, dir: String): DataFrame =
-    Events.weightedQuantilesOn(
-      Tables(s, dir, "documents")
-        .select(size(words(col("text"))).cast("long").as("n_words"))
-        .where(col("n_words") > 0),
-      "n_words", "n_words")
+  def tokenWeightedLengths(s: SparkSession, dir: String): DataFrame = {
+    // cache the TOKENIZED counts for the protocol's duration — each
+    // narrowing round otherwise re-tokenizes the corpus (the protocol
+    // fully materializes its local result before the unpersist)
+    val v = Tables(s, dir, "documents")
+      .select(size(words(col("text"))).cast("long").as("n_words"))
+      .where(col("n_words") > 0).persist()
+    try Events.weightedQuantilesOn(v, "n_words", "n_words")
+    finally { v.unpersist(); () }
+  }
 
   /** [[tokenWeightedLengths]] PER LANGUAGE — the mixture-design view
     * (every language's token-mass length profile from the same
     * protocol run; all languages share each round's scan). */
-  def tokenWeightedLengthsByLang(s: SparkSession, dir: String): DataFrame =
-    Events.groupWeightedQuantilesOn(
-      Tables(s, dir, "documents")
-        .select(col("lang"),
-          size(words(col("text"))).cast("long").as("n_words"))
-        .where(col("n_words") > 0 && col("lang").isNotNull),
-      "lang", "n_words", "n_words")
+  def tokenWeightedLengthsByLang(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables(s, dir, "documents")
+      .select(col("lang"),
+        size(words(col("text"))).cast("long").as("n_words"))
+      .where(col("n_words") > 0 && col("lang").isNotNull).persist()
+    try Events.groupWeightedQuantilesOn(v, "lang", "n_words", "n_words")
+    finally { v.unpersist(); () }
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("pl_token_weighted_by_lang",
