@@ -1,23 +1,25 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
-/** Dev-only: print a named query's formatted physical plan. */
+
+/** Dev tool: print the formatted physical plan of one declared query
+  * (name + fixture dir from args) — the `.explain` loop the build
+  * discipline asks for, runnable without a REPL. */
 object DevExplain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-    graft.operators.Dedup.releaseCaches()
-    graft.operators.Pipeline.releaseCaches()
-    graft.operators.MlIndex.releaseCaches()
-    graft.operators.Events.releaseCaches()
-    graft.operators.Multimodal.releaseCaches()
-    graft.operators.Ann.releaseCaches()
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // AQE finalizes
+    println(df.queryExecution.executedPlan.toString())
     graft.operators.TextAnalysis.releaseCaches()
+    graft.operators.Ann.releaseCaches()
     spark.stop()
   }
 }

@@ -1249,7 +1249,14 @@ object TextAnalysis {
           (a, w) => struct(a.as("w1"), w.as("w2"))),
         x => x.getField("w2").isNotNull)).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // the (w1, w2) counts relation is referenced FOUR times (marginals,
+    // total, final join) and the branches prune different columns, so
+    // ReuseExchange cannot dedupe them — without materialization the
+    // corpus tokenize+shuffle runs four times (measured). localCheckpoint
+    // cuts the lineage once: everything downstream reads the
+    // vocabulary²-bounded blocks, and they free with the frame.
     val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint()
     val na = counts.groupBy("w1").agg(sum(col("n_ab")).as("n_a"))
     val nb = counts.groupBy("w2").agg(sum(col("n_ab")).as("n_b"))
     val tot = counts.agg(sum(col("n_ab")).as("n_tot"))
