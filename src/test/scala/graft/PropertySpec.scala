@@ -378,4 +378,58 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("phrase count == naive sliding scan on random word sequences " +
+      "(incl. overlaps, repeats, empty and single-word docs)") {
+    import spark.implicits._
+    val genDoc: Gen[Seq[String]] = for {
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab"))
+    } yield ws
+    val docs = samples(genDoc, 150).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    Seq(("a", "b"), ("a", "a"), ("c", "ab"), ("zz", "a")).foreach {
+      case (w1, w2) =>
+        val expect = docs.flatMap { case (id, text) =>
+          val ws = text.split(" ").filter(_.nonEmpty)
+          val n = ws.sliding(2).count(p =>
+            p.length == 2 && p(0) == w1 && p(1) == w2).toLong
+          if (n > 0) Some((id, ws.length.toLong, n)) else None
+        }.sortBy(t => (-t._3, t._1)).take(10)
+        val got = graft.operators.TextAnalysis.phraseTopK(df, w1, w2, 10)
+          .collect().map(r => (r.getAs[Long]("doc_id"),
+            r.getAs[Long]("dl"), r.getAs[Long]("phrase_tf"))).toSeq
+        assert(got == expect, s"phrase ($w1, $w2)")
+    }
+  }
+
+  test("binary signature: scan-side pack == driver pack; Hamming " +
+      "symmetric, zero to self, bounded by dim — random vectors") {
+    import spark.implicits._
+    // 64-dim vectors incl. exact zeros (sign boundary: 0 is NOT > 0)
+    val genV: Gen[Seq[Double]] = Gen.listOfN(64,
+      Gen.frequency(8 -> Gen.chooseNum(-5.0, 5.0), 2 -> Gen.const(0.0)))
+      .map(_.toSeq)
+    val vecs = samples(genV, 120).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+    def sigLocal(v: Seq[Double]): Long = {
+      var s = 0L; var j = 0
+      while (j < v.length) { if (v(j) > 0.0) s |= (1L << j); j += 1 }; s
+    }
+    // the engine's shortlist (hamming, id) must equal the driver's —
+    // this pins pack + xor + popcount end-to-end, incl. bit 63
+    val got = graft.operators.Ann.binaryTopK(df, 120).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("hamming")).toMap
+    val qSig = sigLocal(graft.operators.VectorSearch.Query.toSeq)
+    vecs.foreach { case (id, vf) =>
+      val h = java.lang.Long.bitCount(
+        sigLocal(vf.map(_.toDouble)) ^ qSig)
+      assert(h >= 0 && h <= 64)
+      got.get(id).foreach(g => assert(g == h, s"vec $id"))
+    }
+    assert(got.nonEmpty)
+  }
 }
