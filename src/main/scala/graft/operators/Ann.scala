@@ -324,7 +324,8 @@ object Ann {
   /** Drop every memoized materialized IVF store (the explicit release
     * half of the implicit index; every main calls this on shutdown). */
   def releaseCaches(): Unit = {
-    Seq(ivfStores, ivfRefreshed, manifestIvfIndexes).foreach { m =>
+    Seq(ivfStores, ivfRefreshed, manifestIvfIndexes, binaryIndexes)
+      .foreach { m =>
       val it = m.values().iterator()
       while (it.hasNext)
         org.apache.commons.io.FileUtils
@@ -1088,6 +1089,61 @@ object Ann {
   def binaryRecallAtK(emb: DataFrame, k: Int = K): DataFrame =
     recallAtK(binaryTopK(emb, k), emb, k)
 
+  /** Materialize the binary-sign index: ONE 8-byte signature per
+    * vector ([[packedSig]]), stored next to nothing else — the
+    * resident tier a RAM-constrained deployment keeps hot (64× under
+    * the raw doubles; 100 TB of fp64 vectors sign-pack to ~1.5 TB).
+    * The full-precision vectors stay in the source table and are read
+    * only for the shortlist rerank. */
+  def buildBinaryIndex(emb: DataFrame, path: String): Unit =
+    emb.select(col("vec_id"),
+        packedSig(toDouble(col("embedding"))).as("sig"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Binary-sign search over the MATERIALIZED signature store: the
+    * Hamming pass scans ONLY the 8-byte-per-vector index (the corpus's
+    * doubles are untouched), the [[BinaryShortlist]] survivors join
+    * back to the vector table for the exact-cosine rerank — bitwise
+    * [[binaryTopK]]'s answers (same pack, same tie order), same
+    * oracle. */
+  def binaryStoredTopK(s: SparkSession, path: String, emb: DataFrame,
+      k: Int = K): DataFrame = {
+    val qSig = packedSigLocal(Query)
+    val shortlist = s.read.parquet(path)
+      .select(col("vec_id"),
+        bit_count(col("sig").bitwiseXOR(lit(qSig))).as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(BinaryShortlist)
+    emb.select(col("vec_id"), col("label"),
+        toDouble(col("embedding")).as("v"))
+      .join(VectorSearch.broadcastIfSmall(shortlist), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("hamming"),
+        V.dot(vecLit(QueryNorm), col("v")).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Memoized signature store behind `ann_binary_stored` — lifecycle
+    * mirrors [[ivfStoreFor]] (released by [[releaseCaches]]). */
+  private val binaryIndexes = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private[graft] def binaryIndexFor(s: SparkSession, dir: String): String = {
+    val key = (s, dir)
+    Option(binaryIndexes.get(key)).getOrElse {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-binary-index-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
+      buildBinaryIndex(Tables(s, dir, "embeddings"), path)
+      Option(binaryIndexes.putIfAbsent(key, path)).map { prev =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)); prev // racing builder
+      }.getOrElse(path)
+    }
+  }
+
   /** Per-query Hamming shortlist width for [[binaryKnnJoin]]. */
   val BinaryJoinShortlist = 30
 
@@ -1174,6 +1230,26 @@ object Ann {
        |      list_transform(ve, y -> floor(y / scale * 127.0E0 + 0.5E0)),
        |      x -> x * scale / 127.0E0) AS dq
        |  FROM s)""".stripMargin
+
+  /** Shared oracle for [[binaryTopK]] and its stored-signature twin
+    * ([[binaryStoredTopK]]) — one SQL verifies both faces. */
+  private lazy val binaryTopKOracleSql: String = {
+    val qSig = packedSigLocal(Query)
+    s"""WITH q AS (SELECT $qNormSql AS v),
+       |e AS (SELECT vec_id, label, $embD AS ve FROM embeddings),
+       |b AS (SELECT vec_id, label, ve,
+       |    CAST(bit_count(xor(${packedSigSql("ve")},
+       |      CAST($qSig AS BIGINT))) AS INT) AS hamming
+       |  FROM e),
+       |short AS (SELECT vec_id, label, ve, hamming FROM (
+       |    SELECT vec_id, label, ve, hamming,
+       |      row_number() OVER (ORDER BY hamming, vec_id) AS rn FROM b)
+       |  WHERE rn <= $BinaryShortlist)
+       |SELECT vec_id, label, hamming,
+       |  ${dotSeqSql("q.v", "ve", Dim)} AS similarity
+       |FROM short, q
+       |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin
+  }
 
   /** Shared oracle for [[ivfTopK]] and its stored-layout twin: the two
     * faces are bitwise interchangeable by construction, so one SQL
@@ -1265,23 +1341,17 @@ object Ann {
       (s, dir) => quantizedRecallAtK(Tables(s, dir, "embeddings"))
     },
 
-    QueryDef.sql("ann_binary_topk", {
-      val qSig = packedSigLocal(Query)
-      s"""WITH q AS (SELECT $qNormSql AS v),
-         |e AS (SELECT vec_id, label, $embD AS ve FROM embeddings),
-         |b AS (SELECT vec_id, label, ve,
-         |    CAST(bit_count(xor(${packedSigSql("ve")},
-         |      CAST($qSig AS BIGINT))) AS INT) AS hamming
-         |  FROM e),
-         |short AS (SELECT vec_id, label, ve, hamming FROM (
-         |    SELECT vec_id, label, ve, hamming,
-         |      row_number() OVER (ORDER BY hamming, vec_id) AS rn FROM b)
-         |  WHERE rn <= $BinaryShortlist)
-         |SELECT vec_id, label, hamming,
-         |  ${dotSeqSql("q.v", "ve", Dim)} AS similarity
-         |FROM short, q
-         |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin
-    }) { (s, dir) => binaryTopK(Tables(s, dir, "embeddings")) },
+    QueryDef.sql("ann_binary_topk", binaryTopKOracleSql) {
+      (s, dir) => binaryTopK(Tables(s, dir, "embeddings"))
+    },
+
+    // the MATERIALIZED signature store: the Hamming pass reads 8 bytes
+    // per vector, the corpus's doubles only join in for the shortlist
+    // rerank — bitwise the scan face, same oracle
+    QueryDef.sql("ann_binary_stored", binaryTopKOracleSql) {
+      (s, dir) => binaryStoredTopK(s, binaryIndexFor(s, dir),
+        Tables(s, dir, "embeddings"))
+    },
 
     QueryDef.sql("ann_binary_recall", {
       val qSig = packedSigLocal(Query)
