@@ -283,6 +283,46 @@ object Relational {
       .orderBy("tag", "n_name")
   }
 
+  /** TPC-H Q21 shape ("suppliers who kept orders waiting", lateness =
+    * shipped > 90 days after the order, [[latePriorities]]'
+    * predicate): suppliers who were the SOLE late shipper on a
+    * multi-supplier order, ranked by how many orders they alone held
+    * up.
+    *
+    * Q21's textbook formulation is an EXISTS + NOT EXISTS pair of
+    * lineitem SELF-joins — three fact scans and two corpus-scale
+    * semi/anti joins. The set-identical rewrite here: "no OTHER
+    * supplier was late and someone else supplied" ⟺ the order has
+    * more than one distinct supplier and EXACTLY ONE distinct late
+    * supplier (which is then necessarily you). Per-(order, supplier)
+    * any-late flags aggregate in ONE fact shuffle; both order-level
+    * counts ride the same l_orderkey window partitioning; membership
+    * is then a row predicate. The oracle derives the answer through
+    * the textbook EXISTS formulation — two independent derivations,
+    * one hash. */
+  def waitingSuppliers(s: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    val perSupp = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(late, 1).otherwise(0)).as("any_late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supps", count(lit(1)).over(w))
+      .withColumn("n_late_supps", sum(col("any_late")).over(w))
+      .where(col("any_late") === 1 && col("n_supps") > 1 &&
+        col("n_late_supps") === 1)
+      .join(Tables(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
+
   /** Recency cutoff for [[salesOpportunity]] — the last seven months of
     * the fixture's 1995-2001 order range. */
   val SalesOppCutoff = "2001-01-01"
@@ -1016,6 +1056,24 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin)(customersWithoutOrders),
+
+    QueryDef.sql("rel_waiting_suppliers",
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |w AS (SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+        |  FROM l l1
+        |  WHERE l1.is_late
+        |    AND EXISTS (SELECT 1 FROM l l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey
+        |        AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM l l3
+        |      WHERE l3.l_orderkey = l1.l_orderkey
+        |        AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late))
+        |SELECT s_name, count(*) AS numwait
+        |FROM w JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin)((s, dir) => waitingSuppliers(s, dir)),
 
     QueryDef.sql("rel_sales_opportunity",
       s"""WITH pos AS (SELECT * FROM customer WHERE c_acctbal > 0.0E0),
