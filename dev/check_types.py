@@ -23,8 +23,24 @@ DUCK_TO_ARROW = {
     'BIGINT': 'int64', 'INTEGER': 'int32', 'DOUBLE': 'double',
     'VARCHAR': 'string', 'BOOLEAN': 'bool', 'FLOAT': 'float',
     'SMALLINT': 'int16', 'TINYINT': 'int8',
+    'DATE': 'date32[day]',
     'HUGEINT': 'HUGEINT(un-CAST sum?)',
 }
+
+
+def duck_to_arrow(t):
+    """Map a DuckDB type string to its arrow parquet spelling, covering
+    parametrized types a flat dict can't (DECIMAL(p,s), TIMESTAMP)."""
+    t = str(t)
+    if t in DUCK_TO_ARROW:
+        return DUCK_TO_ARROW[t]
+    if t.startswith('DECIMAL(') and t.endswith(')'):
+        return 'decimal128(' + t[len('DECIMAL('):-1].replace(',', ', ') + ')'
+    if t == 'TIMESTAMP':
+        return 'timestamp[us]'
+    if t == 'TIMESTAMP WITH TIME ZONE':
+        return 'timestamp[us, tz=UTC]'
+    return t
 
 TABLES = ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']
@@ -46,7 +62,7 @@ def main(sf, out):
                  for f in ds.dataset(d, format='parquet').schema
                  if not f.name.startswith('_')]
         rel = con.sql(q)
-        duck = [(c, DUCK_TO_ARROW.get(str(t), str(t)))
+        duck = [(c, duck_to_arrow(t))
                 for c, t in zip(rel.columns, rel.types)]
         if [x[0] for x in spark] != [x[0] for x in duck]:
             print(f'COLS {name}: spark={spark} duckdb={duck}')

@@ -20,6 +20,11 @@ object DevExplain {
     println(df.queryExecution.executedPlan.toString())
     graft.operators.TextAnalysis.releaseCaches()
     graft.operators.Ann.releaseCaches()
+    graft.operators.Dedup.releaseCaches()
+    graft.operators.Pipeline.releaseCaches()
+    graft.operators.MlIndex.releaseCaches()
+    graft.operators.Events.releaseCaches()
+    graft.operators.Multimodal.releaseCaches()
     spark.stop()
   }
 }

@@ -1028,14 +1028,20 @@ object Ann {
     * semantics, identical in every engine (bit 63's literal is
     * Long.MinValue, which an arithmetic sum would trip ANSI checks
     * on). Scan-side projection, whole-stage codegen. */
-  private def packedSig(ve: Column): Column =
+  private def packedSig(ve: Column): Column = {
+    require(Dim <= 64, s"packedSig packs one sign bit per dimension " +
+      s"into a single long — Dim=$Dim would alias bits mod 64")
     (0 until Dim).map(j =>
       when(element_at(ve, j + 1) > 0.0, lit(1L << j)).otherwise(lit(0L)))
       .reduceLeft((a, b) => a.bitwiseOR(b))
+  }
 
   /** Driver-side twin of [[packedSig]] — the query's signature is a
     * plan CONSTANT, like every other query-derived probe here. */
   private def packedSigLocal(v: Array[Double]): Long = {
+    require(v.length <= 64, s"packedSigLocal packs one sign bit per " +
+      s"dimension into a single long — length ${v.length} would alias " +
+      "bits mod 64")
     var s = 0L
     var j = 0
     while (j < v.length) { if (v(j) > 0.0) s |= (1L << j); j += 1 }
@@ -1045,11 +1051,14 @@ object Ann {
   /** SQL twin of [[packedSig]]: the same disjoint-bit OR chain (each
     * bit literal pre-computed in Scala so both engines parse the
     * identical BIGINT constants). */
-  private def packedSigSql(v: String): String =
+  private def packedSigSql(v: String): String = {
+    require(Dim <= 64, s"packedSigSql packs one sign bit per dimension " +
+      s"into a single BIGINT — Dim=$Dim would alias bits mod 64")
     (0 until Dim).map(j =>
       s"(CASE WHEN $v[${j + 1}] > 0.0E0 THEN CAST(${1L << j} AS BIGINT) " +
         "ELSE CAST(0 AS BIGINT) END)")
       .mkString("(", " | ", ")")
+  }
 
   /** BINARY-sign quantized search — the 64×-compression tier every
     * current vector store ships below int8/PQ: each vector is ONE long

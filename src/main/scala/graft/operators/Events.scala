@@ -1043,6 +1043,11 @@ object Events {
       pcts: Seq[Int] = QuantilePcts): DataFrame = {
     require(pcts.nonEmpty && pcts.distinct == pcts,
       s"percentile targets must be distinct and non-empty: $pcts")
+    // quantileRank's overflow guard assumes 1 <= p <= 99 (the
+    // Long.MaxValue/100 bound plus the +99 ceil term); p <= 0 would
+    // yield rank 0/negative and silently drop rows.
+    require(pcts.forall(p => p >= 1 && p <= 99),
+      s"percentile targets must be in [1, 99]: $pcts")
     val s = values.sparkSession
     import s.implicits._
     val head = values

@@ -638,10 +638,19 @@ object ManifestStore {
       c: String): Boolean = {
     val dir = manifestDir(tablePath, c)
     fs.mkdirs(dir)
+    val marker = new Path(dir, "created")
     try {
-      createExclusive(fs, new Path(dir, "created"), Array('c'.toByte))
+      createExclusive(fs, marker, Array('c'.toByte))
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      case e: java.io.IOException =>
+        // Only an EXISTING marker means "lost the race" — a genuine
+        // filesystem failure (full disk, permissions) must surface, not
+        // turn into a misleading "already exists" / silent Ignore no-op.
+        // Re-probe rather than match exception types: the local face
+        // throws nio FileAlreadyExistsException, the Hadoop face its own.
+        if (fs.exists(marker)) false else throw e
+    }
   }
 
   /** Atomically CLAIM a segment number >= `from` before writing any

@@ -240,6 +240,13 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(Events.groupQuantilesOn(
       Seq.empty[(String, Long)].toDF("g", "v"), "g", "v")
       .collect().isEmpty)
+    // out-of-range percentile targets fail loud (quantileRank's
+    // overflow guard assumes 1 <= p <= 99; p=0/100 would silently
+    // produce no/wrong rows)
+    for (bad <- Seq(Seq(0), Seq(100), Seq(50, 101)))
+      intercept[IllegalArgumentException] {
+        Events.exactQuantilesOn(Seq(1L).toDF("v"), "v", pcts = bad)
+      }
     // single value: every percentile pinches to it in round one
     val one = Events.exactQuantilesOn(Seq(42L).toDF("v"), "v").collect()
     assert(one.length == Events.QuantilePcts.size &&
