@@ -798,7 +798,16 @@ object Dedup {
       dir: String): (String, Long) = {
     val key = (s, dir)
     Option(docsManifestCache.get(key)).getOrElse {
-      val docs = Tables(s, dir, "documents").select("doc_id", "text", "lang")
+      // doc_key is the reference's uuid-string identity axis
+      // (main.go:330): a deterministic uuid-like string key whose
+      // point lookups are served by STRING bloom sidecars — the %10
+      // segment split below interleaves the key ranges, so zone maps
+      // alone cannot discriminate a point probe
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("doc-"),
+            lpad(col("doc_id").cast("string"), 10, "0")).as("doc_key"),
+          col("text"), col("lang"))
       val path = java.nio.file.Files
         .createTempDirectory("graft-docs-manifest-").toString
       // releaseCaches() is the documented teardown; the hook covers a
@@ -808,6 +817,7 @@ object Dedup {
         org.apache.commons.io.FileUtils
           .deleteQuietly(new java.io.File(path)): Unit))
       graft.sources.ManifestStore.setZoneMapColumns(s, path, Seq("doc_id"))
+      graft.sources.ManifestStore.setBloomColumns(s, path, Seq("doc_key"))
       graft.sources.ManifestStore.store(
         docs.where(col("doc_id") % 10 =!= 1), path, "docs")
       val anchor =

@@ -1425,6 +1425,39 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** DOCUMENT point lookup by the reference's native identity — a
+    * uuid-like STRING key (main.go:330; the `{collection}/{uuid}` object
+    * key, main.go:334) — over the manifest document store, pruned by
+    * STRING bloom sidecars on BOTH faces: the first and last doc keys
+    * probe the imperative face ([[graft.sources.ManifestStore
+    * .readPointString]]) and the connector face probes the same keys
+    * plus a definitely-absent uuid through a declarative `IN` filter
+    * (the Catalyst `In` consults the 's'-kind blooms segment by
+    * segment). The fixture's two segments hold interleaved doc_id
+    * ranges (%10 split), so key-range zone maps cannot separate a
+    * point probe — the blooms are the discriminator, and the absent
+    * key lists and plans ZERO files (GraftSourceSpec pins the scanned
+    * counts). At 100 TB this is "show me document X" costing one
+    * segment instead of the corpus. Both faces union under one oracle
+    * — face parity is part of the assertion. */
+  def docPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val (path, _) = Dedup.manifestDocsTable(s, dir)
+    val b = Tables(s, dir, "documents")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head
+    def key(id: Long) = f"doc-$id%010d"
+    val present = Seq(key(b.getLong(0)), key(b.getLong(1)))
+    val imperative = present.map { k =>
+      graft.sources.ManifestStore
+        .readPointString(s, path, "docs", k, "doc_key")
+        .select(col("doc_key"), col("doc_id"), col("lang"))
+    }.reduce(_.unionByName(_))
+    val connector = s.read.format("graft").option("path", path)
+      .option("collection", "docs").load()
+      .where(col("doc_key").isin(present :+ "doc-absent": _*))
+      .select(col("doc_key"), col("doc_id"), col("lang"))
+    imperative.unionByName(connector).orderBy("doc_key", "doc_id")
+  }
+
   /** NEEDLE-IN-THE-LOG point lookups over the manifest store, pruned
     * by the event_id BLOOM sidecars ([[graft.sources.ManifestStore
     * .readPointLong]]): four probes — the log's first and last event
@@ -1847,6 +1880,20 @@ object Events {
         |WHERE e.event_id IN (b.lo, b.hi, b.lo + (b.hi - b.lo) // 2, -1)
         |ORDER BY event_id""".stripMargin)(
       (s, dir) => connectorPointLookup(s, dir)),
+
+    QueryDef.sql("ev_doc_lookup",
+      """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+        |  FROM documents),
+        |hits AS (
+        |  SELECT 'doc-' || lpad(CAST(d.doc_id AS VARCHAR), 10, '0')
+        |      AS doc_key,
+        |    d.doc_id, d.lang
+        |  FROM documents d, b
+        |  WHERE d.doc_id IN (b.lo, b.hi))
+        |SELECT doc_key, doc_id, lang FROM hits
+        |UNION ALL SELECT doc_key, doc_id, lang FROM hits
+        |ORDER BY doc_key, doc_id""".stripMargin)(
+      (s, dir) => docPointLookup(s, dir)),
 
     QueryDef.sql("ev_meta_count",
       """SELECT count(*) AS n_events,

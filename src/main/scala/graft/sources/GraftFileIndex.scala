@@ -73,7 +73,7 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
   private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
     Long, Map[String, (Char, String, String)]]()
   private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
-    Long, Map[String, (Int, Array[Byte])]]()
+    Long, Map[String, (Char, Int, Array[Byte])]]()
   private val countMemo = new java.util.concurrent.ConcurrentHashMap[
     (Long, String), Option[Long]]()
   private val rowsMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -85,7 +85,7 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
     statsMemo.computeIfAbsent(seg,
       s => ManifestStore.readSegStats(fs, tablePath, collection, s))
 
-  private def bloomsOf(seg: Long): Map[String, (Int, Array[Byte])] =
+  private def bloomsOf(seg: Long): Map[String, (Char, Int, Array[Byte])] =
     bloomMemo.computeIfAbsent(seg,
       s => ManifestStore.readSegBlooms(fs, tablePath, collection, s))
 
@@ -287,13 +287,13 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
       // — the event_id shape — still prunes equality), mirroring
       // readPointLong's independent checks
       def bloomExcl = cmp == Eq && (bloomsOf(seg).get(a.name) match {
-        case Some((m, bytes)) =>
+        case Some(('l', m, bytes)) =>
           !ManifestStore.bloomMayContain(m, bytes, v)
-        case None => false
+        case _ => false // 's'-kind bits prove nothing for a long probe
       })
       boundsExcl || bloomExcl
     }.orElse(litUtf8(l).map { u =>
-      strBounds(seg, a.name).exists { case (lo, hi) =>
+      val boundsExcl = strBounds(seg, a.name).exists { case (lo, hi) =>
         val v = u.toString
         cmp match {
           case Eq => ManifestStore.utf8Cmp(v, lo) < 0 ||
@@ -304,6 +304,15 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
           case Le => ManifestStore.utf8Cmp(lo, v) > 0
         }
       }
+      // string-kind bloom probe — the uuid/doc-id point-lookup axis:
+      // independent of zone-map coverage, same discipline as the long
+      // branch (and as readPointString's imperative face)
+      def bloomExcl = cmp == Eq && (bloomsOf(seg).get(a.name) match {
+        case Some(('s', m, bytes)) =>
+          !ManifestStore.bloomMayContainStr(m, bytes, u)
+        case _ => false // 'l'-kind bits prove nothing for a string probe
+      })
+      boundsExcl || bloomExcl
     }).getOrElse(false)
   }
 

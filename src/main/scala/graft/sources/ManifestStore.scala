@@ -269,7 +269,7 @@ object ManifestStore {
             (keySet, keyKind) match {
               case (Some(ks), 'l') =>
                 readSegBlooms(fs, tablePath, c, seg).get(key) match {
-                  case Some((m, bytes)) =>
+                  case Some(('l', m, bytes)) =>
                     (sLo.toLongOption, sHi.toLongOption) match {
                       case (Some(l), Some(h)) =>
                         ks.iterator.map(_.asInstanceOf[Long])
@@ -277,7 +277,18 @@ object ManifestStore {
                           .exists(k0 => bloomMayContain(m, bytes, k0))
                       case _ => true
                     }
-                  case None => true
+                  case _ => true
+                }
+              case (Some(ks), 's') =>
+                readSegBlooms(fs, tablePath, c, seg).get(key) match {
+                  case Some(('s', m, bytes)) =>
+                    ks.iterator.map(_.asInstanceOf[String])
+                      .filter(k0 =>
+                        utf8Cmp(k0, sLo) >= 0 && utf8Cmp(k0, sHi) <= 0)
+                      .exists(k0 => bloomMayContainStr(m, bytes,
+                        org.apache.spark.unsafe.types.UTF8String
+                          .fromString(k0)))
+                  case _ => true
                 }
               case _ => true
             }
@@ -293,7 +304,8 @@ object ManifestStore {
                 }
               case Some((k, sLo, sHi)) if k == keyKind =>
                 !(utf8Cmp(sHi, b.getString(0)) < 0 ||
-                  utf8Cmp(sLo, b.getString(1)) > 0) && setHits(sLo, sHi)
+                  utf8Cmp(sLo, b.getString(1)) > 0) &&
+                  setHits(sLo, sHi) && bloomHits(seg, sLo, sHi)
               case _ => true // no stats / wrong kind: rewrite
             }
           }
@@ -1146,10 +1158,17 @@ object ManifestStore {
   /** Probe count (k). */
   val BloomHashes = 4
 
-  /** Configure per-segment BLOOM sidecars for `cols` (INTEGRAL columns
-    * only — the id/timestamp point-lookup and merge-key axis; bloom
-    * bits for other types are skipped at write). Zone maps answer
-    * RANGE questions; blooms answer the point question ranges cannot:
+  /** Configure per-segment BLOOM sidecars for `cols` (INTEGRAL and
+    * STRING columns — the id/uuid/timestamp point-lookup and merge-key
+    * axes; bloom bits for other types are skipped at write). The
+    * reference's native row identity is a string uuid
+    * (main.go:330, key format main.go:334), so the document-store
+    * point-lookup axis is a string column: its UTF-8 bytes hash into
+    * the same bitset shape integral keys use ('s'-kind token), and a
+    * doc-id probe prunes segments whose ranges interleave after
+    * appends exactly as [[readPointLong]] does for longs. Zone maps
+    * answer RANGE questions; blooms answer the point question ranges
+    * cannot:
     * "could key k be in this segment at all?" — the discriminator when
     * segment key ranges overlap (post-append interleaving, pre-
     * compaction). Like zone maps the bits are ADVISORY (a segment
@@ -1193,18 +1212,37 @@ object ManifestStore {
 
   /** The k collect_set aggregates building one column's bloom
     * positions during the segment write (probe j's position =
-    * `xxhash64(j, value) & (bits-1)`, tagged by j in the alias). The
-    * value is cast to LONG so the driver-side probe
+    * `xxhash64(j, value) & (bits-1)`, tagged by j in the alias).
+    * Kind 'l': the value is cast to LONG so the driver-side probe
     * ([[bloomProbe]]) reproduces the hash with `XXH64.hashLong`
-    * regardless of the column's integral width. Each set is bounded by
-    * `bits` distinct positions — segment-write metadata, not data. */
-  private def bloomAggs(n: String, bits: Int, tag: String): Seq[Column] =
+    * regardless of the column's integral width. Kind 's': the raw
+    * string column — Spark's xxhash64 hashes its UTF-8 bytes with the
+    * folded seed, which [[bloomProbeStr]] reproduces with
+    * `XXH64.hashUnsafeBytes`. Each set is bounded by `bits` distinct
+    * positions — segment-write metadata, not data. */
+  private def bloomAggs(n: String, kind: Char, bits: Int,
+      tag: String): Seq[Column] =
     (0 until BloomHashes).map { j =>
+      val v = if (kind == 'l') col(n).cast("long") else col(n)
       collect_set(
-        xxhash64(lit(j.toLong), col(n).cast("long"))
+        xxhash64(lit(j.toLong), v)
           .bitwiseAND(lit((bits - 1).toLong)).cast("int"))
         .as(s"bf_${tag}_$j")
     }
+
+  /** Bloom kind for a column type: 'l' = integral (hash the widened
+    * long), 's' = string (hash the UTF-8 bytes). None = the type has
+    * no canonical point-probe hash here — skipped at write, like an
+    * absent sidecar. */
+  private def bfKindOf(
+      dt: org.apache.spark.sql.types.DataType): Option[Char] = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => Some('l')
+    case org.apache.spark.sql.types.StringType => Some('s')
+    case _ => None
+  }
 
   /** Driver-side twin of [[bloomAggs]]'s position arithmetic:
     * Spark's multi-arg `xxhash64` left-folds the seed through its
@@ -1216,37 +1254,57 @@ object ManifestStore {
       (bits - 1).toLong).toInt
   }
 
+  /** String twin of [[bloomProbe]]: Spark's `xxhash64(j, stringCol)`
+    * hashes the UTF-8 bytes with the folded seed — reproduced here
+    * over the UTF8String's backing bytes (verified bit-equal against
+    * the expression for multi-byte code points and the empty
+    * string). */
+  private def bloomProbeStr(v: org.apache.spark.unsafe.types.UTF8String,
+      j: Int, bits: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (XXH64.hashUnsafeBytes(v.getBaseObject, v.getBaseOffset, v.numBytes,
+      XXH64.hashLong(j.toLong, 42L)) & (bits - 1).toLong).toInt
+  }
+
   /** Pack per-probe position sets into the sidecar token
-    * `bf:<encName>:<bits>:<urlsafe-b64 bitset>` (padding-free alphabet
-    * — never collides with the `;,=` framing). */
-  private def bloomToken(n: String, bits: Int,
+    * `bf:<encName>:<bits>:<urlsafe-b64 bitset>` for 'l'-kind columns,
+    * `bfs:...` for 's'-kind (padding-free alphabet — never collides
+    * with the `;,=` framing; the distinct prefix keeps pre-string
+    * readers skipping 's' tokens instead of mis-probing them with the
+    * long hash). */
+  private def bloomToken(n: String, kind: Char, bits: Int,
       posSets: Seq[Seq[Int]]): String = {
     val bytes = new Array[Byte](bits / 8)
     posSets.foreach(_.foreach { p =>
       bytes(p >>> 3) = (bytes(p >>> 3) | (1 << (p & 7))).toByte
     })
-    s"bf:${zmEnc(n)}:$bits:" +
+    val pfx = if (kind == 's') "bfs" else "bf"
+    s"$pfx:${zmEnc(n)}:$bits:" +
       java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
   }
 
-  /** The segment's bloom bitsets by column: (bits, bitset). Missing /
-    * torn sidecars parse to empty ("no bloom — read conservatively"),
-    * the zone-map discipline. */
+  /** The segment's bloom bitsets by column: (kind, bits, bitset) —
+    * kind 'l' bitsets were built from the long hash, 's' from the
+    * UTF-8 byte hash; a probe must match the kind or prove nothing.
+    * Missing / torn sidecars parse to empty ("no bloom — read
+    * conservatively"), the zone-map discipline. */
   private[graft] def readSegBlooms(fs: FileSystem, tablePath: String,
-      c: String, seg: Long): Map[String, (Int, Array[Byte])] =
+      c: String, seg: Long): Map[String, (Char, Int, Array[Byte])] =
     readPtr(fs, statsPath(tablePath, c, seg)) match {
       case Some(s) if s.startsWith(ZmPrefix) && s.endsWith(SegsSuffix) =>
         s.stripPrefix(ZmPrefix).stripSuffix(SegsSuffix)
-          .split(';').toSeq.filter(_.startsWith("bf:"))
+          .split(';').toSeq
+          .filter(e => e.startsWith("bf:") || e.startsWith("bfs:"))
           .flatMap { e =>
             e.split(':') match {
-              case Array(_, n, bits, b64) =>
+              case Array(pfx, n, bits, b64) =>
                 (bits.toIntOption, scala.util.Try(
                   java.util.Base64.getUrlDecoder.decode(b64)).toOption) match {
                   case (Some(m), Some(bytes))
                       if m > 0 && (m & (m - 1)) == 0 &&
                         bytes.length == m / 8 =>
-                    Some(zmDec(n) -> (m, bytes))
+                    val kind = if (pfx == "bfs") 's' else 'l'
+                    Some(zmDec(n) -> (kind, m, bytes))
                   case _ => None
                 }
               case _ => None
@@ -1261,6 +1319,15 @@ object ManifestStore {
       v: Long): Boolean =
     (0 until BloomHashes).forall { j =>
       val p = bloomProbe(v, j, bits)
+      (bytes(p >>> 3) & (1 << (p & 7))) != 0
+    }
+
+  /** [[bloomMayContain]] for 's'-kind bitsets: may this bitset contain
+    * string value `v`? */
+  private[graft] def bloomMayContainStr(bits: Int, bytes: Array[Byte],
+      v: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    (0 until BloomHashes).forall { j =>
+      val p = bloomProbeStr(v, j, bits)
       (bytes(p >>> 3) & (1 << (p & 7))) != 0
     }
 
@@ -1286,8 +1353,37 @@ object ManifestStore {
         case _ => true
       }
       inRange && (readSegBlooms(fs, tablePath, c, s).get(column) match {
-        case Some((m, bytes)) => bloomMayContain(m, bytes, v)
-        case None => true
+        case Some(('l', m, bytes)) => bloomMayContain(m, bytes, v)
+        case _ => true // 's'-kind or absent: prove nothing
+      })
+    }
+    rangeResidual(
+      readSegsInferred(spark, tablePath, c, kept, segs), column,
+      col(column) === lit(v))
+  }
+
+  /** [[readPointLong]] for a STRING key — the reference's native row
+    * identity (a uuid string, main.go:330; key `{collection}/{uuid}`,
+    * main.go:334): segments whose 's'-kind recorded range excludes `v`
+    * in UTF-8 byte order OR whose string bloom says "definitely
+    * absent" are never listed or planned. On a document store whose
+    * uuid ranges interleave after appends (every segment spans most of
+    * the key space) the blooms are the only discriminator — an absent
+    * uuid reads NOTHING. Residual `column = v` still applies. */
+  def readPointString(spark: SparkSession, tablePath: String, c: String,
+      v: String, column: String): DataFrame = {
+    val fs = fsOf(spark, tablePath)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    val segs = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
+    val kept = segs.filter { s =>
+      val inRange = readSegStats(fs, tablePath, c, s).get(column) match {
+        case Some(('s', sLo, sHi)) =>
+          utf8Cmp(sLo, v) <= 0 && utf8Cmp(v, sHi) <= 0
+        case _ => true
+      }
+      inRange && (readSegBlooms(fs, tablePath, c, s).get(column) match {
+        case Some(('s', m, bytes)) => bloomMayContainStr(m, bytes, u)
+        case _ => true // 'l'-kind or absent: prove nothing
       })
     }
     rangeResidual(
@@ -1357,7 +1453,7 @@ object ManifestStore {
       .map(n => (n, zmKindOf(df.schema(n).dataType)))
     val (bfColsCfg, bfBits) = bloomColumnsOf(fs, tablePath)
     val bfCols = bfColsCfg.filter(df.columns.contains)
-      .filter(n => zmKindOf(df.schema(n).dataType) == 'l')
+      .flatMap(n => bfKindOf(df.schema(n).dataType).map(k => (n, k)))
     if (zmCols.isEmpty && bfCols.isEmpty) {
       df.write.mode(SaveMode.Overwrite).parquet(dir)
     } else {
@@ -1374,8 +1470,8 @@ object ManifestStore {
         // exclusion drops)
         Seq(min(base).as(s"zm_lo_$i"), max(base).as(s"zm_hi_$i"),
           count(base).as(s"zm_n_$i"))
-      } ++ bfCols.zipWithIndex.flatMap { case (n, i) =>
-        bloomAggs(n, bfBits, i.toString)
+      } ++ bfCols.zipWithIndex.flatMap { case ((n, k), i) =>
+        bloomAggs(n, k, bfBits, i.toString)
       } :+ count(lit(1)).as("zm_rows")
       df.observe(obs, aggs.head, aggs.tail: _*)
         .write.mode(SaveMode.Overwrite).parquet(dir)
@@ -1394,8 +1490,8 @@ object ManifestStore {
       // IsNull pruning (rows == non-null ⇒ IS NULL matches nothing)
       val rowToks = m.get("zm_rows")
         .collect { case v: Long => s"rows:$v" }.toSeq
-      val bfToks = bfCols.zipWithIndex.map { case (n, i) =>
-        bloomToken(n, bfBits, (0 until BloomHashes).map { j =>
+      val bfToks = bfCols.zipWithIndex.map { case ((n, k), i) =>
+        bloomToken(n, k, bfBits, (0 until BloomHashes).map { j =>
           m.get(s"bf_${i}_$j") match {
             case Some(a: scala.collection.Seq[_]) =>
               a.map(_.asInstanceOf[Int]).toSeq
@@ -1466,13 +1562,13 @@ object ManifestStore {
       .map(n => (n, zmKindOf(laid.schema(n).dataType)))
     val (bfColsCfg, bfBits) = bloomColumnsOf(fs, tablePath)
     val bfCols = bfColsCfg.filter(dataCols.contains)
-      .filter(n => zmKindOf(laid.schema(n).dataType) == 'l')
+      .flatMap(n => bfKindOf(laid.schema(n).dataType).map(k => (n, k)))
     val aggs = zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
       val base = if (k == 'l') col(n) else col(n).cast("string")
       Seq(min(base).as(s"zm_lo_$i"), max(base).as(s"zm_hi_$i"),
         count(base).as(s"zm_n_$i"))
-    } ++ bfCols.zipWithIndex.flatMap { case (n, i) =>
-      bloomAggs(n, bfBits, i.toString)
+    } ++ bfCols.zipWithIndex.flatMap { case ((n, k), i) =>
+      bloomAggs(n, k, bfBits, i.toString)
     }
     val statRows = laid.groupBy(col("__part"))
       .agg(count(lit(1)).as("__n"), aggs: _*)
@@ -1509,8 +1605,8 @@ object ManifestStore {
         Option(r.getAs[Any](s"zm_n_$i"))
           .collect { case v: Long => s"cnt:${zmEnc(n)}:$v" }
       }
-      val bfToks = bfCols.zipWithIndex.map { case (n, i) =>
-        bloomToken(n, bfBits, (0 until BloomHashes).map { j =>
+      val bfToks = bfCols.zipWithIndex.map { case ((n, k), i) =>
+        bloomToken(n, k, bfBits, (0 until BloomHashes).map { j =>
           Option(r.getAs[Any](s"bf_${i}_$j")) match {
             case Some(a: scala.collection.Seq[_]) =>
               a.map(_.asInstanceOf[Int]).toSeq

@@ -419,6 +419,64 @@ class DocumentStoreSpec extends SparkSpecBase {
       .contains("doc_id"))
   }
 
+  test("STRING bloom sidecars: uuid-key point lookups and merges " +
+      "prune interleaved segments on both faces") {
+    import spark.implicits._
+    val table = tmp() + "/stable"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_key"))
+    ManifestStore.setBloomColumns(spark, table, Seq("doc_key"), 1024)
+    // interleaved uuid-like string keys: both segments span the whole
+    // key range, zone maps prune nothing between them
+    def rows(ks: Seq[Long]) = ks.toDF("n")
+      .select(format_string("doc-%010d", col("n")).as("doc_key"),
+        concat(lit("v"), col("n")).as("txt"))
+    ManifestStore.store(rows((0L until 100L).map(_ * 10L)), table, "m")
+    ManifestStore.store(rows((0L until 100L).map(_ * 10L + 5L)), table, "m")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // both segments carry an 's'-kind bloom for the key
+    Seq(1L, 2L).foreach { s =>
+      assert(ManifestStore.readSegBlooms(fs, table, "m", s)
+        .get("doc_key").exists(_._1 == 's'), s"segment $s missing bloom")
+    }
+    def key(n: Long) = f"doc-$n%010d"
+    // a key only in seg1: the lookup reads seg1 alone
+    val hit = ManifestStore.readPointString(
+      spark, table, "m", key(420L), "doc_key")
+    assert(hit.inputFiles.nonEmpty &&
+      hit.inputFiles.forall(_.contains("seg=000001")), hit.inputFiles.toSeq)
+    assert(hit.select("txt").collect().map(_.getString(0)).toSeq ==
+      Seq("v420"))
+    // a key in NEITHER (inside both ranges, absent uuid): both blooms
+    // say definitely-absent — ZERO files listed
+    val miss = ManifestStore.readPointString(
+      spark, table, "m", key(123L), "doc_key")
+    assert(miss.inputFiles.isEmpty, miss.inputFiles.toSeq)
+    assert(miss.isEmpty)
+    // a wrong-KIND probe proves nothing: a LONG lookup on the string
+    // column keeps every segment (conservative, never wrong)
+    assert(ManifestStore.readPointLong(spark, table, "m", 123L, "doc_key")
+      .inputFiles.length ==
+      ManifestStore.readSinceInferred(spark, table, "m", 0L)
+        .inputFiles.length)
+    // small-batch merge on the STRING key: the bloom refinement keeps
+    // seg2 out of the rewrite even though its range overlaps
+    assert(ManifestStore.mergeCollection(spark, table, "m",
+      Seq((key(420L), "NEW", false)).toDF("doc_key", "txt", "_deleted"),
+      key = "doc_key"))
+    val live = ManifestStore.currentSegments(spark, table, "m").get
+    assert(live.contains(2L), s"seg2 was rewritten: $live")
+    assert(!live.contains(1L), s"seg1 not rewritten: $live")
+    val all = ManifestStore.readSinceInferred(spark, table, "m", 0L)
+    assert(all.count() == 200)
+    assert(all.where(col("doc_key") === key(420L)).select("txt")
+      .head.getString(0) == "NEW")
+    // rewritten segments carry fresh 's'-kind blooms
+    val newSeg = live.filterNot(Seq(1L, 2L).contains).head
+    assert(ManifestStore.readSegBlooms(fs, table, "m", newSeg)
+      .get("doc_key").exists(_._1 == 's'))
+  }
+
   test("property: blooms NEVER false-negative — every stored key " +
       "passes mayContain across random segments and sizes") {
     import spark.implicits._
@@ -434,8 +492,9 @@ class DocumentStoreSpec extends SparkSpecBase {
       val ks = Seq.fill(50 + rnd.nextInt(200))(
         rnd.nextLong() >> rnd.nextInt(40))
       ManifestStore.store(ks.toDF("doc_id"), table, "p")
-      val (m, bits) =
+      val (kind, m, bits) =
         ManifestStore.readSegBlooms(fs, table, "p", segi.toLong)("doc_id")
+      assert(kind == 'l')
       ks.foreach { k =>
         assert(ManifestStore.bloomMayContain(m, bits, k),
           s"false negative for $k in segment $segi")

@@ -99,6 +99,32 @@ class GraftSourceSpec extends SparkSpecBase {
       .where(col("k") === col("v").cast("long"))) == 3L)
   }
 
+  test("STRING bloom sidecars: uuid-key equality prunes interleaved " +
+      "segments; an absent uuid plans ZERO files") {
+    import spark.implicits._
+    val table = tmp() + "/t"
+    ManifestStore.setBloomColumns(spark, table, Seq("id"), 1024)
+    // two segments whose uuid-like key ranges fully interleave — no
+    // zone maps at all: every prune below is the bloom's alone
+    def rows(ks: Seq[Long]) = ks.toDF("n")
+      .select(format_string("doc-%010d", col("n")).as("id"),
+        col("n").as("v")).repartition(1)
+    ManifestStore.store(rows((0L until 50L).map(_ * 10L)), table, "m")
+    ManifestStore.store(rows((0L until 50L).map(_ * 10L + 5L)), table, "m")
+    def key(n: Long) = f"doc-$n%010d"
+    // present key: only its segment is planned
+    assert(scannedFiles(readSrc(table)
+      .where(col("id") === key(120L))) == 1L)
+    // absent uuid: both blooms answer definitely-not — ZERO files
+    assert(scannedFiles(readSrc(table)
+      .where(col("id") === key(123L))) == 0L)
+    // IN-list with one present key keeps exactly its segment
+    assert(scannedFiles(readSrc(table)
+      .where(col("id").isin(key(5L), key(123L)))) == 1L)
+    assert(readSrc(table).where(col("id") === key(120L))
+      .select("v").as[Long].collect().toSeq == Seq(120L))
+  }
+
   test("prefix probes prune on string zone maps: hi below the prefix " +
       "or lo past it without carrying it proves the segment out") {
     val table = buildTable()
