@@ -525,6 +525,28 @@ object TextAnalysis {
        |ORDER BY phrase_tf DESC, doc_id LIMIT $PhraseTopK""".stripMargin
   }
 
+  /** DuckDB oracle shared by `text_phrase_n` AND `text_index_phrase_n`
+    * — the [[PhraseNLen]]-gram probe derived in-query (first n words
+    * of the min-doc_id document, matching [[phraseNProbe]]), adjacency
+    * counted over 1-based word indexes, exact integer arithmetic. */
+  private lazy val phraseNOracleSql: String = {
+    val n = PhraseNLen
+    val tsel = (1 to n).map(i => s"ws[$i] AS t$i").mkString(", ")
+    val conds = (0 until n)
+      .map(i => s"ws[i+$i] = p.t${i + 1}").mkString(" AND ")
+    s"""WITH d AS (SELECT doc_id, $W AS ws FROM documents),
+       |p AS (SELECT $tsel FROM d
+       |  WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+       |b AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
+       |  FROM d WHERE len(ws) > 0),
+       |c AS (SELECT doc_id, dl,
+       |    CAST(len(list_filter(range(1, len(ws) - ${n - 2}),
+       |      i -> $conds)) AS BIGINT) AS phrase_tf
+       |  FROM b, p)
+       |SELECT doc_id, dl, phrase_tf FROM c WHERE phrase_tf > 0
+       |ORDER BY phrase_tf DESC, doc_id LIMIT $PhraseTopK""".stripMargin
+  }
+
   private def bm25MultiOracleSqlCapped(dfCapPct: Long): String = {
     val qvals = Bm25QuerySuite
       .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
@@ -733,17 +755,53 @@ object TextAnalysis {
   val PhraseTerms: (String, String) = ("merge", "group")
   val PhraseTopK = 10
 
-  /** Per-document occurrence count of the two-word phrase `w1 w2`:
-    * adjacent pairs via `zip_with(ws, shift-by-one(ws))`. Every HOF
-    * argument (ws, the slice, size) evaluates ONCE per row — the
-    * lambdas read only their parameters, so the captured-expression
-    * re-evaluation pitfall does not apply; the shorter shifted side is
-    * null-padded and `null === w2` is null, which filter drops. */
+  /** Word length of the derived probe for the declared N-PHRASE
+    * queries — long enough to exercise the folded adjacency chain the
+    * 8-13-gram decontamination probes run. */
+  val PhraseNLen = 5
+
+  /** Deterministic [[PhraseNLen]]-gram probe BOTH engines derive the
+    * same way: the first n words of the minimum-doc_id document — so
+    * the probe exists at every fixture scale and under per-round data
+    * regeneration (a fixed literal n-gram can vanish from regenerated
+    * text), and the declared queries need no side-channel constant.
+    * The lookup is one ordered-limit-1 row (at production scale a
+    * zone-map-served min + point lookup), not a corpus pass; the
+    * stored face's probes stay index-only. */
+  def phraseNProbe(s: SparkSession, dir: String): Seq[String] = {
+    val terms = Tables(s, dir, "documents")
+      .orderBy("doc_id").limit(1)
+      .select(slice(words(col("text")), 1, PhraseNLen).as("p"))
+      .head.getSeq[String](0)
+    require(terms.size == PhraseNLen,
+      s"min-doc_id document has fewer than $PhraseNLen words: $terms")
+    terms
+  }
+
+  /** Per-document occurrence count of the n-word phrase `terms`: one
+    * boolean accumulator over START positions, folded through n-1
+    * `zip_with`s against successively-shifted views of `ws` — position
+    * p survives iff ws[p+i] = terms(i) for every i. Every HOF argument
+    * (ws, the slices, sizes) evaluates ONCE per row — the lambdas read
+    * only their parameters, so the captured-expression re-evaluation
+    * pitfall does not apply; `zip_with` null-pads the shorter shifted
+    * side and `m && (null = t)` is null, which filter drops — a start
+    * too close to the end can never count. The 8-13-gram
+    * decontamination/quote probes run exactly this chain. */
+  private def phraseNTf(ws: Column, terms: Seq[String]): Column = {
+    require(terms.size >= 2, s"a phrase needs >= 2 words: $terms")
+    val init: Column = transform(ws, x => x === lit(terms.head))
+    val matched = terms.zipWithIndex.tail.foldLeft(init) {
+      case (acc, (t, i)) =>
+        zip_with(acc,
+          slice(ws, lit(i + 1), greatest(size(ws) - lit(i), lit(0))),
+          (m, c) => m && (c === lit(t)))
+    }
+    size(filter(matched, x => x)).cast("long")
+  }
+
   private def phraseTf(ws: Column, w1: String, w2: String): Column =
-    size(filter(
-      zip_with(ws, slice(ws, lit(2), size(ws)),
-        (a, b) => a === lit(w1) && b === lit(w2)),
-      x => x)).cast("long")
+    phraseNTf(ws, Seq(w1, w2))
 
   /** PHRASE search, compute-on-scan face: documents containing the
     * exact consecutive phrase, ranked by occurrence count. Pure
@@ -755,12 +813,19 @@ object TextAnalysis {
     * re-tokenizing inside the Filter (the kernel-in-filter audit
     * discipline). */
   def phraseTopK(documents: DataFrame, w1: String, w2: String,
+      k: Int): DataFrame =
+    phraseTopKN(documents, Seq(w1, w2), k)
+
+  /** [[phraseTopK]] for an n-word phrase (n >= 2): same shuffle-free
+    * scan + top-k heap, the adjacency chain folded once over the term
+    * array ([[phraseNTf]]). */
+  def phraseTopKN(documents: DataFrame, terms: Seq[String],
       k: Int): DataFrame = {
     val b = graft.functions.TextHashExpressions.optBarrier _
     documents
       .select(col("doc_id"), b(words(col("text"))).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
-        b(phraseTf(col("ws"), w1, w2)).as("phrase_tf"))
+        b(phraseNTf(col("ws"), terms)).as("phrase_tf"))
       .where(col("phrase_tf") > 0)
       .orderBy(col("phrase_tf").desc, col("doc_id"))
       .limit(k)
@@ -776,21 +841,44 @@ object TextAnalysis {
     * directories of an index built once. Bitwise the scan face's
     * answers (same integer arithmetic), same oracle. */
   def phraseStoredTopK(s: SparkSession, path: String, w1: String,
-      w2: String, k: Int): DataFrame = {
+      w2: String, k: Int): DataFrame =
+    phraseStoredTopKN(s, path, Seq(w1, w2), k)
+
+  /** [[phraseStoredTopK]] for an n-word phrase (n >= 2): probe the n
+    * terms' buckets (directory pruning — the probe reads at most n
+    * bucket directories, exactly one per DISTINCT term), inner-join
+    * the n posting lists on doc_id, and narrow the START-position set
+    * left to right: S_0 = ps(t_0), S_i = S_(i-1) ∩ {p - i : p ∈
+    * ps(t_i)} — positions are distinct, so |S_(n-1)| IS the phrase tf.
+    * A repeated term re-joins its own posting list under a fresh
+    * alias, shifted differently per occurrence. The corpus is never
+    * touched; the join mass is the n posting lists; at 100 TB an
+    * 8-13-gram decontamination probe reads n bucket directories of an
+    * index built once. Bitwise the scan face's answers, same
+    * oracle. */
+  def phraseStoredTopKN(s: SparkSession, path: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.size >= 2, s"a phrase needs >= 2 words: $terms")
     val (nBuckets, _) = storedIndexLayout(s, path)
-    val bkts = Seq(w1, w2)
+    val bkts = terms.distinct
       .map(t => (graft.functions.TextFunctions.polyHashLocal(t)
         % nBuckets).toInt).distinct
     val post = s.read.schema(PostingsSchema).parquet(path + "/postings")
       .where(col("bkt").isin(bkts: _*))
-    val p1 = post.where(col("word") === w1)
-      .select(col("doc_id"), col("dl"), col("ps").as("ps1"))
-    val p2 = post.where(col("word") === w2)
-      .select(col("doc_id"), col("ps").as("ps2"))
-    p1.join(p2, Seq("doc_id"))
+    val joined = terms.zipWithIndex.map { case (t, i) =>
+      val base = post.where(col("word") === t)
+      if (i == 0)
+        base.select(col("doc_id"), col("dl"), col("ps").as("s0"))
+      else
+        base.select(col("doc_id"),
+          transform(col("ps"), x => x - i).as(s"s$i"))
+    }.reduce(_.join(_, Seq("doc_id")))
+    val starts = (1 until terms.size).foldLeft(col("s0")) {
+      (acc, i) => array_intersect(acc, col(s"s$i"))
+    }
+    joined
       .select(col("doc_id"), col("dl"),
-        size(array_intersect(transform(col("ps1"), x => x + 1),
-          col("ps2"))).cast("long").as("phrase_tf"))
+        size(starts).cast("long").as("phrase_tf"))
       .where(col("phrase_tf") > 0)
       .orderBy(col("phrase_tf").desc, col("doc_id"))
       .limit(k)
@@ -1503,6 +1591,21 @@ object TextAnalysis {
     QueryDef.sql("text_index_phrase", phraseOracleSql)((s, dir) =>
       phraseStoredTopK(s, textIndexFor(s, dir),
         PhraseTerms._1, PhraseTerms._2, PhraseTopK)),
+
+    // n-word phrase (n = PhraseNLen), scan face: the folded adjacency
+    // chain over a data-derived probe — the 8-13-gram shape real
+    // decontamination/quote audits run
+    QueryDef.sql("text_phrase_n", phraseNOracleSql)((s, dir) =>
+      phraseTopKN(Tables(s, dir, "documents"),
+        phraseNProbe(s, dir), PhraseTopK)),
+
+    // ...and the same n-gram served from the POSITIONAL stored index:
+    // n bucket probes + n-1 posting-list joins narrowing the start-
+    // position set, corpus never touched — bitwise the scan face,
+    // same oracle
+    QueryDef.sql("text_index_phrase_n", phraseNOracleSql)((s, dir) =>
+      phraseStoredTopKN(s, textIndexFor(s, dir),
+        phraseNProbe(s, dir), PhraseTopK)),
 
     // the stored index's contents recomputed from the raw corpus —
     // the standing integrity oracle for the persisted layout

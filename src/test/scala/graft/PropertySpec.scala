@@ -402,6 +402,23 @@ class PropertySpec extends SparkSpecBase {
             r.getAs[Long]("dl"), r.getAs[Long]("phrase_tf"))).toSeq
         assert(got == expect, s"phrase ($w1, $w2)")
     }
+    // n-gram generalization (n = 3..5, incl. repeated terms): the
+    // folded zip_with chain == the naive sliding window
+    Seq(Seq("a", "b", "c"), Seq("a", "a", "b"), Seq("a", "a", "a"),
+      Seq("a", "b", "a", "b"), Seq("c", "ab", "a", "b", "c")).foreach {
+      terms =>
+        val n = terms.size
+        val expect = docs.flatMap { case (id, text) =>
+          val ws = text.split(" ").filter(_.nonEmpty)
+          val cnt = ws.sliding(n).count(p =>
+            p.length == n && p.toSeq == terms).toLong
+          if (cnt > 0) Some((id, ws.length.toLong, cnt)) else None
+        }.sortBy(t => (-t._3, t._1)).take(10)
+        val got = graft.operators.TextAnalysis.phraseTopKN(df, terms, 10)
+          .collect().map(r => (r.getAs[Long]("doc_id"),
+            r.getAs[Long]("dl"), r.getAs[Long]("phrase_tf"))).toSeq
+        assert(got == expect, s"phrase $terms")
+    }
   }
 
   test("binary signature: scan-side pack == driver pack; Hamming " +

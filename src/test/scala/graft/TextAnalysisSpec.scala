@@ -470,6 +470,82 @@ class TextAnalysisSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("n-word phrase search: scan face == positional-index face == " +
+      "hand count; probe reads one bucket dir per DISTINCT term") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),        // 'a b c' tf 3
+      (2L, "x a b c y"),                // tf 1, interior
+      (3L, "a b a b c"),                // tf 1 (prefix restart)
+      (4L, "a b"),                      // too short for the trigram
+      (5L, "c b a"),                    // reversed: miss
+      (6L, "a a a a"),                  // same-word trigram fodder
+      (7L, "q w e r t q w e r t")       // 5-gram tf 2
+    ).toDF("doc_id", "text")
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+        r.getAs[Long]("phrase_tf"))).toSeq
+    val dir = Files.createTempDirectory("graft_text_posn").toString
+    TextAnalysis.buildTextIndex(docs, dir)
+    def both(terms: Seq[String]) = {
+      val scan = asTuples(TextAnalysis.phraseTopKN(docs, terms, 10))
+      val stored = TextAnalysis.phraseStoredTopKN(spark, dir, terms, 10)
+      assert(asTuples(stored) == scan, s"faces diverge for $terms")
+      (scan, stored)
+    }
+    val (tri, triStored) = both(Seq("a", "b", "c"))
+    assert(tri == Seq((1L, 9L, 3L), (2L, 5L, 1L), (3L, 5L, 1L)))
+    // repeated-term trigram: overlapping starts count (positions 1,2)
+    val (rep, _) = both(Seq("a", "a", "a"))
+    assert(rep == Seq((6L, 4L, 2L)))
+    // 5-gram
+    val (five, _) = both(Seq("q", "w", "e", "r", "t"))
+    assert(five == Seq((7L, 10L, 2L)))
+    // miss: a valid prefix that never completes
+    assert(both(Seq("a", "b", "c", "z"))._1.isEmpty)
+    // the stored probe plans one bucket directory per DISTINCT term
+    triStored.collect()
+    // descend through AQE wrappers: the joined probe is adaptive and
+    // its scans live inside query stages
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    // stage objects can be reached twice through AQE references —
+    // dedupe by identity, then pin each scan's PLANNED file set
+    val distinctScans = scans(triStored.queryExecution.executedPlan)
+      .foldLeft(Seq.empty[org.apache.spark.sql.execution
+        .FileSourceScanExec]) { (acc, s) =>
+        if (acc.exists(_ eq s)) acc else acc :+ s
+      }
+    val bktDirs = Seq("a", "b", "c")
+      .map(t => graft.functions.TextFunctions.polyHashLocal(t)
+        % TextAnalysis.TextIndexBuckets).distinct
+    val fsDir = new java.io.File(dir + "/postings")
+    val filesInProbedBkts = bktDirs.map { b =>
+      Option(new java.io.File(fsDir, s"bkt=$b").listFiles())
+        .fold(0)(_.count(f => f.getName.endsWith(".parquet")))
+    }.sum
+    val totalFiles = Option(fsDir.listFiles()).fold(0)(
+      _.count(_.getName.startsWith("bkt=")))
+    assert(totalFiles > bktDirs.size, "fixture must have unprobed dirs")
+    // one scan per term, each planning ONLY the probed dirs' files —
+    // never the whole index
+    assert(distinctScans.size == 3, s"expected 3 scans: $distinctScans")
+    distinctScans.foreach { s =>
+      val planned = s.selectedPartitions.totalNumberOfFiles
+      assert(planned == filesInProbedBkts,
+        s"scan planned $planned files, probed dirs hold $filesInProbedBkts")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("bucket count is a property of the STORED index: a non-default " +
       "build probes correctly, refresh inherits the stored layout, a " +
       "pre-versioned index fails loud") {
