@@ -1131,6 +1131,93 @@ object Events {
     done.toDF("pct", "k", c).orderBy("pct")
   }
 
+  /** Cell count of the MERGEABLE quantile sketch — bounded state, like
+    * [[CmsWidth]]·[[CmsDepth]] for frequencies. */
+  val SketchBuckets = 4096L
+
+  /** The quantile-sketch CELLS — a fixed-grid histogram over
+    * [lo, lo + B·w): bucket index is exact integer arithmetic
+    * ((v − lo) div w, identical in DuckDB), the relation is ≤ B rows
+    * whatever the corpus size, and grids from disjoint corpus slices
+    * MERGE by cellwise addition — the count-min algebra applied to
+    * rank statistics ([[cmsGrid]]'s contract; property-pinned). This
+    * is the single-pass bounded-state path a 100 TB streaming
+    * deployment runs when [[exactQuantilesOn]]'s multi-round narrowing
+    * scans are too expensive: partial aggregation map-side combines
+    * every task into ≤ B cells before one tiny shuffle. */
+  def quantileSketchCells(values: DataFrame, c: String, lo: Long,
+      w: Long): DataFrame = {
+    require(w > 0, s"sketch bucket width must be positive, got $w")
+    values
+      .select(call_function("div", col(c) - lit(lo), lit(w)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("bn"))
+  }
+
+  /** Driver-side CDF interpolation over collected sketch cells: walk
+    * the cumulative histogram to the bucket holding the k-th value,
+    * then interpolate linearly inside it. Every term is an exact
+    * long cast to double before one fixed-order IEEE expression —
+    * `CAST(lo + b·w) + CAST(w) · (CAST(k − before) / CAST(bn))` — so
+    * the estimate hash-matches the DuckDB oracle bitwise. The error
+    * vs the exact order statistic is bounded by one bucket width w
+    * (the estimate lands inside the k-th value's own bucket). */
+  private[graft] def sketchEstimate(cells: Seq[(Long, Long)],
+      lo: Long, w: Long, k: Long): Double = {
+    var cum = 0L
+    cells.sortBy(_._1).foreach { case (b, bn) =>
+      if (cum + bn >= k)
+        return (lo + b * w).toDouble +
+          w.toDouble * ((k - cum).toDouble / bn.toDouble)
+      cum += bn
+    }
+    sys.error(s"rank $k beyond histogram mass $cum")
+  }
+
+  def quantileSketch(s: SparkSession, dir: String): DataFrame =
+    quantileSketchOn(load(s, dir).select(col("ts_us"))
+      .where(col("ts_us").isNotNull), "ts_us")
+
+  /** MERGEABLE quantile sketch NEXT TO its exact ground truth — the
+    * [[cmsTopKOn]] discipline applied to percentiles: one bounded-
+    * state aggregate ([[quantileSketchCells]], ≤ [[SketchBuckets]]
+    * cells however large the corpus) summarizes the distribution, the
+    * CDF interpolation estimates each [[QuantilePcts]] target, and the
+    * declared query reports the estimate IN THE SAME ROW as
+    * [[exactQuantilesOn]]'s exact value and the signed error — the
+    * measured-miss-rate discipline every approximate path here
+    * follows. Deterministic (fixed grid, exact integer cells, fixed-
+    * order IEEE interpolation), so it oracles bitwise — unlike
+    * arrival-order-dependent sketches (t-digest, random KLL). At
+    * 100 TB the sketch is what actually ships: one scan, cells merge
+    * across slices/days by addition, error ≤ one bucket width of the
+    * FULL domain split [[SketchBuckets]] ways. */
+  def quantileSketchOn(values: DataFrame, c: String,
+      buckets: Long = SketchBuckets,
+      pcts: Seq[Int] = QuantilePcts): DataFrame = {
+    val s = values.sparkSession
+    import s.implicits._
+    val head = values
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
+        count(lit(1)).as("n")).head
+    if (head.isNullAt(2) || head.getLong(2) == 0L)
+      return Seq.empty[(Int, Long, Long, Double, Double)]
+        .toDF("pct", "k", "exact", "sketch", "err")
+    val (lo, hi, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    val w = (hi - lo) / buckets + 1L
+    // ≤ buckets cells: the codebook-class collect, like the narrowing
+    // rounds' histograms
+    val cells = quantileSketchCells(values, c, lo, w).collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("bn"))).toSeq
+    val exact = exactQuantilesOn(values, c, pcts = pcts).collect()
+      .map(r => r.getAs[Int]("pct") -> r.getAs[Long](c)).toMap
+    pcts.sorted.map { p =>
+      val k = quantileRank(n, p)
+      val est = sketchEstimate(cells, lo, w, k)
+      val ex = exact(p)
+      (p, k, ex, est, est - ex.toDouble)
+    }.toDF("pct", "k", "exact", "sketch", "err")
+  }
+
   /** WEIGHTED exact quantiles — the value v* at which the cumulative
     * WEIGHT first reaches p% of the total (ties share their cumulative
     * per SQL RANGE-frame semantics, so v* = min v with cum(w) ≥ k —
@@ -1857,6 +1944,34 @@ object Events {
         |SELECT t.p AS pct, t.k AS k, r.ts_us
         |FROM t JOIN r ON r.rn = t.k ORDER BY pct""".stripMargin)(
       (s, dir) => exactQuantiles(s, dir)),
+
+    QueryDef.sql("ev_quantile_sketch",
+      s"""WITH v AS (
+         |  SELECT epoch_us(ts) AS x FROM events WHERE ts IS NOT NULL),
+         |s AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM v),
+         |g AS (SELECT lo, n, (hi - lo) // $SketchBuckets + 1 AS w FROM s),
+         |h AS (SELECT (x - g.lo) // g.w AS b, count(*) AS bn
+         |  FROM v, g GROUP BY 1),
+         |cum AS (SELECT b, bn, sum(bn) OVER (ORDER BY b) AS ci FROM h),
+         |t AS (SELECT p, (g.n * p + 99) // 100 AS k
+         |  FROM (VALUES (50), (90), (99)) AS q(p), g),
+         |pick AS (SELECT t.p, t.k, min(c.b) AS b
+         |  FROM t JOIN cum c ON c.ci >= t.k GROUP BY t.p, t.k),
+         |est AS (SELECT pick.p, pick.k, c.b, c.bn,
+         |    CAST(c.ci - c.bn AS BIGINT) AS cb
+         |  FROM pick JOIN cum c ON c.b = pick.b),
+         |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+         |SELECT e.p AS pct, e.k AS k, r.x AS exact,
+         |  CAST(g.lo + e.b * g.w AS DOUBLE) + CAST(g.w AS DOUBLE)
+         |    * (CAST(e.k - e.cb AS DOUBLE) / CAST(e.bn AS DOUBLE))
+         |    AS sketch,
+         |  (CAST(g.lo + e.b * g.w AS DOUBLE) + CAST(g.w AS DOUBLE)
+         |    * (CAST(e.k - e.cb AS DOUBLE) / CAST(e.bn AS DOUBLE)))
+         |    - CAST(r.x AS DOUBLE) AS err
+         |FROM est e, g
+         |JOIN r ON r.rn = e.k
+         |ORDER BY pct""".stripMargin)(
+      (s, dir) => quantileSketch(s, dir)),
 
     QueryDef.sql("ev_group_quantiles",
       """WITH v AS (

@@ -273,6 +273,49 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("quantile sketch: cells merge by addition across slices; " +
+      "estimate lands in the k-th value's bucket (err < one width); " +
+      "estimate from merged cells == estimate from the full grid") {
+    import spark.implicits._
+    import graft.operators.Events
+    val genVals: Gen[Seq[Long]] = for {
+      n <- Gen.chooseNum(2, 300)
+      vs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(-50L, 50L),
+        Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4)))
+    } yield vs.toSeq
+    samples(genVals, 10).zipWithIndex.foreach { case (vs, i) =>
+      val (lo, hi) = (vs.min, vs.max)
+      // tiny bucket counts force multi-cell grids on small fixtures
+      Seq(2L, 16L, 4096L).foreach { b =>
+        val w = (hi - lo) / b + 1L
+        def grid(xs: Seq[Long]) =
+          Events.quantileSketchCells(xs.toDF("v"), "v", lo, w).collect()
+            .map(r => (r.getAs[Long]("b"), r.getAs[Long]("bn"))).toSeq
+        // split the multiset into two slices; merged cells == full
+        val (a, c) = vs.splitAt(vs.length / 2)
+        val merged = (grid(a) ++ (if (c.nonEmpty) grid(c) else Nil))
+          .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+          .toSeq.sortBy(_._1)
+        val full = grid(vs).sortBy(_._1)
+        assert(merged == full, s"case $i b=$b: merge != full")
+        // estimate: inside the k-th value's bucket for every target
+        val sorted = vs.sorted
+        Events.QuantilePcts.foreach { p =>
+          val k = (vs.length.toLong * p + 99L) / 100L
+          val exact = sorted((k - 1).toInt)
+          val est = Events.sketchEstimate(full, lo, w, k)
+          val estMerged = Events.sketchEstimate(merged, lo, w, k)
+          assert(est == estMerged, s"case $i b=$b p=$p merged estimate")
+          val bkt = (exact - lo) / w
+          val lowerD = (lo + bkt * w).toDouble
+          assert(est >= lowerD && est <= lowerD + w.toDouble,
+            s"case $i b=$b p=$p: est $est outside bucket of $exact")
+        }
+      }
+    }
+  }
+
   test("grouped exact quantiles == per-group sorted-rank selection on " +
       "random grouped multisets") {
     import spark.implicits._
