@@ -324,8 +324,8 @@ object Ann {
   /** Drop every memoized materialized IVF store (the explicit release
     * half of the implicit index; every main calls this on shutdown). */
   def releaseCaches(): Unit = {
-    Seq(ivfStores, ivfRefreshed, manifestIvfIndexes, binaryIndexes)
-      .foreach { m =>
+    Seq(ivfStores, ivfRefreshed, manifestIvfIndexes, binaryIndexes,
+      binaryRefreshed).foreach { m =>
       val it = m.values().iterator()
       while (it.hasNext)
         org.apache.commons.io.FileUtils
@@ -1132,6 +1132,19 @@ object Ann {
       .limit(k)
   }
 
+  /** INCREMENTAL signature maintenance — [[refreshIvfIndex]]'s
+    * discipline at its simplest: signatures are per-row and
+    * position-independent (no codebook, no layout keys), so applying
+    * an appended vector batch is a PURE APPEND of the batch's own
+    * 8-byte signatures — base files untouched, refresh cost scales
+    * with the batch, never the store, and probes over the refreshed
+    * store are bitwise a full rebuild's because the pack arithmetic
+    * is stateless. */
+  def refreshBinaryIndex(batch: DataFrame, path: String): Unit =
+    batch.select(col("vec_id"),
+        packedSig(toDouble(col("embedding"))).as("sig"))
+      .write.mode("append").parquet(path)
+
   /** Memoized signature store behind `ann_binary_stored` — lifecycle
     * mirrors [[ivfStoreFor]] (released by [[releaseCaches]]). */
   private val binaryIndexes = new java.util.concurrent.ConcurrentHashMap[
@@ -1147,6 +1160,34 @@ object Ann {
           .deleteQuietly(new java.io.File(path)): Unit))
       buildBinaryIndex(Tables(s, dir, "embeddings"), path)
       Option(binaryIndexes.putIfAbsent(key, path)).map { prev =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)); prev // racing builder
+      }.getOrElse(path)
+    }
+  }
+
+  /** Memoized REFRESHED signature store behind `ann_binary_refresh`:
+    * base build over everything but the held-out batch slice, then
+    * [[refreshBinaryIndex]] appends the batch's signatures. Searches
+    * must answer bitwise like the full-corpus store — same oracle as
+    * `ann_binary_stored` ([[refreshedIvfStoreFor]]'s discipline). */
+  private val binaryRefreshed = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private[graft] def refreshedBinaryIndexFor(s: SparkSession,
+      dir: String): String = {
+    val key = (s, dir)
+    Option(binaryRefreshed.get(key)).getOrElse {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-binary-refresh-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
+      val emb = Tables(s, dir, "embeddings")
+      val batchPred = col("vec_id") % 10 === 1
+      buildBinaryIndex(emb.where(!batchPred), path)
+      refreshBinaryIndex(emb.where(batchPred), path)
+      Option(binaryRefreshed.putIfAbsent(key, path)).map { prev =>
         org.apache.commons.io.FileUtils
           .deleteQuietly(new java.io.File(path)); prev // racing builder
       }.getOrElse(path)
@@ -1359,6 +1400,15 @@ object Ann {
     // rerank — bitwise the scan face, same oracle
     QueryDef.sql("ann_binary_stored", binaryTopKOracleSql) {
       (s, dir) => binaryStoredTopK(s, binaryIndexFor(s, dir),
+        Tables(s, dir, "embeddings"))
+    },
+
+    // INCREMENTALLY REFRESHED signature store: base build minus a
+    // held-out slice, then a pure signature append applies the batch
+    // (base files untouched, AnnSpec-pinned) — searches answer bitwise
+    // like the full-corpus store, same oracle
+    QueryDef.sql("ann_binary_refresh", binaryTopKOracleSql) {
+      (s, dir) => binaryStoredTopK(s, refreshedBinaryIndexFor(s, dir),
         Tables(s, dir, "embeddings"))
     },
 

@@ -288,4 +288,39 @@ class AnnSpec extends SparkSpecBase {
     val rec = Ann.binaryRecallAtK(emb).collect()(0).getAs[Double]("recall")
     assert(rec >= 0.0 && rec <= 1.0)
   }
+
+  test("binary index refresh: a batch applies as a PURE APPEND (base " +
+      "files untouched), refreshed store answers bitwise like a " +
+      "full rebuild") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bin_refresh").toString
+    val batchPred = col("vec_id") % 10 === 1
+    Ann.buildBinaryIndex(emb.where(!batchPred), path)
+    def parts() = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    val base = parts()
+    Ann.refreshBinaryIndex(emb.where(batchPred), path)
+    val after = parts()
+    // every base part file survives byte-identical; new files appended
+    assert(after.size > base.size, "refresh must append new part files")
+    base.foreach(b => assert(after.contains(b),
+      s"base file $b was rewritten by the refresh"))
+    // refreshed store == full rebuild, bitwise (same pack, same ties)
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_bin_full").toString
+    Ann.buildBinaryIndex(emb, full)
+    def ask(p: String) = Ann.binaryStoredTopK(spark, p, emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("hamming"),
+        r.getAs[Double]("similarity"))).toSeq
+    assert(ask(path) == ask(full))
+    // ...and the signature SETS are identical relations
+    val a = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = spark.read.parquet(full).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+    Seq(path, full).foreach(p => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(p)))
+  }
 }
