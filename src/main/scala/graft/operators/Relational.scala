@@ -362,6 +362,129 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q2 shape ("minimum cost supplier") on the fixture's tables:
+    * for every small part (p_size ≤ [[MinCostMaxSize]]), the
+    * supplier(s) whose lineitem hit that part's MINIMUM extended price
+    * — the classic correlated-MIN scalar subquery, decorrelated to a
+    * per-part min aggregate joined back on (part, price). Q2's
+    * partsupp is not in this fixture; lineitem plays the
+    * supplier-price relation, same plan shape.
+    *
+    * Scale shape: the part dim filters FIRST and broadcasts (a
+    * size-filtered dim, never the fact), so both the aggregate and
+    * the join-back run over the part-pruned fact slice; the per-part
+    * min relation is |parts|-sized and the join-back re-partitions the
+    * same slice by the same key (exchange-reusable). Equality on
+    * l_extendedprice is selection, not arithmetic — min of stored
+    * doubles is exact in both engines. Supplier + nation broadcast
+    * (fixed dims). */
+  def minCostSupplier(s: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    val parts = Tables(s, dir, "part")
+      .where(col("p_size") <= MinCostMaxSize)
+      .select("p_partkey", "p_name")
+    val lfilt = Tables(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "p_name")
+    val minPer = lfilt.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    // the min-hit test rides as `<=` (⟺ `=` against a group minimum):
+    // a float EQUALITY between the sides would become a second join
+    // key and shuffle both sides on (partkey, normalized-price) —
+    // splitting the axis the aggregate already partitioned on
+    lfilt
+      .join(minPer, col("l_partkey") === col("m_partkey"))
+      .where(col("l_extendedprice") <= col("min_price"))
+      .join(broadcast(Tables(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_name"),
+        col("s_name"), col("n_name"), col("min_price"))
+      .orderBy(col("min_price"), col("p_partkey"), col("s_name"))
+      .limit(k)
+  }
+
+  val MinCostMaxSize = 5
+
+  /** TPC-H Q17 shape ("small-quantity-order revenue"): total revenue
+    * lost if orders below 20% of a part's average quantity were no
+    * longer taken — a correlated AVG scalar gating a fact filter,
+    * decorrelated to per-part (count, Σqty) partials joined back.
+    *
+    * Determinism: the below-average test is dec(l_quantity)·5·n <
+    * Σdec(l_quantity) — exact integer-scaled decimal arithmetic, no
+    * float average (20%·avg = Σ/(5n), cleared of division). The one
+    * output division (/7 yearly proxy) is a single fixed-order double
+    * op. Scale shape: the brand-filtered part dim broadcasts, both
+    * fact passes run over the brand-pruned slice, the per-part stats
+    * relation is |parts|-sized. */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables(s, dir, "part")
+      .where(col("p_brand") === SmallQtyBrand).select("p_partkey")
+    val lfilt = Tables(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val stats = lfilt.groupBy(col("l_partkey").as("q_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_quantity"), 12, 2)).as("sum_qty"))
+    lfilt
+      .join(stats, col("l_partkey") === col("q_partkey"))
+      .where(dec(col("l_quantity"), 12, 2) * lit(5) * col("n_lines") <
+        col("sum_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        (sum(money(col("l_extendedprice"))).cast("double") /
+          lit(7.0)).as("avg_yearly"))
+  }
+
+  val SmallQtyBrand = "Brand#1"
+
+  /** TPC-H Q20 shape ("excess/dominant suppliers") — the nested
+    * semi-join chain: suppliers who, for some 'large'-named part,
+    * shipped more than TWICE the fair per-supplier share of that
+    * part's total flow (Q20's availqty > ½·Σqty correlated-aggregate
+    * test re-keyed to the fixture, which has no partsupp: dominance
+    * over the part's flow instead of over stock — the ½ test is
+    * degenerate here because every part ships through many
+    * suppliers). Chain: part-name filter ⊂ IN, per-(supplier, part)
+    * sums against TWO correlated per-part aggregates (total flow,
+    * supplier count), distinct supplier keys semi-join
+    * supplier ⋈ nation.
+    *
+    * Determinism: Σdec(qty)·n > 2·Σdec(qty) is exact decimal/integer
+    * arithmetic, division-free. Scale shape: the name-filtered part
+    * dim broadcasts; ONE partial-aggregated fact pass produces the
+    * (supplier, part) sums, BOTH per-part aggregates derive from
+    * those partials (never a second fact scan); the supplier key set
+    * is |suppliers|-bounded and LEFT SEMI joins the supplier dim. */
+  def excessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables(s, dir, "part")
+      .where(col("p_name").startsWith(ExcessPartPrefix))
+      .select("p_partkey")
+    val sp = Tables(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"), 12, 2)).as("sp_qty"))
+    // both correlated per-part aggregates ride ONE window over the
+    // pair relation (the rel_waiting_suppliers one-shuffle rewrite) —
+    // a groupBy-then-self-join would aggregate the fact twice
+    val w = Window.partitionBy(col("l_partkey"))
+    val dominant = sp
+      .withColumn("p_qty", sum(col("sp_qty")).over(w))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .where(col("sp_qty") * col("n_supp") > col("p_qty") * lit(2))
+      .select("l_suppkey").distinct()
+    Tables(s, dir, "supplier")
+      .join(VectorSearch.broadcastIfSmall(dominant),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
+  val ExcessPartPrefix = "large"
+
   // ------------------------------------------------------------------
   // O: grouping sets — ROLLUP and CUBE
   // ------------------------------------------------------------------
@@ -1089,6 +1212,49 @@ object Relational {
          |  CAST(sum(${moneySql("c_acctbal")}) AS DOUBLE) AS total_acctbal
          |FROM elig JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name ORDER BY n_name""".stripMargin)(salesOpportunity),
+
+    QueryDef.sql("rel_min_cost_supplier",
+      s"""WITH lf AS (SELECT l_partkey, l_suppkey, l_extendedprice, p_name
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_size <= $MinCostMaxSize)
+         |SELECT lf.l_partkey AS p_partkey, p_name, s_name, n_name,
+         |  l_extendedprice AS min_price
+         |FROM lf JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
+         |  FROM lineitem l2 WHERE l2.l_partkey = lf.l_partkey)
+         |ORDER BY min_price, p_partkey, s_name
+         |LIMIT 20""".stripMargin)((s, dir) => minCostSupplier(s, dir)),
+
+    QueryDef.sql("rel_small_qty_revenue",
+      s"""WITH lf AS (SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = '$SmallQtyBrand')
+         |SELECT count(*) AS n_small,
+         |  CAST(SUM(${moneySql("l_extendedprice")}) AS DOUBLE) / 7.0E0
+         |    AS avg_yearly
+         |FROM lf
+         |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 *
+         |    (SELECT count(*) FROM lf l2
+         |     WHERE l2.l_partkey = lf.l_partkey)
+         |  < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
+         |     FROM lf l2 WHERE l2.l_partkey = lf.l_partkey)"""
+        .stripMargin)(smallQtyRevenue),
+
+    QueryDef.sql("rel_excess_suppliers",
+      s"""SELECT s_suppkey, s_name, n_name
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |WHERE s_suppkey IN (
+         |  SELECT l.l_suppkey FROM lineitem l
+         |  WHERE l.l_partkey IN (SELECT p_partkey FROM part
+         |    WHERE p_name LIKE '$ExcessPartPrefix%')
+         |  GROUP BY l.l_suppkey, l.l_partkey
+         |  HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) *
+         |    (SELECT count(DISTINCT l2.l_suppkey) FROM lineitem l2
+         |     WHERE l2.l_partkey = l.l_partkey) >
+         |    (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
+         |     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) * 2)
+         |ORDER BY s_suppkey""".stripMargin)(excessSuppliers),
 
     QueryDef.sql("rel_rollup_status",
       s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,

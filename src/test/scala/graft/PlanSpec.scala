@@ -705,4 +705,49 @@ class PlanSpec extends SparkSpecBase {
     // nation dim broadcasts — two BroadcastExchanges minimum
     assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
   }
+
+  test("min-cost supplier (Q2 shape): part filter pushed and broadcast " +
+      "ahead of the fact, supplier/nation broadcast, fact shuffles " +
+      "only on the part key") {
+    val p = plan(Relational.minCostSupplier(spark, sf))
+    // the size filter reaches the part scan; part/supplier/nation all
+    // broadcast — the fact is never a build side
+    assert(p.contains("LessThanOrEqual(p_size"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    // the decorrelated min joins back on the SAME key the aggregate
+    // shuffled on: every fact exchange is an l_partkey partitioning
+    val hashEx = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.startsWith("l_partkey")), p)
+    // final top-k is a heap, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("small-qty revenue (Q17 shape): brand-filtered part dim " +
+      "broadcast, per-part stats join back on the aggregate's own " +
+      "key, one fact axis") {
+    val p = plan(Relational.smallQtyRevenue(spark, sf))
+    assert(p.contains("EqualTo(p_brand"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val hashEx = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.forall(_.startsWith("l_partkey")), p)
+  }
+
+  test("excess suppliers (Q20 shape): ONE fact pass feeds both " +
+      "correlated per-part aggregates; supplier keys semi-join the " +
+      "dim; nation broadcast") {
+    val p = plan(Relational.excessSuppliers(spark, sf))
+    assert(p.contains("StringStartsWith(p_name"), p)
+    // exactly one fact-scale exchange — the (suppkey, partkey) pair
+    // aggregate; both correlated per-part aggregates ride one window
+    // over its |pairs|-sized output, never a second fact pass
+    val factEx = "Exchange hashpartitioning\\(l_suppkey#\\d+L?, l_partkey".r
+      .findAllIn(p).length
+    assert(factEx == 1, p)
+    // ...and the fact is scanned ONCE (one lineitem file scan)
+    assert("lineitem".r.findAllIn(p).length == 1, p)
+    assert(p.contains("LeftSemi"), p)
+    assert("BroadcastExchange".r.findAllIn(p).length >= 1, p)
+  }
 }
