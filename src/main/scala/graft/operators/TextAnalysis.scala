@@ -701,7 +701,26 @@ object TextAnalysis {
         graft.functions.TextFunctions.polyHash(col("word"))
           % lit(nBuckets))
       .write.mode("overwrite").partitionBy("bkt").parquet(path + "/postings")
+    // capped builds persist per-word dfs as ADDITIVE contribution rows
+    // (vocab-sized, summed on read — never read-modify-written):
+    // exact incremental capping needs the df of EVERY word, including
+    // the over-cap ones whose postings were dropped, or a later batch
+    // could not tell "newly over the cap" (evict the base list) from
+    // "over since build" (nothing stored to evict)
+    if (dfCap > 0L)
+      tf.groupBy("word").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(path + "/dfs")
   }
+
+  /** Schema of the additive per-word df store a CAPPED index carries
+    * (absent on uncapped indexes, whose df is derived from the probed
+    * posting lists and never stored). */
+  val DfsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("df",
+        org.apache.spark.sql.types.LongType)))
 
   /** The layout identity a stored index carries: (n_buckets, df_cap)
     * read back from the stats row. Fails LOUD on a stats row without
@@ -907,10 +926,6 @@ object TextAnalysis {
     // refresh discipline): a knob change between build and refresh
     // must not split a word's posting list across two buckets
     val (nBuckets, dfCap) = storedIndexLayout(s, path)
-    require(dfCap == 0L,
-      s"text index at $path was built with df_cap=$dfCap — exact " +
-        "incremental capping would need stored per-word dfs (a batch " +
-        "can push a surviving word over the cap); rebuild instead")
     val base = batch
       .select(col("doc_id"), words(col("text")).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
@@ -919,12 +934,7 @@ object TextAnalysis {
       .select("n_docs", "sum_dl").head
     val d = base.agg(count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head
-    Seq((old.getLong(0) + d.getLong(0), old.getLong(1) + d.getLong(1)))
-      .toDF("n_docs", "sum_dl")
-      .select(col("n_docs"), col("sum_dl"),
-        lit(nBuckets).as("n_buckets"), lit(dfCap).as("df_cap"))
-      .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
-    base.select(col("doc_id"), col("dl"),
+    val pairs = base.select(col("doc_id"), col("dl"),
         posexplode(col("ws")).as(Seq("p", "word")))
       .groupBy("doc_id", "dl", "word")
       .agg(count(lit(1)).as("tf"),
@@ -932,7 +942,92 @@ object TextAnalysis {
       .withColumn("bkt",
         graft.functions.TextFunctions.polyHash(col("word"))
           % lit(nBuckets))
-      .write.mode("append").partitionBy("bkt").parquet(path + "/postings")
+    if (dfCap <= 0L)
+      pairs.write.mode("append").partitionBy("bkt")
+        .parquet(path + "/postings")
+    else
+      refreshCapped(s, path, pairs, nBuckets, dfCap)
+    // stats LAST: full-corpus stats even under a cap, additive merge
+    Seq((old.getLong(0) + d.getLong(0), old.getLong(1) + d.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+      .select(col("n_docs"), col("sum_dl"),
+        lit(nBuckets).as("n_buckets"), lit(dfCap).as("df_cap"))
+      .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+  }
+
+  /** The capped-refresh core — exact incremental capping against the
+    * STORED per-word dfs ([[DfsSchema]], written by every capped
+    * build): merged df = base + batch decides, per word,
+    *   - base ≤ cap < merged → NEWLY over: the word's existing posting
+    *     list is EVICTED (only its bucket directories rewrite — the
+    *     affected set is bounded by the layout's bucket count, never
+    *     the corpus);
+    *   - merged ≤ cap → surviving: the batch's rows append as usual;
+    *   - base > cap → over since build: nothing stored, batch rows
+    *     excluded.
+    * Every decision reads the OLD dfs store; the batch's own df
+    * contributions append LAST (additive rows — no read-modify-write),
+    * so the jobs that consume the joins see one consistent snapshot.
+    * Refreshed state ≡ a from-scratch capped rebuild at the same
+    * absolute cap, bitwise (spec-pinned). */
+  private def refreshCapped(s: SparkSession, path: String,
+      pairs: DataFrame, nBuckets: Long, dfCap: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(path + "/dfs")),
+      s"text index at $path was capped (df_cap=$dfCap) but carries no " +
+        "per-word df store — it predates capped-refresh support and " +
+        "exact incremental capping is impossible; rebuild instead")
+    val batchDfs = pairs.groupBy("word").agg(count(lit(1)).as("df"))
+    val baseDfs = s.read.schema(DfsSchema).parquet(path + "/dfs")
+      .groupBy("word").agg(sum(col("df")).as("df"))
+    val merged = baseDfs
+      .select(col("word"), col("df").as("base_df"))
+      .join(batchDfs.select(col("word"), col("df").as("batch_df")),
+        Seq("word"), "full_outer")
+      .select(col("word"),
+        coalesce(col("base_df"), lit(0L)).as("base_df"),
+        coalesce(col("batch_df"), lit(0L)).as("batch_df"))
+    // 1. EVICT newly-over words: rewrite only their bucket dirs
+    //    (<= nBuckets of them — layout-bounded), via a staging dir
+    //    because a store cannot be overwritten while being read
+    val evict = merged
+      .where(col("base_df") > 0 && col("base_df") <= dfCap &&
+        col("base_df") + col("batch_df") > dfCap)
+      .select(col("word"),
+        (graft.functions.TextFunctions.polyHash(col("word"))
+          % lit(nBuckets)).cast("int").as("bkt"))
+    val affected = evict.select("bkt").distinct().collect()
+      .map(_.getInt(0)).sorted
+    if (affected.nonEmpty) {
+      val staging = new org.apache.hadoop.fs.Path(
+        path + "/.postings-rewrite")
+      fs.delete(staging, true)
+      s.read.schema(PostingsSchema).parquet(path + "/postings")
+        .where(col("bkt").isin(affected.map(Int.box): _*))
+        .join(evict.select("word"), Seq("word"), "left_anti")
+        .select("doc_id", "dl", "word", "tf", "ps", "bkt")
+        .write.partitionBy("bkt").parquet(staging.toString)
+      affected.foreach { b =>
+        val dst = new org.apache.hadoop.fs.Path(
+          path + s"/postings/bkt=$b")
+        fs.delete(dst, true)
+        val src = new org.apache.hadoop.fs.Path(staging, s"bkt=$b")
+        if (fs.exists(src) && !fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"capped-refresh rewrite rename into $dst failed")
+      }
+      fs.delete(staging, true)
+    }
+    // 2. APPEND the batch's rows for words whose merged df survives
+    pairs
+      .join(merged.where(col("base_df") + col("batch_df") <= dfCap)
+        .select("word"), Seq("word"), "left_semi")
+      .select("doc_id", "dl", "word", "tf", "ps", "bkt")
+      .write.mode("append").partitionBy("bkt")
+      .parquet(path + "/postings")
+    // 3. the batch's df contributions land LAST (additive rows)
+    batchDfs.write.mode("append").parquet(path + "/dfs")
   }
 
   // ----------------------------------------------------------------

@@ -599,7 +599,8 @@ class TextAnalysisSpec extends SparkSpecBase {
 
   test("df-capped index: over-cap posting lists are never stored, " +
       "surviving terms answer bitwise like the uncapped store, the " +
-      "hottest bucket sheds mass, refresh is refused") {
+      "hottest bucket sheds mass, a df-less capped store refuses " +
+      "refresh") {
     import java.nio.file.Files
     import spark.implicits._
     // crafted corpus: 'the' in every doc (df 40 > cap), content words
@@ -640,13 +641,93 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(sf_.getAs[Long]("n_docs") == sc_.getAs[Long]("n_docs") &&
       sf_.getAs[Long]("sum_dl") == sc_.getAs[Long]("sum_dl"))
     assert(sc_.getAs[Long]("df_cap") == 20L)
-    // incremental refresh of a capped index is refused loud
+    // a capped build persists the per-word df store refresh needs
+    assert(new java.io.File(capped + "/dfs").exists())
+    // ...and a capped store WITHOUT it (pre-upgrade) refuses refresh
+    // loud — exact incremental capping is impossible without the dfs
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(capped + "/dfs"))
     val e = intercept[IllegalArgumentException] {
       TextAnalysis.refreshTextIndex(
         Seq((99L, "fresh words")).toDF("doc_id", "text"), capped)
     }
     assert(e.getMessage.contains("df_cap"), e.getMessage)
     Seq(full, capped).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
+  test("capped-index incremental refresh == capped rebuild: newly " +
+      "over-cap words evict (only their buckets rewrite), surviving " +
+      "batch rows append, always-over words stay out") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // base: 'aa' df 4 (cap 5, near it), 'bb' df 8 (> cap since build),
+    // 'cc' df 2, per-doc unique words — batch pushes 'aa' to 7 (> cap:
+    // evict), leaves 'cc' at 4 (survives), adds fresh words, and adds
+    // more 'bb' (stays out)
+    def doc(i: Long, ws: Seq[String]) = (i, ws.mkString(" "))
+    val base = ((0L until 8L).map(i => doc(i, Seq("bb", s"u$i") ++
+      (if (i < 4) Seq("aa") else Nil) ++
+      (if (i < 2) Seq("cc") else Nil)))).toDF("doc_id", "text")
+    val batch = ((100L until 103L).map(i => doc(i,
+      Seq("aa", "bb", s"v$i") ++
+      (if (i < 102L) Seq("cc") else Nil)))).toDF("doc_id", "text")
+    val inc = Files.createTempDirectory("graft_capref_inc").toString
+    val reb = Files.createTempDirectory("graft_capref_reb").toString
+    TextAnalysis.buildTextIndex(base, inc, dfCap = 5L)
+    // fingerprint untouched bucket files before the refresh
+    val evictBkt = (graft.functions.TextFunctions.polyHashLocal("aa")
+      % TextAnalysis.TextIndexBuckets).toInt
+    def bktFiles(d: String) = Option(new java.io.File(d + "/postings")
+        .listFiles()).fold(Seq.empty[String])(_.toSeq
+      .filter(f => f.getName.startsWith("bkt=") &&
+        f.getName != s"bkt=$evictBkt")
+      .flatMap(b => b.listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${b.getName}/${f.getName}:${f.length}")))
+      .sorted
+    val before = bktFiles(inc)
+    TextAnalysis.refreshTextIndex(batch, inc)
+    // non-evicted base bucket files survive untouched (append-only
+    // there; only the evicted word's bucket dir was rewritten)
+    assert(before.forall(bktFiles(inc).contains), bktFiles(inc).toString)
+    TextAnalysis.buildTextIndex(base.unionByName(batch), reb, dfCap = 5L)
+    // postings relations identical
+    def post(d: String) = spark.read
+      .schema(TextAnalysis.PostingsSchema).parquet(d + "/postings")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getSeq[Int](4).mkString(","), r.getInt(5)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(post(inc) == post(reb))
+    val words = post(inc).map(_._3).toSet
+    assert(!words.contains("aa") && !words.contains("bb") &&
+      words.contains("cc") && words.contains("v100"), words.toString)
+    // stats identical (full-corpus normalization)
+    assert(spark.read.parquet(inc + "/stats").head.toSeq ==
+      spark.read.parquet(reb + "/stats").head.toSeq)
+    // stored df totals identical (additive rows sum to the rebuild's)
+    def dfs(d: String) = spark.read
+      .schema(TextAnalysis.DfsSchema).parquet(d + "/dfs")
+      .groupBy("word").agg(sum(col("df")).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(dfs(inc) == dfs(reb))
+    // probes over both stores answer identically
+    val suite = Seq(1L -> "cc", 2L -> "v100", 3L -> "aa")
+    def ask(d: String) = TextAnalysis.bm25StoredTopK(spark, d, suite, 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Int]("rnk"))).toSeq
+    assert(ask(inc) == ask(reb) && ask(inc).nonEmpty)
+    // a SECOND refresh composes (dfs stay additive): push 'cc' over
+    val batch2 = ((200L until 203L).map(i =>
+      doc(i, Seq("cc", s"w$i")))).toDF("doc_id", "text")
+    TextAnalysis.refreshTextIndex(batch2, inc)
+    val reb2 = Files.createTempDirectory("graft_capref_reb2").toString
+    TextAnalysis.buildTextIndex(
+      base.unionByName(batch).unionByName(batch2), reb2, dfCap = 5L)
+    assert(post(inc) == post(reb2))
+    assert(!post(inc).map(_._3).toSet.contains("cc"))
+    Seq(inc, reb, reb2).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }
 
