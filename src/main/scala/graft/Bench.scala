@@ -110,13 +110,38 @@ object Bench {
     }
   }
 
+  /** Fingerprint of the bench fixture: FNV-1a over the sorted
+    * (name, size) list of the parquet files under `sfDir`. Two
+    * captures' per-query medians are comparable ONLY on identical
+    * data — the driver REGENERATES `/root/testdata` each round, and a
+    * regenerated table legitimately shifts medians with zero code
+    * change (round 14: the text_index family +60% reproduced at the
+    * anchor's own commit on the new data) — so the committed-artifact
+    * anchor rule must compare nothing across fingerprints. */
+  def dataFingerprint(sfDir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).fold(Seq.empty[java.io.File])(
+          _.toSeq.sortBy(_.getName).flatMap(walk))
+      else Seq(f)
+    val h = walk(new java.io.File(sfDir))
+      .filter(_.getName.endsWith(".parquet"))
+      .foldLeft(-3750763034362895579L) { (acc, f) => // FNV offset basis
+        (f.getName + ":" + f.length)
+          .foldLeft(acc)((a, c) => (a ^ c.toLong) * 1099511628211L)
+      }
+    java.lang.Long.toHexString(h)
+  }
+
   /** Minimal parser for our OWN artifact line: the trailing
     * `"queries":{...}` medians map (flat string→number, the map is
-    * deliberately the line's last field) plus the `"noisy"` flag.
-    * Anything malformed/truncated parses to None — the anchor rule
-    * then simply does not fire, same advisory posture as the zone-map
-    * sidecars. */
-  def parseArtifact(line: String): Option[(Boolean, Map[String, Double])] = {
+    * deliberately the line's last field) plus the `"noisy"` flag and
+    * the `"data_fp"` fixture fingerprint (None on pre-fingerprint
+    * artifacts). Anything malformed/truncated parses to None — the
+    * anchor rule then simply does not fire, same advisory posture as
+    * the zone-map sidecars. */
+  def parseArtifact(line: String):
+      Option[(Boolean, Option[String], Map[String, Double])] = {
     val marker = "\"queries\":{"
     val qIdx = line.lastIndexOf(marker)
     if (qIdx < 0) None
@@ -134,8 +159,10 @@ object Bench {
               case _ => None
             }
           }
+        val fp = "\"data_fp\":\"([0-9a-f]+)\"".r
+          .findFirstMatchIn(line).map(_.group(1))
         if (entries.isEmpty) None
-        else Some((line.contains("\"noisy\":true"), entries.toMap))
+        else Some((line.contains("\"noisy\":true"), fp, entries.toMap))
       }
     }
   }
@@ -244,6 +271,7 @@ object Bench {
     // does not fire the rule
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val medians = results.collect { case (k, v, _, _, true) => k -> v }.toMap
+    val dataFp = dataFingerprint(sfDir)
     val anchorNoisy = (try {
       val f = new java.io.File(outPath)
       if (!f.isFile) None
@@ -252,13 +280,18 @@ object Bench {
         try parseArtifact(src.getLines().mkString) finally src.close()
       }
     } catch { case scala.util.control.NonFatal(_) => None }) match {
-      case Some((false, committed)) => isNoisyVsCommitted(medians, committed)
+      // the committed medians are comparable ONLY when they were
+      // measured on THIS fixture: regenerated testdata legitimately
+      // moves per-query medians on identical code, and a cross-data
+      // "regression" is a false positive, not load
+      case Some((false, Some(fp), committed)) if fp == dataFp =>
+        isNoisyVsCommitted(medians, committed)
       case _ => false
     }
     val noisy = anchorNoisy || isNoisy(
       results.collect { case (_, _, lo, hi, true) => (lo, hi) }, calib)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"calib":$calib,"calib_scan":$calibScan,"noisy":$noisy,"sf":"$sfDir","failed":$failed,"spread":$spread,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"calib":$calib,"calib_scan":$calibScan,"noisy":$noisy,"data_fp":"$dataFp","sf":"$sfDir","failed":$failed,"spread":$spread,"queries":$qs}"""
     // Loss-proof artifact: ALWAYS write the full line to a fixed
     // in-repo path too, so no driver/capture configuration can lose it
     // (SPARK_GRAFT_BENCH_OUT overrides the destination if set).

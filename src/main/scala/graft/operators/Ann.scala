@@ -325,7 +325,7 @@ object Ann {
     * half of the implicit index; every main calls this on shutdown). */
   def releaseCaches(): Unit = {
     Seq(ivfStores, ivfRefreshed, manifestIvfIndexes, binaryIndexes,
-      binaryRefreshed).foreach { m =>
+      binaryRefreshed, manifestBinaryIndexes).foreach { m =>
       val it = m.values().iterator()
       while (it.hasNext)
         org.apache.commons.io.FileUtils
@@ -1116,13 +1116,25 @@ object Ann {
     * [[binaryTopK]]'s answers (same pack, same tie order), same
     * oracle. */
   def binaryStoredTopK(s: SparkSession, path: String, emb: DataFrame,
-      k: Int = K): DataFrame = {
+      k: Int = K): DataFrame =
+    binaryRerank(sigShortlist(s.read.parquet(path)), emb, k)
+
+  /** Hamming shortlist over a (vec_id, sig) relation — shared by the
+    * parquet, refreshed, and manifest faces (one pack, one tie
+    * order). */
+  private def sigShortlist(sigs: DataFrame): DataFrame = {
     val qSig = packedSigLocal(Query)
-    val shortlist = s.read.parquet(path)
+    sigs
       .select(col("vec_id"),
         bit_count(col("sig").bitwiseXOR(lit(qSig))).as("hamming"))
       .orderBy(col("hamming"), col("vec_id"))
       .limit(BinaryShortlist)
+  }
+
+  /** Exact-cosine rerank of a Hamming shortlist against the vector
+    * table — the shared tail of every binary-tier face. */
+  private def binaryRerank(shortlist: DataFrame, emb: DataFrame,
+      k: Int): DataFrame =
     emb.select(col("vec_id"), col("label"),
         toDouble(col("embedding")).as("v"))
       .join(VectorSearch.broadcastIfSmall(shortlist), Seq("vec_id"))
@@ -1130,7 +1142,42 @@ object Ann {
         V.dot(vecLit(QueryNorm), col("v")).as("similarity"))
       .orderBy(col("similarity").desc, col("vec_id"))
       .limit(k)
-  }
+
+  /** The manifest collection name holding a VERSIONED binary-signature
+    * index. */
+  val BinaryIndexCollection = "bindex"
+
+  /** Table config for a manifest binary index: zone maps on vec_id —
+    * the Hamming pass reads every 8-byte signature by design, but
+    * point lookups and CDC merges on the id axis still prune. Call
+    * once before the first commit. */
+  def initManifestBinaryIndex(s: SparkSession, tablePath: String): Unit =
+    graft.sources.ManifestStore.setZoneMapColumns(s, tablePath,
+      Seq("vec_id"))
+
+  /** Apply one vector batch to the versioned signature index — ONE
+    * tagged pointer commit (atomic, replay-idempotent: a redelivered
+    * tag no-ops). Signatures are per-row and position-independent, so
+    * the commit is a pure additive append: no codebook, no training
+    * commit, no layout rows — the simplest possible exactly-once index
+    * maintenance ([[refreshManifestIvfIndex]] minus the train step). */
+  def refreshManifestBinaryIndex(emb: DataFrame, tablePath: String,
+      tag: String): Boolean =
+    graft.sources.ManifestStore.storeBatch(
+      emb.select(col("vec_id"),
+        packedSig(toDouble(col("embedding"))).as("sig")),
+      tablePath, BinaryIndexCollection, tag)
+
+  /** Binary-sign search over the VERSIONED index through the
+    * declarative connector — bitwise [[binaryTopK]]'s answers, same
+    * oracle; the snapshot semantics (pinned segment list, versionAsOf)
+    * come free from the connector. */
+  def binaryManifestTopK(s: SparkSession, tablePath: String,
+      emb: DataFrame, k: Int = K): DataFrame =
+    binaryRerank(sigShortlist(
+      s.read.format("graft").option("path", tablePath)
+        .option("collection", BinaryIndexCollection).load()
+        .select("vec_id", "sig")), emb, k)
 
   /** INCREMENTAL signature maintenance — [[refreshIvfIndex]]'s
     * discipline at its simplest: signatures are per-row and
@@ -1188,6 +1235,36 @@ object Ann {
       buildBinaryIndex(emb.where(!batchPred), path)
       refreshBinaryIndex(emb.where(batchPred), path)
       Option(binaryRefreshed.putIfAbsent(key, path)).map { prev =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)); prev // racing builder
+      }.getOrElse(path)
+    }
+  }
+
+  /** Memoized VERSIONED (manifest) signature index behind
+    * `ann_binary_manifest`: init → two tagged commits (base + delta,
+    * both pure appends) — the lifecycle [[manifestIvfIndexFor]] runs,
+    * minus training; queried through the connector against the same
+    * from-scratch oracle as [[binaryTopK]]. */
+  private val manifestBinaryIndexes =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), String]()
+
+  private[graft] def manifestBinaryIndexFor(s: SparkSession,
+      dir: String): String = {
+    val key = (s, dir)
+    Option(manifestBinaryIndexes.get(key)).getOrElse {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-binary-mindex-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
+      val emb = Tables(s, dir, "embeddings")
+      val batchPred = col("vec_id") % 10 === 1
+      initManifestBinaryIndex(s, path)
+      refreshManifestBinaryIndex(emb.where(!batchPred), path, "base")
+      refreshManifestBinaryIndex(emb.where(batchPred), path, "delta-1")
+      Option(manifestBinaryIndexes.putIfAbsent(key, path)).map { prev =>
         org.apache.commons.io.FileUtils
           .deleteQuietly(new java.io.File(path)); prev // racing builder
       }.getOrElse(path)
@@ -1409,6 +1486,14 @@ object Ann {
     // like the full-corpus store, same oracle
     QueryDef.sql("ann_binary_refresh", binaryTopKOracleSql) {
       (s, dir) => binaryStoredTopK(s, refreshedBinaryIndexFor(s, dir),
+        Tables(s, dir, "embeddings"))
+    },
+
+    // VERSIONED (manifest) signature index through the declarative
+    // connector: two tagged pure-append commits, exactly-once replay,
+    // snapshot-pinned probes — bitwise the scan face, same oracle
+    QueryDef.sql("ann_binary_manifest", binaryTopKOracleSql) {
+      (s, dir) => binaryManifestTopK(s, manifestBinaryIndexFor(s, dir),
         Tables(s, dir, "embeddings"))
     },
 

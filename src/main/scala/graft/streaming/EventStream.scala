@@ -711,6 +711,36 @@ object EventStream {
       .start()
   }
 
+  /** Streaming maintenance of the VERSIONED binary-signature index —
+    * embedding rows dropped as JSON become one tagged pure-append
+    * commit per micro-batch ([[graft.operators.Ann
+    * .refreshManifestBinaryIndex]]): signatures are per-row and
+    * position-independent, so there is no training commit and no
+    * layout row — the simplest instance of the
+    * [[maintainTextIndex]]/[[maintainIvfIndex]] exactly-once contract.
+    * An at-least-once redelivery finds its `<ingest-id>-<batchId>` tag
+    * in the pointer log and no-ops. */
+  def maintainBinaryIndex(spark: SparkSession, dropDir: String,
+      tablePath: String, checkpoint: String): StreamingQuery = {
+    val ingestId = ingestIdentity(spark, checkpoint)
+    graft.operators.Ann.initManifestBinaryIndex(spark, tablePath)
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .json(dropDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Ann.refreshManifestBinaryIndex(
+          batch, tablePath, s"$ingestId-$batchId"): Unit
+      }
+      .start()
+  }
+
   /** Streaming DEAD-LETTER split of the data-quality gate
     * ([[graft.operators.Pipeline.quarantineOn]]'s stream face): every
     * arriving document violating a ROW-LOCAL rule is emitted with its

@@ -124,13 +124,18 @@ class BenchSpec extends AnyFunSuite {
   test("artifact parser round-trips the bench line shape; truncation " +
       "and noisy anchors are inert") {
     val line = """{"metric":"total","value":1.5,"unit":"sec","reps":3,""" +
-      """"calib":0.6,"noisy":false,"failed":[],""" +
+      """"calib":0.6,"noisy":false,"data_fp":"ab12","failed":[],""" +
       """"spread":{"a":[0.1,0.2],"b":[0.4,0.5]},""" +
       """"queries":{"a":0.15,"b":0.45}}"""
     assert(Bench.parseArtifact(line) ==
-      Some((false, Map("a" -> 0.15, "b" -> 0.45))))
+      Some((false, Some("ab12"), Map("a" -> 0.15, "b" -> 0.45))))
     assert(Bench.parseArtifact(line.replace("\"noisy\":false",
       "\"noisy\":true")).exists(_._1))
+    // pre-fingerprint artifacts parse with data_fp = None (and the
+    // anchor rule then does not fire — cross-data medians are
+    // incomparable)
+    assert(Bench.parseArtifact(line.replace(""""data_fp":"ab12",""", ""))
+      == Some((false, None, Map("a" -> 0.15, "b" -> 0.45))))
     // a truncated capture (the driver keeps a bounded tail) parses to
     // None rather than to a wrong-but-plausible map
     assert(Bench.parseArtifact(line.dropRight(10)).isEmpty)
@@ -149,7 +154,7 @@ class BenchSpec extends AnyFunSuite {
     val line = committedArtifact()
     val parsed = Bench.parseArtifact(line)
     assert(parsed.nonEmpty, "committed bench_out.json must parse")
-    val Some((anchorNoisy, anchor)) = parsed
+    val Some((anchorNoisy, _, anchor)) = parsed
     // A noisy committed anchor is INERT at runtime (Bench.main skips the
     // anchor rule on it); mirror that here by cancelling the fixture
     // rather than failing — the contamination arithmetic below needs a

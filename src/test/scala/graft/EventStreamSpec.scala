@@ -985,6 +985,44 @@ class EventStreamSpec extends SparkSpecBase {
       emb.where(!batchPred), table, s"$id-0"))
     assert(asTuples(Ann.ivfManifestTopK(spark, table)) == streamed)
   }
+
+  test("streaming binary-index maintenance: pure-append tagged " +
+      "commits, replay no-op, search equals the scan face") {
+    import graft.operators.Ann
+    val drop = Files.createTempDirectory("graft_bidx_drop").toString
+    val table = Files.createTempDirectory("graft_bidx_str").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_bidx_ckpt").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val batchPred = col("vec_id") % 10 === 1
+    def dropJson(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$drop/$name"),
+        df.select("vec_id", "embedding").toJSON.collect().mkString("\n")): Unit
+    dropJson("b1.json", emb.where(!batchPred))
+    val q = EventStream.maintainBinaryIndex(spark, drop, table, ckpt)
+    try {
+      q.processAllAvailable()
+      dropJson("b2.json", emb.where(batchPred))
+      q.processAllAvailable()
+    } finally q.stop()
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("hamming"),
+        r.getAs[Double]("similarity"))).toSeq
+    val streamed = asTuples(Ann.binaryManifestTopK(spark, table, emb))
+    assert(streamed == asTuples(Ann.binaryTopK(emb)))
+    // two tagged commits landed (one pointer per micro-batch)
+    assert(graft.sources.ManifestStore
+      .currentSegments(spark, table, Ann.BinaryIndexCollection)
+      .get.size == 2)
+    // replay of a committed (ingest-id, batch) tag is a no-op
+    val id = {
+      val p = java.nio.file.Paths.get(s"$ckpt/graft-ingest-id")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    }
+    assert(!Ann.refreshManifestBinaryIndex(
+      emb.where(!batchPred), table, s"$id-0"))
+    assert(asTuples(Ann.binaryManifestTopK(spark, table, emb)) == streamed)
+  }
 }
 
 /** Typed quarantine-stream row (Option key: NULL keys must flow). */
