@@ -406,6 +406,23 @@ object EventStream {
   def cmsCells(events: DataFrame): DataFrame =
     graft.operators.Events.cmsGrid(events)
 
+  /** Streaming QUANTILE-SKETCH cells — [[cmsCells]]'s bounded-state
+    * discipline applied to rank statistics: the aggregation key space
+    * is the fixed grid over a CONFIGURED domain [lo, lo + B·w) (a
+    * stream cannot derive min/max up front — production takes the
+    * domain from the metric's spec, exactly as monitoring histograms
+    * do; out-of-domain values land in edge cells rather than being
+    * dropped). State is ≤ B rows forever; cells are monotone counts
+    * merging by addition, so the latest state per cell is the max-n
+    * row regardless of sink order, replay ≡ batch grid
+    * (spec-pinned), and a consumer interpolates any percentile from
+    * the current cells ([[graft.operators.Events.sketchEstimate]]) —
+    * the live p50/p99 dashboard the batch `ev_quantile_sketch`
+    * validates offline. */
+  def quantileSketchCells(values: DataFrame, c: String, lo: Long,
+      w: Long): DataFrame =
+    graft.operators.Events.quantileSketchCells(values, c, lo, w)
+
   // ------------------------------------------------------------------
   // Streaming deduplication
   // ------------------------------------------------------------------

@@ -872,6 +872,42 @@ class EventStreamSpec extends SparkSpecBase {
       graft.operators.Events.CmsDepth * graft.operators.Events.CmsWidth)
   }
 
+  test("streaming quantile-sketch grid across micro-batches == batch " +
+      "grid cell-for-cell (bounded <=B state, no watermark)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq.tabulate(60)(i => CmsEv((i * 37L) % 500L))
+    val b2 = Seq.tabulate(45)(i => CmsEv((i * 91L) % 500L + 200L))
+    val (lo, w) = (0L, 50L) // configured domain, 14 live cells max
+    val input = MemoryStream[CmsEv]
+    val q = EventStream.quantileSketchCells(
+        input.toDF().select(col("user_id").as("v")), "v", lo, w)
+      .writeStream.format("memory").queryName("qs_grid")
+      .outputMode("update").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    // cells are monotone counters: latest state = max bn per cell
+    val got = spark.table("qs_grid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    val all = (b1 ++ b2).map(_.user_id)
+    val want = graft.operators.Events
+      .quantileSketchCells(all.toDF("v"), "v", lo, w).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+    // ...and the percentile a consumer interpolates from the streamed
+    // cells equals the batch sketch's estimate
+    val cells = got.toSeq.sortBy(_._1)
+    val k50 = (all.size.toLong * 50 + 99) / 100
+    assert(graft.operators.Events.sketchEstimate(cells, lo, w, k50) ==
+      graft.operators.Events.sketchEstimate(
+        want.toSeq.sortBy(_._1), lo, w, k50))
+  }
+
   test("streaming quarantine (dead-letter split) == batch row-local " +
       "quarantine over the fixture corpus") {
     import spark.implicits._
