@@ -502,6 +502,37 @@ class DocumentStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("STRING bloom false-negative freedom over random UNICODE keys: " +
+      "every stored key passes the driver probe (engine-write / " +
+      "driver-read hash parity incl. multi-byte code points)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val table = tmp() + "/pbts"
+    ManifestStore.setBloomColumns(spark, table, Seq("k"), 512)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // alphabet spans 1-4 byte UTF-8: ascii, latin-1, CJK, an
+    // astral-plane emoji (surrogate pair) — the probe hashes the
+    // UTF8String BYTES, so any engine/driver divergence shows here
+    val alphabet = Seq("a", "b", "0", "-", "_", "é", "ß", "π", "漢",
+      "字", "🚀") // the emoji is a surrogate PAIR (4-byte UTF-8)
+    def key(): String =
+      Seq.fill(1 + rnd.nextInt(12))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 3).foreach { segi =>
+      val ks = Seq.fill(30 + rnd.nextInt(150))(key()).distinct
+      ManifestStore.store(ks.toDF("k"), table, "p")
+      val (kind, m, bits) =
+        ManifestStore.readSegBlooms(fs, table, "p", segi.toLong)("k")
+      assert(kind == 's')
+      ks.foreach { k =>
+        assert(ManifestStore.bloomMayContainStr(m, bits,
+          org.apache.spark.unsafe.types.UTF8String.fromString(k)),
+          s"false negative for '$k' in segment $segi")
+      }
+    }
+  }
+
   test("claimSeg stale-from guard: a number committed and released " +
       "between a writer's resolve and its claim is never re-claimed") {
     val table = tmp() + "/mtable"
