@@ -806,7 +806,7 @@ object Dedup {
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"),
           concat(lit("doc-"),
-            lpad(col("doc_id").cast("string"), 10, "0")).as("doc_key"),
+            lpad(col("doc_id").cast("string"), 19, "0")).as("doc_key"),
           col("text"), col("lang"))
       val path = java.nio.file.Files
         .createTempDirectory("graft-docs-manifest-").toString

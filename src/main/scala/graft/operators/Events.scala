@@ -1531,7 +1531,10 @@ object Events {
     val (path, _) = Dedup.manifestDocsTable(s, dir)
     val b = Tables(s, dir, "documents")
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head
-    def key(id: Long) = f"doc-$id%010d"
+    // 19-digit pad: every positive long renders identically under
+    // Spark/DuckDB lpad (which TRUNCATE past the width) and printf
+    // (which does not) — a 10-digit pad would diverge at 10^10 docs
+    def key(id: Long) = f"doc-$id%019d"
     val present = Seq(key(b.getLong(0)), key(b.getLong(1)))
     val imperative = present.map { k =>
       graft.sources.ManifestStore
@@ -2000,7 +2003,7 @@ object Events {
       """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
         |  FROM documents),
         |hits AS (
-        |  SELECT 'doc-' || lpad(CAST(d.doc_id AS VARCHAR), 10, '0')
+        |  SELECT 'doc-' || lpad(CAST(d.doc_id AS VARCHAR), 19, '0')
         |      AS doc_key,
         |    d.doc_id, d.lang
         |  FROM documents d, b
