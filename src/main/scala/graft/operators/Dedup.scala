@@ -791,6 +791,21 @@ object Dedup {
     * corpus, `readSinceInferred(anchor)` exactly the new batch (the
     * [[Events.incrementalAgg]] table discipline applied to documents).
     * Returns (tablePath, anchorPtrSeq). */
+  /** The document store's uuid-like string key, spelled ONCE for every
+    * face that must agree on it (the store write, the driver probe,
+    * the DuckDB oracle): `doc-` + a [[DocKeyWidth]]-digit zero-pad.
+    * 19 digits because Spark/DuckDB `lpad` TRUNCATE past the width
+    * while printf pads without truncating — 19 covers every positive
+    * long identically in both renderings, and the fixed width keeps
+    * key order == numeric order. */
+  val DocKeyWidth = 19
+  def docKeyCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("doc-"), lpad(id.cast("string"), DocKeyWidth, "0"))
+  def docKeyLocal(id: Long): String =
+    "doc-" + ("%0" + DocKeyWidth + "d").format(id)
+  def docKeySql(e: String): String =
+    s"'doc-' || lpad(CAST($e AS VARCHAR), $DocKeyWidth, '0')"
+
   private val docsManifestCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), (String, Long)]()
 
@@ -804,9 +819,7 @@ object Dedup {
       // segment split below interleaves the key ranges, so zone maps
       // alone cannot discriminate a point probe
       val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          concat(lit("doc-"),
-            lpad(col("doc_id").cast("string"), 19, "0")).as("doc_key"),
+        .select(col("doc_id"), docKeyCol(col("doc_id")).as("doc_key"),
           col("text"), col("lang"))
       val path = java.nio.file.Files
         .createTempDirectory("graft-docs-manifest-").toString

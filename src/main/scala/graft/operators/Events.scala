@@ -1050,9 +1050,12 @@ object Events {
       s"percentile targets must be in [1, 99]: $pcts")
     val s = values.sparkSession
     import s.implicits._
+    // count(col) not count(*): a NULL value is invisible to min/max,
+    // the bucket tags, and the selection scans — counting it into n
+    // would silently shift every rank
     val head = values
       .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
-        count(lit(1)).as("n")).head
+        count(col(c)).as("n")).head
     if (head.isNullAt(2) || head.getLong(2) == 0L)
       return Seq.empty[(Int, Long, Long)].toDF("pct", "k", c)
     val n = head.getLong(2)
@@ -1148,7 +1151,11 @@ object Events {
   def quantileSketchCells(values: DataFrame, c: String, lo: Long,
       w: Long): DataFrame = {
     require(w > 0, s"sketch bucket width must be positive, got $w")
-    values
+    // nulls are dropped HERE (not left to the caller): a NULL value's
+    // bucket index is NULL and a driver-side getAs[Long] would unbox
+    // it to cell 0, silently inflating the lowest bucket — the
+    // streaming face feeds real monitoring data through this path
+    values.where(col(c).isNotNull)
       .select(call_function("div", col(c) - lit(lo), lit(w)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("bn"))
   }
@@ -1196,9 +1203,12 @@ object Events {
       pcts: Seq[Int] = QuantilePcts): DataFrame = {
     val s = values.sparkSession
     import s.implicits._
+    // count(col) not count(*): the null-count discipline of
+    // [[exactQuantilesOn]] — [[quantileSketchCells]] drops nulls, so
+    // n must too or every rank shifts
     val head = values
       .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
-        count(lit(1)).as("n")).head
+        count(col(c)).as("n")).head
     if (head.isNullAt(2) || head.getLong(2) == 0L)
       return Seq.empty[(Int, Long, Long, Double, Double)]
         .toDF("pct", "k", "exact", "sketch", "err")
@@ -1531,11 +1541,12 @@ object Events {
     val (path, _) = Dedup.manifestDocsTable(s, dir)
     val b = Tables(s, dir, "documents")
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head
-    // 19-digit pad: every positive long renders identically under
-    // Spark/DuckDB lpad (which TRUNCATE past the width) and printf
-    // (which does not) — a 10-digit pad would diverge at 10^10 docs
-    def key(id: Long) = f"doc-$id%019d"
-    val present = Seq(key(b.getLong(0)), key(b.getLong(1)))
+    // the ONE key spelling every face shares (Dedup.docKey*) —
+    // distinct because lo == hi on a single-document corpus, where a
+    // repeated probe would double the imperative face's rows while
+    // the connector's IN (and the oracle's) dedup theirs
+    val present = Seq(b.getLong(0), b.getLong(1)).distinct
+      .map(Dedup.docKeyLocal)
     val imperative = present.map { k =>
       graft.sources.ManifestStore
         .readPointString(s, path, "docs", k, "doc_key")
@@ -2000,17 +2011,16 @@ object Events {
       (s, dir) => connectorPointLookup(s, dir)),
 
     QueryDef.sql("ev_doc_lookup",
-      """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
-        |  FROM documents),
-        |hits AS (
-        |  SELECT 'doc-' || lpad(CAST(d.doc_id AS VARCHAR), 19, '0')
-        |      AS doc_key,
-        |    d.doc_id, d.lang
-        |  FROM documents d, b
-        |  WHERE d.doc_id IN (b.lo, b.hi))
-        |SELECT doc_key, doc_id, lang FROM hits
-        |UNION ALL SELECT doc_key, doc_id, lang FROM hits
-        |ORDER BY doc_key, doc_id""".stripMargin)(
+      s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+         |  FROM documents),
+         |hits AS (
+         |  SELECT ${Dedup.docKeySql("d.doc_id")} AS doc_key,
+         |    d.doc_id, d.lang
+         |  FROM documents d, b
+         |  WHERE d.doc_id IN (b.lo, b.hi))
+         |SELECT doc_key, doc_id, lang FROM hits
+         |UNION ALL SELECT doc_key, doc_id, lang FROM hits
+         |ORDER BY doc_key, doc_id""".stripMargin)(
       (s, dir) => docPointLookup(s, dir)),
 
     QueryDef.sql("ev_meta_count",

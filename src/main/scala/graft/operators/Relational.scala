@@ -370,21 +370,24 @@ object Relational {
     * partsupp is not in this fixture; lineitem plays the
     * supplier-price relation, same plan shape.
     *
-    * Scale shape: the part dim filters FIRST and broadcasts (a
-    * size-filtered dim, never the fact), so both the aggregate and
-    * the join-back run over the part-pruned fact slice; the per-part
-    * min relation is |parts|-sized and the join-back re-partitions the
-    * same slice by the same key (exchange-reusable). Equality on
-    * l_extendedprice is selection, not arithmetic — min of stored
-    * doubles is exact in both engines. Supplier + nation broadcast
-    * (fixed dims). */
+    * Scale shape: the part dim filters FIRST and joins through the
+    * size gate (part GROWS with the corpus — broadcast while the
+    * optimizer's estimate fits, shuffle join past it), so both the
+    * aggregate and the join-back run over the part-pruned fact slice;
+    * the per-part min relation is |parts|-sized and the join-back
+    * re-partitions the same slice by the same key (exchange-
+    * reusable). Equality on l_extendedprice is selection, not
+    * arithmetic — min of stored doubles is exact in both engines.
+    * Supplier is size-gated too; only nation (fixed 25 rows) is
+    * force-broadcast. */
   def minCostSupplier(s: SparkSession, dir: String,
       k: Int = 20): DataFrame = {
     val parts = Tables(s, dir, "part")
       .where(col("p_size") <= MinCostMaxSize)
       .select("p_partkey", "p_name")
     val lfilt = Tables(s, dir, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(VectorSearch.broadcastIfSmall(parts),
+        col("l_partkey") === col("p_partkey"))
       .select("l_partkey", "l_suppkey", "l_extendedprice", "p_name")
     val minPer = lfilt.groupBy(col("l_partkey").as("m_partkey"))
       .agg(min(col("l_extendedprice")).as("min_price"))
@@ -395,7 +398,7 @@ object Relational {
     lfilt
       .join(minPer, col("l_partkey") === col("m_partkey"))
       .where(col("l_extendedprice") <= col("min_price"))
-      .join(broadcast(Tables(s, dir, "supplier")),
+      .join(VectorSearch.broadcastIfSmall(Tables(s, dir, "supplier")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables(s, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))
@@ -416,14 +419,16 @@ object Relational {
     * Σdec(l_quantity) — exact integer-scaled decimal arithmetic, no
     * float average (20%·avg = Σ/(5n), cleared of division). The one
     * output division (/7 yearly proxy) is a single fixed-order double
-    * op. Scale shape: the brand-filtered part dim broadcasts, both
+    * op. Scale shape: the brand-filtered part dim joins through the
+    * size gate (a 1/|brands| slice of a corpus-growing table), both
     * fact passes run over the brand-pruned slice, the per-part stats
     * relation is |parts|-sized. */
   def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
     val parts = Tables(s, dir, "part")
       .where(col("p_brand") === SmallQtyBrand).select("p_partkey")
     val lfilt = Tables(s, dir, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(VectorSearch.broadcastIfSmall(parts),
+        col("l_partkey") === col("p_partkey"))
       .select("l_partkey", "l_quantity", "l_extendedprice")
     val stats = lfilt.groupBy(col("l_partkey").as("q_partkey"))
       .agg(count(lit(1)).as("n_lines"),
@@ -453,7 +458,8 @@ object Relational {
     *
     * Determinism: Σdec(qty)·n > 2·Σdec(qty) is exact decimal/integer
     * arithmetic, division-free. Scale shape: the name-filtered part
-    * dim broadcasts; ONE partial-aggregated fact pass produces the
+    * dim joins through the size gate; ONE partial-aggregated fact
+    * pass produces the
     * (supplier, part) sums, BOTH per-part aggregates derive from
     * those partials (never a second fact scan); the supplier key set
     * is |suppliers|-bounded and LEFT SEMI joins the supplier dim. */
@@ -462,7 +468,8 @@ object Relational {
       .where(col("p_name").startsWith(ExcessPartPrefix))
       .select("p_partkey")
     val sp = Tables(s, dir, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(VectorSearch.broadcastIfSmall(parts),
+        col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(dec(col("l_quantity"), 12, 2)).as("sp_qty"))
     // both correlated per-part aggregates ride ONE window over the

@@ -978,6 +978,29 @@ object TextAnalysis {
       s"text index at $path was capped (df_cap=$dfCap) but carries no " +
         "per-word df store — it predates capped-refresh support and " +
         "exact incremental capping is impossible; rebuild instead")
+    // a leftover staging dir means a previous rewrite crashed between
+    // its renames — it may hold the ONLY copy of a bucket's surviving
+    // postings; destroying it (or rewriting around it) would turn a
+    // recoverable crash into silent data loss, so refuse loud
+    val staleStaging = new org.apache.hadoop.fs.Path(
+      path + "/.postings-rewrite")
+    require(!fs.exists(staleStaging),
+      s"text index at $path has a leftover capped-refresh staging dir " +
+        s"($staleStaging) — a previous rewrite did not complete; " +
+        "inspect/restore its bucket dirs before refreshing again")
+    // the batch relation feeds four jobs (evict collect, bucket
+    // rewrite, surviving append, dfs append) — materialize it once;
+    // released before return (the per-call persist is scoped, not
+    // leaked)
+    val cached = pairs.persist()
+    try refreshCappedOn(s, path, cached, nBuckets, dfCap)
+    finally { cached.unpersist(); () }
+  }
+
+  private def refreshCappedOn(s: SparkSession, path: String,
+      pairs: DataFrame, nBuckets: Long, dfCap: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val batchDfs = pairs.groupBy("word").agg(count(lit(1)).as("df"))
     val baseDfs = s.read.schema(DfsSchema).parquet(path + "/dfs")
       .groupBy("word").agg(sum(col("df")).as("df"))
@@ -1002,16 +1025,23 @@ object TextAnalysis {
     if (affected.nonEmpty) {
       val staging = new org.apache.hadoop.fs.Path(
         path + "/.postings-rewrite")
-      fs.delete(staging, true)
       s.read.schema(PostingsSchema).parquet(path + "/postings")
         .where(col("bkt").isin(affected.map(Int.box): _*))
         .join(evict.select("word"), Seq("word"), "left_anti")
         .select("doc_id", "dl", "word", "tf", "ps", "bkt")
         .write.partitionBy("bkt").parquet(staging.toString)
+      // rename-aside swap: the base bucket dir is MOVED into staging
+      // (never deleted before its replacement is in place), so no
+      // crash point leaves a bucket's surviving postings with zero
+      // copies on disk — a crash mid-swap is recovered from the
+      // staging dir the next refresh refuses loud over
       affected.foreach { b =>
         val dst = new org.apache.hadoop.fs.Path(
           path + s"/postings/bkt=$b")
-        fs.delete(dst, true)
+        val bak = new org.apache.hadoop.fs.Path(staging, s"old-bkt=$b")
+        if (fs.exists(dst) && !fs.rename(dst, bak))
+          throw new java.io.IOException(
+            s"capped-refresh rewrite rename-aside of $dst failed")
         val src = new org.apache.hadoop.fs.Path(staging, s"bkt=$b")
         if (fs.exists(src) && !fs.rename(src, dst))
           throw new java.io.IOException(

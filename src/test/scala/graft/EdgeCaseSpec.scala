@@ -251,6 +251,20 @@ class EdgeCaseSpec extends SparkSpecBase {
     val one = Events.exactQuantilesOn(Seq(42L).toDF("v"), "v").collect()
     assert(one.length == Events.QuantilePcts.size &&
       one.forall(_.getLong(2) == 42L))
+    // NULLs are invisible to rank arithmetic: padding a multiset with
+    // nulls changes neither the exact values nor the sketch estimates
+    // (count(col) discipline + the cells' null filter)
+    val vals = (1L to 9L).map(java.lang.Long.valueOf)
+    val padded = (vals ++ Seq.fill(5)(null.asInstanceOf[java.lang.Long]))
+    def rows(xs: Seq[java.lang.Long]) = xs.toDF("v")
+    assert(Events.exactQuantilesOn(rows(padded), "v").collect().toSeq ==
+      Events.exactQuantilesOn(rows(vals), "v").collect().toSeq)
+    assert(Events.quantileSketchOn(rows(padded), "v").collect().toSeq ==
+      Events.quantileSketchOn(rows(vals), "v").collect().toSeq)
+    // an all-null column is an empty distribution, not a fault
+    assert(Events.quantileSketchOn(
+      rows(Seq.fill(3)(null.asInstanceOf[java.lang.Long])), "v")
+      .collect().isEmpty)
     // all-identical group + negative values (integer bucket arithmetic
     // must not assume non-negative lows)
     val gq = Events.groupQuantilesOn(

@@ -727,6 +727,17 @@ class TextAnalysisSpec extends SparkSpecBase {
       base.unionByName(batch).unionByName(batch2), reb2, dfCap = 5L)
     assert(post(inc) == post(reb2))
     assert(!post(inc).map(_._3).toSet.contains("cc"))
+    // a leftover staging dir marks a crashed rewrite that may hold the
+    // only copy of a bucket's surviving postings — refresh refuses
+    // loud instead of destroying it
+    val staging = new java.io.File(inc + "/.postings-rewrite")
+    assert(staging.mkdir())
+    val crash = intercept[IllegalArgumentException] {
+      TextAnalysis.refreshTextIndex(
+        ((300L to 302L).map(i => doc(i, Seq("aa")))).toDF("doc_id", "text"),
+        inc)
+    }
+    assert(crash.getMessage.contains("staging"), crash.getMessage)
     Seq(inc, reb, reb2).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }
