@@ -1228,6 +1228,77 @@ object Events {
     }.toDF("pct", "k", "exact", "sketch", "err")
   }
 
+  def groupQuantileSketch(s: SparkSession, dir: String): DataFrame =
+    groupQuantileSketchOn(
+      load(s, dir).select(col("event_type"), col("ts_us"))
+        .where(col("ts_us").isNotNull && col("event_type").isNotNull),
+      "event_type", "ts_us")
+
+  /** GROUPED quantile sketch — [[quantileSketchOn]] per key, all keys
+    * in one pass: the per-key monitoring summary (p50/p99 per event
+    * type / per tenant) a dashboard holds as ≤ groups·B mergeable
+    * cells. Each group grids its OWN [lo, hi] (a shared grid would
+    * waste resolution on narrow groups); the per-group grid geometry
+    * rides as a budget-bounded plan literal (≤ budget/B entries — the
+    * budget `require` below is also the plan-size guard), the cell
+    * aggregate is ONE partial-aggregated shuffle on (group, bucket),
+    * and the driver collect is budget-guarded like the grouped exact
+    * protocol's waves ([[QuantileDriverCellBudget]] — fail loud,
+    * never OOM the driver). Estimates ride next to
+    * [[groupQuantilesOn]]'s exact values with signed errors — the
+    * measured-miss-rate discipline, per group. */
+  def groupQuantileSketchOn(values: DataFrame, g: String, c: String,
+      buckets: Long = SketchBuckets): DataFrame = {
+    // targets fixed to QuantilePcts: the exact side
+    // ([[groupQuantilesOn]]) answers those, and the two relations must
+    // share ranks row-for-row
+    val pcts = QuantilePcts
+    val s = values.sparkSession
+    import s.implicits._
+    require(values.schema(g).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"grouped sketch requires a StringType group column; '$g' is " +
+        values.schema(g).dataType.simpleString)
+    val clean = values.where(col(c).isNotNull && col(g).isNotNull)
+    val bounds = clean.groupBy(col(g))
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
+        count(col(c)).as("n"))
+    val groups = bounds.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    if (groups.isEmpty)
+      return Seq.empty[(String, Int, Long, Long, Double, Double)]
+        .toDF(g, "pct", "k", "exact", "sketch", "err")
+    require(groups.size * buckets <= QuantileDriverCellBudget,
+      s"grouped sketch would collect ${groups.size} groups x $buckets " +
+        s"cells > budget $QuantileDriverCellBudget — shrink buckets " +
+        "or pre-partition the group space")
+    val w = typedLit(groups.map { case (gv, (lo, hi, _)) =>
+      gv -> ((hi - lo) / buckets + 1L) })
+    val lo = typedLit(groups.map { case (gv, (l, _, _)) => gv -> l })
+    val cells = clean
+      .select(col(g), call_function("div",
+        col(c) - element_at(lo, col(g)),
+        element_at(w, col(g))).as("b"))
+      .groupBy(col(g), col("b")).agg(count(lit(1)).as("bn"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq }
+    val exact = groupQuantilesOn(values, g, c).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    groups.keys.toSeq.sorted.flatMap { gv =>
+      val (gLo, gHi, n) = groups(gv)
+      val gw = (gHi - gLo) / buckets + 1L
+      pcts.sorted.map { p =>
+        val k = quantileRank(n, p)
+        val est = sketchEstimate(cells(gv), gLo, gw, k)
+        val ex = exact((gv, p))
+        (gv, p, k, ex, est, est - ex.toDouble)
+      }
+    }.toDF(g, "pct", "k", "exact", "sketch", "err")
+      .orderBy(g, "pct")
+  }
+
   /** WEIGHTED exact quantiles — the value v* at which the cumulative
     * WEIGHT first reaches p% of the total (ties share their cumulative
     * per SQL RANGE-frame semantics, so v* = min v with cum(w) ≥ k —
@@ -1986,6 +2057,41 @@ object Events {
          |JOIN r ON r.rn = e.k
          |ORDER BY pct""".stripMargin)(
       (s, dir) => quantileSketch(s, dir)),
+
+    QueryDef.sql("ev_group_quantile_sketch",
+      s"""WITH v AS (
+         |  SELECT event_type AS g, epoch_us(ts) AS x FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |s AS (SELECT g, min(x) AS lo, max(x) AS hi, count(*) AS n
+         |  FROM v GROUP BY g),
+         |gg AS (SELECT g, lo, n,
+         |  (hi - lo) // $SketchBuckets + 1 AS w FROM s),
+         |h AS (SELECT v.g, (v.x - gg.lo) // gg.w AS b, count(*) AS bn
+         |  FROM v JOIN gg ON v.g = gg.g GROUP BY 1, 2),
+         |cum AS (SELECT g, b, bn,
+         |  sum(bn) OVER (PARTITION BY g ORDER BY b) AS ci FROM h),
+         |t AS (SELECT gg.g, p, (gg.n * p + 99) // 100 AS k
+         |  FROM (VALUES (50), (90), (99)) AS q(p), gg),
+         |pick AS (SELECT t.g, t.p, t.k, min(c.b) AS b
+         |  FROM t JOIN cum c ON c.g = t.g AND c.ci >= t.k
+         |  GROUP BY t.g, t.p, t.k),
+         |est AS (SELECT pick.g, pick.p, pick.k, c.b, c.bn,
+         |    CAST(c.ci - c.bn AS BIGINT) AS cb
+         |  FROM pick JOIN cum c ON c.g = pick.g AND c.b = pick.b),
+         |r AS (SELECT g, x,
+         |  row_number() OVER (PARTITION BY g ORDER BY x) AS rn FROM v)
+         |SELECT e.g AS event_type, e.p AS pct, e.k AS k, r.x AS exact,
+         |  CAST(gg.lo + e.b * gg.w AS DOUBLE) + CAST(gg.w AS DOUBLE)
+         |    * (CAST(e.k - e.cb AS DOUBLE) / CAST(e.bn AS DOUBLE))
+         |    AS sketch,
+         |  (CAST(gg.lo + e.b * gg.w AS DOUBLE) + CAST(gg.w AS DOUBLE)
+         |    * (CAST(e.k - e.cb AS DOUBLE) / CAST(e.bn AS DOUBLE)))
+         |    - CAST(r.x AS DOUBLE) AS err
+         |FROM est e
+         |JOIN gg ON gg.g = e.g
+         |JOIN r ON r.g = e.g AND r.rn = e.k
+         |ORDER BY event_type, pct""".stripMargin)(
+      (s, dir) => groupQuantileSketch(s, dir)),
 
     QueryDef.sql("ev_group_quantiles",
       """WITH v AS (

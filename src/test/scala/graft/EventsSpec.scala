@@ -477,4 +477,32 @@ class EventsSpec extends SparkSpecBase {
         assert(grouped((t, p)) == one(p), s"group $t p$p") }
     }
   }
+
+  test("grouped quantile sketch == per-group scalar sketch, bitwise " +
+      "(each group grids its own domain)") {
+    val ev = Events.load(spark, sf)
+      .select(col("event_type"), col("ts_us"))
+      .where(col("ts_us").isNotNull && col("event_type").isNotNull)
+    val grouped = Events.groupQuantileSketchOn(ev, "event_type", "ts_us")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val types = grouped.keys.map(_._1).toSeq.distinct
+    assert(types.size > 1, "fixture must have several event types")
+    types.foreach { t =>
+      val one = Events.quantileSketchOn(
+        ev.where(col("event_type") === t).select("ts_us"), "ts_us")
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      Events.QuantilePcts.foreach { p =>
+        assert(grouped((t, p)) == one(p), s"group $t p$p") }
+    }
+    // the budget guard fails loud instead of collecting unboundedly
+    intercept[IllegalArgumentException] {
+      Events.groupQuantileSketchOn(ev, "event_type", "ts_us",
+        buckets = Events.QuantileDriverCellBudget)
+    }
+  }
 }
