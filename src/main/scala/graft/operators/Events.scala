@@ -1284,7 +1284,10 @@ object Events {
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq }
-    val exact = groupQuantilesOn(values, g, c).collect()
+    // the exact side reads the SAME null-cleaned relation as the
+    // cells — a null group/value row visible to one side only would
+    // desync the ranks
+    val exact = groupQuantilesOn(clean, g, c).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
     groups.keys.toSeq.sorted.flatMap { gv =>
       val (gLo, gHi, n) = groups(gv)
