@@ -298,15 +298,7 @@ object Bench {
     val pw = new java.io.PrintWriter(outPath, "UTF-8")
     try pw.println(line) finally pw.close()
     println(line)
-    // the dedup/MLlib operators build implicit persisted indexes; release
-    // them explicitly (the documented lifecycle) before shutdown
-    graft.operators.Dedup.releaseCaches()
-    graft.operators.Pipeline.releaseCaches()
-    graft.operators.MlIndex.releaseCaches()
-    graft.operators.Events.releaseCaches()
-    graft.operators.Multimodal.releaseCaches()
-    graft.operators.Ann.releaseCaches()
-    graft.operators.TextAnalysis.releaseCaches()
+    Caches.releaseAll()
     spark.stop()
   }
 }

@@ -18,13 +18,7 @@ object DevExplain {
     val df = SparkEntry.queries(name)(spark, dir)
     df.collect() // AQE finalizes
     println(df.queryExecution.executedPlan.toString())
-    graft.operators.TextAnalysis.releaseCaches()
-    graft.operators.Ann.releaseCaches()
-    graft.operators.Dedup.releaseCaches()
-    graft.operators.Pipeline.releaseCaches()
-    graft.operators.MlIndex.releaseCaches()
-    graft.operators.Events.releaseCaches()
-    graft.operators.Multimodal.releaseCaches()
+    Caches.releaseAll()
     spark.stop()
   }
 }

@@ -53,13 +53,7 @@ object DevPlanAudit {
         println(s"AUDIT $name: ERROR ${e.getClass.getSimpleName}")
       }
     }
-    graft.operators.Dedup.releaseCaches()
-    graft.operators.Pipeline.releaseCaches()
-    graft.operators.MlIndex.releaseCaches()
-    graft.operators.Events.releaseCaches()
-    graft.operators.Multimodal.releaseCaches()
-    graft.operators.Ann.releaseCaches()
-    graft.operators.TextAnalysis.releaseCaches()
+    Caches.releaseAll()
     spark.stop()
   }
 }

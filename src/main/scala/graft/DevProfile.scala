@@ -31,15 +31,7 @@ object DevProfile {
       println(f"PROF $name%-28s cold=${times(0)}%7.2fs " +
         f"warm=${times(1)}%7.2fs warm2=${times(2)}%7.2fs")
     }
-    // the dedup/MLlib operators build implicit persisted indexes; release
-    // them explicitly (the documented lifecycle) before shutdown
-    graft.operators.Dedup.releaseCaches()
-    graft.operators.Pipeline.releaseCaches()
-    graft.operators.MlIndex.releaseCaches()
-    graft.operators.Events.releaseCaches()
-    graft.operators.Multimodal.releaseCaches()
-    graft.operators.Ann.releaseCaches()
-    graft.operators.TextAnalysis.releaseCaches()
+    Caches.releaseAll()
     spark.stop()
   }
 }

@@ -26,16 +26,7 @@ object DevShowFilter {
           println("FILTERCOND " + cond.take(600))
       case _ =>
     }
-    // full release list: this main runs ARBITRARY declared queries, so
-    // any module's implicit store may have been built (the DevExplain
-    // lesson from the round-13 advice)
-    graft.operators.Dedup.releaseCaches()
-    graft.operators.Ann.releaseCaches()
-    graft.operators.TextAnalysis.releaseCaches()
-    graft.operators.Pipeline.releaseCaches()
-    graft.operators.MlIndex.releaseCaches()
-    graft.operators.Events.releaseCaches()
-    graft.operators.Multimodal.releaseCaches()
+    Caches.releaseAll()
     spark.stop()
   }
 }

@@ -17,15 +17,7 @@ object DevTimeOne {
         .write.format("noop").mode("overwrite").save()
       println(f"TIME $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    // the dedup/MLlib operators build implicit persisted indexes; release
-    // them explicitly (the documented lifecycle) before shutdown
-    graft.operators.Dedup.releaseCaches()
-    graft.operators.Pipeline.releaseCaches()
-    graft.operators.MlIndex.releaseCaches()
-    graft.operators.Events.releaseCaches()
-    graft.operators.Multimodal.releaseCaches()
-    graft.operators.Ann.releaseCaches()
-    graft.operators.TextAnalysis.releaseCaches()
+    Caches.releaseAll()
     spark.stop()
   }
 }

@@ -784,13 +784,6 @@ object Dedup {
   // incremental corpus refresh: change feed → index lookup → merge
   // ----------------------------------------------------------------
 
-  /** Memoized manifest-layout documents table backing the refresh
-    * path: the corpus slice (doc_id % 10 != 1, [[incrementalNearDups]]'
-    * oracle split) committed as the base segment, then the batch slice
-    * as the delta segment — `readAsOfInferred(anchor)` is the old
-    * corpus, `readSinceInferred(anchor)` exactly the new batch (the
-    * [[Events.incrementalAgg]] table discipline applied to documents).
-    * Returns (tablePath, anchorPtrSeq). */
   /** The document store's uuid-like string key, spelled ONCE for every
     * face that must agree on it (the store write, the driver probe,
     * the DuckDB oracle): `doc-` + a [[DocKeyWidth]]-digit zero-pad.
@@ -808,6 +801,14 @@ object Dedup {
 
   private val docsManifestCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), (String, Long)]()
+
+  /** Memoized manifest-layout documents table backing the refresh
+    * path: the corpus slice (doc_id % 10 != 1, [[incrementalNearDups]]'
+    * oracle split) committed as the base segment, then the batch slice
+    * as the delta segment — `readAsOfInferred(anchor)` is the old
+    * corpus, `readSinceInferred(anchor)` exactly the new batch (the
+    * [[Events.incrementalAgg]] table discipline applied to documents).
+    * Returns (tablePath, anchorPtrSeq). */
 
   private[operators] def manifestDocsTable(s: org.apache.spark.sql.SparkSession,
       dir: String): (String, Long) = {

@@ -1239,8 +1239,9 @@ object Events {
     * type / per tenant) a dashboard holds as ≤ groups·B mergeable
     * cells. Each group grids its OWN [lo, hi] (a shared grid would
     * waste resolution on narrow groups); the per-group grid geometry
-    * rides as a budget-bounded plan literal (≤ budget/B entries — the
-    * budget `require` below is also the plan-size guard), the cell
+    * joins back through the size gate (the grouped exact core's
+    * pattern — a literal-map lookup would linear-scan the group keys
+    * per fact row), the cell
     * aggregate is ONE partial-aggregated shuffle on (group, bucket),
     * and the driver collect is budget-guarded like the grouped exact
     * protocol's waves ([[QuantileDriverCellBudget]] — fail loud,
@@ -1269,17 +1270,21 @@ object Events {
     if (groups.isEmpty)
       return Seq.empty[(String, Int, Long, Long, Double, Double)]
         .toDF(g, "pct", "k", "exact", "sketch", "err")
+    require(buckets > 0, s"sketch needs buckets > 0, got $buckets")
     require(groups.size * buckets <= QuantileDriverCellBudget,
       s"grouped sketch would collect ${groups.size} groups x $buckets " +
         s"cells > budget $QuantileDriverCellBudget — shrink buckets " +
         "or pre-partition the group space")
-    val w = typedLit(groups.map { case (gv, (lo, hi, _)) =>
-      gv -> ((hi - lo) / buckets + 1L) })
-    val lo = typedLit(groups.map { case (gv, (l, _, _)) => gv -> l })
+    // per-group grid geometry joins in through the size gate (the
+    // grouped exact core's pattern) — a literal-map lookup would
+    // linear-scan the group keys per fact row
+    val geo = groups.toSeq.map {
+      case (gv, (lo, hi, _)) => (gv, lo, (hi - lo) / buckets + 1L)
+    }.toDF(g, "__lo", "__w")
     val cells = clean
+      .join(VectorSearch.broadcastIfSmall(geo), Seq(g))
       .select(col(g), call_function("div",
-        col(c) - element_at(lo, col(g)),
-        element_at(w, col(g))).as("b"))
+        col(c) - col("__lo"), col("__w")).as("b"))
       .groupBy(col(g), col("b")).agg(count(lit(1)).as("bn"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
@@ -1320,7 +1325,9 @@ object Events {
       buckets: Long = QuantileBuckets): DataFrame = {
     val s = values.sparkSession
     import s.implicits._
-    val vals = values.where(col(w) >= 1L)
+    // a NULL value's weight must not seed the total: the row is
+    // invisible to every later stage (the count(col) discipline)
+    val vals = values.where(col(w) >= 1L && col(c).isNotNull)
     val head = vals
       .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
         coalesce(sum(col(w)), lit(0L)).as("tw")).head
@@ -1480,8 +1487,13 @@ object Events {
       s"grouped quantiles require a StringType group column; '$g' is " +
         values.schema(g).dataType.simpleString +
         " — cast it (or map it through a string key) first")
+    // null discipline at the door: a NULL group or value row is
+    // invisible to every later stage (bucket tags, selection scans),
+    // so it must not seed n/Σw either — counting it would shift every
+    // rank and strand its target (the count(col) fix, grouped form)
+    val clean = values.where(col(g).isNotNull && col(c).isNotNull)
     // one scan: per-group bounds + total weight seed the target state
-    var open = values.groupBy(col(g))
+    var open = clean.groupBy(col(g))
       .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
         coalesce(sum(wt), lit(0L)).as("n"))
       .collect().toSeq.flatMap { r =>
