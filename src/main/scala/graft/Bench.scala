@@ -111,7 +111,10 @@ object Bench {
   }
 
   /** Fingerprint of the bench fixture: FNV-1a over the sorted
-    * (name, size) list of the parquet files under `sfDir`. Two
+    * (relative path, size, mtime) list of the parquet files under
+    * `sfDir` — mtime because a regenerated fixture can preserve names
+    * AND byte sizes (fixed row counts, fixed schemas) yet hold
+    * different data; the regeneration always rewrites mtimes. Two
     * captures' per-query medians are comparable ONLY on identical
     * data — the driver REGENERATES `/root/testdata` each round, and a
     * regenerated table legitimately shifts medians with zero code
@@ -124,10 +127,12 @@ object Bench {
         Option(f.listFiles()).fold(Seq.empty[java.io.File])(
           _.toSeq.sortBy(_.getName).flatMap(walk))
       else Seq(f)
+    val base = new java.io.File(sfDir).toPath.toAbsolutePath.normalize
     val h = walk(new java.io.File(sfDir))
       .filter(_.getName.endsWith(".parquet"))
       .foldLeft(-3750763034362895579L) { (acc, f) => // FNV offset basis
-        (f.getName + ":" + f.length)
+        val rel = base.relativize(f.toPath.toAbsolutePath.normalize)
+        (rel.toString + ":" + f.length + ":" + f.lastModified)
           .foldLeft(acc)((a, c) => (a ^ c.toLong) * 1099511628211L)
       }
     java.lang.Long.toHexString(h)

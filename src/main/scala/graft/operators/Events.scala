@@ -1149,14 +1149,25 @@ object Events {
     * scans are too expensive: partial aggregation map-side combines
     * every task into ≤ B cells before one tiny shuffle. */
   def quantileSketchCells(values: DataFrame, c: String, lo: Long,
-      w: Long): DataFrame = {
+      w: Long, buckets: Long = SketchBuckets): DataFrame = {
     require(w > 0, s"sketch bucket width must be positive, got $w")
+    require(buckets > 0, s"sketch needs buckets > 0, got $buckets")
     // nulls are dropped HERE (not left to the caller): a NULL value's
     // bucket index is NULL and a driver-side getAs[Long] would unbox
     // it to cell 0, silently inflating the lowest bucket — the
-    // streaming face feeds real monitoring data through this path
+    // streaming face feeds real monitoring data through this path.
+    // Out-of-domain values CLAMP into the edge cells (b < 0 → 0,
+    // b ≥ buckets → buckets−1): the streaming face runs this over a
+    // CONFIGURED domain, and an unclamped index would let state grow
+    // past the documented ≤ buckets bound on domain overshoot, while
+    // Spark's toward-zero div would silently fold (lo−w, lo) into
+    // bucket 0 but not (lo−2w, lo−w). Batch callers derive lo/w from
+    // the data's own min/max, where the clamp is an exact identity —
+    // the DuckDB oracles are unaffected.
     values.where(col(c).isNotNull)
-      .select(call_function("div", col(c) - lit(lo), lit(w)).as("b"))
+      .select(least(greatest(
+          call_function("div", col(c) - lit(lo), lit(w)), lit(0L)),
+        lit(buckets - 1L)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("bn"))
   }
 
@@ -1216,7 +1227,7 @@ object Events {
     val w = (hi - lo) / buckets + 1L
     // ≤ buckets cells: the codebook-class collect, like the narrowing
     // rounds' histograms
-    val cells = quantileSketchCells(values, c, lo, w).collect()
+    val cells = quantileSketchCells(values, c, lo, w, buckets).collect()
       .map(r => (r.getAs[Long]("b"), r.getAs[Long]("bn"))).toSeq
     val exact = exactQuantilesOn(values, c, pcts = pcts).collect()
       .map(r => r.getAs[Int]("pct") -> r.getAs[Long](c)).toMap
@@ -1243,13 +1254,17 @@ object Events {
     * pattern — a literal-map lookup would linear-scan the group keys
     * per fact row), the cell
     * aggregate is ONE partial-aggregated shuffle on (group, bucket),
-    * and the driver collect is budget-guarded like the grouped exact
-    * protocol's waves ([[QuantileDriverCellBudget]] — fail loud,
-    * never OOM the driver). Estimates ride next to
+    * and the budget guard fires BEFORE the driver materializes
+    * anything — the bounds fetch is LIMITed to budget/buckets + 1
+    * rows, so a high-cardinality group column fails loud without the
+    * driver ever holding more than the budget's worth of rows
+    * ([[QuantileDriverCellBudget]]; the grouped exact protocol's wave
+    * discipline). Estimates ride next to
     * [[groupQuantilesOn]]'s exact values with signed errors — the
     * measured-miss-rate discipline, per group. */
   def groupQuantileSketchOn(values: DataFrame, g: String, c: String,
-      buckets: Long = SketchBuckets): DataFrame = {
+      buckets: Long = SketchBuckets,
+      budget: Long = QuantileDriverCellBudget): DataFrame = {
     // targets fixed to QuantilePcts: the exact side
     // ([[groupQuantilesOn]]) answers those, and the two relations must
     // share ranks row-for-row
@@ -1260,21 +1275,32 @@ object Events {
         org.apache.spark.sql.types.StringType,
       s"grouped sketch requires a StringType group column; '$g' is " +
         values.schema(g).dataType.simpleString)
+    require(buckets > 0, s"sketch needs buckets > 0, got $buckets")
     val clean = values.where(col(c).isNotNull && col(g).isNotNull)
     val bounds = clean.groupBy(col(g))
       .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
         count(col(c)).as("n"))
-    val groups = bounds.collect()
+    // budget guard BEFORE the driver materializes anything: fetch at
+    // most maxGroups+1 bound rows — a high-cardinality group column
+    // trips the budget with the driver never holding more than the
+    // budget's worth of rows (the grouped exact protocol's wave
+    // discipline, applied here as a limit). An unguarded
+    // bounds.collect() would OOM a 100 TB driver before any
+    // after-the-fact require could fire.
+    val maxGroups = math.max(budget / buckets, 0L)
+    val boundRows = bounds
+      .limit(math.min(maxGroups + 1L, Int.MaxValue.toLong).toInt)
+      .collect()
+    require(boundRows.length <= maxGroups,
+      s"grouped sketch has more than $maxGroups groups at $buckets " +
+        s"cells each — over budget $budget; shrink buckets or " +
+        "pre-partition the group space")
+    val groups = boundRows
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
         r.getLong(3))).toMap
     if (groups.isEmpty)
       return Seq.empty[(String, Int, Long, Long, Double, Double)]
         .toDF(g, "pct", "k", "exact", "sketch", "err")
-    require(buckets > 0, s"sketch needs buckets > 0, got $buckets")
-    require(groups.size * buckets <= QuantileDriverCellBudget,
-      s"grouped sketch would collect ${groups.size} groups x $buckets " +
-        s"cells > budget $QuantileDriverCellBudget — shrink buckets " +
-        "or pre-partition the group space")
     // per-group grid geometry joins in through the size gate (the
     // grouped exact core's pattern) — a literal-map lookup would
     // linear-scan the group keys per fact row

@@ -988,6 +988,21 @@ object TextAnalysis {
       s"text index at $path has a leftover capped-refresh staging dir " +
         s"($staleStaging) — a previous rewrite did not complete; " +
         "inspect/restore its bucket dirs before refreshing again")
+    // a leftover append marker means a previous refresh crashed
+    // between its postings append and its dfs append — batch postings
+    // are on disk WITHOUT their df contributions, so every later
+    // refresh would compute base_df too low and permanently diverge
+    // from a capped rebuild (a word pushed over the cap might never
+    // evict); re-running the batch would double-append. Neither is
+    // recoverable in place on the parquet face (no tag idempotency,
+    // unlike the manifest face's single tagged storeBatch) — refuse
+    // loud, rebuild.
+    require(!fs.exists(appendMarker(path)),
+      s"text index at $path has a leftover append marker " +
+        s"(${appendMarker(path)}) — a previous capped refresh crashed " +
+        "between its postings and dfs appends and the stored per-word " +
+        "dfs no longer match the postings; rebuild the index (crash-" +
+        "safe capped maintenance goes through the manifest face)")
     // the batch relation feeds four jobs (evict collect, bucket
     // rewrite, surviving append, dfs append) — materialize it once;
     // released before return (the per-call persist is scoped, not
@@ -1049,16 +1064,33 @@ object TextAnalysis {
       }
       fs.delete(staging, true)
     }
-    // 2. APPEND the batch's rows for words whose merged df survives
+    // 2+3. APPEND the batch's surviving rows, then its df
+    // contributions. The two appends are separate non-atomic jobs; a
+    // crash between them would leave postings on disk with their df
+    // contributions missing (base_df permanently too low — silent
+    // divergence from a capped rebuild), so the pair is bracketed by
+    // a marker the next refresh refuses loud over (the staging dir's
+    // discipline extended to the append window). dfs still land LAST
+    // so in-flight readers see one snapshot.
+    val marker = appendMarker(path)
+    fs.create(marker, false).close()
     pairs
       .join(merged.where(col("base_df") + col("batch_df") <= dfCap)
         .select("word"), Seq("word"), "left_semi")
       .select("doc_id", "dl", "word", "tf", "ps", "bkt")
       .write.mode("append").partitionBy("bkt")
       .parquet(path + "/postings")
-    // 3. the batch's df contributions land LAST (additive rows)
     batchDfs.write.mode("append").parquet(path + "/dfs")
+    if (!fs.delete(marker, false))
+      throw new java.io.IOException(
+        s"capped-refresh append marker $marker could not be removed")
   }
+
+  /** Marker bracketing the capped refresh's postings+dfs append pair —
+    * present on disk exactly while postings may exist without their df
+    * contributions (see [[refreshCapped]]'s refuse-loud check). */
+  private def appendMarker(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path + "/.dfs-append-inflight")
 
   // ----------------------------------------------------------------
   // manifest-backed index — exactly-once maintenance, pruned probes

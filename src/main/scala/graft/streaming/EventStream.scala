@@ -411,8 +411,10 @@ object EventStream {
     * is the fixed grid over a CONFIGURED domain [lo, lo + B·w) (a
     * stream cannot derive min/max up front — production takes the
     * domain from the metric's spec, exactly as monitoring histograms
-    * do; out-of-domain values land in edge cells rather than being
-    * dropped). State is ≤ B rows forever; cells are monotone counts
+    * do; out-of-domain values CLAMP into the edge cells — below-lo
+    * into bucket 0, at-or-above lo + B·w into bucket B−1 — rather
+    * than being dropped or minting unbounded out-of-grid cells;
+    * spec-pinned). State is ≤ B rows forever; cells are monotone counts
     * merging by addition, so the latest state per cell is the max-n
     * row regardless of sink order, replay ≡ batch grid
     * (spec-pinned), and a consumer interpolates any percentile from
@@ -420,8 +422,9 @@ object EventStream {
     * the live p50/p99 dashboard the batch `ev_quantile_sketch`
     * validates offline. */
   def quantileSketchCells(values: DataFrame, c: String, lo: Long,
-      w: Long): DataFrame =
-    graft.operators.Events.quantileSketchCells(values, c, lo, w)
+      w: Long,
+      buckets: Long = graft.operators.Events.SketchBuckets): DataFrame =
+    graft.operators.Events.quantileSketchCells(values, c, lo, w, buckets)
 
   // ------------------------------------------------------------------
   // Streaming deduplication

@@ -504,5 +504,31 @@ class EventsSpec extends SparkSpecBase {
       Events.groupQuantileSketchOn(ev, "event_type", "ts_us",
         buckets = Events.QuantileDriverCellBudget)
     }
+    // ...and it fires BEFORE any unbounded driver collect: a
+    // high-cardinality group column (every ts a group) trips the
+    // budget through the LIMITed bounds fetch (budget/buckets + 1
+    // rows max on the driver), never a full per-group materialize
+    val hi = Events.load(spark, sf)
+      .select(col("ts_us").cast("string").as("g"), col("ts_us"))
+      .where(col("ts_us").isNotNull)
+    val e = intercept[IllegalArgumentException] {
+      Events.groupQuantileSketchOn(hi, "g", "ts_us",
+        buckets = 16, budget = 64)
+    }
+    assert(e.getMessage.contains("over budget"))
+  }
+
+  test("quantile-sketch cells clamp out-of-domain values into edge " +
+      "cells: bounded <=B state on a CONFIGURED domain (streaming " +
+      "face contract)") {
+    import spark.implicits._
+    val (lo, w, b) = (0L, 10L, 4L) // configured domain [0, 40)
+    val vs = Seq(-100L, -1L, 0L, 9L, 10L, 39L, 40L, 400L)
+    val got = Events.quantileSketchCells(vs.toDF("v"), "v", lo, w, b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // below-lo values (-100, -1) fold into bucket 0 with [0, 10);
+    // at-or-above hi values (40, 400) fold into bucket B-1 — the
+    // grid never mints a cell outside [0, B)
+    assert(got == Map(0L -> 4L, 1L -> 1L, 3L -> 3L))
   }
 }

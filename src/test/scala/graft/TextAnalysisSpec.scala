@@ -738,6 +738,24 @@ class TextAnalysisSpec extends SparkSpecBase {
         inc)
     }
     assert(crash.getMessage.contains("staging"), crash.getMessage)
+    assert(staging.delete())
+    // a leftover APPEND marker marks a crash between the postings and
+    // dfs appends — stored per-word dfs no longer match the postings
+    // (base_df permanently too low) — refresh refuses loud
+    val marker = new java.io.File(inc + "/.dfs-append-inflight")
+    assert(marker.createNewFile())
+    val crash2 = intercept[IllegalArgumentException] {
+      TextAnalysis.refreshTextIndex(
+        ((310L to 312L).map(i => doc(i, Seq("aa")))).toDF("doc_id", "text"),
+        inc)
+    }
+    assert(crash2.getMessage.contains("append marker"), crash2.getMessage)
+    assert(marker.delete())
+    // a clean refresh brackets its appends and removes the marker
+    TextAnalysis.refreshTextIndex(
+      ((320L to 321L).map(i => doc(i, Seq("dd")))).toDF("doc_id", "text"),
+      inc)
+    assert(!marker.exists())
     Seq(inc, reb, reb2).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }
