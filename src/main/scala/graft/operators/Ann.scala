@@ -325,7 +325,8 @@ object Ann {
     * half of the implicit index; every main calls this on shutdown). */
   def releaseCaches(): Unit = {
     Seq(ivfStores, ivfRefreshed, manifestIvfIndexes, binaryIndexes,
-      binaryRefreshed, manifestBinaryIndexes).foreach { m =>
+      binaryRefreshed, manifestBinaryIndexes,
+      manifestPqIndexes).foreach { m =>
       val it = m.values().iterator()
       while (it.hasNext)
         org.apache.commons.io.FileUtils
@@ -611,17 +612,7 @@ object Ann {
       return emb.select(col("vec_id"), col("label"),
           lit(0.0).as("pq_sim"), lit(0.0).as("similarity"))
         .where(lit(false))
-    val lut: Array[Array[Double]] = Array.tabulate(PqM) { m =>
-      Array.tabulate(cb.size) { c =>
-        var acc = 0.0
-        var j = 0
-        while (j < PqSub) {
-          acc = acc + QueryNorm(m * PqSub + j) * cb(c)(m * PqSub + j)
-          j += 1
-        }
-        acc
-      }
-    }
+    val lut = pqLut(cb)
     val score = (0 until PqM).map(m =>
         element_at(vecLit(lut(m)), (col(s"c$m") + 1).cast("int")))
       .reduce(_ + _) // left-assoc ((s0 + s1) + s2) + …, ≡ oracle parens
@@ -634,6 +625,24 @@ object Ann {
       .orderBy(col("similarity").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** The per-subspace ADC lookup table lut[m][c] = dot(q_m,
+    * centroid_{m,c}) — driver-side sequential folds baked into the
+    * plan as array literals, shared by the scan face ([[pqTopKWith]])
+    * and the versioned face ([[pqManifestTopK]]) so both score
+    * bitwise-identically. */
+  private def pqLut(cb: Seq[Array[Double]]): Array[Array[Double]] =
+    Array.tabulate(PqM) { m =>
+      Array.tabulate(cb.size) { c =>
+        var acc = 0.0
+        var j = 0
+        while (j < PqSub) {
+          acc = acc + QueryNorm(m * PqSub + j) * cb(c)(m * PqSub + j)
+          j += 1
+        }
+        acc
+      }
+    }
 
   /** Recall@k of the two-stage PQ search against the exact scan — the
     * measured cost of pruning on 80-bit codes. */
@@ -1271,6 +1280,162 @@ object Ann {
     }
   }
 
+  // ----------------------------------------------------------------
+  // manifest-backed PQ index — versioned, exactly-once maintenance
+  // ----------------------------------------------------------------
+
+  /** The manifest collection name holding a VERSIONED PQ-code index. */
+  val PqIndexCollection = "pindex"
+
+  /** Encoded-vector rows of one batch, kind `'v'`: (vec_id, label,
+    * codes) where codes[m] is the subspace-m centroid id under the
+    * GIVEN codebook — the 80-bit payload a 100 TB deployment actually
+    * stores per vector (the full doubles stay in the source table and
+    * are read only for the shortlist rerank, the binary tier's
+    * late-materialization discipline). */
+  private def pqVectorRows(emb: DataFrame,
+      cb: Seq[Array[Double]]): DataFrame =
+    pqEncode(emb, cb).select(lit("v").as("kind"), col("vec_id"),
+      col("label").cast("long").as("label"),
+      array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"),
+      lit(null).cast("long").as("cent_id"),
+      lit(null).cast("array<double>").as("v"))
+
+  /** Codebook rows, kind `'c'`: the subspace centroids ARE the index's
+    * layout identity and travel WITH it ([[ivfCodebookRows]]'s
+    * discipline) — a probe or a later batch must never re-derive them
+    * from the [[PqCentroidIds]] constant. cent_id is the codebook
+    * POSITION (codes index into this order), so read-back requires the
+    * stored ids to be exactly 0..n−1. */
+  private def pqCodebookRows(s: SparkSession,
+      cb: Seq[Array[Double]]): DataFrame = {
+    import s.implicits._
+    cb.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+      .toDF("cent_id", "v")
+      .select(lit("c").as("kind"), lit(null).cast("long").as("vec_id"),
+        lit(null).cast("long").as("label"),
+        lit(null).cast("array<long>").as("codes"),
+        col("cent_id"), col("v"))
+  }
+
+  /** Table config for a manifest PQ index: zone maps on vec_id — the
+    * ADC pass reads every code row by design (10 bytes/vector), but
+    * point lookups and CDC merges on the id axis still prune. Call
+    * once before the first commit. */
+  def initManifestPqIndex(s: SparkSession, tablePath: String): Unit =
+    graft.sources.ManifestStore.setZoneMapColumns(s, tablePath,
+      Seq("vec_id"))
+
+  /** The versioned index's codebook read back from its `'c'` rows —
+    * fails LOUD on an index without one, with conflicting codebook
+    * commits, or with non-contiguous positions (codes index into the
+    * 0..n−1 order; a gap means assignments point at missing
+    * centroids). */
+  def manifestPqCodebook(s: SparkSession,
+      tablePath: String): Seq[Array[Double]] = {
+    val rows = s.read.format("graft").option("path", tablePath)
+      .option("collection", PqIndexCollection).load()
+      .where(col("kind") === "c").select(col("cent_id"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+    require(rows.nonEmpty,
+      s"PQ index at $tablePath carries no codebook rows — it predates " +
+        "codebook versioning or is not a PQ index; rebuild it")
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"PQ index at $tablePath has CONFLICTING codebook commits " +
+        "(duplicate positions) — codes are split across codebooks; " +
+        "rebuild it")
+    require(rows.zipWithIndex.forall { case ((id, _), i) => id == i.toLong },
+      s"PQ index at $tablePath has NON-CONTIGUOUS codebook positions " +
+        s"${rows.map(_._1).mkString("[", ", ", "]")} — stored codes " +
+        "index past the codebook; rebuild it")
+    rows.map(_._2)
+  }
+
+  /** Apply one vector batch to the versioned PQ index — ONE tagged
+    * pointer commit (atomic, replay-idempotent: a redelivered tag
+    * no-ops). The FIRST commit trains: its codebook rows and its
+    * encoded vectors land together, so a crash can never publish codes
+    * without the codebook they index into. Every later batch is
+    * encoded by the STORED codebook (faiss's train-then-add —
+    * [[refreshManifestIvfIndex]]'s contract for the compressed
+    * tier). */
+  def refreshManifestPqIndex(emb: DataFrame, tablePath: String,
+      tag: String): Boolean = {
+    val s = emb.sparkSession
+    val live = graft.sources.ManifestStore
+      .currentSegments(s, tablePath, PqIndexCollection).toSeq.flatten
+    val rows = if (live.isEmpty) {
+      val cb = pqCodebook(emb)
+      require(cb.nonEmpty, "the training batch holds no codebook rows")
+      pqCodebookRows(s, cb).unionByName(pqVectorRows(emb, cb))
+    } else pqVectorRows(emb, manifestPqCodebook(s, tablePath))
+    graft.sources.ManifestStore.storeBatch(
+      rows, tablePath, PqIndexCollection, tag)
+  }
+
+  /** Two-stage PQ search over the VERSIONED index through the
+    * declarative connector: the ADC pass scans ONLY the stored code
+    * rows (never the corpus doubles) against the driver-side lookup
+    * table built from the STORED codebook ([[pqLut]] — shared with the
+    * scan face, so scoring is bitwise identical), the
+    * [[PqShortlist]] survivors late-materialize their full vectors
+    * from the source table for the exact rerank — bitwise
+    * [[pqTopK]]'s answers, same oracle. */
+  def pqManifestTopK(s: SparkSession, tablePath: String,
+      emb: DataFrame, k: Int = K): DataFrame = {
+    val lut = pqLut(manifestPqCodebook(s, tablePath))
+    val score = (0 until PqM).map(m =>
+        element_at(vecLit(lut(m)),
+          (element_at(col("codes"), m + 1) + 1).cast("int")))
+      .reduce(_ + _) // left-assoc, ≡ the scan face and the oracle
+    val shortlist = s.read.format("graft").option("path", tablePath)
+      .option("collection", PqIndexCollection).load()
+      .where(col("kind") === "v")
+      .select(col("vec_id"), score.as("pq_sim"))
+      .orderBy(col("pq_sim").desc, col("vec_id"))
+      .limit(PqShortlist)
+    emb.select(col("vec_id"), col("label"),
+        toDouble(col("embedding")).as("ve"))
+      .join(VectorSearch.broadcastIfSmall(shortlist), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("pq_sim"),
+        V.dot(vecLit(QueryNorm), col("ve")).as("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Memoized VERSIONED (manifest) PQ index behind `ann_pq_manifest`:
+    * init → training commit (everything but the batch slice, codebook
+    * sample always in the train set) → delta commit encoded by the
+    * STORED codebook — [[manifestIvfIndexFor]]'s lifecycle for the
+    * compressed tier; queried through the connector against the same
+    * from-scratch oracle as [[pqTopK]]. */
+  private val manifestPqIndexes = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private[graft] def manifestPqIndexFor(s: SparkSession,
+      dir: String): String = {
+    val key = (s, dir)
+    Option(manifestPqIndexes.get(key)).getOrElse {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-pq-mindex-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
+      val emb = Tables(s, dir, "embeddings")
+      val batchPred = col("vec_id") % 10 === 1 &&
+        !col("vec_id").isin(PqCentroidIds: _*)
+      initManifestPqIndex(s, path)
+      refreshManifestPqIndex(emb.where(!batchPred), path, "base")
+      refreshManifestPqIndex(emb.where(batchPred), path, "delta-1")
+      Option(manifestPqIndexes.putIfAbsent(key, path)).map { prev =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)); prev // racing builder
+      }.getOrElse(path)
+    }
+  }
+
   /** Per-query Hamming shortlist width for [[binaryKnnJoin]]. */
   val BinaryJoinShortlist = 30
 
@@ -1404,21 +1569,37 @@ object Ann {
        |WHERE cent_id IN (SELECT cent_id FROM probe)
        |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin
 
+  /** Shared oracle for [[pqTopK]] and its versioned twin
+    * ([[pqManifestTopK]]): the two faces are bitwise interchangeable
+    * by construction (one codebook, one LUT, one fold order), so one
+    * SQL verifies both. */
+  private lazy val pqTopKOracleSql: String =
+    s"""WITH q AS (SELECT $qNormSql AS v),
+       |$pqCtes,
+       |short AS (
+       |  SELECT e.vec_id, e.label, e.v, $pqScoreSql AS pq_sim
+       |  FROM e
+       |  $pqJoins
+       |  CROSS JOIN q
+       |  ORDER BY pq_sim DESC, e.vec_id LIMIT $PqShortlist)
+       |SELECT vec_id, label, pq_sim,
+       |  ${dotSeqSql("q.v", "short.v", Dim)} AS similarity
+       |FROM short, q
+       |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef.sql("ann_pq_topk",
-      s"""WITH q AS (SELECT $qNormSql AS v),
-         |$pqCtes,
-         |short AS (
-         |  SELECT e.vec_id, e.label, e.v, $pqScoreSql AS pq_sim
-         |  FROM e
-         |  $pqJoins
-         |  CROSS JOIN q
-         |  ORDER BY pq_sim DESC, e.vec_id LIMIT $PqShortlist)
-         |SELECT vec_id, label, pq_sim,
-         |  ${dotSeqSql("q.v", "short.v", Dim)} AS similarity
-         |FROM short, q
-         |ORDER BY similarity DESC, vec_id LIMIT $K""".stripMargin) {
+    QueryDef.sql("ann_pq_topk", pqTopKOracleSql) {
       (s, dir) => pqTopK(Tables(s, dir, "embeddings"))
+    },
+
+    // the VERSIONED (manifest-backed) PQ index through the declarative
+    // connector: training commit (codebook rows atomic with their
+    // codes) + stored-codebook delta commit, exactly-once replay,
+    // ADC over stored 80-bit codes + late-materialized exact rerank —
+    // bitwise the scan face, same oracle
+    QueryDef.sql("ann_pq_manifest", pqTopKOracleSql) {
+      (s, dir) => pqManifestTopK(s, manifestPqIndexFor(s, dir),
+        Tables(s, dir, "embeddings"))
     },
 
     QueryDef.sql("ann_pq_recall",

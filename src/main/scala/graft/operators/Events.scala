@@ -1037,17 +1037,23 @@ object Events {
     * histogram-narrowing loop with tiny values (the fixtures are all
     * under the production cap) and assert loop ≡ direct selection —
     * the CC solvers' fast-path discipline. */
+  /** Shared target validation for every exact-quantile face (scalar,
+    * weighted, grouped, grouped+weighted): quantileRank's overflow
+    * guard assumes 1 ≤ p ≤ 99 (the Long.MaxValue/100 bound plus the
+    * +99 ceil term); p ≤ 0 would yield rank 0/negative and silently
+    * drop rows. */
+  private def requireValidPcts(pcts: Seq[Int]): Unit = {
+    require(pcts.nonEmpty && pcts.distinct == pcts,
+      s"percentile targets must be distinct and non-empty: $pcts")
+    require(pcts.forall(p => p >= 1 && p <= 99),
+      s"percentile targets must be in [1, 99]: $pcts")
+  }
+
   def exactQuantilesOn(values: DataFrame, c: String,
       selectCap: Long = QuantileSelectCap,
       buckets: Long = QuantileBuckets,
       pcts: Seq[Int] = QuantilePcts): DataFrame = {
-    require(pcts.nonEmpty && pcts.distinct == pcts,
-      s"percentile targets must be distinct and non-empty: $pcts")
-    // quantileRank's overflow guard assumes 1 <= p <= 99 (the
-    // Long.MaxValue/100 bound plus the +99 ceil term); p <= 0 would
-    // yield rank 0/negative and silently drop rows.
-    require(pcts.forall(p => p >= 1 && p <= 99),
-      s"percentile targets must be in [1, 99]: $pcts")
+    requireValidPcts(pcts)
     val s = values.sparkSession
     import s.implicits._
     // count(col) not count(*): a NULL value is invisible to min/max,
@@ -1348,7 +1354,9 @@ object Events {
     * doc-count quantiles misstate badly on long-tailed corpora. */
   def weightedQuantilesOn(values: DataFrame, c: String, w: String,
       selectCap: Long = QuantileSelectCap,
-      buckets: Long = QuantileBuckets): DataFrame = {
+      buckets: Long = QuantileBuckets,
+      pcts: Seq[Int] = QuantilePcts): DataFrame = {
+    requireValidPcts(pcts)
     val s = values.sparkSession
     import s.implicits._
     // a NULL value's weight must not seed the total: the row is
@@ -1360,7 +1368,7 @@ object Events {
     if (head.isNullAt(0) || head.getLong(2) == 0L)
       return Seq.empty[(Int, Long, Long)].toDF("pct", "k", c)
     val tw = head.getLong(2)
-    var open = QuantilePcts.map(p =>
+    var open = pcts.map(p =>
       (p, quantileRank(tw, p), head.getLong(0), head.getLong(1)))
     val origK = open.map(t => t._1 -> t._2).toMap
     var done = Seq.empty[(Int, Long, Long)]
@@ -1478,9 +1486,10 @@ object Events {
   def groupQuantilesOn(values: DataFrame, g: String, c: String,
       selectCap: Long = QuantileSelectCap,
       buckets: Long = GroupQuantileBuckets,
-      cellBudget: Long = QuantileDriverCellBudget): DataFrame =
+      cellBudget: Long = QuantileDriverCellBudget,
+      pcts: Seq[Int] = QuantilePcts): DataFrame =
     groupQuantilesCore(values, g, c, lit(1L), selectCap, buckets,
-      cellBudget)
+      cellBudget, pcts)
 
   /** GROUPED + WEIGHTED exact order statistics — the
     * [[weightedQuantilesOn]] semantics per group, all groups per scan:
@@ -1490,9 +1499,10 @@ object Events {
   def groupWeightedQuantilesOn(values: DataFrame, g: String, c: String,
       w: String, selectCap: Long = QuantileSelectCap,
       buckets: Long = GroupQuantileBuckets,
-      cellBudget: Long = QuantileDriverCellBudget): DataFrame =
+      cellBudget: Long = QuantileDriverCellBudget,
+      pcts: Seq[Int] = QuantilePcts): DataFrame =
     groupQuantilesCore(values.where(col(w) >= 1L), g, c, col(w),
-      selectCap, buckets, cellBudget)
+      selectCap, buckets, cellBudget, pcts)
 
   /** Shared grouped core: `wt` = lit(1) gives count semantics (the
     * k-th order statistic), a weight column gives cumulative-weight
@@ -1502,7 +1512,8 @@ object Events {
     * ways). */
   private def groupQuantilesCore(values: DataFrame, g: String, c: String,
       wt: Column, selectCap: Long, buckets: Long,
-      cellBudget: Long): DataFrame = {
+      cellBudget: Long, pcts: Seq[Int] = QuantilePcts): DataFrame = {
+    requireValidPcts(pcts)
     val s = values.sparkSession
     import s.implicits._
     // the driver-side target state carries the group value as String
@@ -1525,7 +1536,7 @@ object Events {
       .collect().toSeq.flatMap { r =>
         val (gv, lo, hi, n) =
           (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
-        QuantilePcts.map(p => (gv, p, quantileRank(n, p), lo, hi, n))
+        pcts.map(p => (gv, p, quantileRank(n, p), lo, hi, n))
       }
     val origK = open.map(t => (t._1, t._2) -> t._3).toMap
     var done = Seq.empty[(String, Int, Long, Long)] // (gv, pct, k, value)

@@ -1463,6 +1463,25 @@ object Pipeline {
     finally { v.unpersist(); () }
   }
 
+  /** The percentile grid a MIXTURE design actually reads off
+    * ([[tokenWeightedLengthsByLang]] at arbitrary targets): how token
+    * mass distributes across document lengths per language, at the
+    * quartile+tail grid rather than the monitoring protocol's fixed
+    * p50/p90/p99 — the grouped weighted core is pcts-parametric, so
+    * any grid is one protocol run with all languages sharing each
+    * round's scan. */
+  val MixturePcts: Seq[Int] = Seq(10, 25, 50, 75, 90)
+
+  def tokenWeightedDecilesByLang(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables(s, dir, "documents")
+      .select(col("lang"),
+        size(words(col("text"))).cast("long").as("n_words"))
+      .where(col("n_words") > 0 && col("lang").isNotNull).persist()
+    try Events.groupWeightedQuantilesOn(v, "lang", "n_words", "n_words",
+      pcts = MixturePcts)
+    finally { v.unpersist(); () }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("pl_token_weighted_by_lang",
       s"""WITH v AS (
@@ -1480,6 +1499,27 @@ object Pipeline {
          |FROM k JOIN c ON c.lang = k.lang AND c.cw >= k.k
          |GROUP BY k.lang, k.p, k.k ORDER BY k.lang, pct""".stripMargin)(
       (s, dir) => tokenWeightedLengthsByLang(s, dir)),
+
+    // the same grouped weighted protocol at an ARBITRARY target grid
+    // (quartiles + tails) — the mixture-design query; one run, all
+    // languages and all targets share each round's scan
+    QueryDef.sql("pl_token_weighted_deciles", {
+      val pvals = MixturePcts.map(p => s"($p)").mkString(", ")
+      s"""WITH v AS (
+         |  SELECT lang, CAST(len($W) AS BIGINT) AS n_words FROM documents
+         |  WHERE len($W) > 0 AND lang IS NOT NULL),
+         |t AS (SELECT lang, CAST(sum(n_words) AS BIGINT) AS tw
+         |  FROM v GROUP BY lang),
+         |k AS (SELECT t.lang, p,
+         |  CAST((t.tw * p + 99) // 100 AS BIGINT) AS k
+         |  FROM (VALUES $pvals) AS q(p), t),
+         |c AS (SELECT lang, n_words,
+         |  sum(n_words) OVER (PARTITION BY lang ORDER BY n_words) AS cw
+         |  FROM v)
+         |SELECT k.lang, k.p AS pct, k.k AS k, min(c.n_words) AS n_words
+         |FROM k JOIN c ON c.lang = k.lang AND c.cw >= k.k
+         |GROUP BY k.lang, k.p, k.k ORDER BY k.lang, pct""".stripMargin})(
+      (s, dir) => tokenWeightedDecilesByLang(s, dir)),
 
     QueryDef.sql("pl_token_weighted_len",
       s"""WITH v AS (

@@ -761,6 +761,37 @@ object EventStream {
       .start()
   }
 
+  /** Streaming maintenance of the VERSIONED PQ index — embedding rows
+    * dropped as JSON become one tagged index commit per micro-batch
+    * ([[graft.operators.Ann.refreshManifestPqIndex]]): the FIRST batch
+    * trains (its codebook rows land atomically with its encoded
+    * 80-bit codes), every later batch is encoded by the STORED
+    * codebook — [[maintainIvfIndex]]'s faiss train-then-add contract
+    * for the compressed tier. An at-least-once redelivery finds its
+    * `<ingest-id>-<batchId>` tag in the pointer log and no-ops. */
+  def maintainPqIndex(spark: SparkSession, dropDir: String,
+      tablePath: String, checkpoint: String): StreamingQuery = {
+    val ingestId = ingestIdentity(spark, checkpoint)
+    graft.operators.Ann.initManifestPqIndex(spark, tablePath)
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType))))
+      .json(dropDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Ann.refreshManifestPqIndex(
+          batch, tablePath, s"$ingestId-$batchId"): Unit
+      }
+      .start()
+  }
+
   /** Streaming DEAD-LETTER split of the data-quality gate
     * ([[graft.operators.Pipeline.quarantineOn]]'s stream face): every
     * arriving document violating a ROW-LOCAL rule is emitted with its

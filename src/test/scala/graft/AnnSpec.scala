@@ -255,6 +255,62 @@ class AnnSpec extends SparkSpecBase {
       .deleteQuietly(new java.io.File(t).getParentFile))
   }
 
+  test("manifest PQ index: training commit carries the codebook, " +
+      "deltas encode with the STORED codebook, replay no-ops, answers " +
+      "bitwise the scan face; codebook-less and conflicting-codebook " +
+      "stores refused loud") {
+    import java.nio.file.Files
+    val table = Files.createTempDirectory("graft_pq_mfst").toString + "/t"
+    Ann.initManifestPqIndex(spark, table)
+    val batchPred = col("vec_id") % 10 === 1 &&
+      !col("vec_id").isin(Ann.PqCentroidIds: _*)
+    assert(Ann.refreshManifestPqIndex(emb.where(!batchPred), table, "base"))
+    assert(Ann.refreshManifestPqIndex(emb.where(batchPred), table, "d1"))
+    def ask() = Ann.pqManifestTopK(spark, table, emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Double]("pq_sim"), r.getAs[Double]("similarity"))).toSeq
+    val before = ask()
+    // exactly-once: the replayed tag commits nothing
+    assert(!Ann.refreshManifestPqIndex(emb.where(batchPred), table, "d1"))
+    assert(ask() == before)
+    // the stored codebook equals the full corpus's (the sample stride
+    // is held in the base/train commit), so answers are bitwise the
+    // scan face's — one codebook, one LUT, one fold order
+    val expect = Ann.pqTopK(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Double]("pq_sim"), r.getAs[Double]("similarity"))).toSeq
+    assert(before == expect)
+    // a CONFLICTING codebook commit (duplicate position) refuses loud
+    // at probe time — codes would be split across codebooks
+    graft.sources.ManifestStore.storeBatch(
+      spark.range(1).select(lit("c").as("kind"),
+        lit(null).cast("long").as("vec_id"),
+        lit(null).cast("long").as("label"),
+        lit(null).cast("array<long>").as("codes"),
+        lit(0L).as("cent_id"),
+        array((0 until 64).map(_ => lit(0.0)): _*).as("v")),
+      table, Ann.PqIndexCollection, "evil")
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.pqManifestTopK(spark, table, emb)
+    }
+    assert(e2.getMessage.contains("CONFLICTING"), e2.getMessage)
+    // an index without codebook rows is refused loud
+    val bare = Files.createTempDirectory("graft_pq_bare").toString + "/t"
+    graft.sources.ManifestStore.storeBatch(
+      emb.limit(5).select(lit("v").as("kind"), col("vec_id"),
+        col("label").cast("long").as("label"),
+        array(lit(0L)).as("codes"),
+        lit(null).cast("long").as("cent_id"),
+        lit(null).cast("array<double>").as("v")),
+      bare, Ann.PqIndexCollection, "b0")
+    val e = intercept[IllegalArgumentException] {
+      Ann.pqManifestTopK(spark, bare, emb)
+    }
+    assert(e.getMessage.contains("codebook"), e.getMessage)
+    Seq(table, bare).foreach(t => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(t).getParentFile))
+  }
+
   test("binary-sign search: engine result equals a driver-side " +
       "reimplementation (sig pack, Hamming shortlist, exact rerank); " +
       "recall measured") {

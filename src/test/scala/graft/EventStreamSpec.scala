@@ -1022,6 +1022,42 @@ class EventStreamSpec extends SparkSpecBase {
     assert(asTuples(Ann.ivfManifestTopK(spark, table)) == streamed)
   }
 
+  test("streaming PQ-index maintenance: the first batch trains, " +
+      "deltas encode with the stored codebook, replay no-op, search " +
+      "equals the scan face") {
+    import graft.operators.Ann
+    val drop = Files.createTempDirectory("graft_pidx_drop").toString
+    val table = Files.createTempDirectory("graft_pidx_str").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_pidx_ckpt").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val batchPred = col("vec_id") % 10 === 1 &&
+      !col("vec_id").isin(Ann.PqCentroidIds: _*)
+    def dropJson(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$drop/$name"),
+        df.toJSON.collect().mkString("\n")): Unit
+    dropJson("b1.json", emb.where(!batchPred)) // training set: samples
+    val q = EventStream.maintainPqIndex(spark, drop, table, ckpt)
+    try {
+      q.processAllAvailable()
+      dropJson("b2.json", emb.where(batchPred))
+      q.processAllAvailable()
+    } finally q.stop()
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("pq_sim"),
+        r.getAs[Double]("similarity"))).toSeq
+    val streamed = asTuples(Ann.pqManifestTopK(spark, table, emb))
+    assert(streamed == asTuples(Ann.pqTopK(emb)))
+    // replay of a committed (ingest-id, batch) tag is a no-op
+    val id = {
+      val p = java.nio.file.Paths.get(s"$ckpt/graft-ingest-id")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    }
+    assert(!Ann.refreshManifestPqIndex(
+      emb.where(!batchPred), table, s"$id-0"))
+    assert(asTuples(Ann.pqManifestTopK(spark, table, emb)) == streamed)
+  }
+
   test("streaming binary-index maintenance: pure-append tagged " +
       "commits, replay no-op, search equals the scan face") {
     import graft.operators.Ann

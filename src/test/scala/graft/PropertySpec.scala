@@ -397,12 +397,18 @@ class PropertySpec extends SparkSpecBase {
         w <- Gen.chooseNum(1L, 30L)
       } yield (g, v, w))
     } yield rows.toSeq
+    // alternate target grids per case: the core is pcts-parametric
+    // (the mixture-design query asks arbitrary grids), so the pin
+    // must not hold only at the fixed monitoring protocol
+    val grids = Seq(Events.QuantilePcts, Seq(10, 25, 50, 75, 90),
+      Seq(1, 37, 99), Seq(42))
     samples(genRows, 6).zipWithIndex.foreach { case (rows, i) =>
       val df = rows.toDF("g", "v", "w")
+      val pcts = grids(i % grids.length)
       val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
         val sorted = rs.map(r => (r._2, r._3)).sortBy(_._1)
         val tw = rs.map(_._3).sum
-        Events.QuantilePcts.map { p =>
+        pcts.map { p =>
           val k = (tw * p + 99L) / 100L
           var cum = 0L
           val v = sorted.find { case (_, w) => cum += w; cum >= k }.get._1
@@ -414,10 +420,18 @@ class PropertySpec extends SparkSpecBase {
           (1L, 4L, Events.QuantileDriverCellBudget),
           (8L, 2L, 1L)).foreach { case (cap, b, budget) =>
         val got = Events.groupWeightedQuantilesOn(df, "g", "v", "w",
-          cap, b, budget).collect()
+          cap, b, budget, pcts).collect()
           .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
             r.getLong(3))).toSeq
         assert(got == expect, s"case $i cap=$cap b=$b budget=$budget")
+      }
+    }
+    // invalid grids refuse loud (quantileRank's domain contract)
+    Seq(Seq.empty[Int], Seq(0), Seq(100), Seq(50, 50)).foreach { bad =>
+      intercept[IllegalArgumentException] {
+        Events.groupWeightedQuantilesOn(
+          Seq(("g0", 1L, 1L)).toDF("g", "v", "w"), "g", "v", "w",
+          pcts = bad)
       }
     }
   }
