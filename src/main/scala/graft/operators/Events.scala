@@ -1744,6 +1744,96 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Engine-portable id hash for the KMV sketch, uniform on
+    * [0, HashMod): the pre-mod keeps the product under 2^63 for any
+    * id, and the multiplier is ~3P/4 so even SMALL sequential ids wrap
+    * around P and spread uniformly — a small multiplier would leave
+    * the bottom-k hashes clustered near 0 and the (k-1)·P/kth estimate
+    * wildly inflated. Mirrored verbatim in the DuckDB oracle. */
+  private[graft] def userIdHash: Column = {
+    val P = graft.functions.TextFunctions.HashMod
+    ((col("user_id") % lit(P)) * lit(756839017L) + lit(11L)) % lit(P)
+  }
+
+  /** INCREMENTAL DISTINCT-COUNT MAINTENANCE over the manifest change
+    * feed — [[incrementalAgg]]'s missing aggregate: COUNT(DISTINCT) is
+    * not mergeable, so the incremental face carries the KMV sketch
+    * ([[graft.functions.SketchAggregate]]) instead, whose bounded
+    * bottom-k state IS mergeable: bottom-k(base ∪ delta) ≡
+    * bottom-k(bottom-k(base) ∪ bottom-k(delta)) — an algebraic
+    * identity, so base+delta equals the full recompute BIT-FOR-BIT,
+    * not approximately (the estimate only approximates the true
+    * distinct count; the oracle recomputes the same estimate from
+    * scratch and hashes it exactly). Per-type distinct users: the base
+    * snapshot's per-type samples (≤ k longs each — what a production
+    * deployment would persist) merge with samples aggregated from ONLY
+    * the appended segments. Hashing is affine-mod integer arithmetic
+    * (engine-portable; the MINSTD multiplier spreads sequential ids),
+    * NOT a float or engine-internal HLL. */
+  def incrementalDistinct(s: SparkSession, dir: String,
+      k: Int = 64): DataFrame = {
+    val (path, _, _) = manifestEventsTable(s, dir)
+    val versions = graft.sources.ManifestStore
+      .listVersions(s, path, "events").filterNot(_.tombstone)
+    val anchor = versions(math.max(0, versions.size / 2 - 1)).ptrSeq
+    val base = graft.sources.ManifestStore
+      .readAsOfInferred(s, path, "events", anchor)
+    val delta = graft.sources.ManifestStore
+      .readSinceInferred(s, path, "events", anchor)
+    val hv = userIdHash
+    def sample(df: DataFrame): DataFrame = df
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), hv.as("hv"))
+      .groupBy("event_type")
+      .agg(graft.functions.SketchAggregate.kmvSample(col("hv"), k)
+        .as("sample"))
+    sample(base).unionByName(sample(delta))
+      .select(col("event_type"), explode(col("sample")).as("hv"))
+      .groupBy("event_type")
+      .agg(graft.functions.SketchAggregate.kmvSketch(col("hv"), k).as("sk"))
+      .select(col("event_type"), col("sk.kth_hash").as("kth_hash"),
+        col("sk.est").as("n_users_est"))
+      .orderBy("event_type")
+  }
+
+  /** Per-type HOURLY-RATE TREND: the OLS slope of hourly event counts
+    * vs the hour index — the "is this event type growing?" monitoring
+    * regression — in EXACT integer arithmetic: slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over integer (x, y) points, so
+    * every operand of the ONE terminal division is an exactly-computed
+    * integer (Spark 64-bit longs, DuckDB int128 sum intermediates) and
+    * the division is a single correctly-rounded IEEE op — unlike
+    * regr_slope's fold-order-dependent float accumulation, this
+    * hash-matches across engines. x is re-based at the corpus's first
+    * hour (slope is shift-invariant; the re-base keeps every
+    * intermediate well under 2^53 so the int128→double casts stay
+    * exact). Scale shape: one partial-aggregated (type, hour) count
+    * shuffle — the hourly-dashboard relation [[hourlyEwma]] already
+    * builds — then a per-type aggregate over a bounded-by-retention
+    * hour set; the first-hour re-base is a 1-row broadcast. Types with
+    * a single observed hour report NULL slope (zero denominator). */
+  def hourlyTrend(s: SparkSession, dir: String): DataFrame = {
+    val pts = load(s, dir)
+      .where(col("ts_us").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("y"))
+    val num = col("n_hours") * col("sxy") - col("sx") * col("sy")
+    val den = col("n_hours") * col("sxx") - col("sx") * col("sx")
+    pts.crossJoin(broadcast(pts.agg(min(col("hr")).as("hr0"))))
+      .select(col("event_type"), (col("hr") - col("hr0")).as("x"), col("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n_hours"),
+        (col("sy").cast("double") / col("n_hours").cast("double"))
+          .as("avg_per_hour"),
+        when(den =!= 0, num.cast("double") / den.cast("double"))
+          .as("slope_per_hour"))
+      .orderBy("event_type")
+  }
+
   /** VERSION-DIFF fixture (implicit index, built once per (session,
     * sf dir)): a dedicated manifest collection whose pointer log is a
     * deterministic three-commit CDC story derived arithmetically from
@@ -2192,6 +2282,45 @@ object Events {
         |  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin)((s, dir) => incrementalAgg(s, dir)),
+
+    QueryDef.sql("ev_incremental_distinct",
+      // (k-1)·P = 63 · 1000000007 — exact in both engines; the oracle
+      // recomputes the sketch from scratch, proving base ⊎ delta ≡ full
+      """WITH d AS (SELECT DISTINCT event_type,
+        |    ((user_id % 1000000007) * 756839017 + 11) % 1000000007 AS hv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT event_type, count(*) AS nd,
+        |  list_sort(list(hv)) AS hs FROM d GROUP BY event_type)
+        |SELECT event_type,
+        |  CASE WHEN nd >= 64 THEN hs[64]
+        |       ELSE CAST(-1 AS BIGINT) END AS kth_hash,
+        |  CASE WHEN nd >= 64
+        |       THEN 63000000441.0E0 / CAST(hs[64] AS DOUBLE)
+        |       ELSE CAST(nd AS DOUBLE) END AS n_users_est
+        |FROM g ORDER BY event_type""".stripMargin)(
+      (s, dir) => incrementalDistinct(s, dir)),
+
+    QueryDef.sql("ev_hourly_trend",
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    count(*) AS y
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS hr0 FROM h),
+        |p AS (SELECT event_type, hr - hr0 AS x, y FROM h, b),
+        |g AS (SELECT event_type, count(*) AS n_hours, sum(x) AS sx,
+        |  sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+        |  FROM p GROUP BY event_type)
+        |SELECT event_type, n_hours,
+        |  CAST(sy AS DOUBLE) / CAST(n_hours AS DOUBLE) AS avg_per_hour,
+        |  CASE WHEN n_hours * sxx - sx * sx <> 0
+        |    THEN CAST(n_hours * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n_hours * sxx - sx * sx AS DOUBLE)
+        |  END AS slope_per_hour
+        |FROM g ORDER BY event_type""".stripMargin)(
+      (s, dir) => hourlyTrend(s, dir)),
 
     QueryDef.sql("ev_connector_range",
       s"""WITH b AS (

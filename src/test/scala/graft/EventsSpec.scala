@@ -531,4 +531,48 @@ class EventsSpec extends SparkSpecBase {
     // grid never mints a cell outside [0, B)
     assert(got == Map(0L -> 4L, 1L -> 1L, 3L -> 3L))
   }
+
+  test("incremental distinct: merged base+delta KMV sketch ≡ the " +
+      "from-scratch sketch bit-for-bit (bottom-k union identity)") {
+    val inc = Events.incrementalDistinct(spark, sf)
+      .collect().map(_.toSeq.toList).toList
+    val scratch = Events.load(spark, sf)
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), Events.userIdHash.as("hv"))
+      .groupBy("event_type")
+      .agg(graft.functions.SketchAggregate.kmvSketch(col("hv"), 64).as("sk"))
+      .select(col("event_type"), col("sk.kth_hash").as("kth_hash"),
+        col("sk.est").as("n_users_est"))
+      .orderBy("event_type")
+      .collect().map(_.toSeq.toList).toList
+    assert(inc == scratch)
+  }
+
+  test("hourly trend: slope/avg equal the exact integer-arithmetic " +
+      "recompute, n_hours complete") {
+    val out = Events.hourlyTrend(spark, sf).collect()
+    assert(out.nonEmpty)
+    val pts = Events.load(spark, sf)
+      .where(col("ts_us").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("y")).collect()
+    val hr0 = pts.map(_.getAs[Long]("hr")).min
+    val byType = pts.groupBy(_.getAs[String]("event_type"))
+    assert(out.map(_.getAs[String]("event_type")).toSet == byType.keySet)
+    out.foreach { r =>
+      val xs = byType(r.getAs[String]("event_type"))
+        .map(p => (p.getAs[Long]("hr") - hr0, p.getAs[Long]("y")))
+      val n = xs.length.toLong
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val sxx = xs.map(p => p._1 * p._1).sum
+      val sxy = xs.map(p => p._1 * p._2).sum
+      assert(r.getAs[Long]("n_hours") == n)
+      assert(r.getAs[Double]("avg_per_hour") == sy.toDouble / n.toDouble)
+      val den = n * sxx - sx * sx
+      if (den != 0L)
+        assert(r.getAs[Double]("slope_per_hour") ==
+          (n * sxy - sx * sy).toDouble / den.toDouble)
+      else assert(r.isNullAt(r.fieldIndex("slope_per_hour")))
+    }
+  }
 }

@@ -750,4 +750,32 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("LeftSemi"), p)
     assert("BroadcastExchange".r.findAllIn(p).length >= 1, p)
   }
+
+  test("forecast revenue (Q6 shape): pure scan-aggregate — every " +
+      "predicate pushed, no join, one single-partition exchange") {
+    val df = Relational.forecastRevenue(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Join"), p)
+    assert(nShuffles(df) == 1, p) // the 1-row partial → final exchange
+    // the date window, discount band and quantity cap all reach the
+    // scan (PushedFilters renders truncated — assert via the scan-level
+    // predicate text, which the pushdown list mirrors)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert("l_shipdate#\\d+ >= 1997-01-01".r.findFirstIn(p).nonEmpty, p)
+    assert("l_discount#\\d+ >= 0.02".r.findFirstIn(p).nonEmpty, p)
+    assert("l_quantity#\\d+ < 24".r.findFirstIn(p).nonEmpty, p)
+  }
+
+  test("disjunctive revenue (Q19 shape): per-side OR envelopes pushed " +
+      "to BOTH scans, exact OR kept as the join residual") {
+    val p = plan(Relational.disjunctiveRevenue(spark, sf))
+    // part scan: the brand/size union-of-clauses envelope is pushed
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"), p)
+    // fact scan: the quantity hull is pushed
+    assert(p.contains("LessThanOrEqual(l_quantity,40.0)"), p)
+    // the cross-side OR survives as the join residual (correctness),
+    // and the join itself is the size-gated broadcast, not an SMJ
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -218,4 +218,52 @@ class RelationalSpec extends SparkSpecBase {
     assert(full.length == 1 &&
       full.head.getAs[Long]("n_customers") == 3L)
   }
+
+  test("order count distribution: histogram masses reconcile with the " +
+      "customer table and the filtered orders table") {
+    val rows = Relational.orderCountDistribution(spark, sf).collect()
+    val nCustomers = spark.read.parquet(s"$sf/customer.parquet").count()
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .where(col("o_orderpriority") =!= "1-URGENT").count()
+    // every customer lands in exactly one bucket (LEFT OUTER keeps the
+    // zero-order customers), and the count-weighted mass is the orders
+    assert(rows.map(_.getAs[Long]("custdist")).sum == nCustomers)
+    assert(rows.map(r => r.getAs[Long]("c_count") *
+      r.getAs[Long]("custdist")).sum == nOrders)
+  }
+
+  test("promo effect: conditional share is bounded by its total") {
+    val r = Relational.promoEffect(spark, sf).collect().head
+    val (promo, total) = (r.getAs[Double]("promo_revenue"),
+      r.getAs[Double]("total_revenue"))
+    assert(promo >= 0.0 && promo <= total)
+    assert(r.getAs[Double]("promo_pct") == promo / total * 100.0)
+  }
+
+  test("top supplier: the argmax really is the per-supplier max, ties " +
+      "all surface") {
+    val rows = Relational.topSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_rev")).distinct
+    assert(revs.length == 1, "all surfaced suppliers share the max")
+  }
+
+  test("volume shipping: only cross-nation pairs, both directions " +
+      "covered by the pair filter") {
+    val rows = Relational.volumeShipping(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("supp_nation") != r.getAs[String]("cust_nation"))
+      assert(Set(Relational.VolumeNationA, Relational.VolumeNationB)(
+        r.getAs[String]("supp_nation")))
+    }
+  }
+
+  test("shipping priority: at most k rows, revenue sorted desc with " +
+      "the order-key tiebreak") {
+    val rows = Relational.shippingPriority(spark, sf).collect()
+    assert(rows.length <= 10)
+    val keys = rows.map(r =>
+      (-r.getAs[Double]("revenue"), r.getAs[Long]("l_orderkey"))).toSeq
+    assert(keys == keys.sorted, "revenue desc, l_orderkey asc")
+  }
 }
