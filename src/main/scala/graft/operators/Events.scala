@@ -1796,6 +1796,75 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Histogram resolution for [[snapshotDrift]]. */
+  val DriftBuckets = 16
+
+  /** SNAPSHOT DISTRIBUTION DRIFT — the per-ingest monitoring query a
+    * training pipeline runs before trusting new data: the total-
+    * variation distance between an earlier manifest VERSION's value
+    * distribution and the current one, per event type, over a shared
+    * fixed histogram grid. TVD = ½·Σ|p_i − q_i| is the drift metric
+    * with an EXACT cross-engine form (PSI/KL need ln — libm-divergent):
+    * clearing denominators, Σ|n_b·N_c − n_c·N_b| is pure integer
+    * arithmetic (Spark decimal(38,0) ≡ DuckDB HUGEINT products — int64
+    * would overflow first at corpus scale), and the ONE terminal
+    * division is a correctly-rounded IEEE op, so the drift score
+    * itself oracles bitwise. Scale shape: two histogram aggregates
+    * (map-side combined to ≤ types×B cells each — the quantile-sketch
+    * state bound), a full-outer join and a window on the CELL-sized
+    * relation, nothing corpus-sized after the scans; the base
+    * histogram is what a production deployment would persist with
+    * each version. The base snapshot is the anchor version's time
+    * travel read — same anchor arithmetic as [[incrementalAgg]], and
+    * EventsSpec pins the version↔time-slice equivalence the oracle's
+    * cutoff predicate relies on. */
+  def snapshotDrift(s: SparkSession, dir: String,
+      buckets: Int = DriftBuckets): DataFrame = {
+    val (path, _, _) = manifestEventsTable(s, dir)
+    val versions = graft.sources.ManifestStore
+      .listVersions(s, path, "events").filterNot(_.tombstone)
+    val anchor = versions(math.max(0, versions.size / 2 - 1)).ptrSeq
+    val base = graft.sources.ManifestStore
+      .readAsOfInferred(s, path, "events", anchor)
+    val cur = graft.sources.ManifestStore
+      .readAsOfInferred(s, path, "events", versions.last.ptrSeq)
+    // the shared grid comes from the CURRENT snapshot's value bounds —
+    // 1-row aggregate metadata (the codebook-class collect); both
+    // snapshots bucket on the same grid or the distance is meaningless
+    val b = cur.where(col("value").isNotNull)
+      .agg(min("value"), max("value")).head
+    val (vlo, vhi) = (b.getDouble(0), b.getDouble(1))
+    val bkt = // clamp(floor((v - lo)·B/span)) — edge value lands in B-1
+      if (vhi > vlo)
+        least(greatest(floor((col("value") - lit(vlo)) * lit(buckets.toDouble)
+          / lit(vhi - vlo)), lit(0L)), lit(buckets - 1L))
+      else lit(0L)
+    def hist(df: DataFrame, n: String): DataFrame = df
+      .where(col("event_type").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), bkt.as("bkt"))
+      .agg(count(lit(1)).as(n))
+    val hb = hist(base, "n_b")
+    val hc = hist(cur, "n_c")
+    val j = hb.join(hc, Seq("event_type", "bkt"), "full_outer")
+      .select(col("event_type"), col("bkt"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_c"), lit(0L)).as("n_c"))
+    val w = Window.partitionBy(col("event_type"))
+    val dec38 = DecimalType(19, 0)
+    j.withColumn("nb_tot", sum(col("n_b")).over(w))
+      .withColumn("nc_tot", sum(col("n_c")).over(w))
+      .groupBy("event_type")
+      .agg(max(col("nb_tot")).as("n_base"), max(col("nc_tot")).as("n_cur"),
+        sum(abs(col("n_b").cast(dec38) * col("nc_tot").cast(dec38) -
+          col("n_c").cast(dec38) * col("nb_tot").cast(dec38))).as("num"))
+      .select(col("event_type"), col("n_base"), col("n_cur"),
+        when(col("n_base") > 0 && col("n_cur") > 0,
+          col("num").cast("double") /
+            (lit(2.0) * col("n_base").cast("double") *
+              col("n_cur").cast("double"))).as("tvd"))
+      .orderBy("event_type")
+  }
+
   /** Per-type HOURLY-RATE TREND: the OLS slope of hourly event counts
     * vs the hour index — the "is this event type growing?" monitoring
     * regression — in EXACT integer arithmetic: slope =
@@ -2300,6 +2369,46 @@ object Events {
         |       ELSE CAST(nd AS DOUBLE) END AS n_users_est
         |FROM g ORDER BY event_type""".stripMargin)(
       (s, dir) => incrementalDistinct(s, dir)),
+
+    QueryDef.sql("ev_snapshot_drift",
+      // base = the anchor version = the first 4 of 8 time-slice
+      // commits = t <= lo + 4w - 1 (EventsSpec pins the equivalence);
+      // products in HUGEINT ≡ Spark decimal(38,0) — exact integers
+      s"""WITH f AS (SELECT event_type, value, epoch_us(ts) AS t
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |    AND value IS NOT NULL),
+         |bnd AS (SELECT min(t) AS lo, (max(t) - min(t)) // $RangeSegs AS w
+         |  FROM f),
+         |vb AS (SELECT min(value) AS vlo, max(value) AS vhi FROM f),
+         |pts AS (SELECT event_type, t,
+         |  CASE WHEN vhi > vlo THEN least(greatest(
+         |      CAST(floor((value - vlo) * $DriftBuckets.0E0 / (vhi - vlo))
+         |        AS BIGINT), 0), ${DriftBuckets - 1})
+         |    ELSE 0 END AS bkt
+         |  FROM f, vb),
+         |hb AS (SELECT event_type, bkt, count(*) AS n_b FROM pts, bnd
+         |  WHERE t <= lo + ${RangeSegs / 2} * w - 1 GROUP BY 1, 2),
+         |hc AS (SELECT event_type, bkt, count(*) AS n_c FROM pts
+         |  GROUP BY 1, 2),
+         |j AS (SELECT coalesce(hb.event_type, hc.event_type) AS event_type,
+         |    coalesce(hb.bkt, hc.bkt) AS bkt,
+         |    coalesce(n_b, 0) AS n_b, coalesce(n_c, 0) AS n_c
+         |  FROM hb FULL OUTER JOIN hc
+         |    ON hb.event_type = hc.event_type AND hb.bkt = hc.bkt),
+         |tot AS (SELECT event_type, n_b, n_c,
+         |    SUM(n_b) OVER (PARTITION BY event_type) AS nb_tot,
+         |    SUM(n_c) OVER (PARTITION BY event_type) AS nc_tot FROM j)
+         |SELECT event_type,
+         |  CAST(max(nb_tot) AS BIGINT) AS n_base,
+         |  CAST(max(nc_tot) AS BIGINT) AS n_cur,
+         |  CASE WHEN max(nb_tot) > 0 AND max(nc_tot) > 0 THEN
+         |    CAST(SUM(ABS(CAST(n_b AS HUGEINT) * nc_tot
+         |        - CAST(n_c AS HUGEINT) * nb_tot)) AS DOUBLE)
+         |      / (2.0E0 * CAST(max(nb_tot) AS DOUBLE)
+         |        * CAST(max(nc_tot) AS DOUBLE)) END AS tvd
+         |FROM tot GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)(
+      (s, dir) => snapshotDrift(s, dir)),
 
     QueryDef.sql("ev_hourly_trend",
       """WITH h AS (

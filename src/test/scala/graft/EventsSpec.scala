@@ -548,6 +548,28 @@ class EventsSpec extends SparkSpecBase {
     assert(inc == scratch)
   }
 
+  test("snapshot drift: the anchor VERSION reads exactly the first " +
+      "half of the time slices (the oracle's cutoff predicate), tvd " +
+      "bounded in [0, 1]") {
+    val out = Events.snapshotDrift(spark, sf).collect()
+    assert(out.nonEmpty)
+    val (_, lo, hi) = Events.manifestEventsTable(spark, sf)
+    val w = (hi - lo) / Events.RangeSegs
+    val cut = lo + (Events.RangeSegs / 2) * w - 1
+    val raw = Events.load(spark, sf)
+      .where(col("ts_us") <= cut && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_base") ==
+        raw.getOrElse(r.getAs[String]("event_type"), 0L),
+        "time-travel base ≡ time-slice cutoff")
+      val tvd = r.getAs[Double]("tvd")
+      assert(tvd >= 0.0 && tvd <= 1.0)
+    }
+  }
+
   test("hourly trend: slope/avg equal the exact integer-arithmetic " +
       "recompute, n_hours complete") {
     val out = Events.hourlyTrend(spark, sf).collect()
