@@ -1796,6 +1796,71 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** LINEARLY-INTERPOLATED hourly resample — [[gapFilledHourly]]'s
+    * metric-series sibling: zero-filling is right for COUNTS (a missing
+    * hour had zero events) but wrong for a sampled MEASUREMENT (a
+    * missing hour is unknown, not zero), so each type's missing hours
+    * take the straight line between the neighbouring observed hourly
+    * means (edge gaps carry the nearest observation). Determinism: the
+    * observed mean is one decimal-sum-over-count division, and the
+    * interpolation pv + (nv−pv)·((hr−ph)/(nh−ph)) is a FIXED tree of
+    * correctly-rounded IEEE ops over identically-derived operands —
+    * mirrored token-for-token in the oracle, so even the interpolated
+    * values hash bitwise. Scale shape: one partial-aggregated
+    * (type, hour) shuffle over the corpus, then grid + both
+    * neighbour windows on the types×hours relation (bounded by
+    * retention, not event volume); all four neighbour columns ride ONE
+    * window partitioning. */
+  def gapInterpolatedHourly(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val hourly = load(s, dir)
+      .where(col("ts_us").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .select(expr("ts_us div 3600000000").as("hr"), col("event_type"),
+        col("value"))
+      .groupBy("hr", "event_type")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+      .select(col("hr"), col("event_type"), col("n_obs"),
+        (col("sv").cast("double") / col("n_obs").cast("double"))
+          .as("mean_obs"))
+      .persist() // tiny (hours × types); released via releaseCaches()
+    retained.add(hourly)
+    val meta = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"),
+      sort_array(collect_set(col("event_type"))).as("types")).head
+    if (meta.isNullAt(0)) // empty input: a defined empty frame
+      return hourly.select((col("hr") * hourUs).as("hr_us"),
+        col("event_type"), col("n_obs"), col("mean_obs").as("value"),
+        lit("obs").as("src")).where(lit(false))
+    val types = meta.getAs[scala.collection.Seq[String]]("types")
+    val grid = s.range(1).select(explode(sequence(
+        lit(meta.getAs[Long]("lo")), lit(meta.getAs[Long]("hi"))))
+        .as("hr"))
+      .crossJoin(s.createDataFrame(types.map(Tuple1(_)).toSeq)
+        .toDF("event_type"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsHr = when(col("mean_obs").isNotNull, col("hr"))
+    grid.join(hourly, Seq("hr", "event_type"), "left_outer")
+      .withColumn("pv", last(col("mean_obs"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(obsHr, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("mean_obs"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(obsHr, ignoreNulls = true).over(wNext))
+      .select((col("hr") * hourUs).as("hr_us"), col("event_type"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        when(col("mean_obs").isNotNull, col("mean_obs"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + (col("nv") - col("pv")) *
+              ((col("hr") - col("ph")).cast("double") /
+                (col("nh") - col("ph")).cast("double")))
+          .otherwise(coalesce(col("pv"), col("nv"))).as("value"),
+        when(col("mean_obs").isNotNull, "obs")
+          .when(col("pv").isNotNull && col("nv").isNotNull, "interp")
+          .otherwise("edge").as("src"))
+      .orderBy("hr_us", "event_type")
+  }
+
   /** Histogram resolution for [[snapshotDrift]]. */
   val DriftBuckets = 16
 
@@ -1843,8 +1908,15 @@ object Events {
       .where(col("event_type").isNotNull && col("value").isNotNull)
       .groupBy(col("event_type"), bkt.as("bkt"))
       .agg(count(lit(1)).as(n))
-    val hb = hist(base, "n_b")
-    val hc = hist(cur, "n_c")
+    tvdOfHists(hist(base, "n_b"), hist(cur, "n_c"))
+  }
+
+  /** The drift-score tail shared by [[snapshotDrift]] and the streaming
+    * face's consumer: per-type total-variation distance from two
+    * (event_type, bkt, count) histogram relations — pure cell-sized
+    * arithmetic, the exact integer TVD form documented at
+    * [[snapshotDrift]]. Inputs' count columns must be named n_b / n_c. */
+  private[graft] def tvdOfHists(hb: DataFrame, hc: DataFrame): DataFrame = {
     val j = hb.join(hc, Seq("event_type", "bkt"), "full_outer")
       .select(col("event_type"), col("bkt"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
@@ -1863,6 +1935,30 @@ object Events {
             (lit(2.0) * col("n_base").cast("double") *
               col("n_cur").cast("double"))).as("tvd"))
       .orderBy("event_type")
+  }
+
+  /** Per-type value-histogram cells on a CONFIGURED grid
+    * [vlo, vlo + B·w) — [[snapshotDrift]]'s live face, under
+    * [[quantileSketchCells]]'s bounded-state discipline: a stream
+    * cannot derive min/max up front, so the grid comes from the
+    * metric's spec (monitoring-histogram style) and out-of-domain
+    * values CLAMP into the edge cells instead of minting unbounded
+    * out-of-grid state. Works on batch AND streaming frames (plain
+    * grouped count — update mode, no watermark, ≤ types×B rows of
+    * state forever; cells are monotone counters merging by addition,
+    * so the micro-batch cut is invisible — replay ≡ batch is
+    * spec-pinned). A consumer compares the live cells against a
+    * persisted base version's cells with [[tvdOfHists]] — the
+    * continuous drift monitor the batch `ev_snapshot_drift` validates
+    * offline. */
+  def driftCells(df: DataFrame, c: String, vlo: Double, w: Double,
+      buckets: Long = DriftBuckets, countName: String = "n"): DataFrame = {
+    require(w > 0, s"drift grid needs a positive bucket width, got $w")
+    df.where(col("event_type").isNotNull && col(c).isNotNull)
+      .groupBy(col("event_type"),
+        least(greatest(floor((col(c) - lit(vlo)) / lit(w)), lit(0L)),
+          lit(buckets - 1)).as("bkt"))
+      .agg(count(lit(1)).as(countName))
   }
 
   /** Per-type HOURLY-RATE TREND: the OLS slope of hourly event counts
@@ -2597,6 +2693,51 @@ object Events {
         |FROM g CROSS JOIN t
         |LEFT JOIN c ON c.hr_us = g.hr_us AND c.event_type = t.event_type
         |ORDER BY 1, 2""".stripMargin)(gapFilledHourly),
+
+    QueryDef.sql("ev_gap_interpolated",
+      // the interpolation expression tree is mirrored token-for-token
+      // (fixed IEEE op order) so interpolated values hash bitwise
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
+        |    value
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL),
+        |c AS (SELECT hr, event_type, count(*) AS n_obs,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS mean_obs
+        |  FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+        |g AS (SELECT unnest(range(lo, hi + 1)) AS hr FROM b),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |j AS (SELECT g.hr, t.event_type, c.n_obs, c.mean_obs
+        |  FROM g CROSS JOIN t
+        |  LEFT JOIN c ON c.hr = g.hr AND c.event_type = t.event_type),
+        |w AS (SELECT hr, event_type, n_obs, mean_obs,
+        |    LAST_VALUE(mean_obs IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS pv,
+        |    LAST_VALUE(CASE WHEN mean_obs IS NOT NULL THEN hr END
+        |      IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    FIRST_VALUE(mean_obs IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS nv,
+        |    FIRST_VALUE(CASE WHEN mean_obs IS NOT NULL THEN hr END
+        |      IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT hr * 3600000000 AS hr_us, event_type,
+        |  coalesce(n_obs, 0) AS n_obs,
+        |  CASE WHEN mean_obs IS NOT NULL THEN mean_obs
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         pv + (nv - pv) * (CAST(hr - ph AS DOUBLE)
+        |           / CAST(nh - ph AS DOUBLE))
+        |       ELSE coalesce(pv, nv) END AS value,
+        |  CASE WHEN mean_obs IS NOT NULL THEN 'obs'
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+        |       ELSE 'edge' END AS src
+        |FROM w ORDER BY hr_us, event_type""".stripMargin)(
+      gapInterpolatedHourly),
 
     QueryDef.sql("ev_session_window",
       """WITH flagged AS (

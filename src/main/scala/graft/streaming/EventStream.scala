@@ -426,6 +426,22 @@ object EventStream {
       buckets: Long = graft.operators.Events.SketchBuckets): DataFrame =
     graft.operators.Events.quantileSketchCells(values, c, lo, w, buckets)
 
+  /** Streaming DRIFT-HISTOGRAM cells — the live face of the batch
+    * `ev_snapshot_drift` monitor: per-(event_type, bucket) value
+    * counts on a CONFIGURED grid [vlo, vlo + B·w), out-of-domain
+    * values clamped into the edge cells ([[quantileSketchCells]]'s
+    * bounded-state contract — state is ≤ types×B rows forever, no
+    * watermark, cells merge by addition so replay ≡ batch cell-for-
+    * cell, spec-pinned). A consumer joins the live cells against a
+    * persisted base version's cells through
+    * [[graft.operators.Events.tvdOfHists]] to read the current
+    * total-variation drift score — the alert a training-data ingest
+    * watches continuously and validates offline against the
+    * versioned-manifest batch face. */
+  def driftCells(events: DataFrame, c: String, vlo: Double, w: Double,
+      buckets: Long = graft.operators.Events.DriftBuckets): DataFrame =
+    graft.operators.Events.driftCells(events, c, vlo, w, buckets)
+
   // ------------------------------------------------------------------
   // Streaming deduplication
   // ------------------------------------------------------------------

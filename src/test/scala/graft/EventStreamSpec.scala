@@ -908,6 +908,55 @@ class EventStreamSpec extends SparkSpecBase {
         want.toSeq.sortBy(_._1), lo, w, k50))
   }
 
+  test("streaming drift-histogram cells across micro-batches == batch " +
+      "cells cell-for-cell; out-of-domain clamps; composed tvd bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // values straddle the configured domain [0, 16*10) on both sides
+    val b1 = Seq.tabulate(50)(i => DriftEv("a", (i * 7.3) - 20.0)) ++
+      Seq.tabulate(30)(i => DriftEv("b", i * 3.1))
+    val b2 = Seq.tabulate(40)(i => DriftEv("a", (i * 11.7) % 250.0)) ++
+      Seq.tabulate(20)(i => DriftEv("b", 170.0 + i))
+    val (vlo, w) = (0.0, 10.0)
+    val input = MemoryStream[DriftEv]
+    val q = EventStream.driftCells(input.toDF(), "value", vlo, w)
+      .writeStream.format("memory").queryName("drift_grid")
+      .outputMode("update").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    // cells are monotone counters: latest state = max n per cell
+    val got = spark.table("drift_grid").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    val want = Events.driftCells((b1 ++ b2).toDF(), "value", vlo, w)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want && want.nonEmpty)
+    // bounded state: every cell inside [0, B); clamped edges populated
+    assert(want.keySet.forall { case (_, b) =>
+      b >= 0 && b < Events.DriftBuckets })
+    assert(want.keySet.exists(_._2 == 0L) &&
+      want.keySet.exists(_._2 == Events.DriftBuckets - 1))
+    // the consumer composition: live cells vs a base version's cells
+    // through the shared exact-TVD tail — bounded, zero for identical
+    val base = Events.driftCells(b1.toDF(), "value", vlo, w,
+      countName = "n_b")
+    val cur = Events.driftCells((b1 ++ b2).toDF(), "value", vlo, w,
+      countName = "n_c")
+    val tvd = Events.tvdOfHists(base, cur).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("tvd")).toMap
+    assert(tvd.values.forall(v => v >= 0.0 && v <= 1.0))
+    val same = Events.tvdOfHists(
+      Events.driftCells(b1.toDF(), "value", vlo, w, countName = "n_b"),
+      Events.driftCells(b1.toDF(), "value", vlo, w, countName = "n_c"))
+      .collect().map(_.getAs[Double]("tvd"))
+    assert(same.forall(_ == 0.0))
+  }
+
   test("streaming quarantine (dead-letter split) == batch row-local " +
       "quarantine over the fixture corpus") {
     import spark.implicits._
@@ -1102,3 +1151,5 @@ case class QDoc(doc_id: Option[Long], text: String, lang: String,
     n_chars: Long)
 /** Minimal typed row for the streaming count-min grid spec. */
 case class CmsEv(user_id: Long)
+/** Typed row for the streaming drift-histogram spec. */
+case class DriftEv(event_type: String, value: Double)
