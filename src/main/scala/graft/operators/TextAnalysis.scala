@@ -416,12 +416,16 @@ object TextAnalysis {
     * PARTITIONED BY the word's hash bucket, so probing a term's bucket
     * yields the whole posting list). */
   private def bm25Rank(tf: DataFrame, queries: DataFrame,
-      stats: DataFrame, k: Int): DataFrame = {
+      stats: DataFrame, k: Int): DataFrame =
+    scoreAndRank(bm25Hits(tf, queries), stats, k)
+
+  /** The per-query HITS relation both ranking faces start from:
+    * (query_id, doc_id, dl, word, tf, df) for every posting of a suite
+    * term. */
+  private def bm25Hits(tf: DataFrame, queries: DataFrame): DataFrame = {
     val qterms = queries.select(col("query_id"), col("term")).distinct()
     val suiteTerms = qterms.select(col("term")).distinct()
     val wWord = Window.partitionBy(col("word"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
     tf.join(VectorSearch.broadcastIfSmall(suiteTerms),
         col("word") === col("term"), "left_semi")
       // df(word) counted over the SEMI-joined hits: tf rows are
@@ -433,6 +437,19 @@ object TextAnalysis {
       .withColumn("df", count(lit(1)).over(wWord))
       .join(VectorSearch.broadcastIfSmall(qterms),
         col("word") === col("term"))
+      .select(col("query_id"), col("doc_id"), col("dl"), col("word"),
+        col("tf"), col("df"))
+  }
+
+  /** The exact scoring + ranking tail over a hits relation — ONE
+    * definition, so [[bm25Rank]] and the impact-pruned [[wandRank]]
+    * are bitwise-equal by construction (same sorted sequential fold,
+    * same literal-folded arithmetic). */
+  private def scoreAndRank(hits: DataFrame, stats: DataFrame,
+      k: Int): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    hits
       .groupBy(col("query_id"), col("doc_id"), col("dl"))
       .agg(sort_array(collect_list(
         struct(col("word"), col("tf"), col("df")))).as("tl"))
@@ -455,6 +472,99 @@ object TextAnalysis {
       .select(col("query_id"), col("doc_id"), col("dl"), col("score"),
         col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The candidate set and its impact-pruned survivor set — the WAND
+    * machinery shared by [[wandRank]] and the prune-rate audit.
+    * Returns (hits, survivors-as-(query_id, doc_id)). */
+  private def wandParts(tf: DataFrame, queries: DataFrame,
+      stats: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val hits = bm25Hits(tf, queries)
+    // per-(query, term) IMPACT upper bound: idf(df) × tf_norm at the
+    // term's most favourable posting — tf_norm is monotone ↑tf ↓dl, so
+    // tf_norm(max_tf, min_dl) dominates every posting; a NEGATIVE idf
+    // (df > N/2, stopword class) makes every contribution ≤ 0, so its
+    // bound clamps at 0. Suite-term-cardinality relation — broadcast
+    // class. df/max_tf/min_dl are integer aggregates; the impact is a
+    // fixed expression over them.
+    val ti = hits.groupBy(col("query_id"), col("word"))
+      .agg(max(col("df")).as("df"), max(col("tf")).as("max_tf"),
+        min(col("dl")).as("min_dl"))
+      .crossJoin(broadcast(stats)) // exactly one row by construction
+      .withColumn("nd", col("n_docs").cast("double"))
+      .withColumn("impact", greatest(lit(0.0),
+        ((col("nd") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+          (col("max_tf").cast("double") * lit(2.2)) /
+          (col("max_tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("min_dl").cast("double") /
+              (col("sum_dl").cast("double") / col("nd")))))))
+      .select(col("query_id"), col("word"), col("impact"))
+    // seed = each query's highest-impact term; its matching docs get
+    // EXACT scores and the kth becomes the prune threshold L
+    val wImp = Window.partitionBy(col("query_id"))
+      .orderBy(col("impact").desc, col("word"))
+    val seed = ti.withColumn("srnk", row_number().over(wImp))
+      .where(col("srnk") === 1)
+      .select(col("query_id").as("s_qid"), col("word").as("s_word"))
+    val seedDocs = hits.join(broadcast(seed),
+        col("query_id") === col("s_qid") && col("word") === col("s_word"))
+      .select("query_id", "doc_id").distinct()
+    val thresh = scoreAndRank(hits.join(
+        VectorSearch.broadcastIfSmall(seedDocs),
+        Seq("query_id", "doc_id"), "left_semi"), stats, k)
+      .where(col("rnk") === k)
+      .select(col("query_id").as("t_qid"), col("score").as("l_score"))
+    // per-(query, doc) upper bound = Σ matched-term impacts — a plain
+    // map-side-combinable sum, no arrays, no sort: the mass the prune
+    // then keeps OUT of the collect_list/fold/rank stage. The float
+    // sum's partial order varies with partitioning, so the prune test
+    // carries a relative+absolute margin (~1e-6, ulp noise is ~1e-16
+    // relative): a true top-k doc can never be margin-pruned, and any
+    // extra survivors are re-scored exactly — output identical either
+    // way.
+    val ub = hits.join(broadcast(ti.select(col("query_id").as("i_qid"),
+        col("word").as("i_word"), col("impact"))),
+        col("query_id") === col("i_qid") && col("word") === col("i_word"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("impact")).as("ub"))
+    val survivors = ub.join(broadcast(thresh),
+        col("query_id") === col("t_qid"), "left_outer")
+      .where(col("l_score").isNull ||
+        col("ub") * lit(1.000001) + lit(1e-12) >= col("l_score"))
+      .select("query_id", "doc_id")
+    (hits, survivors)
+  }
+
+  /** WAND/threshold-algorithm style impact-ordered top-k — the
+    * production-IR pruning discipline the stored index's honest-limits
+    * note calls for, PROOF-based so results are bitwise [[bm25Rank]]'s
+    * under the same oracle: a document is dropped only when an UPPER
+    * BOUND on its score (Σ per-term impact bounds) sits below the kth
+    * EXACT score of the top-impact term's documents — score ≤ UB <
+    * L ≤ kth-best means it cannot place. Survivors (and only they) go
+    * through the exact collect/fold/rank tail. At 100 TB the win is
+    * the stopword tail: documents matching ONLY low-impact terms never
+    * reach the array-building aggregate — they cost one
+    * map-side-combined sum instead. */
+  private[graft] def wandRank(tf: DataFrame, queries: DataFrame,
+      stats: DataFrame, k: Int): DataFrame = {
+    val (hits, survivors) = wandParts(tf, queries, stats, k)
+    scoreAndRank(hits.join(VectorSearch.broadcastIfSmall(survivors),
+      Seq("query_id", "doc_id"), "left_semi"), stats, k)
+  }
+
+  /** Prune-rate audit for the WAND path: per query, candidate docs vs
+    * impact-surviving docs (spec observability; the prune is invisible
+    * in results by design). */
+  private[graft] def wandPruneStats(tf: DataFrame, queries: DataFrame,
+      stats: DataFrame, k: Int): DataFrame = {
+    val (hits, survivors) = wandParts(tf, queries, stats, k)
+    hits.select("query_id", "doc_id").distinct()
+      .groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+      .join(survivors.groupBy("query_id")
+        .agg(count(lit(1)).as("n_survivors")), Seq("query_id"))
+      .orderBy("query_id")
   }
 
   /** DuckDB oracle for the fixed-terms BM25 ([[bm25On]]) — used by
@@ -766,6 +876,26 @@ object TextAnalysis {
       .where(col("bkt").isin(probeBkts: _*))
       .select("doc_id", "dl", "word", "tf")
     bm25Rank(tf, queries.toDF("query_id", "term"),
+      s.read.parquet(path + "/stats").select("n_docs", "sum_dl"), k)
+  }
+
+  /** [[bm25StoredTopK]] through the impact-ordered WAND prune
+    * ([[wandRank]]) — identical results (one shared scoring tail, the
+    * prune is proof-based), same oracle; the declared pair
+    * `text_index_search` / `text_index_wand` pins the equivalence in
+    * the driver's gate, and TextAnalysisSpec pins that the prune
+    * actually fires. */
+  def bm25WandStoredTopK(s: SparkSession, path: String,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    import s.implicits._
+    val (nBuckets, _) = storedIndexLayout(s, path)
+    val probeBkts = queries.map(_._2).distinct
+      .map(t => (graft.functions.TextFunctions.polyHashLocal(t)
+        % nBuckets).toInt).distinct
+    val tf = s.read.schema(PostingsSchema).parquet(path + "/postings")
+      .where(col("bkt").isin(probeBkts: _*))
+      .select("doc_id", "dl", "word", "tf")
+    wandRank(tf, queries.toDF("query_id", "term"),
       s.read.parquet(path + "/stats").select("n_docs", "sum_dl"), k)
   }
 
@@ -1698,6 +1828,16 @@ object TextAnalysis {
     // pruning assertions in TextAnalysisSpec)
     QueryDef.sql("text_index_search", bm25MultiOracleSql)((s, dir) =>
       bm25StoredTopK(s, textIndexFor(s, dir), Bm25QuerySuite, Bm25TopK)),
+
+    // the same stored probe through the WAND impact prune: documents
+    // whose score upper bound (Σ per-term impact bounds) sits below
+    // the kth exact seed score never reach the fold/rank stage —
+    // results provably identical, so it shares the oracle; at scale
+    // this is what keeps stopword-heavy queries from array-folding
+    // their corpus-sized tails
+    QueryDef.sql("text_index_wand", bm25MultiOracleSql)((s, dir) =>
+      bm25WandStoredTopK(s, textIndexFor(s, dir), Bm25QuerySuite,
+        Bm25TopK)),
 
     // INCREMENTALLY-refreshed index (base build + change-feed delta
     // append) must answer bitwise like an index over the full corpus:

@@ -799,4 +799,38 @@ class TextAnalysisSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(table).getParentFile)
   }
+
+  test("WAND impact prune: results bitwise == the unpruned stored " +
+      "probe, and the prune actually drops candidates") {
+    import spark.implicits._
+    val path = TextAnalysis.textIndexFor(spark, sf)
+    val plain = TextAnalysis.bm25StoredTopK(spark, path,
+      TextAnalysis.Bm25QuerySuite, TextAnalysis.Bm25TopK)
+      .collect().map(_.toSeq.toList).toList
+    val wand = TextAnalysis.bm25WandStoredTopK(spark, path,
+      TextAnalysis.Bm25QuerySuite, TextAnalysis.Bm25TopK)
+      .collect().map(_.toSeq.toList).toList
+    assert(wand == plain)
+    // the prune engages: the suite's mixed rare+stopword queries must
+    // shed candidates, and no query keeps fewer than its answer size
+    val tf = spark.read.schema(TextAnalysis.PostingsSchema)
+      .parquet(path + "/postings")
+      .select("doc_id", "dl", "word", "tf")
+    val stats = spark.read.parquet(path + "/stats")
+      .select("n_docs", "sum_dl")
+    val ps = TextAnalysis.wandPruneStats(tf,
+      TextAnalysis.Bm25QuerySuite.toDF("query_id", "term"), stats,
+      TextAnalysis.Bm25TopK).collect()
+    assert(ps.nonEmpty)
+    val answered = plain.groupBy(_.head).view.mapValues(_.size).toMap
+    ps.foreach { r =>
+      val (q, cand, surv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(surv <= cand)
+      assert(surv >= answered.getOrElse(q, 0).toLong,
+        s"query $q pruned below its own answer set")
+    }
+    assert(ps.exists(r => r.getLong(2) < r.getLong(1)),
+      "no query shed any candidate — the prune never engaged: " +
+        ps.mkString(", "))
+  }
 }
