@@ -1961,6 +1961,47 @@ object Events {
       .agg(count(lit(1)).as(countName))
   }
 
+  /** Trailing window width for [[windowDistinctSketch]], in days. */
+  val DistinctWindowDays = 7
+
+  /** TRAILING-WINDOW DISTINCT USERS from daily mergeable sketches —
+    * the pre-aggregated sketch-cube pattern: one pass builds a ≤k-long
+    * KMV sample PER DAY (the tiny relation a production deployment
+    * persists alongside each day's ingest), and ANY trailing window's
+    * distinct-user estimate is then the bottom-k of its days' samples
+    * unioned — no re-scan of the raw events, whatever the window. The
+    * bottom-k union identity ([[incrementalDistinct]]) makes the
+    * windowed sketch BIT-equal to a sketch computed from the window's
+    * raw rows, which is exactly what the oracle recomputes. Scale
+    * shape: one (day) partial-aggregated corpus pass; everything after
+    * is days×k longs — the 7× fan-out rides the sample relation, never
+    * the events. */
+  def windowDistinctSketch(s: SparkSession, dir: String, k: Int = 64,
+      windowDays: Int = DistinctWindowDays): DataFrame = {
+    val daily = load(s, dir)
+      .where(col("ts_us").isNotNull && col("user_id").isNotNull)
+      .select(expr("ts_us div 86400000000").as("d"), userIdHash.as("hv"))
+      .groupBy("d")
+      .agg(graft.functions.SketchAggregate.kmvSample(col("hv"), k)
+        .as("s"))
+    val days = daily.select(col("d").as("day"))
+    daily
+      .select(col("d").as("src_d"),
+        explode(sequence(lit(0L), lit(windowDays - 1L))).as("j"), col("s"))
+      .select((col("src_d") + col("j")).as("day"), col("src_d"), col("s"))
+      // a day's sample feeds the next windowDays trailing windows, but
+      // only windows anchored at days that EXIST emit a row
+      .join(VectorSearch.broadcastIfSmall(days), Seq("day"), "left_semi")
+      .select(col("day"), col("src_d"), explode(col("s")).as("hv"))
+      .groupBy("day")
+      .agg(count_distinct(col("src_d")).as("n_days"),
+        graft.functions.SketchAggregate.kmvSketch(col("hv"), k).as("sk"))
+      .select(col("day"), col("n_days"),
+        col("sk.kth_hash").as("kth_hash"),
+        col("sk.est").as("n_users_est"))
+      .orderBy("day")
+  }
+
   /** Per-type HOURLY-RATE TREND: the OLS slope of hourly event counts
     * vs the hour index — the "is this event type growing?" monitoring
     * regression — in EXACT integer arithmetic: slope =
@@ -2505,6 +2546,33 @@ object Events {
          |FROM tot GROUP BY event_type
          |ORDER BY event_type""".stripMargin)(
       (s, dir) => snapshotDrift(s, dir)),
+
+    QueryDef.sql("ev_window_distinct_sketch",
+      // the oracle sketches each window's RAW rows from scratch —
+      // equality with the daily-sample merge is the bottom-k union
+      // identity, proven per window
+      s"""WITH f AS (SELECT epoch_us(ts) // 86400000000 AS d,
+         |    ((user_id % 1000000007) * 756839017 + 11) % 1000000007 AS hv
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |days AS (SELECT DISTINCT d FROM f),
+         |w AS (SELECT days.d AS day, f.d AS src_d, f.hv FROM days
+         |  JOIN f ON f.d BETWEEN days.d - ${DistinctWindowDays - 1}
+         |    AND days.d),
+        |dd AS (SELECT DISTINCT day, hv FROM w),
+        |nd AS (SELECT day, count(DISTINCT src_d) AS n_days
+        |  FROM w GROUP BY day),
+        |g AS (SELECT day, count(*) AS ndist, list_sort(list(hv)) AS hs
+        |  FROM dd GROUP BY day)
+        |SELECT g.day AS day, nd.n_days,
+        |  CASE WHEN ndist >= 64 THEN hs[64]
+        |       ELSE CAST(-1 AS BIGINT) END AS kth_hash,
+        |  CASE WHEN ndist >= 64
+        |       THEN 63000000441.0E0 / CAST(hs[64] AS DOUBLE)
+        |       ELSE CAST(ndist AS DOUBLE) END AS n_users_est
+        |FROM g JOIN nd ON g.day = nd.day
+        |ORDER BY g.day""".stripMargin)(
+      (s, dir) => windowDistinctSketch(s, dir)),
 
     QueryDef.sql("ev_hourly_trend",
       """WITH h AS (

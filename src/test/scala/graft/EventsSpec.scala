@@ -570,6 +570,30 @@ class EventsSpec extends SparkSpecBase {
     }
   }
 
+  test("window distinct sketch: merged daily samples ≡ each window's " +
+      "from-scratch sketch (bottom-k union identity per window)") {
+    val out = Events.windowDistinctSketch(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("n_days") >= 1 &&
+      r.getAs[Long]("n_days") <= Events.DistinctWindowDays))
+    val f = Events.load(spark, sf)
+      .where(col("ts_us").isNotNull && col("user_id").isNotNull)
+      .select(expr("ts_us div 86400000000").as("d"),
+        Events.userIdHash.as("hv"))
+    val days = f.select(col("d").as("day")).distinct()
+    val scratch = days.join(f, col("d").between(
+        col("day") - (Events.DistinctWindowDays - 1), col("day")))
+      .groupBy("day")
+      .agg(graft.functions.SketchAggregate.kmvSketch(col("hv"), 64)
+        .as("sk"))
+      .select(col("day"), col("sk.kth_hash").as("kth_hash"),
+        col("sk.est").as("n_users_est"))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(out.map(r => (r.getAs[Long]("day"), r.getAs[Long]("kth_hash"),
+      r.getAs[Double]("n_users_est"))).toList == scratch)
+  }
+
   test("hourly trend: slope/avg equal the exact integer-arithmetic " +
       "recompute, n_hours complete") {
     val out = Events.hourlyTrend(spark, sf).collect()
