@@ -1984,6 +1984,8 @@ object Events {
       .groupBy("d")
       .agg(graft.functions.SketchAggregate.kmvSample(col("hv"), k)
         .as("s"))
+      .persist() // tiny (days × k longs), TWO consumers (day set +
+    retained.add(daily) // contributions) — one corpus pass, not two
     val days = daily.select(col("d").as("day"))
     daily
       .select(col("d").as("src_d"),
@@ -2023,6 +2025,8 @@ object Events {
       .where(col("ts_us").isNotNull && col("event_type").isNotNull)
       .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hr"))
       .agg(count(lit(1)).as("y"))
+      .persist() // tiny (types × hours), TWO consumers (re-base min +
+    retained.add(pts) // points) — without it the corpus scans twice
     val num = col("n_hours") * col("sxy") - col("sx") * col("sy")
     val den = col("n_hours") * col("sxx") - col("sx") * col("sx")
     pts.crossJoin(broadcast(pts.agg(min(col("hr")).as("hr0"))))
