@@ -1723,15 +1723,28 @@ object Events {
     * touches data. Mergeability is the whole contract: count/sum/min/
     * max (decimal-exact sums) recombine associatively, so base+delta
     * ≡ full — bit-for-bit, not approximately. */
-  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+  /** The anchored time-travel reads the incremental-maintenance family
+    * shares: (base = the snapshot at the mid-log anchor version, delta
+    * = segments appended since, cur = the latest snapshot). ONE
+    * definition of the anchor arithmetic — the oracles' "first
+    * RangeSegs/2 time slices" cutoff (EventsSpec-pinned) depends on
+    * every caller choosing the SAME version. */
+  private def anchoredReads(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val (path, _, _) = manifestEventsTable(s, dir)
     val versions = graft.sources.ManifestStore
       .listVersions(s, path, "events").filterNot(_.tombstone)
     val anchor = versions(math.max(0, versions.size / 2 - 1)).ptrSeq
-    val base = graft.sources.ManifestStore
-      .readAsOfInferred(s, path, "events", anchor)
-    val delta = graft.sources.ManifestStore
-      .readSinceInferred(s, path, "events", anchor)
+    (graft.sources.ManifestStore
+        .readAsOfInferred(s, path, "events", anchor),
+      graft.sources.ManifestStore
+        .readSinceInferred(s, path, "events", anchor),
+      graft.sources.ManifestStore
+        .readAsOfInferred(s, path, "events", versions.last.ptrSeq))
+  }
+
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val (base, delta, _) = anchoredReads(s, dir)
     def partial(df: DataFrame): DataFrame = df.groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).as("sum_dec"),
@@ -1772,14 +1785,7 @@ object Events {
     * NOT a float or engine-internal HLL. */
   def incrementalDistinct(s: SparkSession, dir: String,
       k: Int = 64): DataFrame = {
-    val (path, _, _) = manifestEventsTable(s, dir)
-    val versions = graft.sources.ManifestStore
-      .listVersions(s, path, "events").filterNot(_.tombstone)
-    val anchor = versions(math.max(0, versions.size / 2 - 1)).ptrSeq
-    val base = graft.sources.ManifestStore
-      .readAsOfInferred(s, path, "events", anchor)
-    val delta = graft.sources.ManifestStore
-      .readSinceInferred(s, path, "events", anchor)
+    val (base, delta, _) = anchoredReads(s, dir)
     val hv = userIdHash
     def sample(df: DataFrame): DataFrame = df
       .where(col("user_id").isNotNull && col("event_type").isNotNull)
@@ -1885,18 +1891,15 @@ object Events {
     * cutoff predicate relies on. */
   def snapshotDrift(s: SparkSession, dir: String,
       buckets: Int = DriftBuckets): DataFrame = {
-    val (path, _, _) = manifestEventsTable(s, dir)
-    val versions = graft.sources.ManifestStore
-      .listVersions(s, path, "events").filterNot(_.tombstone)
-    val anchor = versions(math.max(0, versions.size / 2 - 1)).ptrSeq
-    val base = graft.sources.ManifestStore
-      .readAsOfInferred(s, path, "events", anchor)
-    val cur = graft.sources.ManifestStore
-      .readAsOfInferred(s, path, "events", versions.last.ptrSeq)
+    val (base, _, cur) = anchoredReads(s, dir)
     // the shared grid comes from the CURRENT snapshot's value bounds —
     // 1-row aggregate metadata (the codebook-class collect); both
-    // snapshots bucket on the same grid or the distance is meaningless
-    val b = cur.where(col("value").isNotNull)
+    // snapshots bucket on the same grid or the distance is meaningless.
+    // The bounds population must be EXACTLY the histogram population
+    // (event_type filter included): a null-typed row holding the
+    // extreme value would otherwise shift every bucket boundary off
+    // the oracle's
+    val b = cur.where(col("event_type").isNotNull && col("value").isNotNull)
       .agg(min("value"), max("value")).head
     val (vlo, vhi) = (b.getDouble(0), b.getDouble(1))
     val bkt = // clamp(floor((v - lo)·B/span)) — edge value lands in B-1
@@ -2499,7 +2502,8 @@ object Events {
       """WITH d AS (SELECT DISTINCT event_type,
         |    ((user_id % 1000000007) * 756839017 + 11) % 1000000007 AS hv
         |  FROM events
-        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
         |g AS (SELECT event_type, count(*) AS nd,
         |  list_sort(list(hv)) AS hs FROM d GROUP BY event_type)
         |SELECT event_type,

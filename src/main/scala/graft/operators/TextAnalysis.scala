@@ -481,12 +481,15 @@ object TextAnalysis {
       stats: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val hits = bm25Hits(tf, queries)
     // per-(query, term) IMPACT upper bound: idf(df) × tf_norm at the
-    // term's most favourable posting — tf_norm is monotone ↑tf ↓dl, so
-    // tf_norm(max_tf, min_dl) dominates every posting; a NEGATIVE idf
-    // (df > N/2, stopword class) makes every contribution ≤ 0, so its
-    // bound clamps at 0. Suite-term-cardinality relation — broadcast
-    // class. df/max_tf/min_dl are integer aggregates; the impact is a
-    // fixed expression over them.
+    // term's most favourable posting — the RATIONAL idf
+    // (nd − df + 0.5)/(df + 0.5) is strictly positive (nd ≥ df), and
+    // tf_norm is monotone ↑tf ↓dl, so idf · tf_norm(max_tf, min_dl)
+    // dominates every posting. (A log-idf would go negative past
+    // df > N/2 and invert that argument — this engine's rational form
+    // never does; the greatest(0, ·) clamp is belt-and-braces.)
+    // Suite-term-cardinality relation — broadcast class.
+    // df/max_tf/min_dl are integer aggregates; the impact is a fixed
+    // expression over them.
     val ti = hits.groupBy(col("query_id"), col("word"))
       .agg(max(col("df")).as("df"), max(col("tf")).as("max_tf"),
         min(col("dl")).as("min_dl"))
@@ -857,26 +860,33 @@ object TextAnalysis {
     * Results are bitwise [[bm25MultiOn]]'s: both faces share
     * [[bm25Rank]], and a probed bucket holds each matched word's
     * ENTIRE posting list, so tf and df are identical relations. */
-  def bm25StoredTopK(s: SparkSession, path: String,
-      queries: Seq[(Long, String)], k: Int): DataFrame = {
-    import s.implicits._
-    // probe buckets are computed with the index's OWN stored bucket
-    // count — never the build-time constant, which may have changed
-    // since this index was written
+  /** The stored-index probe shared by BOTH ranking faces: the term
+    * set's (bucket-pruned postings, 1-row stats) pair. Probe buckets
+    * are computed with the index's OWN stored bucket count — never the
+    * build-time constant, which may have changed since the index was
+    * written — and as Int literals: the read-back partition column
+    * infers as int, and long literals would wrap it in a cast that
+    * defeats directory pruning (the partition filter must compare the
+    * raw column). The explicit schema covers the empty index (no part
+    * files to infer from — a probe against it must answer empty, not
+    * fail). */
+  private def storedProbe(s: SparkSession, path: String,
+      terms: Seq[String]): (DataFrame, DataFrame) = {
     val (nBuckets, _) = storedIndexLayout(s, path)
-    // Int literals: the read-back partition column infers as int, and
-    // long literals would wrap it in a cast that defeats directory
-    // pruning (the partition filter must compare the raw column)
-    val probeBkts = queries.map(_._2).distinct
+    val probeBkts = terms.distinct
       .map(t => (graft.functions.TextFunctions.polyHashLocal(t)
         % nBuckets).toInt).distinct
-    // explicit schema: an empty index has no part files to infer from,
-    // and a probe against it must answer empty, not fail
     val tf = s.read.schema(PostingsSchema).parquet(path + "/postings")
       .where(col("bkt").isin(probeBkts: _*))
       .select("doc_id", "dl", "word", "tf")
-    bm25Rank(tf, queries.toDF("query_id", "term"),
-      s.read.parquet(path + "/stats").select("n_docs", "sum_dl"), k)
+    (tf, s.read.parquet(path + "/stats").select("n_docs", "sum_dl"))
+  }
+
+  def bm25StoredTopK(s: SparkSession, path: String,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    import s.implicits._
+    val (tf, stats) = storedProbe(s, path, queries.map(_._2))
+    bm25Rank(tf, queries.toDF("query_id", "term"), stats, k)
   }
 
   /** [[bm25StoredTopK]] through the impact-ordered WAND prune
@@ -888,15 +898,8 @@ object TextAnalysis {
   def bm25WandStoredTopK(s: SparkSession, path: String,
       queries: Seq[(Long, String)], k: Int): DataFrame = {
     import s.implicits._
-    val (nBuckets, _) = storedIndexLayout(s, path)
-    val probeBkts = queries.map(_._2).distinct
-      .map(t => (graft.functions.TextFunctions.polyHashLocal(t)
-        % nBuckets).toInt).distinct
-    val tf = s.read.schema(PostingsSchema).parquet(path + "/postings")
-      .where(col("bkt").isin(probeBkts: _*))
-      .select("doc_id", "dl", "word", "tf")
-    wandRank(tf, queries.toDF("query_id", "term"),
-      s.read.parquet(path + "/stats").select("n_docs", "sum_dl"), k)
+    val (tf, stats) = storedProbe(s, path, queries.map(_._2))
+    wandRank(tf, queries.toDF("query_id", "term"), stats, k)
   }
 
   /** Demo phrase for the declared phrase-search queries — two common
