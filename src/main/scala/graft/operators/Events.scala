@@ -1901,7 +1901,13 @@ object Events {
     // the oracle's
     val b = cur.where(col("event_type").isNotNull && col("value").isNotNull)
       .agg(min("value"), max("value")).head
-    val (vlo, vhi) = (b.getDouble(0), b.getDouble(1))
+    // an EMPTY current snapshot has null bounds: degrade to the same
+    // degenerate one-bucket grid as the all-values-equal case instead
+    // of throwing on the unbox — base types then report n_cur = 0 with
+    // NULL tvd, a defined frame (the gap-resample face handles its
+    // analogous empty corner the same way)
+    val (vlo, vhi) =
+      if (b.isNullAt(0)) (0.0, 0.0) else (b.getDouble(0), b.getDouble(1))
     val bkt = // clamp(floor((v - lo)·B/span)) — edge value lands in B-1
       if (vhi > vlo)
         least(greatest(floor((col("value") - lit(vlo)) * lit(buckets.toDouble)
@@ -1925,13 +1931,23 @@ object Events {
         coalesce(col("n_b"), lit(0L)).as("n_b"),
         coalesce(col("n_c"), lit(0L)).as("n_c"))
     val w = Window.partitionBy(col("event_type"))
-    val dec38 = DecimalType(19, 0)
+    // long-range operand casts; the (19,0)×(19,0) products and their
+    // sum widen to decimal(38,0) — EXACT integers to 38 digits, so the
+    // numerator itself never overflows at any realistic corpus. The
+    // BITWISE-oracle claim is narrower: the terminal numerator→double
+    // casts are correctly rounded on both engines only while the
+    // summed |n_b·N_c − n_c·N_b| stays under 2^53 (~9e15 — DuckDB's
+    // decimal→double cast rounds wrong past it, per the repo's
+    // float-determinism lore). Past that (≳1e8-row types) the score is
+    // still exact-integer-derived and correct to double rounding on
+    // the Spark side; only cross-engine hash parity weakens.
+    val dec19 = DecimalType(19, 0)
     j.withColumn("nb_tot", sum(col("n_b")).over(w))
       .withColumn("nc_tot", sum(col("n_c")).over(w))
       .groupBy("event_type")
       .agg(max(col("nb_tot")).as("n_base"), max(col("nc_tot")).as("n_cur"),
-        sum(abs(col("n_b").cast(dec38) * col("nc_tot").cast(dec38) -
-          col("n_c").cast(dec38) * col("nb_tot").cast(dec38))).as("num"))
+        sum(abs(col("n_b").cast(dec19) * col("nc_tot").cast(dec19) -
+          col("n_c").cast(dec19) * col("nb_tot").cast(dec19))).as("num"))
       .select(col("event_type"), col("n_base"), col("n_cur"),
         when(col("n_base") > 0 && col("n_cur") > 0,
           col("num").cast("double") /
@@ -2016,9 +2032,16 @@ object Events {
     * the division is a single correctly-rounded IEEE op — unlike
     * regr_slope's fold-order-dependent float accumulation, this
     * hash-matches across engines. x is re-based at the corpus's first
-    * hour (slope is shift-invariant; the re-base keeps every
-    * intermediate well under 2^53 so the int128→double casts stay
-    * exact). Scale shape: one partial-aggregated (type, hour) count
+    * hour (slope is shift-invariant), and the slope arithmetic over
+    * the per-type sums runs in decimal(38,0) — n·Σxy at ~1e6
+    * events/hour over ~1e4 retained hours reaches ~1e18, past 2^53 and
+    * near int64, where a long multiply would ANSI-throw; the decimal
+    * path stays exact to 38 digits. Cross-engine HASH parity is
+    * narrower than exactness: both engines' terminal numerator→double
+    * casts round identically only while num/den sit under 2^53 —
+    * true at retention-bounded hour counts × fixture-scale rates;
+    * beyond it the Spark-side value is still exact-integer-derived.
+    * Scale shape: one partial-aggregated (type, hour) count
     * shuffle — the hourly-dashboard relation [[hourlyEwma]] already
     * builds — then a per-type aggregate over a bounded-by-retention
     * hour set; the first-hour re-base is a 1-row broadcast. Types with
@@ -2030,8 +2053,13 @@ object Events {
       .agg(count(lit(1)).as("y"))
       .persist() // tiny (types × hours), TWO consumers (re-base min +
     retained.add(pts) // points) — without it the corpus scans twice
-    val num = col("n_hours") * col("sxy") - col("sx") * col("sy")
-    val den = col("n_hours") * col("sxx") - col("sx") * col("sx")
+    // per-type SCALAR arithmetic (tiny relation, zero perf cost):
+    // long-range casts whose products widen to decimal(38,0)
+    val d19 = DecimalType(19, 0)
+    val num = col("n_hours").cast(d19) * col("sxy").cast(d19) -
+      col("sx").cast(d19) * col("sy").cast(d19)
+    val den = col("n_hours").cast(d19) * col("sxx").cast(d19) -
+      col("sx").cast(d19) * col("sx").cast(d19)
     pts.crossJoin(broadcast(pts.agg(min(col("hr")).as("hr0"))))
       .select(col("event_type"), (col("hr") - col("hr0")).as("x"), col("y"))
       .groupBy("event_type")

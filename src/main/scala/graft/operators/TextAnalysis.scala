@@ -478,8 +478,18 @@ object TextAnalysis {
     * machinery shared by [[wandRank]] and the prune-rate audit.
     * Returns (hits, survivors-as-(query_id, doc_id)). */
   private def wandParts(tf: DataFrame, queries: DataFrame,
-      stats: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val hits = bm25Hits(tf, queries)
+      stats: DataFrame, k: Int, foldUb: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    // The hits relation feeds FOUR consumers (term impacts, the seed
+    // threshold, the UB sum, the survivor scoring tail) and each prunes
+    // different columns, so ReuseExchange cannot dedupe them — without
+    // materialization the postings probe + df window runs ~4× per call
+    // (measured: the wand face cost ~4× the plain probe). Same remedy
+    // as [[collocations]]: localCheckpoint cuts the lineage once; the
+    // relation is suite-terms-posting-bounded, everything downstream
+    // reads its blocks, and the blocks free with the frame — no
+    // releaseCaches bookkeeping to leak.
+    val hits = bm25Hits(tf, queries).localCheckpoint()
     // per-(query, term) IMPACT upper bound: idf(df) × tf_norm at the
     // term's most favourable posting — the RATIONAL idf
     // (nd − df + 0.5)/(df + 0.5) is strictly positive (nd ≥ df), and
@@ -526,11 +536,29 @@ object TextAnalysis {
     // relative): a true top-k doc can never be margin-pruned, and any
     // extra survivors are re-scored exactly — output identical either
     // way.
-    val ub = hits.join(broadcast(ti.select(col("query_id").as("i_qid"),
+    val imp = hits.join(broadcast(ti.select(col("query_id").as("i_qid"),
         col("word").as("i_word"), col("impact"))),
         col("query_id") === col("i_qid") && col("word") === col("i_word"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("impact")).as("ub"))
+    // foldUb = the CANONICAL-order UB for the declared audit face: a
+    // sorted sequential fold over the doc's matched-term impacts is
+    // deterministic and cross-engine exact (the repo's float rule), so
+    // `text_wand_stats` can sit under the DuckDB oracle. The
+    // production prune keeps the plain map-side-combinable sum — no
+    // arrays for the pruned mass, which is the whole point — and its
+    // order noise is margin-absorbed: only docs within ~1e-16 relative
+    // of the margin boundary could decide differently between the two
+    // forms, and either decision is provably harmless for results.
+    val ub =
+      if (foldUb) imp
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sort_array(collect_list(
+          struct(col("word"), col("impact")))).as("il"))
+        .withColumn("ub", aggregate(col("il"), lit(0.0),
+          (acc, x) => acc + x.getField("impact")))
+        .select(col("query_id"), col("doc_id"), col("ub"))
+      else imp
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("impact")).as("ub"))
     val survivors = ub.join(broadcast(thresh),
         col("query_id") === col("t_qid"), "left_outer")
       .where(col("l_score").isNull ||
@@ -558,16 +586,29 @@ object TextAnalysis {
   }
 
   /** Prune-rate audit for the WAND path: per query, candidate docs vs
-    * impact-surviving docs (spec observability; the prune is invisible
-    * in results by design). */
+    * impact-surviving docs — the every-approximate-path-ships-its-
+    * measurement discipline applied to the prune (invisible in results
+    * by design, so the rate is the only observable). Declared as
+    * `text_wand_stats` under a full DuckDB re-derivation; uses the
+    * canonical-order (fold) UB so the survivor decision is
+    * deterministic (see [[wandParts]]). */
   private[graft] def wandPruneStats(tf: DataFrame, queries: DataFrame,
       stats: DataFrame, k: Int): DataFrame = {
-    val (hits, survivors) = wandParts(tf, queries, stats, k)
+    val (hits, survivors) = wandParts(tf, queries, stats, k, foldUb = true)
     hits.select("query_id", "doc_id").distinct()
       .groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
       .join(survivors.groupBy("query_id")
         .agg(count(lit(1)).as("n_survivors")), Seq("query_id"))
       .orderBy("query_id")
+  }
+
+  /** [[wandPruneStats]] over the stored index's probe — the declared
+    * `text_wand_stats` face. */
+  private[graft] def wandStatsStored(s: SparkSession, path: String,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    import s.implicits._
+    val (tf, stats) = storedProbe(s, path, queries.map(_._2))
+    wandPruneStats(tf, queries.toDF("query_id", "term"), stats, k)
   }
 
   /** DuckDB oracle for the fixed-terms BM25 ([[bm25On]]) — used by
@@ -700,6 +741,94 @@ object TextAnalysis {
        |    ORDER BY score DESC, doc_id) AS INT) AS rnk
        |FROM sc QUALIFY rnk <= $Bm25TopK
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** DuckDB oracle for `text_wand_stats` — a full re-derivation of the
+    * WAND prune decision: the same hits relation as
+    * [[bm25MultiOracleSqlCapped]], per-(query, term) impact bounds from
+    * the identical literal-folded arithmetic, the top-impact seed
+    * term's kth exact score as the threshold, and the CANONICAL-order
+    * (word-sorted sequential fold) per-doc UB — deterministic on both
+    * engines, unlike the production prune's map-side float sum (see
+    * [[wandParts]]; the two can differ only inside the margin band,
+    * where either decision is provably result-invisible). */
+  private lazy val wandStatsOracleSql: String = {
+    val qvals = Bm25QuerySuite
+      .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+       |d AS (SELECT doc_id, $W AS ws FROM documents),
+       |b AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl
+       |  FROM d WHERE len(ws) > 0),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM b),
+       |terms AS (SELECT doc_id, dl, unnest(ws) AS word FROM b),
+       |tf AS (SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf
+       |  FROM terms GROUP BY doc_id, dl, word),
+       |hits0 AS (SELECT doc_id, dl, word, tf,
+       |    CAST(count(*) OVER (PARTITION BY word) AS BIGINT) AS df
+       |  FROM tf WHERE word IN (SELECT term FROM q)),
+       |hits AS (SELECT q.query_id, h.doc_id, h.dl, h.word, h.tf, h.df
+       |  FROM hits0 h JOIN q ON h.word = q.term),
+       |ti AS (SELECT query_id, word, CAST(max(df) AS BIGINT) AS df,
+       |    CAST(max(tf) AS BIGINT) AS max_tf,
+       |    CAST(min(dl) AS BIGINT) AS min_dl
+       |  FROM hits GROUP BY query_id, word),
+       |imp AS (SELECT query_id, word, greatest(0.0E0,
+       |    (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5E0)
+       |        / (CAST(df AS DOUBLE) + 0.5E0))
+       |      * (CAST(max_tf AS DOUBLE) * 2.2E0))
+       |    / (CAST(max_tf AS DOUBLE) + 1.2E0 *
+       |       (0.25E0 + 0.75E0 * (CAST(min_dl AS DOUBLE)
+       |         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       |    AS impact
+       |  FROM ti CROSS JOIN st),
+       |seed AS (SELECT query_id, word FROM imp
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY impact DESC, word) = 1),
+       |sdocs AS (SELECT DISTINCT h.query_id, h.doc_id
+       |  FROM hits h JOIN seed s
+       |    ON h.query_id = s.query_id AND h.word = s.word),
+       |sg AS (SELECT h.query_id, h.doc_id, h.dl,
+       |    list_sort(list({'word': h.word, 'tf': h.tf, 'df': h.df}))
+       |      AS tl
+       |  FROM hits h JOIN sdocs sd
+       |    ON h.query_id = sd.query_id AND h.doc_id = sd.doc_id
+       |  GROUP BY h.query_id, h.doc_id, h.dl),
+       |ssc AS (SELECT query_id, doc_id,
+       |  list_reduce(list_prepend(0.0E0, list_transform(tl, x ->
+       |    (((CAST(n_docs AS DOUBLE) - CAST(x.df AS DOUBLE) + 0.5E0)
+       |        / (CAST(x.df AS DOUBLE) + 0.5E0))
+       |      * (CAST(x.tf AS DOUBLE) * 2.2E0))
+       |    / (CAST(x.tf AS DOUBLE) + 1.2E0 *
+       |       (0.25E0 + 0.75E0 * (CAST(dl AS DOUBLE)
+       |         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))),
+       |    (a, x) -> a + x) AS score
+       |  FROM sg CROSS JOIN st),
+       |th AS (SELECT query_id, score AS l_score FROM ssc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) = $Bm25TopK),
+       |ug AS (SELECT h.query_id, h.doc_id,
+       |    list_sort(list({'word': h.word, 'impact': i.impact})) AS il
+       |  FROM hits h JOIN imp i
+       |    ON h.query_id = i.query_id AND h.word = i.word
+       |  GROUP BY h.query_id, h.doc_id),
+       |ub AS (SELECT query_id, doc_id,
+       |  list_reduce(list_prepend(0.0E0,
+       |    list_transform(il, x -> x.impact)), (a, x) -> a + x) AS ub
+       |  FROM ug),
+       |surv AS (SELECT u.query_id,
+       |    CAST(count(*) AS BIGINT) AS n_survivors
+       |  FROM ub u LEFT JOIN th t ON u.query_id = t.query_id
+       |  WHERE t.l_score IS NULL
+       |    OR u.ub * 1.000001E0 + 1.0E-12 >= t.l_score
+       |  GROUP BY u.query_id),
+       |cand AS (SELECT query_id,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_candidates
+       |  FROM hits GROUP BY query_id)
+       |SELECT c.query_id, c.n_candidates, s.n_survivors
+       |FROM cand c JOIN surv s ON c.query_id = s.query_id
+       |ORDER BY c.query_id""".stripMargin
   }
 
   // ----------------------------------------------------------------
@@ -1840,6 +1969,15 @@ object TextAnalysis {
     // their corpus-sized tails
     QueryDef.sql("text_index_wand", bm25MultiOracleSql)((s, dir) =>
       bm25WandStoredTopK(s, textIndexFor(s, dir), Bm25QuerySuite,
+        Bm25TopK)),
+
+    // the prune-rate audit as a first-class query: per query,
+    // candidate docs vs impact-surviving docs, with the DuckDB oracle
+    // re-deriving the whole prune decision (impacts, seed threshold,
+    // canonical-order UB) from the raw corpus — the measurement every
+    // approximate/shedding path in this repo ships
+    QueryDef.sql("text_wand_stats", wandStatsOracleSql)((s, dir) =>
+      wandStatsStored(s, textIndexFor(s, dir), Bm25QuerySuite,
         Bm25TopK)),
 
     // INCREMENTALLY-refreshed index (base build + change-feed delta
