@@ -602,6 +602,53 @@ object Events {
         sum(col("sum_part")).cast("double").as("sum_value"))
       .orderBy("event_type")
 
+  /** Salt fan-out for [[saltedDimJoinOn]]. */
+  val JoinSalts = 8
+
+  def saltedDimJoin(s: SparkSession, dir: String): DataFrame =
+    saltedDimJoinOn(load(s, dir))
+
+  /** Skew-resistant SALTED JOIN — [[saltedTypeStats]]'s discipline
+    * applied to the join side of the house: a fact table whose join
+    * key is Zipf-hot (5 event types × millions of rows each at scale)
+    * against a dimension too large — or, as here, too data-dependent —
+    * for the broadcast gate. An unsalted shuffle join lands every
+    * 'CLICK' row on ONE reducer (the straggler that decides the
+    * stage's wall clock at 100 TB); salting spreads each hot key over
+    * [[JoinSalts]] reducers: the FACT side salts on a row-local
+    * attribute (`event_id % salts` — no extra shuffle, the salt rides
+    * the join exchange), the DIM side REPLICATES once per salt (dim×S
+    * rows — the bounded side pays the fan-out, never the corpus), and
+    * the join keys become (key, salt). Results are provably the
+    * unsalted join's: every fact row still meets exactly its key's dim
+    * row (at its own salt), so the oracle is the plain unsalted SQL —
+    * PlanSpec pins the replicated-dim fan-out, the (key, salt) shuffle
+    * profile, and salted ≡ unsalted. The SHUFFLE_HASH hint keeps the
+    * demo honest at fixture scale (a 5-row dim would broadcast and the
+    * salt would prune to dead code); production keeps the broadcast
+    * gate FIRST — salting is the remedy once the dim outgrows it.
+    * The post-join report (events above their type's mean) divides
+    * nowhere: value·n > Σvalue in exact decimal arithmetic on both
+    * engines. */
+  def saltedDimJoinOn(events: DataFrame,
+      salts: Int = JoinSalts): DataFrame = {
+    val clean = events
+      .where(col("event_type").isNotNull && col("value").isNotNull)
+    val dim = clean.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sum_type"))
+    val dimRep = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    clean
+      .withColumn("salt", (col("event_id") % salts).cast("int"))
+      .join(dimRep.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value").cast(DecimalType(18, 6)) * col("n_type") >
+          col("sum_type"), 1L).otherwise(0L)).as("n_above_avg"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------------
   // O: JSON extraction from a semi-structured props column
   // ------------------------------------------------------------------
@@ -753,6 +800,74 @@ object Events {
       .select(col("user_id"), col("n_exact"), col("n_cms"),
         (col("n_cms") - col("n_exact")).as("overcount"))
       .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  /** Per-group candidate-set size for [[groupCmsTopKOn]]. */
+  val GroupCmsTopK = 5
+
+  /** The PER-GROUP sketch: (group, depth, pos) cells — the state a
+    * multi-tenant monitor holds per tenant/type, bounded at
+    * groups·d·w. Same mergeable algebra as [[cmsGrid]] (cell-wise
+    * addition across corpus slices — property-pinned in EventsSpec). */
+  def groupCmsGrid(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        posexplode(cmsPosArray(col("user_id"))).as(Seq("depth", "pos")))
+      .groupBy("event_type", "depth", "pos").agg(count(lit(1)).as("n"))
+
+  def groupCmsTopK(s: SparkSession, dir: String): DataFrame =
+    groupCmsTopKOn(load(s, dir))
+
+  /** PER-GROUP count-min heavy hitters — [[cmsTopKOn]]'s corpus-global
+    * report turned into the query a multi-tenant pipeline actually
+    * runs: per event type, the top-[[GroupCmsTopK]] exact keys next to
+    * their sketch estimates and overcounts. The grid is
+    * [[groupCmsGrid]]'s (group, depth, pos) relation — groups·d·w
+    * cells TOTAL, one partial-aggregated shuffle — and the budget
+    * guard fires BEFORE the driver (or a broadcast) materializes
+    * anything: the distinct-group fetch is LIMITed to
+    * budget/(d·w) + 1 rows, so a high-cardinality group column fails
+    * loud with the driver never holding more than the budget's worth
+    * ([[groupQuantileSketchOn]]'s guard discipline). The probe joins
+    * candidates to cells through the size gate, NOT an unconditional
+    * broadcast — post-guard the cell relation is budget-bounded, but
+    * it still grows with group cardinality, which is data
+    * (the repo's broadcast rule); a shuffle join over groups·K probe
+    * rows is the correct degraded plan. Deterministic end to end
+    * (portable modular hashing, total rank order), so the whole
+    * report oracles exactly. */
+  def groupCmsTopKOn(events: DataFrame,
+      budget: Long = QuantileDriverCellBudget): DataFrame = {
+    val clean = events
+      .where(col("event_type").isNotNull && col("user_id").isNotNull)
+    val cellsPerGroup = CmsDepth.toLong * CmsWidth.toLong
+    val maxGroups = math.max(budget / cellsPerGroup, 0L)
+    val gRows = clean.select("event_type").distinct()
+      .limit(math.min(maxGroups + 1L, Int.MaxValue.toLong).toInt)
+      .collect()
+    require(gRows.length <= maxGroups,
+      s"grouped CMS has more than $maxGroups groups at $cellsPerGroup " +
+        s"cells each — over budget $budget; shrink the grid or " +
+        "pre-partition the group space")
+    val cells = groupCmsGrid(clean)
+    val wg = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+    val cand = clean.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("rnk", row_number().over(wg))
+      .where(col("rnk") <= GroupCmsTopK)
+    cand
+      .select(col("event_type"), col("user_id"), col("n_exact"),
+        col("rnk"),
+        posexplode(cmsPosArray(col("user_id"))).as(Seq("depth", "pos")))
+      .join(VectorSearch.broadcastIfSmall(cells),
+        Seq("event_type", "depth", "pos"))
+      .groupBy("event_type", "user_id", "n_exact", "rnk")
+      .agg(min(col("n")).as("n_cms"))
+      .select(col("event_type"), col("user_id"), col("n_exact"),
+        col("n_cms"), (col("n_cms") - col("n_exact")).as("overcount"),
+        col("rnk"))
+      .orderBy(col("event_type"), col("rnk"))
   }
 
   /** Score threshold and stats-relation broadcast ceiling for
@@ -2253,6 +2368,41 @@ object Events {
          |ORDER BY n_exact DESC, user_id""".stripMargin
     })(cmsTopK),
 
+    QueryDef.sql("ev_group_cms_topk", {
+      val P = graft.functions.TextFunctions.HashMod
+      val mults = CmsMult.zipWithIndex
+        .map { case (m, j) => s"WHEN $j THEN $m" }.mkString(" ")
+      val posSql = (u: String) =>
+        s"((((($u) % $P) * (CASE d.j $mults END) + d.j * 97 + 13) % $P) " +
+          s"& ${CmsWidth - 1})"
+      s"""WITH d AS (SELECT unnest(range(0, $CmsDepth)) AS j),
+         |ev AS (
+         |  SELECT e.event_type, d.j, ${posSql("e.user_id")} AS pos
+         |  FROM events e CROSS JOIN d
+         |  WHERE e.event_type IS NOT NULL AND e.user_id IS NOT NULL),
+         |cells AS (SELECT event_type, j, pos, count(*) AS n
+         |  FROM ev GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT event_type, user_id, count(*) AS n_exact,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY count(*) DESC, user_id) AS INT) AS rnk
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+         |  GROUP BY event_type, user_id
+         |  QUALIFY rnk <= $GroupCmsTopK),
+         |probe AS (
+         |  SELECT c.event_type, c.user_id, c.n_exact, c.rnk, d.j,
+         |    ${posSql("c.user_id")} AS pos
+         |  FROM cand c CROSS JOIN d)
+         |SELECT p.event_type, p.user_id, p.n_exact, min(cl.n) AS n_cms,
+         |  min(cl.n) - p.n_exact AS overcount, p.rnk
+         |FROM probe p JOIN cells cl
+         |  ON p.event_type = cl.event_type AND p.j = cl.j
+         |  AND p.pos = cl.pos
+         |GROUP BY p.event_type, p.user_id, p.n_exact, p.rnk
+         |ORDER BY p.event_type, p.rnk""".stripMargin
+    })(groupCmsTopK),
+
     QueryDef.sql("ev_hourly_windows",
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us,
         |  event_type, count(*) AS n_events,
@@ -2929,6 +3079,23 @@ object Events {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)(
       (s, dir) => saltedTypeStats(s, dir)),
+
+    // the salted JOIN twin: the oracle is the UNSALTED join — salting
+    // is a pure execution-strategy change (PlanSpec pins the fan-out
+    // and the (key, salt) shuffle profile)
+    QueryDef.sql("ev_salted_join",
+      """WITH e AS (SELECT event_type, value FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |dim AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type,
+        |  SUM(CAST(value AS DECIMAL(18,6))) AS sum_type
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN CAST(e.value AS DECIMAL(18,6)) * d.n_type
+        |      > d.sum_type THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+        |FROM e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin)(
+      (s, dir) => saltedDimJoin(s, dir)),
 
     QueryDef.sql("ev_variant_props",
       """SELECT count(*) AS n_events,

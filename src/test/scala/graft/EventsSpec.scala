@@ -399,6 +399,50 @@ class EventsSpec extends SparkSpecBase {
     assert(whole(7L) == 42L && whole(9L) == 40L)
   }
 
+  test("grouped count-min: per-group report is bounded and never " +
+      "undercounts, grids merge by cell-wise addition, and the budget " +
+      "guard fails loud before materializing") {
+    import spark.implicits._
+    val rows = Events.groupCmsTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      assert(rs.length <= Events.GroupCmsTopK)
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq ==
+        (1 to rs.length).toSeq)
+      // rank order = exact-count order (ties by user_id)
+      val byRnk = rs.sortBy(_.getAs[Int]("rnk"))
+        .map(r => (r.getAs[Long]("n_exact"), r.getAs[Long]("user_id")))
+      assert(byRnk.sortBy { case (n, u) => (-n, u) }.toSeq == byRnk.toSeq)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cms") >= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("n_cms") - r.getAs[Long]("n_exact"))
+    }
+    // MERGEABILITY per group: the grouped grid over a union equals the
+    // cell-wise SUM of per-slice grouped grids
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      Events.groupCmsGrid(df).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+          r.getAs[Long]("n")).toMap
+    val s1 = (Seq.fill(5)(("a", 7L)) ++ Seq.fill(3)(("b", 9L)))
+      .toDF("event_type", "user_id")
+    val s2 = (Seq.fill(2)(("a", 7L)) ++ Seq.fill(4)(("a", 9L)))
+      .toDF("event_type", "user_id")
+    val (c1, c2, cu) = (cellsOf(s1), cellsOf(s2), cellsOf(s1.union(s2)))
+    assert(cu == (c1.keySet ++ c2.keySet).map(k =>
+      k -> (c1.getOrElse(k, 0L) + c2.getOrElse(k, 0L))).toMap)
+    // budget guard: more groups than budget/(d·w) allows must fail
+    // loud (LIMITed fetch — the driver never holds the overage)
+    val many = (0 until 8).map(i => (s"g$i", i.toLong))
+      .toDF("event_type", "user_id")
+    val e = intercept[IllegalArgumentException] {
+      Events.groupCmsTopKOn(many,
+        budget = Events.CmsDepth.toLong * Events.CmsWidth * 4)
+    }
+    assert(e.getMessage.contains("over budget"), e.getMessage)
+  }
+
   test("version-diff scenario: the pointer log reads back as " +
       "create/rewrite/restore, and the two diffs are exact inverses") {
     val (path, v1, v2, v3) = Events.diffScenarioTable(spark, sf)

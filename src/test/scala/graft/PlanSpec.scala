@@ -464,6 +464,39 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("salted dim join: dim replicates across the salt space, the " +
+      "join shuffles on (key, salt), and salted == unsalted exactly") {
+    val df = Events.saltedDimJoin(spark, sf)
+    val p = plan(df)
+    // the hot key must NOT broadcast (the demo's premise) — the hinted
+    // shuffled hash join carries the salt in its keys
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    val joinLine = p.linesIterator
+      .find(_.contains("ShuffledHashJoin")).getOrElse("")
+    assert(joinLine.contains("event_type") && joinLine.contains("salt"),
+      joinLine)
+    // the dim side's fan-out: one explode of the 0..S-1 salt sequence
+    assert(p.contains("Generate explode"), p)
+    // salted ≡ unsalted, bitwise: the salt is execution strategy, not
+    // semantics — recompute through the default (broadcast) join
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val clean = Events.load(spark, sf)
+      .where(col("event_type").isNotNull && col("value").isNotNull)
+    val dim = clean.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sum_type"))
+    val direct = clean.join(dim, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value").cast(DecimalType(18, 6)) * col("n_type") >
+          col("sum_type"), 1L).otherwise(0L)).as("n_above_avg"))
+      .orderBy("event_type")
+    assert(df.collect().map(_.toSeq.toList).toList ==
+      direct.collect().map(_.toSeq.toList).toList)
+  }
+
   test("retrieve-rerank: quality kernels evaluate above the candidate semi-join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = VectorSearch.retrieveRerank(emb, docs)
