@@ -218,6 +218,47 @@ class MultimodalSpec extends SparkSpecBase {
     Multimodal.releaseCaches()
   }
 
+  test("audio fingerprint: windows partition the payload exactly, " +
+      "near-dup pairs verify under the integer L1, recall is measured " +
+      "and floored") {
+    // stub contract: every byte lands in exactly one window, means are
+    // floor-exact, deterministic
+    val payload = "the quick brown fox jumps over the lazy dog".getBytes
+    val g = Multimodal.audioFingerprint(payload)
+    assert(g.length == Multimodal.AudioWindows)
+    val n = payload.length
+    (0 until Multimodal.AudioWindows).foreach { j =>
+      val bytes = payload.indices
+        .filter(i => i.toLong * Multimodal.AudioWindows / n == j)
+        .map(payload(_) & 0xff)
+      assert(g(j) == bytes.sum.toLong / bytes.length, s"window $j")
+    }
+    assert(Multimodal.audioFingerprint(payload).toSeq == g.toSeq)
+    assert(Multimodal.audioFingerprint(Array.empty[Byte]).toSeq ==
+      Seq.fill(Multimodal.AudioWindows)(0L))
+    // near-dup pairs: audio modality only, ordered, within threshold
+    val pairs = Multimodal.mediaAudioNearDup(spark, sf).collect()
+    pairs.foreach { p =>
+      assert(p.getAs[Long]("doc_id_1") < p.getAs[Long]("doc_id_2"))
+      assert(p.getAs[Long]("doc_id_1") % 3 == 1 &&
+        p.getAs[Long]("doc_id_2") % 3 == 1, "audio class only")
+      assert(p.getAs[Long]("l1_dist") <= Multimodal.AudioMaxL1)
+    }
+    // recall: measured against the exhaustive pair set, CI-floored at
+    // the knee the band quantization was tuned to (0.97/0.98 measured
+    // on two fixtures; 0.8 leaves regeneration headroom)
+    val r = Multimodal.mediaAudioRecall(spark, sf).head
+    val (nExact, nLsh) =
+      (r.getAs[Long]("n_exact"), r.getAs[Long]("n_lsh"))
+    assert(nExact > 0, "fixture must contain audio near-dups")
+    assert(nLsh <= nExact)
+    assert(r.getAs[Double]("recall") >= 0.8,
+      s"audio band recall ${r.getAs[Double]("recall")} below floor")
+    // the banded emitter is exactly the reachable subset
+    assert(pairs.length.toLong == nLsh)
+    Multimodal.releaseCaches()
+  }
+
   test("modality stats cover all documents") {
     val stats = Multimodal.modalityStats(spark, sf).collect()
     assert(stats.map(_.getAs[String]("media_type")).toSet ==
