@@ -1461,11 +1461,40 @@ object TextAnalysis {
   /** Restore probe pruning after streaming appends: every batch
     * segment spans most buckets, so bkt zone maps exclude little until
     * a clustered rewrite lays the postings out in bkt ranges (one
-    * atomic pointer commit; probes then skip whole segments). */
+    * atomic pointer commit; probes then skip whole segments). The
+    * rewrite also FOLDS the per-batch metadata rows: the additive `'s'`
+    * stats contributions collapse to one summed row and the identical
+    * `'b'` layout rows to one distinct row — reader-equivalent by
+    * construction (stats are READ as sums, the layout as its distinct
+    * value set), so the one-tiny-row-per-batch stats scans are bounded
+    * by compactions, not by commit count. Batches appended DURING the
+    * rewrite keep their own additive rows, which sum correctly beside
+    * the folded one. */
   def compactManifestTextIndex(s: SparkSession, tablePath: String,
       segments: Int = 4): Unit =
     graft.sources.ManifestStore.zorderCompact(
-      s, tablePath, TextIndexCollection, Seq("bkt"), segments)
+      s, tablePath, TextIndexCollection, Seq("bkt"), segments,
+      foldIndexMeta)
+
+  /** The reader-equivalent metadata fold applied at compaction (see
+    * [[compactManifestTextIndex]]). Multi-valued `'b'` layouts — the
+    * corruption [[manifestIndexBuckets]] fails loud on — survive the
+    * distinct, so compaction can never mask that signal. */
+  private[graft] def foldIndexMeta(rows: DataFrame): DataFrame = {
+    val p = rows.where(col("kind") === "p")
+    val sRows = rows.where(col("kind") === "s")
+      .agg(coalesce(sum(col("doc_id")), lit(0L)).as("doc_id"),
+        coalesce(sum(col("dl")), lit(0L)).as("dl"),
+        count(lit(1)).as("n"))
+      .where(col("n") > 0)
+      .select(lit("s").as("kind"), col("doc_id"), col("dl"),
+        lit(null).cast("string").as("word"),
+        lit(null).cast("long").as("tf"),
+        lit(null).cast("long").as("bkt"))
+    val bRows = rows.where(col("kind") === "b")
+      .select("kind", "doc_id", "dl", "word", "tf", "bkt").distinct()
+    p.unionByName(sRows).unionByName(bRows)
+  }
 
   /** BM25 over the VERSIONED index through the declarative connector:
     * probe buckets resolve driver-side as usual, and the `bkt IN (…)`

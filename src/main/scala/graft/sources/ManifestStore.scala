@@ -2300,16 +2300,27 @@ object ManifestStore {
     * along; a lost rewrite race abandons (orphan segments age out
     * under [[vacuum]]) — the [[compactCollection]] protocol,
     * list-extended. NULLs bucket low (cluster together at the curve's
-    * origin). */
+    * origin).
+    *
+    * `transform` rewrites the input ROWS before clustering — for
+    * READER-EQUIVALENT folds only (e.g. collapsing additive stats
+    * rows that every reader sums, [[graft.operators.TextAnalysis
+    * .compactManifestTextIndex]]): it must preserve the collection
+    * schema and the meaning of every read. The abandon-on-race
+    * protocol stays sound because a fold, like the layout itself, is
+    * an optimization a reader can never observe — and segments
+    * appended DURING the rewrite keep their own (unfolded, still
+    * additive) rows, which sum correctly beside the folded row. */
   def zorderCompact(spark: SparkSession, tablePath: String, c: String,
-      cols: Seq[String], segments: Int): Unit = {
+      cols: Seq[String], segments: Int,
+      transform: DataFrame => DataFrame = identity): Unit = {
     require(cols.nonEmpty && segments >= 1)
     val fs = fsOf(spark, tablePath)
     val r = resolve(fs, tablePath, c)
     if (r.liveSegs.isEmpty) return
     val live = r.liveSegs.toSeq.flatten
-    val rows = readSegsInferred(spark, tablePath, c, live, live)
-      .drop("collection")
+    val rows = transform(readSegsInferred(spark, tablePath, c, live, live)
+      .drop("collection"))
     cols.foreach(n => require(rows.columns.contains(n),
       s"zorder column '$n' not in collection '$c' " +
         s"(has: ${rows.columns.mkString(", ")})"))

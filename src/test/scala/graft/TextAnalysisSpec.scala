@@ -432,7 +432,17 @@ class TextAnalysisSpec extends SparkSpecBase {
     val clustered = probeFiles()
     assert(clustered < loose,
       s"clustered probe should scan fewer files ($clustered vs $loose)")
-    assert(ask() == expect) // compaction is layout-only
+    assert(ask() == expect) // compaction is reader-equivalent
+    // ... and FOLDS the per-batch metadata: the two commits' additive
+    // 's' rows collapse to ONE summed row, the identical 'b' layout
+    // rows to ONE distinct row — stats scans bounded by compactions,
+    // not commit count (scoring parity above already proves the folded
+    // n_docs/sum_dl read back correctly)
+    val meta = spark.read.format("graft").option("path", table)
+      .option("collection", TextAnalysis.TextIndexCollection).load()
+      .where(col("kind") =!= "p").collect()
+    assert(meta.count(_.getString(0) == "s") == 1, meta.mkString(", "))
+    assert(meta.count(_.getString(0) == "b") == 1, meta.mkString(", "))
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(table).getParentFile)
   }
