@@ -993,6 +993,79 @@ object Events {
     }
   }
 
+  /** Segment count for the VALUE-clustered events table — the metric-
+    * partitioned monitoring layout ([[valueEventsTable]]). */
+  val ValueSegs = 6
+
+  private val valueTables = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Double, Double)]()
+
+  /** VALUE-clustered manifest events table (implicit index, built once
+    * per (session, sf dir)): the slim event relation stored as
+    * [[ValueSegs]] value-contiguous segments under a `value` ('d'-kind)
+    * + `ts_us` ('l'-kind) zone-map config — the layout a metric store
+    * clustered on its measurement axis has, where "values in this
+    * band" queries prove most segments irrelevant. The double band
+    * arithmetic (lo + (hi−lo)/segs·i) is a fixed IEEE op sequence the
+    * oracle mirrors exactly. Returns (tablePath, min value, max
+    * value). */
+  private[graft] def valueEventsTable(s: SparkSession,
+      dir: String): (String, Double, Double) = {
+    val key = (s, dir)
+    Option(valueTables.get(key)).getOrElse {
+      val ev = load(s, dir)
+        .select("event_id", "event_type", "value", "ts_us")
+        .where(col("value").isNotNull)
+      val r = ev.agg(min("value"), max("value")).head
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val w = (hi - lo) / ValueSegs
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ev-value-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
+      graft.sources.ManifestStore.setZoneMapColumns(s, path,
+        Seq("value", "ts_us"))
+      (0 until ValueSegs).foreach { i =>
+        val slice =
+          if (i == ValueSegs - 1) ev.where(col("value") >= lo + w * i)
+          else ev.where(col("value") >= lo + w * i &&
+            col("value") < lo + w * (i + 1))
+        // a degenerate band (all-equal values ⇒ w = 0) holds no rows —
+        // an empty segment carries no stats and would defeat pruning
+        if (!slice.isEmpty)
+          graft.sources.ManifestStore.store(slice, path, "events")
+      }
+      val built = (path, lo, hi)
+      Option(valueTables.putIfAbsent(key, built)).map { prev =>
+        deleteTable(s, path); prev // racing builder lost: drop the dup
+      }.getOrElse(built)
+    }
+  }
+
+  /** VALUE-band aggregate through the `format("graft")` connector —
+    * the 'd'-kind zone-map face: a `value` range filter over the
+    * value-clustered table proves the out-of-band segments irrelevant
+    * at planning time (double bounds compared under the canonical
+    * NaN-greatest predicate order — [[graft.sources.ManifestStore
+    * .readRangeDouble]]'s proof, GraftSourceSpec pins the NaN/-0.0
+    * edges), and the residual double `between` still pushes into the
+    * surviving parquet. The middle third [lo+2w, lo+4w) of the value
+    * domain — EventsSpec pins that the plan keeps 2 of the 6
+    * value-sliced segments. */
+  def valueRangeScan(s: SparkSession, dir: String): DataFrame = {
+    val (path, lo, hi) = valueEventsTable(s, dir)
+    val w = (hi - lo) / ValueSegs
+    s.read.format("graft").option("path", path)
+      .option("collection", "events").load()
+      .where(col("value") >= lo + w * 2 && col("value") < lo + w * 4)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Time-range aggregate over the MIDDLE QUARTER of the event log,
     * served by [[graft.sources.ManifestStore.readRangeLong]]: the
     * driver consults the per-segment ts_us zone maps and never lists,
@@ -2302,6 +2375,12 @@ object Events {
       val v = diffTables.remove(k)
       if (v != null) deleteTable(k._1, v._1)
     }
+    val vkeys = valueTables.keySet().iterator()
+    while (vkeys.hasNext) {
+      val k = vkeys.next()
+      val v = valueTables.remove(k)
+      if (v != null) deleteTable(k._1, v._1)
+    }
   }
 
   // ------------------------------------------------------------------
@@ -2794,6 +2873,21 @@ object Events {
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin)(
       (s, dir) => connectorRangeScan(s, dir)),
+
+    // the 'd'-kind zone-map face: double band bounds derived with the
+    // IDENTICAL IEEE op sequence (sub, div, mul, add) in both engines
+    QueryDef.sql("ev_value_range",
+      s"""WITH f AS (SELECT event_type, value FROM events
+         |  WHERE value IS NOT NULL),
+         |b AS (SELECT min(value) AS lo, max(value) AS hi FROM f)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM f, b
+         |WHERE value >= b.lo + (b.hi - b.lo) / $ValueSegs.0E0 * 2.0E0
+         |  AND value < b.lo + (b.hi - b.lo) / $ValueSegs.0E0 * 4.0E0
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)(
+      (s, dir) => valueRangeScan(s, dir)),
 
     QueryDef.sql("ev_version_diff",
       """WITH f AS (SELECT event_id, epoch_us(ts) AS t FROM events),

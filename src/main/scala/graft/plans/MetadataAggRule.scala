@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.GraftFileIndex
@@ -89,6 +89,16 @@ object MetadataAggRule extends Rule[LogicalPlan] {
               case None => null
               case Some((lo, hi)) =>
                 UTF8String.fromString(if (wantMax) hi else lo)
+            }
+          // 'd' bounds are recorded under Spark's own min/max float
+          // ordering and served VERBATIM (sign of zero, NaN intact) —
+          // bit-identical to the scan's aggregate; a FLOAT column's
+          // widened double bound cannot narrow back provably, so only
+          // DoubleType serves
+          case DoubleType =>
+            idx.metadataDoubleBounds(attr.name).map {
+              case None => null
+              case Some((lo, hi)) => if (wantMax) hi else lo
             }
           // any other type's 's' bounds are STRING order, not value
           // order — never servable

@@ -158,6 +158,32 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
     }
   }
 
+  /** Snapshot-wide [min, max] of a FLOATING column from 'd'-kind
+    * bounds, served verbatim as recorded (NaN intact — Spark's min/max
+    * order NaN greatest, so a corpus containing NaN maxes to it on
+    * both paths). Ties between -0.0 and 0.0 are EQUAL under Spark's
+    * own float comparison (SQLOrderingUtil), so which sign a min/max
+    * returns is order-dependent in Spark itself — the served value is
+    * one of the same equal candidates the scan would pick. Same
+    * tri-state as [[metadataLongBounds]]. */
+  def metadataDoubleBounds(
+      column: String): Option[Option[(Double, Double)]] = {
+    val per = segs.map(segBounds(_, column, 'd'))
+    if (per.exists(_.isEmpty)) None
+    else {
+      val bounds = per.flatten.flatten.map { case (lo, hi) =>
+        (lo.toDoubleOption, hi.toDoubleOption)
+      }
+      if (bounds.exists(b => b._1.isEmpty || b._2.isEmpty)) None
+      else if (bounds.isEmpty) Some(None)
+      else Some(Some((
+        bounds.map(_._1.get).reduce((a, b) =>
+          if (java.lang.Double.compare(a, b) <= 0) a else b),
+        bounds.map(_._2.get).reduce((a, b) =>
+          if (java.lang.Double.compare(a, b) >= 0) a else b))))
+    }
+  }
+
   override val rootPaths: Seq[Path] = Seq(new Path(tablePath))
 
   override def partitionSchema: StructType = StructType(Nil)
@@ -232,6 +258,22 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
     case u: UTF8String => Some(u)
     case _ => None
   }
+
+  private def litDouble(l: Literal): Option[Double] = l.value match {
+    case d: java.lang.Double => Some(d.doubleValue)
+    case f: java.lang.Float => Some(f.doubleValue)
+    case _ => None
+  }
+
+  private def dblBounds(seg: Long, name: String): Option[(Double, Double)] =
+    statsOf(seg).get(name) match {
+      case Some(('d', lo, hi)) =>
+        (lo.toDoubleOption, hi.toDoubleOption) match {
+          case (Some(l), Some(h)) => Some((l, h))
+          case _ => None
+        }
+      case _ => None
+    }
 
   private def longBounds(seg: Long, name: String): Option[(Long, Long)] =
     statsOf(seg).get(name) match {
@@ -313,6 +355,26 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
         case _ => false // 'l'-kind bits prove nothing for a string probe
       })
       boundsExcl || bloomExcl
+    }).orElse(litDouble(l).map { v =>
+      // floating-point probe against 'd' bounds, compared under
+      // ManifestStore.dCmpPred — zeros canonicalized (-0.0 = 0.0, as
+      // Spark's predicates treat them) and NaN greatest (Spark's NaN
+      // order), so each test below can only keep MORE than the
+      // predicate matches. A segment containing a NaN row records
+      // hi = NaN (max under Spark's float total order), and no test
+      // against a NaN bound ever proves exclusion — sound because in
+      // Spark NaN = NaN, NaN > x, and NaN >= x are all TRUE. No bloom
+      // arm: float point-probes are a modeling smell, bounds only.
+      dblBounds(seg, a.name).exists { case (lo, hi) =>
+        import ManifestStore.{dCmpPred => c}
+        cmp match {
+          case Eq => c(v, lo) < 0 || c(v, hi) > 0
+          case Gt => c(hi, v) <= 0
+          case Ge => c(hi, v) < 0
+          case Lt => c(lo, v) >= 0
+          case Le => c(lo, v) > 0
+        }
+      }
     }).getOrElse(false)
   }
 

@@ -207,8 +207,11 @@ object ManifestStore {
       // CAST-TO-STRING bounds whose format is type-specific ("1.5"
       // double vs "1.50" decimal) — there, only the exact same type is
       // comparable; anything else falls back to the full rewrite
+      // a FLOAT merge key is never prunable here: the prune algebra
+      // below is long/utf8 only, and float-equality merge keys are a
+      // modeling smell anyway — fall back loud to the full rewrite
       val prunable = zoneMapColumnsOf(fs, tablePath).contains(key) &&
-        changes.columns.contains(key) &&
+        changes.columns.contains(key) && keyKind != 'd' &&
         (if (keyKind == 'l') zmKindOf(changes.schema(key).dataType) == 'l'
          else changes.schema(key).dataType == all.schema(key).dataType)
       val rewriteSegs: Seq[Long] =
@@ -338,7 +341,10 @@ object ManifestStore {
               .select(all.columns.map(col): _*)
         }
       if (rewriteSegs.isEmpty && merged.isEmpty) return true // no-op
-      val ord = if (keyKind == 'l') col(key) else col(key).cast("string")
+      val ord =
+        if (keyKind == 'l') col(key)
+        else if (keyKind == 'd') col(key).cast("double")
+        else col(key).cast("string")
       val laid = merged
         .repartitionByRange(math.max(rewriteSegs.size, 1), ord)
         .sortWithinPartitions(ord)
@@ -1392,16 +1398,40 @@ object ManifestStore {
   }
 
   /** Stat kind for a column type: 'l' = integral (numeric-ordered
-    * bounds), 's' = everything else via cast-to-string (UTF-8-ordered
-    * bounds — the order Spark's string min/max collects under). */
+    * bounds), 'd' = floating (double bounds under Spark's float total
+    * order — NaN greatest; see [[dCmpPred]] for the prune-side
+    * comparator), 's' = everything else via cast-to-string
+    * (UTF-8-ordered bounds — the order Spark's string min/max
+    * collects under). Sidecars written before 'd' existed recorded
+    * float columns as 's' — readers treat that as wrong-kind and
+    * prune nothing, the proof discipline's forward-compat arm. */
   private def zmKindOf(dt: org.apache.spark.sql.types.DataType): Char =
     dt match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType => 'l'
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => 'd'
       case _ => 's'
     }
+
+  /** -0.0 → +0.0: Spark's comparison semantics treat the two zeros as
+    * EQUAL (while its min/max ordering distinguishes them), so every
+    * prune-side comparison canonicalizes first — a segment whose
+    * recorded hi is -0.0 must not be pruned away from a `>= 0.0`
+    * probe. */
+  private[sources] def dCanon(d: Double): Double =
+    if (d == 0.0) 0.0 else d
+
+  /** PREDICATE-semantics double compare for pruning proofs: zeros
+    * canonicalized (Spark's `=`/range operators treat -0.0 = 0.0) and
+    * NaN ordered greatest (Spark's documented NaN semantics: NaN =
+    * NaN is true, NaN exceeds every other value) — so a bound test
+    * under this comparator can only KEEP more segments than Spark's
+    * own predicate would match, never fewer. */
+  private[sources] def dCmpPred(a: Double, b: Double): Int =
+    java.lang.Double.compare(dCanon(a), dCanon(b))
 
   private[sources] def statsPath(tablePath: String, c: String, seg: Long): Path =
     new Path(manifestDir(tablePath, c), f"$StatsPrefix$seg%06d")
@@ -1463,7 +1493,10 @@ object ManifestStore {
       // columns are mapped
       val obs = Observation()
       val aggs = zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
-        val base = if (k == 'l') col(n) else col(n).cast("string")
+        val base =
+          if (k == 'l') col(n)
+          else if (k == 'd') col(n).cast("double")
+          else col(n).cast("string")
         // the NON-NULL count rides the same single Observation: it is
         // the column's metadata-servable COUNT contribution (total row
         // count would overcount rows the range predicate's null
@@ -1564,7 +1597,10 @@ object ManifestStore {
     val bfCols = bfColsCfg.filter(dataCols.contains)
       .flatMap(n => bfKindOf(laid.schema(n).dataType).map(k => (n, k)))
     val aggs = zmCols.zipWithIndex.flatMap { case ((n, k), i) =>
-      val base = if (k == 'l') col(n) else col(n).cast("string")
+      val base =
+        if (k == 'l') col(n)
+        else if (k == 'd') col(n).cast("double")
+        else col(n).cast("string")
       Seq(min(base).as(s"zm_lo_$i"), max(base).as(s"zm_hi_$i"),
         count(base).as(s"zm_n_$i"))
     } ++ bfCols.zipWithIndex.flatMap { case ((n, k), i) =>
@@ -1850,6 +1886,49 @@ object ManifestStore {
     val fs = fsOf(spark, tablePath)
     val segs = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
     (segs.count(keepLong(fs, tablePath, c, _, lo, hi, column)), segs.size)
+  }
+
+  /** [[readRangeLong]] for FLOATING columns — the metric axis
+    * (`events.value`-style measurements): the prune consults only
+    * 'd'-kind stats under [[dCmpPred]] (zeros canonicalized, NaN
+    * greatest — exactly Spark's predicate semantics, so the proof can
+    * never drop a matching segment; a NaN recorded in a bound simply
+    * never proves exclusion), and the residual is the native double
+    * `between`, pushed into the surviving parquet footers. Sidecars
+    * that recorded the column pre-'d' (as 's' strings) are wrong-kind
+    * and prune nothing. */
+  def readRangeDouble(spark: SparkSession, tablePath: String, c: String,
+      lo: Double, hi: Double, column: String): DataFrame = {
+    val fs = fsOf(spark, tablePath)
+    val segs = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
+    val kept = segs.filter(keepDouble(fs, tablePath, c, _, lo, hi, column))
+    rangeResidual(
+      readSegsInferred(spark, tablePath, c, kept, segs), column,
+      col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** The [[readRangeDouble]] prune predicate: keep the segment unless
+    * its recorded 'd' bounds PROVE it cannot intersect [lo, hi] under
+    * Spark's float comparison semantics. */
+  private def keepDouble(fs: FileSystem, tablePath: String, c: String,
+      seg: Long, lo: Double, hi: Double, column: String): Boolean =
+    readSegStats(fs, tablePath, c, seg).get(column) match {
+      case Some(('d', mn, mx)) =>
+        (mn.toDoubleOption, mx.toDoubleOption) match {
+          case (Some(a), Some(b)) =>
+            dCmpPred(a, hi) <= 0 && dCmpPred(b, lo) >= 0
+          case _ => true // unparseable bounds: cannot prune
+        }
+      case _ => true
+    }
+
+  /** (kept, total) counts for a [[readRangeDouble]] plan — the
+    * observability twin of [[rangeLongPlanned]]. */
+  def rangeDoublePlanned(spark: SparkSession, tablePath: String,
+      c: String, lo: Double, hi: Double, column: String): (Int, Int) = {
+    val fs = fsOf(spark, tablePath)
+    val segs = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
+    (segs.count(keepDouble(fs, tablePath, c, _, lo, hi, column)), segs.size)
   }
 
   /** Residual-predicate application shared by the range reads: an

@@ -443,6 +443,32 @@ class EventsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("over budget"), e.getMessage)
   }
 
+  test("value-range scan: 'd' zone maps prune the out-of-band value " +
+      "segments and the connector face equals the imperative read") {
+    val (path, lo, hi) = Events.valueEventsTable(spark, sf)
+    val w = (hi - lo) / Events.ValueSegs
+    val (kept, total) = graft.sources.ManifestStore
+      .rangeDoublePlanned(spark, path, "events",
+        lo + w * 2, lo + w * 4, "value")
+    // both middle bands survive (they hold the matches); the inclusive
+    // probe may also touch band 4's exact floor — never more
+    assert(kept >= 2 && kept <= 3 && kept < total, s"$kept/$total")
+    val got = Events.valueRangeScan(spark, sf).collect()
+    assert(got.nonEmpty)
+    val viaApi = graft.sources.ManifestStore
+      .readRangeDouble(spark, path, "events",
+        lo + w * 2, lo + w * 4, "value")
+      .where(col("value") < lo + w * 4)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+      .orderBy("event_type").collect()
+    assert(got.map(_.toSeq.toList).toList ==
+      viaApi.map(_.toSeq.toList).toList)
+  }
+
   test("version-diff scenario: the pointer log reads back as " +
       "create/rewrite/restore, and the two diffs are exact inverses") {
     val (path, v1, v2, v3) = Events.diffScenarioTable(spark, sf)

@@ -395,8 +395,9 @@ class GraftSourceSpec extends SparkSpecBase {
       assert(r.getLong(0) == 0L && r.getLong(1) == 209L &&
         r.getString(2) == "n0" && r.getString(3) == "n9" &&
         r.getLong(4) == 30L)
-      // a DOUBLE column's 's' bounds are string order, not value
-      // order — never served
+      // an UNMAPPED double column has no sidecar bounds — never served
+      // (a zone-mapped one serves from its 'd' bounds; see the 'd'-kind
+      // test below)
       val dbl = readSrc(table).agg(min(col("v")).as("lo"))
       assert(!metaServed(dbl))
       assert(dbl.head.getDouble(0) == 0.0)
@@ -427,6 +428,102 @@ class GraftSourceSpec extends SparkSpecBase {
         spark.experimental.extraOptimizations
           .filterNot(_ eq graft.plans.MetadataAggRule)
     }
+  }
+
+  test("'d'-kind zone maps: double probes prune at planning time under " +
+      "Spark's float semantics (NaN greatest, -0.0 = 0.0), the " +
+      "imperative range read agrees, and wrong-kind stats prune nothing") {
+    import spark.implicits._
+    val table = tmp() + "/t"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("x"))
+    ManifestStore.store((0 until 10).map(i => (i.toLong, i + 0.5))
+      .toDF("id", "x").repartition(1), table, "m")
+    ManifestStore.store((0 until 10).map(i => (100L + i, 100.25 + i))
+      .toDF("id", "x").repartition(1), table, "m")
+    // the edge segment: both zeros, a NaN, an infinity — bounds record
+    // [-0.0 (or 0.0 — Spark's min treats them equal), NaN]
+    ManifestStore.store(Seq((900L, -0.0), (901L, 0.0),
+      (902L, Double.NaN), (903L, Double.PositiveInfinity))
+      .toDF("id", "x").repartition(1), table, "m")
+    def src = spark.read.format("graft").option("path", table)
+      .option("collection", "m").load()
+    // band probe: the low band is proven out; the edge segment's NaN
+    // hi proves nothing upward (SOUND — its Inf/NaN rows do satisfy
+    // x >= 100) so 2 of 3 scan, and the residual leaves the band only
+    val band = src.where(col("x") >= 100.0 && col("x") <= 110.0)
+    assert(scannedFiles(band) == 2L)
+    assert(band.count() == 10L)
+    // -0.0 = 0.0 under Spark float equality: either literal sign finds
+    // BOTH zero rows, and prunes both numeric bands
+    val z = src.where(col("x") === 0.0)
+    assert(scannedFiles(z) == 1L)
+    assert(z.count() == 2L)
+    val nz = src.where(col("x") === -0.0)
+    assert(scannedFiles(nz) == 1L)
+    assert(nz.count() == 2L)
+    // NaN = NaN is true and NaN is greatest: the equality probe plans
+    // only the edge segment; a strictly-above probe excludes the middle
+    // band at its exact hi yet still finds Inf AND NaN
+    val nan = src.where(col("x") === Double.NaN)
+    assert(scannedFiles(nan) == 1L)
+    assert(nan.count() == 1L)
+    val above = src.where(col("x") > 109.25)
+    assert(scannedFiles(above) == 1L)
+    assert(above.count() == 2L)
+    // Or prunes only segments BOTH branches exclude; the NaN-topped
+    // edge segment is never equality-pruned (its bounds cannot
+    // disprove any value below NaN)
+    assert(scannedFiles(
+      src.where(col("x") === 0.0 || col("x") === 105.25)) == 2L)
+    assert(scannedFiles(
+      src.where(col("x") === 5.5 || col("x") === 105.25)) == 3L)
+    // And needs ONE excluding conjunct
+    assert(scannedFiles(
+      src.where(col("x") < 0.25 && col("id") >= 0L)) == 1L)
+    // a non-literal comparison proves nothing — full scan
+    assert(scannedFiles(
+      src.where(col("x") === col("id").cast("double"))) == 3L)
+    // imperative face: same plan, same rows
+    val rr = ManifestStore.readRangeDouble(
+      spark, table, "m", 100.0, 110.0, "x").drop("collection")
+    assert(rr.orderBy("id").collect().toSeq ==
+      band.orderBy("id").collect().toSeq)
+    assert(ManifestStore.rangeDoublePlanned(
+      spark, table, "m", 100.0, 110.0, "x") == ((2, 3)))
+    // metadata min/max serve from the 'd' bounds without a scan: the
+    // min is a zero (sign order-dependent in Spark itself — the two
+    // compare equal), the max is the NaN
+    spark.experimental.extraOptimizations ++=
+      Seq(graft.plans.MetadataAggRule)
+    try {
+      val mm = src.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      assert(mm.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.nonEmpty)
+      val r = mm.head
+      assert(r.getDouble(0) == 0.0)
+      assert(r.getDouble(1).isNaN)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.MetadataAggRule)
+    }
+    // FORWARD-COMPAT: a sidecar that recorded this column pre-'d'
+    // (string-kind bounds) is wrong-kind for a double probe — prunes
+    // nothing, scans conservatively
+    val walked = java.nio.file.Files.walk(java.nio.file.Paths.get(table))
+    try {
+      walked.filter(p => p.getFileName.toString.startsWith("stats-"))
+        .forEach { p =>
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          java.nio.file.Files.write(p,
+            txt.replace(":d=", ":s=").getBytes("UTF-8")): Unit
+        }
+    } finally walked.close()
+    assert(scannedFiles(
+      src.where(col("x") >= 100.0 && col("x") <= 110.0)) == 3L)
+    assert(ManifestStore.rangeDoublePlanned(
+      spark, table, "m", 100.0, 110.0, "x") == ((3, 3)))
   }
 
   test("segment listings are memoized per index instance: repeated " +
