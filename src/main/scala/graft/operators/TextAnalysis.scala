@@ -488,8 +488,17 @@ object TextAnalysis {
     // as [[collocations]]: localCheckpoint cuts the lineage once; the
     // relation is suite-terms-posting-bounded, everything downstream
     // reads its blocks, and the blocks free with the frame — no
-    // releaseCaches bookkeeping to leak.
-    val hits = bm25Hits(tf, queries).localCheckpoint()
+    // releaseCaches bookkeeping to leak. The checkpoint materializes
+    // PRE-PARTITIONED on (query_id, doc_id) — the clustering three of
+    // the four consumers aggregate under (seed-doc scoring, the UB
+    // sum, the survivor scoring tail all group by (query, doc, …), and
+    // HashPartitioning(q, d) satisfies those ClusteredDistributions) —
+    // so one shuffle paid inside the materialization replaces three
+    // downstream hits-sized exchanges; only the suite-bounded ti
+    // aggregate re-keys.
+    val hits = bm25Hits(tf, queries)
+      .repartition(col("query_id"), col("doc_id"))
+      .localCheckpoint()
     // per-(query, term) IMPACT upper bound: idf(df) × tf_norm at the
     // term's most favourable posting — the RATIONAL idf
     // (nd − df + 0.5)/(df + 0.5) is strictly positive (nd ≥ df), and
