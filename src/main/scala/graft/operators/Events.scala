@@ -815,6 +815,33 @@ object Events {
         posexplode(cmsPosArray(col("user_id"))).as(Seq("depth", "pos")))
       .groupBy("event_type", "depth", "pos").agg(count(lit(1)).as("n"))
 
+  /** The catch-all group every out-of-configuration key clamps into
+    * on the bounded-state face ([[groupCmsCellsConfigured]]). */
+  val CmsOtherGroup = "__other"
+
+  /** [[groupCmsGrid]] on a CONFIGURED group set — the bounded-state
+    * face [[graft.streaming.EventStream.groupCmsCells]] serves: a
+    * stream cannot budget-guard a data-dependent group set up front
+    * (the batch guard LIMITs a distinct fetch — a corpus operation),
+    * so production CONFIGURES the tenant/type list, exactly as
+    * monitoring systems do, and out-of-set groups CLAMP into the one
+    * [[CmsOtherGroup]] catch-all instead of minting unbounded state —
+    * [[driftCells]]'s clamped-grid contract applied to the group
+    * axis. State is ≤ (allowed+1)·d·w rows forever; cells merge by
+    * addition, so the micro-batch cut is invisible (replay ≡ batch
+    * spec-pinned). Works on batch AND streaming frames. */
+  def groupCmsCellsConfigured(events: DataFrame,
+      allowed: Seq[String]): DataFrame = {
+    require(allowed.nonEmpty, "configured group set must be non-empty")
+    events
+      .where(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(when(col("event_type").isin(allowed.map(x => x: Any): _*),
+          col("event_type")).otherwise(lit(CmsOtherGroup))
+          .as("event_type"),
+        posexplode(cmsPosArray(col("user_id"))).as(Seq("depth", "pos")))
+      .groupBy("event_type", "depth", "pos").agg(count(lit(1)).as("n"))
+  }
+
   def groupCmsTopK(s: SparkSession, dir: String): DataFrame =
     groupCmsTopKOn(load(s, dir))
 
@@ -1064,6 +1091,24 @@ object Events {
         sum(col("value").cast(DecimalType(18, 6))).cast("double")
           .as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** METADATA-SERVED value-band count — [[rangeCount]]'s 'd'-kind
+    * twin over the value-clustered table: bands fully inside
+    * [lo+2w, lo+4w] contribute their sidecar non-null counts without
+    * a read, partial-overlap bands scan with the residual, and the
+    * NaN discipline keeps the serve sound (a NaN-holding segment can
+    * never prove full coverage under a finite bound — see
+    * [[graft.sources.ManifestStore.countRangeDoublePlanned]]). The
+    * serving split is spec-pinned; the oracle checks the count. */
+  def valueRangeCount(s: SparkSession, dir: String): DataFrame = {
+    val (path, lo, hi) = valueEventsTable(s, dir)
+    val w = (hi - lo) / ValueSegs
+    val (n, _, _, _) = graft.sources.ManifestStore
+      .countRangeDoublePlanned(s, path, "events",
+        lo + w * 2, lo + w * 4, "value")
+    import s.implicits._
+    Seq(n).toDF("n_events")
   }
 
   /** Time-range aggregate over the MIDDLE QUARTER of the event log,
@@ -2888,6 +2933,17 @@ object Events {
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin)(
       (s, dir) => valueRangeScan(s, dir)),
+
+    // the metadata-served count twin of ev_value_range: a CLOSED value
+    // band so fully-covered segments serve from their cnt: tokens
+    QueryDef.sql("ev_value_count",
+      s"""WITH f AS (SELECT value FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT min(value) AS lo, max(value) AS hi FROM f)
+         |SELECT count(*) AS n_events
+         |FROM f, b
+         |WHERE value BETWEEN b.lo + (b.hi - b.lo) / $ValueSegs.0E0 * 2.0E0
+         |  AND b.lo + (b.hi - b.lo) / $ValueSegs.0E0 * 4.0E0""".stripMargin)(
+      (s, dir) => valueRangeCount(s, dir)),
 
     QueryDef.sql("ev_version_diff",
       """WITH f AS (SELECT event_id, epoch_us(ts) AS t FROM events),

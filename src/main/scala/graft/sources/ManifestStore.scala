@@ -1813,6 +1813,54 @@ object ManifestStore {
       lo: Long, hi: Long, column: String): Long =
     countRangeLongPlanned(spark, tablePath, c, lo, hi, column)._1
 
+  /** [[countRangeLongPlanned]] for FLOATING columns: segments fully
+    * inside [lo, hi] under [[dCmpPred]] serve their sidecar non-null
+    * counts without a read; partial overlaps scan with the residual.
+    * NaN discipline makes the metadata serve SOUND: a segment holding
+    * any NaN records hi = NaN (Spark's max order), which is never
+    * proven ≤ a finite probe hi — such segments always scan, so a
+    * finite-range count can never serve NaN rows from metadata (they
+    * would not match the residual either). */
+  def countRangeDoublePlanned(spark: SparkSession, tablePath: String,
+      c: String, lo: Double, hi: Double,
+      column: String): (Long, Int, Int, Int) = {
+    val fs = fsOf(spark, tablePath)
+    val segs = resolve(fs, tablePath, c).liveSegs.toSeq.flatten
+    var meta = 0L
+    var nMeta = 0
+    var nPruned = 0
+    val toScan = Seq.newBuilder[Long]
+    segs.foreach { seg =>
+      readSegStats(fs, tablePath, c, seg).get(column) match {
+        case Some(('d', sLo, sHi)) =>
+          (sLo.toDoubleOption, sHi.toDoubleOption) match {
+            case (Some(l), Some(h))
+                if dCmpPred(h, lo) < 0 || dCmpPred(l, hi) > 0 =>
+              nPruned += 1
+            case (Some(l), Some(h))
+                if dCmpPred(l, lo) >= 0 && dCmpPred(h, hi) <= 0 =>
+              readSegCount(fs, tablePath, c, seg, column) match {
+                case Some(n) => meta += n; nMeta += 1
+                case None => toScan += seg
+              }
+            case _ => toScan += seg
+          }
+        case _ => toScan += seg
+      }
+    }
+    val scanSegs = toScan.result()
+    val scanned =
+      if (scanSegs.isEmpty) 0L
+      else readSegsInferred(spark, tablePath, c, scanSegs, scanSegs)
+        .where(col(column) >= lo && col(column) <= hi).count()
+    (meta + scanned, nMeta, scanSegs.size, nPruned)
+  }
+
+  /** [[countRangeDoublePlanned]] without the observability tuple. */
+  def countRangeDouble(spark: SparkSession, tablePath: String, c: String,
+      lo: Double, hi: Double, column: String): Long =
+    countRangeDoublePlanned(spark, tablePath, c, lo, hi, column)._1
+
   /** ZONE-MAP-PRUNED range read: rows of `c` with `column` in
     * [lo, hi] (inclusive, string comparison — the column is cast to
     * string in both the stats and the residual predicate, and the

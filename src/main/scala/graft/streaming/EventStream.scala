@@ -406,6 +406,20 @@ object EventStream {
   def cmsCells(events: DataFrame): DataFrame =
     graft.operators.Events.cmsGrid(events)
 
+  /** Streaming PER-GROUP count-min grid — the live face of the batch
+    * `ev_group_cms_topk` monitor: (group, depth, pos) counter cells
+    * over a CONFIGURED group set, out-of-set groups clamped into the
+    * `__other` catch-all ([[driftCells]]'s bounded-grid contract on
+    * the group axis — a stream cannot budget-guard a data-dependent
+    * group list, so the deployment configures its tenants). State is
+    * ≤ (allowed+1)·d·w rows forever, no watermark; cells are monotone
+    * counters merging by addition, so replay ≡ batch cell-for-cell
+    * (spec-pinned). A consumer probes any key's estimate as the min
+    * of its d cells within its group, exactly the batch face. */
+  def groupCmsCells(events: DataFrame,
+      allowed: Seq[String]): DataFrame =
+    graft.operators.Events.groupCmsCellsConfigured(events, allowed)
+
   /** Streaming QUANTILE-SKETCH cells — [[cmsCells]]'s bounded-state
     * discipline applied to rank statistics: the aggregation key space
     * is the fixed grid over a CONFIGURED domain [lo, lo + B·w) (a

@@ -872,6 +872,51 @@ class EventStreamSpec extends SparkSpecBase {
       graft.operators.Events.CmsDepth * graft.operators.Events.CmsWidth)
   }
 
+  test("streaming per-group count-min grid across micro-batches == " +
+      "batch grid cell-for-cell; out-of-configuration groups clamp " +
+      "into the catch-all (bounded (allowed+1)*d*w state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val allowed = Seq("a", "b")
+    // the "zz" tenant is NOT configured — it must fold into __other,
+    // never mint its own state rows
+    val b1 = Seq.tabulate(30)(i => GCmsEv("a", i.toLong % 5)) ++
+      Seq.tabulate(12)(i => GCmsEv("zz", i.toLong % 2))
+    val b2 = Seq.tabulate(20)(i => GCmsEv("b", i.toLong % 3 + 50L)) ++
+      Seq.tabulate(8)(i => GCmsEv("zz", 7L))
+    val input = MemoryStream[GCmsEv]
+    val q = EventStream.groupCmsCells(input.toDF(), allowed)
+      .writeStream.format("memory").queryName("gcms_grid")
+      .outputMode("update").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    // cells are monotone counters: latest state = max n per cell
+    val got = spark.table("gcms_grid").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+        r.getLong(3))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    val want = Events.groupCmsCellsConfigured((b1 ++ b2).toDF(), allowed)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    assert(got == want && want.nonEmpty)
+    val groups = want.keySet.map(_._1)
+    assert(groups == Set("a", "b", Events.CmsOtherGroup))
+    // a probed key's estimate from the streamed cells equals the batch
+    // face's min-of-d-cells within its group, and never undercounts
+    val posOf = Seq.tabulate(Events.CmsDepth)(j =>
+      (((7L % graft.functions.TextFunctions.HashMod) * Events.CmsMult(j)
+        + (j * 97L + 13L)) % graft.functions.TextFunctions.HashMod)
+        & (Events.CmsWidth - 1L))
+    val est = posOf.zipWithIndex
+      .map { case (p, j) => want((Events.CmsOtherGroup, j, p)) }.min
+    assert(est >= 8L) // true count of ("zz", 7) is 8
+  }
+
   test("streaming quantile-sketch grid across micro-batches == batch " +
       "grid cell-for-cell (bounded <=B state, no watermark)") {
     import spark.implicits._
@@ -1151,5 +1196,6 @@ case class QDoc(doc_id: Option[Long], text: String, lang: String,
     n_chars: Long)
 /** Minimal typed row for the streaming count-min grid spec. */
 case class CmsEv(user_id: Long)
+case class GCmsEv(event_type: String, user_id: Long)
 /** Typed row for the streaming drift-histogram spec. */
 case class DriftEv(event_type: String, value: Double)

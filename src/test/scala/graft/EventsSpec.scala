@@ -467,6 +467,18 @@ class EventsSpec extends SparkSpecBase {
       .orderBy("event_type").collect()
     assert(got.map(_.toSeq.toList).toList ==
       viaApi.map(_.toSeq.toList).toList)
+    // the count twin's serving split: the two fully-covered middle
+    // bands serve from metadata, the out-of-band segments prune, and
+    // the total equals a direct recompute
+    val (n, nMeta, nScan, nPruned) = graft.sources.ManifestStore
+      .countRangeDoublePlanned(spark, path, "events",
+        lo + w * 2, lo + w * 4, "value")
+    assert(nMeta >= 2, s"meta=$nMeta scan=$nScan pruned=$nPruned")
+    assert(nPruned >= 2, s"meta=$nMeta scan=$nScan pruned=$nPruned")
+    assert(nMeta + nScan + nPruned == total)
+    val direct = Events.load(spark, sf)
+      .where(col("value").between(lo + w * 2, lo + w * 4)).count()
+    assert(n == direct)
   }
 
   test("version-diff scenario: the pointer log reads back as " +
