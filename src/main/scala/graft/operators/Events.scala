@@ -640,7 +640,14 @@ object Events {
     val dimRep = dim.withColumn("salt",
       explode(sequence(lit(0), lit(salts - 1))))
     clean
-      .withColumn("salt", (col("event_id") % salts).cast("int"))
+      // pmod, not %: Spark's % keeps the dividend's sign, so a
+      // negative id would mint a salt outside the replicated 0..S-1
+      // space and silently DROP the row from the inner join; a null id
+      // coalesces to salt 0 — every fact row must keep exactly one
+      // dim partner or salted ≡ unsalted breaks
+      .withColumn("salt",
+        pmod(coalesce(col("event_id"), lit(0L)), lit(salts.toLong))
+          .cast("int"))
       .join(dimRep.hint("shuffle_hash"), Seq("event_type", "salt"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -833,6 +840,12 @@ object Events {
   def groupCmsCellsConfigured(events: DataFrame,
       allowed: Seq[String]): DataFrame = {
     require(allowed.nonEmpty, "configured group set must be non-empty")
+    // a configured group named like the catch-all would merge with all
+    // clamped out-of-set traffic — its probes then overcount unbounded
+    // by the CMS error guarantee; collide loud instead
+    require(!allowed.contains(CmsOtherGroup),
+      s"configured group set must not contain the '$CmsOtherGroup' " +
+        "catch-all sentinel")
     events
       .where(col("event_type").isNotNull && col("user_id").isNotNull)
       .select(when(col("event_type").isin(allowed.map(x => x: Any): _*),
@@ -1040,12 +1053,13 @@ object Events {
       dir: String): (String, Double, Double) = {
     val key = (s, dir)
     Option(valueTables.get(key)).getOrElse {
+      // persisted for the build only: the bounds job, the per-band
+      // emptiness probes, and the per-band stores all read the cached
+      // blocks instead of rescanning the parquet ~13×
       val ev = load(s, dir)
         .select("event_id", "event_type", "value", "ts_us")
         .where(col("value").isNotNull)
-      val r = ev.agg(min("value"), max("value")).head
-      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
-      val w = (hi - lo) / ValueSegs
+        .persist()
       val path = java.nio.file.Files
         .createTempDirectory("graft-ev-value-").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -1053,16 +1067,36 @@ object Events {
           .deleteQuietly(new java.io.File(path)): Unit))
       graft.sources.ManifestStore.setZoneMapColumns(s, path,
         Seq("value", "ts_us"))
-      (0 until ValueSegs).foreach { i =>
-        val slice =
-          if (i == ValueSegs - 1) ev.where(col("value") >= lo + w * i)
-          else ev.where(col("value") >= lo + w * i &&
-            col("value") < lo + w * (i + 1))
-        // a degenerate band (all-equal values ⇒ w = 0) holds no rows —
-        // an empty segment carries no stats and would defeat pruning
-        if (!slice.isEmpty)
-          graft.sources.ManifestStore.store(slice, path, "events")
-      }
+      val (lo, hi) =
+        try {
+          val r = ev.agg(min("value"), max("value")).head
+          if (r.isNullAt(0)) {
+            // zero non-null values: commit the (empty) relation once so
+            // the collection exists with the right schema and the
+            // connector faces answer empty instead of throwing
+            graft.sources.ManifestStore.store(ev, path, "events")
+            (0.0, 0.0)
+          } else {
+            val (lo0, hi0) = (r.getDouble(0), r.getDouble(1))
+            val w = (hi0 - lo0) / ValueSegs
+            (0 until ValueSegs).foreach { i =>
+              val slice =
+                if (i == ValueSegs - 1)
+                  ev.where(col("value") >= lo0 + w * i)
+                else ev.where(col("value") >= lo0 + w * i &&
+                  col("value") < lo0 + w * (i + 1))
+              // a degenerate band (all-equal values ⇒ w = 0) holds no
+              // rows — an empty segment carries no stats and would
+              // defeat pruning. The emptiness probe must stay the
+              // band's OWN predicate (a derived band index would
+              // re-round the float arithmetic and could disagree with
+              // the slice at a boundary — skipped rows = data loss)
+              if (!slice.isEmpty)
+                graft.sources.ManifestStore.store(slice, path, "events")
+            }
+            (lo0, hi0)
+          }
+        } finally { ev.unpersist(); () }
       val built = (path, lo, hi)
       Option(valueTables.putIfAbsent(key, built)).map { prev =>
         deleteTable(s, path); prev // racing builder lost: drop the dup

@@ -271,9 +271,12 @@ object Multimodal {
   }
 
   /** Sequential-fold L1 distance over the a-/b-prefixed feature pair
-    * — identical operand order in the DuckDB oracles. */
-  private def pairL1: org.apache.spark.sql.Column =
-    (0 until FeatureDim)
+    * — identical operand order in the DuckDB oracles. `dim` is the
+    * caller's own dimension (phash features vs audio windows — equal
+    * today, but a silent coupling would under-measure the audio
+    * distance the day AudioWindows moves). */
+  private def pairL1(dim: Int = FeatureDim): org.apache.spark.sql.Column =
+    (0 until dim)
       .map(j => abs(col(s"a$j") - col(s"b$j")))
       .reduceLeft(_ + _)
 
@@ -297,7 +300,7 @@ object Multimodal {
     val a = feats.toDF("doc_id_1" +: (0 until FeatureDim).map(j => s"a$j"): _*)
     val b = feats.toDF("doc_id_2" +: (0 until FeatureDim).map(j => s"b$j"): _*)
     cand.join(a, "doc_id_1").join(b, "doc_id_2")
-      .select(col("doc_id_1"), col("doc_id_2"), pairL1.as("l1_dist"))
+      .select(col("doc_id_1"), col("doc_id_2"), pairL1().as("l1_dist"))
       .where(col("l1_dist") <= maxL1)
       .orderBy("doc_id_1", "doc_id_2")
   }
@@ -365,9 +368,9 @@ object Multimodal {
   /** [[pairL1]] with configurable column prefixes (the recall join
     * carries both feature and band columns per side, so the sides are
     * prefixed af0../ab0.. and bf0../bb0..). */
-  private def pairL1Pref(pa: String, pb: String)
-      : org.apache.spark.sql.Column =
-    (0 until FeatureDim)
+  private def pairL1Pref(pa: String, pb: String,
+      dim: Int = FeatureDim): org.apache.spark.sql.Column =
+    (0 until dim)
       .map(j => abs(col(s"$pa$j") - col(s"$pb$j")))
       .reduceLeft(_ + _)
 
@@ -493,7 +496,8 @@ object Multimodal {
     val b = g.toDF("doc_id_2" +:
       (0 until AudioWindows).map(j => s"b$j"): _*)
     cand.join(a, "doc_id_1").join(b, "doc_id_2")
-      .select(col("doc_id_1"), col("doc_id_2"), pairL1.as("l1_dist"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        pairL1(AudioWindows).as("l1_dist"))
       .where(col("l1_dist") <= maxL1)
       .orderBy("doc_id_1", "doc_id_2")
   }
@@ -516,7 +520,7 @@ object Multimodal {
       .map(j => col(s"ab$j") === col(s"bb$j") && col(s"ab$j") > 0L)
       .reduceLeft(_ || _)
     a.join(b, col("doc_id_1") < col("doc_id_2"))
-      .where(pairL1Pref("ag", "bg") <= maxL1)
+      .where(pairL1Pref("ag", "bg", AudioWindows) <= maxL1)
       .agg(count(lit(1)).as("n_exact"),
         count(when(sharesBand, 1)).as("n_lsh"))
       .select(col("n_exact"), col("n_lsh"),

@@ -1490,6 +1490,13 @@ object TextAnalysis {
     * corruption [[manifestIndexBuckets]] fails loud on — survive the
     * distinct, so compaction can never mask that signal. */
   private[graft] def foldIndexMeta(rows: DataFrame): DataFrame = {
+    // any kind this fold does not understand passes through UNTOUCHED —
+    // a future row kind added to indexRows must survive compaction
+    // verbatim, not be silently deleted the first time the rewrite
+    // runs (reader-equivalence by construction; a null kind is
+    // unknown too)
+    val other = rows.where(col("kind").isNull ||
+      !col("kind").isin("p", "s", "b"))
     val p = rows.where(col("kind") === "p")
     val sRows = rows.where(col("kind") === "s")
       .agg(coalesce(sum(col("doc_id")), lit(0L)).as("doc_id"),
@@ -1502,7 +1509,7 @@ object TextAnalysis {
         lit(null).cast("long").as("bkt"))
     val bRows = rows.where(col("kind") === "b")
       .select("kind", "doc_id", "dl", "word", "tf", "bkt").distinct()
-    p.unionByName(sRows).unionByName(bRows)
+    p.unionByName(sRows).unionByName(bRows).unionByName(other)
   }
 
   /** BM25 over the VERSIONED index through the declarative connector:
