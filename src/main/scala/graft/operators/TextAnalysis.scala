@@ -474,31 +474,48 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** The MATERIALIZED hits relation the WAND machinery fans out from,
+    * memoized per (session, canonicalized tf plan, canonicalized
+    * queries plan) — the [[graft.operators.Dedup]] shingle-cache
+    * discipline: the relation feeds FOUR consumers per call (term
+    * impacts, the seed threshold, the UB sum, the survivor scoring
+    * tail), each pruning different columns, so ReuseExchange cannot
+    * dedupe them — without materialization the postings probe + df
+    * window runs ~4× per call (measured: the wand face cost ~4× the
+    * plain probe) — AND the ranked face and its prune-rate audit probe
+    * the same (index, suite) inputs, so the memo shares one
+    * materialization across both. localCheckpoint cuts the lineage;
+    * the relation is suite-terms-posting-bounded. The checkpoint
+    * materializes PRE-PARTITIONED on (query_id, doc_id) — the
+    * clustering three of the four consumers aggregate under (seed-doc
+    * scoring, UB sum, survivor scoring all group by (query, doc, …),
+    * and HashPartitioning(q, d) satisfies those
+    * ClusteredDistributions) — so one shuffle paid at materialization
+    * replaces three downstream hits-sized exchanges; only the
+    * suite-bounded ti aggregate re-keys. Released by
+    * [[releaseCaches]] (the checkpoint blocks then free with the
+    * dropped frames); like every canonicalized-plan memo, rewriting
+    * the underlying index files does NOT invalidate it — writers call
+    * releaseCaches after maintenance. */
+  private val wandHitsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+
+  private def wandHits(tf: DataFrame, queries: DataFrame): DataFrame =
+    wandHitsCache.computeIfAbsent(
+      (tf.sparkSession, tf.queryExecution.analyzed.canonicalized,
+        queries.queryExecution.analyzed.canonicalized),
+      _ => bm25Hits(tf, queries)
+        .repartition(col("query_id"), col("doc_id"))
+        .localCheckpoint())
+
   /** The candidate set and its impact-pruned survivor set — the WAND
     * machinery shared by [[wandRank]] and the prune-rate audit.
     * Returns (hits, survivors-as-(query_id, doc_id)). */
   private def wandParts(tf: DataFrame, queries: DataFrame,
       stats: DataFrame, k: Int, foldUb: Boolean = false)
       : (DataFrame, DataFrame) = {
-    // The hits relation feeds FOUR consumers (term impacts, the seed
-    // threshold, the UB sum, the survivor scoring tail) and each prunes
-    // different columns, so ReuseExchange cannot dedupe them — without
-    // materialization the postings probe + df window runs ~4× per call
-    // (measured: the wand face cost ~4× the plain probe). Same remedy
-    // as [[collocations]]: localCheckpoint cuts the lineage once; the
-    // relation is suite-terms-posting-bounded, everything downstream
-    // reads its blocks, and the blocks free with the frame — no
-    // releaseCaches bookkeeping to leak. The checkpoint materializes
-    // PRE-PARTITIONED on (query_id, doc_id) — the clustering three of
-    // the four consumers aggregate under (seed-doc scoring, the UB
-    // sum, the survivor scoring tail all group by (query, doc, …), and
-    // HashPartitioning(q, d) satisfies those ClusteredDistributions) —
-    // so one shuffle paid inside the materialization replaces three
-    // downstream hits-sized exchanges; only the suite-bounded ti
-    // aggregate re-keys.
-    val hits = bm25Hits(tf, queries)
-      .repartition(col("query_id"), col("doc_id"))
-      .localCheckpoint()
+    val hits = wandHits(tf, queries)
     // per-(query, term) IMPACT upper bound: idf(df) × tf_norm at the
     // term's most favourable posting — the RATIONAL idf
     // (nd − df + 0.5)/(df + 0.5) is strictly positive (nd ≥ df), and
@@ -1681,6 +1698,9 @@ object TextAnalysis {
           .deleteQuietly(new java.io.File(it.next()))
       m.clear()
     }
+    // dropping the memoized frames releases their localCheckpoint
+    // blocks (they free with the frame via the context cleaner)
+    wandHitsCache.clear()
   }
 
   /** Per-language distinct 3-shingle cardinality, exact AND sketched:
