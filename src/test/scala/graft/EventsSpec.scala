@@ -443,6 +443,21 @@ class EventsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("over budget"), e.getMessage)
   }
 
+  test("salted dim join: negative and null event_ids keep their dim " +
+      "partner (pmod salts, coalesced null) — salted == unsalted") {
+    import spark.implicits._
+    val ev = Seq(
+      (Some(-3L), "a", Some(10.0)), (Some(-11L), "a", Some(2.0)),
+      (Option.empty[Long], "a", Some(30.0)), (Some(5L), "b", Some(4.0)),
+      (Some(7L), "b", Some(6.0)), (Some(-1L), "b", Some(20.0)))
+      .toDF("event_id", "event_type", "value")
+    val got = Events.saltedDimJoinOn(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // unsalted truth: a: 3 events, 1 above mean 14; b: 3 events, 1
+    // above mean 10
+    assert(got == Seq(("a", 3L, 1L), ("b", 3L, 1L)), got.toString)
+  }
+
   test("value-range scan: 'd' zone maps prune the out-of-band value " +
       "segments and the connector face equals the imperative read") {
     val (path, lo, hi) = Events.valueEventsTable(spark, sf)

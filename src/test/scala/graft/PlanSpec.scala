@@ -464,6 +464,17 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("grouped CMS grid: ONE partial-aggregated shuffle on " +
+      "(group, depth, pos) — the groups*d*w bounded-state claim") {
+    val grid = Events.groupCmsGrid(Events.load(spark, sf))
+    val pg = plan(grid)
+    assert("Exchange hashpartitioning".r.findAllIn(pg).length == 1, pg)
+    // map-side combine: partial + final aggregate around the one
+    // exchange — every task reduces to <= groups*d*w cells before
+    // anything moves
+    assert("HashAggregate".r.findAllIn(pg).length == 2, pg)
+  }
+
   test("salted dim join: dim replicates across the salt space, the " +
       "join shuffles on (key, salt), and salted == unsalted exactly") {
     val df = Events.saltedDimJoin(spark, sf)
