@@ -483,6 +483,13 @@ class GraftSourceSpec extends SparkSpecBase {
     // a non-literal comparison proves nothing — full scan
     assert(scannedFiles(
       src.where(col("x") === col("id").cast("double"))) == 3L)
+    // the residual double predicate reaches the surviving parquet scan
+    // (row-group skipping inside kept segments)
+    val bandScan = band.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(bandScan.metadata("PushedFilters").contains("x"),
+      bandScan.metadata("PushedFilters"))
     // imperative face: same plan, same rows
     val rr = ManifestStore.readRangeDouble(
       spark, table, "m", 100.0, 110.0, "x").drop("collection")
