@@ -171,9 +171,7 @@ object Dedup {
     * underlying files does NOT invalidate it (the canonicalized plan
     * compares equal). Writers must call [[releaseCaches]] after
     * mutating the corpus; the engine's own mains do so on shutdown. */
-  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+  private val shingleCache = new PlanMemo
 
   /** The shingle/signature/bands projection, un-persisted — for inputs
     * that should NOT enter the session cache (e.g. the per-batch side of
@@ -202,11 +200,8 @@ object Dedup {
       .withColumn("bands",
         graft.functions.TextHashExpressions.optBarrier(bandHashes))
 
-  private[graft] def shingled(documents: DataFrame): DataFrame = {
-    val key = (documents.sparkSession,
-      documents.queryExecution.analyzed.canonicalized)
-    shingleCache.computeIfAbsent(key, _ => shingledPlan(documents).persist())
-  }
+  private[graft] def shingled(documents: DataFrame): DataFrame =
+    shingleCache(Seq(documents))(shingledPlan(documents).persist())
 
   /** SLIM shingle tier: (doc_id, shingle_hashes) only — for consumers
     * like [[decontaminate]] that never read MinHash signatures or band
@@ -214,21 +209,16 @@ object Dedup {
     * sigs + bands per document; paying that to populate a cache the
     * consumer won't read is the dominant per-doc cost at corpus scale.
     * Separate cache map, same lifecycle ([[releaseCaches]]). */
-  private val slimShingleCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+  private val slimShingleCache = new PlanMemo
 
-  private def shingledSlim(documents: DataFrame): DataFrame = {
-    val key = (documents.sparkSession,
-      documents.queryExecution.analyzed.canonicalized)
-    slimShingleCache.computeIfAbsent(key, _ =>
+  private def shingledSlim(documents: DataFrame): DataFrame =
+    slimShingleCache(Seq(documents))(
       documents
         .select(col("doc_id"),
           graft.functions.TextHashExpressions.optBarrier(shingleHashes)
             .as("shingle_hashes"))
         .where(size(col("shingle_hashes")) > 0)
         .persist())
-  }
 
   /** Persisted frames that must outlive their operator call (the
     * cluster labels feed the caller's lazy result), released together
@@ -241,12 +231,8 @@ object Dedup {
     * implicit index the dedup operators build (mirrors
     * Ann.buildLshIndex's handle-based lifecycle). */
   def releaseCaches(): Unit = {
-    val it = shingleCache.values().iterator()
-    while (it.hasNext) { it.next().unpersist(); }
-    shingleCache.clear()
-    val sit = slimShingleCache.values().iterator()
-    while (sit.hasNext) { sit.next().unpersist(); }
-    slimShingleCache.clear()
+    shingleCache.release()
+    slimShingleCache.release()
     var df = retainedCaches.poll()
     while (df != null) { df.unpersist(); df = retainedCaches.poll() }
     val bit = refreshBaseCache.values().iterator()

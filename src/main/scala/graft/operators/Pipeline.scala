@@ -543,26 +543,16 @@ object Pipeline {
     * audit-then-resample) pay the histogram scan once, and
     * [[releaseCaches]] frees the blocks deterministically instead of
     * leaking them to driver GC. */
-  private val quotaCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-    DataFrame]()
+  private val quotaCache = new PlanMemo
 
   /** Release every persisted quota relation ([[domainMixDocsOn]]'s
     * memoized gate input). Frames previously returned by
     * [[domainMixDocs]] recompute from lineage afterwards. */
   def releaseCaches(): Unit = {
-    val it = quotaCache.values().iterator()
-    while (it.hasNext) { it.next().unpersist() }
-    quotaCache.clear()
-    val tit = tempQuotaCache.values().iterator()
-    while (tit.hasNext) { tit.next().unpersist() }
-    tempQuotaCache.clear()
-    val git = gatedCache.values().iterator()
-    while (git.hasNext) { git.next().unpersist() }
-    gatedCache.clear()
-    val hit = tokenHistCache.values().iterator()
-    while (hit.hasNext) { hit.next().unpersist() }
-    tokenHistCache.clear()
+    quotaCache.release()
+    tempQuotaCache.release()
+    gatedCache.release()
+    tokenHistCache.release()
   }
 
   /** The slim (lang_key, n_total, quota) relation for an explicit
@@ -572,13 +562,10 @@ object Pipeline {
     * a one-pass stream cannot derive, so the boundary is explicit —
     * batch owns quota derivation, the stream owns row acceptance.
     * Same memoized persisted relation the batch resample joins. */
-  def mixQuotasFor(documents: DataFrame): DataFrame = {
-    val key = (documents.sparkSession,
-      documents.queryExecution.analyzed.canonicalized)
-    quotaCache.computeIfAbsent(key, _ =>
+  def mixQuotasFor(documents: DataFrame): DataFrame =
+    quotaCache(Seq(documents))(
       mixQuotas(mixHist(documents))
         .select("lang_key", "n_total", "quota").persist())
-  }
 
   /** [[domainMixDocs]] over an explicit documents frame. */
   def domainMixDocsOn(documents: DataFrame): DataFrame = {
@@ -672,17 +659,12 @@ object Pipeline {
     * [[mixQuotasFor]] discipline for the temperature mixture (own
     * cache map: the same input corpus legitimately has BOTH a lang
     * quota relation and a source-domain one). */
-  private val tempQuotaCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-    DataFrame]()
+  private val tempQuotaCache = new PlanMemo
 
-  def tempQuotasFor(documents: DataFrame): DataFrame = {
-    val key = (documents.sparkSession,
-      documents.queryExecution.analyzed.canonicalized)
-    tempQuotaCache.computeIfAbsent(key, _ =>
+  def tempQuotasFor(documents: DataFrame): DataFrame =
+    tempQuotaCache(Seq(documents))(
       tempQuotas(tempHist(documents))
         .select("domain", "n_total", "quota").persist())
-  }
 
   def temperatureMixOn(documents: DataFrame): DataFrame = {
     val hist = tempHist(documents)
@@ -757,14 +739,10 @@ object Pipeline {
     * released via [[releaseCaches]]): two branches of [[tokenMixOn]]
     * consume it, and uncached Catalyst would re-run the corpus scan —
     * and the word-stats KERNEL — once per branch. */
-  private val tokenHistCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-    DataFrame]()
+  private val tokenHistCache = new PlanMemo
 
-  private def tokenHist(documents: DataFrame): DataFrame = {
-    val key = (documents.sparkSession,
-      documents.queryExecution.analyzed.canonicalized)
-    tokenHistCache.computeIfAbsent(key, _ =>
+  private def tokenHist(documents: DataFrame): DataFrame =
+    tokenHistCache(Seq(documents))(
       documents
         .select(coalesce(col("lang"), lit(LangNullSentinel)).as("lang_key"),
           mixHashBucket.as("hb"),
@@ -774,7 +752,6 @@ object Pipeline {
         .groupBy("lang_key", "hb")
         .agg(sum(col("tokens")).as("tok"), count(lit(1)).as("n"))
         .persist())
-  }
 
   def tokenMixOn(documents: DataFrame): DataFrame = {
     val hist = tokenHist(documents)
@@ -927,21 +904,16 @@ object Pipeline {
     * [[corpusPipelineOn]]: uncached, Catalyst re-evaluates the Gopher
     * signal kernels once per branch (measured 4.3 s vs 2.7 s at sf0.1).
     * Released via [[releaseCaches]]. */
-  private val gatedCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-    DataFrame]()
+  private val gatedCache = new PlanMemo
 
-  private[operators] def gatedDocs(documents: DataFrame): DataFrame = {
-    val key = (documents.sparkSession,
-      documents.queryExecution.analyzed.canonicalized)
-    gatedCache.computeIfAbsent(key, _ =>
+  private[operators] def gatedDocs(documents: DataFrame): DataFrame =
+    gatedCache(Seq(documents))(
       TextAnalysis.repetitionStatsCore(documents, keep = Seq("lang", "text"))
         .where(col("n_words") >= GateMinWords &&
           col("top_word_share") <= GateMaxTopWordShare &&
           col("dup_bigram_frac") <= GateMaxDupBigramFrac)
         .select(col("doc_id"), col("lang"), col("text"))
         .persist())
-  }
 
   /** Curation YIELD report — the one-row audit every corpus build logs:
     * how many documents survive each stage of [[corpusPipelineOn]]

@@ -493,19 +493,15 @@ object TextAnalysis {
     * ClusteredDistributions) — so one shuffle paid at materialization
     * replaces three downstream hits-sized exchanges; only the
     * suite-bounded ti aggregate re-keys. Released by
-    * [[releaseCaches]] (the checkpoint blocks then free with the
-    * dropped frames); like every canonicalized-plan memo, rewriting
+    * [[releaseCaches]] (the [[PlanMemo]] eagerly drops the checkpoint
+    * blocks); like every canonicalized-plan memo, rewriting
     * the underlying index files does NOT invalidate it — writers call
     * releaseCaches after maintenance. */
-  private val wandHitsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+  private val wandHitsCache = new PlanMemo
 
   private def wandHits(tf: DataFrame, queries: DataFrame): DataFrame =
-    wandHitsCache.computeIfAbsent(
-      (tf.sparkSession, tf.queryExecution.analyzed.canonicalized,
-        queries.queryExecution.analyzed.canonicalized),
-      _ => bm25Hits(tf, queries)
+    wandHitsCache(Seq(tf, queries))(
+      bm25Hits(tf, queries)
         .repartition(col("query_id"), col("doc_id"))
         .localCheckpoint())
 
@@ -1698,9 +1694,7 @@ object TextAnalysis {
           .deleteQuietly(new java.io.File(it.next()))
       m.clear()
     }
-    // dropping the memoized frames releases their localCheckpoint
-    // blocks (they free with the frame via the context cleaner)
-    wandHitsCache.clear()
+    wandHitsCache.release() // eagerly drops the checkpoint blocks
   }
 
   /** Per-language distinct 3-shingle cardinality, exact AND sketched:
