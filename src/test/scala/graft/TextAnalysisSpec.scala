@@ -842,5 +842,14 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(ps.exists(r => r.getLong(2) < r.getLong(1)),
       "no query shed any candidate — the prune never engaged: " +
         ps.mkString(", "))
+    // a suite whose term the index never stored: BOTH faces answer
+    // empty (the checkpointed empty-hits path — no seed, no threshold,
+    // no fault), still bitwise-equal
+    val ghost = Seq((99L, "zzqqxxneverword"))
+    assert(TextAnalysis.bm25WandStoredTopK(spark, path, ghost, 5)
+      .count() == 0L)
+    assert(TextAnalysis.bm25StoredTopK(spark, path, ghost, 5)
+      .count() == 0L)
+    TextAnalysis.releaseCaches()
   }
 }
