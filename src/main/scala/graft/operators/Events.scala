@@ -836,7 +836,12 @@ object Events {
     * [[driftCells]]'s clamped-grid contract applied to the group
     * axis. State is ≤ (allowed+1)·d·w rows forever; cells merge by
     * addition, so the micro-batch cut is invisible (replay ≡ batch
-    * spec-pinned). Works on batch AND streaming frames. */
+    * spec-pinned). Works on batch AND streaming frames.
+    *
+    * Deliberately ASYMMETRIC with [[groupCmsTopKOn]]'s fail-loud
+    * budget guard: a batch job can abort and be re-run with a bigger
+    * budget, a stream cannot — clamping here (and failing loud there)
+    * is each regime's correct behavior, not a bug in either. */
   def groupCmsCellsConfigured(events: DataFrame,
       allowed: Seq[String]): DataFrame = {
     require(allowed.nonEmpty, "configured group set must be non-empty")
@@ -875,7 +880,14 @@ object Events {
     * (the repo's broadcast rule); a shuffle join over groups·K probe
     * rows is the correct degraded plan. Deterministic end to end
     * (portable modular hashing, total rank order), so the whole
-    * report oracles exactly. */
+    * report oracles exactly.
+    *
+    * Deliberately ASYMMETRIC with [[groupCmsCellsConfigured]]'s
+    * `__other` clamp: a batch over-budget job should abort and be
+    * re-run with a bigger budget, while a stream must keep running on
+    * bounded state — do not "fix" this guard into a clamp (it would
+    * silently merge surplus tenants) or the clamp into a guard (it
+    * would crash a production stream on one new tenant). */
   def groupCmsTopKOn(events: DataFrame,
       budget: Long = QuantileDriverCellBudget): DataFrame = {
     val clean = events
@@ -1078,6 +1090,16 @@ object Events {
             (0.0, 0.0)
           } else {
             val (lo0, hi0) = (r.getDouble(0), r.getDouble(1))
+            // a NaN/±Inf value makes hi (Spark max orders NaN greatest)
+            // and thus the band width non-finite; every band predicate
+            // then compares false for FINITE rows too and the derived
+            // table is silently built missing data. Fail loud instead —
+            // the read side's NaN discipline has no write-side band for
+            // non-finite values to live in.
+            require(java.lang.Double.isFinite(lo0) &&
+              java.lang.Double.isFinite(hi0),
+              s"valueEventsTable: non-finite value bounds [$lo0, $hi0] " +
+                "— the band predicates cannot partition non-finite rows")
             val w = (hi0 - lo0) / ValueSegs
             (0 until ValueSegs).foreach { i =>
               val slice =

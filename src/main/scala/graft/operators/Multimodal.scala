@@ -598,6 +598,13 @@ object Multimodal {
   private lazy val AudioL1Sql: String = (0 until AudioWindows)
     .map(j => s"abs(a.g$j-b.g$j)").mkString("+")
 
+  /** j → band value dispatch, arms generated from the SAME range the
+    * unnest iterates (no ELSE: a hardcoded fallback would silently
+    * alias every j past its arm count if AudioWindows ever grew). */
+  private lazy val AudioBandCase: String = "(CASE j " +
+    (0 until AudioWindows / 2).map(j => s"WHEN $j THEN b$j")
+      .mkString(" ") + " END)"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("mm_metadata",
       s"""SELECT doc_id,
@@ -753,12 +760,9 @@ object Multimodal {
     QueryDef.sql("mm_audio_neardup",
       s"""WITH $AudioSigCte,
          |bands AS (
-         |  SELECT doc_id, j AS band_idx,
-         |    (CASE j WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
-         |      ELSE b3 END) AS bv
+         |  SELECT doc_id, j AS band_idx, $AudioBandCase AS bv
          |  FROM sg, unnest(range(0, ${AudioWindows / 2})) AS t(j)
-         |  WHERE (CASE j WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
-         |      ELSE b3 END) > 0),
+         |  WHERE $AudioBandCase > 0),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
          |  FROM bands x JOIN bands y ON x.band_idx = y.band_idx

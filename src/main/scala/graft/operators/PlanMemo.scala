@@ -28,26 +28,64 @@ private[operators] final class PlanMemo {
     (SparkSession, Seq[LogicalPlan], Any), DataFrame]()
 
   /** Memoized `build` result for these input frames (plus an optional
-    * non-plan key component, e.g. a quantization level). */
+    * non-plan key component, e.g. a quantization level).
+    *
+    * The build runs OUTSIDE the map (compute-then-putIfAbsent, not
+    * computeIfAbsent): a Spark job must never execute under a CHM bin
+    * lock — a recursive memo use would deadlock there, and two distinct
+    * keys hashing to one bin would serialize their materializations.
+    * The cost is that two concurrent first callers of the SAME key both
+    * materialize; the losing racer frees its copy and returns the
+    * winner's. */
   def apply(inputs: Seq[DataFrame], extra: Any = ())(
       build: => DataFrame): DataFrame = {
     require(inputs.nonEmpty, "PlanMemo needs at least one input frame")
     val key = (inputs.head.sparkSession,
       inputs.map(_.queryExecution.analyzed.canonicalized), extra)
-    m.computeIfAbsent(key, _ => build)
-  }
-
-  /** Eagerly free every entry's storage and forget it. */
-  def release(): Unit = {
-    val it = m.values().iterator()
-    while (it.hasNext) {
-      val df = it.next()
-      df.queryExecution.logical match {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(false): Unit
-        case _ => df.unpersist(): Unit
+    val hit = m.get(key)
+    if (hit != null) hit
+    else {
+      val built = build
+      val raced = m.putIfAbsent(key, built)
+      if (raced == null) built
+      else {
+        // Free the loser's materialization — EXCEPT a cache-manager
+        // entry whose canonicalized plan matches the winner's: the
+        // cache manager dedups by plan, so that "copy" IS the winner's
+        // entry and unpersisting it would strip the winner's storage.
+        // A localCheckpoint's LogicalRDD is always a distinct RDD and
+        // always safe to drop.
+        built.queryExecution.logical match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(false): Unit
+          case p if p.canonicalized !=
+              raced.queryExecution.logical.canonicalized =>
+            built.unpersist(): Unit
+          case _ => ()
+        }
+        raced
       }
     }
-    m.clear()
+  }
+
+  private def free(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false): Unit
+      case _ => df.unpersist(): Unit
+    }
+
+  /** Eagerly free every entry's storage and forget it. Drains by key
+    * (remove-then-free) so an `apply` racing with release cannot slip
+    * an entry in behind a values() snapshot and have clear() forget it
+    * unfreed — whichever side removes the mapping owns the free. */
+  def release(): Unit = {
+    while (!m.isEmpty) {
+      val keys = m.keySet().iterator()
+      while (keys.hasNext) {
+        val df = m.remove(keys.next())
+        if (df != null) free(df)
+      }
+    }
   }
 }
