@@ -435,6 +435,30 @@ object Ann {
       .limit(k)
   }
 
+  /** Per-cell occupancy audit of the MATERIALIZED IVF store — the
+    * `text_index_stats` discipline applied to the one index family
+    * that had spec coverage but no standing declared integrity face:
+    * each stored cell's vector count, its share of the corpus, and
+    * the hottest cell's share (the `nlist` tuning signal SemDeDup's
+    * largest-cell join bound depends on — a hot_share near 1 means
+    * the index has degenerated to brute force). Reads the STORE
+    * (cent_id-only column-pruned scan — bytes per vector, no
+    * payload); the oracle recomputes every assignment from the raw
+    * embeddings, so stored ≡ recompute IS the integrity claim, the
+    * same from-scratch discipline as the probe oracles. */
+  def ivfStats(store: DataFrame): DataFrame = {
+    val w = Window.partitionBy(lit(1))
+    store
+      .groupBy(col("cent_id").cast("long").as("cent_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("n_total", sum(col("n_vectors")).over(w))
+      .select(col("cent_id"), col("n_vectors"),
+        when(col("n_total") > 0L, col("n_vectors").cast("double") /
+          col("n_total").cast("double")).as("share"))
+      .withColumn("hot_share", max(col("share")).over(w))
+      .orderBy("cent_id")
+  }
+
   /** FILTERED ANN — the metadata-predicate + approximate-index query
     * that is a research problem for graph indexes (filtered HNSW) and
     * a non-problem in the declarative formulation: the metadata
@@ -1826,6 +1850,33 @@ object Ann {
     // PartitionFilters plan shape)
     QueryDef.sql("ann_ivf_stored", ivfTopKOracleSql) {
       (s, dir) => ivfTopKStored(s.read.parquet(ivfStoreFor(s, dir)))
+    },
+
+    // the stored layout's cell-occupancy audit: the oracle recomputes
+    // every assignment from the raw embeddings — stored ≡ recompute is
+    // the integrity claim, and hot_share is the nlist tuning signal
+    QueryDef.sql("ann_ivf_stats",
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, $embD AS c_vec
+         |  FROM embeddings WHERE vec_id IN ($centroidList)),
+         |assigned AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql(embD, "c_vec")}, c.cent_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |cells AS (SELECT cent_id, count(*) AS n_vectors
+         |  FROM assigned GROUP BY cent_id),
+         |sh AS (SELECT cent_id, n_vectors,
+         |    CASE WHEN SUM(n_vectors) OVER () > 0 THEN
+         |      CAST(n_vectors AS DOUBLE)
+         |        / CAST(SUM(n_vectors) OVER () AS DOUBLE) END AS share
+         |  FROM cells)
+         |SELECT cent_id, n_vectors, share,
+         |  MAX(share) OVER () AS hot_share
+         |FROM sh ORDER BY cent_id""".stripMargin) {
+      (s, dir) => ivfStats(s.read.parquet(ivfStoreFor(s, dir)))
     },
 
     // the INCREMENTALLY refreshed store (base build + batch append

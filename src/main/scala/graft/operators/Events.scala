@@ -1189,6 +1189,46 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** TIMESTAMP TIME TRAVEL over the manifest-backed events table —
+    * Delta's `TIMESTAMP AS OF` re-expressed on the pointer log: the
+    * mid-log anchor version's COMMIT INSTANT (DESCRIBE HISTORY's
+    * `commit_ts_ms`, monotone by the publish-time adjustment) is
+    * resolved back through [[graft.sources.ManifestStore.readAsOfTimeInferred]]
+    * and must serve exactly the anchor snapshot — the same first-half
+    * time-slice prefix `ev_snapshot_drift`'s oracle derives from the
+    * raw corpus (the version↔time-slice equivalence EventsSpec pins).
+    * A second far-future probe pins the CEILING: a timestamp past the
+    * latest commit addresses the latest version, not an error
+    * ([[graft.sources.ManifestStore.versionAtTime]]'s readAsOf
+    * parity). Both snapshots reduce to per-type aggregates, so the
+    * oracle re-derives the whole report from the raw parquet with the
+    * slice-cutoff predicate. Resolution is driver-side pointer-log
+    * metadata (bounded by vacuum retention); the snapshots themselves
+    * are ordinary pruned segment reads. */
+  def timeTravelTs(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, _) = manifestEventsTable(s, dir)
+    val versions = graft.sources.ManifestStore
+      .listVersions(s, path, "events").filterNot(_.tombstone)
+    // the SAME anchor arithmetic as [[anchoredReads]] — the oracle's
+    // first-RangeSegs/2-slices cutoff depends on it
+    val anchor = versions(math.max(0, versions.size / 2 - 1)).ptrSeq
+    val tsMid = graft.sources.ManifestStore.history(s, path, "events")
+      .where(col("ptr_seq") === anchor)
+      .select("commit_ts_ms").head.getLong(0)
+    val mid = graft.sources.ManifestStore
+      .readAsOfTimeInferred(s, path, "events", tsMid)
+    val fut = graft.sources.ManifestStore
+      .readAsOfTimeInferred(s, path, "events", Long.MaxValue / 2)
+    def report(df: DataFrame, probe: String): DataFrame = df
+      .groupBy(lit(probe).as("probe"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"),
+        min("ts_us").as("min_ts_us"), max("ts_us").as("max_ts_us"))
+    report(mid, "anchor").unionByName(report(fut, "future"))
+      .orderBy("probe", "event_type")
+  }
+
   /** [[rangeScan]] through the `format("graft")` connector: the SAME
     * middle-quarter aggregate, but the segment skipping comes from the
     * Catalyst data filter reaching [[graft.sources.GraftFileIndex]] at
@@ -2974,6 +3014,27 @@ object Events {
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin)(
       (s, dir) => connectorRangeScan(s, dir)),
+
+    // timestamp time travel: the anchor version's commit instant must
+    // serve the first-half slice prefix (the drift oracle's pinned
+    // version↔time-slice equivalence); a far-future instant is a
+    // CEILING addressing the latest version
+    QueryDef.sql("ev_time_travel_ts",
+      s"""WITH f AS (SELECT event_type, value, epoch_us(ts) AS t
+         |  FROM events WHERE ts IS NOT NULL),
+         |b AS (SELECT min(t) AS lo, (max(t) - min(t)) // $RangeSegs AS w
+         |  FROM f),
+         |snap AS (
+         |  SELECT 'anchor' AS probe, event_type, value, t FROM f, b
+         |  WHERE t <= lo + ${RangeSegs / 2} * w - 1
+         |  UNION ALL
+         |  SELECT 'future' AS probe, event_type, value, t FROM f)
+         |SELECT probe, event_type, count(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+         |  min(t) AS min_ts_us, max(t) AS max_ts_us
+         |FROM snap GROUP BY probe, event_type
+         |ORDER BY probe, event_type""".stripMargin)(
+      (s, dir) => timeTravelTs(s, dir)),
 
     // the 'd'-kind zone-map face: double band bounds derived with the
     // IDENTICAL IEEE op sequence (sub, div, mul, add) in both engines

@@ -480,11 +480,29 @@ final class GraftSource extends RelationProvider
     val collection = required(parameters, "collection")
     // time travel: .option("versionAsOf", <ptr_seq>) pins the snapshot
     // to that commit (the DESCRIBE-HISTORY `ptr_seq` /
-    // `diffVersions` coordinate); absent = latest
-    val asOf = parameters.get("versionAsOf").map { v =>
+    // `diffVersions` coordinate); .option("timestampAsOf", <epochMs>)
+    // resolves a wall-clock instant to its version ONCE, here, then
+    // behaves exactly like versionAsOf (refresh() re-pins at the
+    // RESOLVED version's ceiling, not at a re-read of the clock —
+    // ManifestStore.versionAtTime's ceiling/horizon contract); absent
+    // = latest. Mutually exclusive: two coordinates for one snapshot
+    // invite silent disagreement.
+    val versionOpt = parameters.get("versionAsOf").map { v =>
       v.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"graft option 'versionAsOf' must be a commit sequence, got '$v'"))
-    }.getOrElse(Long.MaxValue)
+    }
+    val tsOpt = parameters.get("timestampAsOf").map { v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        "graft option 'timestampAsOf' must be epoch milliseconds, " +
+          s"got '$v'"))
+    }
+    require(versionOpt.isEmpty || tsOpt.isEmpty,
+      "graft options 'versionAsOf' and 'timestampAsOf' are mutually " +
+        "exclusive — pick one snapshot coordinate")
+    val asOf = versionOpt
+      .orElse(tsOpt.map(t =>
+        ManifestStore.versionAtTime(spark, path, collection, t)))
+      .getOrElse(Long.MaxValue)
     val index = new GraftFileIndex(spark, path, collection, asOf)
     HadoopFsRelation(index, StructType(Nil), index.dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)

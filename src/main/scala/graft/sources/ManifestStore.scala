@@ -600,7 +600,33 @@ object ManifestStore {
     fs.mkdirs(dir)
     val p = new Path(dir, f"$PtrPrefix$seq%06d")
     createExclusive(fs, p, content.getBytes("UTF-8"))
+    adjustCommitTs(fs, dir, seq, p)
   }
+
+  /** Best-effort Delta-style commit-timestamp ADJUSTMENT: bump this
+    * pointer's mtime to strictly exceed every earlier retained
+    * pointer's, so the `commit_ts_ms` axis ([[history]],
+    * [[versionAtTime]]) is monotone in the commit order — two commits
+    * landing within one mtime tick would otherwise make "the newest
+    * commit at timestamp t" ambiguous. Strictly AFTER the durable
+    * create and NEVER load-bearing for the commit protocol: a
+    * filesystem that cannot setTimes (S3A) or a concurrent vacuum just
+    * leaves the raw mtime, which is exactly the caveat [[history]]
+    * already documents — [[versionAtTime]]'s newest-seq tie-break
+    * keeps resolution deterministic either way. */
+  private def adjustCommitTs(fs: FileSystem, dir: Path, seq: Long,
+      p: Path): Unit =
+    try {
+      val prevMax = fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.startsWith(PtrPrefix))
+        .filter(_.getPath.getName.stripPrefix(PtrPrefix).toLongOption
+          .exists(_ < seq))
+        .map(_.getModificationTime).maxOption.getOrElse(0L)
+      if (fs.getFileStatus(p).getModificationTime <= prevMax)
+        fs.setTimes(p, prevMax + 1L, -1L)
+    } catch {
+      case _: java.io.IOException | _: UnsupportedOperationException => ()
+    }
 
   /** The protocol's create-no-overwrite primitive, made ATOMIC on the
     * local scheme: Hadoop's RawLocalFileSystem implements
@@ -868,9 +894,11 @@ object ManifestStore {
     *                 here too via its predecessor match
     *   - `tombstone` the delete marker
     * `commit_ts_ms` is the pointer file's filesystem mtime —
-    * observability metadata (wall-clock, not part of the commit
-    * protocol; never used for correctness, same caveat as vacuum's
-    * age guards). Driver-side by design: the pointer log is retained
+    * wall-clock metadata, not part of the commit protocol (same caveat
+    * as vacuum's age guards), made monotone in commit order by the
+    * publish-time adjustment where the filesystem allows; it is also
+    * the axis [[versionAtTime]] resolves timestamp time travel
+    * against. Driver-side by design: the pointer log is retained
     * metadata, bounded by vacuum's retention, and is already read
     * driver-side by every [[resolve]]. */
   def history(spark: SparkSession, tablePath: String,
@@ -935,6 +963,60 @@ object ManifestStore {
         else "the collection has no committed history"))
     readSegs(spark, tablePath, c, r.liveSegs.toSeq.flatten)
   }
+
+  /** TIMESTAMP → VERSION resolution (Delta's `TIMESTAMP AS OF`
+    * analogue): the NEWEST valid retained commit whose `commit_ts_ms`
+    * ([[history]]'s pointer mtime, made monotone in commit order by
+    * the publish-time adjustment where the filesystem allows) is
+    * <= `tsMs`. Contract mirrors [[readAsOf]]'s version ceiling:
+    *   - `tsMs` at or beyond the latest commit's ts → the latest
+    *     version (a ceiling, not an error);
+    *   - `tsMs` before the oldest RETAINED commit's ts → throws (the
+    *     history was [[vacuum]]ed or the collection did not exist yet —
+    *     indistinguishable from a pruned log, and a timestamped read
+    *     must not silently serve something else);
+    *   - a tombstone commit is addressable and reads as a defined
+    *     empty frame downstream, exactly like [[readAsOf]].
+    * Same S3-mtime caveat as [[history]]: on stores without setTimes
+    * the axis is raw object mtimes; the newest-seq rule keeps
+    * resolution deterministic even if those are non-monotone. */
+  def versionAtTime(spark: SparkSession, tablePath: String, c: String,
+      tsMs: Long): Long = {
+    val fs = fsOf(spark, tablePath)
+    val versions = listVersions(spark, tablePath, c)
+    require(versions.nonEmpty,
+      s"collection '$c' has no committed history to resolve " +
+        s"timestamp $tsMs against")
+    val dir = manifestDir(tablePath, c)
+    val mtimes: Map[Long, Long] = fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith(PtrPrefix))
+      .flatMap(st => st.getPath.getName.stripPrefix(PtrPrefix)
+        .toLongOption.map(_ -> st.getModificationTime))
+      .toMap
+    val hits = versions.flatMap(v => mtimes.get(v.ptrSeq)
+      .filter(_ <= tsMs).map(_ => v.ptrSeq))
+    require(hits.nonEmpty,
+      s"timestamp $tsMs is before the oldest retained commit of " +
+        s"collection '$c' (commit ${versions.head.ptrSeq} at " +
+        s"${mtimes.getOrElse(versions.head.ptrSeq, 0L)}; earlier " +
+        "history was vacuumed or never existed)")
+    hits.max
+  }
+
+  /** [[readAsOf]] addressed by wall-clock timestamp (epoch millis) —
+    * [[versionAtTime]]'s resolution, then the ordinary version
+    * snapshot. The chunk-schema face; [[readAsOfTimeInferred]] is the
+    * generalized-table twin. */
+  def readAsOfTime(spark: SparkSession, tablePath: String, c: String,
+      tsMs: Long): DataFrame =
+    readAsOf(spark, tablePath, c, versionAtTime(spark, tablePath, c, tsMs))
+
+  /** [[readAsOfInferred]] addressed by wall-clock timestamp — see
+    * [[versionAtTime]] for the resolution contract. */
+  def readAsOfTimeInferred(spark: SparkSession, tablePath: String,
+      c: String, tsMs: Long): DataFrame =
+    readAsOfInferred(spark, tablePath, c,
+      versionAtTime(spark, tablePath, c, tsMs))
 
   /** [[readAsOf]] with the segments' OWN (inferred, merged) schema —
     * for generalized (e.g. time-series) manifest tables whose columns

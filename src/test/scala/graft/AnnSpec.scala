@@ -106,6 +106,27 @@ class AnnSpec extends SparkSpecBase {
     assert(self.count() == Ann.CentroidIds.size)
   }
 
+  test("IVF stats: stored occupancy ≡ a from-scratch assignment " +
+      "recompute; shares sum to one corpus") {
+    val stats = Ann.ivfStats(
+      spark.read.parquet(Ann.ivfStoreFor(spark, sf))).collect()
+    assert(stats.nonEmpty && stats.length <= Ann.NList)
+    // the store holds every vector exactly once
+    assert(stats.map(_.getAs[Long]("n_vectors")).sum == emb.count())
+    // stored cells ≡ recomputed assignment histogram (the integrity
+    // claim the DuckDB oracle re-derives independently)
+    val recomputed = Ann.ivfAssign(emb)
+      .groupBy("cent_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.map(r =>
+      r.getAs[Long]("cent_id") -> r.getAs[Long]("n_vectors")).toMap
+      == recomputed)
+    // hot_share is the max share, on every row
+    val shares = stats.map(_.getAs[Double]("share"))
+    assert(stats.map(_.getAs[Double]("hot_share")).distinct.toSeq ==
+      Seq(shares.max))
+  }
+
   test("IVF top-k: results come from <= NProbe cells, ranked correctly") {
     val rows = Ann.ivfTopK(emb).collect()
     assert(rows.nonEmpty)

@@ -759,6 +759,60 @@ class GraftSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("time travel: timestampAsOf resolves commit_ts_ms to a version " +
+      "with versionAsOf's ceiling/horizon contract; tombstones read " +
+      "as defined empty frames") {
+    import spark.implicits._
+    val table = buildTable() // three commits: seqs 1, 2, 3
+    def tsOf(v: Long): Long = ManifestStore.history(spark, table, "m")
+      .where(col("ptr_seq") === v).select("commit_ts_ms").head.getLong(0)
+    def atTs(t: Long): DataFrame = spark.read.format("graft")
+      .option("path", table).option("collection", "m")
+      .option("timestampAsOf", t.toString).load()
+    // publish-time adjustment: commit instants are STRICTLY monotone
+    // in commit order on a setTimes-capable filesystem — what makes
+    // "the version at timestamp t" well-defined at all
+    val ts = Seq(1L, 2L, 3L).map(tsOf)
+    assert(ts == ts.sorted && ts.distinct == ts, ts.toString)
+    // a commit's own instant addresses exactly that commit; an instant
+    // strictly inside (commit v, commit v+1) still addresses v
+    assert(atTs(tsOf(1L)).count() == 10L)
+    assert(atTs(tsOf(2L)).count() == 20L)
+    assert(atTs(tsOf(3L) - 1L).count() == 20L)
+    // timestamp face ≡ version face, bitwise, through both APIs
+    val viaTs = ManifestStore.readAsOfTimeInferred(spark, table, "m",
+      tsOf(2L))
+    val viaV = ManifestStore.readAsOfInferred(spark, table, "m", 2L)
+    assert(viaTs.exceptAll(viaV).isEmpty && viaV.exceptAll(viaTs).isEmpty)
+    assert(ManifestStore.versionAtTime(spark, table, "m", tsOf(2L)) == 2L)
+    // ceiling semantics: a far-future instant addresses the latest
+    // version, not an error (readAsOf parity)
+    assert(atTs(tsOf(3L) + 1000000L).count() == 30L)
+    // horizon: an instant before the oldest retained commit fails loud
+    intercept[Exception] { atTs(tsOf(1L) - 1L).count() }
+    // the two snapshot coordinates are mutually exclusive
+    intercept[Exception] {
+      spark.read.format("graft").option("path", table)
+        .option("collection", "m")
+        .option("versionAsOf", "2").option("timestampAsOf", "0")
+        .load().count()
+    }
+    // non-numeric timestamps are errors
+    intercept[Exception] {
+      spark.read.format("graft").option("path", table)
+        .option("collection", "m").option("timestampAsOf", "yesterday")
+        .load().count()
+    }
+    // a resolvable TOMBSTONE instant is a defined empty frame — the
+    // collection deliberately emptied, not an error and not latest
+    ManifestStore.deleteCollection(spark, table, "m")
+    val tDel = tsOf(4L)
+    assert(ManifestStore.versionAtTime(spark, table, "m", tDel) == 4L)
+    assert(ManifestStore.readAsOfTime(spark, table, "m", tDel).count() == 0L)
+    // and the pre-delete instant still serves the pre-delete state
+    assert(atTs(tsOf(3L)).count() == 30L)
+  }
+
   test("exact quantiles compose with the connector: answers equal the " +
       "parquet face, and a narrowed interval predicate prunes segments") {
     import graft.operators.Events

@@ -311,6 +311,42 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("quality model trained-weights seam: a non-affine literal " +
+      "weights table keeps the stand-in's exact plan shape") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // a deliberately NON-affine model (no single (a,b) reproduces it)
+    val trained = (0 until Pipeline.QmBuckets)
+      .map(b => ((b * b + 3 * b) % 97).toLong - 48L)
+    val weighted = Pipeline.qualityModelWeightedOn(docs, trained)
+    val standIn = Pipeline.qualityModelOn(docs)
+    val (pw, ps) = (plan(weighted), plan(standIn))
+    // identical shuffle shape: scan-side arithmetic + the one output
+    // sort exchange — the literal lookup must not add a shuffle
+    assert(nShuffles(weighted) == nShuffles(standIn),
+      s"weighted:\n$pw\nstand-in:\n$ps")
+    assert(!pw.contains("Exchange hashpartitioning"), pw)
+    // the fused word-hash kernel (shingle_hashes at n=1) survives
+    // under the element_at lookup, evaluated once in the projection,
+    // never inside a Filter
+    assert(pw.contains("shingle_hashes("), pw)
+    assert(DevPlanAudit
+      .filterKernelHits(weighted.queryExecution.executedPlan).isEmpty)
+    // the weights travel as ONE plan literal (codebook-class metadata),
+    // not a join against a weights relation
+    assert(!pw.contains("Join"), pw)
+    // gate semantics hold under the swapped model: pass ⇔ logit >= 0,
+    // empty docs fail closed
+    val rows = weighted.where(col("n_words") === 0L ||
+      col("doc_id") < 50L).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = !r.isNullAt(r.fieldIndex("logit")) &&
+        r.getAs[Double]("logit") >= Pipeline.QmThreshold
+      assert(r.getAs[Boolean]("pass") == expect, r.toString)
+    }
+  }
+
   test("rank funcs: both window specs share one partition-key exchange") {
     val df = Relational.windowRankFuncs(spark, sf)
     val p = plan(df)
