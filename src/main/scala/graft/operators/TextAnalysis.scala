@@ -497,6 +497,11 @@ object TextAnalysis {
     * blocks); like every canonicalized-plan memo, rewriting
     * the underlying index files does NOT invalidate it — writers call
     * releaseCaches after maintenance. */
+  /** Seed-set width for the WAND prune threshold: the top-N
+    * highest-impact terms per query whose docs get exact seed scores
+    * (see [[wandParts]] for the any-width soundness argument). */
+  val WandSeedTerms = 1
+
   private val wandHitsCache = new PlanMemo
 
   private def wandHits(tf: DataFrame, queries: DataFrame): DataFrame =
@@ -509,8 +514,8 @@ object TextAnalysis {
     * machinery shared by [[wandRank]] and the prune-rate audit.
     * Returns (hits, survivors-as-(query_id, doc_id)). */
   private def wandParts(tf: DataFrame, queries: DataFrame,
-      stats: DataFrame, k: Int, foldUb: Boolean = false)
-      : (DataFrame, DataFrame) = {
+      stats: DataFrame, k: Int, foldUb: Boolean = false,
+      seedTerms: Int = WandSeedTerms): (DataFrame, DataFrame) = {
     val hits = wandHits(tf, queries)
     // per-(query, term) IMPACT upper bound: idf(df) × tf_norm at the
     // term's most favourable posting — the RATIONAL idf
@@ -535,12 +540,17 @@ object TextAnalysis {
             (lit(0.25) + lit(0.75) * (col("min_dl").cast("double") /
               (col("sum_dl").cast("double") / col("nd")))))))
       .select(col("query_id"), col("word"), col("impact"))
-    // seed = each query's highest-impact term; its matching docs get
-    // EXACT scores and the kth becomes the prune threshold L
+    // seed = each query's `seedTerms` highest-impact terms; their
+    // matching docs get EXACT scores and the kth becomes the prune
+    // threshold L. SOUND for ANY seed set: L is the kth-best of a
+    // SUBSET of candidates, so L <= the true kth-best, and a true
+    // top-k doc (score >= true kth >= L, UB >= score) always clears
+    // the margin test. A LARGER seed can only raise L — tighter
+    // pruning — at the cost of exactly scoring more seed docs.
     val wImp = Window.partitionBy(col("query_id"))
       .orderBy(col("impact").desc, col("word"))
     val seed = ti.withColumn("srnk", row_number().over(wImp))
-      .where(col("srnk") === 1)
+      .where(col("srnk") <= seedTerms)
       .select(col("query_id").as("s_qid"), col("word").as("s_word"))
     val seedDocs = hits.join(broadcast(seed),
         col("query_id") === col("s_qid") && col("word") === col("s_word"))
@@ -601,8 +611,10 @@ object TextAnalysis {
     * reach the array-building aggregate — they cost one
     * map-side-combined sum instead. */
   private[graft] def wandRank(tf: DataFrame, queries: DataFrame,
-      stats: DataFrame, k: Int): DataFrame = {
-    val (hits, survivors) = wandParts(tf, queries, stats, k)
+      stats: DataFrame, k: Int,
+      seedTerms: Int = WandSeedTerms): DataFrame = {
+    val (hits, survivors) =
+      wandParts(tf, queries, stats, k, foldUb = false, seedTerms)
     scoreAndRank(hits.join(VectorSearch.broadcastIfSmall(survivors),
       Seq("query_id", "doc_id"), "left_semi"), stats, k)
   }
@@ -615,8 +627,10 @@ object TextAnalysis {
     * canonical-order (fold) UB so the survivor decision is
     * deterministic (see [[wandParts]]). */
   private[graft] def wandPruneStats(tf: DataFrame, queries: DataFrame,
-      stats: DataFrame, k: Int): DataFrame = {
-    val (hits, survivors) = wandParts(tf, queries, stats, k, foldUb = true)
+      stats: DataFrame, k: Int,
+      seedTerms: Int = WandSeedTerms): DataFrame = {
+    val (hits, survivors) =
+      wandParts(tf, queries, stats, k, foldUb = true, seedTerms)
     hits.select("query_id", "doc_id").distinct()
       .groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
       .join(survivors.groupBy("query_id")
@@ -627,10 +641,12 @@ object TextAnalysis {
   /** [[wandPruneStats]] over the stored index's probe — the declared
     * `text_wand_stats` face. */
   private[graft] def wandStatsStored(s: SparkSession, path: String,
-      queries: Seq[(Long, String)], k: Int): DataFrame = {
+      queries: Seq[(Long, String)], k: Int,
+      seedTerms: Int = WandSeedTerms): DataFrame = {
     import s.implicits._
     val (tf, stats) = storedProbe(s, path, queries.map(_._2))
-    wandPruneStats(tf, queries.toDF("query_id", "term"), stats, k)
+    wandPruneStats(tf, queries.toDF("query_id", "term"), stats, k,
+      seedTerms)
   }
 
   /** DuckDB oracle for the fixed-terms BM25 ([[bm25On]]) — used by

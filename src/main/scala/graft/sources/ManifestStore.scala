@@ -2478,6 +2478,24 @@ object ManifestStore {
     won
   }
 
+  /** Order-preserving numeric proxy for a STRING z-order axis: the
+    * first 7 characters' codepoints (clamped to 255 — everything past
+    * Latin-1 ties, coarsening clustering but never order) packed
+    * big-endian into one positive long, so the shared numeric
+    * quantile-cut machinery buckets string axes too. Monotone
+    * non-decreasing w.r.t. Spark's string comparison (UTF-8 byte /
+    * codepoint order): shorter strings pad with 0, matching
+    * "a" < "aa". Null in, null out — null strings land in bucket 0
+    * exactly like null numerics. */
+  private def strOrdProxy(c: Column): Column = {
+    import org.apache.spark.sql.functions.{ascii, least, substring}
+    val packed = (0 until 7).map { i =>
+      least(ascii(substring(c, i + 1, 1)), lit(255))
+        .cast("long") * lit(1L << ((6 - i) * 8))
+    }.reduceLeft(_ + _)
+    when(c.isNotNull, packed)
+  }
+
   /** Bits per dimension in [[zorderCompact]]'s interleave: 4 bits =
     * 16 quantile buckets per column — segment-level clustering needs
     * far fewer distinctions than row-level sorting (a 16×16 z-grid
@@ -2535,12 +2553,23 @@ object ManifestStore {
         s"(has: ${rows.columns.mkString(", ")})"))
     val nBuckets = 1 << ZOrderBits
     val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    // quantile cuts per column (numeric axes; string axes would bucket
-    // via their zone-map kind — out of scope until a table needs it)
+    // quantile cuts per column: numeric axes directly; STRING axes
+    // through the order-preserving packed-prefix proxy (their 's'
+    // zone-map kind orders by UTF-8 bytes and the proxy follows that
+    // order on the leading bytes, which is all CLUSTERING needs —
+    // pruning stays proof-based on each segment's full string bounds
+    // regardless, so a proxy tie can only cost layout quality, never
+    // correctness)
     val zCol = cols.zipWithIndex.map { case (n, ci) =>
-      val cuts = rows.stat.approxQuantile(n, probes, 0.001)
+      val isStr = rows.schema(n).dataType ==
+        org.apache.spark.sql.types.StringType
+      val axis: Column = if (isStr) strOrdProxy(col(n)) else col(n)
+      val cuts =
+        if (isStr) rows.select(strOrdProxy(col(n)).as("__ord"))
+          .stat.approxQuantile("__ord", probes, 0.001)
+        else rows.stat.approxQuantile(n, probes, 0.001)
       val bucket = cuts.map(cv =>
-        when(col(n) > cv, lit(1L)).otherwise(lit(0L)))
+        when(axis > cv, lit(1L)).otherwise(lit(0L)))
         .reduceLeft[Column](_ + _)
       (0 until ZOrderBits).map(j =>
         shiftright(bucket, j).bitwiseAND(lit(1L)) *

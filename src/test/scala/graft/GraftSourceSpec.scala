@@ -813,6 +813,43 @@ class GraftSourceSpec extends SparkSpecBase {
     assert(atTs(tsOf(3L)).count() == 30L)
   }
 
+  test("z-order with a STRING axis: after compaction BOTH the uuid " +
+      "string axis and the long axis prune scanned files, losslessly") {
+    import spark.implicits._
+    val table = tmp() + "/t"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("u", "y"))
+    val n = 4096L
+    // uuid-role string key: fixed-width hex of a multiplicative hash,
+    // so string order ≡ hash order and u is decorrelated from the
+    // ingest axis y
+    def uuidOf(i: Long): String = f"${(i * 2654435761L) % n}%04x-doc"
+    val rows = (0L until n).map(i => (uuidOf(i), i)).toDF("u", "y")
+    (0 until 8).foreach { s =>
+      ManifestStore.store(rows.where(col("y") >= s * 512L &&
+        col("y") < (s + 1) * 512L).repartition(1), table, "ev")
+    }
+    def src = spark.read.format("graft")
+      .option("path", table).option("collection", "ev").load()
+    val uRange = col("u") >= lit("0100-doc") && col("u") <= lit("01ff-doc")
+    // before: y (the ingest axis) prunes, the interleaved uuid doesn't
+    assert(scannedFiles(src.where(col("y").between(100L, 200L))) == 1L)
+    assert(scannedFiles(src.where(uRange)) == 8L)
+    ManifestStore.zorderCompact(spark, table, "ev", Seq("u", "y"), 8)
+    // after: BOTH axes prune — the string axis bucketed through its
+    // packed-prefix proxy, the long axis through its quantile cuts;
+    // y holds the higher interleave bits and prunes harder
+    val ku = scannedFiles(src.where(uRange))
+    val ky = scannedFiles(src.where(col("y").between(100L, 200L)))
+    assert(ku < 8L, s"u kept $ku of 8")
+    assert(ky <= 4L, s"y kept $ky of 8")
+    // the rewrite is lossless and range answers are exact
+    assert(src.count() == n)
+    val got = src.where(uRange).select("u").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(got == (0L until n).map(uuidOf)
+      .filter(u => u >= "0100-doc" && u <= "01ff-doc").sorted)
+  }
+
   test("exact quantiles compose with the connector: answers equal the " +
       "parquet face, and a narrowed interval predicate prunes segments") {
     import graft.operators.Events

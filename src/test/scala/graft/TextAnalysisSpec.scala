@@ -842,6 +842,24 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(ps.exists(r => r.getLong(2) < r.getLong(1)),
       "no query shed any candidate — the prune never engaged: " +
         ps.mkString(", "))
+    // seed-width soundness (the any-width argument: the threshold is
+    // a subset kth-best, so L <= the true kth at EVERY width): a wider
+    // seed can only prune MORE, never a true top-k doc — width-3
+    // results stay bitwise the width-1 (default) results, and the
+    // audit's survivor counts are monotone non-increasing in width
+    val wand3 = TextAnalysis.wandRank(tf,
+      TextAnalysis.Bm25QuerySuite.toDF("query_id", "term"), stats,
+      TextAnalysis.Bm25TopK, seedTerms = 3)
+      .collect().map(_.toSeq.toList).toList
+    assert(wand3 == plain)
+    val ps3 = TextAnalysis.wandPruneStats(tf,
+      TextAnalysis.Bm25QuerySuite.toDF("query_id", "term"), stats,
+      TextAnalysis.Bm25TopK, seedTerms = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    ps.foreach { r =>
+      assert(ps3(r.getLong(0)) <= r.getLong(2),
+        s"width-3 seed pruned LESS than width-1 on query ${r.getLong(0)}")
+    }
     // a suite whose term the index never stored: BOTH faces answer
     // empty (the checkpointed empty-hits path — no seed, no threshold,
     // no fault), still bitwise-equal
