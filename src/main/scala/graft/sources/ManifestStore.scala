@@ -1018,6 +1018,22 @@ object ManifestStore {
     readAsOfInferred(spark, tablePath, c,
       versionAtTime(spark, tablePath, c, tsMs))
 
+  /** [[readSince]] addressed by wall-clock timestamp (Delta's
+    * `startingTimestamp` analogue): the change feed from the snapshot
+    * the instant addresses — rows live now that were not live at
+    * [[versionAtTime]]'s resolved commit. Same resolution contract,
+    * same compaction/tombstone caveats as [[readSince]]. */
+  def readSinceTime(spark: SparkSession, tablePath: String, c: String,
+      tsMs: Long): DataFrame =
+    readSince(spark, tablePath, c, versionAtTime(spark, tablePath, c, tsMs))
+
+  /** [[readSinceInferred]] addressed by wall-clock timestamp — the
+    * generalized-table twin of [[readSinceTime]]. */
+  def readSinceTimeInferred(spark: SparkSession, tablePath: String,
+      c: String, tsMs: Long): DataFrame =
+    readSinceInferred(spark, tablePath, c,
+      versionAtTime(spark, tablePath, c, tsMs))
+
   /** [[readAsOf]] with the segments' OWN (inferred, merged) schema —
     * for generalized (e.g. time-series) manifest tables whose columns
     * are not the chunk contract; the chunk-schema variant would

@@ -803,6 +803,11 @@ class GraftSourceSpec extends SparkSpecBase {
         .option("collection", "m").option("timestampAsOf", "yesterday")
         .load().count()
     }
+    // the timestamped change feed: "what landed since instant t" is
+    // readSince at the resolved version — commit 3's rows exactly
+    val fed = ManifestStore.readSinceTimeInferred(spark, table, "m",
+      tsOf(2L)).select("k").as[Long].collect().sorted.toSeq
+    assert(fed == (200L until 210L).toSeq)
     // a resolvable TOMBSTONE instant is a defined empty frame — the
     // collection deliberately emptied, not an error and not latest
     ManifestStore.deleteCollection(spark, table, "m")
