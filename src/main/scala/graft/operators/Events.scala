@@ -1229,6 +1229,33 @@ object Events {
       .orderBy("probe", "event_type")
   }
 
+  /** The TIMESTAMPED CHANGE FEED as a declared face — Delta's
+    * `startingTimestamp` analogue under the driver's oracle gate:
+    * "what landed since the anchor instant" must be exactly the
+    * second-half time slices ([[timeTravelTs]]'s anchor arithmetic,
+    * complemented), re-derived by the oracle from the raw parquet with
+    * the same cutoff predicate. The resolution is driver-side pointer
+    * metadata; the feed itself reads ONLY the appended segments —
+    * the incremental-maintenance consumption pattern addressed by
+    * wall clock instead of version. */
+  def timeTravelSince(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, _) = manifestEventsTable(s, dir)
+    val versions = graft.sources.ManifestStore
+      .listVersions(s, path, "events").filterNot(_.tombstone)
+    val anchor = versions(math.max(0, versions.size / 2 - 1)).ptrSeq
+    val tsMid = graft.sources.ManifestStore.history(s, path, "events")
+      .where(col("ptr_seq") === anchor)
+      .select("commit_ts_ms").head.getLong(0)
+    graft.sources.ManifestStore
+      .readSinceTimeInferred(s, path, "events", tsMid)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"),
+        min("ts_us").as("min_ts_us"), max("ts_us").as("max_ts_us"))
+      .orderBy("event_type")
+  }
+
   /** [[rangeScan]] through the `format("graft")` connector: the SAME
     * middle-quarter aggregate, but the segment skipping comes from the
     * Catalyst data filter reaching [[graft.sources.GraftFileIndex]] at
@@ -3035,6 +3062,22 @@ object Events {
          |FROM snap GROUP BY probe, event_type
          |ORDER BY probe, event_type""".stripMargin)(
       (s, dir) => timeTravelTs(s, dir)),
+
+    // the timestamped CHANGE FEED: rows landed since the anchor
+    // instant = exactly the second-half slices
+    QueryDef.sql("ev_time_travel_since",
+      s"""WITH f AS (SELECT event_type, value, epoch_us(ts) AS t
+         |  FROM events WHERE ts IS NOT NULL),
+         |b AS (SELECT min(t) AS lo, (max(t) - min(t)) // $RangeSegs AS w
+         |  FROM f)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+         |  min(t) AS min_ts_us, max(t) AS max_ts_us
+         |FROM f, b
+         |WHERE t > lo + ${RangeSegs / 2} * w - 1
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)(
+      (s, dir) => timeTravelSince(s, dir)),
 
     // the 'd'-kind zone-map face: double band bounds derived with the
     // IDENTICAL IEEE op sequence (sub, div, mul, add) in both engines
