@@ -1147,6 +1147,17 @@ object ManifestStore {
     published
   }
 
+  /** [[restoreVersion]] addressed by wall-clock instant (Delta's
+    * `RESTORE ... TIMESTAMP AS OF`): roll back to the state the
+    * collection had at `tsMs` — [[versionAtTime]]'s resolution
+    * (ceiling beyond latest, fail-loud below the horizon), then the
+    * ordinary restore commit. Completes the timestamp surface: read
+    * ([[readAsOfTime]]), change feed ([[readSinceTime]]), restore. */
+  def restoreToTime(spark: SparkSession, tablePath: String, c: String,
+      tsMs: Long): Long =
+    restoreVersion(spark, tablePath, c,
+      versionAtTime(spark, tablePath, c, tsMs))
+
   /** The live pointer sequence of a collection (0 = no valid commit) —
     * what a reproducible pipeline records next to its outputs so
     * [[readAsOf]]/[[readSince]] can anchor to today's state. */

@@ -816,6 +816,15 @@ class GraftSourceSpec extends SparkSpecBase {
     assert(ManifestStore.readAsOfTime(spark, table, "m", tDel).count() == 0L)
     // and the pre-delete instant still serves the pre-delete state
     assert(atTs(tsOf(3L)).count() == 30L)
+    // RESTORE by instant: roll the tombstoned collection back to the
+    // state it had at commit 2's instant — a NEW commit (history
+    // preserved), live state = the 20 pre-delete rows
+    val restored = ManifestStore.restoreToTime(spark, table, "m", tsOf(2L))
+    assert(restored == 5L)
+    assert(readSrc(table).count() == 20L)
+    // restore to the tombstone's own instant = restore-to-deleted
+    ManifestStore.restoreToTime(spark, table, "m", tDel)
+    assert(ManifestStore.currentSegments(spark, table, "m").isEmpty)
   }
 
   test("z-order with a STRING axis: after compaction BOTH the uuid " +
