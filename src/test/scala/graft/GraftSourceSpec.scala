@@ -825,6 +825,23 @@ class GraftSourceSpec extends SparkSpecBase {
     // restore to the tombstone's own instant = restore-to-deleted
     ManifestStore.restoreToTime(spark, table, "m", tDel)
     assert(ManifestStore.currentSegments(spark, table, "m").isEmpty)
+    // the REAL vacuum horizon: with a live (non-tombstone) head,
+    // pruning the superseded pointers makes an instant that used to
+    // resolve (commit 2's own ts) fail loud — a vacuumed timestamp
+    // must never silently serve a different snapshot
+    ManifestStore.restoreToTime(spark, table, "m", tsOf(3L))
+    assert(readSrc(table).count() == 30L)
+    val t2 = tsOf(2L)
+    assert(ManifestStore.versionAtTime(spark, table, "m", t2) == 2L)
+    assert(ManifestStore.vacuum(spark, table,
+      minAgeMs = -1000L, tagMinAgeMs = -1000L).nonEmpty)
+    intercept[IllegalArgumentException] {
+      ManifestStore.versionAtTime(spark, table, "m", t2)
+    }
+    // while the latest state stays addressable by a current instant
+    assert(readSrc(table).count() == 30L)
+    assert(ManifestStore.readAsOfTimeInferred(spark, table, "m",
+      System.currentTimeMillis() + 1000000L).count() == 30L)
   }
 
   test("z-order with a STRING axis: after compaction BOTH the uuid " +
