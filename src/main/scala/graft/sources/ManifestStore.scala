@@ -2506,21 +2506,23 @@ object ManifestStore {
   }
 
   /** Order-preserving numeric proxy for a STRING z-order axis: the
-    * first 7 characters' codepoints (clamped to 255 — everything past
-    * Latin-1 ties, coarsening clustering but never order) packed
-    * big-endian into one positive long, so the shared numeric
-    * quantile-cut machinery buckets string axes too. Monotone
-    * non-decreasing w.r.t. Spark's string comparison (UTF-8 byte /
-    * codepoint order): shorter strings pad with 0, matching
-    * "a" < "aa". Null in, null out — null strings land in bucket 0
-    * exactly like null numerics. */
-  private def strOrdProxy(c: Column): Column = {
-    import org.apache.spark.sql.functions.{ascii, least, substring}
-    val packed = (0 until 7).map { i =>
-      least(ascii(substring(c, i + 1, 1)), lit(255))
-        .cast("long") * lit(1L << ((6 - i) * 8))
-    }.reduceLeft(_ + _)
-    when(c.isNotNull, packed)
+    * first 7 UTF-8 BYTES — exactly the bytes Spark's own string
+    * comparison walks — right-padded with 0x00 and packed big-endian
+    * into one positive long, so the shared numeric quantile-cut
+    * machinery buckets string axes too. Byte-PREFIX packing is
+    * monotone w.r.t. the full byte-lexicographic order by
+    * construction (a per-CHARACTER map is not: two codepoints tying
+    * under any clamp let a longer string sort above a byte-greater
+    * shorter one — caught by the PropertySpec random-unicode pin).
+    * Strings sharing their first 7 bytes tie, which can only coarsen
+    * clustering; pruning stays proof-based on the segments' full
+    * 's'-kind bounds. Null in, null out — null strings land in
+    * bucket 0 exactly like null numerics. */
+  private[graft] def strOrdProxy(c: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, conv, encode, hex,
+      rpad, substring}
+    val h = rpad(hex(substring(encode(c, "UTF-8"), 1, 7)), 14, "0")
+    when(c.isNotNull, coalesce(conv(h, 16, 10).cast("long"), lit(0L)))
   }
 
   /** Bits per dimension in [[zorderCompact]]'s interleave: 4 bits =

@@ -506,4 +506,43 @@ class PropertySpec extends SparkSpecBase {
     }
     assert(got.nonEmpty)
   }
+
+  test("z-order string proxy is monotone non-decreasing under Spark's " +
+      "string ordering — random strings incl. unicode, ties allowed") {
+    import spark.implicits._
+    // mixed alphabet: ASCII, Latin-1 boundary chars, multi-byte CJK,
+    // an astral-plane emoji, even a LONE surrogate (ill-formed UTF-16
+    // — both the proxy and Spark's comparison see the same
+    // '?'-replaced UTF-8 bytes, so it is in contract), empty and
+    // long strings
+    val genFrag: Gen[String] = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf(" ", "~", "é", "ÿ", "Ā"),
+      1 -> Gen.oneOf("中", "文", "￮", "\ud83d"),
+      1 -> Gen.const("😀"))
+    val genStr: Gen[String] =
+      Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, genFrag))
+        .map(_.mkString)
+    val strs = samples(genStr, 300).distinct
+    // Spark's own ordering of the strings (UTF8String comparison)
+    val ordered = strs.toDF("s").orderBy("s")
+      .select(col("s"),
+        graft.sources.ManifestStore.strOrdProxy(col("s")).as("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    ordered.sliding(2).foreach {
+      case Array((a, pa), (b, pb)) =>
+        assert(pa <= pb,
+          s"proxy order inverted: [${a.map(_.toInt).mkString(",")}]" +
+            s"($pa) before [${b.map(_.toInt).mkString(",")}]($pb)")
+      case _ =>
+    }
+    // and proxy ORDER agrees with prefix order on plain ASCII exactly
+    val ascii = Seq("", "a", "aa", "ab", "b", "ba", "z", "zz")
+    val ps = ascii.map(s => graft.sources.ManifestStore
+      .strOrdProxy(lit(s))).zipWithIndex
+      .map { case (c, i) => c.as(s"p$i") }
+    val row = spark.range(1).select(ps: _*).head
+    val vals = ascii.indices.map(row.getLong)
+    assert(vals == vals.sorted && vals.distinct == vals)
+  }
 }
