@@ -1205,16 +1205,24 @@ object Events {
     * slice-cutoff predicate. Resolution is driver-side pointer-log
     * metadata (bounded by vacuum retention); the snapshots themselves
     * are ordinary pruned segment reads. */
-  def timeTravelTs(s: SparkSession, dir: String): DataFrame = {
+  /** (table path, the mid-log anchor version's COMMIT INSTANT) — the
+    * timestamp twin of [[anchoredReads]]'s anchor arithmetic, shared
+    * by [[timeTravelTs]] and [[timeTravelSince]] so both faces probe
+    * the SAME instant the oracles' first-RangeSegs/2-slices cutoff
+    * assumes. */
+  private def anchorInstant(s: SparkSession, dir: String): (String, Long) = {
     val (path, _, _) = manifestEventsTable(s, dir)
     val versions = graft.sources.ManifestStore
       .listVersions(s, path, "events").filterNot(_.tombstone)
-    // the SAME anchor arithmetic as [[anchoredReads]] — the oracle's
-    // first-RangeSegs/2-slices cutoff depends on it
     val anchor = versions(math.max(0, versions.size / 2 - 1)).ptrSeq
     val tsMid = graft.sources.ManifestStore.history(s, path, "events")
       .where(col("ptr_seq") === anchor)
       .select("commit_ts_ms").head.getLong(0)
+    (path, tsMid)
+  }
+
+  def timeTravelTs(s: SparkSession, dir: String): DataFrame = {
+    val (path, tsMid) = anchorInstant(s, dir)
     val mid = graft.sources.ManifestStore
       .readAsOfTimeInferred(s, path, "events", tsMid)
     val fut = graft.sources.ManifestStore
@@ -1239,13 +1247,7 @@ object Events {
     * the incremental-maintenance consumption pattern addressed by
     * wall clock instead of version. */
   def timeTravelSince(s: SparkSession, dir: String): DataFrame = {
-    val (path, _, _) = manifestEventsTable(s, dir)
-    val versions = graft.sources.ManifestStore
-      .listVersions(s, path, "events").filterNot(_.tombstone)
-    val anchor = versions(math.max(0, versions.size / 2 - 1)).ptrSeq
-    val tsMid = graft.sources.ManifestStore.history(s, path, "events")
-      .where(col("ptr_seq") === anchor)
-      .select("commit_ts_ms").head.getLong(0)
+    val (path, tsMid) = anchorInstant(s, dir)
     graft.sources.ManifestStore
       .readSinceTimeInferred(s, path, "events", tsMid)
       .groupBy("event_type")

@@ -232,6 +232,18 @@ class GraftSourceSpec extends SparkSpecBase {
     assert(pinned.count() == 30L)
     // ...a fresh load sees the new commit
     assert(readSrc(table).count() == 31L)
+    // the timestamp coordinate rides the same OPTIONS pass-through:
+    // a view pinned at commit 2's instant serves the 20-row snapshot
+    val t2 = ManifestStore.history(spark, table, "m")
+      .where(col("ptr_seq") === 2L).select("commit_ts_ms")
+      .head.getLong(0)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_src_t2
+         |USING graft OPTIONS (path '$table', collection 'm',
+         |  timestampAsOf '$t2')""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_src_t2")
+      .head.getLong(0) == 20L)
+    spark.sql("DROP VIEW graft_src_t2")
     spark.sql("DROP VIEW graft_src_v")
   }
 
