@@ -125,6 +125,11 @@ class AnnSpec extends SparkSpecBase {
     val shares = stats.map(_.getAs[Double]("share"))
     assert(stats.map(_.getAs[Double]("hot_share")).distinct.toSeq ==
       Seq(shares.max))
+    // scale shape: the audit reads ZERO data columns — cent_id is the
+    // partition column, so the scan costs parquet footers only
+    val p = Ann.ivfStats(spark.read.parquet(Ann.ivfStoreFor(spark, sf)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<>"), p)
   }
 
   test("IVF top-k: results come from <= NProbe cells, ranked correctly") {
