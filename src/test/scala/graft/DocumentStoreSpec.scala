@@ -1674,6 +1674,15 @@ class DocumentStoreSpec extends SparkSpecBase {
     // the pointer log is DENSE (hole-free): seqs 1,2 — the loser
     // retried at the next sequence instead of skipping one
     assert(versions.map(_.ptrSeq) == Seq(1L, 2L), versions)
+    // commit instants stay STRICTLY monotone under the race: the
+    // loser's retry commit published after the winner's, and the
+    // publish-time adjustment guarantees its mtime exceeds it — the
+    // timestamp-time-travel axis is well-defined even for raced
+    // commits
+    val hist = ManifestStore.history(spark, table, "c1")
+      .orderBy("ptr_seq").select("commit_ts_ms").collect()
+      .map(_.getLong(0)).toSeq
+    assert(hist == hist.sorted && hist.distinct == hist, hist)
     // idempotency survived the race: replaying either tag is a no-op
     assert(!ManifestStore.storeBatch(idRows("c1", 1, 10), table, "c1",
       "batch-a"))
