@@ -1189,6 +1189,29 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** The mid-log anchor VERSION — ONE definition of the anchor
+    * arithmetic ([[anchoredReads]]'s comment made that a requirement;
+    * the oracles' first-RangeSegs/2-slices cutoff depends on every
+    * caller choosing the SAME version). */
+  private def anchorVersion(s: SparkSession, path: String): Long = {
+    val versions = graft.sources.ManifestStore
+      .listVersions(s, path, "events").filterNot(_.tombstone)
+    versions(math.max(0, versions.size / 2 - 1)).ptrSeq
+  }
+
+  /** (table path, [[anchorVersion]]'s COMMIT INSTANT) — the timestamp
+    * twin of [[anchoredReads]]'s anchor, shared by [[timeTravelTs]]
+    * and [[timeTravelSince]] so both faces probe the SAME instant
+    * their oracles' slice cutoffs assume. */
+  private def anchorInstant(s: SparkSession, dir: String): (String, Long) = {
+    val (path, _, _) = manifestEventsTable(s, dir)
+    val anchor = anchorVersion(s, path)
+    val tsMid = graft.sources.ManifestStore.history(s, path, "events")
+      .where(col("ptr_seq") === anchor)
+      .select("commit_ts_ms").head.getLong(0)
+    (path, tsMid)
+  }
+
   /** TIMESTAMP TIME TRAVEL over the manifest-backed events table —
     * Delta's `TIMESTAMP AS OF` re-expressed on the pointer log: the
     * mid-log anchor version's COMMIT INSTANT (DESCRIBE HISTORY's
@@ -1205,22 +1228,6 @@ object Events {
     * slice-cutoff predicate. Resolution is driver-side pointer-log
     * metadata (bounded by vacuum retention); the snapshots themselves
     * are ordinary pruned segment reads. */
-  /** (table path, the mid-log anchor version's COMMIT INSTANT) — the
-    * timestamp twin of [[anchoredReads]]'s anchor arithmetic, shared
-    * by [[timeTravelTs]] and [[timeTravelSince]] so both faces probe
-    * the SAME instant the oracles' first-RangeSegs/2-slices cutoff
-    * assumes. */
-  private def anchorInstant(s: SparkSession, dir: String): (String, Long) = {
-    val (path, _, _) = manifestEventsTable(s, dir)
-    val versions = graft.sources.ManifestStore
-      .listVersions(s, path, "events").filterNot(_.tombstone)
-    val anchor = versions(math.max(0, versions.size / 2 - 1)).ptrSeq
-    val tsMid = graft.sources.ManifestStore.history(s, path, "events")
-      .where(col("ptr_seq") === anchor)
-      .select("commit_ts_ms").head.getLong(0)
-    (path, tsMid)
-  }
-
   def timeTravelTs(s: SparkSession, dir: String): DataFrame = {
     val (path, tsMid) = anchorInstant(s, dir)
     val mid = graft.sources.ManifestStore
@@ -2090,15 +2097,15 @@ object Events {
   private def anchoredReads(s: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
     val (path, _, _) = manifestEventsTable(s, dir)
-    val versions = graft.sources.ManifestStore
-      .listVersions(s, path, "events").filterNot(_.tombstone)
-    val anchor = versions(math.max(0, versions.size / 2 - 1)).ptrSeq
+    val anchor = anchorVersion(s, path)
+    val latest = graft.sources.ManifestStore
+      .listVersions(s, path, "events").filterNot(_.tombstone).last.ptrSeq
     (graft.sources.ManifestStore
         .readAsOfInferred(s, path, "events", anchor),
       graft.sources.ManifestStore
         .readSinceInferred(s, path, "events", anchor),
       graft.sources.ManifestStore
-        .readAsOfInferred(s, path, "events", versions.last.ptrSeq))
+        .readAsOfInferred(s, path, "events", latest))
   }
 
   def incrementalAgg(s: SparkSession, dir: String): DataFrame = {

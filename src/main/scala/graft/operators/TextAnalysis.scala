@@ -474,6 +474,11 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Seed-set width for the WAND prune threshold: the top-N
+    * highest-impact terms per query whose docs get exact seed scores
+    * (see [[wandParts]] for the any-width soundness argument). */
+  val WandSeedTerms = 1
+
   /** The MATERIALIZED hits relation the WAND machinery fans out from,
     * memoized per (session, canonicalized tf plan, canonicalized
     * queries plan) — the [[graft.operators.Dedup]] shingle-cache
@@ -497,11 +502,6 @@ object TextAnalysis {
     * blocks); like every canonicalized-plan memo, rewriting
     * the underlying index files does NOT invalidate it — writers call
     * releaseCaches after maintenance. */
-  /** Seed-set width for the WAND prune threshold: the top-N
-    * highest-impact terms per query whose docs get exact seed scores
-    * (see [[wandParts]] for the any-width soundness argument). */
-  val WandSeedTerms = 1
-
   private val wandHitsCache = new PlanMemo
 
   private def wandHits(tf: DataFrame, queries: DataFrame): DataFrame =

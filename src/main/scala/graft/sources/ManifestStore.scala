@@ -604,29 +604,45 @@ object ManifestStore {
   }
 
   /** Best-effort Delta-style commit-timestamp ADJUSTMENT: bump this
-    * pointer's mtime to strictly exceed every earlier retained
-    * pointer's, so the `commit_ts_ms` axis ([[history]],
-    * [[versionAtTime]]) is monotone in the commit order — two commits
-    * landing within one mtime tick would otherwise make "the newest
-    * commit at timestamp t" ambiguous. Strictly AFTER the durable
-    * create and NEVER load-bearing for the commit protocol: a
-    * filesystem that cannot setTimes (S3A) or a concurrent vacuum just
-    * leaves the raw mtime, which is exactly the caveat [[history]]
-    * already documents — [[versionAtTime]]'s newest-seq tie-break
-    * keeps resolution deterministic either way. */
+    * pointer's mtime above every earlier retained pointer's, so the
+    * `commit_ts_ms` axis ([[history]], [[versionAtTime]]) is monotone
+    * NON-DECREASING in the commit order — two commits landing within
+    * one mtime tick would otherwise make "the newest commit at
+    * timestamp t" ambiguous. Serialized commits come out strictly
+    * increasing; RACED commits can still TIE (each racer bumps over
+    * the prefix it observed, and an earlier pointer adjusting after a
+    * later one already did lands on the same value) but cannot invert,
+    * and [[versionAtTime]]'s newest-seq tie-break resolves a tied
+    * instant to the newest commit carrying it — Delta's own
+    * same-timestamp rule. Strictly AFTER the durable create and NEVER
+    * load-bearing for the commit protocol: a filesystem that cannot
+    * setTimes (S3A) or a concurrent vacuum just leaves the raw mtime,
+    * which is exactly the caveat [[history]] already documents. */
   private def adjustCommitTs(fs: FileSystem, dir: Path, seq: Long,
       p: Path): Unit =
     try {
-      val prevMax = fs.listStatus(dir).toSeq
-        .filter(_.getPath.getName.startsWith(PtrPrefix))
-        .filter(_.getPath.getName.stripPrefix(PtrPrefix).toLongOption
-          .exists(_ < seq))
-        .map(_.getModificationTime).maxOption.getOrElse(0L)
+      val prevMax = ptrMtimes(fs, dir).collect {
+        case (s, m) if s < seq => m
+      }.maxOption.getOrElse(0L)
       if (fs.getFileStatus(p).getModificationTime <= prevMax)
         fs.setTimes(p, prevMax + 1L, -1L)
     } catch {
       case _: java.io.IOException | _: UnsupportedOperationException => ()
     }
+
+  /** (pointer seq → mtime) for every `ptr-` file in a manifest dir —
+    * THE commit-instant axis, read identically by [[history]],
+    * [[versionAtTime]], and [[adjustCommitTs]] (one definition: if the
+    * instant's source ever changes — e.g. a sidecar timestamp to close
+    * the S3 caveat — all three faces move together or DESCRIBE
+    * HISTORY's labels stop resolving to the versions they name). */
+  private def ptrMtimes(fs: FileSystem, dir: Path): Map[Long, Long] =
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith(PtrPrefix))
+      .flatMap(st => st.getPath.getName.stripPrefix(PtrPrefix)
+        .toLongOption.map(_ -> st.getModificationTime))
+      .toMap
 
   /** The protocol's create-no-overwrite primitive, made ATOMIC on the
     * local scheme: Hadoop's RawLocalFileSystem implements
@@ -904,14 +920,7 @@ object ManifestStore {
   def history(spark: SparkSession, tablePath: String,
       c: String): DataFrame = {
     val fs = fsOf(spark, tablePath)
-    val dir = manifestDir(tablePath, c)
-    val mtimes: Map[Long, Long] =
-      if (!fs.exists(dir)) Map.empty
-      else fs.listStatus(dir).toSeq
-        .filter(_.getPath.getName.startsWith(PtrPrefix))
-        .flatMap(st => st.getPath.getName.stripPrefix(PtrPrefix)
-          .toLongOption.map(_ -> st.getModificationTime))
-        .toMap
+    val mtimes = ptrMtimes(fs, manifestDir(tablePath, c))
     val versions = listVersions(spark, tablePath, c)
     val seen = scala.collection.mutable.Set.empty[Seq[Long]]
     val rows = versions.zipWithIndex.map { case (v, i) =>
@@ -987,12 +996,7 @@ object ManifestStore {
     require(versions.nonEmpty,
       s"collection '$c' has no committed history to resolve " +
         s"timestamp $tsMs against")
-    val dir = manifestDir(tablePath, c)
-    val mtimes: Map[Long, Long] = fs.listStatus(dir).toSeq
-      .filter(_.getPath.getName.startsWith(PtrPrefix))
-      .flatMap(st => st.getPath.getName.stripPrefix(PtrPrefix)
-        .toLongOption.map(_ -> st.getModificationTime))
-      .toMap
+    val mtimes = ptrMtimes(fs, manifestDir(tablePath, c))
     val hits = versions.flatMap(v => mtimes.get(v.ptrSeq)
       .filter(_ <= tsMs).map(_ => v.ptrSeq))
     require(hits.nonEmpty,

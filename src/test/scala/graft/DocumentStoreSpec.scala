@@ -1674,11 +1674,12 @@ class DocumentStoreSpec extends SparkSpecBase {
     // the pointer log is DENSE (hole-free): seqs 1,2 — the loser
     // retried at the next sequence instead of skipping one
     assert(versions.map(_.ptrSeq) == Seq(1L, 2L), versions)
-    // commit instants stay STRICTLY monotone under the race: the
-    // loser's retry commit published after the winner's, and the
-    // publish-time adjustment guarantees its mtime exceeds it — the
-    // timestamp-time-travel axis is well-defined even for raced
-    // commits
+    // commit instants stay monotone under the race. The GENERAL
+    // contract is non-decreasing (racers bumping over the prefix each
+    // observed can TIE — versionAtTime's newest-seq rule then resolves
+    // a tied instant to the newest commit, Delta's same-timestamp
+    // rule); for THIS fixture strictness is deterministic: the seq-1
+    // winner never bumps and the seq-2 loser always bumps above it
     val hist = ManifestStore.history(spark, table, "c1")
       .orderBy("ptr_seq").select("commit_ts_ms").collect()
       .map(_.getLong(0)).toSeq
