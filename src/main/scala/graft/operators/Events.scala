@@ -1894,11 +1894,26 @@ object Events {
     // so it must not seed n/Σw either — counting it would shift every
     // rank and strand its target (the count(col) fix, grouped form)
     val clean = values.where(col(g).isNotNull && col(c).isNotNull)
-    // one scan: per-group bounds + total weight seed the target state
-    var open = clean.groupBy(col(g))
+    // budget guard BEFORE the driver materializes anything: each group
+    // seeds `pcts.size` driver-side targets, so fetch at most
+    // maxGroups+1 bound rows — a high-cardinality group column
+    // (user_id) trips the budget with the driver never holding more
+    // than the budget's worth of rows (the sketch face's
+    // LIMIT-then-require pattern, [[groupQuantileSketchOn]]; an
+    // unguarded seed collect() would OOM a 100 TB driver before any
+    // after-the-fact require could fire).
+    val maxGroups = math.max(cellBudget / pcts.size, 0L)
+    val boundRows = clean.groupBy(col(g))
       .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
         coalesce(sum(wt), lit(0L)).as("n"))
-      .collect().toSeq.flatMap { r =>
+      .limit(math.min(maxGroups + 1L, Int.MaxValue.toLong).toInt)
+      .collect()
+    require(boundRows.length <= maxGroups,
+      s"grouped quantiles have more than $maxGroups groups at " +
+        s"${pcts.size} targets each — over budget $cellBudget; " +
+        "pre-partition the group space or raise cellBudget")
+    // one scan seeded the per-group bounds + total weight target state
+    var open = boundRows.toSeq.flatMap { r =>
         val (gv, lo, hi, n) =
           (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
         pcts.map(p => (gv, p, quantileRank(n, p), lo, hi, n))

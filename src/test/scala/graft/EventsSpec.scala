@@ -575,6 +575,41 @@ class EventsSpec extends SparkSpecBase {
     }
   }
 
+  test("grouped exact quantiles budget-guard the SEED collect: a " +
+      "high-cardinality group column fails loud through the LIMITed " +
+      "bounds fetch, never a full per-group materialize") {
+    import spark.implicits._
+    // 8 groups at 3 targets each over budget 9 (maxGroups = 3) —
+    // must fail BEFORE the driver holds 8 bound rows
+    val many = Seq.tabulate(8)(i => (s"g$i", i.toLong)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Events.groupQuantilesOn(many, "g", "v",
+        cellBudget = 3L * Events.QuantilePcts.size)
+    }
+    assert(e.getMessage.contains("over budget"), e.getMessage)
+    // the weighted face shares the guard (same core)
+    val ew = intercept[IllegalArgumentException] {
+      Events.groupWeightedQuantilesOn(
+        many.withColumn("w", lit(1L)), "g", "v", "w",
+        cellBudget = 3L * Events.QuantilePcts.size)
+    }
+    assert(ew.getMessage.contains("over budget"), ew.getMessage)
+    // ...and on the real fixture: every ts its own group trips the
+    // budget (the sketch face's spec, applied to the exact protocol)
+    val hi = Events.load(spark, sf)
+      .select(col("ts_us").cast("string").as("g"), col("ts_us"))
+      .where(col("ts_us").isNotNull)
+    val eh = intercept[IllegalArgumentException] {
+      Events.groupQuantilesOn(hi, "g", "ts_us", cellBudget = 64L)
+    }
+    assert(eh.getMessage.contains("over budget"), eh.getMessage)
+    // under-budget runs are untouched by the guard
+    val ok = Events.groupQuantilesOn(many, "g", "v",
+      cellBudget = 8L * Events.QuantilePcts.size).collect()
+    assert(ok.length == 8 * Events.QuantilePcts.size)
+    assert(ok.forall(r => r.getLong(3) == r.getString(0).drop(1).toLong))
+  }
+
   test("grouped quantile sketch == per-group scalar sketch, bitwise " +
       "(each group grids its own domain)") {
     val ev = Events.load(spark, sf)

@@ -337,12 +337,14 @@ class PropertySpec extends SparkSpecBase {
           (g, p, k, sorted((k - 1).toInt))
         }
       }.sortBy(t => (t._1, t._2))
-      // budget=1 forces one-target histogram waves — wave splitting
-      // must never change answers, only bound per-collect memory
+      // budget == buckets forces one-target histogram waves (the
+      // smallest budget the SEED guard admits for ≤6 groups × 3
+      // targets) — wave splitting must never change answers, only
+      // bound per-collect memory
       Seq((Events.QuantileSelectCap, Events.GroupQuantileBuckets,
             Events.QuantileDriverCellBudget),
           (1L, 4L, Events.QuantileDriverCellBudget),
-          (2L, 2L, 1L)).foreach { case (cap, b, budget) =>
+          (2L, 18L, 18L)).foreach { case (cap, b, budget) =>
         val got = Events.groupQuantilesOn(df, "g", "v", cap, b, budget)
           .collect()
           .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
@@ -415,10 +417,13 @@ class PropertySpec extends SparkSpecBase {
           (g, p, k, v)
         }
       }.sortBy(t => (t._1, t._2))
+      // third knob: budget == buckets == 25 forces one-target waves
+      // while the seed guard admits ≤5 groups at every grid width
+      // (25 / pcts.size ≥ 5 for all grids above)
       Seq((Events.QuantileSelectCap, Events.GroupQuantileBuckets,
             Events.QuantileDriverCellBudget),
           (1L, 4L, Events.QuantileDriverCellBudget),
-          (8L, 2L, 1L)).foreach { case (cap, b, budget) =>
+          (8L, 25L, 25L)).foreach { case (cap, b, budget) =>
         val got = Events.groupWeightedQuantilesOn(df, "g", "v", "w",
           cap, b, budget, pcts).collect()
           .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
