@@ -1202,7 +1202,13 @@ object Events {
   /** (table path, [[anchorVersion]]'s COMMIT INSTANT) — the timestamp
     * twin of [[anchoredReads]]'s anchor, shared by [[timeTravelTs]]
     * and [[timeTravelSince]] so both faces probe the SAME instant
-    * their oracles' slice cutoffs assume. */
+    * their oracles' slice cutoffs assume. The probe requires the
+    * anchor's instant to address exactly the anchor version, which
+    * holds on ANY filesystem since the durable-instant upgrade:
+    * serialized commits (this fixture's) carry STRICTLY increasing
+    * instants in their pointer bodies — no setTimes capability
+    * involved, so the old S3A tie-then-resolve-forward hazard is
+    * structurally gone. */
   private def anchorInstant(s: SparkSession, dir: String): (String, Long) = {
     val (path, _, _) = manifestEventsTable(s, dir)
     val anchor = anchorVersion(s, path)
@@ -1215,7 +1221,8 @@ object Events {
   /** TIMESTAMP TIME TRAVEL over the manifest-backed events table —
     * Delta's `TIMESTAMP AS OF` re-expressed on the pointer log: the
     * mid-log anchor version's COMMIT INSTANT (DESCRIBE HISTORY's
-    * `commit_ts_ms`, monotone by the publish-time adjustment) is
+    * `commit_ts_ms`, the durable instant stamped in the pointer body
+    * at publish — monotone on any filesystem) is
     * resolved back through [[graft.sources.ManifestStore.readAsOfTimeInferred]]
     * and must serve exactly the anchor snapshot — the same first-half
     * time-slice prefix `ev_snapshot_drift`'s oracle derives from the

@@ -506,25 +506,58 @@ object ManifestStore {
     * simply an invalid pointer, there is no migration path to carry.) */
   private val SegsSuffix = ";end"
 
-  /** `segs:000001,000003;end` or `segs:000001;src=batch-7;end` →
-    * Some((segments, provenance tag)); anything malformed or truncated
-    * → None (an invalid pointer; fall back to the previous one). The
-    * optional `src=` tag records WHICH ingest produced a commit — the
-    * idempotency key for at-least-once replays ([[storeBatch]]). */
-  private def parseBody(content: String): Option[(Seq[Long], Option[String])] =
+  /** `segs:000001,000003;end`, `segs:000001;src=batch-7;end`, or (with
+    * the durable commit instant) `segs:000001;ts=1755360000123;end` /
+    * `segs:000001;ts=...;src=batch-7;end` →
+    * Some((segments, provenance tag, commit instant)); anything
+    * malformed or truncated → None (an invalid pointer; fall back to
+    * the previous one — a garbled `ts=` must invalidate the POINTER,
+    * not silently misdate the commit). The optional `src=` tag records
+    * WHICH ingest produced a commit — the idempotency key for
+    * at-least-once replays ([[storeBatch]]). Field order is fixed
+    * (`ts` before `src`) so the free-form tag can never be confused
+    * with the instant: everything left of `;src=` is digits, commas,
+    * and the literal `;ts=`. Pre-upgrade pointers simply have no `ts`
+    * field; [[commitInstants]] falls back to their file mtime. */
+  private def parseBody(
+      content: String): Option[(Seq[Long], Option[String], Option[Long])] =
     if (!content.startsWith(SegsPrefix) || !content.endsWith(SegsSuffix)) None
     else {
       val body = content.stripPrefix(SegsPrefix).stripSuffix(SegsSuffix)
-      val (listPart, tag) = body.indexOf(";src=") match {
+      val (head, tag) = body.indexOf(";src=") match {
         case -1 => (body, None)
         case i => (body.substring(0, i), Some(body.substring(i + 5)))
       }
+      val (listPart, ts) = head.indexOf(";ts=") match {
+        case -1 => (head, None)
+        case i => (head.substring(0, i),
+          Some(head.substring(i + 4)).map(_.toLongOption))
+      }
       val parts = listPart.split(",").toSeq
       val nums = parts.flatMap(_.trim.toLongOption)
-      if (nums.nonEmpty && nums.length == parts.length)
-        Some((nums, tag.filter(_.nonEmpty)))
+      if (nums.nonEmpty && nums.length == parts.length &&
+          !ts.contains(None))
+        Some((nums, tag.filter(_.nonEmpty), ts.flatten))
       else None
     }
+
+  /** Valid-tombstone parse: Some(instant?) for the bare pre-upgrade
+    * marker (`tombstone`, no instant) or the instant-carrying form
+    * (`tombstone;ts=<ms>;end` — terminated, because a tombstone whose
+    * `ts` digits were crash-truncated would otherwise PARSE to a
+    * wrong-but-plausible instant; the bare form needs no terminator,
+    * any truncation of it is unrecognized). None = not a tombstone.
+    * The ONE tombstone-recognition rule — [[resolveAt]] and
+    * [[listVersions]] both read through it, so a truncated pointer is
+    * invalid to BOTH (skipped, previous commit stays live), never
+    * tombstone-to-one-reader. */
+  private def parseTombstone(content: String): Option[Option[Long]] =
+    if (content == Tombstone) Some(None)
+    else if (content.startsWith(Tombstone + ";ts=") &&
+        content.endsWith(SegsSuffix))
+      content.stripPrefix(Tombstone + ";ts=").stripSuffix(SegsSuffix)
+        .toLongOption.map(Some(_))
+    else None
 
   private def parseSegs(content: String): Option[Seq[Long]] =
     parseBody(content).map(_._1)
@@ -560,14 +593,16 @@ object ManifestStore {
     // ONE parse per pointer: (seq, tombstone?, parsed body)
     val parsed = ptrs.map { case (seq, p) =>
       val content = readPtr(fs, p)
-      (seq, content.contains(Tombstone), content.flatMap(parseBody))
+      (seq, content.exists(c => parseTombstone(c).isDefined),
+        content.flatMap(parseBody))
     }
     // newest pointer (under the ceiling) with VALID content decides;
     // invalid ones (crash mid-create) are skipped — the previous
     // commit stays live
     val decided = parsed.iterator.collectFirst {
       case (seq, true, _) if seq <= asOfSeq => seq -> None
-      case (seq, _, Some((segs, _))) if seq <= asOfSeq => seq -> Some(segs)
+      case (seq, _, Some((segs, _, _))) if seq <= asOfSeq =>
+        seq -> Some(segs)
     }
     val maxSeq = ptrs.headOption.map(_._1).getOrElse(0L)
     val bodies = parsed.flatMap(_._3)
@@ -579,7 +614,7 @@ object ManifestStore {
     Resolved(decided.flatMap(_._2), maxSeq + 1,
       math.max(maxSeg, maxClaim) + 1,
       decided.map(_._1).getOrElse(0L), bodies.flatMap(_._2).toSet,
-      parsed.collect { case (seq, _, Some((_, Some(_)))) => seq }.toSet,
+      parsed.collect { case (seq, _, Some((_, Some(_), _))) => seq }.toSet,
       valid.minOption.getOrElse(0L), maxSeg)
   }
 
@@ -599,43 +634,70 @@ object ManifestStore {
     val dir = manifestDir(tablePath, c)
     fs.mkdirs(dir)
     val p = new Path(dir, f"$PtrPrefix$seq%06d")
-    createExclusive(fs, p, content.getBytes("UTF-8"))
-    adjustCommitTs(fs, dir, seq, p)
+    createExclusive(fs, p, stampInstant(fs, dir, content).getBytes("UTF-8"))
   }
 
-  /** Best-effort Delta-style commit-timestamp ADJUSTMENT: bump this
-    * pointer's mtime above every earlier retained pointer's, so the
-    * `commit_ts_ms` axis ([[history]], [[versionAtTime]]) is monotone
-    * NON-DECREASING in the commit order — two commits landing within
-    * one mtime tick would otherwise make "the newest commit at
-    * timestamp t" ambiguous. Serialized commits come out strictly
-    * increasing; RACED commits can still TIE (each racer bumps over
-    * the prefix it observed, and an earlier pointer adjusting after a
-    * later one already did lands on the same value) but cannot invert,
-    * and [[versionAtTime]]'s newest-seq tie-break resolves a tied
-    * instant to the newest commit carrying it — Delta's own
-    * same-timestamp rule. Strictly AFTER the durable create and NEVER
-    * load-bearing for the commit protocol: a filesystem that cannot
-    * setTimes (S3A) or a concurrent vacuum just leaves the raw mtime,
-    * which is exactly the caveat [[history]] already documents. */
-  private def adjustCommitTs(fs: FileSystem, dir: Path, seq: Long,
-      p: Path): Unit =
-    try {
-      val prevMax = ptrMtimes(fs, dir).collect {
-        case (s, m) if s < seq => m
-      }.maxOption.getOrElse(0L)
-      if (fs.getFileStatus(p).getModificationTime <= prevMax)
-        fs.setTimes(p, prevMax + 1L, -1L)
-    } catch {
-      case _: java.io.IOException | _: UnsupportedOperationException => ()
-    }
+  /** DURABLE commit instant, written IN the pointer body at publish —
+    * the field [[commitInstants]] reads back, replacing the
+    * filesystem-mtime axis (Delta's commit-ts adjustment needed
+    * `setTimes`, which S3-class stores lack; a value inside the
+    * atomically-created pointer needs nothing from the store). The
+    * instant is `max(now, newest retained instant + 1)`, so
+    * SERIALIZED commits come out strictly increasing on ANY
+    * filesystem — even one whose mtimes are garbage — while RACED
+    * commits can still TIE (each racer bumps over the prefix it
+    * observed) but cannot invert; [[versionAtTime]]'s newest-seq
+    * tie-break resolves a tied instant to the newest commit carrying
+    * it, Delta's own same-timestamp rule. Reading the prior instants
+    * costs one listing + the pointer reads the enclosing commit
+    * already paid for resolution — bounded by vacuum retention. A
+    * pre-upgrade pointer simply lacks the field and keeps its mtime
+    * axis ([[commitInstants]]'s fallback); the first post-upgrade
+    * commit stamps above those mtimes, so the MIXED log stays
+    * monotone. */
+  private def stampInstant(fs: FileSystem, dir: Path,
+      content: String): String = {
+    val prevMax = commitInstants(fs, dir).values.maxOption.getOrElse(0L)
+    val i = math.max(System.currentTimeMillis(), prevMax + 1L)
+    if (content == Tombstone) s"$Tombstone;ts=$i$SegsSuffix"
+    else if (content.startsWith(SegsPrefix) &&
+        content.endsWith(SegsSuffix)) {
+      val body = content.stripPrefix(SegsPrefix).stripSuffix(SegsSuffix)
+      val (list, rest) = body.indexOf(";src=") match {
+        case -1 => (body, "")
+        case at => (body.substring(0, at), body.substring(at))
+      }
+      s"$SegsPrefix$list;ts=$i$rest$SegsSuffix"
+    } else content
+  }
 
-  /** (pointer seq → mtime) for every `ptr-` file in a manifest dir —
-    * THE commit-instant axis, read identically by [[history]],
-    * [[versionAtTime]], and [[adjustCommitTs]] (one definition: if the
-    * instant's source ever changes — e.g. a sidecar timestamp to close
-    * the S3 caveat — all three faces move together or DESCRIBE
-    * HISTORY's labels stop resolving to the versions they name). */
+  /** (pointer seq → commit instant, epoch ms) for every retained
+    * `ptr-` file — THE commit-instant axis, read identically by
+    * [[history]], [[versionAtTime]], and [[stampInstant]] (one
+    * definition: if the instant's source ever changes, all three
+    * faces move together or DESCRIBE HISTORY's labels stop resolving
+    * to the versions they name). The instant is the `ts=` field the
+    * pointer body carries since the durable-instant upgrade; a
+    * PRE-UPGRADE pointer (no field) falls back to its file mtime —
+    * the old axis, still monotone where it was written because
+    * publish used to setTimes-adjust it. An unreadable or invalid
+    * pointer has no instant at all (it is not a version either). */
+  private def commitInstants(fs: FileSystem, dir: Path): Map[Long, Long] = {
+    val mtimes = ptrMtimes(fs, dir)
+    if (mtimes.isEmpty) Map.empty
+    else mtimes.map { case (seq, mtime) =>
+      val p = new Path(dir, f"$PtrPrefix$seq%06d")
+      val fromBody = readPtr(fs, p).flatMap { c =>
+        parseTombstone(c).map(_.orElse(Some(mtime)))
+          .getOrElse(parseBody(c).map(_._3.getOrElse(mtime)))
+      }
+      seq -> fromBody
+    }.collect { case (seq, Some(i)) => seq -> i }
+  }
+
+  /** (pointer seq → file mtime) for every `ptr-` file in a manifest
+    * dir — the PRE-UPGRADE commit-instant fallback, read only through
+    * [[commitInstants]]. */
   private def ptrMtimes(fs: FileSystem, dir: Path): Map[Long, Long] =
     if (!fs.exists(dir)) Map.empty
     else fs.listStatus(dir).toSeq
@@ -884,9 +946,9 @@ object ManifestStore {
       .sortBy(_._1)
       .flatMap { case (seq, p) =>
         readPtr(fs, p).flatMap { content =>
-          if (content == Tombstone)
+          if (parseTombstone(content).isDefined)
             Some(VersionInfo(seq, tombstone = true, Seq.empty, None))
-          else parseBody(content).map { case (segs, tag) =>
+          else parseBody(content).map { case (segs, tag, _) =>
             VersionInfo(seq, tombstone = false, segs, tag)
           }
         }
@@ -909,18 +971,20 @@ object ManifestStore {
     *                 version (the explicit audit marker) classifies
     *                 here too via its predecessor match
     *   - `tombstone` the delete marker
-    * `commit_ts_ms` is the pointer file's filesystem mtime —
-    * wall-clock metadata, not part of the commit protocol (same caveat
-    * as vacuum's age guards), made monotone in commit order by the
-    * publish-time adjustment where the filesystem allows; it is also
-    * the axis [[versionAtTime]] resolves timestamp time travel
-    * against. Driver-side by design: the pointer log is retained
-    * metadata, bounded by vacuum's retention, and is already read
-    * driver-side by every [[resolve]]. */
+    * `commit_ts_ms` is the DURABLE instant the pointer body carries
+    * ([[stampInstant]] writes it at publish; [[commitInstants]] reads
+    * it back, falling back to file mtime for pre-upgrade pointers) —
+    * wall-clock metadata, not part of the commit protocol, monotone
+    * in commit order on ANY filesystem because the stamp, not the
+    * store, enforces it; it is also the axis [[versionAtTime]]
+    * resolves timestamp time travel against. Driver-side by design:
+    * the pointer log is retained metadata, bounded by vacuum's
+    * retention, and is already read driver-side by every
+    * [[resolve]]. */
   def history(spark: SparkSession, tablePath: String,
       c: String): DataFrame = {
     val fs = fsOf(spark, tablePath)
-    val mtimes = ptrMtimes(fs, manifestDir(tablePath, c))
+    val mtimes = commitInstants(fs, manifestDir(tablePath, c))
     val versions = listVersions(spark, tablePath, c)
     val seen = scala.collection.mutable.Set.empty[Seq[Long]]
     val rows = versions.zipWithIndex.map { case (v, i) =>
@@ -975,9 +1039,9 @@ object ManifestStore {
 
   /** TIMESTAMP → VERSION resolution (Delta's `TIMESTAMP AS OF`
     * analogue): the NEWEST valid retained commit whose `commit_ts_ms`
-    * ([[history]]'s pointer mtime, made monotone in commit order by
-    * the publish-time adjustment where the filesystem allows) is
-    * <= `tsMs`. Contract mirrors [[readAsOf]]'s version ceiling:
+    * ([[commitInstants]] — the durable instant in the pointer body,
+    * mtime fallback for pre-upgrade pointers) is <= `tsMs`. Contract
+    * mirrors [[readAsOf]]'s version ceiling:
     *   - `tsMs` at or beyond the latest commit's ts → the latest
     *     version (a ceiling, not an error);
     *   - `tsMs` before the oldest RETAINED commit's ts → throws (the
@@ -986,9 +1050,15 @@ object ManifestStore {
     *     must not silently serve something else);
     *   - a tombstone commit is addressable and reads as a defined
     *     empty frame downstream, exactly like [[readAsOf]].
-    * Same S3-mtime caveat as [[history]]: on stores without setTimes
-    * the axis is raw object mtimes; the newest-seq rule keeps
-    * resolution deterministic even if those are non-monotone. */
+    * Pre-upgrade pointers keep the raw-mtime caveat; the newest-seq
+    * rule keeps resolution deterministic even if those are
+    * non-monotone. A [[vacuum]] RACING this resolution (pruning a
+    * pointer between the version listing and the instant read)
+    * degrades CONSERVATIVELY: the vacuumed version drops out of the
+    * candidate set, so resolution lands on a newer retained commit
+    * or fails loud at the horizon — never a silent serve of a version
+    * whose instant was not read (spec-pinned with a
+    * delete-between-listings fixture). */
   def versionAtTime(spark: SparkSession, tablePath: String, c: String,
       tsMs: Long): Long = {
     val fs = fsOf(spark, tablePath)
@@ -996,7 +1066,7 @@ object ManifestStore {
     require(versions.nonEmpty,
       s"collection '$c' has no committed history to resolve " +
         s"timestamp $tsMs against")
-    val mtimes = ptrMtimes(fs, manifestDir(tablePath, c))
+    val mtimes = commitInstants(fs, manifestDir(tablePath, c))
     val hits = versions.flatMap(v => mtimes.get(v.ptrSeq)
       .filter(_ <= tsMs).map(_ => v.ptrSeq))
     require(hits.nonEmpty,

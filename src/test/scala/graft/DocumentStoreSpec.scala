@@ -1675,11 +1675,12 @@ class DocumentStoreSpec extends SparkSpecBase {
     // retried at the next sequence instead of skipping one
     assert(versions.map(_.ptrSeq) == Seq(1L, 2L), versions)
     // commit instants stay monotone under the race. The GENERAL
-    // contract is non-decreasing (racers bumping over the prefix each
-    // observed can TIE — versionAtTime's newest-seq rule then resolves
-    // a tied instant to the newest commit, Delta's same-timestamp
-    // rule); for THIS fixture strictness is deterministic: the seq-1
-    // winner never bumps and the seq-2 loser always bumps above it
+    // contract is non-decreasing (racers stamping over the prefix
+    // each observed can TIE — versionAtTime's newest-seq rule then
+    // resolves a tied instant to the newest commit, Delta's
+    // same-timestamp rule); for THIS fixture strictness is
+    // deterministic: the seq-2 loser re-stamps after re-resolving,
+    // and its stamp reads the seq-1 winner's instant from the body
     val hist = ManifestStore.history(spark, table, "c1")
       .orderBy("ptr_seq").select("commit_ts_ms").collect()
       .map(_.getLong(0)).toSeq
@@ -1866,6 +1867,140 @@ class DocumentStoreSpec extends SparkSpecBase {
       versions(1).segs.toSet -- versions(2).segs.toSet)
     // empty history for an absent collection is a defined empty frame
     assert(ManifestStore.history(spark, table, "absent").count() == 0)
+  }
+
+  test("durable commit instants: the axis survives mtime corruption, " +
+      "a mixed pre-upgrade log stays monotone, and a truncated " +
+      "instant invalidates the whole pointer") {
+    import spark.implicits._
+    val table = tmp() + "/dur"
+    def put(lo: Long, hi: Long): Unit = ManifestStore.store(
+      spark.range(lo, hi).select(col("id").as("doc_id"),
+        lit("v").as("txt")), table, "d")
+    put(0L, 10L); put(10L, 20L)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ptr(seq: Long) = new org.apache.hadoop.fs.Path(
+      f"$table/_manifest/d/ptr-$seq%06d")
+    def rawPtr(seq: Long): String = {
+      val in = fs.open(ptr(seq))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    def instants(): Map[Long, Long] =
+      ManifestStore.history(spark, table, "d").collect()
+        .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    // the instant is IN the body, strictly increasing across commits
+    assert(rawPtr(1L).contains(";ts="), rawPtr(1L))
+    val i0 = instants()
+    assert(i0(1L) < i0(2L), i0.toString)
+    // MIXED LOG: rewrite ptr-1 to the pre-upgrade grammar (no ts
+    // field) with a controlled mtime below commit 2's instant — the
+    // fallback axis for exactly that pointer
+    val preUpgrade = rawPtr(1L).replaceAll(";ts=\\d+", "")
+    val out = fs.create(ptr(1L), true)
+    out.write(preUpgrade.getBytes("UTF-8")); out.close()
+    val mt1 = i0(2L) - 60000L
+    fs.setTimes(ptr(1L), mt1, -1L)
+    val mixed = instants()
+    assert(mixed(1L) == mt1 && mixed(2L) == i0(2L), mixed.toString)
+    assert(ManifestStore.versionAtTime(spark, table, "d", mt1) == 1L)
+    assert(ManifestStore.versionAtTime(spark, table, "d", i0(2L)) == 2L)
+    intercept[IllegalArgumentException] {
+      ManifestStore.versionAtTime(spark, table, "d", mt1 - 1L)
+    }
+    // a post-upgrade commit stamps ABOVE the mixed axis
+    put(20L, 30L)
+    val i3 = instants()
+    assert(i3(3L) > i3(2L), i3.toString)
+    // MTIME CORRUPTION (the S3 caveat, closed): garbage mtimes on the
+    // instant-carrying pointers change NOTHING — the axis reads from
+    // the bodies, not the store
+    fs.setTimes(ptr(2L), 5L, -1L); fs.setTimes(ptr(3L), 3L, -1L)
+    val corrupted = instants()
+    assert(corrupted(2L) == i0(2L) && corrupted(3L) == i3(3L),
+      corrupted.toString)
+    assert(ManifestStore.versionAtTime(spark, table, "d", i0(2L)) == 2L)
+    assert(ManifestStore.readAsOfTimeInferred(spark, table, "d",
+      i0(2L)).count() == 20L)
+    // TRUNCATED instant invalidates the POINTER, never misdates it:
+    // a tombstone whose ts digits lost their terminator is not a
+    // version — resolution falls back to commit 3's live state
+    ManifestStore.deleteCollection(spark, table, "d")
+    assert(ManifestStore.readSinceInferred(spark, table, "d", 0L).count() == 0L)
+    val out4 = fs.create(ptr(4L), true)
+    out4.write("tombstone;ts=1".getBytes("UTF-8")); out4.close()
+    assert(ManifestStore.readSinceInferred(spark, table, "d", 0L).count() == 30L)
+    assert(!instants().contains(4L))
+    // same for a segs body whose ts field is garbled
+    val out5 = fs.create(ptr(4L), true)
+    out5.write("segs:000001;ts=12;garbage;end".getBytes("UTF-8"))
+    out5.close()
+    assert(ManifestStore.readSinceInferred(spark, table, "d", 0L).count() == 30L)
+    assert(!instants().contains(4L))
+  }
+
+  test("versionAtTime racing a concurrent vacuum degrades " +
+      "CONSERVATIVELY: a pointer pruned between the version listing " +
+      "and the instant read fails loud, never serves another version") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.vacrace.impl", classOf[RacingVacuumFs].getName)
+    val table = s"vacrace://${tmp()}/t"
+    def put(lo: Long, hi: Long): Unit = ManifestStore.store(
+      spark.range(lo, hi).select(col("id").as("doc_id"),
+        lit("v").as("txt")), table, "r")
+    put(0L, 10L); put(10L, 20L)
+    val inst = ManifestStore.history(spark, table, "r").collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    // un-raced: commit 1's own instant resolves to commit 1
+    assert(ManifestStore.versionAtTime(spark, table, "r", inst(1L)) == 1L)
+    // raced: ptr-000001 vanishes from the SECOND manifest listing
+    // (exactly a vacuum landing between listVersions and the
+    // commitInstants read) — an instant addressing the vacuumed
+    // version must FAIL LOUD, not silently serve commit 2
+    def race[A](body: => A): A = {
+      RacingVacuumFs.calls.set(0)
+      RacingVacuumFs.victim = "ptr-000001"
+      try body finally RacingVacuumFs.victim = null
+    }
+    val e = intercept[IllegalArgumentException] { race {
+      ManifestStore.versionAtTime(spark, table, "r", inst(1L))
+    }}
+    assert(e.getMessage.contains("before the oldest retained"), e)
+    // ...and an instant inside (commit 1, commit 2) — which would
+    // resolve to 1 un-raced — also fails loud rather than re-resolving
+    // forward to 2
+    assert(ManifestStore.versionAtTime(spark, table, "r",
+      inst(2L) - 1L) == 1L)
+    intercept[IllegalArgumentException] { race {
+      ManifestStore.versionAtTime(spark, table, "r", inst(2L) - 1L)
+    }}
+    // an instant at-or-past the SURVIVING commit still resolves to it
+    assert(race {
+      ManifestStore.versionAtTime(spark, table, "r", inst(2L))
+    } == 2L)
+  }
+}
+
+/** [[GraftTestFs]] twin whose manifest listings can drop one named
+  * file from the SECOND listing onward — the exact observable state
+  * of a [[graft.sources.ManifestStore.vacuum]] racing a reader
+  * between its two directory listings. */
+object RacingVacuumFs {
+  @volatile var victim: String = _
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+class RacingVacuumFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("vacrace:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    val out = super.listStatus(p)
+    val v = RacingVacuumFs.victim
+    if (v != null && out.exists(_.getPath.getName == v) &&
+        RacingVacuumFs.calls.incrementAndGet() >= 2)
+      out.filterNot(_.getPath.getName == v)
+    else out
   }
 }
 
