@@ -27,15 +27,16 @@ object Bench {
     * capture 0.467 — 23-36% off the old constant), so the old anchor
     * made the calib guard a coin flip on a genuinely idle machine. The
     * value tracks the newest committed idle artifact's calib; it moves
-    * ONLY together with a committed clean `bench_out.json`. Round 13:
-    * 0.467 → 0.517. The machine regime swung 0.42-0.66 WITHIN this
-    * round's idle captures, so the anchor is the committed capture
-    * nearest the BAND CENTER — its ±25% window [0.39, 0.65] covers
-    * every idle regime observed this round, where an edge value
-    * (0.42 or 0.60) would flag genuinely idle runs at the other edge
-    * (measured: a clean 86.6 s capture at calib 0.424 flagged against
-    * a 0.598 anchor). */
-  val CalibAnchor = 0.517
+    * ONLY together with a committed clean `bench_out.json`, and
+    * BenchSpec pins it within 10% of that artifact's calib so it can
+    * never silently drift from the capture it claims to track (it had:
+    * rounds 16-17 committed clean anchors at 0.443/0.472 against a
+    * stale 0.517 constant). Round 13: 0.467 → 0.517 (band center of a
+    * 0.42-0.66 regime swing). Round 18: 0.517 → 0.472, the committed
+    * clean anchor's own calib — the last two idle captures (0.443,
+    * 0.472) sat 9-14% below the old constant, risking a false NOISY
+    * flag on a slightly faster idle fleet. */
+  val CalibAnchor = 0.472
   /** A query is "wide" when its timed reps spread beyond this
     * max/min ratio. */
   val NoisySpreadRatio = 3.0

@@ -142,6 +142,24 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parseArtifact("{}").isEmpty)
   }
 
+  test("CalibAnchor tracks the committed clean artifact: within 10% " +
+      "of HEAD bench_out.json's calib, or the constant has silently " +
+      "drifted and must be retuned with the anchor commit") {
+    val line = committedArtifact()
+    val noisy = Bench.parseArtifact(line).exists(_._1)
+    // a noisy committed anchor is not a calib reference (same inertness
+    // rule as the r9 fixture below) — restore a clean anchor first
+    assume(!noisy, "committed anchor is flagged noisy — fixture inert")
+    val calib = """"calib":([0-9.]+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toDouble)
+    assert(calib.nonEmpty, "committed artifact must carry a calib")
+    val c = calib.get
+    assert(math.abs(Bench.CalibAnchor - c) / c <= 0.10,
+      s"CalibAnchor ${Bench.CalibAnchor} drifted >10% from the " +
+        s"committed clean anchor's calib $c — retune the constant " +
+        "together with the anchor commit (Bench.scala doc)")
+  }
+
   test("regression fixture: round 9's contaminated final capture " +
       "(95.5s vs 74.9s committed, tight spreads, calib near anchor) " +
       "now triggers the flag via the anchor rule") {
