@@ -78,7 +78,17 @@ private[operators] final class PlanMemo {
   /** Eagerly free every entry's storage and forget it. Drains by key
     * (remove-then-free) so an `apply` racing with release cannot slip
     * an entry in behind a values() snapshot and have clear() forget it
-    * unfreed — whichever side removes the mapping owns the free. */
+    * unfreed — whichever side removes the mapping owns the free.
+    *
+    * Release is a DRAIN, not a close: an insert whose putIfAbsent
+    * lands after this loop's final isEmpty check stays a LIVE memo
+    * entry (visible to later apply() hits, freed by the next
+    * release) — it is never forgotten-but-unfreed, but a caller who
+    * races the engine's shutdown release can re-populate the memo.
+    * Benign under the repo's lifecycle (release runs at shutdown /
+    * after input mutation, when no concurrent apply is in flight by
+    * contract); a memo that must stay empty after release would need
+    * a closed flag making post-release inserts free their own build. */
   def release(): Unit = {
     while (!m.isEmpty) {
       val keys = m.keySet().iterator()
