@@ -15,6 +15,7 @@ object Caches {
     graft.operators.Pipeline.releaseCaches()
     graft.operators.MlIndex.releaseCaches()
     graft.operators.Events.releaseCaches()
+    graft.operators.Relational.releaseCaches()
     graft.operators.Multimodal.releaseCaches()
   }
 }

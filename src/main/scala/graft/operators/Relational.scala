@@ -1253,6 +1253,112 @@ object Relational {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------
+  // Z-ORDER SERVING SPLIT — the string+long multi-axis layout as a
+  // declared observable under the driver's gate
+  // ------------------------------------------------------------------
+
+  /** Segment count for the z-ordered part table. */
+  val ZOrderPartSegs = 8
+
+  private val zorderTables = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long, Long)]()
+
+  private def deleteTable(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    try p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    catch { case _: java.io.IOException => () }
+  }
+
+  def releaseCaches(): Unit = {
+    val keys = zorderTables.keySet().iterator()
+    while (keys.hasNext) {
+      val k = keys.next()
+      val v = zorderTables.remove(k)
+      if (v != null) deleteTable(k._1, v._1)
+    }
+  }
+
+  /** Memoized manifest table of part's (p_partkey, p_name), ingested
+    * in [[ZOrderPartSegs]] KEY-ORDER slices — so the string axis
+    * starts scattered (every slice spans the whole name space) —
+    * then [[graft.sources.ManifestStore.zorderCompact]]ed on BOTH
+    * axes, the string one through its order-preserving packed-prefix
+    * proxy. Same memo + shutdown-hook lifecycle as
+    * [[Events.manifestEventsTable]]; released via [[releaseCaches]]. */
+  private def zorderPartTable(s: SparkSession,
+      dir: String): (String, Long, Long) = {
+    val key = (s, dir)
+    Option(zorderTables.get(key)).getOrElse {
+      val part = Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"))
+      val r = part.agg(min("p_partkey"), max("p_partkey")).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val w = math.max(1L, (hi - lo) / ZOrderPartSegs)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-part-zorder-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(path)): Unit))
+      graft.sources.ManifestStore.setZoneMapColumns(s, path,
+        Seq("p_name", "p_partkey"))
+      (0 until ZOrderPartSegs).foreach { i =>
+        val sLo = lo + i * w
+        val sHi = if (i == ZOrderPartSegs - 1) hi else sLo + w - 1
+        if (sHi >= sLo) graft.sources.ManifestStore.store(
+          part.where(col("p_partkey").between(sLo, sHi)), path, "part")
+      }
+      graft.sources.ManifestStore.zorderCompact(s, path, "part",
+        Seq("p_name", "p_partkey"), ZOrderPartSegs)
+      val built = (path, lo, hi)
+      Option(zorderTables.putIfAbsent(key, built)).map { prev =>
+        deleteTable(s, path); prev
+      }.getOrElse(built)
+    }
+  }
+
+  /** The Z-ORDER SERVING SPLIT as a declared face — the string+long
+    * multi-axis layout ([[zorderPartTable]]) probed on EACH axis
+    * alone, with the layout's effectiveness enforced in-query: each
+    * probe's scanned-file count (the executed scan's own `numFiles`
+    * metric) must come in UNDER the live segment count, or the query
+    * fails loud — so the driver's oracle gate permanently guards not
+    * just the answers (DuckDB recomputes both counts from the raw
+    * parquet) but the pruning itself, exactly like the metadata faces
+    * fail loud when sidecars stop proving answers. At 100 TB this is
+    * a secondary-key lookup costing the segments the z-layout proves
+    * relevant instead of the whole corpus: z-order is what makes BOTH
+    * "name range" and "key band" selective on one copy of the data.
+    * The exact per-axis counts are layout, not data
+    * (GraftSourceSpec pins them on a synthetic fixture); only
+    * data-derived counts reach the oracle. */
+  def zorderSplit(s: SparkSession, dir: String): DataFrame = {
+    val (path, lo, hi) = zorderPartTable(s, dir)
+    val w = math.max(1L, (hi - lo) / ZOrderPartSegs)
+    val total = graft.sources.ManifestStore
+      .currentSegments(s, path, "part").fold(0)(_.size)
+    def probe(tag: String, pred: Column): (String, Long) = {
+      val agg = s.read.format("graft").option("path", path)
+        .option("collection", "part").load()
+        .where(pred).agg(count(lit(1)).as("n_parts"))
+      val n = agg.collect().head.getLong(0)
+      val scanned = agg.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metrics("numFiles").value
+      }.sum
+      require(scanned < total,
+        s"z-ordered $tag probe stopped pruning: scanned $scanned of " +
+          s"$total segments — the multi-axis layout regressed")
+      (tag, n)
+    }
+    val byName = probe("name_range",
+      col("p_name") >= "b" && col("p_name") < "e")
+    val byKey = probe("key_band",
+      col("p_partkey").between(lo + 2 * w, lo + 4 * w))
+    import s.implicits._
+    Seq(byKey, byName).toDF("probe", "n_parts").orderBy("probe")
+  }
+
   /** Lateness bound for [[latePriorityLines]] — ship more than 60 days
     * after the order. */
   val LateShipDays = 60
@@ -1993,6 +2099,21 @@ object Relational {
          |    AND l_quantity BETWEEN 10 AND 30)
          |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
          |    AND l_quantity BETWEEN 20 AND 40))""".stripMargin)(
-      disjunctiveRevenue)
+      disjunctiveRevenue),
+
+    QueryDef.sql("rel_zorder_split",
+      s"""WITH b AS (
+         |  SELECT min(p_partkey) AS lo,
+         |    greatest((max(p_partkey) - min(p_partkey)) // $ZOrderPartSegs,
+         |      1) AS w
+         |  FROM part)
+         |SELECT probe, n_parts FROM (
+         |  SELECT 'key_band' AS probe, CAST(count(*) AS BIGINT) AS n_parts
+         |  FROM part, b
+         |  WHERE p_partkey BETWEEN b.lo + 2 * b.w AND b.lo + 4 * b.w
+         |  UNION ALL
+         |  SELECT 'name_range', CAST(count(*) AS BIGINT)
+         |  FROM part WHERE p_name >= 'b' AND p_name < 'e')
+         |ORDER BY probe""".stripMargin)((s, dir) => zorderSplit(s, dir))
   )
 }

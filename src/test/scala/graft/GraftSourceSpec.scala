@@ -781,9 +781,9 @@ class GraftSourceSpec extends SparkSpecBase {
     def atTs(t: Long): DataFrame = spark.read.format("graft")
       .option("path", table).option("collection", "m")
       .option("timestampAsOf", t.toString).load()
-    // publish-time adjustment: commit instants are STRICTLY monotone
-    // in commit order on a setTimes-capable filesystem — what makes
-    // "the version at timestamp t" well-defined at all
+    // durable instants: serialized commits stamp STRICTLY monotone
+    // instants into their pointer bodies on ANY filesystem — what
+    // makes "the version at timestamp t" well-defined at all
     val ts = Seq(1L, 2L, 3L).map(tsOf)
     assert(ts == ts.sorted && ts.distinct == ts, ts.toString)
     // a commit's own instant addresses exactly that commit; an instant
@@ -891,6 +891,30 @@ class GraftSourceSpec extends SparkSpecBase {
       .map(_.getString(0)).sorted.toSeq
     assert(got == (0L until n).map(uuidOf)
       .filter(u => u >= "0100-doc" && u <= "01ff-doc").sorted)
+  }
+
+  test("the declared z-order split face (rel_zorder_split): answers " +
+      "equal a raw recompute, BOTH axes scan under the segment count, " +
+      "and a non-pruning layout would fail the query loud") {
+    import graft.operators.Relational
+    val out = Relational.zorderSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // raw recompute of both probe counts (the oracle's arithmetic)
+    val part = Tables(spark, sf, "part")
+    val r = part.agg(min("p_partkey"), max("p_partkey")).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val w = math.max(1L, (hi - lo) / Relational.ZOrderPartSegs)
+    val nKey = part.where(col("p_partkey")
+      .between(lo + 2 * w, lo + 4 * w)).count()
+    val nName = part.where(col("p_name") >= "b" && col("p_name") < "e")
+      .count()
+    assert(out == Map("key_band" -> nKey, "name_range" -> nName), out)
+    assert(nKey > 0L && nName > 0L, "probes must select something")
+    // the prune guard is LIVE: the declared face re-runs without
+    // throwing (its internal requires assert scanned < total per axis
+    // against the executed scans' own numFiles metrics) — and the
+    // memoized fixture means this second call is pure probing
+    assert(Relational.zorderSplit(spark, sf).count() == 2L)
   }
 
   test("exact quantiles compose with the connector: answers equal the " +
