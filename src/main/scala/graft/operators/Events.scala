@@ -1989,6 +1989,38 @@ object Events {
     done.toDF(g, "pct", "k", c).orderBy(g, "pct")
   }
 
+  /** DESCRIBE HISTORY as a declared face — the retained pointer log
+    * read back as data, under the driver's oracle gate: per version,
+    * the state-delta op classification (`create` then 7 `append`s for
+    * the slice-ingested fixture), the live segment count, and the
+    * version's OWN row count re-read through
+    * [[graft.sources.ManifestStore.readAsOfInferred]] — which the
+    * oracle re-derives from the raw parquet with the slice-cutoff
+    * arithmetic (`ev_time_travel_ts`'s cumulative-prefix form, one row
+    * per version). The DURABLE COMMIT INSTANTS are enforced in-query:
+    * serialized fixture commits must carry strictly increasing
+    * `commit_ts_ms`, on any filesystem, or the face fails loud —
+    * instants are layout metadata the oracle cannot see, so the
+    * fail-loud require is what puts their monotonicity under the gate
+    * permanently (the rel_zorder_split discipline). Resolution cost:
+    * driver-side pointer metadata + one count per retained version
+    * (bounded by vacuum retention; counts are parquet-footer reads). */
+  def historyOps(s: SparkSession, dir: String): DataFrame = {
+    val (path, _, _) = manifestEventsTable(s, dir)
+    val h = graft.sources.ManifestStore.history(s, path, "events")
+      .orderBy("ptr_seq").collect()
+    val inst = h.map(_.getLong(6)).toSeq
+    require(inst == inst.sorted && inst.distinct == inst,
+      "serialized fixture commits must carry strictly increasing " +
+        s"durable instants; history read back $inst")
+    import s.implicits._
+    h.toSeq.map { r =>
+      (r.getLong(0), r.getString(1), r.getInt(2),
+        graft.sources.ManifestStore
+          .readAsOfInferred(s, path, "events", r.getLong(0)).count())
+    }.toDF("ptr_seq", "op", "n_live", "n_events").orderBy("ptr_seq")
+  }
+
   /** METADATA-SERVED table bounds: the dashboard freshness probe —
     * `min(ts_us), max(ts_us), count(*)` — answered entirely from the
     * snapshot's sidecars through [[graft.sources.GraftFileIndex]]'s
@@ -3077,6 +3109,21 @@ object Events {
     // serve the first-half slice prefix (the drift oracle's pinned
     // version↔time-slice equivalence); a far-future instant is a
     // CEILING addressing the latest version
+    QueryDef.sql("ev_history_ops",
+      s"""WITH f AS (SELECT epoch_us(ts) AS t FROM events
+         |  WHERE ts IS NOT NULL),
+         |b AS (SELECT min(t) AS lo, (max(t) - min(t)) // $RangeSegs AS w
+         |  FROM f)
+         |SELECT CAST(k.v AS BIGINT) AS ptr_seq,
+         |  CASE WHEN k.v = 1 THEN 'create' ELSE 'append' END AS op,
+         |  CAST(k.v AS INT) AS n_live,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM f, b
+         |    WHERE k.v = $RangeSegs OR t <= b.lo + k.v * b.w - 1)
+         |    AS n_events
+         |FROM generate_series(1, $RangeSegs) AS k(v)
+         |ORDER BY ptr_seq""".stripMargin)(
+      (s, dir) => historyOps(s, dir)),
+
     QueryDef.sql("ev_time_travel_ts",
       s"""WITH f AS (SELECT event_type, value, epoch_us(ts) AS t
          |  FROM events WHERE ts IS NOT NULL),

@@ -519,6 +519,31 @@ class EventsSpec extends SparkSpecBase {
     assert(now.exceptAll(at1).isEmpty && at1.exceptAll(now).isEmpty)
   }
 
+  test("the declared DESCRIBE HISTORY face (ev_history_ops): ops and " +
+      "cumulative counts equal a raw recompute; the durable-instant " +
+      "monotonicity require is live") {
+    val got = Events.historyOps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+    assert(got.size == Events.RangeSegs)
+    assert(got.head._2 == "create" && got.tail.forall(_._2 == "append"))
+    assert(got.map(_._3) == (1 to Events.RangeSegs))
+    // cumulative counts equal the slice-prefix recompute on raw data
+    val (_, lo, hi) = Events.manifestEventsTable(spark, sf)
+    val w = (hi - lo) / Events.RangeSegs
+    val ev = Events.load(spark, sf).where(col("ts_us").isNotNull)
+    val expect = (1 to Events.RangeSegs).map { k =>
+      if (k == Events.RangeSegs) ev.count()
+      else ev.where(col("ts_us") <= lo + k * w - 1).count()
+    }
+    assert(got.map(_._4) == expect, got.toString)
+    // counts strictly grow (every fixture slice is non-empty) and the
+    // face did not throw — the in-query strict-instant require passed
+    // on this filesystem's pointer log
+    assert(got.map(_._4) == got.map(_._4).sorted &&
+      got.map(_._4).distinct == got.map(_._4))
+  }
+
   test("exact quantiles: histogram-narrowing loop forced by a tiny " +
       "selection cap is bit-identical to the direct-selection fast path") {
     import spark.implicits._
