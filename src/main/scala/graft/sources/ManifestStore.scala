@@ -461,12 +461,16 @@ object ManifestStore {
     * `taggedSeqs` are the retained pointers carrying a `src=` tag —
     * [[vacuum]] holds them under the longer tag-retention floor;
     * `minRetainedSeq` is the oldest retained VALID pointer (0 when
-    * none), the horizon below which [[readAsOf]] cannot resolve. */
+    * none), the horizon below which [[readAsOf]] cannot resolve.
+    * `maxInstant` is the newest retained commit instant (body `ts=`,
+    * mtime fallback — [[commitInstants]]'s rule over the same reads
+    * this resolve already paid for): [[publish]] stamps its durable
+    * instant ABOVE it without a second listing pass. */
   private[sources] final case class Resolved(
       liveSegs: Option[Seq[Long]], nextPtrSeq: Long, nextSeg: Long,
       decidedSeq: Long, seenTags: Set[String],
       taggedSeqs: Set[Long] = Set.empty, minRetainedSeq: Long = 0L,
-      maxCommittedSeg: Long = 0L)
+      maxCommittedSeg: Long = 0L, maxInstant: Long = 0L)
 
   /** Full small-file read, DISTINGUISHING transient failure from
     * content: Left = the store could not serve the object (IO error —
@@ -574,48 +578,58 @@ object ManifestStore {
       c: String, asOfSeq: Long): Resolved = {
     val dir = manifestDir(tablePath, c)
     if (!fs.exists(dir)) return Resolved(None, 1L, 1L, 0L, Set.empty)
-    val entries = fs.listStatus(dir).toSeq.map(_.getPath)
+    val entries = fs.listStatus(dir).toSeq
     val ptrs = entries
-      .filter(_.getName.startsWith(PtrPrefix))
-      .flatMap(p => p.getName.stripPrefix(PtrPrefix).toLongOption.map(_ -> p))
+      .filter(_.getPath.getName.startsWith(PtrPrefix))
+      .flatMap(st => st.getPath.getName.stripPrefix(PtrPrefix)
+        .toLongOption.map(_ -> st))
       .sortBy(-_._1)
     // live claims push the segment-number fast start past in-flight
     // writers' numbers, so the claim loop usually lands first try
     val maxClaim = entries
-      .filter(_.getName.startsWith(ClaimPrefix))
-      .flatMap(_.getName.stripPrefix(ClaimPrefix).toLongOption)
+      .filter(_.getPath.getName.startsWith(ClaimPrefix))
+      .flatMap(_.getPath.getName.stripPrefix(ClaimPrefix).toLongOption)
       .maxOption.getOrElse(0L)
     // resolution cost is O(pointers since the last vacuum): each call
     // opens every retained pointer file (maxSeg needs them anyway for
     // crash-safe segment numbering); [[vacuum]] prunes superseded ones
     // so the set stays bounded by the vacuum cadence, not the
     // collection's total commit history
-    // ONE parse per pointer: (seq, tombstone?, parsed body)
-    val parsed = ptrs.map { case (seq, p) =>
-      val content = readPtr(fs, p)
-      (seq, content.exists(c => parseTombstone(c).isDefined),
-        content.flatMap(parseBody))
+    // ONE parse per pointer: (seq, tombstone?, parsed body, instant)
+    val parsed = ptrs.map { case (seq, st) =>
+      val content = readPtr(fs, st.getPath)
+      val tomb = content.flatMap(parseTombstone)
+      val body = content.flatMap(parseBody)
+      // commit instant, [[commitInstants]]'s rule: body ts, mtime
+      // fallback for VALID pre-upgrade pointers, none for invalid ones
+      val instant =
+        if (tomb.isDefined)
+          Some(tomb.flatten.getOrElse(st.getModificationTime))
+        else body.map(_._3.getOrElse(st.getModificationTime))
+      (seq, tomb.isDefined, body, instant)
     }
     // newest pointer (under the ceiling) with VALID content decides;
     // invalid ones (crash mid-create) are skipped — the previous
     // commit stays live
     val decided = parsed.iterator.collectFirst {
-      case (seq, true, _) if seq <= asOfSeq => seq -> None
-      case (seq, _, Some((segs, _, _))) if seq <= asOfSeq =>
+      case (seq, true, _, _) if seq <= asOfSeq => seq -> None
+      case (seq, _, Some((segs, _, _)), _) if seq <= asOfSeq =>
         seq -> Some(segs)
     }
     val maxSeq = ptrs.headOption.map(_._1).getOrElse(0L)
     val bodies = parsed.flatMap(_._3)
     val maxSeg = bodies.flatMap(_._1).maxOption.getOrElse(0L)
     val valid = parsed.collect {
-      case (seq, true, _) => seq
-      case (seq, _, Some(_)) => seq
+      case (seq, true, _, _) => seq
+      case (seq, _, Some(_), _) => seq
     }
     Resolved(decided.flatMap(_._2), maxSeq + 1,
       math.max(maxSeg, maxClaim) + 1,
       decided.map(_._1).getOrElse(0L), bodies.flatMap(_._2).toSet,
-      parsed.collect { case (seq, _, Some((_, Some(_), _))) => seq }.toSet,
-      valid.minOption.getOrElse(0L), maxSeg)
+      parsed.collect {
+        case (seq, _, Some((_, Some(_), _)), _) => seq }.toSet,
+      valid.minOption.getOrElse(0L), maxSeg,
+      parsed.flatMap(_._4).maxOption.getOrElse(0L))
   }
 
   /** Publish one commit: create-once, no overwrite — the atomicity
@@ -630,11 +644,12 @@ object ManifestStore {
     * is visible in full or not at all) holds on any object store
     * regardless. */
   private def publish(fs: FileSystem, tablePath: String, c: String,
-      seq: Long, content: String): Unit = {
+      seq: Long, content: String, prevInstant: Long): Unit = {
     val dir = manifestDir(tablePath, c)
     fs.mkdirs(dir)
     val p = new Path(dir, f"$PtrPrefix$seq%06d")
-    createExclusive(fs, p, stampInstant(fs, dir, content).getBytes("UTF-8"))
+    createExclusive(fs, p,
+      stampInstant(content, prevInstant).getBytes("UTF-8"))
   }
 
   /** DURABLE commit instant, written IN the pointer body at publish —
@@ -648,17 +663,15 @@ object ManifestStore {
     * commits can still TIE (each racer bumps over the prefix it
     * observed) but cannot invert; [[versionAtTime]]'s newest-seq
     * tie-break resolves a tied instant to the newest commit carrying
-    * it, Delta's own same-timestamp rule. Reading the prior instants
-    * costs one listing + the pointer reads the enclosing commit
-    * already paid for resolution — bounded by vacuum retention. A
+    * it, Delta's own same-timestamp rule. A
     * pre-upgrade pointer simply lacks the field and keeps its mtime
     * axis ([[commitInstants]]'s fallback); the first post-upgrade
     * commit stamps above those mtimes, so the MIXED log stays
-    * monotone. */
-  private def stampInstant(fs: FileSystem, dir: Path,
-      content: String): String = {
-    val prevMax = commitInstants(fs, dir).values.maxOption.getOrElse(0L)
-    val i = math.max(System.currentTimeMillis(), prevMax + 1L)
+    * monotone. `prevInstant` is the resolve-time [[Resolved.maxInstant]]
+    * the committer already paid for — the stamp costs no extra
+    * listing or pointer reads of its own. */
+  private def stampInstant(content: String, prevInstant: Long): String = {
+    val i = math.max(System.currentTimeMillis(), prevInstant + 1L)
     if (content == Tombstone) s"$Tombstone;ts=$i$SegsSuffix"
     else if (content.startsWith(SegsPrefix) &&
         content.endsWith(SegsSuffix)) {
@@ -888,7 +901,7 @@ object ManifestStore {
         case None => return false
         case Some(content) =>
           try {
-            publish(fs, tablePath, c, r.nextPtrSeq, content)
+            publish(fs, tablePath, c, r.nextPtrSeq, content, r.maxInstant)
             return true
           } catch {
             case e: java.io.IOException =>
