@@ -1940,6 +1940,32 @@ class DocumentStoreSpec extends SparkSpecBase {
     assert(!instants().contains(4L))
   }
 
+  test("pointer-grammar fields stay unambiguous: semicolon tags " +
+      "refuse loud at the door (a ';ts=' or ';end' inside a tag could " +
+      "misparse a truncated pointer), and a legit tag rides next to " +
+      "the stamped instant untouched") {
+    import spark.implicits._
+    val table = tmp() + "/tags"
+    // the door guard is what keeps ts=/src=/end parsing unambiguous
+    Seq("evil;ts=9", "a;src=b", "x;end", "").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        ManifestStore.storeBatch(
+          Seq((1L, "v")).toDF("doc_id", "txt"), table, "c", bad)
+      }
+    }
+    assert(ManifestStore.listVersions(spark, table, "c").isEmpty)
+    // a legit tag round-trips NEXT TO the ts= field, instant sane
+    assert(ManifestStore.storeBatch(
+      Seq((1L, "v")).toDF("doc_id", "txt"), table, "c", "batch-1"))
+    val v = ManifestStore.listVersions(spark, table, "c")
+    assert(v.map(_.srcTag) == Seq(Some("batch-1")), v)
+    val inst = ManifestStore.history(spark, table, "c")
+      .select("commit_ts_ms").head.getLong(0)
+    assert(inst > 1000000000000L, inst) // epoch-now class
+    assert(!ManifestStore.storeBatch( // replay still a no-op
+      Seq((1L, "v")).toDF("doc_id", "txt"), table, "c", "batch-1"))
+  }
+
   test("versionAtTime racing a concurrent vacuum degrades " +
       "CONSERVATIVELY: a pointer pruned between the version listing " +
       "and the instant read fails loud, never serves another version") {
