@@ -32,11 +32,12 @@ object Bench {
     * never silently drift from the capture it claims to track (it had:
     * rounds 16-17 committed clean anchors at 0.443/0.472 against a
     * stale 0.517 constant). Round 13: 0.467 → 0.517 (band center of a
-    * 0.42-0.66 regime swing). Round 18: 0.517 → 0.472, the committed
-    * clean anchor's own calib — the last two idle captures (0.443,
-    * 0.472) sat 9-14% below the old constant, risking a false NOISY
-    * flag on a slightly faster idle fleet. */
-  val CalibAnchor = 0.472
+    * 0.42-0.66 regime swing). Round 18: 0.517 → 0.450, the committed
+    * clean anchor's own calib (245-query capture, noisy=false) — the
+    * last three idle captures (0.443, 0.472, 0.450) sat 9-14% below
+    * the old constant, risking a false NOISY flag on a slightly
+    * faster idle fleet. */
+  val CalibAnchor = 0.450
   /** A query is "wide" when its timed reps spread beyond this
     * max/min ratio. */
   val NoisySpreadRatio = 3.0
