@@ -2003,8 +2003,11 @@ object Events {
     * instants are layout metadata the oracle cannot see, so the
     * fail-loud require is what puts their monotonicity under the gate
     * permanently (the rel_zorder_split discipline). Resolution cost:
-    * driver-side pointer metadata + one count per retained version
-    * (bounded by vacuum retention; counts are parquet-footer reads). */
+    * driver-side pointer metadata + one `rows:` sidecar-served count
+    * per retained version (the `ev_meta_count` serving path — zero
+    * Spark jobs, zero segments read; a pre-token segment would fall
+    * back to one pruned-snapshot scan), bounded by vacuum
+    * retention. */
   def historyOps(s: SparkSession, dir: String): DataFrame = {
     val (path, _, _) = manifestEventsTable(s, dir)
     val h = graft.sources.ManifestStore.history(s, path, "events")
@@ -2015,9 +2018,11 @@ object Events {
         s"durable instants; history read back $inst")
     import s.implicits._
     h.toSeq.map { r =>
-      (r.getLong(0), r.getString(1), r.getInt(2),
-        graft.sources.ManifestStore
-          .readAsOfInferred(s, path, "events", r.getLong(0)).count())
+      val seq = r.getLong(0)
+      val n = new graft.sources.GraftFileIndex(s, path, "events", seq)
+        .metadataRowCount.getOrElse(graft.sources.ManifestStore
+          .readAsOfInferred(s, path, "events", seq).count())
+      (seq, r.getString(1), r.getInt(2), n)
     }.toDF("ptr_seq", "op", "n_live", "n_events").orderBy("ptr_seq")
   }
 
