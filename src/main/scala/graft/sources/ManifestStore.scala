@@ -463,7 +463,7 @@ object ManifestStore {
     * `minRetainedSeq` is the oldest retained VALID pointer (0 when
     * none), the horizon below which [[readAsOf]] cannot resolve.
     * `maxInstant` is the newest retained commit instant (body `ts=`,
-    * mtime fallback — [[commitInstants]]'s rule over the same reads
+    * mtime fallback — [[instantOf]]'s rule over the same reads
     * this resolve already paid for): [[publish]] stamps its durable
     * instant ABOVE it without a second listing pass. */
   private[sources] final case class Resolved(
@@ -522,7 +522,7 @@ object ManifestStore {
     * (`ts` before `src`) so the free-form tag can never be confused
     * with the instant: everything left of `;src=` is digits, commas,
     * and the literal `;ts=`. Pre-upgrade pointers simply have no `ts`
-    * field; [[commitInstants]] falls back to their file mtime. */
+    * field; [[instantOf]] falls back to their file mtime. */
   private def parseBody(
       content: String): Option[(Seq[Long], Option[String], Option[Long])] =
     if (!content.startsWith(SegsPrefix) || !content.endsWith(SegsSuffix)) None
@@ -566,6 +566,23 @@ object ManifestStore {
   private def parseSegs(content: String): Option[Seq[Long]] =
     parseBody(content).map(_._1)
 
+  /** THE commit-instant rule, shared by every reader ([[resolveAt]]'s
+    * `maxInstant`, [[listVersions]]' per-version `instantMs` — which
+    * [[history]] and [[versionAtTime]] read — and through them the
+    * stamp itself): the `ts=` field the pointer body carries since the
+    * durable-instant upgrade; a PRE-UPGRADE pointer (no field) falls
+    * back to its file mtime — the old axis, still monotone where it
+    * was written because publish used to setTimes-adjust it. An
+    * invalid pointer has no instant at all (it is not a version
+    * either). One definition: if the instant's source ever changes,
+    * every face moves together or DESCRIBE HISTORY's labels stop
+    * resolving to the versions they name. */
+  private def instantOf(tomb: Option[Option[Long]],
+      body: Option[(Seq[Long], Option[String], Option[Long])],
+      mtime: Long): Option[Long] =
+    if (tomb.isDefined) Some(tomb.flatten.getOrElse(mtime))
+    else body.map(_._3.getOrElse(mtime))
+
   private[sources] def resolve(fs: FileSystem, tablePath: String,
       c: String): Resolved = resolveAt(fs, tablePath, c, Long.MaxValue)
 
@@ -600,13 +617,8 @@ object ManifestStore {
       val content = readPtr(fs, st.getPath)
       val tomb = content.flatMap(parseTombstone)
       val body = content.flatMap(parseBody)
-      // commit instant, [[commitInstants]]'s rule: body ts, mtime
-      // fallback for VALID pre-upgrade pointers, none for invalid ones
-      val instant =
-        if (tomb.isDefined)
-          Some(tomb.flatten.getOrElse(st.getModificationTime))
-        else body.map(_._3.getOrElse(st.getModificationTime))
-      (seq, tomb.isDefined, body, instant)
+      (seq, tomb.isDefined, body,
+        instantOf(tomb, body, st.getModificationTime))
     }
     // newest pointer (under the ceiling) with VALID content decides;
     // invalid ones (crash mid-create) are skipped — the previous
@@ -653,7 +665,7 @@ object ManifestStore {
   }
 
   /** DURABLE commit instant, written IN the pointer body at publish —
-    * the field [[commitInstants]] reads back, replacing the
+    * the field [[instantOf]]'s readers hand back, replacing the
     * filesystem-mtime axis (Delta's commit-ts adjustment needed
     * `setTimes`, which S3-class stores lack; a value inside the
     * atomically-created pointer needs nothing from the store). The
@@ -665,7 +677,7 @@ object ManifestStore {
     * tie-break resolves a tied instant to the newest commit carrying
     * it, Delta's own same-timestamp rule. A
     * pre-upgrade pointer simply lacks the field and keeps its mtime
-    * axis ([[commitInstants]]'s fallback); the first post-upgrade
+    * axis ([[instantOf]]'s fallback); the first post-upgrade
     * commit stamps above those mtimes, so the MIXED log stays
     * monotone. `prevInstant` is the resolve-time [[Resolved.maxInstant]]
     * the committer already paid for — the stamp costs no extra
@@ -683,41 +695,6 @@ object ManifestStore {
       s"$SegsPrefix$list;ts=$i$rest$SegsSuffix"
     } else content
   }
-
-  /** (pointer seq → commit instant, epoch ms) for every retained
-    * `ptr-` file — THE commit-instant axis, read identically by
-    * [[history]], [[versionAtTime]], and [[stampInstant]] (one
-    * definition: if the instant's source ever changes, all three
-    * faces move together or DESCRIBE HISTORY's labels stop resolving
-    * to the versions they name). The instant is the `ts=` field the
-    * pointer body carries since the durable-instant upgrade; a
-    * PRE-UPGRADE pointer (no field) falls back to its file mtime —
-    * the old axis, still monotone where it was written because
-    * publish used to setTimes-adjust it. An unreadable or invalid
-    * pointer has no instant at all (it is not a version either). */
-  private def commitInstants(fs: FileSystem, dir: Path): Map[Long, Long] = {
-    val mtimes = ptrMtimes(fs, dir)
-    if (mtimes.isEmpty) Map.empty
-    else mtimes.map { case (seq, mtime) =>
-      val p = new Path(dir, f"$PtrPrefix$seq%06d")
-      val fromBody = readPtr(fs, p).flatMap { c =>
-        parseTombstone(c).map(_.orElse(Some(mtime)))
-          .getOrElse(parseBody(c).map(_._3.getOrElse(mtime)))
-      }
-      seq -> fromBody
-    }.collect { case (seq, Some(i)) => seq -> i }
-  }
-
-  /** (pointer seq → file mtime) for every `ptr-` file in a manifest
-    * dir — the PRE-UPGRADE commit-instant fallback, read only through
-    * [[commitInstants]]. */
-  private def ptrMtimes(fs: FileSystem, dir: Path): Map[Long, Long] =
-    if (!fs.exists(dir)) Map.empty
-    else fs.listStatus(dir).toSeq
-      .filter(_.getPath.getName.startsWith(PtrPrefix))
-      .flatMap(st => st.getPath.getName.stripPrefix(PtrPrefix)
-        .toLongOption.map(_ -> st.getModificationTime))
-      .toMap
 
   /** The protocol's create-no-overwrite primitive, made ATOMIC on the
     * local scheme: Hadoop's RawLocalFileSystem implements
@@ -938,9 +915,13 @@ object ManifestStore {
   /** One retained, valid commit of a collection's pointer log:
     * `segs` is the full live segment list as of this commit (empty for
     * a tombstone), `srcTag` the [[storeBatch]] provenance tag if the
-    * commit carried one. */
+    * commit carried one, `instantMs` the commit instant under
+    * [[instantOf]]'s one rule (durable body `ts=`, mtime fallback for
+    * pre-upgrade pointers) — carried here so [[history]] and
+    * [[versionAtTime]] resolve versions AND instants from ONE listing
+    * pass over one snapshot. */
   final case class VersionInfo(ptrSeq: Long, tombstone: Boolean,
-      segs: Seq[Long], srcTag: Option[String])
+      segs: Seq[Long], srcTag: Option[String], instantMs: Long = 0L)
 
   /** The RETAINED version history of a collection, oldest first — the
     * pointer log read back as data. Every entry is addressable by
@@ -953,16 +934,22 @@ object ManifestStore {
     val fs = fsOf(spark, tablePath)
     val dir = manifestDir(tablePath, c)
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith(PtrPrefix))
-      .flatMap(p => p.getName.stripPrefix(PtrPrefix).toLongOption.map(_ -> p))
+    fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith(PtrPrefix))
+      .flatMap(st => st.getPath.getName.stripPrefix(PtrPrefix)
+        .toLongOption.map(_ -> st))
       .sortBy(_._1)
-      .flatMap { case (seq, p) =>
-        readPtr(fs, p).flatMap { content =>
-          if (parseTombstone(content).isDefined)
-            Some(VersionInfo(seq, tombstone = true, Seq.empty, None))
-          else parseBody(content).map { case (segs, tag, _) =>
-            VersionInfo(seq, tombstone = false, segs, tag)
+      .flatMap { case (seq, st) =>
+        readPtr(fs, st.getPath).flatMap { content =>
+          val tomb = parseTombstone(content)
+          val body = parseBody(content)
+          instantOf(tomb, body, st.getModificationTime).map { i =>
+            if (tomb.isDefined)
+              VersionInfo(seq, tombstone = true, Seq.empty, None, i)
+            else {
+              val (segs, tag, _) = body.get
+              VersionInfo(seq, tombstone = false, segs, tag, i)
+            }
           }
         }
       }
@@ -985,19 +972,19 @@ object ManifestStore {
     *                 here too via its predecessor match
     *   - `tombstone` the delete marker
     * `commit_ts_ms` is the DURABLE instant the pointer body carries
-    * ([[stampInstant]] writes it at publish; [[commitInstants]] reads
-    * it back, falling back to file mtime for pre-upgrade pointers) —
-    * wall-clock metadata, not part of the commit protocol, monotone
-    * in commit order on ANY filesystem because the stamp, not the
-    * store, enforces it; it is also the axis [[versionAtTime]]
-    * resolves timestamp time travel against. Driver-side by design:
-    * the pointer log is retained metadata, bounded by vacuum's
-    * retention, and is already read driver-side by every
-    * [[resolve]]. */
+    * ([[stampInstant]] writes it at publish; [[instantOf]] reads it
+    * back through [[listVersions]], falling back to file mtime for
+    * pre-upgrade pointers) — wall-clock metadata, not part of the
+    * commit protocol, monotone in commit order on ANY filesystem
+    * because the stamp, not the store, enforces it; it is also the
+    * axis [[versionAtTime]] resolves timestamp time travel against.
+    * Driver-side by design: the pointer log is retained metadata,
+    * bounded by vacuum's retention, and is already read driver-side
+    * by every [[resolve]] — and versions + instants come from the
+    * ONE listVersions pass, so no second listing can disagree with
+    * the first. */
   def history(spark: SparkSession, tablePath: String,
       c: String): DataFrame = {
-    val fs = fsOf(spark, tablePath)
-    val mtimes = commitInstants(fs, manifestDir(tablePath, c))
     val versions = listVersions(spark, tablePath, c)
     val seen = scala.collection.mutable.Set.empty[Seq[Long]]
     val rows = versions.zipWithIndex.map { case (v, i) =>
@@ -1014,7 +1001,7 @@ object ManifestStore {
         else "shrink"
       if (!v.tombstone) seen += v.segs
       (v.ptrSeq, op, v.segs.size, added, removed,
-        v.srcTag.orNull, mtimes.getOrElse(v.ptrSeq, 0L))
+        v.srcTag.orNull, v.instantMs)
     }
     spark.createDataFrame(rows).toDF("ptr_seq", "op", "n_live",
       "added_segs", "removed_segs", "src_tag", "commit_ts_ms")
@@ -1052,7 +1039,7 @@ object ManifestStore {
 
   /** TIMESTAMP → VERSION resolution (Delta's `TIMESTAMP AS OF`
     * analogue): the NEWEST valid retained commit whose `commit_ts_ms`
-    * ([[commitInstants]] — the durable instant in the pointer body,
+    * ([[instantOf]] via [[listVersions]] — the durable instant in the pointer body,
     * mtime fallback for pre-upgrade pointers) is <= `tsMs`. Contract
     * mirrors [[readAsOf]]'s version ceiling:
     *   - `tsMs` at or beyond the latest commit's ts → the latest
@@ -1065,27 +1052,25 @@ object ManifestStore {
     *     empty frame downstream, exactly like [[readAsOf]].
     * Pre-upgrade pointers keep the raw-mtime caveat; the newest-seq
     * rule keeps resolution deterministic even if those are
-    * non-monotone. A [[vacuum]] RACING this resolution (pruning a
-    * pointer between the version listing and the instant read)
-    * degrades CONSERVATIVELY: the vacuumed version drops out of the
-    * candidate set, so resolution lands on a newer retained commit
-    * or fails loud at the horizon — never a silent serve of a version
-    * whose instant was not read (spec-pinned with a
-    * delete-between-listings fixture). */
+    * non-monotone. Versions and instants come from the ONE
+    * [[listVersions]] pass; a [[vacuum]] RACING this resolution
+    * (pruning a pointer between that pass's listing and its content
+    * read) degrades CONSERVATIVELY: the vacuumed pointer's read fails,
+    * the version drops out of the candidate set, and resolution lands
+    * on a newer retained commit or fails loud at the horizon — never a
+    * silent serve of a misdated version (spec-pinned with a
+    * delete-on-list fixture). */
   def versionAtTime(spark: SparkSession, tablePath: String, c: String,
       tsMs: Long): Long = {
-    val fs = fsOf(spark, tablePath)
     val versions = listVersions(spark, tablePath, c)
     require(versions.nonEmpty,
       s"collection '$c' has no committed history to resolve " +
         s"timestamp $tsMs against")
-    val mtimes = commitInstants(fs, manifestDir(tablePath, c))
-    val hits = versions.flatMap(v => mtimes.get(v.ptrSeq)
-      .filter(_ <= tsMs).map(_ => v.ptrSeq))
+    val hits = versions.filter(_.instantMs <= tsMs).map(_.ptrSeq)
     require(hits.nonEmpty,
       s"timestamp $tsMs is before the oldest retained commit of " +
         s"collection '$c' (commit ${versions.head.ptrSeq} at " +
-        s"${mtimes.getOrElse(versions.head.ptrSeq, 0L)}; earlier " +
+        s"${versions.head.instantMs}; earlier " +
         "history was vacuumed or never existed)")
     hits.max
   }

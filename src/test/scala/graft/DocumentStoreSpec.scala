@@ -1981,12 +1981,12 @@ class DocumentStoreSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getLong(6)).toMap
     // un-raced: commit 1's own instant resolves to commit 1
     assert(ManifestStore.versionAtTime(spark, table, "r", inst(1L)) == 1L)
-    // raced: ptr-000001 vanishes from the SECOND manifest listing
-    // (exactly a vacuum landing between listVersions and the
-    // commitInstants read) — an instant addressing the vacuumed
-    // version must FAIL LOUD, not silently serve commit 2
+    // raced: ptr-000001 is LISTED but its content read finds it gone
+    // (exactly a vacuum landing between listVersions' directory
+    // listing and its pointer read — the one race window the
+    // single-pass resolution has left) — an instant addressing the
+    // vacuumed version must FAIL LOUD, not silently serve commit 2
     def race[A](body: => A): A = {
-      RacingVacuumFs.calls.set(0)
       RacingVacuumFs.victim = "ptr-000001"
       try body finally RacingVacuumFs.victim = null
     }
@@ -2009,24 +2009,23 @@ class DocumentStoreSpec extends SparkSpecBase {
   }
 }
 
-/** [[GraftTestFs]] twin whose manifest listings can drop one named
-  * file from the SECOND listing onward — the exact observable state
-  * of a [[graft.sources.ManifestStore.vacuum]] racing a reader
-  * between its two directory listings. */
+/** [[GraftTestFs]] twin that lists one named file but fails its
+  * content read — the exact observable state of a
+  * [[graft.sources.ManifestStore.vacuum]] pruning the pointer between
+  * a reader's directory listing and its pointer read (the one race
+  * window single-pass resolution has). */
 object RacingVacuumFs {
   @volatile var victim: String = _
-  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 class RacingVacuumFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("vacrace:///")
-  override def listStatus(p: org.apache.hadoop.fs.Path)
-      : Array[org.apache.hadoop.fs.FileStatus] = {
-    val out = super.listStatus(p)
+  override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
     val v = RacingVacuumFs.victim
-    if (v != null && out.exists(_.getPath.getName == v) &&
-        RacingVacuumFs.calls.incrementAndGet() >= 2)
-      out.filterNot(_.getPath.getName == v)
-    else out
+    if (v != null && p.getName == v)
+      throw new java.io.FileNotFoundException(
+        s"$p (vacuumed between listing and read)")
+    super.open(p, bufferSize)
   }
 }
 
