@@ -1281,11 +1281,16 @@ object Relational {
 
   /** Memoized manifest table of part's (p_partkey, p_name), ingested
     * in [[ZOrderPartSegs]] KEY-ORDER slices — so the string axis
-    * starts scattered (every slice spans the whole name space) —
-    * then [[graft.sources.ManifestStore.zorderCompact]]ed on BOTH
-    * axes, the string one through its order-preserving packed-prefix
-    * proxy. Same memo + shutdown-hook lifecycle as
-    * [[Events.manifestEventsTable]]; released via [[releaseCaches]]. */
+    * starts scattered (every slice spans the whole name space) — the
+    * first 6 [[graft.sources.ManifestStore.zorderCompact]]ed on BOTH
+    * axes (the string one through its order-preserving packed-prefix
+    * proxy), the last 2 appended AFTERWARD and folded in by
+    * [[graft.sources.ManifestStore.zorderMaintain]] — so the declared
+    * probes exercise the full-compact AND the incremental-maintenance
+    * layout in one table, the way a 100 TB deployment actually runs
+    * (full OPTIMIZE once, tail maintenance per ingest). Same memo +
+    * shutdown-hook lifecycle as [[Events.manifestEventsTable]];
+    * released via [[releaseCaches]]. */
   private def zorderPartTable(s: SparkSession,
       dir: String): (String, Long, Long) = {
     val key = (s, dir)
@@ -1302,14 +1307,18 @@ object Relational {
           .deleteQuietly(new java.io.File(path)): Unit))
       graft.sources.ManifestStore.setZoneMapColumns(s, path,
         Seq("p_name", "p_partkey"))
-      (0 until ZOrderPartSegs).foreach { i =>
+      def ingest(i: Int): Unit = {
         val sLo = lo + i * w
         val sHi = if (i == ZOrderPartSegs - 1) hi else sLo + w - 1
         if (sHi >= sLo) graft.sources.ManifestStore.store(
           part.where(col("p_partkey").between(sLo, sHi)), path, "part")
       }
+      (0 until ZOrderPartSegs - 2).foreach(ingest)
       graft.sources.ManifestStore.zorderCompact(s, path, "part",
-        Seq("p_name", "p_partkey"), ZOrderPartSegs)
+        Seq("p_name", "p_partkey"), ZOrderPartSegs - 2)
+      (ZOrderPartSegs - 2 until ZOrderPartSegs).foreach(ingest)
+      graft.sources.ManifestStore.zorderMaintain(s, path, "part",
+        Seq("p_name", "p_partkey"), 2): Unit
       val built = (path, lo, hi)
       Option(zorderTables.putIfAbsent(key, built)).map { prev =>
         deleteTable(s, path); prev
@@ -1328,7 +1337,9 @@ object Relational {
     * fail loud when sidecars stop proving answers. At 100 TB this is
     * a secondary-key lookup costing the segments the z-layout proves
     * relevant instead of the whole corpus: z-order is what makes BOTH
-    * "name range" and "key band" selective on one copy of the data.
+    * "name range" and "key band" selective on one copy of the data —
+    * and the fixture's layout is full-compact PLUS incremental
+    * maintenance ([[zorderPartTable]]), so the gate guards both paths.
     * The exact per-axis counts are layout, not data
     * (GraftSourceSpec pins them on a synthetic fixture); only
     * data-derived counts reach the oracle. */

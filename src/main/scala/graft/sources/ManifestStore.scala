@@ -2647,8 +2647,74 @@ object ManifestStore {
     val r = resolve(fs, tablePath, c)
     if (r.liveSegs.isEmpty) return
     val live = r.liveSegs.toSeq.flatten
-    val rows = transform(readSegsInferred(spark, tablePath, c, live, live)
-      .drop("collection"))
+    val newSegs = zorderSegsCore(spark, tablePath, c, cols, segments,
+      transform, r, live)
+    // the full compact re-clusters everything: the advisory z-state
+    // becomes exactly the new segment set
+    if (newSegs.nonEmpty) writeZState(fs, tablePath, c, newSegs)
+  }
+
+  /** INCREMENTAL z-order maintenance (the partial-OPTIMIZE analogue —
+    * Delta/Iceberg both re-cluster subsets, because at 100 TB a full
+    * [[zorderCompact]] per ingest batch is unpayable write
+    * amplification): re-cluster ONLY the live segments appended since
+    * the last z-order (the "tail"), leaving the already-clustered base
+    * byte-identical on disk. Maintain cost is proportional to the TAIL,
+    * not the corpus.
+    *
+    * Which segments are already clustered comes from an ADVISORY
+    * z-state sidecar written after each z-order commit — advisory like
+    * every sidecar: correctness NEVER depends on it (pruning stays
+    * proof-based on each segment's real zone-map bounds), a stale or
+    * torn state only costs re-clustering work (missing state =
+    * everything is tail = a full re-cluster; state naming since-replaced
+    * segments self-heals because the tail is live ∖ state). The tail's
+    * quantile cuts come from the tail's own rows — tail segments
+    * interleave both axes over the TAIL's value region, which is what
+    * bounds their zone maps; they need not share the base's grid.
+    *
+    * Returns the number of tail segments re-clustered (0 = nothing to
+    * do, or the layout-only commit was abandoned to a racing writer —
+    * the next maintain retries, same as compaction). */
+  def zorderMaintain(spark: SparkSession, tablePath: String, c: String,
+      cols: Seq[String], segments: Int): Int = {
+    require(cols.nonEmpty && segments >= 1)
+    val fs = fsOf(spark, tablePath)
+    val r = resolve(fs, tablePath, c)
+    if (r.liveSegs.isEmpty) return 0
+    val live = r.liveSegs.toSeq.flatten
+    val clustered = readZState(fs, tablePath, c).toSet
+    val tail = live.filterNot(clustered)
+    if (tail.isEmpty) return 0
+    val newSegs = zorderSegsCore(spark, tablePath, c, cols, segments,
+      identity, r, tail)
+    if (newSegs.isEmpty) 0
+    else {
+      // state = surviving base + the fresh tail segments; best-effort
+      // AFTER the commit (a crash between leaves stale state, which
+      // only re-clusters the new segments next time)
+      writeZState(fs, tablePath, c,
+        (clustered.intersect(live.toSet) ++ newSegs).toSeq.sorted)
+      tail.size
+    }
+  }
+
+  /** Shared z-order core: cluster `inputSegs`' rows on `cols` into up
+    * to `segments` z-range segments and commit the PRUNED rewrite
+    * (inputs replaced, every other live segment carried). Returns the
+    * new segment ids, empty when nothing was written or the commit was
+    * abandoned (an input segment vanished under a racing writer —
+    * layout-only work may abandon; orphan segments age out under
+    * vacuum, claims released either way). */
+  private def zorderSegsCore(spark: SparkSession, tablePath: String,
+      c: String, cols: Seq[String], segments: Int,
+      transform: DataFrame => DataFrame, r: Resolved,
+      inputSegs: Seq[Long]): Seq[Long] = {
+    val fs = fsOf(spark, tablePath)
+    val live = r.liveSegs.toSeq.flatten
+    val rows = transform(
+      readSegsInferred(spark, tablePath, c, inputSegs, live)
+        .drop("collection"))
     cols.foreach(n => require(rows.columns.contains(n),
       s"zorder column '$n' not in collection '$c' " +
         s"(has: ${rows.columns.mkString(", ")})"))
@@ -2686,20 +2752,53 @@ object ManifestStore {
       // only the non-empty range partitions become segments (an empty
       // segment has no stats, so keepLong could never prune it)
       val newSegs = writeClusteredSegments(laid, fs, tablePath, c, r.nextSeg)
-      if (newSegs.isEmpty) return
-      val inputSegs = live.toSet
-      commitWithRetry(fs, tablePath, c, r) { rr =>
+      if (newSegs.isEmpty) return Seq.empty
+      val inputSet = inputSegs.toSet
+      val landed = commitWithRetry(fs, tablePath, c, r) { rr =>
         rr.liveSegs match {
-          case Some(nowLive) if inputSegs.subsetOf(nowLive.toSet) &&
+          case Some(nowLive) if inputSet.subsetOf(nowLive.toSet) &&
               !newSegs.exists(nowLive.contains) =>
             Some(segsContent(
-              newSegs ++ nowLive.filterNot(inputSegs.contains)))
+              newSegs ++ nowLive.filterNot(inputSet.contains)))
           case _ => None
         }
       }
       newSegs.foreach(releaseClaim(fs, tablePath, c, _))
+      if (landed) newSegs else Seq.empty
     } finally laid.unpersist()
   }
+
+  private val ZStatePrefix = "zsegs:"
+
+  /** ADVISORY clustered-segment state for [[zorderMaintain]], one file
+    * per collection in the manifest dir (`zstate` — no `ptr-`/`claim-`
+    * prefix, so resolution and vacuum ignore it). Torn or absent reads
+    * as empty: the next maintain simply re-clusters more than it had
+    * to. Overwrite-in-place is fine for a hint (the one non-advisory
+    * write in this store is the pointer, and this is not one). */
+  private def zStatePath(tablePath: String, c: String): Path =
+    new Path(manifestDir(tablePath, c), "zstate")
+
+  private def writeZState(fs: FileSystem, tablePath: String, c: String,
+      segs: Seq[Long]): Unit =
+    try {
+      val out = fs.create(zStatePath(tablePath, c), true)
+      try out.write((segs.map(s => f"$s%06d")
+        .mkString(ZStatePrefix, ",", SegsSuffix)).getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: java.io.IOException => () /* advisory */ }
+
+  private[sources] def readZState(fs: FileSystem, tablePath: String,
+      c: String): Seq[Long] =
+    readPtr(fs, zStatePath(tablePath, c)) match {
+      case Some(s) if s.startsWith(ZStatePrefix) &&
+          s.endsWith(SegsSuffix) =>
+        val parts = s.stripPrefix(ZStatePrefix).stripSuffix(SegsSuffix)
+          .split(",").toSeq
+        val nums = parts.flatMap(_.trim.toLongOption)
+        if (nums.length == parts.length) nums else Seq.empty
+      case _ => Seq.empty
+    }
 
   /** Delete = publish a tombstone pointer (O11). Pure metadata — the
     * data outlives the pointer until [[vacuum]], so in-flight readers

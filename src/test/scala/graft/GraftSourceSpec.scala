@@ -893,6 +893,66 @@ class GraftSourceSpec extends SparkSpecBase {
       .filter(u => u >= "0100-doc" && u <= "01ff-doc").sorted)
   }
 
+  test("incremental z-order maintenance: only the TAIL rewrites (base " +
+      "segment dirs untouched on disk), answers lossless, both axes " +
+      "still prune; the z-state is advisory — deleting it just " +
+      "re-clusters everything") {
+    import spark.implicits._
+    val table = tmp() + "/t"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("u", "y"))
+    val n = 4096L
+    def uuidOf(i: Long): String = f"${(i * 2654435761L) % n}%04x-doc"
+    val rows = (0L until n).map(i => (uuidOf(i), i)).toDF("u", "y")
+    def slice(s: Int) = rows.where(col("y") >= s * 512L &&
+      col("y") < (s + 1) * 512L).repartition(1)
+    (0 until 6).foreach(s => ManifestStore.store(slice(s), table, "ev"))
+    ManifestStore.zorderCompact(spark, table, "ev", Seq("u", "y"), 6)
+    val base = ManifestStore.currentSegments(spark, table, "ev").get.toSet
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def segMtimes(): Map[String, Long] = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$table/collection=ev")).toSeq
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val baseMtimes = segMtimes()
+    // two fresh appends = the un-clustered tail
+    (6 until 8).foreach(s => ManifestStore.store(slice(s), table, "ev"))
+    assert(ManifestStore.zorderMaintain(spark, table, "ev",
+      Seq("u", "y"), 2) == 2)
+    val after = ManifestStore.currentSegments(spark, table, "ev").get.toSet
+    // the base survived untouched: same segment ids, same dir mtimes
+    assert(base.subsetOf(after), s"base $base after $after")
+    val afterMtimes = segMtimes()
+    baseMtimes.keys.foreach { d =>
+      assert(afterMtimes(d) == baseMtimes(d), s"base dir $d rewritten") }
+    // lossless, and BOTH axes prune across base + maintained tail
+    def src = spark.read.format("graft")
+      .option("path", table).option("collection", "ev").load()
+    assert(src.count() == n)
+    val uRange = col("u") >= lit("0100-doc") && col("u") <= lit("01ff-doc")
+    val total = after.size.toLong
+    assert(scannedFiles(src.where(uRange)) < total)
+    // a key band entirely inside the BASE region proves the tail out
+    assert(scannedFiles(src.where(col("y").between(100L, 200L))) <=
+      base.size.toLong)
+    val got = src.where(uRange).select("u").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(got == (0L until n).map(uuidOf)
+      .filter(u => u >= "0100-doc" && u <= "01ff-doc").sorted)
+    // nothing left to do: maintain is a no-op without new appends
+    assert(ManifestStore.zorderMaintain(spark, table, "ev",
+      Seq("u", "y"), 2) == 0)
+    // the state is ADVISORY: deleting it re-clusters everything (the
+    // full-compact degenerate) and stays lossless — correctness never
+    // depended on the sidecar
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$table/_manifest/ev/zstate"), false)
+    assert(ManifestStore.zorderMaintain(spark, table, "ev",
+      Seq("u", "y"), 8) == after.size)
+    assert(src.count() == n)
+    assert(ManifestStore.zorderMaintain(spark, table, "ev",
+      Seq("u", "y"), 8) == 0)
+  }
+
   test("the declared z-order split face (rel_zorder_split): answers " +
       "equal a raw recompute, BOTH axes scan under the segment count, " +
       "and a non-pruning layout would fail the query loud") {
