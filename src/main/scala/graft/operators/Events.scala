@@ -1008,22 +1008,13 @@ object Events {
     * here it is derived from the fixture once and torn down by
     * [[releaseCaches]]. */
   private[graft] def manifestEventsTable(s: SparkSession,
-      dir: String): (String, Long, Long) = {
-    val key = (s, dir)
-    Option(manifestTables.get(key)).getOrElse {
+      dir: String): (String, Long, Long) =
+    manifestTables(s, dir) { path =>
       val ev = load(s, dir)
         .select("event_id", "user_id", "event_type", "value", "ts_us")
       val r = ev.agg(min("ts_us"), max("ts_us")).head
       val (lo, hi) = (r.getLong(0), r.getLong(1))
       val w = (hi - lo) / RangeSegs
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-ev-manifest-").toString
-      // releaseCaches() is the documented teardown; the hook covers a
-      // crashed or lifecycle-skipping driver so temp tables never leak
-      // past the JVM (deleteQuietly: no-op when already released)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils
-          .deleteQuietly(new java.io.File(path)): Unit))
       graft.sources.ManifestStore.setZoneMapColumns(s, path, Seq("ts_us"))
       // blooms on the id axis: the time-sliced layout's zone maps
       // answer ts-range questions; event_id POINT lookups need the
@@ -1038,19 +1029,15 @@ object Events {
         if (sHi >= sLo) graft.sources.ManifestStore.store(
           ev.where(col("ts_us").between(sLo, sHi)), path, "events")
       }
-      val built = (path, lo, hi)
-      Option(manifestTables.putIfAbsent(key, built)).map { prev =>
-        deleteTable(s, path); prev // racing builder lost: drop the dup
-      }.getOrElse(built)
+      (path, lo, hi)
     }
-  }
 
   /** Segment count for the VALUE-clustered events table — the metric-
     * partitioned monitoring layout ([[valueEventsTable]]). */
   val ValueSegs = 6
 
-  private val valueTables = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (String, Double, Double)]()
+  private val valueTables =
+    new FixtureTables[(String, Double, Double)]("graft-ev-value-")(_._1)
 
   /** VALUE-clustered manifest events table (implicit index, built once
     * per (session, sf dir)): the slim event relation stored as
@@ -1062,9 +1049,8 @@ object Events {
     * oracle mirrors exactly. Returns (tablePath, min value, max
     * value). */
   private[graft] def valueEventsTable(s: SparkSession,
-      dir: String): (String, Double, Double) = {
-    val key = (s, dir)
-    Option(valueTables.get(key)).getOrElse {
+      dir: String): (String, Double, Double) =
+    valueTables(s, dir) { path =>
       // persisted for the build only: the bounds job, the per-band
       // emptiness probes, and the per-band stores all read the cached
       // blocks instead of rescanning the parquet ~13×
@@ -1072,11 +1058,6 @@ object Events {
         .select("event_id", "event_type", "value", "ts_us")
         .where(col("value").isNotNull)
         .persist()
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-ev-value-").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils
-          .deleteQuietly(new java.io.File(path)): Unit))
       graft.sources.ManifestStore.setZoneMapColumns(s, path,
         Seq("value", "ts_us"))
       val (lo, hi) =
@@ -1119,12 +1100,8 @@ object Events {
             (lo0, hi0)
           }
         } finally { ev.unpersist(); () }
-      val built = (path, lo, hi)
-      Option(valueTables.putIfAbsent(key, built)).map { prev =>
-        deleteTable(s, path); prev // racing builder lost: drop the dup
-      }.getOrElse(built)
+      (path, lo, hi)
     }
-  }
 
   /** VALUE-band aggregate through the `format("graft")` connector —
     * the 'd'-kind zone-map face: a `value` range filter over the
@@ -2003,11 +1980,12 @@ object Events {
     * instants are layout metadata the oracle cannot see, so the
     * fail-loud require is what puts their monotonicity under the gate
     * permanently (the rel_zorder_split discipline). Resolution cost:
-    * driver-side pointer metadata + one `rows:` sidecar-served count
-    * per retained version (the `ev_meta_count` serving path — zero
-    * Spark jobs, zero segments read; a pre-token segment would fall
-    * back to one pruned-snapshot scan), bounded by vacuum
-    * retention. */
+    * ONE history pass (per-version segment sets replayed from its own
+    * added/removed deltas) + one `rows:` sidecar read per DISTINCT
+    * segment ever retained — zero Spark jobs, zero segments read, no
+    * per-version snapshot index (which would be O(versions²) pointer
+    * reads); a pre-token segment falls back to one pruned-snapshot
+    * scan for its versions. Bounded by vacuum retention. */
   def historyOps(s: SparkSession, dir: String): DataFrame = {
     val (path, _, _) = manifestEventsTable(s, dir)
     val h = graft.sources.ManifestStore.history(s, path, "events")
@@ -2016,13 +1994,21 @@ object Events {
     require(inst == inst.sorted && inst.distinct == inst,
       "serialized fixture commits must carry strictly increasing " +
         s"durable instants; history read back $inst")
+    // per-version live sets from the log's own state deltas
+    var live = Set.empty[Long]
+    val perVersion = h.toSeq.map { r =>
+      live = live ++ r.getSeq[Long](3) -- r.getSeq[Long](4)
+      (r.getLong(0), r.getString(1), r.getInt(2), live)
+    }
+    val rowsOf = graft.sources.ManifestStore.segRowCounts(
+      s, path, "events", perVersion.flatMap(_._4).distinct)
     import s.implicits._
-    h.toSeq.map { r =>
-      val seq = r.getLong(0)
-      val n = new graft.sources.GraftFileIndex(s, path, "events", seq)
-        .metadataRowCount.getOrElse(graft.sources.ManifestStore
-          .readAsOfInferred(s, path, "events", seq).count())
-      (seq, r.getString(1), r.getInt(2), n)
+    perVersion.map { case (seq, op, nLive, segs) =>
+      val counts = segs.toSeq.map(rowsOf.getOrElse(_, None))
+      val n = if (counts.forall(_.isDefined)) counts.flatten.sum
+        else graft.sources.ManifestStore
+          .readAsOfInferred(s, path, "events", seq).count()
+      (seq, op, nLive, n)
     }.toDF("ptr_seq", "op", "n_live", "n_events").orderBy("ptr_seq")
   }
 
@@ -2517,19 +2503,13 @@ object Events {
     * trap is a lambda/join-key concern). Returns
     * (tablePath, v1, v2, v3). */
   private[graft] def diffScenarioTable(s: SparkSession,
-      dir: String): (String, Long, Long, Long) = {
-    val key = (s, dir)
-    Option(diffTables.get(key)).getOrElse {
+      dir: String): (String, Long, Long, Long) =
+    diffTables(s, dir) { path =>
       val ev = load(s, dir)
         .select("event_id", "user_id", "event_type", "value", "ts_us")
       val r = ev.agg(min("ts_us"), max("ts_us")).head
       val (lo, hi) = (r.getLong(0), r.getLong(1))
       val mid = lo + (hi - lo) / 2
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-ev-diff-").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils
-          .deleteQuietly(new java.io.File(path)): Unit))
       // zone-map the merge key so the CDC merge is a pruned rewrite,
       // not a full-collection one (the 100 TB posture; one segment
       // here either way)
@@ -2551,12 +2531,8 @@ object Events {
       val v2 = graft.sources.ManifestStore.currentPtrSeq(s, path, "diff")
       graft.sources.ManifestStore.restoreVersion(s, path, "diff", v1)
       val v3 = graft.sources.ManifestStore.currentPtrSeq(s, path, "diff")
-      val built = (path, v1, v2, v3)
-      Option(diffTables.putIfAbsent(key, built)).map { prev =>
-        deleteTable(s, path); prev // racing builder lost: drop the dup
-      }.getOrElse(built)
+      (path, v1, v2, v3)
     }
-  }
 
   /** AUDIT DIFF across the merge commit: every key the CDC batch
     * touched, classified. At 100 TB the cost is the two snapshot
@@ -2579,17 +2555,11 @@ object Events {
       key = "event_id")
   }
 
-  private val manifestTables = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (String, Long, Long)]()
+  private val manifestTables =
+    new FixtureTables[(String, Long, Long)]("graft-ev-manifest-")(_._1)
 
-  private val diffTables = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (String, Long, Long, Long)]()
-
-  private def deleteTable(s: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    try p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    catch { case _: java.io.IOException => () }
-  }
+  private val diffTables =
+    new FixtureTables[(String, Long, Long, Long)]("graft-ev-diff-")(_._1)
 
   /** Persisted frames feeding callers' lazy results; released on demand
     * (same lifecycle contract as [[Dedup.releaseCaches]]). */
@@ -2599,24 +2569,9 @@ object Events {
   def releaseCaches(): Unit = {
     var df = retained.poll()
     while (df != null) { df.unpersist(); df = retained.poll() }
-    val keys = manifestTables.keySet().iterator()
-    while (keys.hasNext) {
-      val k = keys.next()
-      val v = manifestTables.remove(k)
-      if (v != null) deleteTable(k._1, v._1)
-    }
-    val dkeys = diffTables.keySet().iterator()
-    while (dkeys.hasNext) {
-      val k = dkeys.next()
-      val v = diffTables.remove(k)
-      if (v != null) deleteTable(k._1, v._1)
-    }
-    val vkeys = valueTables.keySet().iterator()
-    while (vkeys.hasNext) {
-      val k = vkeys.next()
-      val v = valueTables.remove(k)
-      if (v != null) deleteTable(k._1, v._1)
-    }
+    manifestTables.release()
+    diffTables.release()
+    valueTables.release()
   }
 
   // ------------------------------------------------------------------

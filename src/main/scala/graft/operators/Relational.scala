@@ -1261,23 +1261,10 @@ object Relational {
   /** Segment count for the z-ordered part table. */
   val ZOrderPartSegs = 8
 
-  private val zorderTables = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (String, Long, Long)]()
+  private val zorderTables =
+    new FixtureTables[(String, Long, Long)]("graft-part-zorder-")(_._1)
 
-  private def deleteTable(s: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    try p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    catch { case _: java.io.IOException => () }
-  }
-
-  def releaseCaches(): Unit = {
-    val keys = zorderTables.keySet().iterator()
-    while (keys.hasNext) {
-      val k = keys.next()
-      val v = zorderTables.remove(k)
-      if (v != null) deleteTable(k._1, v._1)
-    }
-  }
+  def releaseCaches(): Unit = zorderTables.release()
 
   /** Memoized manifest table of part's (p_partkey, p_name), ingested
     * in [[ZOrderPartSegs]] KEY-ORDER slices — so the string axis
@@ -1292,19 +1279,13 @@ object Relational {
     * shutdown-hook lifecycle as [[Events.manifestEventsTable]];
     * released via [[releaseCaches]]. */
   private def zorderPartTable(s: SparkSession,
-      dir: String): (String, Long, Long) = {
-    val key = (s, dir)
-    Option(zorderTables.get(key)).getOrElse {
+      dir: String): (String, Long, Long) =
+    zorderTables(s, dir) { path =>
       val part = Tables(s, dir, "part")
         .select(col("p_partkey"), col("p_name"))
       val r = part.agg(min("p_partkey"), max("p_partkey")).head
       val (lo, hi) = (r.getLong(0), r.getLong(1))
       val w = math.max(1L, (hi - lo) / ZOrderPartSegs)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-part-zorder-").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils
-          .deleteQuietly(new java.io.File(path)): Unit))
       graft.sources.ManifestStore.setZoneMapColumns(s, path,
         Seq("p_name", "p_partkey"))
       def ingest(i: Int): Unit = {
@@ -1319,12 +1300,8 @@ object Relational {
       (ZOrderPartSegs - 2 until ZOrderPartSegs).foreach(ingest)
       graft.sources.ManifestStore.zorderMaintain(s, path, "part",
         Seq("p_name", "p_partkey"), 2): Unit
-      val built = (path, lo, hi)
-      Option(zorderTables.putIfAbsent(key, built)).map { prev =>
-        deleteTable(s, path); prev
-      }.getOrElse(built)
+      (path, lo, hi)
     }
-  }
 
   /** The Z-ORDER SERVING SPLIT as a declared face — the string+long
     * multi-axis layout ([[zorderPartTable]]) probed on EACH axis
@@ -1346,28 +1323,42 @@ object Relational {
   def zorderSplit(s: SparkSession, dir: String): DataFrame = {
     val (path, lo, hi) = zorderPartTable(s, dir)
     val w = math.max(1L, (hi - lo) / ZOrderPartSegs)
-    val total = graft.sources.ManifestStore
-      .currentSegments(s, path, "part").fold(0)(_.size)
-    def probe(tag: String, pred: Column): (String, Long) = {
-      val agg = s.read.format("graft").option("path", path)
-        .option("collection", "part").load()
-        .where(pred).agg(count(lit(1)).as("n_parts"))
-      val n = agg.collect().head.getLong(0)
-      val scanned = agg.queryExecution.executedPlan.collect {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
-          sc.metrics("numFiles").value
-      }.sum
-      require(scanned < total,
-        s"z-ordered $tag probe stopped pruning: scanned $scanned of " +
-          s"$total segments — the multi-axis layout regressed")
-      (tag, n)
+    def src = s.read.format("graft").option("path", path)
+      .option("collection", "part").load()
+    // the probes are FILTER-ONLY frames, which stay un-wrapped by AQE,
+    // so the executed scan's own numFiles metric is directly
+    // collectible — an aggregate probe would come back as an
+    // AdaptiveSparkPlanExec LEAF hiding its stages' scans, silently
+    // turning the prune require into `0 < total` (a dead guard); the
+    // nonEmpty require below makes any future metric loss fail loud
+    // instead of vacuously passing. Collecting the probe rows is fine
+    // at any scale: this face reads a bounded dimension fixture, and
+    // the probes are the selective ranges being graded.
+    def probe(tag: String, pred: Option[Column]): (String, Long, Long) = {
+      val df = pred.fold(src)(src.where(_))
+      val n = df.collect().length.toLong
+      val scans = df.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }
+      require(scans.nonEmpty,
+        s"z-order $tag probe lost its scan metric (plan shape changed)")
+      (tag, n, scans.map(_.metrics("numFiles").value).sum)
     }
+    // files-vs-files: the unfiltered read's planned file count is the
+    // denominator, so a multi-file segment can never skew the compare
+    val all = probe("all", None)._3
     val byName = probe("name_range",
-      col("p_name") >= "b" && col("p_name") < "e")
+      Some(col("p_name") >= "b" && col("p_name") < "e"))
     val byKey = probe("key_band",
-      col("p_partkey").between(lo + 2 * w, lo + 4 * w))
+      Some(col("p_partkey").between(lo + 2 * w, lo + 4 * w)))
+    Seq(byName, byKey).foreach { case (tag, _, scanned) =>
+      require(scanned > 0 && scanned < all,
+        s"z-ordered $tag probe stopped pruning: scanned $scanned of " +
+          s"$all files — the multi-axis layout regressed")
+    }
     import s.implicits._
-    Seq(byKey, byName).toDF("probe", "n_parts").orderBy("probe")
+    Seq((byKey._1, byKey._2), (byName._1, byName._2))
+      .toDF("probe", "n_parts").orderBy("probe")
   }
 
   /** Lateness bound for [[latePriorityLines]] — ship more than 60 days

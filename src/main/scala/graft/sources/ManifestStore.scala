@@ -612,13 +612,31 @@ object ManifestStore {
     // crash-safe segment numbering); [[vacuum]] prunes superseded ones
     // so the set stays bounded by the vacuum cadence, not the
     // collection's total commit history
-    // ONE parse per pointer: (seq, tombstone?, parsed body, instant)
+    // ONE parse per pointer: (seq, tombstone?, parsed body, stamp
+    // floor). The floor feeds ONLY Resolved.maxInstant (the writer
+    // side of the durable stamp): body instants are protocol-trusted
+    // verbatim (two live writers' clock skew must keep stamping
+    // strictly upward), but the pre-upgrade MTIME fallback is capped
+    // at now + [[MaxFallbackSkewMs]] — one garbage far-future mtime
+    // (clock-skewed old writer, timestamps preserved by a copy tool)
+    // must not bake `bogus + 1` into every future pointer body
+    // forever. The READ axis ([[listVersions]]) keeps the raw
+    // fallback, so such a pathological pre-upgrade pointer reads as a
+    // non-monotone mixed log (addressable only by instants ≥ its
+    // mtime) instead of poisoning all future stamps — recoverable by
+    // touching the one file, where poisoned bodies would be
+    // immutable.
+    val mtimeCap = System.currentTimeMillis() + MaxFallbackSkewMs
     val parsed = ptrs.map { case (seq, st) =>
       val content = readPtr(fs, st.getPath)
       val tomb = content.flatMap(parseTombstone)
       val body = content.flatMap(parseBody)
-      (seq, tomb.isDefined, body,
-        instantOf(tomb, body, st.getModificationTime))
+      val bodyTs = if (tomb.isDefined) tomb.flatten else body.flatMap(_._3)
+      val floor = bodyTs.orElse(
+        if (tomb.isDefined || body.isDefined)
+          Some(math.min(st.getModificationTime, mtimeCap))
+        else None)
+      (seq, tomb.isDefined, body, floor)
     }
     // newest pointer (under the ceiling) with VALID content decides;
     // invalid ones (crash mid-create) are skipped — the previous
@@ -662,6 +680,16 @@ object ManifestStore {
     val p = new Path(dir, f"$PtrPrefix$seq%06d")
     createExclusive(fs, p,
       stampInstant(content, prevInstant).getBytes("UTF-8"))
+    // a tombstone ends the collection's layout lineage: drop the
+    // advisory z-state HERE, centrally, because a log vacuumed down to
+    // a bare tombstone restarts segment NUMBERING at 1 — a stale state
+    // would then mark recreated segments "already clustered" forever,
+    // which is the one way the advisory sidecar could cost more than
+    // re-clustering work (best-effort: a failed delete re-opens that
+    // window only until the next z-order rewrites the state)
+    if (content == Tombstone)
+      try { fs.delete(zStatePath(tablePath, c), false); () }
+      catch { case _: java.io.IOException => () }
   }
 
   /** DURABLE commit instant, written IN the pointer body at publish —
@@ -1898,6 +1926,19 @@ object ManifestStore {
       case _ => None
     }
 
+  /** Sidecar-served row counts for a set of segments, each read ONCE —
+    * the metadata face a per-version audit ([[history]] consumers like
+    * the declared DESCRIBE HISTORY query) sums per version without
+    * constructing one snapshot index per version: V versions over S
+    * distinct segments cost S sidecar reads total, not O(V·S). None
+    * for a segment whose sidecar is missing or pre-`rows:` ("must
+    * scan"). */
+  def segRowCounts(spark: SparkSession, tablePath: String, c: String,
+      segs: Seq[Long]): Map[Long, Option[Long]] = {
+    val fs = fsOf(spark, tablePath)
+    segs.distinct.map(s => s -> readSegRows(fs, tablePath, c, s)).toMap
+  }
+
   /** The segment's recorded TOTAL row count (the sidecar's `rows:<n>`
     * token), if the sidecar exists, parses, and carries one —
     * pre-rows sidecars yield None ("must scan"). */
@@ -2767,6 +2808,11 @@ object ManifestStore {
       if (landed) newSegs else Seq.empty
     } finally laid.unpersist()
   }
+
+  /** Skew bound for the PRE-UPGRADE mtime fallback's contribution to
+    * the stamp floor (see [[resolveAt]]'s floor computation) — a day
+    * covers any sane clock drift; body instants are never capped. */
+  val MaxFallbackSkewMs: Long = 24L * 3600 * 1000
 
   private val ZStatePrefix = "zsegs:"
 

@@ -1938,6 +1938,24 @@ class DocumentStoreSpec extends SparkSpecBase {
     out5.close()
     assert(ManifestStore.readSinceInferred(spark, table, "d", 0L).count() == 30L)
     assert(!instants().contains(4L))
+    // FAR-FUTURE pre-upgrade mtime cannot poison the stamp: rewrite
+    // the invalid ptr-4 slot as a pre-upgrade pointer (no ts field)
+    // with a year-2036-class mtime — the next commit must stamp from
+    // the WALL CLOCK (the fallback's contribution is capped at
+    // now + MaxFallbackSkewMs), not bake bogus+1 into its body
+    val out6 = fs.create(ptr(4L), true)
+    out6.write("segs:000001;end".getBytes("UTF-8")); out6.close()
+    val farFuture = System.currentTimeMillis() + 10L * 365 * 86400000L
+    fs.setTimes(ptr(4L), farFuture, -1L)
+    put(30L, 40L) // commit 5
+    val i5 = instants()(5L)
+    assert(i5 < farFuture, s"stamp $i5 chained off the bogus mtime")
+    assert(i5 <= System.currentTimeMillis() +
+      ManifestStore.MaxFallbackSkewMs + 60000L, i5)
+    // the READ axis keeps the raw fallback for the odd pointer (a
+    // non-monotone mixed log, addressable only at its own far instant)
+    // while current instants resolve to the newest REAL commit
+    assert(ManifestStore.versionAtTime(spark, table, "d", i5) == 5L)
   }
 
   test("pointer-grammar fields stay unambiguous: semicolon tags " +

@@ -951,6 +951,23 @@ class GraftSourceSpec extends SparkSpecBase {
     assert(src.count() == n)
     assert(ManifestStore.zorderMaintain(spark, table, "ev",
       Seq("u", "y"), 8) == 0)
+    // a TOMBSTONE clears the z-state centrally: a log vacuumed to a
+    // bare tombstone restarts segment NUMBERING, so stale state would
+    // mark a recreated collection's reused ids "already clustered"
+    // forever — the one way the advisory sidecar could cost more than
+    // re-clustering. Delete, vacuum to the bare tombstone, recreate
+    // with the SAME id space: maintain must see everything as tail.
+    val zstate = new org.apache.hadoop.fs.Path(
+      s"$table/_manifest/ev/zstate")
+    assert(fs.exists(zstate))
+    ManifestStore.deleteCollection(spark, table, "ev")
+    assert(!fs.exists(zstate), "tombstone must drop the z-state")
+    ManifestStore.vacuum(spark, table, minAgeMs = -1000L,
+      tagMinAgeMs = -1000L)
+    (0 until 2).foreach(s0 => ManifestStore.store(slice(s0), table, "ev"))
+    assert(ManifestStore.zorderMaintain(spark, table, "ev",
+      Seq("u", "y"), 2) == 2)
+    assert(src.count() == 1024L)
   }
 
   test("the declared z-order split face (rel_zorder_split): answers " +
