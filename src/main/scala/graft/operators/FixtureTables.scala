@@ -47,7 +47,10 @@ private[operators] final class FixtureTables[T](prefix: String)(
 
   /** Drop every fixture directory and forget it (drain by key — the
     * [[PlanMemo.release]] rule: whichever side removes the mapping
-    * owns the delete). */
+    * owns the delete). Like PlanMemo, release is a DRAIN, not a
+    * close: a build racing the shutdown release can re-insert a live
+    * entry (freed by the next release, backstopped by the shutdown
+    * hook) — never forgotten-but-undeleted. */
   def release(): Unit = {
     val keys = m.keySet().iterator()
     while (keys.hasNext) {
