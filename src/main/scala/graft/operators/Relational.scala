@@ -1262,7 +1262,7 @@ object Relational {
   val ZOrderPartSegs = 8
 
   private val zorderTables =
-    new FixtureTables[(String, Long, Long)]("graft-part-zorder-")(_._1)
+    new FixtureTables[(String, Long, Long, Int)]("graft-part-zorder-")(_._1)
 
   def releaseCaches(): Unit = zorderTables.release()
 
@@ -1279,7 +1279,7 @@ object Relational {
     * shutdown-hook lifecycle as [[Events.manifestEventsTable]];
     * released via [[releaseCaches]]. */
   private def zorderPartTable(s: SparkSession,
-      dir: String): (String, Long, Long) =
+      dir: String): (String, Long, Long, Int) =
     zorderTables(s, dir) { path =>
       val part = Tables(s, dir, "part")
         .select(col("p_partkey"), col("p_name"))
@@ -1298,9 +1298,9 @@ object Relational {
       graft.sources.ManifestStore.zorderCompact(s, path, "part",
         Seq("p_name", "p_partkey"), ZOrderPartSegs - 2)
       (ZOrderPartSegs - 2 until ZOrderPartSegs).foreach(ingest)
-      graft.sources.ManifestStore.zorderMaintain(s, path, "part",
-        Seq("p_name", "p_partkey"), 2): Unit
-      (path, lo, hi)
+      val maintained = graft.sources.ManifestStore.zorderMaintain(s, path,
+        "part", Seq("p_name", "p_partkey"), 2)
+      (path, lo, hi, maintained)
     }
 
   /** The Z-ORDER SERVING SPLIT as a declared face — the string+long
@@ -1319,9 +1319,19 @@ object Relational {
     * maintenance ([[zorderPartTable]]), so the gate guards both paths.
     * The exact per-axis counts are layout, not data
     * (GraftSourceSpec pins them on a synthetic fixture); only
-    * data-derived counts reach the oracle. */
+    * data-derived counts reach the oracle — EXCEPT the two
+    * construction-deterministic maintenance observables
+    * (`maint_tail`: tail segments the incremental pass re-clustered;
+    * `segs_live`: live segments after compact + maintain), which the
+    * oracle pins as the fixture's known layout
+    * ([[ZOrderPartSegs]]-derived constants): the Spark side reports
+    * what the maintain pass and the manifest ACTUALLY did, so a
+    * maintenance regression (tail not folded in, compaction
+    * fragmenting the base) breaks the hash under the driver's gate —
+    * the cost claim "maintain touches the tail, not the corpus" made
+    * observable the way `ev_range_count` exposes its serving split. */
   def zorderSplit(s: SparkSession, dir: String): DataFrame = {
-    val (path, lo, hi) = zorderPartTable(s, dir)
+    val (path, lo, hi, maintained) = zorderPartTable(s, dir)
     val w = math.max(1L, (hi - lo) / ZOrderPartSegs)
     def src = s.read.format("graft").option("path", path)
       .option("collection", "part").load()
@@ -1334,8 +1344,8 @@ object Relational {
     // instead of vacuously passing. Collecting the probe rows is fine
     // at any scale: this face reads a bounded dimension fixture, and
     // the probes are the selective ranges being graded.
-    def probe(tag: String, pred: Option[Column]): (String, Long, Long) = {
-      val df = pred.fold(src)(src.where(_))
+    def probe(tag: String, pred: Column): (String, Long, Long) = {
+      val df = src.where(pred)
       val n = df.collect().length.toLong
       val scans = df.queryExecution.executedPlan.collect {
         case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
@@ -1344,20 +1354,27 @@ object Relational {
         s"z-order $tag probe lost its scan metric (plan shape changed)")
       (tag, n, scans.map(_.metrics("numFiles").value).sum)
     }
-    // files-vs-files: the unfiltered read's planned file count is the
-    // denominator, so a multi-file segment can never skew the compare
-    val all = probe("all", None)._3
+    // files-vs-files: the unfiltered read's PLANNED file list is the
+    // denominator, so a multi-file segment can never skew the compare.
+    // inputFiles comes straight off the snapshot's file index — no job,
+    // no rows materialized (the old `all` probe collect()ed the whole
+    // unfiltered collection per execution just to discard it).
+    val all = src.inputFiles.length.toLong
+    require(all > 0, "z-order fixture planned zero files")
     val byName = probe("name_range",
-      Some(col("p_name") >= "b" && col("p_name") < "e"))
+      col("p_name") >= "b" && col("p_name") < "e")
     val byKey = probe("key_band",
-      Some(col("p_partkey").between(lo + 2 * w, lo + 4 * w)))
+      col("p_partkey").between(lo + 2 * w, lo + 4 * w))
     Seq(byName, byKey).foreach { case (tag, _, scanned) =>
       require(scanned > 0 && scanned < all,
         s"z-ordered $tag probe stopped pruning: scanned $scanned of " +
           s"$all files — the multi-axis layout regressed")
     }
+    val live = graft.sources.ManifestStore
+      .currentSegments(s, path, "part").fold(0L)(_.length.toLong)
     import s.implicits._
-    Seq((byKey._1, byKey._2), (byName._1, byName._2))
+    Seq((byKey._1, byKey._2), ("maint_tail", maintained.toLong),
+      (byName._1, byName._2), ("segs_live", live))
       .toDF("probe", "n_parts").orderBy("probe")
   }
 
@@ -2103,6 +2120,11 @@ object Relational {
          |    AND l_quantity BETWEEN 20 AND 40))""".stripMargin)(
       disjunctiveRevenue),
 
+    // maint_tail / segs_live are the fixture's construction-determined
+    // layout (2 tail segments folded in by the incremental maintain;
+    // 6 compacted + 2 maintained live): the oracle pins them as
+    // constants, the Spark side reports what the maintain pass and the
+    // manifest actually did — a maintenance regression breaks the hash
     QueryDef.sql("rel_zorder_split",
       s"""WITH b AS (
          |  SELECT min(p_partkey) AS lo,
@@ -2115,7 +2137,11 @@ object Relational {
          |  WHERE p_partkey BETWEEN b.lo + 2 * b.w AND b.lo + 4 * b.w
          |  UNION ALL
          |  SELECT 'name_range', CAST(count(*) AS BIGINT)
-         |  FROM part WHERE p_name >= 'b' AND p_name < 'e')
+         |  FROM part WHERE p_name >= 'b' AND p_name < 'e'
+         |  UNION ALL
+         |  SELECT 'maint_tail', CAST(2 AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'segs_live', CAST($ZOrderPartSegs AS BIGINT))
          |ORDER BY probe""".stripMargin)((s, dir) => zorderSplit(s, dir))
   )
 }

@@ -500,6 +500,51 @@ object ManifestStore {
   private def readPtr(fs: FileSystem, p: Path): Option[String] =
     readPtrEither(fs, p).toOption.filter(_.nonEmpty)
 
+  /** PROCESS-LOCAL pointer-content cache, bounding the pointer-log
+    * read amplification: [[resolveAt]] and [[listVersions]] open every
+    * retained pointer body per call, which on an S3-class store is
+    * O(versions) small-object GETs for every resolve / history /
+    * versionAtTime — per CALL, where mtime used to be a free stat.
+    * A pointer that ever parsed VALID is create-once immutable (the
+    * commit protocol never rewrites one), so its content keyed by
+    * (path, length, mtime) can never go stale — the FileStatus pair
+    * guards the two mutate-in-place cases that do exist: a touched
+    * pre-upgrade pointer (the documented mtime-skew recovery; mtime
+    * changes → re-read) and a same-path re-creation after a full
+    * manual wipe (length/mtime shift → re-read; identical bytes would
+    * parse identically anyway). INVALID reads (empty / truncated) are
+    * never cached — they may be a concurrent create's visibility
+    * window and must retry fresh. Repeated resolution is then O(new
+    * pointers), Delta's checkpoint effect without a second durable
+    * artifact to keep consistent; a fresh process starts cold, which
+    * is exactly the vacuum-race posture the raced spec pins. Bounded:
+    * wholesale clear past [[PtrCacheMax]] entries (pointer bodies are
+    * tens of bytes; the bound is belt-and-braces). */
+  private val PtrCacheMax = 1 << 16
+  private val ptrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, String)]()
+
+  /** Test hook: model a fresh reader process (the cache is per-JVM). */
+  private[graft] def clearPtrCache(): Unit = ptrCache.clear()
+
+  private def readPtrCached(fs: FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Option[String] = {
+    val key = st.getPath.toString
+    val hit = ptrCache.get(key)
+    if (hit != null && hit._1 == st.getLen &&
+        hit._2 == st.getModificationTime) Some(hit._3)
+    else {
+      val content = readPtr(fs, st.getPath)
+      content.foreach { cstr =>
+        if (parseTombstone(cstr).isDefined || parseBody(cstr).isDefined) {
+          if (ptrCache.size >= PtrCacheMax) ptrCache.clear()
+          ptrCache.put(key, (st.getLen, st.getModificationTime, cstr))
+        }
+      }
+      content
+    }
+  }
+
   /** Commit-content terminator: a pointer is valid ONLY when its full
     * content survived the crash — a prefix of a longer segment list
     * ("segs:0000" from "segs:000001,...") would otherwise PARSE to a
@@ -607,11 +652,11 @@ object ManifestStore {
       .filter(_.getPath.getName.startsWith(ClaimPrefix))
       .flatMap(_.getPath.getName.stripPrefix(ClaimPrefix).toLongOption)
       .maxOption.getOrElse(0L)
-    // resolution cost is O(pointers since the last vacuum): each call
-    // opens every retained pointer file (maxSeg needs them anyway for
-    // crash-safe segment numbering); [[vacuum]] prunes superseded ones
-    // so the set stays bounded by the vacuum cadence, not the
-    // collection's total commit history
+    // resolution parses every retained pointer (maxSeg needs them all
+    // for crash-safe segment numbering), but actual OPENS are bounded
+    // by [[readPtrCached]] — O(new pointers) per call after the first;
+    // [[vacuum]] prunes superseded pointers so even a cold resolve
+    // stays bounded by the vacuum cadence, not total commit history
     // ONE parse per pointer: (seq, tombstone?, parsed body, stamp
     // floor). The floor feeds ONLY Resolved.maxInstant (the writer
     // side of the durable stamp): body instants are protocol-trusted
@@ -628,7 +673,7 @@ object ManifestStore {
     // immutable.
     val mtimeCap = System.currentTimeMillis() + MaxFallbackSkewMs
     val parsed = ptrs.map { case (seq, st) =>
-      val content = readPtr(fs, st.getPath)
+      val content = readPtrCached(fs, st)
       val tomb = content.flatMap(parseTombstone)
       val body = content.flatMap(parseBody)
       val bodyTs = if (tomb.isDefined) tomb.flatten else body.flatMap(_._3)
@@ -709,9 +754,33 @@ object ManifestStore {
     * commit stamps above those mtimes, so the MIXED log stays
     * monotone. `prevInstant` is the resolve-time [[Resolved.maxInstant]]
     * the committer already paid for — the stamp costs no extra
-    * listing or pointer reads of its own. */
+    * listing or pointer reads of its own.
+    *
+    * Body instants are protocol-trusted verbatim (Delta's
+    * in-commit-timestamp shares this), which makes one far-future
+    * writer clock UNRECOVERABLE where the mtime fallback's cap makes
+    * the same skew fixable by touching one file: a bogus instant baked
+    * into an immutable body pins every later commit to `bogus + 1`
+    * forever. Can't cap it (a cap would let two honest-but-skewed
+    * writers invert), but it IS detectable at the first affected
+    * commit: `now` lagging the newest retained instant by more than
+    * the [[MaxFallbackSkewMs]] class of skew means either this clock
+    * or a previous committer's was wrong by at least that much — warn
+    * loud so a poisoned axis is seen when it starts, not rounds later
+    * when time travel resolves nonsense. */
   private def stampInstant(content: String, prevInstant: Long): String = {
-    val i = math.max(System.currentTimeMillis(), prevInstant + 1L)
+    val now = System.currentTimeMillis()
+    if (prevInstant - now > MaxFallbackSkewMs)
+      System.err.println(
+        s"GRAFT WARN: commit instant axis skewed — newest retained " +
+          s"instant $prevInstant sits ${prevInstant - now} ms ahead of " +
+          s"this writer's clock $now (> ${MaxFallbackSkewMs} ms): a " +
+          "previous committer's far-future clock (or this one's slow " +
+          "clock) has pinned the durable instant axis; new commits " +
+          "stamp prev+1 and stay monotone, but versionAtTime/history " +
+          "resolution against wall-clock timestamps will be off until " +
+          "the skew source is fixed")
+    val i = math.max(now, prevInstant + 1L)
     if (content == Tombstone) s"$Tombstone;ts=$i$SegsSuffix"
     else if (content.startsWith(SegsPrefix) &&
         content.endsWith(SegsSuffix)) {
@@ -968,7 +1037,7 @@ object ManifestStore {
         .toLongOption.map(_ -> st))
       .sortBy(_._1)
       .flatMap { case (seq, st) =>
-        readPtr(fs, st.getPath).flatMap { content =>
+        readPtrCached(fs, st).flatMap { content =>
           val tomb = parseTombstone(content)
           val body = parseBody(content)
           instantOf(tomb, body, st.getModificationTime).map { i =>

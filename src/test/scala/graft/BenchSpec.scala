@@ -142,6 +142,20 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parseArtifact("{}").isEmpty)
   }
 
+  test("noisy captures route AWAY from the clean anchor path: clean " +
+      "writes land at outPath, noisy ones at the _noisy sibling") {
+    // the r16-r18 clobber: the driver's round-close noisy capture must
+    // never be able to replace a committed clean bench_out.json
+    assert(Bench.routedOutPath("bench_out.json", noisy = false)
+      == "bench_out.json")
+    assert(Bench.routedOutPath("bench_out.json", noisy = true)
+      == "bench_out_noisy.json")
+    // directory components survive; non-.json overrides get a suffix
+    assert(Bench.routedOutPath("/tmp/x/bench_out.json", noisy = true)
+      == "/tmp/x/bench_out_noisy.json")
+    assert(Bench.routedOutPath("capture", noisy = true) == "capture_noisy")
+  }
+
   test("CalibAnchor tracks the committed clean artifact: within 10% " +
       "of HEAD bench_out.json's calib, or the constant has silently " +
       "drifted and must be retuned with the anchor commit") {

@@ -2006,6 +2006,12 @@ class DocumentStoreSpec extends SparkSpecBase {
     // vacuumed version must FAIL LOUD, not silently serve commit 2
     def race[A](body: => A): A = {
       RacingVacuumFs.victim = "ptr-000001"
+      // model a FRESH reader: the pointer cache is process-local, and
+      // the list-then-open race window this spec pins exists exactly
+      // for a reader that has not seen the pointer before — a reader
+      // that HAS holds its immutable content, which is linearizable to
+      // having read it at list time (before the vacuum landed)
+      ManifestStore.clearPtrCache()
       try body finally RacingVacuumFs.victim = null
     }
     val e = intercept[IllegalArgumentException] { race {
@@ -2025,6 +2031,49 @@ class DocumentStoreSpec extends SparkSpecBase {
       ManifestStore.versionAtTime(spark, table, "r", inst(2L))
     } == 2L)
   }
+
+  test("pointer-log read amplification is BOUNDED: after one cold " +
+      "pass, versionAtTime/history/resolve open only pointers they " +
+      "have not seen — repeated time-travel resolution is O(new " +
+      "pointers), not O(retained versions) per call") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.ptrcount.impl", classOf[CountingPtrFs].getName)
+    val table = s"ptrcount://${tmp()}/t"
+    def put(lo: Long, hi: Long): Unit = ManifestStore.store(
+      spark.range(lo, hi).select(col("id").as("doc_id"),
+        lit("v").as("txt")), table, "p")
+    (0 until 5).foreach(i => put(i * 10L, i * 10L + 10L))
+    ManifestStore.clearPtrCache() // start as a cold reader
+    def counted[A](body: => A): (A, Long) = {
+      CountingPtrFs.opens.set(0L)
+      val a = body
+      (a, CountingPtrFs.opens.get())
+    }
+    // the cold pass pays the 5 retained pointer bodies once
+    val (inst, nCold) = counted(
+      ManifestStore.history(spark, table, "p").collect()
+        .map(r => r.getLong(0) -> r.getLong(6)).toMap)
+    assert(nCold == 5L, s"cold history opened $nCold of 5 pointers")
+    // every later resolution against the same log opens ZERO
+    val (v1, n1) = counted(
+      ManifestStore.versionAtTime(spark, table, "p", inst(3L)))
+    assert(v1 == 3L && n1 == 0L, s"warm versionAtTime opened $n1")
+    val (nH, n2) = counted(
+      ManifestStore.history(spark, table, "p").count())
+    assert(nH == 5L && n2 == 0L, s"warm history opened $n2")
+    val (rows, n3) = counted(
+      ManifestStore.readAsOfInferred(spark, table, "p", 2L).count())
+    assert(rows == 20L && n3 == 0L, s"warm readAsOf opened $n3 pointers")
+    // one NEW commit costs exactly the one new pointer body
+    put(50L, 60L) // commit 6 — its own resolve reads only cached bodies
+    val (v4, n4) = counted(
+      ManifestStore.versionAtTime(spark, table, "p", Long.MaxValue / 2))
+    assert(v4 == 6L && n4 == 1L,
+      s"post-append resolution should read exactly the new pointer, got $n4")
+    val (_, n5) = counted(
+      ManifestStore.versionAtTime(spark, table, "p", inst(2L)))
+    assert(n5 == 0L, s"the new pointer did not cache: $n5")
+  }
 }
 
 /** [[GraftTestFs]] twin that lists one named file but fails its
@@ -2043,6 +2092,21 @@ class RacingVacuumFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     if (v != null && p.getName == v)
       throw new java.io.FileNotFoundException(
         s"$p (vacuumed between listing and read)")
+    super.open(p, bufferSize)
+  }
+}
+
+/** [[GraftTestFs]] twin that counts pointer-body content opens — the
+  * observable the pointer cache bounds (each open models one
+  * small-object GET on an S3-class store). */
+object CountingPtrFs {
+  val opens = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+class CountingPtrFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("ptrcount:///")
+  override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    if (p.getName.startsWith("ptr-")) CountingPtrFs.opens.incrementAndGet()
     super.open(p, bufferSize)
   }
 }

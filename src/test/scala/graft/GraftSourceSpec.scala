@@ -985,13 +985,18 @@ class GraftSourceSpec extends SparkSpecBase {
       .between(lo + 2 * w, lo + 4 * w)).count()
     val nName = part.where(col("p_name") >= "b" && col("p_name") < "e")
       .count()
-    assert(out == Map("key_band" -> nKey, "name_range" -> nName), out)
+    // the maintenance observables are the fixture's construction-
+    // determined layout: 2 tail segments folded in by the incremental
+    // maintain, 6 compacted + 2 maintained live
+    assert(out == Map("key_band" -> nKey, "name_range" -> nName,
+      "maint_tail" -> 2L,
+      "segs_live" -> Relational.ZOrderPartSegs.toLong), out)
     assert(nKey > 0L && nName > 0L, "probes must select something")
     // the prune guard is LIVE: the declared face re-runs without
     // throwing (its internal requires assert scanned < total per axis
     // against the executed scans' own numFiles metrics) — and the
     // memoized fixture means this second call is pure probing
-    assert(Relational.zorderSplit(spark, sf).count() == 2L)
+    assert(Relational.zorderSplit(spark, sf).count() == 4L)
   }
 
   test("exact quantiles compose with the connector: answers equal the " +
