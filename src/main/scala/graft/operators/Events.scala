@@ -1988,7 +1988,20 @@ object Events {
     * scan for its versions. Bounded by vacuum retention. */
   def historyOps(s: SparkSession, dir: String): DataFrame = {
     val (path, _, _) = manifestEventsTable(s, dir)
-    val h = graft.sources.ManifestStore.history(s, path, "events")
+    historyOpsOn(s, path, "events")
+  }
+
+  /** [[historyOps]]' core over any serialized-committer manifest
+    * collection. The PRE-UPGRADE FALLBACK is per version: a version
+    * whose live set includes any segment without a `rows:` sidecar
+    * token (pre-token segment, stripped/torn sidecar) is re-counted by
+    * ONE pruned snapshot scan ([[graft.sources.ManifestStore
+    * .readAsOfInferred]]`.count()`) instead of sidecar sums — at most
+    * one scan per RETAINED version, bounded by vacuum retention, and
+    * row-identical to the sidecar-served path (EventsSpec pins the
+    * stripped-token fixture). */
+  def historyOpsOn(s: SparkSession, path: String, c: String): DataFrame = {
+    val h = graft.sources.ManifestStore.history(s, path, c)
       .orderBy("ptr_seq").collect()
     val inst = h.map(_.getLong(6)).toSeq
     require(inst == inst.sorted && inst.distinct == inst,
@@ -2001,13 +2014,13 @@ object Events {
       (r.getLong(0), r.getString(1), r.getInt(2), live)
     }
     val rowsOf = graft.sources.ManifestStore.segRowCounts(
-      s, path, "events", perVersion.flatMap(_._4).distinct)
+      s, path, c, perVersion.flatMap(_._4).distinct)
     import s.implicits._
     perVersion.map { case (seq, op, nLive, segs) =>
       val counts = segs.toSeq.map(rowsOf.getOrElse(_, None))
       val n = if (counts.forall(_.isDefined)) counts.flatten.sum
         else graft.sources.ManifestStore
-          .readAsOfInferred(s, path, "events", seq).count()
+          .readAsOfInferred(s, path, c, seq).count()
       (seq, op, nLive, n)
     }.toDF("ptr_seq", "op", "n_live", "n_events").orderBy("ptr_seq")
   }
@@ -2555,6 +2568,63 @@ object Events {
       key = "event_id")
   }
 
+  private val widenTables =
+    new FixtureTables[(String, Long)]("graft-ev-widen-")(_._1)
+
+  /** WIDEN-EVOLVED manifest events table (implicit index, built once
+    * per (session, sf dir)): the first half of the time range stored
+    * NARROW (event_id, user_id, ts_us), the second half stored WIDE
+    * (+ event_type, value) — the widen-only schema-evolution lineage a
+    * long-lived ingest pipeline accumulates when new fields ship
+    * mid-stream ([[graft.sources.ManifestStore]]'s `requireWidenOnly`
+    * door: columns may be ADDED or OMITTED, never retyped). The
+    * narrow segment serves NULL for the late columns through the
+    * footer-union read. Returns (tablePath, cut ts_us). */
+  private[graft] def widenEventsTable(s: SparkSession,
+      dir: String): (String, Long) =
+    widenTables(s, dir) { path =>
+      val ev = load(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_us")
+        .where(col("ts_us").isNotNull)
+      val r = ev.agg(min("ts_us"), max("ts_us")).head
+      val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+      graft.sources.ManifestStore.store(
+        ev.where(col("ts_us") <= cut)
+          .select("event_id", "user_id", "ts_us"), path, "events")
+      graft.sources.ManifestStore.store(
+        ev.where(col("ts_us") > cut), path, "events")
+      (path, cut)
+    }
+
+  /** SCHEMA-EVOLUTION READ as a declared face — the widen-only
+    * contract under the driver's oracle gate: the inferred read of the
+    * widen-evolved lineage ([[widenEventsTable]]) must surface the
+    * late columns, serve NULL for them from the pre-widen segment, and
+    * lose no rows; the oracle re-derives every count from the raw
+    * parquet with the same cut arithmetic (a pre-cut row's event_type
+    * reads as NULL because the narrow segment never carried it). The
+    * in-query requires make a regressed union (column dropped,
+    * segment missed) fail loud rather than hash-mismatch mysteriously.
+    * At 100 TB this is the "new field shipped last month" table every
+    * long-lived corpus becomes — old segments are never rewritten,
+    * readers see one widened schema. */
+  def schemaWiden(s: SparkSession, dir: String): DataFrame = {
+    val (path, cut) = widenEventsTable(s, dir)
+    val df = graft.sources.ManifestStore
+      .readSinceInferred(s, path, "events", 0L)
+    require(df.columns.contains("event_type") &&
+      df.columns.contains("value"),
+      s"widened columns missing from the inferred union: " +
+        df.columns.mkString(", "))
+    require(graft.sources.ManifestStore.currentSegments(s, path, "events")
+      .fold(0)(_.size) == 2, "widen fixture must hold its 2 segments")
+    df.agg(
+      count(lit(1)).as("n_events"),
+      count(col("event_type")).as("n_typed"),
+      sum(when(col("ts_us") <= cut && col("event_type").isNull, 1L)
+        .otherwise(0L)).as("n_pre_widen"))
+  }
+
   private val manifestTables =
     new FixtureTables[(String, Long, Long)]("graft-ev-manifest-")(_._1)
 
@@ -2572,6 +2642,7 @@ object Events {
     manifestTables.release()
     diffTables.release()
     valueTables.release()
+    widenTables.release()
   }
 
   // ------------------------------------------------------------------
@@ -3083,6 +3154,21 @@ object Events {
          |FROM generate_series(1, $RangeSegs) AS k(v)
          |ORDER BY ptr_seq""".stripMargin)(
       (s, dir) => historyOps(s, dir)),
+
+    // widen-only schema evolution under the gate: a pre-cut row's
+    // event_type reads as NULL because the narrow segment never
+    // carried the column — the oracle re-derives all three counts
+    // from the raw parquet with the same cut arithmetic
+    QueryDef.sql("ev_schema_widen",
+      """WITH f AS (SELECT event_type, epoch_us(ts) AS t FROM events
+        |  WHERE ts IS NOT NULL),
+        |b AS (SELECT min(t) + (max(t) - min(t)) // 2 AS cut FROM f)
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(CASE WHEN t > b.cut THEN event_type END) AS BIGINT)
+        |    AS n_typed,
+        |  CAST(sum(CASE WHEN t <= b.cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pre_widen
+        |FROM f, b""".stripMargin)((s, dir) => schemaWiden(s, dir)),
 
     QueryDef.sql("ev_time_travel_ts",
       s"""WITH f AS (SELECT event_type, value, epoch_us(ts) AS t

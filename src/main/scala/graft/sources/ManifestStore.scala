@@ -200,6 +200,21 @@ object ManifestStore {
       require(all.columns.contains(key),
         s"merge key '$key' not in collection '$c' " +
           s"(has: ${all.columns.mkString(", ")})")
+      // widen-only schema evolution: a retyped column fails HERE, not
+      // as a silent union coercion inside the rewrite (the merge
+      // already paid for the full inferred live schema, so this door's
+      // check is exact, not newest-segment best-effort)
+      requireWidenOnly(all.schema, upserts.schema, c, "merge",
+        allowFamilyWidening = true)
+      // conform shared columns to the TABLE's types before any write:
+      // the union path coerces anyway, but the pure-insert path would
+      // otherwise land the batch's own narrower parquet type next to
+      // the existing segments' - which the footer-union read refuses
+      // (the reason the append doors demand exact types)
+      val exTypes = all.schema.fields.map(f => f.name -> f.dataType).toMap
+      val conformed = upserts.select(upserts.columns.toSeq.map(n =>
+        exTypes.get(n).map(t => col(n).cast(t)).getOrElse(col(n))
+          .as(n)): _*)
       val keyKind = zmKindOf(all.schema(key).dataType)
       // prunability needs the CHANGES' key to produce bounds in the
       // same order as the sidecar stats: any integral type casts
@@ -317,15 +332,15 @@ object ManifestStore {
         if (rewriteSegs.isEmpty)
           // no live segment can hold a touched key: pure insert (and
           // deletes of absent keys are no-ops)
-          (if (mergeSchema) upserts
-           else upserts.select(all.columns.map(col): _*))
+          (if (mergeSchema) conformed
+           else conformed.select(all.columns.map(col): _*))
         else {
           val survivors =
             readSegsInferred(spark, tablePath, c, rewriteSegs, rewriteSegs)
               .drop("collection")
               .join(touched, Seq(key), "left_anti")
           if (mergeSchema)
-            survivors.unionByName(upserts, allowMissingColumns = true)
+            survivors.unionByName(conformed, allowMissingColumns = true)
           else
             // the survivors' inferred schema covers only the PRUNED
             // rewrite subset: on a table widened by a prior
@@ -336,7 +351,7 @@ object ManifestStore {
             // re-project to the full live schema — absent survivor
             // columns become NULL, matching the inferred-read
             // semantics of the untouched segments.
-            survivors.unionByName(upserts.select(all.columns.map(col): _*),
+            survivors.unionByName(conformed.select(all.columns.map(col): _*),
                 allowMissingColumns = true)
               .select(all.columns.map(col): _*)
         }
@@ -2361,16 +2376,108 @@ object ManifestStore {
     }
   }
 
+  /** WIDEN-ONLY schema evolution, enforced at the write door: a batch
+    * may ADD columns (carried segments serve NULL for them through the
+    * inferred read's footer union) and may OMIT columns (absent values
+    * read as NULL), but a column whose NAME matches an existing table
+    * column must keep the IDENTICAL type — a retype has no defined
+    * path, and without this check it would not fail here but corrupt
+    * quietly downstream (the footer-union read coerces int/string to
+    * string, floods decimals to doubles, or throws mid-query far from
+    * the write that caused it). A RENAME likewise has no defined path:
+    * it is indistinguishable from drop+add at the write door, so what
+    * lands is a widened table whose old column serves NULLs — do it
+    * deliberately (new collection, or add-column + explicit rewrite),
+    * never by just renaming a field in the pipeline. */
+  private def requireWidenOnly(existing: StructType, incoming: StructType,
+      c: String, door: String, allowFamilyWidening: Boolean): Unit = {
+    // The APPEND doors (store/storeBatch) land the batch's own parquet
+    // type next to the existing segments', and the footer-union read
+    // REFUSES even a lossless integral mix (Spark's parquet schema
+    // merge: CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE on INT vs BIGINT) —
+    // so appends require the exact type. The MERGE door rewrites
+    // through a coercing DataFrame union and writes ONE uniform widest
+    // type, so there a lossless same-family width change (integral
+    // mix, float/double — the prune already unifies integral keys to
+    // 'l') is widening, not retyping. Cross-family anywhere (string vs
+    // int, decimal vs double, timestamp vs long, nested changes) is a
+    // retype and fails the door.
+    def sameFamily(a: org.apache.spark.sql.types.DataType,
+        b: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      val integral: Set[DataType] =
+        Set(ByteType, ShortType, IntegerType, LongType)
+      val floating: Set[DataType] = Set(FloatType, DoubleType)
+      (integral(a) && integral(b)) || (floating(a) && floating(b))
+    }
+    // nullability is NOT type identity here: footer-inferred columns
+    // read back nullable/containsNull=true while an in-memory batch's
+    // encoder marks them false — parquet does not care, neither does
+    // this door
+    def normNull(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case s: StructType => StructType(s.fields.map(f =>
+          StructField(f.name, normNull(f.dataType), nullable = true)))
+        case a: ArrayType =>
+          ArrayType(normNull(a.elementType), containsNull = true)
+        case m: MapType => MapType(normNull(m.keyType),
+          normNull(m.valueType), valueContainsNull = true)
+        case other => other
+      }
+    }
+    val ex = existing.fields.map(f => f.name -> f.dataType).toMap
+    incoming.fields.foreach { f =>
+      ex.get(f.name).foreach { t =>
+        require(normNull(t) == normNull(f.dataType) ||
+            (allowFamilyWidening && sameFamily(t, f.dataType)),
+          s"$door on collection '$c': column '${f.name}' is " +
+            s"${f.dataType.sql} in the batch but ${t.sql} in the table " +
+            "- retyping a column has no defined path (schema evolution " +
+            "is widen-only: new columns may be added, existing columns " +
+            "keep their type; to retype or rename, rewrite into " +
+            "a new collection)")
+      }
+    }
+  }
+
+  /** One immutable segment's footer schema, memoized forever (segments
+    * never mutate) — what makes the write-door [[requireWidenOnly]]
+    * check O(1) footer reads per append stream instead of per batch.
+    * ADVISORY like the sidecars: an unreadable newest segment (e.g. a
+    * racing compaction superseded it between this writer's resolve and
+    * the footer read) skips the door check rather than failing an
+    * append that the commit protocol itself would retry correctly. */
+  private val segSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private def newestSegSchema(spark: SparkSession, tablePath: String,
+      c: String, liveSegs: Seq[Long]): Option[StructType] =
+    liveSegs.maxOption.flatMap { seg =>
+      val dir = segDir(tablePath, c, seg).toString
+      if (segSchemaCache.size >= PtrCacheMax) segSchemaCache.clear()
+      try Some(segSchemaCache.computeIfAbsent(dir,
+        _ => spark.read.parquet(dir).schema))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** Append `chunks` (one collection per call, the reference's /store
     * shape) as a NEW immutable segment: data lands fully, then one
     * pointer create makes it visible — an interrupted append is never
     * readable, published segments are never mutated, and a new
-    * collection appears atomically. */
+    * collection appears atomically. Schema-checked at the door
+    * ([[requireWidenOnly]], against the newest live segment's footer —
+    * the one segment every widen-only lineage's shared columns agree
+    * with). */
   def store(chunks: DataFrame, tablePath: String, collection: String): Unit = {
     val spark = chunks.sparkSession
     val fs = fsOf(spark, tablePath)
     assertNotFlatLayout(fs, tablePath, collection)
     val r = resolve(fs, tablePath, collection)
+    newestSegSchema(spark, tablePath, collection,
+        r.liveSegs.toSeq.flatten).foreach(
+      requireWidenOnly(_, chunks.drop("collection").schema, collection,
+        "store", allowFamilyWidening = false))
     val seg = claimSeg(fs, tablePath, collection, r.nextSeg)
     writeSegment(chunks.drop("collection"), fs, tablePath, collection, seg)
     commitWithRetry(fs, tablePath, collection, r) { rr =>
@@ -2411,6 +2518,10 @@ object ManifestStore {
     val r = resolve(fs, tablePath, collection)
     if (r.seenTags.contains(tag)) false
     else {
+      newestSegSchema(spark, tablePath, collection,
+          r.liveSegs.toSeq.flatten).foreach(
+        requireWidenOnly(_, chunks.drop("collection").schema, collection,
+          "storeBatch", allowFamilyWidening = false))
       val seg = claimSeg(fs, tablePath, collection, r.nextSeg)
       writeSegment(chunks.drop("collection"), fs, tablePath, collection, seg)
       val won = commitWithRetry(fs, tablePath, collection, r) { rr =>

@@ -2032,6 +2032,68 @@ class DocumentStoreSpec extends SparkSpecBase {
     } == 2L)
   }
 
+  test("widen-only schema evolution is a CONTRACT: a retyped column " +
+      "fails loud at store, storeBatch, and merge (both modes); " +
+      "adding, omitting, and losslessly widening columns stay allowed") {
+    import spark.implicits._
+    val table = tmp() + "/widen"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    ManifestStore.store(
+      Seq((1L, "a", 1.5)).toDF("doc_id", "txt", "score"), table, "w")
+    // RETYPE (string -> bigint) must fail loud at EVERY write door,
+    // not corrupt quietly as a union coercion downstream
+    val retyped = Seq((2L, 7L, 2.5)).toDF("doc_id", "txt", "score")
+    Seq[org.apache.spark.sql.DataFrame => Unit](
+      df => ManifestStore.store(df, table, "w"),
+      df => { ManifestStore.storeBatch(df, table, "w", "retype-b1"): Unit },
+      df => { ManifestStore.mergeCollection(spark, table, "w", df): Unit },
+      df => { ManifestStore.mergeCollection(spark, table, "w", df,
+        mergeSchema = true): Unit },
+      df => { ManifestStore.mergeBatch(spark, table, "w", df,
+        "retype-m1"): Unit }
+    ).foreach { door =>
+      val e = intercept[IllegalArgumentException] { door(retyped) }
+      assert(e.getMessage.contains("widen-only"), e.getMessage)
+    }
+    // cross-family float -> string is a retype too
+    intercept[IllegalArgumentException] {
+      ManifestStore.store(
+        Seq((2L, "b", "high")).toDF("doc_id", "txt", "score"), table, "w")
+    }
+    // nothing leaked past a rejected door: the collection still serves
+    // exactly its committed row, and the log carries exactly 1 version
+    assert(ManifestStore.readSinceInferred(spark, table, "w", 0L)
+      .count() == 1L)
+    assert(ManifestStore.listVersions(spark, table, "w").size == 1)
+    // even a LOSSLESS integral mix fails the APPEND doors: the batch's
+    // own parquet type would land next to the existing segments' and
+    // the footer-union read refuses INT vs BIGINT outright
+    intercept[IllegalArgumentException] {
+      ManifestStore.store(
+        Seq((9, "i", 9.0)).toDF("doc_id", "txt", "score"), table, "w")
+    }
+    // ADDING a column widens; OMITTING a column serves NULL
+    ManifestStore.store(
+      Seq((3L, "c", 0.5, "en")).toDF("doc_id", "txt", "score", "lang"),
+      table, "w")
+    ManifestStore.store(Seq((4L, "d")).toDF("doc_id", "txt"), table, "w")
+    // the MERGE door allows the integral mix (it rewrites through a
+    // coercing union and conforms inserts to the TABLE's types — the
+    // written segments stay uniformly BIGINT)
+    assert(ManifestStore.mergeBatch(spark, table, "w",
+      Seq((5, "e")).toDF("doc_id", "txt"), "int-key-merge",
+      mergeSchema = true))
+    val got = ManifestStore.readSinceInferred(spark, table, "w", 0L)
+      .select("doc_id", "txt", "score", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(got == Set(
+      (1L, "a", Some(1.5), None),
+      (3L, "c", Some(0.5), Some("en")),
+      (4L, "d", None, None),
+      (5L, "e", None, None)), got)
+  }
+
   test("pointer-log read amplification is BOUNDED: after one cold " +
       "pass, versionAtTime/history/resolve open only pointers they " +
       "have not seen — repeated time-travel resolution is O(new " +

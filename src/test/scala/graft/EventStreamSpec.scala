@@ -13,6 +13,51 @@ import graft.streaming.EventStream.{Event, Session}
   * their batch faces — the streaming analogue of the DuckDB oracle. */
 class EventStreamSpec extends SparkSpecBase {
 
+  /** The durable-instant contract pinned on the STREAMING commit
+    * paths: every streaming maintenance face commits through the
+    * tagged storeBatch/mergeBatch door, so its pointer bodies must
+    * carry strictly monotone `ts=` instants that survive mtime
+    * corruption (the S3-class posture where mtimes are garbage or
+    * frozen). Asserts both, then returns the per-collection version
+    * lists so callers can additionally assert replay-stability around
+    * a redelivery (same tag ⇒ no new version, no new instant). */
+  private def durableInstantsOf(table: String)
+      : Map[String, Seq[graft.sources.ManifestStore.VersionInfo]] = {
+    import graft.sources.ManifestStore
+    val colls = ManifestStore.listCollections(spark, table)
+    assert(colls.nonEmpty, s"no collections under $table")
+    val all = colls.map(c =>
+      c -> ManifestStore.listVersions(spark, table, c)).toMap
+    all.foreach { case (c, vs) =>
+      assert(vs.nonEmpty, c)
+      vs.sliding(2).foreach {
+        case Seq(a, b) => assert(a.instantMs < b.instantMs,
+          s"collection '$c': serialized streaming commits must stamp " +
+            s"strictly monotone instants: $vs")
+        case _ => ()
+      }
+    }
+    // garbage EVERY pointer mtime, drop the process-local pointer
+    // cache (mtime change forces re-reads anyway), re-list: the
+    // instant axis must not move — it lives in the bodies, not the
+    // store
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(s"$table/_manifest")
+    fs.listStatus(manifest).filter(_.isDirectory).foreach { d =>
+      fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.startsWith("ptr-"))
+        .foreach(st => fs.setTimes(st.getPath, 7L, -1L))
+    }
+    ManifestStore.clearPtrCache()
+    val after = colls.map(c =>
+      c -> ManifestStore.listVersions(spark, table, c)).toMap
+    assert(after == all,
+      "streaming commit instants moved under mtime corruption — the " +
+        "axis is reading the store, not the durable pointer bodies")
+    all
+  }
+
   private def fixtureEvents: Seq[Event] = {
     import org.apache.spark.sql.Row
     Events.load(spark, sf)
@@ -830,6 +875,9 @@ class EventStreamSpec extends SparkSpecBase {
       q.processAllAvailable()
       assert(snap() == Set((1L, "A"), (3L, "c")))
     } finally q.stop()
+    // streaming CDC merges inherit the DURABLE instant axis: strictly
+    // monotone body stamps, mtime-independent
+    val vsBefore = durableInstantsOf(table)
     // the foreachBatch replay path: redelivering under a recorded
     // lineage tag is a manifest no-op — the deleted key stays deleted
     val id = new String(java.nio.file.Files.readAllBytes(
@@ -838,11 +886,14 @@ class EventStreamSpec extends SparkSpecBase {
       Seq((2L, "zombie", false)).toDF("doc_id", "txt", "_deleted"),
       s"$id-1"))
     assert(snap() == Set((1L, "A"), (3L, "c")))
-    // a fresh lineage applies normally
+    // replay-stable: the redelivered tag minted no version, no instant
+    assert(durableInstantsOf(table) == vsBefore)
+    // a fresh lineage applies normally — and stamps ABOVE the axis
     assert(ManifestStore.mergeBatch(spark, table, "docs",
       Seq((4L, "d", false)).toDF("doc_id", "txt", "_deleted"),
       "other-lineage-0"))
     assert(snap() == Set((1L, "A"), (3L, "c"), (4L, "d")))
+    durableInstantsOf(table): Unit
   }
 
   test("streaming count-min grid across micro-batches == batch grid " +
@@ -1067,6 +1118,9 @@ class EventStreamSpec extends SparkSpecBase {
     val expect = asTuples(TextAnalysis.bm25MultiOn(
       all, suite.toDF("query_id", "term"), 5))
     assert(streamed == expect)
+    // streaming commits inherit the DURABLE instant axis: strictly
+    // monotone body stamps, mtime-independent
+    val vsBefore = durableInstantsOf(table)
     // replay of a committed (ingest-id, batch) tag is a no-op
     val id = {
       val p = java.nio.file.Paths.get(s"$ckpt/graft-ingest-id")
@@ -1076,6 +1130,8 @@ class EventStreamSpec extends SparkSpecBase {
       all.where(col("doc_id") <= 3), table, s"$id-0"))
     assert(asTuples(TextAnalysis.bm25ManifestTopK(
       spark, table, suite, 5)) == expect)
+    // replay-stable: the redelivered tag minted no version, no instant
+    assert(durableInstantsOf(table) == vsBefore)
   }
 
   test("streaming IVF-index maintenance: the first batch trains, " +
@@ -1106,6 +1162,9 @@ class EventStreamSpec extends SparkSpecBase {
         r.getAs[Double]("similarity"))).toSeq
     val streamed = asTuples(Ann.ivfManifestTopK(spark, table))
     assert(streamed == asTuples(Ann.ivfTopK(emb)))
+    // streaming commits inherit the DURABLE instant axis: strictly
+    // monotone body stamps, mtime-independent
+    val vsBefore = durableInstantsOf(table)
     // replay of a committed (ingest-id, batch) tag is a no-op
     val id = {
       val p = java.nio.file.Paths.get(s"$ckpt/graft-ingest-id")
@@ -1114,6 +1173,8 @@ class EventStreamSpec extends SparkSpecBase {
     assert(!Ann.refreshManifestIvfIndex(
       emb.where(!batchPred), table, s"$id-0"))
     assert(asTuples(Ann.ivfManifestTopK(spark, table)) == streamed)
+    // replay-stable: the redelivered tag minted no version, no instant
+    assert(durableInstantsOf(table) == vsBefore)
   }
 
   test("streaming PQ-index maintenance: the first batch trains, " +

@@ -544,6 +544,47 @@ class EventsSpec extends SparkSpecBase {
       got.map(_._4).distinct == got.map(_._4))
   }
 
+  test("historyOps' pre-upgrade fallback: stripping every rows: " +
+      "sidecar token degrades to per-version snapshot scans with " +
+      "IDENTICAL rows (bounded by retained versions)") {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_hops").toString + "/t"
+    graft.sources.ManifestStore.setZoneMapColumns(spark, table,
+      Seq("doc_id"))
+    def put(lo: Long, hi: Long): Unit = graft.sources.ManifestStore.store(
+      spark.range(lo, hi).select(col("id").as("doc_id"),
+        lit("v").as("txt")), table, "h")
+    put(0L, 10L); put(10L, 25L); put(25L, 30L)
+    def face() = Events.historyOpsOn(spark, table, "h").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+    val served = face()
+    assert(served.map(_._4) == Seq(10L, 25L, 30L), served)
+    // strip the rows: token from EVERY sidecar — the pre-token shape
+    // (zone-map entries survive; only the total-row token is gone)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$table/_manifest/h")
+    val stats = fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith("stats-"))
+    assert(stats.size == 3, stats.map(_.getPath.getName))
+    stats.foreach { st =>
+      val in = fs.open(st.getPath)
+      val content = try scala.io.Source
+        .fromInputStream(in, "UTF-8").mkString finally in.close()
+      assert(content.contains("rows:"), content)
+      val stripped = content.replaceAll("rows:\\d+;", "")
+      assert(!stripped.contains("rows:") && stripped.startsWith("zm:") &&
+        stripped.endsWith(";end"), stripped)
+      val out = fs.create(st.getPath, true)
+      try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    }
+    // the fallback path returns the SAME rows — per-version snapshot
+    // scans instead of sidecar sums, one scan per retained version
+    assert(face() == served)
+  }
+
   test("exact quantiles: histogram-narrowing loop forced by a tiny " +
       "selection cap is bit-identical to the direct-selection fast path") {
     import spark.implicits._
