@@ -204,17 +204,19 @@ object ManifestStore {
       // as a silent union coercion inside the rewrite (the merge
       // already paid for the full inferred live schema, so this door's
       // check is exact, not newest-segment best-effort)
+      val csens = caseSensitiveOf(spark)
       requireWidenOnly(all.schema, upserts.schema, c, "merge",
-        allowFamilyWidening = true)
+        allowFamilyWidening = true, caseSensitive = csens)
       // conform shared columns to the TABLE's types before any write:
       // the union path coerces anyway, but the pure-insert path would
       // otherwise land the batch's own narrower parquet type next to
       // the existing segments' - which the footer-union read refuses
       // (the reason the append doors demand exact types)
-      val exTypes = all.schema.fields.map(f => f.name -> f.dataType).toMap
+      val exTypes = all.schema.fields
+        .map(f => nameKey(f.name, csens) -> f.dataType).toMap
       val conformed = upserts.select(upserts.columns.toSeq.map(n =>
-        exTypes.get(n).map(t => col(n).cast(t)).getOrElse(col(n))
-          .as(n)): _*)
+        exTypes.get(nameKey(n, csens)).map(t => col(n).cast(t))
+          .getOrElse(col(n)).as(n)): _*)
       val keyKind = zmKindOf(all.schema(key).dataType)
       // prunability needs the CHANGES' key to produce bounds in the
       // same order as the sidecar stats: any integral type casts
@@ -534,17 +536,33 @@ object ManifestStore {
     * artifact to keep consistent; a fresh process starts cold, which
     * is exactly the vacuum-race posture the raced spec pins. Bounded:
     * wholesale clear past [[PtrCacheMax]] entries (pointer bodies are
-    * tens of bytes; the bound is belt-and-braces). */
+    * tens of bytes; the bound is belt-and-braces).
+    *
+    * Path REUSE after manifest retirement (a vacuumed-to-tombstone
+    * log's dir is deleted and a resurrected collection re-creates
+    * `ptr-000001`) cannot serve a dead body: this process's own
+    * tombstone [[publish]] drops the collection's entries, and a
+    * CROSS-process resurrection is covered by the (len, mtime)
+    * validation — retirement itself is gated on sane pointer mtimes
+    * (`vacuum` requires `mtime != 0 && mtime < floor`), so any store
+    * where retirement can happen stamps fresh mtimes on recreated
+    * files; a store with frozen mtimes can never retire a manifest in
+    * the first place. Keys are scheme-stripped URI paths so the
+    * tombstone invalidation prefix matches listStatus's
+    * fully-qualified paths. */
   private val PtrCacheMax = 1 << 16
   private val ptrCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, String)]()
 
-  /** Test hook: model a fresh reader process (the cache is per-JVM). */
-  private[graft] def clearPtrCache(): Unit = ptrCache.clear()
+  /** Test hook: model a fresh reader process (the caches are per-JVM). */
+  private[graft] def clearPtrCache(): Unit = {
+    ptrCache.clear()
+    segSchemaCache.clear()
+  }
 
   private def readPtrCached(fs: FileSystem,
       st: org.apache.hadoop.fs.FileStatus): Option[String] = {
-    val key = st.getPath.toString
+    val key = st.getPath.toUri.getPath
     val hit = ptrCache.get(key)
     if (hit != null && hit._1 == st.getLen &&
         hit._2 == st.getModificationTime) Some(hit._3)
@@ -747,9 +765,20 @@ object ManifestStore {
     // which is the one way the advisory sidecar could cost more than
     // re-clustering work (best-effort: a failed delete re-opens that
     // window only until the next z-order rewrites the state)
-    if (content == Tombstone)
+    if (content == Tombstone) {
       try { fs.delete(zStatePath(tablePath, c), false); () }
       catch { case _: java.io.IOException => () }
+      // in-process cache hygiene: after retirement (vacuum deletes the
+      // whole manifest dir) a recreated collection REUSES ptr and seg
+      // paths — this writer must not validate or resolve against its
+      // own dead entries. Cross-process reuse is covered by the
+      // (len, mtime) validation / write-time seeding, see the cache
+      // docs.
+      val mPrefix = manifestDir(tablePath, c).toUri.getPath + "/"
+      val cPrefix = collectionDir(tablePath, c).toUri.getPath + "/"
+      ptrCache.keySet.removeIf(_.startsWith(mPrefix))
+      segSchemaCache.keySet.removeIf(_.startsWith(cPrefix))
+    }
   }
 
   /** DURABLE commit instant, written IN the pointer body at publish —
@@ -1835,6 +1864,9 @@ object ManifestStore {
           }
         }
       if (entries.nonEmpty) writeStatsFile(fs, tablePath, c, seg, entries)
+      // seed the append doors' schema check — the writer's own
+      // segments never cost a footer read
+      seedSegSchema(tablePath, c, seg, df.schema)
     }
   }
 
@@ -1953,6 +1985,11 @@ object ManifestStore {
           }
         }
       if (entries.nonEmpty) writeStatsFile(fs, tablePath, c, seg, entries)
+      // seed the append doors' schema check — the writer's own
+      // segments never cost a footer read
+      seedSegSchema(tablePath, c, seg,
+        org.apache.spark.sql.types.StructType(
+          laid.schema.fields.filterNot(_.name == "__part")))
     }
     try fs.delete(stagingDir, true)
     catch { case _: java.io.IOException => () /* vacuum sweeps it */ }
@@ -2389,26 +2426,45 @@ object ManifestStore {
     * lands is a widened table whose old column serves NULLs — do it
     * deliberately (new collection, or add-column + explicit rewrite),
     * never by just renaming a field in the pipeline. */
+  /** Column-name key under the session's resolution rule: Spark
+    * resolves case-INSENSITIVELY by default, so a case-variant
+    * same-name column ("TXT" vs "txt") is the SAME column to every
+    * read/union downstream — the door must see it that way too or a
+    * case-variant retype slips through as a "new column". */
+  private def nameKey(n: String, caseSensitive: Boolean): String =
+    if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+
+  private def caseSensitiveOf(spark: SparkSession): Boolean =
+    spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+
   private def requireWidenOnly(existing: StructType, incoming: StructType,
-      c: String, door: String, allowFamilyWidening: Boolean): Unit = {
+      c: String, door: String, allowFamilyWidening: Boolean,
+      caseSensitive: Boolean): Unit = {
     // The APPEND doors (store/storeBatch) land the batch's own parquet
     // type next to the existing segments', and the footer-union read
     // REFUSES even a lossless integral mix (Spark's parquet schema
     // merge: CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE on INT vs BIGINT) —
     // so appends require the exact type. The MERGE door rewrites
-    // through a coercing DataFrame union and writes ONE uniform widest
-    // type, so there a lossless same-family width change (integral
-    // mix, float/double — the prune already unifies integral keys to
-    // 'l') is widening, not retyping. Cross-family anywhere (string vs
-    // int, decimal vs double, timestamp vs long, nested changes) is a
-    // retype and fails the door.
-    def sameFamily(a: org.apache.spark.sql.types.DataType,
-        b: org.apache.spark.sql.types.DataType): Boolean = {
+    // through a coercing DataFrame union, CONFORMS the batch to the
+    // table's types, and writes ONE uniform type — so there a batch
+    // column may widen INTO the table's same-family wider type
+    // (int→long, float→double; the prune already unifies integral
+    // keys to 'l'). DIRECTIONAL on purpose: the other way (a DOUBLE
+    // batch into a FLOAT table, a LONG batch into an INT table) is a
+    // NARROWING cast — silent precision loss or a CAST_OVERFLOW deep
+    // in the rewrite job — and fails the door like any retype.
+    // Cross-family anywhere (string vs int, decimal vs double,
+    // timestamp vs long, nested changes) is a retype and fails.
+    def widensInto(from: org.apache.spark.sql.types.DataType,
+        to: org.apache.spark.sql.types.DataType): Boolean = {
       import org.apache.spark.sql.types._
-      val integral: Set[DataType] =
-        Set(ByteType, ShortType, IntegerType, LongType)
-      val floating: Set[DataType] = Set(FloatType, DoubleType)
-      (integral(a) && integral(b)) || (floating(a) && floating(b))
+      val irank = Map[DataType, Int](
+        ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+      val frank = Map[DataType, Int](FloatType -> 1, DoubleType -> 2)
+      (irank.contains(from) && irank.contains(to) &&
+        irank(from) <= irank(to)) ||
+        (frank.contains(from) && frank.contains(to) &&
+          frank(from) <= frank(to))
     }
     // nullability is NOT type identity here: footer-inferred columns
     // read back nullable/containsNull=true while an in-memory batch's
@@ -2427,11 +2483,12 @@ object ManifestStore {
         case other => other
       }
     }
-    val ex = existing.fields.map(f => f.name -> f.dataType).toMap
+    val ex = existing.fields
+      .map(f => nameKey(f.name, caseSensitive) -> f.dataType).toMap
     incoming.fields.foreach { f =>
-      ex.get(f.name).foreach { t =>
+      ex.get(nameKey(f.name, caseSensitive)).foreach { t =>
         require(normNull(t) == normNull(f.dataType) ||
-            (allowFamilyWidening && sameFamily(t, f.dataType)),
+            (allowFamilyWidening && widensInto(f.dataType, t)),
           s"$door on collection '$c': column '${f.name}' is " +
             s"${f.dataType.sql} in the batch but ${t.sql} in the table " +
             "- retyping a column has no defined path (schema evolution " +
@@ -2442,24 +2499,68 @@ object ManifestStore {
     }
   }
 
-  /** One immutable segment's footer schema, memoized forever (segments
-    * never mutate) — what makes the write-door [[requireWidenOnly]]
-    * check O(1) footer reads per append stream instead of per batch.
-    * ADVISORY like the sidecars: an unreadable newest segment (e.g. a
-    * racing compaction superseded it between this writer's resolve and
-    * the footer read) skips the door check rather than failing an
-    * append that the commit protocol itself would retry correctly. */
+  /** Per-segment footer schemas, memoized forever (segments never
+    * mutate), SEEDED at write time by [[writeSegment]]/
+    * [[writeClusteredSegments]] — so a long-lived writer's append
+    * stream pays ZERO footer reads for its own segments. Keyed by
+    * scheme-stripped URI path so the tombstone [[publish]]
+    * invalidation prefix matches (path reuse after manifest
+    * retirement, same argument as the pointer cache). */
   private val segSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
-  private def newestSegSchema(spark: SparkSession, tablePath: String,
-      c: String, liveSegs: Seq[Long]): Option[StructType] =
-    liveSegs.maxOption.flatMap { seg =>
-      val dir = segDir(tablePath, c, seg).toString
-      if (segSchemaCache.size >= PtrCacheMax) segSchemaCache.clear()
-      try Some(segSchemaCache.computeIfAbsent(dir,
-        _ => spark.read.parquet(dir).schema))
-      catch { case scala.util.control.NonFatal(_) => None }
+
+  private def seedSegSchema(tablePath: String, c: String, seg: Long,
+      schema: StructType): Unit = {
+    if (segSchemaCache.size >= PtrCacheMax) segSchemaCache.clear()
+    segSchemaCache.put(segDir(tablePath, c, seg).toUri.getPath, schema)
+  }
+
+  /** Cold-start bound for [[liveUnionSchema]]'s footer reads — beyond
+    * it the append-door check covers the newest retained tail only
+    * (advisory; a warm process has every segment either seeded at
+    * write time or read once). */
+  val SchemaCheckColdCap = 64
+
+  /** The UNION of the live segments' footer schemas (newest-first,
+    * first definition of a name wins — under the widen-only contract
+    * all definitions agree), feeding the append doors'
+    * [[requireWidenOnly]]: the union, not just the newest segment,
+    * because OMITTING a column is legal — a retype of a column the
+    * newest segment happens to omit must still fail the door, or the
+    * committed segment breaks every later footer-union read.
+    * ADVISORY like the sidecars: unreadable segments (racing
+    * compaction) and segments beyond [[SchemaCheckColdCap]] uncached
+    * reads are skipped rather than failing an append the commit
+    * protocol would retry correctly. */
+  private def liveUnionSchema(spark: SparkSession, tablePath: String,
+      c: String, liveSegs: Seq[Long],
+      caseSensitive: Boolean): Option[StructType] = {
+    if (liveSegs.isEmpty) None
+    else {
+      var reads = 0
+      val seen = scala.collection.mutable.LinkedHashMap
+        .empty[String, org.apache.spark.sql.types.StructField]
+      liveSegs.sorted(Ordering[Long].reverse).foreach { seg =>
+        val dirKey = segDir(tablePath, c, seg).toUri.getPath
+        val cached = Option(segSchemaCache.get(dirKey)).orElse {
+          if (reads >= SchemaCheckColdCap) None
+          else {
+            reads += 1
+            try {
+              val s = spark.read
+                .parquet(segDir(tablePath, c, seg).toString).schema
+              if (segSchemaCache.size >= PtrCacheMax) segSchemaCache.clear()
+              segSchemaCache.put(dirKey, s)
+              Some(s)
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+        }
+        cached.foreach(_.fields.foreach(f =>
+          seen.getOrElseUpdate(nameKey(f.name, caseSensitive), f)))
+      }
+      if (seen.isEmpty) None else Some(StructType(seen.values.toSeq))
     }
+  }
 
   /** Append `chunks` (one collection per call, the reference's /store
     * shape) as a NEW immutable segment: data lands fully, then one
@@ -2474,10 +2575,11 @@ object ManifestStore {
     val fs = fsOf(spark, tablePath)
     assertNotFlatLayout(fs, tablePath, collection)
     val r = resolve(fs, tablePath, collection)
-    newestSegSchema(spark, tablePath, collection,
-        r.liveSegs.toSeq.flatten).foreach(
+    liveUnionSchema(spark, tablePath, collection,
+        r.liveSegs.toSeq.flatten, caseSensitiveOf(spark)).foreach(
       requireWidenOnly(_, chunks.drop("collection").schema, collection,
-        "store", allowFamilyWidening = false))
+        "store", allowFamilyWidening = false,
+        caseSensitive = caseSensitiveOf(spark)))
     val seg = claimSeg(fs, tablePath, collection, r.nextSeg)
     writeSegment(chunks.drop("collection"), fs, tablePath, collection, seg)
     commitWithRetry(fs, tablePath, collection, r) { rr =>
@@ -2518,10 +2620,11 @@ object ManifestStore {
     val r = resolve(fs, tablePath, collection)
     if (r.seenTags.contains(tag)) false
     else {
-      newestSegSchema(spark, tablePath, collection,
-          r.liveSegs.toSeq.flatten).foreach(
+      liveUnionSchema(spark, tablePath, collection,
+          r.liveSegs.toSeq.flatten, caseSensitiveOf(spark)).foreach(
         requireWidenOnly(_, chunks.drop("collection").schema, collection,
-          "storeBatch", allowFamilyWidening = false))
+          "storeBatch", allowFamilyWidening = false,
+          caseSensitive = caseSensitiveOf(spark)))
       val seg = claimSeg(fs, tablePath, collection, r.nextSeg)
       writeSegment(chunks.drop("collection"), fs, tablePath, collection, seg)
       val won = commitWithRetry(fs, tablePath, collection, r) { rr =>

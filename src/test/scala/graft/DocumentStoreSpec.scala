@@ -2094,6 +2094,64 @@ class DocumentStoreSpec extends SparkSpecBase {
       (5L, "e", None, None)), got)
   }
 
+  test("widen-only door closes the review-pass holes: omitted-column " +
+      "retype, case-variant retype, same-family NARROWING at merge, " +
+      "and a retire/recreate cycle validating against a dead schema") {
+    import spark.implicits._
+    val table = tmp() + "/widen2"
+    ManifestStore.setZoneMapColumns(spark, table, Seq("doc_id"))
+    // lineage: (doc_id, txt, score) then an OMITTING append — the
+    // newest segment no longer carries score
+    ManifestStore.store(
+      Seq((1L, "a", 1.5)).toDF("doc_id", "txt", "score"), table, "w")
+    ManifestStore.store(Seq((2L, "b")).toDF("doc_id", "txt"), table, "w")
+    // a retype of the OMITTED column must still fail: the door checks
+    // the UNION of live footers, not just the newest segment (a pass
+    // here would commit a segment that breaks every inferred read)
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestStore.store(
+        Seq((3L, "c", "high")).toDF("doc_id", "txt", "score"), table, "w")
+    }
+    assert(e1.getMessage.contains("'score'"), e1.getMessage)
+    // case-variant retype: Spark resolves names case-insensitively by
+    // default, so TXT BIGINT is a retype of txt STRING, not a new column
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestStore.store(
+        Seq((3L, 7L)).toDF("doc_id", "TXT"), table, "w")
+    }
+    assert(e2.getMessage.contains("TXT"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      ManifestStore.mergeCollection(spark, table, "w",
+        Seq((3L, 7L)).toDF("doc_id", "TXT"), mergeSchema = true)
+    }
+    // same-family NARROWING fails the merge door: a DOUBLE batch into
+    // the (implied float) table... model directly: long batch into an
+    // int-typed column
+    val t2 = tmp() + "/narrow"
+    ManifestStore.store(Seq((1L, 5)).toDF("doc_id", "n"), t2, "w")
+    val e3 = intercept[IllegalArgumentException] {
+      ManifestStore.mergeCollection(spark, t2, "w",
+        Seq((2L, 1L << 40)).toDF("doc_id", "n"), mergeSchema = true)
+    }
+    assert(e3.getMessage.contains("'n'"), e3.getMessage)
+    // ...while the widening direction (int batch into a long column)
+    // stays allowed (pinned in the sibling test via the int-key merge)
+    // RETIRE + RECREATE: segment paths are reused after a
+    // vacuumed-to-tombstone manifest retirement — the door must
+    // validate the NEW lineage's schema, not the dead one's cached
+    val t3 = tmp() + "/cycle"
+    ManifestStore.store(Seq((1L, "x")).toDF("doc_id", "txt"), t3, "w")
+    ManifestStore.deleteCollection(spark, t3, "w")
+    ManifestStore.vacuum(spark, t3, minAgeMs = -1000L,
+      tagMinAgeMs = -1000L)
+    // recreate with a DIFFERENT (retyped) schema: legal — the old
+    // lineage is gone; a stale cached seg-1 schema would false-reject
+    ManifestStore.store(Seq((1L, 42L)).toDF("doc_id", "txt"), t3, "w")
+    ManifestStore.store(Seq((2L, 43L)).toDF("doc_id", "txt"), t3, "w")
+    assert(ManifestStore.readSinceInferred(spark, t3, "w", 0L)
+      .select("txt").collect().map(_.getLong(0)).toSet == Set(42L, 43L))
+  }
+
   test("pointer-log read amplification is BOUNDED: after one cold " +
       "pass, versionAtTime/history/resolve open only pointers they " +
       "have not seen — repeated time-travel resolution is O(new " +
