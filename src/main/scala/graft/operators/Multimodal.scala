@@ -325,9 +325,10 @@ object Multimodal {
       levels: Int = PhashLevels, maxL1: Double = PhashMaxL1,
       sampleMod: Int = 1): DataFrame = {
     val sigAll = phashSig(s, dir, levels)
-    val sig =
+    val sig = VectorSearch.spreadPairSide(
       if (sampleMod == 1) sigAll
-      else sigAll.where(col("doc_id") % sampleMod === 0)
+      else sigAll.where(col("doc_id") % sampleMod === 0),
+      col("doc_id"))
     val cols = (0 until FeatureDim).map(j => s"f$j") ++
       (0 until FeatureDim / 2).map(j => s"b$j")
     val a = sig.toDF("doc_id_1" +: cols.map("a" + _): _*)

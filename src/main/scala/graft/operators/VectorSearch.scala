@@ -54,6 +54,29 @@ object VectorSearch {
     else df
   }
 
+  /** Scale-adaptive parallelism door for PAIR-GENERATING stages (the
+    * all-pairs ground truths, banded/blocked self-joins): when the
+    * side feeding a pair join arrives in fewer partitions than the
+    * cluster has cores, hash-repartition it on `key` so the O(n·m)
+    * pair work fans out; otherwise return it untouched. The gate is
+    * what keeps this 100 TB-correct: a corpus-scale input already
+    * arrives in thousands of splits, so the door is a no-op there —
+    * no extra exchange in the production plan — while a verify-scale
+    * slice (or a single-row-group fixture file) arrives in 1-2 splits
+    * and would otherwise serialize the quadratic stage onto one core
+    * (guide §2: derive partitioning from the input, not a constant
+    * tuned for either regime). The shuffle it inserts moves O(n) rows
+    * to parallelize O(n²) work — always the right trade for a pair
+    * stage. Hash partitioning on a row-identity key is deterministic
+    * under retries (guide §2.5's rand() trap does not apply) and the
+    * per-pair arithmetic is row-local, so results are partition-
+    * invariant and every oracle is unaffected. */
+  private[operators] def spreadPairSide(df: DataFrame,
+      key: Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, key)
+  }
+
   /** score = dot(q_normalized, v) — the reference's half-normalized
     * "cosine" (main.go:246, Q1). */
   def scoreRef(emb: Column): Column = V.dot(vecLit(QueryNorm), emb)
