@@ -33,8 +33,16 @@ object TextFunctions {
   def normTextSql(s: String): String =
     s"regexp_replace(lower($s), '[^a-z0-9 ]', ' ', 'g')"
 
-  /** non-empty whitespace tokens of the normalized text. */
-  def words(s: Column): Column =
+  /** non-empty whitespace tokens of the normalized text. Dispatches to
+    * the fused codegen [[TokenizeExpr]] (one lowercase + one byte scan
+    * per document); [[wordsHof]] is the reference formulation the
+    * kernel is property-pinned against. */
+  def words(s: Column): Column = TextHashExpressions.tokenize(s)
+
+  /** HOF reference formulation of [[words]] — two regex passes + a
+    * lambda filter; kept ONLY for the kernel-equivalence cross-check
+    * (PropertySpec) and as the readable spec of the token grammar. */
+  def wordsHof(s: Column): Column =
     filter(split(normText(s), " ", -1), w => w =!= "")
 
   def wordsSql(s: String): String =

@@ -771,6 +771,90 @@ case class CharClassStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Fused tokenizer: lowercase + strip-to-[a-z0-9 ] + split + drop
+  * empties in ONE pass, replacing the
+  * `filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "),
+  * w => w <> "")` chain that every text/dedup/pipeline operator runs in
+  * its hottest projection. The chain costs two full regex passes plus
+  * four intermediate allocations (lowered string, replaced string,
+  * split array with empties, filtered array) per document; this kernel
+  * lowercases once (the same `UTF8String.toLowerCase` the `lower()`
+  * builtin dispatches to) and then scans BYTES: a token is a maximal
+  * run of bytes in [a-z0-9]. Byte-run scanning is exactly the regex
+  * semantics because every non-[a-z0-9] CHARACTER of the lowered text
+  * — ASCII punctuation and every byte of a multi-byte code point alike
+  * (UTF-8 lead/continuation bytes are all >= 0x80) — is a separator in
+  * both formulations, and the regex path's empty-string artifacts are
+  * filtered out. PropertySpec pins kernel ≡ HOF on random Unicode
+  * strings; the DuckDB oracle (`wordsSql`) is unchanged. */
+case class TokenizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenizeExpr.tokenize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  // one static call per row — the loop lives in compiled bytecode
+  // (shared with the interpreted path), not in Janino-generated source
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TokenizeExpr.tokenize($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TokenizeExpr {
+  /** Static so generated code can call it through the companion's
+    * forwarder (`graft.functions.TokenizeExpr.tokenize`). */
+  def tokenize(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val b = u.toLowerCase.getBytes
+    val n = b.length
+    // pass 1: count tokens (runs of [a-z0-9])
+    var cnt = 0
+    var in = false
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (!in) { cnt += 1; in = true }
+      } else in = false
+      i += 1
+    }
+    // pass 2: slice them out
+    val out = new Array[AnyRef](cnt)
+    var k = 0
+    var start = 0
+    in = false
+    i = 0
+    while (i < n) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (!in) { start = i; in = true }
+      } else if (in) {
+        out(k) = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(b, start, i - start)
+        k += 1
+        in = false
+      }
+      i += 1
+    }
+    if (in) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(b, start, n - start)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextHashExpressions {
   /** shingle poly-hashes (n-word, space-joined), codegen'd. */
   def shingleHashes(words: Column, n: Int): Column =
@@ -815,4 +899,9 @@ object TextHashExpressions {
   /** fused (n_alpha, n_spaces) character-class counts over a string. */
   def charClassStats(text: Column): Column =
     ColumnShim.column(CharClassStatsExpr(ColumnShim.expression(text)))
+
+  /** fused lowercase+normalize+split+filter tokenizer (see
+    * [[TokenizeExpr]]); [[TextFunctions.words]] dispatches here. */
+  def tokenize(text: Column): Column =
+    ColumnShim.column(TokenizeExpr(ColumnShim.expression(text)))
 }

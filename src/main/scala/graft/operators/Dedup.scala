@@ -979,13 +979,20 @@ object Dedup {
     * pairs on the same fixture). */
   private[graft] def simhashWide(documents: DataFrame): DataFrame =
     documents
-      .where(size(words(col("text"))) > 0)
       // coalesce keeps the whole signature chain NON-nullable: the
       // band join would otherwise infer isnotnull(<signature expr>)
       // into the scan filter and recompute both simhash folds per row
-      // just to null-check them (observed in the physical plan)
+      // just to null-check them (observed in the physical plan).
+      // optBarrier: the emptiness gate otherwise gets substituted below
+      // the projection and re-tokenizes every document in the Filter —
+      // filtering size(ws) > 0 on the SAME array keeps the rows
+      // identical (null text ⇒ empty array ⇒ dropped, exactly as
+      // size(words(text)) > 0 dropped null-tokenized rows before)
       .select(col("doc_id"), graft.functions.TextHashExpressions
-        .wordHashes(words(coalesce(col("text"), lit("")))).as("ha"))
+        .optBarrier(words(coalesce(col("text"), lit("")))).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), graft.functions.TextHashExpressions
+        .wordHashes(col("ws")).as("ha"))
       .select(col("doc_id"),
         graft.functions.TextHashExpressions.simhash32(col("ha")).as("s1"),
         graft.functions.TextHashExpressions.simhash32(

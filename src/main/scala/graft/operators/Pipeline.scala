@@ -1142,8 +1142,11 @@ object Pipeline {
     * sort. */
   def chunkDocuments(s: SparkSession, dir: String,
       chunkWords: Int = 64, step: Int = 48): DataFrame = {
+    // optBarrier: the emptiness gate otherwise re-tokenizes every
+    // document inside the substituted Filter (2 tokenize evals/row)
     val d = Tables(s, dir, "documents")
-      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), graft.functions.TextHashExpressions
+        .optBarrier(words(col("text"))).as("ws"))
       .where(size(col("ws")) > 0)
       // n_chunks = ceil(max(n - chunk, 0) / step) + 1 — enough windows
       // to cover the tail; integer arithmetic only
@@ -1195,8 +1198,12 @@ object Pipeline {
     * `text`) with explicit knobs — the spec surface. */
   def spanDedupOn(documents: DataFrame, spanWords: Int,
       maxDf: Int): DataFrame = {
+    // optBarrier: same substituted-gate pathology as [[chunkDocuments]]
+    // — and `spans` derives TWICE (boilerplate agg + reassembly join),
+    // so the un-barriered shape paid 4 tokenize evals per row
     val spans = documents
-      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), graft.functions.TextHashExpressions
+        .optBarrier(words(col("text"))).as("ws"))
       .where(size(col("ws")) > 0)
       // ceil(len/k) in integer arithmetic (positive, so cast truncation
       // is floor)
@@ -1386,9 +1393,12 @@ object Pipeline {
     // final per-phase aggregate; released once the thresholds (a
     // 3-row local relation) are in hand — the final aggregate then
     // re-tokenizes once, which is the floor for any formulation
+    // optBarrier: the n_words > 0 gate otherwise re-tokenizes every
+    // document inside the substituted Filter (2 tokenize evals/row on
+    // the persist's first materialization and on the post-release pass)
     val v = Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        size(words(col("text"))).cast("long").as("n_words"))
+      .select(col("doc_id"), graft.functions.TextHashExpressions
+        .optBarrier(size(words(col("text"))).cast("long")).as("n_words"))
       .where(col("n_words") > 0).persist()
     val thresholds =
       try Events.exactQuantilesOn(v.select(col("n_words")),
@@ -1417,7 +1427,8 @@ object Pipeline {
     // narrowing round otherwise re-tokenizes the corpus (the protocol
     // fully materializes its local result before the unpersist)
     val v = Tables(s, dir, "documents")
-      .select(size(words(col("text"))).cast("long").as("n_words"))
+      .select(graft.functions.TextHashExpressions
+        .optBarrier(size(words(col("text"))).cast("long")).as("n_words"))
       .where(col("n_words") > 0).persist()
     try Events.weightedQuantilesOn(v, "n_words", "n_words")
     finally { v.unpersist(); () }
@@ -1428,8 +1439,8 @@ object Pipeline {
     * protocol run; all languages share each round's scan). */
   def tokenWeightedLengthsByLang(s: SparkSession, dir: String): DataFrame = {
     val v = Tables(s, dir, "documents")
-      .select(col("lang"),
-        size(words(col("text"))).cast("long").as("n_words"))
+      .select(col("lang"), graft.functions.TextHashExpressions
+        .optBarrier(size(words(col("text"))).cast("long")).as("n_words"))
       .where(col("n_words") > 0 && col("lang").isNotNull).persist()
     try Events.groupWeightedQuantilesOn(v, "lang", "n_words", "n_words")
     finally { v.unpersist(); () }
@@ -1446,8 +1457,8 @@ object Pipeline {
 
   def tokenWeightedDecilesByLang(s: SparkSession, dir: String): DataFrame = {
     val v = Tables(s, dir, "documents")
-      .select(col("lang"),
-        size(words(col("text"))).cast("long").as("n_words"))
+      .select(col("lang"), graft.functions.TextHashExpressions
+        .optBarrier(size(words(col("text"))).cast("long")).as("n_words"))
       .where(col("n_words") > 0 && col("lang").isNotNull).persist()
     try Events.groupWeightedQuantilesOn(v, "lang", "n_words", "n_words",
       pcts = MixturePcts)

@@ -267,16 +267,35 @@ object TextAnalysis {
     val vocab = terms.groupBy("word").agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("word")).limit(OovVocabSize)
       .select("word")
-    val inVocab = terms.join(broadcast(vocab), Seq("word"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_in_vocab"))
-    val st = graft.functions.TextHashExpressions.wordStats(words(col("text")))
+    // The K-row vocabulary collapses to a ONE-ROW array relation that
+    // rides a broadcast cross join (bm25On's stats pattern); scoring is
+    // then a single scan-side projection — tokenize once per document
+    // (optBarrier'd against gate substitution), n_words from the fused
+    // word-stats kernel, n_in_vocab counted by an array filter against
+    // the 16-element vocab array. The former explode + vocab join +
+    // per-doc count aggregate + left join moved the whole token stream
+    // through a shuffle to compute a per-doc counter that never needed
+    // to leave the scan; values are identical (matched-token counts and
+    // the same guarded division), and docs with zero in-vocab tokens
+    // hit the coalesce(size, 0) exactly where the left-join miss used
+    // to coalesce to 0.
+    val vocabArr = vocab.agg(sort_array(collect_list(col("word")))
+      .as("vocab_arr"))
+    val ws = graft.functions.TextHashExpressions.optBarrier(
+      words(col("text")))
     documents
-      .select(col("doc_id"), st.getField("n_words").as("n_words"))
-      .join(inVocab, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
-        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"),
+      .select(col("doc_id"), ws.as("ws"))
+      .crossJoin(broadcast(vocabArr))
+      .select(col("doc_id"),
+        graft.functions.TextHashExpressions.wordStats(col("ws"))
+          .getField("n_words").as("n_words"),
+        coalesce(
+          size(filter(col("ws"),
+            w => array_contains(col("vocab_arr"), w))).cast("long"),
+          lit(0L)).as("n_in_vocab"))
+      .select(col("doc_id"), col("n_words"), col("n_in_vocab"),
         when(col("n_words") > 0,
-          (col("n_words") - coalesce(col("n_in_vocab"), lit(0L)))
+          (col("n_words") - col("n_in_vocab"))
             .cast("double") / col("n_words").cast("double"))
           .as("oov_rate"))
       .orderBy("doc_id")
@@ -310,8 +329,14 @@ object TextAnalysis {
     * mirrored in the oracle: IEEE ±·/ are correctly rounded in both
     * engines, so determinism needs only identical operand order. */
   def bm25On(documents: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    // optBarrier: the dl > 0 gate otherwise gets SUBSTITUTED below this
+    // projection and re-tokenizes every document inside the Filter
+    // (2 tokenize evals per row, ×2 again because `base` derives twice
+    // — stats agg + scored)
     val base = documents
-      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        graft.functions.TextHashExpressions.optBarrier(words(col("text")))
+          .as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
       .where(col("dl") > 0)
     val dfCols = terms.map(t =>
@@ -390,8 +415,12 @@ object TextAnalysis {
     * 1-row broadcast. */
   def bm25MultiOn(documents: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
+    // optBarrier: same substituted-gate pathology as [[bm25On]], ×2
+    // because `base` derives twice (stats agg + tf explode)
     val base = documents
-      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        graft.functions.TextHashExpressions.optBarrier(words(col("text")))
+          .as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
       .where(col("dl") > 0)
     val stats = base.agg(count(lit(1)).as("n_docs"),
@@ -1689,8 +1718,13 @@ object TextAnalysis {
         org.apache.commons.io.FileUtils
           .deleteQuietly(new java.io.File(path)): Unit))
       val docs = Tables(s, dir, "documents")
+      // project-then-filter (not a bare where) keeps the tokenize out
+      // of the FilterExec — one eval per row, and the plan-audit's
+      // zero-kernel-calls-in-Filter invariant holds for build jobs too
       val nDocs = docs
-        .where(size(words(col("text"))) > 0).count()
+        .select(graft.functions.TextHashExpressions
+          .optBarrier(size(words(col("text")))).as("nw"))
+        .where(col("nw") > 0).count()
       buildTextIndex(docs, path, dfCap = nDocs * TextIndexDfCapPct / 100L)
       Option(cappedTextIndexes.putIfAbsent(key, path)).map { prev =>
         org.apache.commons.io.FileUtils

@@ -220,6 +220,43 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("fused tokenizer == HOF formulation on random strings " +
+      "(incl. case-mapping and multi-byte UTF-8)") {
+    // the kernel's claim: lowercase once (same UTF8String.toLowerCase
+    // the lower() builtin uses), then tokens = maximal byte runs of
+    // [a-z0-9]. Upper-case ASCII exercises the lowering; 'İ' (U+0130)
+    // exercises a case mapping that CHANGES length (lowers to i +
+    // U+0307); the multi-byte chunks exercise the separator claim for
+    // lead/continuation bytes; digits exercise the [0-9] run class.
+    val genChunk = Gen.frequency(
+      6 -> Gen.alphaLowerChar.map(_.toString), 3 -> Gen.const(" "),
+      2 -> Gen.alphaUpperChar.map(_.toString),
+      2 -> Gen.numChar.map(_.toString),
+      1 -> Gen.oneOf(".", ",", "-", "_", "!"),
+      1 -> Gen.oneOf("é", "ß", "あ", "€", "🎉", "İ", "Σ"))
+    val genText = Gen.listOf(genChunk).map(_.mkString)
+    val texts = samples(genText, 120) ++ Seq("", "   ", "a", "7", "İmİr")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(texts.zipWithIndex.map { case (t, i) =>
+        Row(i.toLong, t)
+      }),
+      StructType(Seq(StructField("id", LongType),
+        StructField("text", StringType))))
+    val out = df.select(col("id"),
+        graft.functions.TextFunctions.words(col("text")).as("kernel"),
+        graft.functions.TextFunctions.wordsHof(col("text")).as("ref"))
+      .collect()
+    assert(out.length == texts.length)
+    out.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"token mismatch on id ${r.getLong(0)}: '${texts(r.getLong(0).toInt)}'")
+    }
+    // null in, null out (plain unary null semantics)
+    val nulls = df.select(
+      graft.functions.TextFunctions.words(lit(null).cast("string"))).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
   test("fused word stats == reference formulation on random word lists") {
     val genWord = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     val genDoc = Gen.listOfN(30, genWord).map(_.toSeq)
