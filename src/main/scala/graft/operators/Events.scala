@@ -296,15 +296,11 @@ object Events {
     * predicate applied on top. Matched clicks only (an unmatched
     * click has no lag, not an infinite one). */
   def lagQuantiles(s: SparkSession, dir: String): DataFrame = {
-    // the narrowing protocol scans its input once per round — for a
-    // DERIVED input (the as-of window) cache the gap relation for the
-    // protocol's duration. Scoped: the protocol's result is a LOCAL
-    // relation (fully materialized before return), so the unpersist
-    // can never force a recompute of the answer.
-    val gaps = asofClickPurchase(s, dir).where(col("gap_us").isNotNull)
-      .select(col("gap_us")).persist()
-    try exactQuantilesOn(gaps, "gap_us")
-    finally { gaps.unpersist(); () }
+    // the narrowing protocol caches its input for the protocol's
+    // duration itself (r19) — the derived as-of gap relation rides
+    // that cache, no caller-side persist needed
+    exactQuantilesOn(asofClickPurchase(s, dir)
+      .where(col("gap_us").isNotNull).select(col("gap_us")), "gap_us")
   }
 
   /** SLIDING-window rates: hourly windows every 15 minutes, so each
@@ -1403,14 +1399,35 @@ object Events {
       buckets: Long = QuantileBuckets,
       pcts: Seq[Int] = QuantilePcts): DataFrame = {
     requireValidPcts(pcts)
+    // protocol-duration cache (lagQuantiles' discipline pushed into the
+    // protocol itself): every narrowing round and the selection scan
+    // otherwise re-derive `values` — one parquet scan + projection per
+    // round. The result is a LOCAL relation (fully materialized before
+    // return), so the unpersist can never force a recompute.
+    val v = values.persist()
+    try {
+      // count(col) not count(*): a NULL value is invisible to min/max,
+      // the bucket tags, and the selection scans — counting it into n
+      // would silently shift every rank
+      val head = v
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
+          count(col(c)).as("n")).head
+      exactQuantilesFrom(v, c, head, selectCap, buckets, pcts)
+    } finally { v.unpersist(); () }
+  }
+
+  /** [[exactQuantilesOn]] with the (lo, hi, n) head Row already in
+    * hand — the sketch face computes the identical aggregate for its
+    * own grid geometry and passes it through, saving one full scan
+    * per call (r19). */
+  private[graft] def exactQuantilesFrom(values: DataFrame, c: String,
+      head: org.apache.spark.sql.Row,
+      selectCap: Long = QuantileSelectCap,
+      buckets: Long = QuantileBuckets,
+      pcts: Seq[Int] = QuantilePcts): DataFrame = {
+    requireValidPcts(pcts)
     val s = values.sparkSession
     import s.implicits._
-    // count(col) not count(*): a NULL value is invisible to min/max,
-    // the bucket tags, and the selection scans — counting it into n
-    // would silently shift every rank
-    val head = values
-      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
-        count(col(c)).as("n")).head
     if (head.isNullAt(2) || head.getLong(2) == 0L)
       return Seq.empty[(Int, Long, Long)].toDF("pct", "k", c)
     val n = head.getLong(2)
@@ -1569,29 +1586,35 @@ object Events {
       pcts: Seq[Int] = QuantilePcts): DataFrame = {
     val s = values.sparkSession
     import s.implicits._
-    // count(col) not count(*): the null-count discipline of
-    // [[exactQuantilesOn]] — [[quantileSketchCells]] drops nulls, so
-    // n must too or every rank shifts
-    val head = values
-      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
-        count(col(c)).as("n")).head
-    if (head.isNullAt(2) || head.getLong(2) == 0L)
-      return Seq.empty[(Int, Long, Long, Double, Double)]
-        .toDF("pct", "k", "exact", "sketch", "err")
-    val (lo, hi, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
-    val w = (hi - lo) / buckets + 1L
-    // ≤ buckets cells: the codebook-class collect, like the narrowing
-    // rounds' histograms
-    val cells = quantileSketchCells(values, c, lo, w, buckets).collect()
-      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("bn"))).toSeq
-    val exact = exactQuantilesOn(values, c, pcts = pcts).collect()
-      .map(r => r.getAs[Int]("pct") -> r.getAs[Long](c)).toMap
-    pcts.sorted.map { p =>
-      val k = quantileRank(n, p)
-      val est = sketchEstimate(cells, lo, w, k)
-      val ex = exact(p)
-      (p, k, ex, est, est - ex.toDouble)
-    }.toDF("pct", "k", "exact", "sketch", "err")
+    // protocol-duration cache + ONE head aggregate shared between the
+    // sketch grid and the exact side (the exact protocol needed the
+    // identical min/max/count — r19 removed its duplicate scan)
+    val v = values.persist()
+    try {
+      // count(col) not count(*): the null-count discipline of
+      // [[exactQuantilesOn]] — [[quantileSketchCells]] drops nulls, so
+      // n must too or every rank shifts
+      val head = v
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
+          count(col(c)).as("n")).head
+      if (head.isNullAt(2) || head.getLong(2) == 0L)
+        return Seq.empty[(Int, Long, Long, Double, Double)]
+          .toDF("pct", "k", "exact", "sketch", "err")
+      val (lo, hi, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
+      val w = (hi - lo) / buckets + 1L
+      // ≤ buckets cells: the codebook-class collect, like the narrowing
+      // rounds' histograms
+      val cells = quantileSketchCells(v, c, lo, w, buckets).collect()
+        .map(r => (r.getAs[Long]("b"), r.getAs[Long]("bn"))).toSeq
+      val exact = exactQuantilesFrom(v, c, head, pcts = pcts).collect()
+        .map(r => r.getAs[Int]("pct") -> r.getAs[Long](c)).toMap
+      pcts.sorted.map { p =>
+        val k = quantileRank(n, p)
+        val est = sketchEstimate(cells, lo, w, k)
+        val ex = exact(p)
+        (p, k, ex, est, est - ex.toDouble)
+      }.toDF("pct", "k", "exact", "sketch", "err")
+    } finally { v.unpersist(); () }
   }
 
   def groupQuantileSketch(s: SparkSession, dir: String): DataFrame =
@@ -1631,6 +1654,11 @@ object Events {
       s"grouped sketch requires a StringType group column; '$g' is " +
         values.schema(g).dataType.simpleString)
     require(buckets > 0, s"sketch needs buckets > 0, got $buckets")
+    // NOT cached: an r19 experiment persisted `clean` for the
+    // protocol's duration and measured a ~1.2-1.3x REGRESSION — the
+    // columnar cache build over the string group column costs more
+    // than the three parquet re-scans it saves at this shape (the
+    // scalar protocol, long-only, keeps its cache)
     val clean = values.where(col(c).isNotNull && col(g).isNotNull)
     val bounds = clean.groupBy(col(g))
       .agg(min(col(c)).as("lo"), max(col(c)).as("hi"),
